@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local correctness harness mimicking the driver's gate: runs each
+SparkEntry query result (already dumped by `sbt "runMain graft.Verify
+<sfDir> <outDir>"`) against its DuckDB oracle on the same parquet
+tables, comparing schema + sorted-row hashes. Dev tool only — the
+Scala library never depends on this."""
+import json, sys, glob, os
+import duckdb
+
+def canon(con, rel_sql, label):
+    rel = con.sql(rel_sql)
+    cols = sorted(rel.columns)
+    # sort columns by name, then rows by all columns for order-insensitive hash
+    sel = ", ".join(f'"{c}"' for c in cols)
+    rows = con.sql(f"SELECT {sel} FROM ({rel_sql}) ORDER BY ALL").fetchall()
+    types = [str(t) for _, t in sorted(zip(rel.columns, rel.types), key=lambda p: p[0])]
+    return cols, types, rows
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    passed, failed = [], []
+    for name, sql in sorted(oracle.items()):
+        res_glob = f"{out_dir}/{name}/*.parquet"
+        if not glob.glob(res_glob):
+            failed.append((name, "no spark result written")); continue
+        try:
+            gc, gt, gr = canon(con, f"SELECT * FROM '{res_glob}'", "got")
+            ec, et, er = canon(con, sql, "oracle")
+        except Exception as e:
+            failed.append((name, f"error: {e}")); continue
+        if gc != ec:
+            failed.append((name, f"columns differ: got {gc} want {ec}")); continue
+        if gt != et:
+            failed.append((name, f"types differ: got {gt} want {et}"))
+            continue
+        if len(gr) != len(er):
+            failed.append((name, f"rowcount differ: got {len(gr)} want {len(er)}")); continue
+        bad = None
+        for i, (a, b) in enumerate(zip(gr, er)):
+            if a != b:
+                bad = (i, a, b); break
+        if bad:
+            failed.append((name, f"row {bad[0]} differs:\n  got  {bad[1]}\n  want {bad[2]}"))
+        else:
+            passed.append((name, len(gr)))
+    for n, c in passed:
+        print(f"PASS {n} ({c} rows)")
+    for n, msg in failed:
+        print(f"FAIL {n}: {msg}")
+    print(f"\n{len(passed)} passed, {len(failed)} failed")
+    sys.exit(1 if failed else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic aggregation helpers.
+  *
+  * Double sums are order-dependent: Spark's partial aggregation merges
+  * partitions in nondeterministic order, so `sum(double)` can differ in
+  * low bits run-to-run and engine-to-engine. Correctness-gated queries
+  * therefore aggregate in fixed-point DECIMAL(38,6) (exact, associative,
+  * commutative) and cast back to double — the DuckDB oracle does the
+  * same cast chain, so the doubles are bit-identical on both sides.
+  * Per-row double arithmetic (no reduction) is already deterministic
+  * and needs no special handling.
+  */
+object Det {
+  val dec: DecimalType = DecimalType(38, 6)
+
+  /** Exact sum of a double column via decimal; result double. */
+  def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum, double division. */
+  def davg(c: Column): Column = dsum(c) / count(c).cast(DoubleType)
+
+  /** Dialect `count`: counts non-null, returns FLOAT
+    * (reference selector.go:249, treeProcess.go:80-86). */
+  def cnt(c: Column): Column = count(c).cast(DoubleType)
+
+  private def n(c: Column): Column = count(c).cast(DoubleType)
+  private def s(c: Column): Column = dsum(c)
+  private def q(c: Column): Column = sum((c * c).cast(dec)).cast(DoubleType)
+
+  /** Deterministic sample stddev: exact decimal sums of x and x*x, then
+    * a fixed double formula sqrt((q - s*s/n)/(n-1)) mirrored verbatim in
+    * the oracle SQL (same IEEE ops in the same order on both engines). */
+  def stdevSamp(c: Column): Column =
+    sqrt((q(c) - s(c) * s(c) / n(c)) / (n(c) - lit(1.0)))
+
+  /** Population stddev, same construction. */
+  def stdevPop(c: Column): Column =
+    sqrt((q(c) - s(c) * s(c) / n(c)) / n(c))
+
+  /** Oracle-side SQL fragments mirroring the helpers above. */
+  object sql {
+    def dsum(x: String): String =
+      s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+    def davg(x: String): String =
+      s"(${dsum(x)} / CAST(COUNT($x) AS DOUBLE))"
+    def cnt(x: String): String = s"CAST(COUNT($x) AS DOUBLE)"
+    private def qq(x: String): String =
+      s"CAST(SUM(CAST((($x) * ($x)) AS DECIMAL(38,6))) AS DOUBLE)"
+    private def nn(x: String): String = s"CAST(COUNT($x) AS DOUBLE)"
+    def stdevSamp(x: String): String =
+      s"sqrt((${qq(x)} - ${dsum(x)} * ${dsum(x)} / ${nn(x)}) / (${nn(x)} - 1.0))"
+    def stdevPop(x: String): String =
+      s"sqrt((${qq(x)} - ${dsum(x)} * ${dsum(x)} / ${nn(x)}) / ${nn(x)})"
+  }
+}
