@@ -18,9 +18,24 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val all: Seq[String] = tpch ++ Seq("events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name.endsWith(".parquet") || name.endsWith(".csv")) load(spark, name)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name.endsWith(".parquet") || name.endsWith(".csv")) load(spark, name)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNanoTs(df)
+  }
+
+  /** Spark 4 can't read TIMESTAMP(NANOS) parquet natively; with
+    * spark.sql.legacy.parquet.nanosAsLong=true they surface as Long
+    * nanos. The test events stream is µs-valued, so ns→µs is lossless;
+    * convert any `ts` long column back to a proper TimestampType. */
+  private def normalizeNanoTs(df: DataFrame): DataFrame =
+    if (df.schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
 
   /** Load a direct path; CSV goes through the dialect-faithful
     * inference pass (graft.sources.CsvSource) once that lands. */

@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-pipeline primitives for large-scale training-data curation:
+  * tokenization, deterministic token hashing, minhash, simhash,
+  * language ID, quality scoring.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` higher-order
+  * column algebra — codegen'd, no UDFs, fully distributable. The hash
+  * family is engine-portable arithmetic (polynomial rolling hash mod a
+  * prime) so the DuckDB oracle can compute the identical numbers with
+  * list lambdas; that keeps every one of these operators hash-gated
+  * rather than rows-only-checked.
+  */
+object TextFunctions {
+
+  /** Large prime modulus for all rolling hashes (fits comfortably in
+    * a Long; products stay < 2^63 via the mod-31 step form). */
+  val P: Long = 1000000007L
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Polynomial rolling hash of a string: fold c over chars,
+    * h = (h*31 + ascii(c)) mod P. Deterministic, portable, and cheap;
+    * the same fold is written as a DuckDB list_reduce in oracles. */
+  def tokenHash(t: Column): Column =
+    aggregate(
+      split(t, ""),
+      lit(0L),
+      (h, c) => (h * lit(31L) + ascii(c)) % lit(P))
+
+  /** Token-hash array for a document (the shingle set base). */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => tokenHash(t))
+
+  /** Word n-gram (shingle) hashes: hash of each n-token window,
+    * combined as h = (h*31 + tokenHash) mod P. */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val th = tokenHashes(text)
+    val idx = sequence(lit(0), size(th) - lit(n))
+    when(size(th) >= n,
+      transform(idx, i =>
+        aggregate(slice(th, i + lit(1), lit(n)), lit(0L),
+          (h, x) => (h * lit(31L) + x) % lit(P))))
+      .otherwise(array().cast(ArrayType(LongType)))
+  }
+
+  /** One minhash value: min over hashes of (a*h + b) mod P. */
+  def minhash1(hashes: Column, a: Long, b: Long): Column =
+    array_min(transform(hashes, h => (h * lit(a) + lit(b)) % lit(P)))
+
+  /** k-permutation minhash signature with the standard (a_i*h+b_i) mod P
+    * family; (a_i, b_i) derived from a fixed seed so Spark and the
+    * oracle agree. */
+  def minhashSig(hashes: Column, k: Int): Column =
+    array((0 until k).map(i => minhash1(hashes, hashA(i), hashB(i))): _*)
+
+  def hashA(i: Int): Long = 2L * i + 1          // odd ⇒ coprime-ish, fixed family
+  def hashB(i: Int): Long = 12345L + 67890L * i
+
+  /** SimHash over token hashes, `bits` wide (≤30: hashes are mod P<2^30):
+    * bit j of the fingerprint is 1 iff #tokens with bit j set exceeds
+    * half the token count. A sum over bit positions — portable math. */
+  def simhash(hashes: Column, bits: Int = 24): Column = {
+    val n = size(hashes)
+    val terms = (0 until bits).map { j =>
+      val cnt = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, j) % lit(2L))
+      when(cnt * lit(2L) > n.cast(LongType), lit(1L << j)).otherwise(lit(0L))
+    }
+    terms.reduce((a, b) => a + b)
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast(LongType) // codegen'd popcount
+
+  /** Rolling-hash document fingerprint: polynomial hash of the whole
+    * token-hash sequence (order-sensitive, unlike the minhash set). */
+  def docFingerprint(text: Column): Column =
+    aggregate(tokenHashes(text), lit(0L),
+      (h, x) => (h * lit(31L) + x) % lit(P))
+
+  // ── language ID (stopword-hit heuristic) ─────────────────────────────
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic.
+    * Real pipelines would ship larger tables; the mechanism (score =
+    * fraction of tokens in the language's stopword set, argmax) is the
+    * part that matters at scale — one pass, no shuffle. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ein", "ist", "nicht", "von"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Fraction of tokens belonging to `words` (a stopword list). */
+  def stopwordRatio(toks: Column, words: Seq[String]): Column = {
+    val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
+    hits.cast(DoubleType) / greatest(size(toks), lit(1)).cast(DoubleType)
+  }
+
+  /** Argmax language by stopword ratio; 'und' (undetermined) when no
+    * stopword hits at all. Deterministic tie-break: language order. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordRatio(toks, stopwords(l)).as("s"),
+      lit(l).as("l")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  // ── quality scoring ─────────────────────────────────────────────────
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+      greatest(size(toks), lit(1)).cast(DoubleType)
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+
+  /** Whitespace token count (the reference pipeline's basic unit). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish subword count: each whitespace token contributes
+    * ceil(len/4) subword units (≈4 chars per BPE merge for English) —
+    * pure arithmetic, identical in the oracle. */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast(LongType))
+
+  /** Composite quality score in [0,1]: weights short/long docs,
+    * punctuation density, and English stopword density. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast(DoubleType)
+    val lenScore = least(nTok / lit(20.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    val swScore = least(stopwordRatio(toks, stopwords("en")) * lit(5.0), lit(1.0))
+    (lenScore + punctScore + swScore) / lit(3.0)
+  }
+}

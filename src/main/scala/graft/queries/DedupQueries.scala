@@ -1,5 +1,153 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Det, Tables}
+import graft.functions.TextFunctions._
+import graft.queries.{OracleSql => O}
+
+/** Deduplication family over `documents` (SURVEY north-star ops):
+  * exact (hash groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard.
+  *
+  * Scale design: every variant is built from shuffle-on-key primitives
+  * that distribute cleanly —
+  *  - exact: one hash-partitioned groupBy on md5(text);
+  *  - minhash/simhash/fingerprints: narrow per-row column algebra;
+  *  - LSH banding: explode k/r band keys per doc, self-join on the
+  *    band key (shuffle keyed by band hash — candidate pairs only,
+  *    never the full n² cross product);
+  *  - n-gram Jaccard: verification-stage exact measure, applied to a
+  *    bounded candidate set (here: same-source pairs).
+  */
 object DedupQueries {
-  val all: Seq[Q] = Seq()
+  private val K = 8          // minhash permutations
+  private val BANDS = 4      // LSH bands (r = K/BANDS = 2 rows per band)
+  private val SHINGLE = 3    // word-shingle width
+
+  /** doc_id + minhash signature columns mh0..mh{K-1}. */
+  private def sigDF(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(col("text"), SHINGLE)
+    Tables(s, dir, "documents").select(
+      col("doc_id") +: (0 until K).map(i =>
+        minhash1(sh, hashA(i), hashB(i)).as(s"mh$i")): _*)
+  }
+
+  /** DuckDB mirror of [[sigDF]] as a subquery string. */
+  private def sigSql: String = {
+    val th = O.tokenHashes("text")
+    val shingles =
+      s"""list_transform(range(0, CAST(greatest(len(th) - ${SHINGLE - 1}, 0) AS BIGINT)),
+         |  si -> ${O.foldHash(s"list_slice(th, si + 1, si + $SHINGLE)")})""".stripMargin
+    val mhs = (0 until K)
+      .map(i => s"${O.minhash1("sh", hashA(i), hashB(i))} AS mh$i").mkString(",\n")
+    s"""SELECT doc_id, $mhs FROM
+       |(SELECT doc_id, $shingles AS sh FROM
+       | (SELECT doc_id, $th AS th FROM documents))""".stripMargin
+  }
+
+  /** Scalar band key for band j: fold of the band's minhash rows. */
+  private def bandKey(j: Int): Column =
+    (col(s"mh${2 * j}") * lit(31L) + col(s"mh${2 * j + 1}")) % lit(P)
+  private def bandKeySql(j: Int): String =
+    s"(mh${2 * j} * 31 + mh${2 * j + 1}) % $P"
+
+  val all: Seq[Q] = Seq(
+
+    Q("d01_dedup_exact",
+      (s, dir) => Tables(s, dir, "documents")
+        .groupBy(md5(col("text").cast(BinaryType)).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), Det.cnt(col("doc_id")).as("n_copies")),
+      Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+             |CAST(count(doc_id) AS DOUBLE) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    Q("d02_minhash_sig",
+      (s, dir) => sigDF(s, dir),
+      Some(sigSql),
+      bench = true),
+
+    Q("d03_minhash_lsh_pairs",
+      (s, dir) => {
+        val sig = sigDF(s, dir)
+        val bands = sig.select(
+          col("doc_id"),
+          explode(array((0 until BANDS).map(j =>
+            struct(lit(j).as("band"), bandKey(j).as("bkey"))): _*)).as("b"))
+          .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+        val l = bands.as("l")
+        val r = bands.as("r")
+        l.join(r, col("l.band") === col("r.band") &&
+            col("l.bkey") === col("r.bkey") &&
+            col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+          .distinct()
+      },
+      Some {
+        val bandsSel = (0 until BANDS)
+          .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM sig")
+          .mkString("\nUNION ALL\n")
+        s"""WITH sig AS ($sigSql),
+           |bands AS ($bandsSel)
+           |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           |FROM bands l JOIN bands r
+           |ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id""".stripMargin
+      }),
+
+    Q("d04_ngram_jaccard",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            array_distinct(tokenHashes(col("text"))).as("th"))
+        val l = d.as("l")
+        val r = d.as("r")
+        val inter = size(array_intersect(col("l.th"), col("r.th")))
+        val union = size(col("l.th")) + size(col("r.th")) - inter
+        l.join(r, col("l.source") === col("r.source") &&
+            col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+            (inter.cast(DoubleType) / union.cast(DoubleType)).as("jac"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              |  list_distinct(${O.tokenHashes("text")}) AS th FROM documents)
+              |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+              |CAST(len(list_filter(l.th, iv -> list_contains(r.th, iv))) AS DOUBLE)
+              |  / CAST(len(l.th) + len(r.th)
+              |         - len(list_filter(l.th, uv -> list_contains(r.th, uv))) AS DOUBLE) AS jac
+              |FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id""".stripMargin)),
+
+    Q("d05_simhash",
+      (s, dir) => Tables(s, dir, "documents").select(
+        col("doc_id"),
+        simhash(tokenHashes(col("text")), bits = 24).as("sh")),
+      Some {
+        val terms = (0 until 24).map { j =>
+          s"""(CASE WHEN 2 * ${O.lsum(s"list_transform(th, sv -> (sv >> $j) % 2)")}
+             | > CAST(len(th) AS BIGINT)
+             | THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+        }.mkString(" + ")
+        s"""SELECT doc_id, $terms AS sh
+           |FROM (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents)""".stripMargin
+      }),
+
+    Q("d06_embed_neardup",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val l = e.as("l")
+        val r = e.as("r")
+        val sim = VectorQueries.cosine(col("l.embedding"), col("r.embedding"))
+        l.join(r, col("l.label") === col("r.label") &&
+            col("l.vec_id") < col("r.vec_id"))
+          .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+            sim.as("sim"))
+          .filter(col("sim") > 0.2)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+              |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+              |${VectorQueries.cosineSql("l.embedding", "r.embedding")} AS sim
+              |FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+              |WHERE ${VectorQueries.cosineSql("l.embedding", "r.embedding")} > 0.2""".stripMargin))
+  )
 }

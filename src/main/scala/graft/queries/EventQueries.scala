@@ -1,5 +1,70 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Det, Tables}
+
+/** Event-stream operators over `events` (batch forms; the same plans
+  * run under Structured Streaming in graft.streaming with watermarks —
+  * see StreamingOps). Events ts is ns-precision parquet but µs-valued,
+  * so Spark's µs TimestampType is lossless; oracles cast to TIMESTAMP.
+  */
 object EventQueries {
-  val all: Seq[Q] = Seq()
+
+  val all: Seq[Q] = Seq(
+
+    Q("e01_window_hourly",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(Det.cnt(col("event_id")).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value")),
+      Some(s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+              |${Det.sql.cnt("event_id")} AS n, ${Det.sql.dsum("value")} AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin),
+      bench = true),
+
+    Q("e02_sessions",
+      (s, dir) => {
+        // Sessionization: a >30 min silence starts a new session.
+        // Scale: window partitioned by user_id — shuffles once on the
+        // session key, no global ordering anywhere.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        Tables(s, dir, "events")
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg((sum(col("new_session")) + lit(1L)).as("n_sessions"),
+            Det.cnt(col("event_id")).as("n_events"))
+      },
+      Some("""SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+             |CAST(count(event_id) AS DOUBLE) AS n_events FROM
+             |(SELECT user_id, event_id,
+             |  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+             |       - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+             |         OVER (PARTITION BY user_id ORDER BY ts)
+             |       > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+             | FROM events)
+             |GROUP BY user_id""".stripMargin)),
+
+    Q("e03_user_topk",
+      (s, dir) => {
+        val counts = Tables(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(col("event_id")).as("n"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("user_id").asc)
+        counts.withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 3)
+      },
+      Some("""SELECT event_type, user_id, n, rank FROM
+             |(SELECT event_type, user_id, count(event_id) AS n,
+             |  CAST(row_number() OVER (PARTITION BY event_type
+             |    ORDER BY count(event_id) DESC, user_id ASC) AS BIGINT) AS rank
+             | FROM events GROUP BY event_type, user_id)
+             |WHERE rank <= 3""".stripMargin))
+  )
 }

@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+
+/** DuckDB-side SQL fragments mirroring graft.functions.TextFunctions.
+  * The Spark implementations are higher-order column functions; these
+  * are the identical folds written as DuckDB list lambdas, so the
+  * oracle computes bit-identical numbers. Kept in one place so a
+  * change to the hash family updates both engines together. */
+object OracleSql {
+  val P: Long = TextFunctions.P
+
+  /** Lowercased whitespace tokens of expression `x`. */
+  def toks(x: String): String =
+    s"list_filter(string_split_regex(lower($x), '\\s+'), t -> length(t) > 0)"
+
+  /** Polynomial rolling hash of string expression `t` (tokenHash). */
+  def tokenHash(t: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % $P)""".stripMargin
+
+  /** Token-hash list for text expression `x`. */
+  def tokenHashes(x: String): String =
+    s"list_transform(${toks(x)}, tt -> ${tokenHash("tt")})"
+
+  /** Fold a BIGINT list into one rolling hash (docFingerprint inner). */
+  def foldHash(listExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), $listExpr),
+       |  (fa, fb) -> (fa * 31 + fb) % $P)""".stripMargin
+
+  /** One minhash value over a BIGINT hash list. */
+  def minhash1(listExpr: String, a: Long, b: Long): String =
+    s"list_min(list_transform($listExpr, mh -> (mh * $a + $b) % $P))"
+
+  /** Sum of a BIGINT list (empty → 0), as BIGINT. */
+  def lsum(listExpr: String): String =
+    s"CAST(coalesce(list_sum($listExpr), 0) AS BIGINT)"
+
+  /** Sequential left fold sum of a DOUBLE list (order-faithful). */
+  def dfold(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (ra, rb) -> ra + rb)"
+
+  /** SQL IN-list literal for a stopword set. */
+  def swList(lang: String): String =
+    TextFunctions.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Stopword-hit ratio of a token-list expression. */
+  def stopwordRatio(toksExpr: String, lang: String): String =
+    s"""(CAST(len(list_filter($toksExpr, sw -> list_contains(${swList(lang)}, sw))) AS DOUBLE)
+       | / CAST(greatest(len($toksExpr), 1) AS DOUBLE))""".stripMargin
+}

@@ -1,5 +1,77 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.queries.{OracleSql => O}
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language ID, document fingerprinting. All single-pass
+  * narrow transformations — no shuffle, scale linearly with input. */
 object TextQueries {
-  val all: Seq[Q] = Seq()
+
+  private val docToks =
+    s"SELECT doc_id, lang, text, ${O.toks("text")} AS tk FROM documents"
+
+  val all: Seq[Q] = Seq(
+
+    Q("t01_token_stats",
+      (s, dir) => Tables(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tok"),
+        subwordCount(col("text")).as("n_subword"),
+        meanTokenLen(col("text")).as("mean_tok_len"),
+        punctRatio(col("text")).as("punct_ratio")),
+      Some(s"""SELECT doc_id,
+              |CAST(len(tk) AS BIGINT) AS n_tok,
+              |${O.lsum("list_transform(tk, u -> CAST(ceil(length(u) / 4.0) AS BIGINT))")} AS n_subword,
+              |CAST(coalesce(list_sum(list_transform(tk, v -> length(v))), 0) AS DOUBLE)
+              |  / CAST(greatest(len(tk), 1) AS DOUBLE) AS mean_tok_len,
+              |CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+              |  / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+              |FROM ($docToks)""".stripMargin)),
+
+    Q("t02_quality",
+      (s, dir) => Tables(s, dir, "documents").select(
+        col("doc_id"), qualityScore(col("text")).as("quality")),
+      Some(s"""SELECT doc_id,
+              |(least(CAST(len(tk) AS DOUBLE) / 20.0, 1.0)
+              | + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+              |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 1.0))
+              | + least(${O.stopwordRatio("tk", "en")} * 5.0, 1.0)) / 3.0 AS quality
+              |FROM ($docToks)""".stripMargin)),
+
+    Q("t03_langid",
+      (s, dir) => Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("lang_label"),
+        langId(col("text")).as("lang_pred"),
+        stopwordRatio(tokens(col("text")), stopwords("en")).as("ratio_en")),
+      Some {
+        // argmax over (ratio, lang) with lexicographically-greatest
+        // tie-break — mirrored as a descending >= CASE chain.
+        val rs = Seq("de", "en", "es", "fr", "zh")
+          .map(l => s"${O.stopwordRatio("tk", l)} AS s_$l").mkString(",\n")
+        s"""SELECT doc_id, lang_label, CASE WHEN
+           |  greatest(s_de, s_en, s_es, s_fr, s_zh) > 0.0 THEN
+           |  CASE
+           |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+           |    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+           |    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+           |    WHEN s_en >= s_de THEN 'en'
+           |    ELSE 'de' END
+           |  ELSE 'und' END AS lang_pred,
+           |s_en AS ratio_en
+           |FROM (SELECT doc_id, lang AS lang_label,
+           |$rs
+           |FROM ($docToks))""".stripMargin
+      }),
+
+    Q("t04_fingerprint",
+      (s, dir) => Tables(s, dir, "documents").select(
+        col("doc_id"), docFingerprint(col("text")).as("fp")),
+      Some(s"""SELECT doc_id, ${O.foldHash(O.tokenHashes("text"))} AS fp
+              |FROM documents""".stripMargin))
+  )
 }
