@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sql.Durations
+
+/** CSV source with the reference's schema-inference semantics
+  * (reference utils.go:382-444, surveyed in SURVEY.md §1.3):
+  *  - sample up to 10,000 rows, widening along the
+  *    null < int < float < date < duration < string lattice;
+  *  - "", "null", "NA" are nulls;
+  *  - leading-zero integers (007) are forced to string (ID protection,
+  *    reference utils.go:385-386);
+  *  - a value parseable as both date and duration prefers duration;
+  *  - headerless files (`nh`) get col1..colN names.
+  *
+  * The sample is a bounded driver-side collect (10k rows — same bound
+  * as the reference); the *cast* of the full data is distributed
+  * column algebra, so the scan itself stays parallel at any scale.
+  */
+object CsvSource {
+  sealed abstract class LatType(val rank: Int)
+  case object LNull extends LatType(0)
+  case object LInt extends LatType(1)
+  case object LFloat extends LatType(2)
+  case object LDate extends LatType(3)
+  case object LDur extends LatType(4)
+  case object LStr extends LatType(5)
+
+  private val leadingZeroInt = """^0\d+$""".r
+  private val intRe = """^[+-]?\d+$""".r
+  private val floatRe = """^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$""".r
+
+  /** Narrowest lattice type of one cell (reference getNarrowestType). */
+  def narrowest(cell: String): LatType = {
+    val v = cell.trim
+    if (v.isEmpty || v.equalsIgnoreCase("null") || v == "NA") LNull
+    else if (leadingZeroInt.matches(v)) LStr
+    else if (intRe.matches(v)) LInt
+    else if (floatRe.matches(v)) LFloat
+    else if (Durations.parse(v).isDefined) LDur
+    else if (parseDate(v).isDefined) LDate
+    else LStr
+  }
+
+  /** Permissive date parsing (the reference uses dateparse.ParseAny). */
+  private val dateFormats = Seq(
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"),
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"),
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd"),
+    java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd"),
+    java.time.format.DateTimeFormatter.ofPattern("MM/dd/yyyy"),
+    java.time.format.DateTimeFormatter.ofPattern("M/d/yyyy"),
+    java.time.format.DateTimeFormatter.ofPattern("MMM d yyyy"),
+    java.time.format.DateTimeFormatter.ofPattern("MMMM d, yyyy"))
+
+  def parseDate(v: String): Option[java.time.LocalDateTime] = {
+    dateFormats.view.flatMap { f =>
+      try {
+        val parsed = f.parseBest(v, java.time.LocalDateTime.from _,
+          java.time.LocalDate.from _)
+        parsed match {
+          case dt: java.time.LocalDateTime => Some(dt)
+          case d: java.time.LocalDate => Some(d.atStartOfDay)
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    }.headOption
+  }
+
+  /** Spark-side date cast mirroring [[parseDate]]'s pattern chain. */
+  private def castDate(c: Column): Column = coalesce(
+    (Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd",
+      "yyyy/MM/dd", "MM/dd/yyyy", "M/d/yyyy", "MMM d yyyy", "MMMM d, yyyy")
+      .map(p => try_to_timestamp(c, lit(p)))): _*)
+
+  /** Spark-side duration cast: `N unit` and compact `NhNmNs` forms to
+    * DayTimeIntervalType seconds (column algebra, no UDF). */
+  private def castDuration(c: Column): Column = {
+    val t = trim(c)
+    val numUnit = regexp_extract(t, "^(-?\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)$", 1)
+    val unit = lower(regexp_extract(t, "^(-?\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)$", 2))
+    val unitSecs = when(unit.isin("s", "second", "seconds"), 1L)
+      .when(unit.isin("m", "minute", "minutes"), 60L)
+      .when(unit.isin("h", "hour", "hours"), 3600L)
+      .when(unit.isin("d", "day", "days"), 86400L)
+      .when(unit.isin("w", "week", "weeks"), 7L * 86400L)
+      .when(unit.isin("y", "year", "years"), 52L * 7L * 86400L) // y = 52w
+    val simple = when(numUnit =!= "" && unitSecs.isNotNull,
+      numUnit.cast(DoubleType) * unitSecs.cast(DoubleType))
+    // compact Go style: sum of h/m/s components
+    val h = regexp_extract(t, "(\\d+(?:\\.\\d+)?)h", 1)
+    val m = regexp_extract(t, "(\\d+(?:\\.\\d+)?)m(?!s)", 1)
+    val s = regexp_extract(t, "(\\d+(?:\\.\\d+)?)s", 1)
+    val go = when(t.rlike("^(-?)(\\d+(?:\\.\\d+)?h)?(\\d+(?:\\.\\d+)?m)?(\\d+(?:\\.\\d+)?s)?$") &&
+        t.rlike("[hms]"),
+      coalesce(h.cast(DoubleType), lit(0.0)) * 3600 +
+        coalesce(m.cast(DoubleType), lit(0.0)) * 60 +
+        coalesce(s.cast(DoubleType), lit(0.0)))
+    val secs = coalesce(simple, go)
+    when(secs.isNotNull, make_dt_interval(lit(0), lit(0), lit(0), secs))
+  }
+
+  private def nullify(c: Column): Column = {
+    val t = trim(c)
+    when(t === "" || lower(t) === "null" || t === "NA", lit(null)).otherwise(t)
+  }
+
+  /** Read a CSV with dialect inference. */
+  def read(spark: SparkSession, path: String, header: Boolean = true): DataFrame = {
+    val raw0 = spark.read
+      .option("header", header.toString)
+      .option("inferSchema", "false")
+      .csv(path)
+    val raw = if (header) raw0
+      else raw0.toDF(raw0.columns.indices.map(i => s"col${i + 1}"): _*)
+
+    // bounded sample (reference samples ≤10k rows, utils.go:434)
+    val sample = raw.limit(10000).collect()
+    val types = raw.columns.indices.map { i =>
+      sample.foldLeft(LNull: LatType) { (acc, row) =>
+        val cell = if (row.isNullAt(i)) "" else row.getString(i)
+        val t = narrowest(cell)
+        if (t.rank > acc.rank) t else acc
+      }
+    }
+
+    val cols = raw.columns.zip(types).map { case (name, t) =>
+      val base = nullify(col(name))
+      (t match {
+        case LNull | LStr => base
+        case LInt => base.cast(LongType)
+        case LFloat => base.cast(DoubleType)
+        case LDate => castDate(base)
+        case LDur => castDuration(base)
+      }).as(name)
+    }
+    raw.select(cols.toSeq: _*)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.sql
+
+/** Typed AST for the reference dialect (grammar per
+  * /root/reference/parser.go:1-29, surveyed in SURVEY.md §2) — Scala
+  * case classes instead of the reference's untyped 5-slot Node tree.
+  */
+object Ast {
+
+  // ── expressions ─────────────────────────────────────────────────────
+  sealed trait Expr
+
+  /** Literal as scanned; the analyzer types it (number / string / date /
+    * duration) from context per the §2.10 literal-dimension rules. */
+  final case class Lit(raw: String, quoted: Boolean) extends Expr
+  final case class NullLit() extends Expr
+
+  /** Column reference: bare name, cN positional, bare int positional
+    * (with `c` option), or alias.name. */
+  final case class ColRef(qualifier: Option[String], name: String) extends Expr
+
+  sealed trait ArithOp
+  case object Add extends ArithOp; case object Sub extends ArithOp
+  case object Mul extends ArithOp; case object Div extends ArithOp
+  case object Mod extends ArithOp; case object Pow extends ArithOp
+
+  final case class Arith(op: ArithOp, l: Expr, r: Expr) extends Expr
+  final case class Neg(e: Expr) extends Expr
+
+  /** Scalar function call (year, month, abs, coalesce, encrypt, ...). */
+  final case class FnCall(name: String, args: Seq[Expr]) extends Expr
+
+  /** Aggregate call (sum avg min max count stdev stdevp). */
+  final case class AggCall(name: String, arg: Expr, distinct: Boolean) extends Expr
+
+  /** `case when <preds> then e ... [else e] end`. */
+  final case class CaseSearched(branches: Seq[(Pred, Expr)], els: Option[Expr]) extends Expr
+  /** `case <subj> when v then e ... [else e] end`. */
+  final case class CaseSimple(subject: Expr, branches: Seq[(Expr, Expr)], els: Option[Expr]) extends Expr
+
+  // ── predicates ──────────────────────────────────────────────────────
+  sealed trait Pred
+  sealed trait CmpOp
+  case object Eq extends CmpOp; case object Ne extends CmpOp
+  case object Lt extends CmpOp; case object Le extends CmpOp
+  case object Gt extends CmpOp; case object Ge extends CmpOp
+
+  final case class Cmp(op: CmpOp, l: Expr, r: Expr) extends Pred
+  /** Dialect LIKE: case-insensitive anchored (%→.*, _→.). */
+  final case class LikeP(e: Expr, pattern: String, negated: Boolean) extends Pred
+  final case class InP(e: Expr, list: Seq[Expr], negated: Boolean) extends Pred
+  /** Symmetric half-open between (reference selector.go:480-495). */
+  final case class BetweenP(e: Expr, a: Expr, b: Expr, negated: Boolean) extends Pred
+  final case class AndP(l: Pred, r: Pred) extends Pred
+  final case class OrP(l: Pred, r: Pred) extends Pred
+  final case class XorP(l: Pred, r: Pred) extends Pred
+  final case class NotP(p: Pred) extends Pred
+
+  // ── query structure ─────────────────────────────────────────────────
+  final case class SelectItem(expr: Expr, alias: Option[String])
+
+  sealed trait JoinType
+  case object InnerJoin extends JoinType
+  case object LeftJoin extends JoinType
+
+  /** One chained join: exactly one equality condition
+    * (reference parser.go:583-585), aliases mandatory. */
+  final case class JoinClause(
+      table: String, alias: String, joinType: JoinType,
+      sizeHint: Option[String], // sjoin | bjoin (reference parser.go:840-864)
+      leftKey: Expr, rightKey: Expr)
+
+  final case class FromClause(
+      table: String, alias: Option[String], noHeader: Boolean,
+      joins: Seq[JoinClause])
+
+  /** `distinct [hidden] expr` in the select list (reference parser.go:243-252). */
+  final case class DistinctClause(expr: Expr, hidden: Boolean)
+
+  final case class Query(
+      star: Boolean,
+      items: Seq[SelectItem],
+      distinct: Option[DistinctClause],
+      from: FromClause,
+      where: Option[Pred],
+      groupBy: Seq[Expr],
+      having: Option[Pred],
+      orderBy: Option[Expr],
+      orderAsc: Boolean, // dialect default is DESC (reference parser.go:928-948)
+      limit: Option[Long])
+}

@@ -1,0 +1,68 @@
+package graft.sql
+
+import java.time.Duration
+
+/** Dialect duration literal parsing (reference utils.go:446-504):
+  * Go-style compound forms (`72h3m0.5s`) plus `N unit` with
+  * units (seconds|minutes|hours|days|weeks|years|s|m|h|d|w|y);
+  * **year = 52 weeks exactly** (reference utils.go:460-465); months
+  * unsupported. Values map to Spark's DayTimeIntervalType via
+  * java.time.Duration.
+  */
+object Durations {
+  private val unitSeconds: Map[String, Long] = {
+    val base = Map(
+      "s" -> 1L, "m" -> 60L, "h" -> 3600L, "d" -> 86400L,
+      "w" -> 7L * 86400L, "y" -> 52L * 7L * 86400L)
+    base ++ Map(
+      "second" -> base("s"), "seconds" -> base("s"),
+      "minute" -> base("m"), "minutes" -> base("m"),
+      "hour" -> base("h"), "hours" -> base("h"),
+      "day" -> base("d"), "days" -> base("d"),
+      "week" -> base("w"), "weeks" -> base("w"),
+      "year" -> base("y"), "years" -> base("y"))
+  }
+
+  private val numUnit = """^\s*(-?\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*$""".r
+  private val goPart = """(-?\d+(?:\.\d+)?)(h|m|s|ms|us|ns)""".r
+
+  /** Parse a dialect duration; None if the string isn't one. */
+  def parse(s: String): Option[Duration] = s.trim match {
+    case numUnit(n, u) if unitSeconds.contains(u.toLowerCase) =>
+      Some(secondsToDuration(n.toDouble * unitSeconds(u.toLowerCase)))
+    case t if goPart.findFirstIn(t).isDefined &&
+        goPart.replaceAllIn(t, "").isEmpty =>
+      val total = goPart.findAllMatchIn(t).foldLeft(0.0) { (acc, m) =>
+        val v = m.group(1).toDouble
+        acc + (m.group(2) match {
+          case "h" => v * 3600; case "m" => v * 60; case "s" => v
+          case "ms" => v / 1e3; case "us" => v / 1e6; case "ns" => v / 1e9
+        })
+      }
+      Some(secondsToDuration(total))
+    case _ => None
+  }
+
+  private def secondsToDuration(secs: Double): Duration =
+    Duration.ofNanos(math.round(secs * 1e9))
+
+  /** Go `Duration.String()` formatting (reference value.go:497):
+    * "72h3m0.5s" style — for the CSV/stdout sink. */
+  def format(d: Duration): String = {
+    val totalNanos = d.toNanos
+    if (totalNanos == 0) return "0s"
+    val neg = totalNanos < 0
+    var n = math.abs(totalNanos)
+    val sb = new StringBuilder(if (neg) "-" else "")
+    val h = n / 3600000000000L; n %= 3600000000000L
+    val m = n / 60000000000L; n %= 60000000000L
+    val secs = n / 1e9
+    if (h > 0) sb.append(h).append("h")
+    if (m > 0 || (h > 0 && secs > 0)) sb.append(m).append("m")
+    if (secs > 0 || (h == 0 && m == 0)) {
+      val s = if (secs == secs.floor) secs.toLong.toString else secs.toString
+      sb.append(s).append("s")
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,71 @@
+package graft.sql
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.sources.CsvSource
+
+/** User-facing façade: a table registry plus `sql(...)` compiling the
+  * dialect to DataFrames. Mirrors the reference's file registry
+  * semantics (reference utils.go:507-570): a table is reachable by
+  * registered name, file basename, or explicit path; `_fN` synthetic
+  * keys index files in first-use order.
+  */
+final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = None) {
+  private val registry = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  def register(name: String, df: DataFrame): this.type = {
+    registry(name.toLowerCase) = df
+    registry(s"_f${registry.size}") = df
+    this
+  }
+
+  /** Register every table in a scale-factor directory (TESTDATA.md). */
+  def registerDir(dir: String): this.type = {
+    Tables.all.foreach { n =>
+      try register(n, Tables(spark, dir, n))
+      catch { case _: Throwable => () }
+    }
+    this
+  }
+
+  def table(name: String): DataFrame = {
+    val key = name.toLowerCase
+    registry.get(key)
+      .orElse(registry.get(basename(key)))
+      .getOrElse {
+        if (key.endsWith(".csv")) {
+          val df = CsvSource.read(spark, name)
+          register(basename(key), df); df
+        } else if (key.endsWith(".parquet")) {
+          val df = Tables.load(spark, name)
+          register(basename(key), df); df
+        } else defaultDir match {
+          case Some(d) =>
+            val df = Tables(spark, d, key)
+            register(key, df); df
+          case None => throw new IllegalArgumentException(s"unknown table: $name")
+        }
+      }
+  }
+
+  private def basename(p: String): String = {
+    val slash = p.split('/').last
+    slash.replaceAll("\\.(csv|parquet)$", "")
+  }
+
+  /** Compile + plan one dialect statement. */
+  def sql(query: String): DataFrame =
+    new Planner(table).plan(Parser.parse(query))
+
+  /** `;`-separated multi-statement execution (reference main.go:117-147). */
+  def sqlAll(queries: String): Seq[DataFrame] =
+    Parser.splitStatements(queries).map(sql)
+}
+
+object GraftSession {
+  def apply(spark: SparkSession, dir: String): GraftSession =
+    new GraftSession(spark, Some(dir))
+}

@@ -1,0 +1,379 @@
+package graft.sql
+
+import Ast._
+import Lexer._
+
+/** Recursive-descent parser for the dialect (grammar shape per
+  * /root/reference/parser.go:1-29; semantics notes in SURVEY.md §2).
+  * Produces an [[Ast.Query]]; validity rules that need schema (column
+  * resolution, aggregate composition) live in the Planner.
+  */
+final class Parser(toks: Vector[Tok]) {
+  final case class ParseError(msg: String) extends RuntimeException(msg)
+
+  private var pos = 0
+  private def peek: Tok = toks(pos)
+  private def peekText: String = peek.text.toLowerCase
+  private def advance(): Tok = { val t = toks(pos); pos += 1; t }
+  private def expect(text: String): Tok = {
+    if (peekText == text.toLowerCase) advance()
+    else throw ParseError(s"expected '$text', found '${peek.text}'")
+  }
+  private def accept(text: String): Boolean =
+    if (peekText == text.toLowerCase) { pos += 1; true } else false
+  private def isWord(t: Tok, w: String): Boolean =
+    t.isInstanceOf[Word] && t.text.equalsIgnoreCase(w)
+
+  private val aggNames = Set("sum", "avg", "min", "max", "count", "stdev", "stdevp")
+  private val fnNames = Set("year", "month", "week", "day", "dayofweek", "dayofyear",
+    "dayofmonth", "hour", "monthname", "dayname", "abs", "coalesce",
+    "encrypt", "decrypt", "inc", "format")
+  private val clauseKw = Set("from", "where", "group", "having", "order", "limit",
+    "and", "or", "xor", "when", "then", "else", "end", "as", "asc",
+    "join", "inner", "left", "outer", "sjoin", "bjoin", "on", "top",
+    "distinct", "hidden", "like", "in", "between", "not", "is", "by", "nh",
+    "noheader", "null")
+
+  // ── entry ───────────────────────────────────────────────────────────
+  def parseQuery(): Query = {
+    expect("select")
+    val limitFore = if (accept("top")) Some(parseNumber()) else None
+    var distinct: Option[DistinctClause] = None
+    if (accept("distinct")) {
+      val hidden = accept("hidden")
+      distinct = Some(DistinctClause(parseExpr(), hidden))
+      accept(",")
+    }
+    val (star, items) = parseSelectList()
+    val from = parseFrom()
+    val where = if (accept("where")) Some(parsePredicates()) else None
+    var groupBy: Seq[Expr] = Nil
+    if (accept("group")) { expect("by"); groupBy = parseExprList() }
+    val having = if (accept("having")) Some(parsePredicates()) else None
+    var orderBy: Option[Expr] = None
+    var orderAsc = false
+    if (accept("order")) {
+      expect("by"); orderBy = Some(parseExpr())
+      // descending by default; `asc` opt-in (reference parser.go:928-948)
+      orderAsc = accept("asc")
+    }
+    val limitAft = if (accept("limit")) Some(parseNumber()) else None
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    Query(star, items, distinct, from, where, groupBy, having,
+      orderBy, orderAsc, limitFore.orElse(limitAft))
+  }
+
+  private def parseNumber(): Long = peek match {
+    case Num(t) => advance(); t.toDouble.toLong
+    case t => throw ParseError(s"expected number, found '${t.text}'")
+  }
+
+  // ── select list ─────────────────────────────────────────────────────
+  private def parseSelectList(): (Boolean, Seq[SelectItem]) = {
+    var star = false
+    val items = Seq.newBuilder[SelectItem]
+    // empty select list = select-all (reference parser.go:287-291)
+    while (peekText != "from" && peek != EOF) {
+      if (accept("*")) star = true
+      else {
+        // alias = expr  |  expr [as alias]  (reference parser.go:231-295)
+        val item = peek match {
+          case w: Word if isWord(toks.lift(pos + 1).getOrElse(EOF), "=") &&
+              !clauseKw(w.text.toLowerCase) =>
+            // not reachable: '=' is an Op, handled below
+            SelectItem(parseExpr(), None)
+          case w: Word if toks.lift(pos + 1).exists {
+              case Op("=") => true; case _ => false
+            } && !clauseKw(w.text.toLowerCase) && !aggNames(w.text.toLowerCase) &&
+              !fnNames(w.text.toLowerCase) =>
+            val alias = advance().text; advance() // consume '='
+            SelectItem(parseExpr(), Some(alias))
+          case _ =>
+            val e = parseExpr()
+            val alias =
+              if (accept("as")) Some(advance().text)
+              else None
+            SelectItem(e, alias)
+        }
+        items += item
+      }
+      accept(",") // commas optional in the dialect
+    }
+    (star, items.result())
+  }
+
+  private def parseExprList(): Seq[Expr] = {
+    val out = Seq.newBuilder[Expr]
+    var more = true
+    while (more) {
+      out += parseExpr()
+      if (!accept(",")) {
+        // comma-optional lists: keep going while an expression can start
+        more = peek match {
+          case Word(w) if !clauseKw(w.toLowerCase) => true
+          case _: Num | _: Str => true
+          case Op("(") | Op("-") => true
+          case _ => false
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ── from / joins ────────────────────────────────────────────────────
+  /** Table ref: bare word, quoted string, dotted (file.csv), or path. */
+  private def parseTableRef(): String = {
+    val base = peek match {
+      case Word(t) => advance(); t
+      case Str(t) => advance(); t
+      case t => throw ParseError(s"expected table name, found '${t.text}'")
+    }
+    var name = base
+    while (peek == Op(".")) {
+      advance()
+      name = name + "." + advance().text
+    }
+    name
+  }
+
+  private def parseFrom(): FromClause = {
+    expect("from")
+    val table = parseTableRef()
+    var alias: Option[String] = None
+    var noHeader = false
+    var done = false
+    while (!done) peek match {
+      case w: Word if w.text.equalsIgnoreCase("nh") || w.text.equalsIgnoreCase("noheader") =>
+        advance(); noHeader = true
+      case w: Word if !clauseKw(w.text.toLowerCase) && alias.isEmpty &&
+          !w.text.equalsIgnoreCase("select") =>
+        advance(); alias = Some(w.text)
+      case _ => done = true
+    }
+    val joins = Seq.newBuilder[JoinClause]
+    var joining = true
+    while (joining) {
+      val jt: Option[JoinType] =
+        if (accept("inner")) { Some(InnerJoin) }
+        else if (accept("left")) { accept("outer"); Some(LeftJoin) }
+        else if (accept("outer")) Some(LeftJoin) // outer alone = left (parser.go:836-839)
+        else None
+      val hint =
+        if (peekText == "sjoin") { advance(); Some("sjoin") }
+        else if (peekText == "bjoin") { advance(); Some("bjoin") }
+        else None
+      if (jt.isDefined || hint.isDefined || peekText == "join") {
+        accept("join")
+        val t = parseTableRef()
+        // aliases mandatory for joins (reference parser.go:869-884)
+        val a = peek match {
+          case w: Word if !clauseKw(w.text.toLowerCase) => advance().text
+          case _ => throw ParseError(s"join table '$t' requires an alias")
+        }
+        expect("on")
+        // exactly one equality condition (reference parser.go:583-585)
+        val l = parseExpr()
+        expect("=")
+        val r = parseExpr()
+        joins += JoinClause(t, a, jt.getOrElse(InnerJoin), hint, l, r)
+      } else joining = false
+    }
+    FromClause(table, alias, noHeader, joins.result())
+  }
+
+  // ── predicates ──────────────────────────────────────────────────────
+  def parsePredicates(): Pred = parseOr()
+
+  private def parseOr(): Pred = {
+    var l = parseAnd()
+    var more = true
+    while (more) {
+      if (accept("or")) l = OrP(l, parseAnd())
+      else if (accept("xor")) l = XorP(l, parseAnd())
+      else more = false
+    }
+    l
+  }
+
+  private def parseAnd(): Pred = {
+    var l = parseNot()
+    while (accept("and")) l = AndP(l, parseNot())
+    l
+  }
+
+  private def parseNot(): Pred =
+    if (accept("not") || accept("!")) NotP(parseNot())
+    else parsePredAtom()
+
+  /** Parenthesized predicate group or a comparison. The reference
+    * backtracks between predicate-group and expression parses
+    * (parser.go:636-653); we do the same with a position save. */
+  private def parsePredAtom(): Pred = {
+    if (peek == Op("(")) {
+      val save = pos
+      advance()
+      try {
+        val p = parsePredicates()
+        expect(")")
+        return p
+      } catch { case _: ParseError => pos = save } // fall through to expr compare
+    }
+    parseComparison()
+  }
+
+  private def parseComparison(): Pred = {
+    val l = parseExpr()
+    peek match {
+      case Op(op) if Set("=", "!=", "<>", "<", "<=", ">", ">=")(op) =>
+        advance()
+        val r = parseExpr()
+        Cmp(cmpOf(op), l, r)
+      case w: Word if w.text.equalsIgnoreCase("like") =>
+        advance()
+        LikeP(l, parsePatternText(), negated = false)
+      case w: Word if w.text.equalsIgnoreCase("not") &&
+          toks.lift(pos + 1).exists(isWord(_, "like")) =>
+        advance(); advance()
+        LikeP(l, parsePatternText(), negated = true)
+      case w: Word if w.text.equalsIgnoreCase("in") =>
+        advance(); expect("(")
+        val list = parseExprList()
+        expect(")")
+        InP(l, list, negated = false)
+      case w: Word if w.text.equalsIgnoreCase("between") =>
+        advance()
+        val a = parseExpr(); expect("and"); val b = parseExpr()
+        BetweenP(l, a, b, negated = false)
+      case t => throw ParseError(s"expected comparison operator, found '${t.text}'")
+    }
+  }
+
+  private def cmpOf(op: String): CmpOp = op match {
+    case "=" => Eq; case "!=" | "<>" => Ne
+    case "<" => Lt; case "<=" => Le; case ">" => Gt; case ">=" => Ge
+  }
+
+  private def parsePatternText(): String = peek match {
+    case Str(t) => advance(); t
+    case Word(t) => advance(); t
+    case t => throw ParseError(s"expected pattern, found '${t.text}'")
+  }
+
+  // ── expressions: add < mult < neg < value (reference parser.go:300-357)
+  def parseExpr(): Expr = parseAdd()
+
+  private def parseAdd(): Expr = {
+    var l = parseMult()
+    var more = true
+    while (more) peek match {
+      case Op("+") => advance(); l = Arith(Add, l, parseMult())
+      case Op("-") => advance(); l = Arith(Sub, l, parseMult())
+      case _ => more = false
+    }
+    l
+  }
+
+  private def parseMult(): Expr = {
+    var l = parseNegOperand()
+    var more = true
+    while (more) peek match {
+      case Op("*") => advance(); l = Arith(Mul, l, parseNegOperand())
+      case Op("/") => advance(); l = Arith(Div, l, parseNegOperand())
+      case Op("%") => advance(); l = Arith(Mod, l, parseNegOperand())
+      case Op("^") => advance(); l = Arith(Pow, l, parseNegOperand())
+      case _ => more = false
+    }
+    l
+  }
+
+  private def parseNegOperand(): Expr =
+    if (accept("-")) Neg(parseValue()) else parseValue()
+
+  private def parseValue(): Expr = peek match {
+    case Op("(") =>
+      advance(); val e = parseExpr(); expect(")"); e
+    case Num(t) => advance(); Lit(t, quoted = false)
+    case Str(t) => advance(); Lit(t, quoted = true)
+    case w: Word if w.text.equalsIgnoreCase("null") => advance(); NullLit()
+    case w: Word if w.text.equalsIgnoreCase("case") => advance(); parseCase()
+    case w: Word if aggNames(w.text.toLowerCase) &&
+        toks.lift(pos + 1).contains(Op("(")) =>
+      val name = advance().text.toLowerCase
+      advance() // (
+      val distinct = accept("distinct")
+      val arg =
+        if (name == "count" && peek == Op("*")) { advance(); Lit("1", quoted = false) }
+        else parseExpr()
+      expect(")")
+      AggCall(name, arg, distinct)
+    case w: Word if fnNames(w.text.toLowerCase) &&
+        toks.lift(pos + 1).contains(Op("(")) =>
+      val name = advance().text.toLowerCase
+      advance() // (
+      val args = if (peek == Op(")")) Nil else parseExprList()
+      expect(")")
+      FnCall(name, args)
+    case w: Word =>
+      advance()
+      if (peek == Op(".")) {
+        // alias.column (reference parser.go:461-477)
+        advance()
+        val colTok = advance()
+        ColRef(Some(w.text), colTok.text)
+      } else ColRef(None, w.text)
+    case t => throw ParseError(s"expected expression, found '${t.text}'")
+  }
+
+  private def parseCase(): Expr = {
+    if (peekText == "when") {
+      // searched case
+      val branches = Seq.newBuilder[(Pred, Expr)]
+      while (accept("when")) {
+        val p = parsePredicates()
+        expect("then")
+        branches += ((p, parseExpr()))
+      }
+      val els = if (accept("else")) Some(parseExpr()) else None
+      expect("end")
+      CaseSearched(branches.result(), els)
+    } else {
+      // simple case
+      val subj = parseExpr()
+      val branches = Seq.newBuilder[(Expr, Expr)]
+      while (accept("when")) {
+        val v = parseExpr()
+        expect("then")
+        branches += ((v, parseExpr()))
+      }
+      val els = if (accept("else")) Some(parseExpr()) else None
+      expect("end")
+      CaseSimple(subj, branches.result(), els)
+    }
+  }
+}
+
+object Parser {
+  /** Parse one statement. */
+  def parse(sql: String): Ast.Query =
+    new Parser(Lexer.tokenize(sql)).parseQuery()
+
+  /** Split a multi-statement string on top-level ';'
+    * (reference main.go:117-147). */
+  def splitStatements(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQuote: Option[Char] = None
+    for (c <- s) inQuote match {
+      case Some(q) =>
+        sb += c
+        if (c == q) inQuote = None
+      case None =>
+        if (c == '\'' || c == '"') { inQuote = Some(c); sb += c }
+        else if (c == ';') { out += sb.toString; sb.clear() }
+        else sb += c
+    }
+    if (sb.toString.trim.nonEmpty) out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

@@ -1,0 +1,524 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Ast._
+import graft.functions.GraftFunctions
+
+/** AST → DataFrame planner. Declarative by design: every dialect
+  * construct compiles to built-in `org.apache.spark.sql` column algebra
+  * and DataFrame operators, so Catalyst gets the whole logical plan —
+  * predicate pushdown, column pruning, join strategy selection and AQE
+  * all apply without custom rules (SURVEY.md §4: the reference's
+  * "optimizations" are all subsumed by Catalyst built-ins; only the
+  * §2.10 typing pass is ours, implemented here pre-plan).
+  */
+final class Planner(resolve: String => DataFrame) {
+  final case class PlanError(msg: String) extends RuntimeException(msg)
+
+  // ── dialect static types (reference utils.go:353-360) ───────────────
+  sealed trait DType
+  case object TNull extends DType; case object TInt extends DType
+  case object TFloat extends DType; case object TDate extends DType
+  case object TDur extends DType; case object TStr extends DType
+
+  private def dtypeOf(t: DataType): DType = t match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType => TInt
+    case _: DoubleType | _: FloatType | _: DecimalType => TFloat
+    case _: TimestampType | _: DateType => TDate
+    case _: DayTimeIntervalType => TDur
+    case _ => TStr
+  }
+
+  /** Column catalog for resolution: (qualifier, name, column, dtype) in
+    * file-registration order — powers `cN` positional refs and
+    * `select *` expansion (reference parser.go:444-496). */
+  final case class Cat(entries: Seq[(Option[String], String, Column, DType)]) {
+    def lookup(ref: ColRef): (Column, DType) = {
+      val cN = """^c(\d+)$""".r
+      ref match {
+        case ColRef(None, cN(i)) if i.toInt >= 1 && i.toInt <= entries.size =>
+          val e = entries(i.toInt - 1); (e._3, e._4)
+        case ColRef(q, n) =>
+          val hits = entries.filter { case (eq, en, _, _) =>
+            en.equalsIgnoreCase(n) && q.forall(qq => eq.exists(_.equalsIgnoreCase(qq)))
+          }
+          hits match {
+            case Seq((_, _, c, t)) => (c, t)
+            case Seq() => throw PlanError(s"column not found: ${ref.qualifier.map(_ + ".").getOrElse("")}${ref.name}")
+            case _ =>
+              // unqualified ambiguity resolves to the first-registered
+              // file's column, like the reference's linear search
+              // (reference utils.go:368-375)
+              val h = hits.head; (h._3, h._4)
+          }
+      }
+    }
+  }
+
+  // ── planning ────────────────────────────────────────────────────────
+  def plan(q: Query): DataFrame = {
+    checkValidity(q)
+    val (df, cat) = buildFrom(q.from)
+    val afterWhere = q.where match {
+      case Some(p) => df.filter(predToColumn(p, cat, agg = false))
+      case None => df
+    }
+    val hasAgg = q.items.exists(containsAgg) || q.groupBy.nonEmpty ||
+      q.having.exists(predContainsAgg)
+
+    val selectItems = expandItems(q, cat)
+
+    val preDistinct =
+      if (hasAgg) planAggregate(q, selectItems, afterWhere, cat)
+      else planProjection(q, selectItems, afterWhere, cat)
+
+    val afterDistinct = q.distinct match {
+      case Some(_) if !hasAgg => preDistinct.dropDuplicates(Seq("__distinct"))
+        .drop("__distinct")
+      case _ => preDistinct
+    }
+    val afterOrder = q.orderBy match {
+      case Some(_) =>
+        val c = col("__order")
+        afterDistinct.orderBy(if (q.orderAsc) c.asc else c.desc).drop("__order")
+      case None => afterDistinct
+    }
+    q.limit.fold(afterOrder)(n => afterOrder.limit(n.toInt))
+  }
+
+  /** FROM + join chain. Small-side hint `sjoin` → broadcast (the
+    * reference's in-memory index join, parser.go:840-864); `bjoin` and
+    * unhinted joins let Catalyst/AQE pick (its 100MB size switch is
+    * spark.sql.autoBroadcastJoinThreshold's analog). */
+  private def buildFrom(f: FromClause): (DataFrame, Cat) = {
+    val baseAlias = f.alias.getOrElse(f.table)
+    var df = resolve(f.table).alias(baseAlias)
+    var entries = catEntries(resolve(f.table), baseAlias)
+    for (j <- f.joins) {
+      val right = resolve(j.table).alias(j.alias)
+      val rightEntries = catEntries(resolve(j.table), j.alias)
+      val cat = Cat(entries ++ rightEntries)
+      val cond = exprToColumn(j.leftKey, cat, agg = false) ===
+        exprToColumn(j.rightKey, cat, agg = false)
+      val rdf = if (j.sizeHint.contains("sjoin")) broadcast(right) else right
+      df = df.join(rdf, cond, j.joinType match {
+        case InnerJoin => "inner"
+        case LeftJoin => "left"
+      })
+      entries = entries ++ rightEntries
+    }
+    (df, Cat(entries))
+  }
+
+  private def catEntries(df: DataFrame, alias: String): Seq[(Option[String], String, Column, DType)] =
+    df.schema.fields.toSeq.map { fld =>
+      (Some(alias), fld.name, col(s"$alias.${fld.name}"), dtypeOf(fld.dataType))
+    }
+
+  /** Expand star / empty select to all columns; prepend a non-hidden
+    * distinct expression (reference parser.go:243-252). */
+  private def expandItems(q: Query, cat: Cat): Seq[SelectItem] = {
+    val base =
+      if (q.star || q.items.isEmpty)
+        cat.entries.map { case (_, n, _, _) => SelectItem(ColRef(None, n), None) } ++
+          q.items
+      else q.items
+    q.distinct match {
+      case Some(DistinctClause(e, hidden)) if !hidden =>
+        SelectItem(e, None) +: base
+      case _ => base
+    }
+  }
+
+  /** Output column naming (reference treeProcess.go:588-608): bare
+    * column keeps source name, other expressions get colN, aliases win. */
+  private def outName(item: SelectItem, idx: Int): String =
+    item.alias.getOrElse(item.expr match {
+      case ColRef(_, n) => n
+      case _ => s"col${idx + 1}"
+    })
+
+  private def planProjection(q: Query, items: Seq[SelectItem],
+      df: DataFrame, cat: Cat): DataFrame = {
+    val cols = items.zipWithIndex.map { case (it, i) =>
+      exprToColumn(it.expr, cat, agg = false).as(outName(it, i))
+    }
+    val extra =
+      q.distinct.map(d => exprToColumn(d.expr, cat, agg = false).as("__distinct")).toSeq ++
+      q.orderBy.map(o => exprToColumn(o, cat, agg = false).as("__order")).toSeq
+    df.select(cols ++ extra: _*)
+  }
+
+  private def planAggregate(q: Query, items: Seq[SelectItem],
+      df: DataFrame, cat: Cat): DataFrame = {
+    if (q.distinct.exists(_ => q.groupBy.nonEmpty) &&
+        items.exists { i => i.expr match {
+          case AggCall(_, _, true) => true; case _ => false } })
+      throw PlanError("Cannot use distinct in aggregate function when using 'group by'")
+
+    val gcols = q.groupBy.zipWithIndex.map { case (g, i) =>
+      exprToColumn(g, cat, agg = false).as(s"__g$i")
+    }
+    val itemCols = items.zipWithIndex.map { case (it, i) =>
+      exprToColumn(it.expr, cat, agg = true).as(outName(it, i))
+    }
+    // aggregates inside having become hidden slots, filtered post-agg
+    // (the reference hoists them the same way, treeProcess.go:660-726)
+    val havingCol = q.having.map(p => predToColumn(p, cat, agg = true).as("__having"))
+    val orderCol = q.orderBy.map(o => exprToColumn(o, cat, agg = true).as("__order"))
+    val aggCols = itemCols ++ havingCol.toSeq ++ orderCol.toSeq
+    val grouped =
+      if (gcols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(gcols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val filtered = if (havingCol.isDefined) grouped.filter(col("__having")).drop("__having")
+      else grouped
+    // grouping keys are internal (__gN) — output is the select list
+    val keep = items.zipWithIndex.map { case (it, i) => col(outName(it, i)) } ++
+      (if (orderCol.isDefined) Seq(col("__order")) else Nil)
+    filtered.select(keep: _*)
+  }
+
+  // ── validity rules (reference aggCheck, parser.go:119-138) ──────────
+  private def checkValidity(q: Query): Unit = {
+    q.where.foreach { p =>
+      if (predContainsAgg(p)) throw PlanError("aggregates not allowed in where clause")
+    }
+    q.items.foreach(it => checkAggCompo(it.expr))
+    q.having.foreach { p =>
+      if (!predAllAggOrLit(p))
+        throw PlanError("having predicates may reference only aggregates and literals")
+    }
+  }
+
+  private def containsAgg(it: SelectItem): Boolean = exprContainsAgg(it.expr)
+
+  private def exprContainsAgg(e: Expr): Boolean = e match {
+    case _: AggCall => true
+    case Arith(_, l, r) => exprContainsAgg(l) || exprContainsAgg(r)
+    case Neg(x) => exprContainsAgg(x)
+    case FnCall(_, args) => args.exists(exprContainsAgg)
+    case CaseSearched(bs, els) =>
+      bs.exists { case (p, x) => predContainsAgg(p) || exprContainsAgg(x) } ||
+        els.exists(exprContainsAgg)
+    case CaseSimple(s, bs, els) =>
+      exprContainsAgg(s) ||
+        bs.exists { case (v, x) => exprContainsAgg(v) || exprContainsAgg(x) } ||
+        els.exists(exprContainsAgg)
+    case _ => false
+  }
+
+  private def predContainsAgg(p: Pred): Boolean = p match {
+    case Cmp(_, l, r) => exprContainsAgg(l) || exprContainsAgg(r)
+    case LikeP(e, _, _) => exprContainsAgg(e)
+    case InP(e, list, _) => exprContainsAgg(e) || list.exists(exprContainsAgg)
+    case BetweenP(e, a, b, _) =>
+      exprContainsAgg(e) || exprContainsAgg(a) || exprContainsAgg(b)
+    case AndP(l, r) => predContainsAgg(l) || predContainsAgg(r)
+    case OrP(l, r) => predContainsAgg(l) || predContainsAgg(r)
+    case XorP(l, r) => predContainsAgg(l) || predContainsAgg(r)
+    case NotP(x) => predContainsAgg(x)
+  }
+
+  /** Aggregates combine only with aggregates/literals
+    * (reference treeProcess.go:741-746): `max(a)+b` is an error. */
+  private def checkAggCompo(e: Expr): Unit = {
+    def pure(x: Expr): Boolean = x match { // literal-only subtree
+      case _: Lit | _: NullLit => true
+      case Neg(y) => pure(y)
+      case Arith(_, l, r) => pure(l) && pure(r)
+      case _ => false
+    }
+    def check(x: Expr): Unit = x match {
+      case AggCall(_, arg, _) =>
+        if (exprContainsAgg(arg)) throw PlanError("nested aggregates not allowed")
+      case Arith(_, l, r) =>
+        if (exprContainsAgg(l) != exprContainsAgg(r) &&
+            !(pure(l) || pure(r)))
+          throw PlanError("aggregates can only combine with aggregates or literals")
+        check(l); check(r)
+      case Neg(y) => check(y)
+      case FnCall(_, args) => args.foreach(check)
+      case _ => ()
+    }
+    check(e)
+  }
+
+  private def predAllAggOrLit(p: Pred): Boolean = {
+    def ok(e: Expr): Boolean = e match {
+      case _: Lit | _: NullLit => true
+      case _: AggCall => true
+      case Neg(x) => ok(x)
+      case Arith(_, l, r) => ok(l) && ok(r)
+      case _ => false
+    }
+    p match {
+      case Cmp(_, l, r) => ok(l) && ok(r)
+      case AndP(l, r) => predAllAggOrLit(l) && predAllAggOrLit(r)
+      case OrP(l, r) => predAllAggOrLit(l) && predAllAggOrLit(r)
+      case XorP(l, r) => predAllAggOrLit(l) && predAllAggOrLit(r)
+      case NotP(x) => predAllAggOrLit(x)
+      case _ => false
+    }
+  }
+
+  // ── expression compilation with §2.10-style typing ──────────────────
+  def exprToColumn(e: Expr, cat: Cat, agg: Boolean): Column = typed(e, cat, agg)._1
+
+  /** Compile + infer dialect type together, so arithmetic can apply the
+    * date/duration special cases and int-division truncation. */
+  private def typed(e: Expr, cat: Cat, agg: Boolean): (Column, DType) = e match {
+    case NullLit() => (lit(null), TNull)
+    case Lit(raw, false) =>
+      if (raw.contains('.')) (lit(raw.toDouble), TFloat) else (lit(raw.toLong), TInt)
+    case Lit(raw, true) => (lit(raw), TStr)
+    case r: ColRef => cat.lookup(r)
+
+    case Neg(x) =>
+      val (c, t) = typed(x, cat, agg)
+      t match {
+        case TInt | TFloat | TDur | TNull => (-c, t)
+        case _ => throw PlanError("unary minus requires a numeric or duration operand")
+      }
+
+    case Arith(op, l, r) =>
+      val (lc0, lt0) = typed(l, cat, agg)
+      val (rc0, rt0) = typed(r, cat, agg)
+      // literal-dimension retyping (reference typeChart treeProcess.go:15-28):
+      // a string literal next to a date/duration column becomes that type
+      val (lc, lt) = retypeLit(l, lc0, lt0, rt0)
+      val (rc, rt) = retypeLit(r, rc0, rt0, lt0)
+      compileArith(op, lc, lt, rc, rt)
+
+    case FnCall(name, args) => compileFn(name, args, cat, agg)
+
+    case AggCall(name, arg, distinct) =>
+      if (!agg) throw PlanError(s"aggregate $name not allowed here")
+      compileAgg(name, arg, distinct, cat)
+
+    case CaseSearched(branches, els) =>
+      val start = branches.foldLeft(Option.empty[Column]) { case (acc, (p, v)) =>
+        val cond = predToColumn(p, cat, agg)
+        val value = typed(v, cat, agg)._1
+        Some(acc.fold(when(cond, value))(_.when(cond, value)))
+      }.getOrElse(throw PlanError("case requires at least one when"))
+      (els.fold(start)(x => start.otherwise(typed(x, cat, agg)._1)), exprCaseType(branches, els, cat, agg))
+
+    case CaseSimple(subj, branches, els) =>
+      val (sc, st) = typed(subj, cat, agg)
+      val start = branches.foldLeft(Option.empty[Column]) { case (acc, (v, res)) =>
+        val (vc0, vt0) = typed(v, cat, agg)
+        val (vc, _) = retypeLit(v, vc0, vt0, st)
+        val value = typed(res, cat, agg)._1
+        Some(acc.fold(when(sc === vc, value))(_.when(sc === vc, value)))
+      }.getOrElse(throw PlanError("case requires at least one when"))
+      (els.fold(start)(x => start.otherwise(typed(x, cat, agg)._1)),
+        exprCaseType(branches.map { case (_, r2) => (Cmp(Eq, subj, subj), r2) }, els, cat, agg))
+  }
+
+  private def exprCaseType(branches: Seq[(Pred, Expr)], els: Option[Expr],
+      cat: Cat, agg: Boolean): DType =
+    (branches.map(_._2) ++ els.toSeq).headOption
+      .map(x => typed(x, cat, agg)._2).getOrElse(TNull)
+
+  /** Retype a *literal* operand to its peer's type: string literals
+    * become dates/durations next to date/duration columns; numeric
+    * literals stay numeric (reference enforceType treeProcess.go:383-539). */
+  private def retypeLit(ast: Expr, c: Column, t: DType, peer: DType): (Column, DType) =
+    ast match {
+      case Lit(raw, true) => peer match {
+        case TDate =>
+          // a literal that parses as a duration stays a duration even
+          // next to a date (date ± duration); else it's a date literal
+          Durations.parse(raw) match {
+            case Some(d) => (lit(d), TDur)
+            case None => (to_timestamp(lit(raw)), TDate)
+          }
+        case TDur => Durations.parse(raw) match {
+          case Some(d) => (lit(d), TDur)
+          case None => throw PlanError(s"cannot parse duration literal '$raw'")
+        }
+        case TInt | TFloat if scala.util.Try(raw.toDouble).isSuccess =>
+          if (raw.contains('.')) (lit(raw.toDouble), TFloat) else (lit(raw.toLong), TInt)
+        case _ => (c, t)
+      }
+      case Lit(raw, false) if peer == TDur =>
+        // bare number next to a duration: treat as seconds
+        (lit(java.time.Duration.ofNanos(math.round(raw.toDouble * 1e9))), TDur)
+      case _ => (c, t)
+    }
+
+  private def compileArith(op: ArithOp, lc: Column, lt: DType,
+      rc: Column, rt: DType): (Column, DType) = {
+    def err(m: String) = throw PlanError(m)
+    (op, lt, rt) match {
+      // date/duration algebra (reference keepSubtreeTypes treeProcess.go:43-66)
+      case (Sub, TDate, TDate) => (lc - rc, TDur)
+      case (Add, TDate, TDur) => (lc + rc, TDate)
+      case (Sub, TDate, TDur) => (lc - rc, TDate)
+      case (Add, TDur, TDate) => (rc + lc, TDate)
+      case (Add, TDur, TDur) => (lc + rc, TDur)
+      case (Sub, TDur, TDur) => (lc - rc, TDur)
+      case (Mul, TDur, TInt | TFloat) => (lc * rc, TDur)
+      case (Mul, TInt | TFloat, TDur) => (rc * lc, TDur)
+      case (Div, TDur, TInt | TFloat) => (lc / rc, TDur)
+      case (_, TDate, TDate) => err("invalid date arithmetic")
+      case (_, TDate, _) | (_, _, TDate) => err("invalid date arithmetic")
+      case (_, TDur, _) | (_, _, TDur) => err("invalid duration arithmetic")
+
+      // text + text = concat (reference value.go:330-335)
+      case (Add, TStr, TStr) => (concat(lc, rc), TStr)
+      case (_, TStr, _) | (_, _, TStr) => err("cannot do arithmetic on text")
+
+      case (Mod, _, _) =>
+        if (lt == TFloat || rt == TFloat) err("% is integer-only") // utils.go:240-242
+        else (lc % rc, TInt)
+      case (Pow, _, _) =>
+        // int ^ int stays integral (reference value.go:476-487)
+        if (lt == TInt && rt == TInt)
+          (pow(lc.cast(DoubleType), rc.cast(DoubleType)).cast(LongType), TInt)
+        else (pow(lc.cast(DoubleType), rc.cast(DoubleType)), TFloat)
+      case (Div, TInt, TInt) =>
+        // integer division truncates (reference value.go:425-443);
+        // div-by-zero → null handled by Spark's try-less semantics below
+        (when(rc === 0, lit(null)).otherwise(lc.cast(LongType)
+          .divide(rc.cast(LongType)).cast(LongType)), TInt)
+      case (Div, _, _) =>
+        (when(rc === 0.0, lit(null)).otherwise(lc / rc), TFloat)
+      case (Add, _, _) => (lc + rc, widen(lt, rt))
+      case (Sub, _, _) => (lc - rc, widen(lt, rt))
+      case (Mul, _, _) => (lc * rc, widen(lt, rt))
+    }
+  }
+
+  private def widen(a: DType, b: DType): DType =
+    if (a == TFloat || b == TFloat) TFloat else TInt
+
+  private def compileFn(name: String, args: Seq[Expr], cat: Cat,
+      agg: Boolean): (Column, DType) = {
+    def one: Column = {
+      if (args.size != 1) throw PlanError(s"$name takes one argument")
+      typed(args.head, cat, agg)._1
+    }
+    name match {
+      case "year" => (year(one).cast(LongType), TInt)
+      case "month" => (month(one).cast(LongType), TInt)
+      case "week" => (GraftFunctions.week(one), TInt)
+      case "day" | "dayofweek" => (GraftFunctions.day0(one), TInt)
+      case "dayofyear" => (dayofyear(one).cast(LongType), TInt)
+      case "dayofmonth" => (dayofmonth(one).cast(LongType), TInt)
+      case "hour" => (hour(one).cast(LongType), TInt)
+      case "monthname" => (GraftFunctions.monthname(one), TStr)
+      case "dayname" => (GraftFunctions.dayname(one), TStr)
+      case "abs" =>
+        val (c, t) = typed(args.head, cat, agg)
+        t match {
+          case TInt | TFloat | TDur | TNull => (abs(c), t)
+          case _ => throw PlanError("abs requires numeric or duration")
+        }
+      case "coalesce" =>
+        val cs = args.map(a => typed(a, cat, agg))
+        (coalesce(cs.map(_._1): _*), cs.map(_._2).find(_ != TNull).getOrElse(TNull))
+      case "encrypt" =>
+        (GraftFunctions.encrypt(typed(args.head, cat, agg)._1, passwordArg(args, cat)), TStr)
+      case "decrypt" =>
+        (GraftFunctions.decrypt(typed(args.head, cat, agg)._1, passwordArg(args, cat)), TStr)
+      case "inc" =>
+        // inc([step]) — reference is scan-ordered; under distribution we
+        // order by the full natural key of partition+offset via
+        // monotonically_increasing_id dense-ranked (stable, parallel).
+        val step = args.headOption.collect { case Lit(raw, _) => raw.toDouble }.getOrElse(1.0)
+        import org.apache.spark.sql.expressions.Window
+        (row_number().over(Window.orderBy(monotonically_increasing_id()))
+          .cast(DoubleType) * lit(step), TFloat)
+      case "format" =>
+        // declared but unimplemented in the reference (scanner.go:62):
+        // pass-through, documented divergence-free
+        (typed(args.head, cat, agg)._1, typed(args.head, cat, agg)._2)
+      case other => throw PlanError(s"unknown function $other")
+    }
+  }
+
+  private def passwordArg(args: Seq[Expr], cat: Cat): String =
+    args.lift(1) match {
+      case Some(Lit(raw, _)) => raw
+      case None => throw PlanError("password required (pass as second argument)")
+      case _ => throw PlanError("password must be a literal")
+    }
+
+  private def compileAgg(name: String, arg: Expr, distinct: Boolean,
+      cat: Cat): (Column, DType) = {
+    val (c0, t) = typed(arg, cat, agg = false)
+    val c = if (distinct) { // per-aggregate distinct (reference selector.go:259-263)
+      name match {
+        case "count" => return (countDistinct(c0).cast(DoubleType), TFloat)
+        case "sum" => return (sum_distinct(c0), t)
+        case _ => c0 // min/max distinct ≡ plain
+      }
+    } else c0
+    name match {
+      // count: non-null count, returns float (reference treeProcess.go:80-86)
+      case "count" => (count(c).cast(DoubleType), TFloat)
+      case "sum" => (sum(c), if (t == TInt) TInt else t)
+      case "avg" => (avg(c), if (t == TDur) TDur else TFloat)
+      case "min" => (min(c), t)
+      case "max" => (max(c), t)
+      case "stdev" => (stddev_samp(c), TFloat)
+      case "stdevp" => (stddev_pop(c), TFloat)
+      case other => throw PlanError(s"unknown aggregate $other")
+    }
+  }
+
+  // ── predicate compilation ───────────────────────────────────────────
+  def predToColumn(p: Pred, cat: Cat, agg: Boolean): Column = p match {
+    case Cmp(op, l, r) =>
+      // `= null` matches missing values (reference value.go:282-287)
+      (l, r) match {
+        case (_, NullLit()) => nullCmp(op, typed(l, cat, agg)._1)
+        case (NullLit(), _) => nullCmp(op, typed(r, cat, agg)._1)
+        case _ =>
+          val (lc0, lt0) = typed(l, cat, agg)
+          val (rc0, rt0) = typed(r, cat, agg)
+          val (lc, _) = retypeLit(l, lc0, lt0, rt0)
+          val (rc, _) = retypeLit(r, rc0, rt0, lt0)
+          op match {
+            case Eq => lc === rc
+            case Ne => lc =!= rc
+            case Lt => lc < rc
+            case Le => lc <= rc
+            case Gt => lc > rc
+            case Ge => lc >= rc
+          }
+      }
+    case LikeP(e, pat, neg) =>
+      val c = GraftFunctions.likeCI(typed(e, cat, agg)._1, pat)
+      if (neg) !c else c
+    case InP(e, list, neg) =>
+      val (ec, et) = typed(e, cat, agg)
+      val vals = list.map { x =>
+        val (c0, t0) = typed(x, cat, agg)
+        retypeLit(x, c0, t0, et)._1
+      }
+      val c = ec.isin(vals: _*)
+      if (neg) !c else c
+    case BetweenP(e, a, b, neg) =>
+      val (ec, et) = typed(e, cat, agg)
+      val av = retypeLit(a, typed(a, cat, agg)._1, typed(a, cat, agg)._2, et)._1
+      val bv = retypeLit(b, typed(b, cat, agg)._1, typed(b, cat, agg)._2, et)._1
+      val c = GraftFunctions.betweenSym(ec, av, bv)
+      if (neg) !c else c
+    case AndP(l, r) => predToColumn(l, cat, agg) && predToColumn(r, cat, agg)
+    case OrP(l, r) => predToColumn(l, cat, agg) || predToColumn(r, cat, agg)
+    case XorP(l, r) => predToColumn(l, cat, agg) =!= predToColumn(r, cat, agg)
+    case NotP(x) => !predToColumn(x, cat, agg)
+  }
+
+  private def nullCmp(op: CmpOp, c: Column): Column = op match {
+    case Eq => c.isNull
+    case Ne => c.isNotNull
+    case Lt | Le => lit(true) // null < anything (reference value.go:134-139)
+    case Gt | Ge => lit(false)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import TextFunctions._
+
+/** Parity anchors for the portable hash family: expected values are the
+  * independent scalar computation (same math the DuckDB oracle runs). */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refTokenHash(t: String): Long =
+    t.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % P)
+
+  test("tokenHash matches the scalar fold") {
+    val got = Seq("hello", "a", "spark")
+      .toDF("t").select(tokenHash(col("t"))).as[Long].collect()
+    assert(got.sameElements(Array(refTokenHash("hello"), refTokenHash("a"),
+      refTokenHash("spark"))))
+    assert(refTokenHash("hello") == 99162322L)
+  }
+
+  test("tokens lowercase and drop empties") {
+    val got = Seq("  Key  AGG row ").toDF("t")
+      .select(tokens(col("t"))).as[Seq[String]].collect().head
+    assert(got == Seq("key", "agg", "row"))
+  }
+
+  test("shingleHashes yields size-n windows and empty when too short") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(size(shingleHashes(col("t"), 3))).as[Int].collect()
+    assert(got.sameElements(Array(2, 0)))
+  }
+
+  test("minhash signature is deterministic and element-wise minimal") {
+    val df = Seq("key agg row scan slow fast").toDF("t")
+    val sig = df.select(minhashSig(tokenHashes(col("t")), 4)).as[Seq[Long]].collect().head
+    val hashes = "key agg row scan slow fast".split(" ").map(refTokenHash)
+    val want = (0 until 4).map(i => hashes.map(h => (h * hashA(i) + hashB(i)) % P).min)
+    assert(sig == want)
+  }
+
+  test("simhash is stable and within bit budget") {
+    val got = Seq("key agg row scan", "key agg row scan").toDF("t")
+      .select(simhash(tokenHashes(col("t")))).as[Long].collect()
+    assert(got(0) == got(1))
+    assert(got(0) >= 0 && got(0) < (1L << 24))
+  }
+
+  test("langId picks the stopword-rich language") {
+    val got = Seq("the cat is on the mat", "el gato es la casa y el perro", "zzz qqq")
+      .toDF("t").select(langId(col("t"))).as[String].collect()
+    assert(got(0) == "en")
+    assert(got(1) == "es")
+    assert(got(2) == "und")
+  }
+
+  test("quality score is in [0,1] and favors clean text") {
+    val got = Seq("the quick brown fox jumps over the lazy dog and runs far away today quickly it is said that they do",
+      "!!! ??? ,,, ...")
+      .toDF("t").select(qualityScore(col("t"))).as[Double].collect()
+    assert(got.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("token and subword counts") {
+    val r = Seq("alpha beta gamma!").toDF("t")
+      .select(tokenCount(col("t")), subwordCount(col("t"))).collect().head
+    assert(r.getLong(0) == 3L)
+    // alpha(2) beta(1) gamma!(2) = 5 ceil(len/4) units
+    assert(r.getLong(1) == 5L)
+  }
+}

