@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.sql.GraftSession
+
+/** End-to-end dialect coverage: each entry is actual dialect TEXT
+  * compiled by GraftSession (lexer → parser → planner → DataFrame) and
+  * hash-checked against a DuckDB oracle — the front-end itself is
+  * correctness-gated, not just the operators underneath.
+  *
+  * Note on determinism: dialect aggregates run Spark's native partial
+  * aggregation, so these queries aggregate only exact types (counts,
+  * integer sums, min/max) — double-sum determinism is covered by the
+  * Det-based q* queries.
+  */
+object DialectQueries {
+  private def sql(q: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, dir) => GraftSession(s, dir).sql(q)
+
+  val all: Seq[Q] = Seq(
+
+    Q("s01_dialect_project",
+      sql("select o_orderkey, tag = o_orderpriority + '-' + o_orderstatus, o_custkey * 2 + 1 as odd from orders"),
+      Some("""SELECT o_orderkey, o_orderpriority || '-' || o_orderstatus AS tag,
+             |o_custkey * 2 + 1 AS odd FROM orders""".stripMargin)),
+
+    Q("s02_dialect_where",
+      sql("""select o_orderkey from orders
+            |where (o_orderpriority like '%high%' or o_orderpriority in ('5-LOW'))
+            |  and not o_custkey between 900 and 100""".stripMargin),
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE (o_orderpriority ILIKE '%high%' OR o_orderpriority IN ('5-LOW'))
+             |AND NOT (o_custkey >= least(900, 100) AND o_custkey < greatest(900, 100))""".stripMargin)),
+
+    Q("s03_dialect_group",
+      sql("""select l_returnflag, l_linestatus, count(l_orderkey) as n,
+            |min(l_quantity) as mn, max(l_quantity) as mx
+            |from lineitem group by l_returnflag, l_linestatus""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(l_orderkey) AS DOUBLE) AS n,
+             |min(l_quantity) AS mn, max(l_quantity) AS mx
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("s04_dialect_join",
+      sql("""select n_name, count(c_custkey) as n from customer c
+            |inner join nation n on c.c_nationkey = n.n_nationkey
+            |group by n_name""".stripMargin),
+      Some("""SELECT n_name, CAST(count(c_custkey) AS DOUBLE) AS n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    Q("s05_dialect_topk",
+      sql("select top 10 o_orderkey, o_totalprice from orders order by o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey DESC LIMIT 10""".stripMargin)),
+
+    Q("s06_dialect_case_date",
+      sql("""select o_orderkey, year(o_orderdate) as y, week(o_orderdate) as wk,
+            |day(o_orderdate) as dow, monthname(o_orderdate) as mn,
+            |case when o_totalprice > 200000 then 'big' else 'small' end as sz
+            |from orders""".stripMargin),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+             |CAST(floor(dayofyear(o_orderdate) / 7.0) AS BIGINT) AS wk,
+             |CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+             |monthname(o_orderdate) AS mn,
+             |CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS sz
+             |FROM orders""".stripMargin)),
+
+    Q("s07_dialect_having",
+      sql("""select s_nationkey, count(s_suppkey) as n from supplier
+            |group by s_nationkey having count(s_suppkey) > 2""".stripMargin),
+      Some("""SELECT * FROM (SELECT s_nationkey, CAST(count(s_suppkey) AS DOUBLE) AS n
+             |FROM supplier GROUP BY s_nationkey) WHERE n > 2""".stripMargin)),
+
+    Q("s08_dialect_intsum",
+      sql("select l_returnflag, sum(l_orderkey) as sk from lineitem group by l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(sum(l_orderkey) AS BIGINT) AS sk
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    Q("s09_dialect_distinct",
+      sql("select distinct o_orderstatus from orders"),
+      Some("SELECT DISTINCT o_orderstatus FROM orders")),
+
+    Q("s10_dialect_null_eq",
+      sql("""select c_custkey, c_name from customer c
+            |left join nation n on c.c_nationkey = n.n_nationkey
+            |where n.n_name = null""".stripMargin),
+      Some("""SELECT c_custkey, c_name FROM customer LEFT JOIN nation
+             |ON c_nationkey = n_nationkey WHERE n_name IS NULL""".stripMargin)),
+
+    Q("s11_dialect_count_distinct",
+      sql("select count(distinct l_suppkey) as ns from lineitem"),
+      Some("SELECT CAST(count(DISTINCT l_suppkey) AS DOUBLE) AS ns FROM lineitem")),
+
+    Q("s12_dialect_date_arith",
+      sql("""select o_orderkey, o_orderdate + '2 weeks' as due,
+            |o_custkey % 7 as bucket, 2 ^ 10 as k
+            |from orders where o_orderdate < '1997-01-01'""".stripMargin),
+      Some("""SELECT o_orderkey, o_orderdate + INTERVAL 14 DAY AS due,
+             |o_custkey % 7 AS bucket, CAST(1024 AS BIGINT) AS k
+             |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin))
+  )
+}

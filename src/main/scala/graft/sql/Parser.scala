@@ -15,12 +15,19 @@ final class Parser(toks: Vector[Tok]) {
   private def peek: Tok = toks(pos)
   private def peekText: String = peek.text.toLowerCase
   private def advance(): Tok = { val t = toks(pos); pos += 1; t }
+  /** Keyword/operator match — never matches string literals (a quoted
+    * '-' must not be mistaken for the minus operator). */
+  private def matches(t: Tok, text: String): Boolean = t match {
+    case Word(w) => w.equalsIgnoreCase(text)
+    case Op(o) => o == text
+    case _ => false
+  }
   private def expect(text: String): Tok = {
-    if (peekText == text.toLowerCase) advance()
+    if (matches(peek, text)) advance()
     else throw ParseError(s"expected '$text', found '${peek.text}'")
   }
   private def accept(text: String): Boolean =
-    if (peekText == text.toLowerCase) { pos += 1; true } else false
+    if (matches(peek, text)) { pos += 1; true } else false
   private def isWord(t: Tok, w: String): Boolean =
     t.isInstanceOf[Word] && t.text.equalsIgnoreCase(w)
 

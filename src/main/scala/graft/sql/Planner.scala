@@ -27,7 +27,7 @@ final class Planner(resolve: String => DataFrame) {
   private def dtypeOf(t: DataType): DType = t match {
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType => TInt
     case _: DoubleType | _: FloatType | _: DecimalType => TFloat
-    case _: TimestampType | _: DateType => TDate
+    case _: TimestampType | _: TimestampNTZType | _: DateType => TDate
     case _: DayTimeIntervalType => TDur
     case _ => TStr
   }
@@ -121,8 +121,11 @@ final class Planner(resolve: String => DataFrame) {
   /** Expand star / empty select to all columns; prepend a non-hidden
     * distinct expression (reference parser.go:243-252). */
   private def expandItems(q: Query, cat: Cat): Seq[SelectItem] = {
+    // `select distinct expr from t` with no further selections outputs
+    // just the distinct expression — select-all expansion applies only
+    // when there's no distinct clause either
     val base =
-      if (q.star || q.items.isEmpty)
+      if (q.star || (q.items.isEmpty && q.distinct.isEmpty))
         cat.entries.map { case (_, n, _, _) => SelectItem(ColRef(None, n), None) } ++
           q.items
       else q.items
