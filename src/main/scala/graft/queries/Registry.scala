@@ -16,7 +16,8 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ DialectQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ VectorQueries.all ++ EventQueries.all
+      DedupQueries.all ++ VectorQueries.all ++ EventQueries.all ++
+      MultimodalQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event operators (the reference has
+  * no streaming surface — SURVEY.md §2.11 — these are the Spark-native
+  * extension for the stream table `events`):
+  *  - watermarked tumbling-window aggregation (same plan as
+  *    EventQueries e01 under incremental execution);
+  *  - stateful per-user sessionization via mapGroupsWithState.
+  *
+  * The events fixture is ns-precision parquet read with nanosAsLong,
+  * so the stream schema carries `ts` as Long nanos and converts — same
+  * normalization as graft.core.Tables.
+  */
+object StreamingOps {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events table in a fixture directory (the
+    * file source needs a directory — filter to the events file). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked hourly windowed aggregation — incremental version of
+    * EventQueries e01. Watermark bounds state: late events beyond 2h
+    * are dropped, so state size is O(active windows), not O(stream). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(col("event_id")).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  // ── stateful sessionization ─────────────────────────────────────────
+  final case class Ev(user_id: Long, ts_us: Long)
+  final case class SessionState(lastTs: Long, sessions: Long, events: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Per-user session counting with explicit state: a >30 min silence
+    * opens a new session (same rule as EventQueries e02, kept hot in
+    * GroupState instead of a window shuffle — the streaming-native
+    * shape; state per key is O(1)). */
+  def sessionize(events: DataFrame)(implicit spark: SparkSession): Dataset[UserSessions] = {
+    import spark.implicits._
+    val evs = events.select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us")).as[Ev]
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_us)
+          val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          val next = sorted.foldLeft(init) { (st, e) =>
+            val newSession = st.lastTs == Long.MinValue ||
+              e.ts_us - st.lastTs > 1800L * 1000000L
+            SessionState(e.ts_us,
+              st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(next)
+          UserSessions(user, next.sessions, next.events)
+      }
+  }
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming ops driven synchronously: the batch of fixture parquet
+  * feeds a streaming query via memory sink + processAllAvailable. */
+class StreamingSpec extends SparkSpec {
+
+  test("watermarked hourly window agg matches the batch plan") {
+    val stream = StreamingOps.readEvents(spark, sf0001)
+    // complete mode: a single AvailableNow batch never advances the
+    // watermark past any window, so append would emit nothing here
+    val q = StreamingOps.hourlyCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hourly")
+    // every emitted row must match the batch computation exactly
+    val batch = graft.queries.EventQueries.all
+      .find(_.name == "e01_window_hourly").get.build(spark, sf0001)
+      .withColumnRenamed("n", "n_b").withColumnRenamed("sum_value", "sv_b")
+    val joined = streamed.join(batch, Seq("ws", "event_type"), "inner")
+    assert(streamed.count() > 0)
+    assert(joined.count() == streamed.count())
+    val bad = joined.filter("CAST(n AS DOUBLE) != n_b").count()
+    assert(bad == 0)
+  }
+
+  test("stateful sessionization emits per-user session counts") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val batchEvents = Tables(spark, sf0001, "events")
+    val sessions = StreamingOps.sessionize(batchEvents).collect()
+    assert(sessions.nonEmpty)
+    assert(sessions.forall(s => s.n_sessions >= 1 && s.n_events >= s.n_sessions))
+    // cross-check one user against the window-based batch rule
+    val e02 = graft.queries.EventQueries.all.find(_.name == "e02_sessions").get
+      .build(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sessions.foreach { s =>
+      assert(e02(s.user_id) == s.n_sessions,
+        s"user ${s.user_id}: state ${s.n_sessions} vs batch ${e02(s.user_id)}")
+    }
+  }
+}
