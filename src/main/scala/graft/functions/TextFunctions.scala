@@ -38,16 +38,37 @@ object TextFunctions {
   def tokenHashes(text: Column): Column =
     transform(tokens(text), t => tokenHash(t))
 
-  /** Word n-gram (shingle) hashes: hash of each n-token window,
-    * combined as h = (h*31 + tokenHash) mod P. */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val th = tokenHashes(text)
+  /** Word n-gram (shingle) hashes from a token-hash array: hash of each
+    * n-token window, combined as h = (h*31 + tokenHash) mod P. */
+  def shinglesFromHashes(th: Column, n: Int): Column = {
     val idx = sequence(lit(0), size(th) - lit(n))
     when(size(th) >= n,
       transform(idx, i =>
         aggregate(slice(th, i + lit(1), lit(n)), lit(0L),
           (h, x) => (h * lit(31L) + x) % lit(P))))
       .otherwise(array().cast(ArrayType(LongType)))
+  }
+
+  /** Word n-gram (shingle) hashes straight from text. NB: higher-order
+    * functions are interpreted (no codegen/CSE), so when several
+    * downstream expressions consume the shingles, project them into a
+    * named column first — see DedupQueries.sigDF. */
+  def shingleHashes(text: Column, n: Int): Column =
+    shinglesFromHashes(tokenHashes(text), n)
+
+  /** All k minhash values in ONE traversal of the shingle array: the
+    * accumulator is the running element-wise min of (a_i*h+b_i) mod P.
+    * Equivalent to [[minhashSig]] but k× cheaper — HOFs re-evaluate
+    * their input per reference, so k separate array_min calls would
+    * recompute the shingle pipeline k times. Empty input → nulls
+    * (same as array_min of an empty array). */
+  def minhashSigFold(sh: Column, k: Int): Column = {
+    val init = array((0 until k).map(_ => lit(P)): _*)
+    val idx = array((0 until k).map(i => lit(i.toLong)): _*)
+    val folded = aggregate(sh, init, (acc, h) =>
+      zip_with(acc, idx, (m, i) =>
+        least(m, (h * (i * lit(2L) + lit(1L)) + lit(12345L) + lit(67890L) * i) % lit(P))))
+    transform(folded, v => when(v < lit(P), v)) // P sentinel = no shingles → null
   }
 
   /** One minhash value: min over hashes of (a*h + b) mod P. */
@@ -105,9 +126,11 @@ object TextFunctions {
   }
 
   /** Argmax language by stopword ratio; 'und' (undetermined) when no
-    * stopword hits at all. Deterministic tie-break: language order. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+    * stopword hits at all. Deterministic tie-break: language order.
+    * Takes a token ARRAY column — stage `tokens(text)` into a named
+    * column first (HOFs are interpreted; 5 languages would otherwise
+    * re-tokenize 10×). */
+  def langIdFromToks(toks: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
     val scored = langs.map(l => struct(stopwordRatio(toks, stopwords(l)).as("s"),
       lit(l).as("l")))
@@ -115,13 +138,15 @@ object TextFunctions {
     when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("und"))
   }
 
+  def langId(text: Column): Column = langIdFromToks(tokens(text))
+
   // ── quality scoring ─────────────────────────────────────────────────
-  /** Mean token length. */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  /** Mean token length over a token-array column. */
+  def meanTokenLenT(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
       greatest(size(toks), lit(1)).cast(DoubleType)
-  }
+
+  def meanTokenLen(text: Column): Column = meanTokenLenT(tokens(text))
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =
@@ -131,21 +156,25 @@ object TextFunctions {
   /** Whitespace token count (the reference pipeline's basic unit). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
-  /** BPE-ish subword count: each whitespace token contributes
-    * ceil(len/4) subword units (≈4 chars per BPE merge for English) —
+  /** BPE-ish subword count over a token-array column: each token
+    * contributes ceil(len/4) subword units (≈4 chars per BPE merge) —
     * pure arithmetic, identical in the oracle. */
-  def subwordCount(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
+  def subwordCountT(toks: Column): Column =
+    aggregate(toks, lit(0L),
       (acc, t) => acc + ceil(length(t) / lit(4.0)).cast(LongType))
 
+  def subwordCount(text: Column): Column = subwordCountT(tokens(text))
+
   /** Composite quality score in [0,1]: weights short/long docs,
-    * punctuation density, and English stopword density. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+    * punctuation density, and English stopword density. Token-array
+    * variant — stage tokens once. */
+  def qualityScoreT(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast(DoubleType)
     val lenScore = least(nTok / lit(20.0), lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
     val swScore = least(stopwordRatio(toks, stopwords("en")) * lit(5.0), lit(1.0))
     (lenScore + punctScore + swScore) / lit(3.0)
   }
+
+  def qualityScore(text: Column): Column = qualityScoreT(text, tokens(text))
 }

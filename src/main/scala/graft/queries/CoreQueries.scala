@@ -118,14 +118,16 @@ object CoreQueries {
         .filter(col("sum_qty") > 600.0),
       Some(s"""SELECT * FROM (
               |SELECT l_suppkey, ${Det.sql.dsum("l_quantity")} AS sum_qty
-              |FROM lineitem GROUP BY l_suppkey) WHERE sum_qty > 600.0""".stripMargin)),
+              |FROM lineitem GROUP BY l_suppkey) WHERE sum_qty > 600.0""".stripMargin),
+      bench = true),
 
     Q("q12_count_distinct",
       (s, dir) => t(s, dir, "lineitem").agg(
         countDistinct(col("l_partkey")).cast(DoubleType).as("n_parts"),
         countDistinct(col("l_suppkey")).cast(DoubleType).as("n_supps")),
       Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS n_parts,
-             |CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) AS n_supps FROM lineitem""".stripMargin)),
+             |CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) AS n_supps FROM lineitem""".stripMargin),
+      bench = true),
 
     Q("q13_stdev",
       (s, dir) => t(s, dir, "lineitem")

@@ -26,12 +26,26 @@ object DedupQueries {
   private val BANDS = 4      // LSH bands (r = K/BANDS = 2 rows per band)
   private val SHINGLE = 3    // word-shingle width
 
-  /** doc_id + minhash signature columns mh0..mh{K-1}. */
+  /** doc_id + minhash signature columns mh0..mh{K-1}.
+    *
+    * Staged projections on purpose: higher-order functions are
+    * interpreted (no codegen, no common-subexpression elimination), so
+    * token hashes, shingles, and the signature are each materialized
+    * once per row behind a named column, and the k minhashes come from
+    * a single fold (minhashSigFold) instead of k independent
+    * array_min passes. This took d02 from 12.7s to sub-second at
+    * sf0.01 — at 100 TB it's the difference between one linear pass
+    * per document and k× re-tokenization. */
   private def sigDF(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(col("text"), SHINGLE)
-    Tables(s, dir, "documents").select(
+    val withTh = Tables(s, dir, "documents")
+      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+    val withSh = withTh
+      .select(col("doc_id"), shinglesFromHashes(col("th"), SHINGLE).as("sh"))
+    val withSig = withSh
+      .select(col("doc_id"), minhashSigFold(col("sh"), K).as("sig"))
+    withSig.select(
       col("doc_id") +: (0 until K).map(i =>
-        minhash1(sh, hashA(i), hashB(i)).as(s"mh$i")): _*)
+        element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** DuckDB mirror of [[sigDF]] as a subquery string. */
@@ -93,7 +107,8 @@ object DedupQueries {
            |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
            |FROM bands l JOIN bands r
            |ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id""".stripMargin
-      }),
+      },
+      bench = true),
 
     Q("d04_ngram_jaccard",
       (s, dir) => {
@@ -118,9 +133,9 @@ object DedupQueries {
               |FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id""".stripMargin)),
 
     Q("d05_simhash",
-      (s, dir) => Tables(s, dir, "documents").select(
-        col("doc_id"),
-        simhash(tokenHashes(col("text")), bits = 24).as("sh")),
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+        .select(col("doc_id"), simhash(col("th"), bits = 24).as("sh")),
       Some {
         val terms = (0 until 24).map { j =>
           s"""(CASE WHEN 2 * ${O.lsum(s"list_transform(th, sv -> (sv >> $j) % 2)")}

@@ -37,7 +37,8 @@ object DialectQueries {
             |from lineitem group by l_returnflag, l_linestatus""".stripMargin),
       Some("""SELECT l_returnflag, l_linestatus, CAST(count(l_orderkey) AS DOUBLE) AS n,
              |min(l_quantity) AS mn, max(l_quantity) AS mx
-             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
 
     Q("s04_dialect_join",
       sql("""select n_name, count(c_custkey) as n from customer c

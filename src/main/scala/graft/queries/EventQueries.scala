@@ -48,7 +48,8 @@ object EventQueries {
              |         OVER (PARTITION BY user_id ORDER BY ts)
              |       > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
              | FROM events)
-             |GROUP BY user_id""".stripMargin)),
+             |GROUP BY user_id""".stripMargin),
+      bench = true),
 
     Q("e03_user_topk",
       (s, dir) => {

@@ -18,12 +18,14 @@ object TextQueries {
   val all: Seq[Q] = Seq(
 
     Q("t01_token_stats",
-      (s, dir) => Tables(s, dir, "documents").select(
-        col("doc_id"),
-        tokenCount(col("text")).as("n_tok"),
-        subwordCount(col("text")).as("n_subword"),
-        meanTokenLen(col("text")).as("mean_tok_len"),
-        punctRatio(col("text")).as("punct_ratio")),
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
+        .select(
+          col("doc_id"),
+          size(col("tk")).cast(org.apache.spark.sql.types.LongType).as("n_tok"),
+          subwordCountT(col("tk")).as("n_subword"),
+          meanTokenLenT(col("tk")).as("mean_tok_len"),
+          punctRatio(col("text")).as("punct_ratio")),
       Some(s"""SELECT doc_id,
               |CAST(len(tk) AS BIGINT) AS n_tok,
               |${O.lsum("list_transform(tk, u -> CAST(ceil(length(u) / 4.0) AS BIGINT))")} AS n_subword,
@@ -34,20 +36,24 @@ object TextQueries {
               |FROM ($docToks)""".stripMargin)),
 
     Q("t02_quality",
-      (s, dir) => Tables(s, dir, "documents").select(
-        col("doc_id"), qualityScore(col("text")).as("quality")),
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), qualityScoreT(col("text"), col("tk")).as("quality")),
       Some(s"""SELECT doc_id,
               |(least(CAST(len(tk) AS DOUBLE) / 20.0, 1.0)
               | + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
               |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 1.0))
               | + least(${O.stopwordRatio("tk", "en")} * 5.0, 1.0)) / 3.0 AS quality
-              |FROM ($docToks)""".stripMargin)),
+              |FROM ($docToks)""".stripMargin),
+      bench = true),
 
     Q("t03_langid",
-      (s, dir) => Tables(s, dir, "documents").select(
-        col("doc_id"), col("lang").as("lang_label"),
-        langId(col("text")).as("lang_pred"),
-        stopwordRatio(tokens(col("text")), stopwords("en")).as("ratio_en")),
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+        .select(
+          col("doc_id"), col("lang").as("lang_label"),
+          langIdFromToks(col("tk")).as("lang_pred"),
+          stopwordRatio(col("tk"), stopwords("en")).as("ratio_en")),
       Some {
         // argmax over (ratio, lang) with lexicographically-greatest
         // tie-break — mirrored as a descending >= CASE chain.

@@ -40,6 +40,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sig == want)
   }
 
+  test("minhashSigFold equals the k-pass minhashSig") {
+    val df = Seq("key agg row scan slow fast table value part",
+      "batch window spark order data column agg join").toDF("t")
+      .select(tokenHashes(col("t")).as("th"))
+    val both = df.select(minhashSig(col("th"), 8).as("a"),
+      minhashSigFold(col("th"), 8).as("b")).collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("simhash is stable and within bit budget") {
     val got = Seq("key agg row scan", "key agg row scan").toDF("t")
       .select(simhash(tokenHashes(col("t")))).as[Long].collect()
