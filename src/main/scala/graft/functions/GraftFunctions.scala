@@ -45,9 +45,9 @@ object GraftFunctions {
     * under distribution "scan order" must be made explicit, so this
     * takes the ordering columns. Returns float (step * row_number).
     * Scale note: a global row number forces a single-partition window —
-    * for 100 TB use [[incPartitioned]] (zipWithIndex-style offsets)
-    * instead; this form is the semantics-faithful small-result variant.
-    */
+    * for 100 TB use graft.core.RowNumbers.global (range-partitioned
+    * zipWithIndex-style offsets, no single-task bottleneck); this form
+    * is the semantics-faithful small-result variant. */
   def inc(order: Seq[Column], step: Double = 1.0): Column =
     (row_number().over(Window.orderBy(order: _*)).cast(DoubleType)) * lit(step)
 

@@ -1,0 +1,113 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.sql.{GraftSession, Parser}
+
+/** Minimal HTTP query API (reference server.go:91-157): POST /query/
+  * with JSON {"query": "..."} runs `;`-separated dialect statements and
+  * returns the ReturnData bundle; POST /stop/ cancels in-flight queries
+  * (the reference's websocket SK_STOP, server.go:61-64, mapped to
+  * Spark job-group cancellation — every scan loop in the reference
+  * checks a stop flag; Spark's cancellation interrupts tasks the same
+  * way). The embedded GUI is out of engine scope (SURVEY.md §2.1 S8).
+  */
+final class QueryServer(graft: GraftSession, port: Int) {
+  private val spark: SparkSession = graft.spark
+  private val jobGroup = "graft-query-server"
+  @volatile private var server: HttpServer = _
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/query/", (ex: HttpExchange) => handleQuery(ex))
+    server.createContext("/stop/", (ex: HttpExchange) => handleStop(ex))
+    server.setExecutor(Executors.newFixedThreadPool(4))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handleQuery(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val response =
+      try {
+        val query = extractField(body, "query")
+          .getOrElse(throw new IllegalArgumentException("missing 'query' field"))
+        spark.sparkContext.setJobGroup(jobGroup, query, interruptOnCancel = true)
+        val results = Parser.splitStatements(query).map { stmt =>
+          JsonResult.of(graft.sql(stmt), stmt)
+        }
+        JsonResult.bundle(results, "ok")
+      } catch {
+        case e: Throwable => JsonResult.bundle(Nil, s"error: ${e.getMessage}")
+      } finally spark.sparkContext.clearJobGroup()
+    respond(ex, 200, response)
+  }
+
+  private def handleStop(ex: HttpExchange): Unit = {
+    spark.sparkContext.cancelJobGroup(jobGroup)
+    respond(ex, 200, """{"Status":"cancelled"}""")
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  /** Minimal JSON string-field extraction (handles escapes) — avoids a
+    * JSON dependency for one request shape. */
+  private[server] def extractField(json: String, field: String): Option[String] = {
+    val key = "\"" + field + "\""
+    val ki = json.indexOf(key)
+    if (ki < 0) return None
+    var i = json.indexOf(':', ki + key.length)
+    if (i < 0) return None
+    i += 1
+    while (i < json.length && json(i).isWhitespace) i += 1
+    if (i >= json.length || json(i) != '"') return None
+    i += 1
+    val sb = new StringBuilder
+    while (i < json.length && json(i) != '"') {
+      if (json(i) == '\\' && i + 1 < json.length) {
+        json(i + 1) match {
+          case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+          case 'u' if i + 5 < json.length =>
+            sb += Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar
+            i += 4
+          case c => sb += c
+        }
+        i += 2
+      } else { sb += json(i); i += 1 }
+    }
+    Some(sb.toString)
+  }
+}
+
+/** Standalone server entry: runMain graft.server.ServerMain [port] [dir]. */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8060)
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = new QueryServer(GraftSession(spark, dir), port)
+    val actual = s.start()
+    System.err.println(s"graft query server listening on :$actual")
+    Thread.currentThread.join()
+  }
+}

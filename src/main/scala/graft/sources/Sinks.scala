@@ -51,8 +51,10 @@ object Sinks {
           .otherwise(lit(""))))
   }
 
-  /** Save as a single CSV file at `path` (reference appends .csv when
-    * missing, files.go:158-180). */
+  /** Save as CSV at `path` (reference appends .csv when missing,
+    * files.go:158-180). Spark-native form: a directory with one
+    * coalesced part file — at scale, drop the coalesce(1) and let each
+    * partition write in parallel. */
   def saveCsv(df: DataFrame, path: String): String = {
     val p = if (path.endsWith(".csv")) path else path + ".csv"
     formatted(df).coalesce(1).write.mode("overwrite")

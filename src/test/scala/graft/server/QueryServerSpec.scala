@@ -1,0 +1,57 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+import graft.sql.GraftSession
+
+class QueryServerSpec extends SparkSpec {
+
+  test("POST /query/ runs multi-statement dialect SQL and returns JSON") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query":"select count(r_regionkey) as n from region; select top 2 n_name from nation order by n_name asc"}"""))
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      val body = resp.body()
+      assert(body.contains(""""Status":"ok""""), body)
+      assert(body.contains(""""Colnames":["n"]"""), body)
+      assert(body.contains(""""Vals":[["5"]]"""), body)          // count → float → "5"
+      assert(body.contains(""""Numcols":1"""), body)
+      // two entries for two statements
+      assert(body.split("\"Query\":").length == 3, body)
+    } finally server.stop()
+  }
+
+  test("bad query returns error status, not a crash") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"query":"select nosuch from region"}"""))
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.body().contains(""""Status":"error"""), resp.body())
+    } finally server.stop()
+  }
+
+  test("POST /stop/ responds (cancellation path wired)") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/stop/"))
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.body().contains("cancelled"))
+    } finally server.stop()
+  }
+}
