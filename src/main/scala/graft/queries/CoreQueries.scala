@@ -320,6 +320,19 @@ object CoreQueries {
       Some("""SELECT CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
              |AS sd_qty FROM lineitem""".stripMargin)),
 
+    // ── skew path: salted two-phase aggregation ≡ plain groupBy ───────
+    Q("q29_salted_agg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        graft.core.Salting.saltedSum(
+          li.withColumn("__qd", col("l_quantity").cast(Det.dec)),
+          Seq(col("l_returnflag")), salt = col("l_orderkey"),
+          valueCol = col("__qd"), buckets = 16, resultName = "sum_qty")
+          .withColumn("sum_qty", col("sum_qty").cast(DoubleType))
+      },
+      Some(s"""SELECT l_returnflag, ${Det.sql.dsum("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ── §2.5 A6 bare columns alongside aggregates (first/any fidelity) ─
     Q("q28_group_ordered",
       (s, dir) => t(s, dir, "orders")

@@ -76,8 +76,17 @@ final class Planner(resolve: String => DataFrame) {
       else planProjection(q, selectItems, afterWhere, cat)
 
     val afterDistinct = q.distinct match {
-      case Some(_) if !hasAgg => preDistinct.dropDuplicates(Seq("__distinct"))
-        .drop("__distinct")
+      case Some(_) if !hasAgg =>
+        // keep the FIRST row per distinct value in natural scan order
+        // (reference probes a btree as it scans, evaluator.go:105-111);
+        // min_by over monotonically_increasing_id ≈ (split, row) order,
+        // distributed — not dropDuplicates' arbitrary row
+        val outCols = preDistinct.columns.filter(c => c != "__distinct" && c != "__mid")
+        val packed = preDistinct
+          .withColumn("__mid", monotonically_increasing_id())
+          .groupBy(col("__distinct"))
+          .agg(min_by(struct(outCols.map(col).toSeq: _*), col("__mid")).as("__row"))
+        packed.select(outCols.map(c => col(s"__row.$c").as(c)).toSeq: _*)
       case _ => preDistinct
     }
     val afterOrder = q.orderBy match {

@@ -66,6 +66,16 @@ class PlannerSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 
+  test("distinct keeps the FIRST row in natural order (reference fidelity)") {
+    // orders.parquet is in o_orderkey order, so first-encountered per
+    // priority == min orderkey per priority
+    val got = g.sql("select distinct o_orderpriority, o_orderkey from orders")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = g.sql("select o_orderpriority, min(o_orderkey) from orders group by o_orderpriority")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("between is symmetric with half-open upper bound") {
     val a = rows("select o_orderkey from orders where o_totalprice between 100000 and 200000")
     val b = rows("select o_orderkey from orders where o_totalprice between 200000 and 100000")
