@@ -70,11 +70,11 @@ object CsvSource {
     }.headOption
   }
 
-  /** Spark-side date cast mirroring [[parseDate]]'s pattern chain. */
-  private def castDate(c: Column): Column = coalesce(
-    (Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd",
-      "yyyy/MM/dd", "MM/dd/yyyy", "M/d/yyyy", "MMM d yyyy", "MMMM d, yyyy")
-      .map(p => try_to_timestamp(c, lit(p)))): _*)
+  /** Spark-side date cast mirroring [[parseDate]]'s pattern chain —
+    * one native expression instead of an 8-way try_to_timestamp
+    * coalesce (graft.functions.ParseAnyTimestamp). */
+  private def castDate(c: Column): Column =
+    graft.functions.ParseAnyTimestamp.parse_any_ts(c)
 
   /** Spark-side duration cast: `N unit` and compact `NhNmNs` forms to
     * DayTimeIntervalType seconds (column algebra, no UDF). */

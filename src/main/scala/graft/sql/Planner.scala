@@ -112,7 +112,11 @@ final class Planner(resolve: String => DataFrame) {
       val cat = Cat(entries ++ rightEntries)
       val cond = exprToColumn(j.leftKey, cat, agg = false) ===
         exprToColumn(j.rightKey, cat, agg = false)
-      val rdf = if (j.sizeHint.contains("sjoin")) broadcast(right) else right
+      val rdf = j.sizeHint match {
+        case Some("sjoin") => broadcast(right) // in-memory index join analog
+        case Some("bjoin") => right.hint("shuffle_merge") // disk-index analog: sort-merge
+        case _ => right // Catalyst/AQE size-based choice (the 100MB switch analog)
+      }
       df = df.join(rdf, cond, j.joinType match {
         case InnerJoin => "inner"
         case LeftJoin => "left"

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import ParseAnyTimestamp.parse_any_ts
+
+class ParseAnyTimestampSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parses the permissive pattern chain; null when no match") {
+    val got = Seq(
+      "2020-01-02 10:11:12", "2020-01-02T10:11:12", "2020-01-02",
+      "2020/01/02", "01/02/2020", "1/2/2020", "Jan 2 2020",
+      "January 2, 2020", "notadate", "")
+      .toDF("s").select(parse_any_ts(col("s")).cast("string")).as[String]
+      .collect()
+    assert(got(0) == "2020-01-02 10:11:12")
+    assert(got(1) == "2020-01-02 10:11:12")
+    (2 to 7).foreach(i => assert(got(i) == "2020-01-02 00:00:00", s"idx $i → ${got(i)}"))
+    assert(got(8) == null && got(9) == null)
+  }
+
+  test("works under whole-stage codegen on a real column") {
+    val df = Seq.tabulate(1000)(i => f"2021-${i % 12 + 1}%02d-${i % 28 + 1}%02d")
+      .toDF("s").select(parse_any_ts(col("s")).as("ts"))
+    assert(df.filter(col("ts").isNotNull).count() == 1000)
+  }
+
+  test("registered SQL function") {
+    ParseAnyTimestamp.register(spark)
+    val n = spark.sql("SELECT parse_any_ts('2020-05-06') AS t").collect().head
+    assert(n.get(0).toString.startsWith("2020-05-06"))
+  }
+}

@@ -49,7 +49,7 @@ class CsvSourceSpec extends SparkSpec {
     val types = df.schema.fields.map(x => (x.name, x.dataType.typeName)).toMap
     assert(types("id") == "long")
     assert(types("amount") == "double")      // widened int→float
-    assert(types("when") == "timestamp")
+    assert(types("when").startsWith("timestamp")) // NTZ: faithful no-tz parse
     assert(types("span").startsWith("daytimeinterval") || types("span").startsWith("interval"))
     assert(types("tag") == "string")
     assert(types("zip") == "string")         // leading zero forces string
