@@ -20,7 +20,8 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =
-      if (name.endsWith(".parquet") || name.endsWith(".csv")) load(spark, name)
+      if (name.endsWith(".parquet") || name.endsWith(".csv") ||
+        name.endsWith(".json")) load(spark, name)
       else spark.read.parquet(s"$dir/$name.parquet")
     normalizeNanoTs(df)
   }
@@ -38,9 +39,9 @@ object Tables {
     else df
 
   /** Load a direct path; CSV goes through the dialect-faithful
-    * inference pass (graft.sources.CsvSource) once that lands. */
+    * inference pass (graft.sources.CsvSource). */
   def load(spark: SparkSession, path: String): DataFrame =
-    if (path.endsWith(".csv"))
-      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    if (path.endsWith(".csv")) graft.sources.CsvSource.read(spark, path)
+    else if (path.endsWith(".json")) spark.read.json(path)
     else spark.read.parquet(path)
 }

@@ -41,8 +41,8 @@ object DialectQueries {
       bench = true),
 
     Q("s04_dialect_join",
-      sql("""select n_name, count(c_custkey) as n from customer c
-            |inner join nation n on c.c_nationkey = n.n_nationkey
+      sql("""select n_name, count(c_custkey) as n from customer cu
+            |inner join nation n on cu.c_nationkey = n.n_nationkey
             |group by n_name""".stripMargin),
       Some("""SELECT n_name, CAST(count(c_custkey) AS DOUBLE) AS n
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -81,8 +81,8 @@ object DialectQueries {
       Some("SELECT DISTINCT o_orderstatus FROM orders")),
 
     Q("s10_dialect_null_eq",
-      sql("""select c_custkey, c_name from customer c
-            |left join nation n on c.c_nationkey = n.n_nationkey
+      sql("""select c_custkey, c_name from customer cu
+            |left join nation n on cu.c_nationkey = n.n_nationkey
             |where n.n_name = null""".stripMargin),
       Some("""SELECT c_custkey, c_name FROM customer LEFT JOIN nation
              |ON c_nationkey = n_nationkey WHERE n_name IS NULL""".stripMargin)),

@@ -38,17 +38,17 @@ object Sinks {
   }
 
   private def formatDuration(c: Column): Column = {
+    // Go Duration.String(): all units below the leading one are printed
     val totalSecs = c.cast("long") // interval → seconds
     val h = (totalSecs / 3600L).cast(LongType)
     val m = ((totalSecs % 3600L) / 60L).cast(LongType)
     val s = (totalSecs % 60L).cast(LongType)
+    val hms = concat(h.cast(StringType), lit("h"), m.cast(StringType), lit("m"),
+      s.cast(StringType), lit("s"))
+    val ms = concat(m.cast(StringType), lit("m"), s.cast(StringType), lit("s"))
+    val just = concat(s.cast(StringType), lit("s"))
     when(c.isNull, lit(null)).otherwise(
-      concat(
-        when(h =!= 0, concat(h.cast(StringType), lit("h"))).otherwise(lit("")),
-        when(m =!= 0 || (h =!= 0 && s =!= 0), concat(m.cast(StringType), lit("m")))
-          .otherwise(lit("")),
-        when(s =!= 0 || (h === 0 && m === 0), concat(s.cast(StringType), lit("s")))
-          .otherwise(lit(""))))
+      when(h =!= 0, hms).otherwise(when(m =!= 0, ms).otherwise(just)))
   }
 
   /** Save as CSV at `path` (reference appends .csv when missing,

@@ -71,6 +71,7 @@ object Ast {
 
   final case class FromClause(
       table: String, alias: Option[String], noHeader: Boolean,
+      intColumns: Boolean, // `c` option: bare ints are column refs (reference utils.go:516-517)
       joins: Seq[JoinClause])
 
   /** `distinct [hidden] expr` in the select list (reference parser.go:243-252). */

@@ -47,7 +47,8 @@ object Durations {
     Duration.ofNanos(math.round(secs * 1e9))
 
   /** Go `Duration.String()` formatting (reference value.go:497):
-    * "72h3m0.5s" style — for the CSV/stdout sink. */
+    * every unit below the leading one is printed — "72h3m0.5s",
+    * "1h30m0s", "1m30s", "0s". */
   def format(d: Duration): String = {
     val totalNanos = d.toNanos
     if (totalNanos == 0) return "0s"
@@ -57,12 +58,10 @@ object Durations {
     val h = n / 3600000000000L; n %= 3600000000000L
     val m = n / 60000000000L; n %= 60000000000L
     val secs = n / 1e9
-    if (h > 0) sb.append(h).append("h")
-    if (m > 0 || (h > 0 && secs > 0)) sb.append(m).append("m")
-    if (secs > 0 || (h == 0 && m == 0)) {
-      val s = if (secs == secs.floor) secs.toLong.toString else secs.toString
-      sb.append(s).append("s")
-    }
+    val secStr = if (secs == secs.floor) secs.toLong.toString else secs.toString
+    if (h > 0) sb.append(h).append("h").append(m).append("m").append(secStr).append("s")
+    else if (m > 0) sb.append(m).append("m").append(secStr).append("s")
+    else sb.append(secStr).append("s")
     sb.toString
   }
 }

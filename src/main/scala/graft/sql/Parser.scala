@@ -149,10 +149,14 @@ final class Parser(toks: Vector[Tok]) {
     val table = parseTableRef()
     var alias: Option[String] = None
     var noHeader = false
+    var intColumns = false
     var done = false
     while (!done) peek match {
       case w: Word if w.text.equalsIgnoreCase("nh") || w.text.equalsIgnoreCase("noheader") =>
         advance(); noHeader = true
+      case w: Word if w.text.equalsIgnoreCase("c") =>
+        // `c` option, not an alias (reference utils.go:516-517)
+        advance(); intColumns = true
       case w: Word if !clauseKw(w.text.toLowerCase) && alias.isEmpty &&
           !w.text.equalsIgnoreCase("select") =>
         advance(); alias = Some(w.text)
@@ -186,7 +190,7 @@ final class Parser(toks: Vector[Tok]) {
         joins += JoinClause(t, a, jt.getOrElse(InnerJoin), hint, l, r)
       } else joining = false
     }
-    FromClause(table, alias, noHeader, joins.result())
+    FromClause(table, alias, noHeader, intColumns, joins.result())
   }
 
   // ── predicates ──────────────────────────────────────────────────────

@@ -58,9 +58,14 @@ final class Planner(resolve: String => DataFrame) {
     }
   }
 
+  /** `c` option: bare integer literals resolve as 1-based positional
+    * column refs (reference parser.go:479-486). Set per-query. */
+  private var intColumns: Boolean = false
+
   // ── planning ────────────────────────────────────────────────────────
   def plan(q: Query): DataFrame = {
     checkValidity(q)
+    intColumns = q.from.intColumns
     val (df, cat) = buildFrom(q.from)
     val afterWhere = q.where match {
       case Some(p) => df.filter(predToColumn(p, cat, agg = false))
@@ -288,7 +293,11 @@ final class Planner(resolve: String => DataFrame) {
   private def typed(e: Expr, cat: Cat, agg: Boolean): (Column, DType) = e match {
     case NullLit() => (lit(null), TNull)
     case Lit(raw, false) =>
-      if (raw.contains('.')) (lit(raw.toDouble), TFloat) else (lit(raw.toLong), TInt)
+      if (intColumns && !raw.contains('.') &&
+          raw.toLong >= 1 && raw.toLong <= cat.entries.size)
+        cat.lookup(ColRef(None, s"c$raw")) // `c` option positional ref
+      else if (raw.contains('.')) (lit(raw.toDouble), TFloat)
+      else (lit(raw.toLong), TInt)
     case Lit(raw, true) => (lit(raw), TStr)
     case r: ColRef => cat.lookup(r)
 

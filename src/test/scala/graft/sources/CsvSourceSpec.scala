@@ -32,8 +32,11 @@ class CsvSourceSpec extends SparkSpec {
     assert(Durations.parse("1y").get.getSeconds == 52L * 7 * 86400)
     assert(Durations.parse("1h30m").get.getSeconds == 5400)
     assert(Durations.parse("nope").isEmpty)
-    assert(Durations.format(java.time.Duration.ofSeconds(5400)) == "1h30m")
+    // Go Duration.String() fidelity: all units below the leading one
+    assert(Durations.format(java.time.Duration.ofSeconds(5400)) == "1h30m0s")
     assert(Durations.format(java.time.Duration.ofSeconds(90)) == "1m30s")
+    assert(Durations.format(java.time.Duration.ofSeconds(7200)) == "2h0m0s")
+    assert(Durations.format(java.time.Duration.ZERO) == "0s")
   }
 
   test("csv read: inference, widening, headerless naming") {

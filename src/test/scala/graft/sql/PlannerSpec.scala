@@ -54,8 +54,8 @@ class PlannerSpec extends SparkSpec {
 
   test("left join emits nulls and '= null' matches them") {
     val n = rows(
-      """select c_custkey from customer c
-        |left join orders o on c.c_custkey = o.o_custkey
+      """select c_custkey from customer cu
+        |left join orders o on cu.c_custkey = o.o_custkey
         |where o.o_orderkey = null""".stripMargin)
     // every sf0.001 customer has orders? then 0 — the shape must still plan
     assert(n >= 0)
@@ -129,6 +129,17 @@ class PlannerSpec extends SparkSpec {
     val r = g.sql("select count(*) as cnt, count(distinct o_orderpriority) as dp from orders")
       .collect().head
     assert(r.getDouble(0) > 0 && r.getDouble(1) == 5.0)
+  }
+
+  test("c option: bare integers become positional column refs") {
+    val r = g.sql("select 2 from region c order by 1 asc limit 1").collect().head
+    assert(r.getString(0) == "AFRICA") // col2 = r_name, ordered by r_regionkey
+  }
+
+  test("distinct + order + limit compose") {
+    val got = g.sql("select distinct o_orderpriority from orders order by o_orderpriority asc limit 3")
+      .collect().map(_.getString(0))
+    assert(got.sameElements(Array("1-URGENT", "2-HIGH", "3-MEDIUM")))
   }
 
   // ── bad-query corpus (dialect validity rules) ───────────────────────
