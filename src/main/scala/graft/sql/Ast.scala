@@ -67,6 +67,7 @@ object Ast {
   final case class JoinClause(
       table: String, alias: String, joinType: JoinType,
       sizeHint: Option[String], // sjoin | bjoin (reference parser.go:840-864)
+      noHeader: Boolean,
       leftKey: Expr, rightKey: Expr)
 
   final case class FromClause(

@@ -31,13 +31,15 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
     this
   }
 
-  def table(name: String): DataFrame = {
+  def table(name: String): DataFrame = table(name, noHeader = false)
+
+  def table(name: String, noHeader: Boolean): DataFrame = {
     val key = name.toLowerCase
     registry.get(key)
       .orElse(registry.get(basename(key)))
       .getOrElse {
         if (key.endsWith(".csv")) {
-          val df = CsvSource.read(spark, name)
+          val df = CsvSource.read(spark, name, header = !noHeader)
           register(basename(key), df); df
         } else if (key.endsWith(".parquet")) {
           val df = Tables.load(spark, name)
@@ -58,7 +60,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
 
   /** Compile + plan one dialect statement. */
   def sql(query: String): DataFrame =
-    new Planner(table).plan(Parser.parse(query))
+    new Planner((n, nh) => table(n, nh)).plan(Parser.parse(query))
 
   /** `;`-separated multi-statement execution (reference main.go:117-147). */
   def sqlAll(queries: String): Seq[DataFrame] =

@@ -12,6 +12,8 @@ final class Parser(toks: Vector[Tok]) {
   final case class ParseError(msg: String) extends RuntimeException(msg)
 
   private var pos = 0
+  private var prefixNh = false
+  private var prefixIntCols = false
   private def peek: Tok = toks(pos)
   private def peekText: String = peek.text.toLowerCase
   private def advance(): Tok = { val t = toks(pos); pos += 1; t }
@@ -43,6 +45,19 @@ final class Parser(toks: Vector[Tok]) {
 
   // ── entry ───────────────────────────────────────────────────────────
   def parseQuery(): Query = {
+    // global prefix options before select: `nh select ...`, `c select ...`
+    // (reference consumes these in openFiles, utils.go:507-570; the test
+    // corpus uses `nh select ... from cities.csv c join ...`)
+    var globalNh = false
+    var globalIntCols = false
+    var optLoop = true
+    while (optLoop) {
+      if (accept("nh") || accept("noheader")) globalNh = true
+      else if (accept("c")) globalIntCols = true
+      else optLoop = false
+    }
+    this.prefixNh = globalNh
+    this.prefixIntCols = globalIntCols
     expect("select")
     val limitFore = if (accept("top")) Some(parseNumber()) else None
     var distinct: Option[DistinctClause] = None
@@ -148,15 +163,12 @@ final class Parser(toks: Vector[Tok]) {
     expect("from")
     val table = parseTableRef()
     var alias: Option[String] = None
-    var noHeader = false
-    var intColumns = false
+    var noHeader = prefixNh
+    val intColumns = prefixIntCols
     var done = false
     while (!done) peek match {
       case w: Word if w.text.equalsIgnoreCase("nh") || w.text.equalsIgnoreCase("noheader") =>
         advance(); noHeader = true
-      case w: Word if w.text.equalsIgnoreCase("c") =>
-        // `c` option, not an alias (reference utils.go:516-517)
-        advance(); intColumns = true
       case w: Word if !clauseKw(w.text.toLowerCase) && alias.isEmpty &&
           !w.text.equalsIgnoreCase("select") =>
         advance(); alias = Some(w.text)
@@ -182,12 +194,13 @@ final class Parser(toks: Vector[Tok]) {
           case w: Word if !clauseKw(w.text.toLowerCase) => advance().text
           case _ => throw ParseError(s"join table '$t' requires an alias")
         }
+        val jnh = accept("nh") || accept("noheader") || prefixNh
         expect("on")
         // exactly one equality condition (reference parser.go:583-585)
         val l = parseExpr()
         expect("=")
         val r = parseExpr()
-        joins += JoinClause(t, a, jt.getOrElse(InnerJoin), hint, l, r)
+        joins += JoinClause(t, a, jt.getOrElse(InnerJoin), hint, jnh, l, r)
       } else joining = false
     }
     FromClause(table, alias, noHeader, intColumns, joins.result())

@@ -15,7 +15,7 @@ import graft.functions.GraftFunctions
   * "optimizations" are all subsumed by Catalyst built-ins; only the
   * §2.10 typing pass is ours, implemented here pre-plan).
   */
-final class Planner(resolve: String => DataFrame) {
+final class Planner(resolve: (String, Boolean) => DataFrame) {
   final case class PlanError(msg: String) extends RuntimeException(msg)
 
   // ── dialect static types (reference utils.go:353-360) ───────────────
@@ -36,26 +36,36 @@ final class Planner(resolve: String => DataFrame) {
     * file-registration order — powers `cN` positional refs and
     * `select *` expansion (reference parser.go:444-496). */
   final case class Cat(entries: Seq[(Option[String], String, Column, DType)]) {
-    def lookup(ref: ColRef): (Column, DType) = {
+    /** Resolve or None (the caller decides whether an unresolved bare
+      * word falls back to a text literal, like the reference's parser
+      * does for word tokens, parser.go:444). */
+    def tryLookup(ref: ColRef): Option[(Column, DType)] = {
       val cN = """^c(\d+)$""".r
       ref match {
         case ColRef(None, cN(i)) if i.toInt >= 1 && i.toInt <= entries.size =>
-          val e = entries(i.toInt - 1); (e._3, e._4)
+          val e = entries(i.toInt - 1); Some((e._3, e._4))
+        case ColRef(Some(q), cN(i)) if {
+          val mine = entries.filter(_._1.exists(_.equalsIgnoreCase(q)))
+          i.toInt >= 1 && i.toInt <= mine.size &&
+            !mine.exists(_._2.equalsIgnoreCase(s"c$i")) // real column named cN wins
+        } =>
+          // alias-qualified positional: cN = Nth column of that file
+          val mine = entries.filter(_._1.exists(_.equalsIgnoreCase(q)))
+          val e = mine(i.toInt - 1); Some((e._3, e._4))
         case ColRef(q, n) =>
           val hits = entries.filter { case (eq, en, _, _) =>
             en.equalsIgnoreCase(n) && q.forall(qq => eq.exists(_.equalsIgnoreCase(qq)))
           }
-          hits match {
-            case Seq((_, _, c, t)) => (c, t)
-            case Seq() => throw PlanError(s"column not found: ${ref.qualifier.map(_ + ".").getOrElse("")}${ref.name}")
-            case _ =>
-              // unqualified ambiguity resolves to the first-registered
-              // file's column, like the reference's linear search
-              // (reference utils.go:368-375)
-              val h = hits.head; (h._3, h._4)
-          }
+          // unqualified ambiguity resolves to the first-registered
+          // file's column, like the reference's linear search
+          // (reference utils.go:368-375)
+          hits.headOption.map(h => (h._3, h._4))
       }
     }
+
+    def lookup(ref: ColRef): (Column, DType) =
+      tryLookup(ref).getOrElse(throw PlanError(
+        s"column not found: ${ref.qualifier.map(_ + ".").getOrElse("")}${ref.name}"))
   }
 
   /** `c` option: bare integer literals resolve as 1-based positional
@@ -107,14 +117,40 @@ final class Planner(resolve: String => DataFrame) {
     * reference's in-memory index join, parser.go:840-864); `bjoin` and
     * unhinted joins let Catalyst/AQE pick (its 100MB size switch is
     * spark.sql.autoBroadcastJoinThreshold's analog). */
+  /** Path → registry-style base name (no dirs/extension) — dots in an
+    * attribute qualifier would break Spark's column resolution. */
+  private def baseName(t: String): String =
+    t.split('/').last.replaceAll("\\.(csv|parquet|json)$", "")
+
   private def buildFrom(f: FromClause): (DataFrame, Cat) = {
-    val baseAlias = f.alias.getOrElse(f.table)
-    var df = resolve(f.table).alias(baseAlias)
-    var entries = catEntries(resolve(f.table), baseAlias)
+    val baseAlias = f.alias.getOrElse(baseName(f.table))
+    val base = resolve(f.table, f.noHeader)
+    var df = base.alias(baseAlias)
+    var entries = catEntries(base, baseAlias)
     for (j <- f.joins) {
-      val right = resolve(j.table).alias(j.alias)
-      val rightEntries = catEntries(resolve(j.table), j.alias)
+      val rbase = resolve(j.table, j.noHeader)
+      val right = rbase.alias(j.alias)
+      val rightEntries = catEntries(rbase, j.alias)
       val cat = Cat(entries ++ rightEntries)
+      // side analysis (reference treeProcess.go:780-794): each side of
+      // the = must reference exactly one file; one side must be the
+      // newly-joined file. Without this a same-side condition silently
+      // degenerates into a cross join.
+      def sideOf(e: Expr): Set[String] = refsIn(e).flatMap { r =>
+        cat.tryLookup(r).flatMap { case (_, _) =>
+          r.qualifier.map(_.toLowerCase).orElse {
+            (entries ++ rightEntries).find(_._2.equalsIgnoreCase(r.name))
+              .flatMap(_._1).map(_.toLowerCase)
+          }
+        }
+      }.toSet
+      val ls = sideOf(j.leftKey)
+      val rs = sideOf(j.rightKey)
+      if (ls.size != 1 || rs.size != 1)
+        throw PlanError("each side of a join condition must reference exactly one file")
+      val newSide = j.alias.toLowerCase
+      if (!(ls.contains(newSide) ^ rs.contains(newSide)))
+        throw PlanError(s"join condition must relate '${j.alias}' to a previous file")
       val cond = exprToColumn(j.leftKey, cat, agg = false) ===
         exprToColumn(j.rightKey, cat, agg = false)
       val rdf = j.sizeHint match {
@@ -175,9 +211,17 @@ final class Planner(resolve: String => DataFrame) {
 
   private def planAggregate(q: Query, items: Seq[SelectItem],
       df: DataFrame, cat: Cat): DataFrame = {
-    if (q.distinct.exists(_ => q.groupBy.nonEmpty) &&
-        items.exists { i => i.expr match {
-          case AggCall(_, _, true) => true; case _ => false } })
+    // distinct inside an aggregate is incompatible with group by
+    // (reference parser.go:1042-1044)
+    def hasDistinctAgg(e: Expr): Boolean = e match {
+      case AggCall(_, _, true) => true
+      case AggCall(_, a, _) => hasDistinctAgg(a)
+      case Arith(_, l, r) => hasDistinctAgg(l) || hasDistinctAgg(r)
+      case Neg(x) => hasDistinctAgg(x)
+      case FnCall(_, as) => as.exists(hasDistinctAgg)
+      case _ => false
+    }
+    if (q.groupBy.nonEmpty && items.exists(i => hasDistinctAgg(i.expr)))
       throw PlanError("Cannot use distinct in aggregate function when using 'group by'")
 
     val gcols = q.groupBy.zipWithIndex.map { case (g, i) =>
@@ -229,6 +273,15 @@ final class Planner(resolve: String => DataFrame) {
         bs.exists { case (v, x) => exprContainsAgg(v) || exprContainsAgg(x) } ||
         els.exists(exprContainsAgg)
     case _ => false
+  }
+
+  private def refsIn(e: Expr): Seq[ColRef] = e match {
+    case r: ColRef => Seq(r)
+    case Arith(_, l, r) => refsIn(l) ++ refsIn(r)
+    case Neg(x) => refsIn(x)
+    case FnCall(_, args) => args.flatMap(refsIn)
+    case AggCall(_, a, _) => refsIn(a)
+    case _ => Nil
   }
 
   private def predContainsAgg(p: Pred): Boolean = p match {
@@ -298,8 +351,20 @@ final class Planner(resolve: String => DataFrame) {
         cat.lookup(ColRef(None, s"c$raw")) // `c` option positional ref
       else if (raw.contains('.')) (lit(raw.toDouble), TFloat)
       else (lit(raw.toLong), TInt)
-    case Lit(raw, true) => (lit(raw), TStr)
-    case r: ColRef => cat.lookup(r)
+    case Lit(raw, true) =>
+      // quoted tokens are word tokens in the reference scanner
+      // (scanner.go:452-461): a quoted name that matches a column
+      // resolves as that column ('Issue Date'); else a text literal
+      cat.tryLookup(ColRef(None, raw)).getOrElse((lit(raw), TStr))
+    case r: ColRef =>
+      // an unresolved bare word is a text literal, not an error
+      // (reference parser.go:444: word → column if found, else value);
+      // qualified refs must resolve
+      cat.tryLookup(r).getOrElse {
+        if (r.qualifier.isDefined)
+          throw PlanError(s"column not found: ${r.qualifier.get}.${r.name}")
+        else (lit(r.name), TStr)
+      }
 
     case Neg(x) =>
       val (c, t) = typed(x, cat, agg)
@@ -356,10 +421,13 @@ final class Planner(resolve: String => DataFrame) {
       case Lit(raw, true) => peer match {
         case TDate =>
           // a literal that parses as a duration stays a duration even
-          // next to a date (date ± duration); else it's a date literal
+          // next to a date (date ± duration); else a permissive date
+          // parse (the reference uses dateparse.ParseAny on literals,
+          // treeProcess.go:417)
           Durations.parse(raw) match {
             case Some(d) => (lit(d), TDur)
-            case None => (to_timestamp(lit(raw)), TDate)
+            case None =>
+              (graft.functions.ParseAnyTimestamp.parse_any_ts(lit(raw)), TDate)
           }
         case TDur => Durations.parse(raw) match {
           case Some(d) => (lit(d), TDur)
@@ -372,6 +440,10 @@ final class Planner(resolve: String => DataFrame) {
       case Lit(raw, false) if peer == TDur =>
         // bare number next to a duration: treat as seconds
         (lit(java.time.Duration.ofNanos(math.round(raw.toDouble * 1e9))), TDur)
+      case Lit(raw, false) if peer == TStr =>
+        // number literal in a string-typed cluster compares as text
+        // (in-lists are typed interdependently, reference parser.go:1055-1079)
+        (lit(raw), TStr)
       case _ => (c, t)
     }
 

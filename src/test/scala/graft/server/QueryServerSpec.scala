@@ -35,7 +35,7 @@ class QueryServerSpec extends SparkSpec {
     try {
       val client = HttpClient.newHttpClient()
       val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
-        .POST(HttpRequest.BodyPublishers.ofString("""{"query":"select nosuch from region"}"""))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"query":"select r.nosuch from region r"}"""))
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
       assert(resp.statusCode() == 200)

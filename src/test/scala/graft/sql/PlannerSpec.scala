@@ -131,9 +131,14 @@ class PlannerSpec extends SparkSpec {
     assert(r.getDouble(0) > 0 && r.getDouble(1) == 5.0)
   }
 
-  test("c option: bare integers become positional column refs") {
-    val r = g.sql("select 2 from region c order by 1 asc limit 1").collect().head
+  test("c prefix option: bare integers become positional column refs") {
+    val r = g.sql("c select 2 from region order by 1 asc limit 1").collect().head
     assert(r.getString(0) == "AFRICA") // col2 = r_name, ordered by r_regionkey
+  }
+
+  test("unresolved bare words are text literals (reference parser.go:444)") {
+    val r = g.sql("select r_name from region where r_name = AFRICA").collect()
+    assert(r.length == 1 && r.head.getString(0) == "AFRICA")
   }
 
   test("distinct + order + limit compose") {
@@ -150,7 +155,8 @@ class PlannerSpec extends SparkSpec {
     "select o_orderkey from orders where o_orderdate * 2 > 5" -> "date multiply",
     "select o_orderkey from orders where o_totalprice % 2 = 1" -> "float modulus",
     "select o_orderkey from orders having o_orderkey > 5" -> "bare column in having",
-    "select nosuchcol from orders" -> "unknown column",
+    "select o.nosuchcol from orders o" -> "unknown qualified column",
+    "select count(distinct o_orderpriority) from orders group by o_orderstatus" -> "distinct agg with group by",
     "select o_orderkey from orders o inner join customer on o.o_custkey = c.c_custkey" -> "join alias missing")
 
   badQueries.foreach { case (q, why) =>
