@@ -45,6 +45,22 @@ object StreamingOps {
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Realtime CSV export (the reference's saver goroutine writes rows
+    * as the query produces them, files.go:85-156): a streaming
+    * pass-through to a CSV sink — rows land on disk per micro-batch,
+    * partitioned writes, exactly-once via the checkpoint. */
+  def saveRealtimeCsv(rows: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.Sinks.formatted(rows)
+      .writeStream
+      .format("csv")
+      .option("header", "true")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   // ── stateful sessionization ─────────────────────────────────────────
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(lastTs: Long, sessions: Long, events: Long)

@@ -30,6 +30,17 @@ class StreamingSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("realtime CSV export writes streamed rows to disk") {
+    val out = java.nio.file.Files.createTempDirectory("graftstream")
+    val q = StreamingOps.saveRealtimeCsv(
+      StreamingOps.readEvents(spark, sf0001)
+        .select("event_id", "ts", "event_type", "value"),
+      s"$out/rows", s"$out/ckpt")
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.option("header", "true").csv(s"$out/rows")
+    assert(written.count() == Tables(spark, sf0001, "events").count())
+  }
+
   test("stateful sessionization emits per-user session counts") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val batchEvents = Tables(spark, sf0001, "events")
