@@ -9,20 +9,30 @@ import graft.sources.Sinks
   * CSV/parquet tables and print/save CSV results.
   *
   * Usage:
-  *   runMain graft.Cli -c "select ... from table ..." [--dir DIR] [--save PATH]
+  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH] [--password PW]
   *   echo "select ..." | runMain graft.Cli [--dir DIR]
+  *
+  * --password supplies the default for encrypt/decrypt when the 2nd
+  * argument is omitted (the reference prompts interactively). A wrong
+  * password decrypts to null rather than erroring (try_aes_decrypt).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
     var query: Option[String] = None
     var dir: Option[String] = None
     var save: Option[String] = None
+    var password: Option[String] = None
     var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) sys.error(s"$flag requires a value")
+      i += 2; args(i - 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "-c" => query = Some(args(i + 1)); i += 2
-        case "--dir" => dir = Some(args(i + 1)); i += 2
-        case "--save" => save = Some(args(i + 1)); i += 2
+        case "-c" => query = Some(value("-c"))
+        case "--dir" => dir = Some(value("--dir"))
+        case "--save" => save = Some(value("--save"))
+        case "--password" => password = Some(value("--password"))
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -44,7 +54,7 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val session = new GraftSession(spark, dir)
+    val session = new GraftSession(spark, dir, password)
     val statements = Parser.splitStatements(q)
     val results = statements.map(session.sql)
     save match {

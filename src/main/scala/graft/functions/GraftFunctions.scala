@@ -57,9 +57,10 @@ object GraftFunctions {
   def encrypt(c: Column, password: String): Column =
     base64(aes_encrypt(c.cast(BinaryType), aesKey(password), lit("GCM")))
 
-  /** Inverse of [[encrypt]]. */
+  /** Inverse of [[encrypt]]; wrong password / corrupt payload → null
+    * (try_ variant — a GCM tag mismatch must not kill a whole scan). */
   def decrypt(c: Column, password: String): Column =
-    aes_decrypt(unbase64(c), aesKey(password), lit("GCM")).cast(StringType)
+    try_aes_decrypt(unbase64(c), aesKey(password), lit("GCM")).cast(StringType)
 
   private def aesKey(password: String): Column =
     unhex(sha2(lit(password).cast(BinaryType), 256))

@@ -13,7 +13,8 @@ import graft.sources.CsvSource
   * registered name, file basename, or explicit path; `_fN` synthetic
   * keys index files in first-use order.
   */
-final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = None) {
+final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = None,
+    val password: Option[String] = None) {
   private val registry = mutable.LinkedHashMap.empty[String, DataFrame]
 
   def register(name: String, df: DataFrame): this.type = {
@@ -60,7 +61,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
 
   /** Compile + plan one dialect statement. */
   def sql(query: String): DataFrame =
-    new Planner((n, nh) => table(n, nh)).plan(Parser.parse(query))
+    new Planner((n, nh) => table(n, nh), password).plan(Parser.parse(query))
 
   /** `;`-separated multi-statement execution (reference main.go:117-147). */
   def sqlAll(queries: String): Seq[DataFrame] =

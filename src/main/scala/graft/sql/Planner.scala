@@ -15,7 +15,8 @@ import graft.functions.GraftFunctions
   * "optimizations" are all subsumed by Catalyst built-ins; only the
   * §2.10 typing pass is ours, implemented here pre-plan).
   */
-final class Planner(resolve: (String, Boolean) => DataFrame) {
+final class Planner(resolve: (String, Boolean) => DataFrame,
+    defaultPassword: Option[String] = None) {
   final case class PlanError(msg: String) extends RuntimeException(msg)
 
   // ── dialect static types (reference utils.go:353-360) ───────────────
@@ -538,10 +539,14 @@ final class Planner(resolve: (String, Boolean) => DataFrame) {
     }
   }
 
+  /** Password: 2nd argument literal, else the session default (the
+    * reference prompts interactively when omitted, utils.go:835-846 —
+    * the CLI's --password flag is the non-interactive analog). */
   private def passwordArg(args: Seq[Expr], cat: Cat): String =
     args.lift(1) match {
       case Some(Lit(raw, _)) => raw
-      case None => throw PlanError("password required (pass as second argument)")
+      case None => defaultPassword.getOrElse(
+        throw PlanError("password required (2nd argument or --password)"))
       case _ => throw PlanError("password must be a literal")
     }
 
