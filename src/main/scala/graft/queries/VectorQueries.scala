@@ -79,7 +79,9 @@ object VectorQueries {
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-        val sims = q.join(c, col("q_id") =!= col("n_id"))
+        // broadcast the tiny QUERY side — the candidate side is the
+        // 100 TB one; left alone Spark picked BuildRight(candidates)
+        val sims = c.join(broadcast(q), col("q_id") =!= col("n_id"))
           .select(col("q_id"), col("n_id"),
             cosine(col("q_emb"), col("n_emb")).as("sim"))
         val w = Window.partitionBy(col("q_id"))
