@@ -28,7 +28,9 @@ object Bench {
       Registry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    bench.foreach(q => materialize(q.name)) // warm-up (untimed)
+    // warm-up (untimed); per-query guard so one failure can't abort
+    // the round's benchmark before the JSON line prints
+    bench.foreach(q => try materialize(q.name) catch { case _: Throwable => () })
 
     val results = bench.map { q =>
       val t0 = System.nanoTime()

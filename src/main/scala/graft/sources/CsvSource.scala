@@ -76,8 +76,10 @@ object CsvSource {
   private def castDate(c: Column): Column =
     graft.functions.ParseAnyTimestamp.parse_any_ts(c)
 
-  /** Spark-side duration cast: `N unit` and compact `NhNmNs` forms to
-    * DayTimeIntervalType seconds (column algebra, no UDF). */
+  /** Spark-side duration cast: `N unit` and compact Go forms
+    * (`1h30m`, `-1h30m`, `100ms`) to DayTimeIntervalType — column
+    * algebra, no UDF. The compound sign applies to the whole value,
+    * matching Go ParseDuration and [[Durations.parse]]. */
   private def castDuration(c: Column): Column = {
     val t = trim(c)
     val numUnit = regexp_extract(t, "^(-?\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)$", 1)
@@ -90,15 +92,21 @@ object CsvSource {
       .when(unit.isin("y", "year", "years"), 52L * 7L * 86400L) // y = 52w
     val simple = when(numUnit =!= "" && unitSecs.isNotNull,
       numUnit.cast(DoubleType) * unitSecs.cast(DoubleType))
-    // compact Go style: sum of h/m/s components
-    val h = regexp_extract(t, "(\\d+(?:\\.\\d+)?)h", 1)
-    val m = regexp_extract(t, "(\\d+(?:\\.\\d+)?)m(?!s)", 1)
-    val s = regexp_extract(t, "(\\d+(?:\\.\\d+)?)s", 1)
-    val go = when(t.rlike("^(-?)(\\d+(?:\\.\\d+)?h)?(\\d+(?:\\.\\d+)?m)?(\\d+(?:\\.\\d+)?s)?$") &&
-        t.rlike("[hms]"),
-      coalesce(h.cast(DoubleType), lit(0.0)) * 3600 +
-        coalesce(m.cast(DoubleType), lit(0.0)) * 60 +
-        coalesce(s.cast(DoubleType), lit(0.0)))
+    // compact Go style over the unsigned body; sign re-applied at the end
+    val body = regexp_replace(t, "^-", "")
+    def part(re: String): Column =
+      coalesce(regexp_extract(body, re, 1).cast(DoubleType), lit(0.0))
+    val unsigned = part("(\\d+(?:\\.\\d+)?)h") * 3600 +
+      part("(\\d+(?:\\.\\d+)?)m(?![s])") * 60 +
+      // plain (\d+)s cannot false-match inside ms/us/ns: a letter, not a
+      // digit, precedes their 's'
+      part("(\\d+(?:\\.\\d+)?)s") +
+      part("(\\d+(?:\\.\\d+)?)ms") / 1e3 +
+      part("(\\d+(?:\\.\\d+)?)us") / 1e6 +
+      part("(\\d+(?:\\.\\d+)?)ns") / 1e9
+    val goOk = body.rlike("^(\\d+(?:\\.\\d+)?(h|ms|us|ns|m|s))+$")
+    val go = when(goOk,
+      when(t.startsWith("-"), -unsigned).otherwise(unsigned))
     val secs = coalesce(simple, go)
     when(secs.isNotNull, make_dt_interval(lit(0), lit(0), lit(0), secs))
   }

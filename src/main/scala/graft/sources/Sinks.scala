@@ -38,8 +38,13 @@ object Sinks {
   }
 
   private def formatDuration(c: Column): Column = {
-    // Go Duration.String(): all units below the leading one are printed
-    val totalSecs = c.cast("long") // interval → seconds
+    // Go Duration.String(): all units below the leading one are
+    // printed; one leading sign for negative values ("-1h30m0s", not
+    // "-1h-30m0s"). Sub-second fractions are truncated (dialect
+    // durations are second-granular after parsing).
+    val signed = c.cast("long") // interval → total seconds
+    val totalSecs = abs(signed)
+    val sign = when(signed < 0L, lit("-")).otherwise(lit(""))
     val h = (totalSecs / 3600L).cast(LongType)
     val m = ((totalSecs % 3600L) / 60L).cast(LongType)
     val s = (totalSecs % 60L).cast(LongType)
@@ -47,8 +52,8 @@ object Sinks {
       s.cast(StringType), lit("s"))
     val ms = concat(m.cast(StringType), lit("m"), s.cast(StringType), lit("s"))
     val just = concat(s.cast(StringType), lit("s"))
-    when(c.isNull, lit(null)).otherwise(
-      when(h =!= 0, hms).otherwise(when(m =!= 0, ms).otherwise(just)))
+    when(c.isNull, lit(null)).otherwise(concat(sign,
+      when(h =!= 0, hms).otherwise(when(m =!= 0, ms).otherwise(just))))
   }
 
   /** Save as CSV at `path` (reference appends .csv when missing,

@@ -24,23 +24,30 @@ object Durations {
   }
 
   private val numUnit = """^\s*(-?\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*$""".r
-  private val goPart = """(-?\d+(?:\.\d+)?)(h|m|s|ms|us|ns)""".r
+  // ms|us|ns BEFORE m/s — leftmost-first alternation would otherwise
+  // match "100ms" as "100m" + dangling "s"
+  private val goPart = """(\d+(?:\.\d+)?)(ms|us|ns|h|m|s)""".r
 
   /** Parse a dialect duration; None if the string isn't one. */
   def parse(s: String): Option[Duration] = s.trim match {
     case numUnit(n, u) if unitSeconds.contains(u.toLowerCase) =>
       Some(secondsToDuration(n.toDouble * unitSeconds(u.toLowerCase)))
-    case t if goPart.findFirstIn(t).isDefined &&
-        goPart.replaceAllIn(t, "").isEmpty =>
-      val total = goPart.findAllMatchIn(t).foldLeft(0.0) { (acc, m) =>
-        val v = m.group(1).toDouble
-        acc + (m.group(2) match {
-          case "h" => v * 3600; case "m" => v * 60; case "s" => v
-          case "ms" => v / 1e3; case "us" => v / 1e6; case "ns" => v / 1e9
-        })
-      }
-      Some(secondsToDuration(total))
-    case _ => None
+    case t0 =>
+      // Go compound form: the sign applies to the WHOLE value
+      // (-1h30m = -(1h30m)), not the first component
+      val neg = t0.startsWith("-")
+      val t = if (neg) t0.drop(1) else t0
+      if (t.nonEmpty && goPart.findFirstIn(t).isDefined &&
+          goPart.replaceAllIn(t, "").isEmpty) {
+        val total = goPart.findAllMatchIn(t).foldLeft(0.0) { (acc, m) =>
+          val v = m.group(1).toDouble
+          acc + (m.group(2) match {
+            case "h" => v * 3600; case "m" => v * 60; case "s" => v
+            case "ms" => v / 1e3; case "us" => v / 1e6; case "ns" => v / 1e9
+          })
+        }
+        Some(secondsToDuration(if (neg) -total else total))
+      } else None
   }
 
   private def secondsToDuration(secs: Double): Duration =

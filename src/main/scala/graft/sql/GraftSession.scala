@@ -16,10 +16,12 @@ import graft.sources.CsvSource
 final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = None,
     val password: Option[String] = None) {
   private val registry = mutable.LinkedHashMap.empty[String, DataFrame]
+  private var fileSeq = 0 // _f1.._fN in first-use order (reference utils.go:2)
 
   def register(name: String, df: DataFrame): this.type = {
     registry(name.toLowerCase) = df
-    registry(s"_f${registry.size}") = df
+    fileSeq += 1
+    registry(s"_f$fileSeq") = df
     this
   }
 

@@ -18,8 +18,21 @@ object Lexer {
   private val twoCharOps = Set("<=", ">=", "!=", "<>")
   private val oneCharOps = "()=<>+-*/%^,.;".toSet
 
+  /** Keywords after which a table path may appear — path tokens (words
+    * continuing through '/' and '.') are only lexed in that context;
+    * anywhere else '/' is division and '.' is member access. */
+  private val tableContext = Set("from", "join", "sjoin", "bjoin")
+  private def pathChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '-' || c == '/' || c == '.' || c == '~'
+
   def tokenize(input: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
+    var last: Tok = EOF
+    def emit(t: Tok): Unit = { out += t; last = t }
+    def inTableCtx: Boolean = last match {
+      case Word(w) => tableContext(w.toLowerCase)
+      case _ => false
+    }
     var i = 0
     val n = input.length
     while (i < n) {
@@ -39,34 +52,31 @@ object Lexer {
           } else { sb += d; i += 1 }
         }
         if (!closed) throw LexError(s"unterminated string at offset $i")
-        out += Str(sb.toString)
+        emit(Str(sb.toString))
       } else if (c.isDigit ||
           (c == '.' && i + 1 < n && input(i + 1).isDigit)) {
         val start = i
         while (i < n && (input(i).isDigit || input(i) == '.')) i += 1
-        out += Num(input.substring(start, i))
-      } else if (c.isLetter || c == '_') {
+        emit(Num(input.substring(start, i)))
+      } else if (c.isLetter || c == '_' ||
+          (inTableCtx && (c == '/' || c == '~'))) {
+        // word — or, right after from/join, a table path token that
+        // continues through '/' and '.' (the reference registers path
+        // tokens found in the query, utils.go:507-570). Outside table
+        // context '/' is always division, so `a/b` stays arithmetic.
         val start = i
-        while (i < n && (input(i).isLetterOrDigit || input(i) == '_')) i += 1
-        out += Word(input.substring(start, i))
-      } else if ((c == '/' && i + 1 < n &&
-          (input(i + 1).isLetter || input(i + 1) == '_' || input(i + 1) == '/')) ||
-          c == '~') {
-        // absolute filesystem path token (the reference registers .csv
-        // paths found in the query, utils.go:507-570); dotted relative
-        // names like file.csv are re-joined by the parser from
-        // Word '.' Word sequences. A bare '/' (division) falls through
-        // to the operator branch below.
-        val start = i
-        while (i < n && !input(i).isWhitespace && input(i) != ',' &&
-            input(i) != '(' && input(i) != ')' && input(i) != ';') i += 1
-        out += Word(input.substring(start, i))
+        if (inTableCtx) {
+          while (i < n && pathChar(input(i))) i += 1
+        } else {
+          while (i < n && (input(i).isLetterOrDigit || input(i) == '_')) i += 1
+        }
+        emit(Word(input.substring(start, i)))
       } else if (i + 1 < n && twoCharOps(input.substring(i, i + 2))) {
-        out += Op(input.substring(i, i + 2)); i += 2
-      } else if (c == '!' ) {
-        out += Op("!"); i += 1
+        emit(Op(input.substring(i, i + 2))); i += 2
+      } else if (c == '!') {
+        emit(Op("!")); i += 1
       } else if (oneCharOps(c)) {
-        out += Op(c.toString); i += 1
+        emit(Op(c.toString)); i += 1
       } else throw LexError(s"unexpected character '$c' at offset $i")
     }
     out += EOF

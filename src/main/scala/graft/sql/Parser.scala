@@ -248,27 +248,31 @@ final class Parser(toks: Vector[Tok]) {
 
   private def parseComparison(): Pred = {
     val l = parseExpr()
+    // post-expression negation: `x not in/between/like/=` — the
+    // reference grammar allows {not} before any relop (parser.go:18-21)
+    val negated = (peek, toks.lift(pos + 1)) match {
+      case (w: Word, Some(_)) if w.text.equalsIgnoreCase("not") =>
+        advance(); true
+      case _ => false
+    }
     peek match {
       case Op(op) if Set("=", "!=", "<>", "<", "<=", ">", ">=")(op) =>
         advance()
         val r = parseExpr()
-        Cmp(cmpOf(op), l, r)
+        val c = Cmp(cmpOf(op), l, r)
+        if (negated) NotP(c) else c
       case w: Word if w.text.equalsIgnoreCase("like") =>
         advance()
-        LikeP(l, parsePatternText(), negated = false)
-      case w: Word if w.text.equalsIgnoreCase("not") &&
-          toks.lift(pos + 1).exists(isWord(_, "like")) =>
-        advance(); advance()
-        LikeP(l, parsePatternText(), negated = true)
+        LikeP(l, parsePatternText(), negated)
       case w: Word if w.text.equalsIgnoreCase("in") =>
         advance(); expect("(")
         val list = parseExprList()
         expect(")")
-        InP(l, list, negated = false)
+        InP(l, list, negated)
       case w: Word if w.text.equalsIgnoreCase("between") =>
         advance()
         val a = parseExpr(); expect("and"); val b = parseExpr()
-        BetweenP(l, a, b, negated = false)
+        BetweenP(l, a, b, negated)
       case t => throw ParseError(s"expected comparison operator, found '${t.text}'")
     }
   }

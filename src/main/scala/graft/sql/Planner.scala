@@ -360,10 +360,13 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     case r: ColRef =>
       // an unresolved bare word is a text literal, not an error
       // (reference parser.go:444: word → column if found, else value);
-      // qualified refs must resolve
+      // qualified refs and out-of-range cN positionals must resolve
+      // (reference errors "Column number out of bounds", parser.go:487-496)
       cat.tryLookup(r).getOrElse {
         if (r.qualifier.isDefined)
           throw PlanError(s"column not found: ${r.qualifier.get}.${r.name}")
+        else if (r.name.matches("^c\\d+$"))
+          throw PlanError(s"column number out of bounds: ${r.name}")
         else (lit(r.name), TStr)
       }
 
@@ -576,10 +579,13 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
   // ── predicate compilation ───────────────────────────────────────────
   def predToColumn(p: Pred, cat: Cat, agg: Boolean): Column = p match {
     case Cmp(op, l, r) =>
-      // `= null` matches missing values (reference value.go:282-287)
+      // `= null` matches missing values (reference value.go:282-287);
+      // ordering against null is side-sensitive: a null CELL is less
+      // than everything (null.Less always true, value.go:134-139), a
+      // non-null value never compares below a null literal
       (l, r) match {
-        case (_, NullLit()) => nullCmp(op, typed(l, cat, agg)._1)
-        case (NullLit(), _) => nullCmp(op, typed(r, cat, agg)._1)
+        case (_, NullLit()) => nullCmpRight(op, typed(l, cat, agg)._1)
+        case (NullLit(), _) => nullCmpLeft(op, typed(r, cat, agg)._1)
         case _ =>
           val (lc0, lt0) = typed(l, cat, agg)
           val (rc0, rt0) = typed(r, cat, agg)
@@ -596,7 +602,7 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       }
     case LikeP(e, pat, neg) =>
       val c = GraftFunctions.likeCI(typed(e, cat, agg)._1, pat)
-      if (neg) !c else c
+      if (neg) notTV(c) else c
     case InP(e, list, neg) =>
       val (ec, et) = typed(e, cat, agg)
       val vals = list.map { x =>
@@ -604,20 +610,39 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         retypeLit(x, c0, t0, et)._1
       }
       val c = ec.isin(vals: _*)
-      if (neg) !c else c
+      if (neg) notTV(c) else c
     case BetweenP(e, a, b, neg) =>
       val (ec, et) = typed(e, cat, agg)
       val av = retypeLit(a, typed(a, cat, agg)._1, typed(a, cat, agg)._2, et)._1
       val bv = retypeLit(b, typed(b, cat, agg)._1, typed(b, cat, agg)._2, et)._1
       val c = GraftFunctions.betweenSym(ec, av, bv)
-      if (neg) !c else c
+      if (neg) notTV(c) else c
     case AndP(l, r) => predToColumn(l, cat, agg) && predToColumn(r, cat, agg)
     case OrP(l, r) => predToColumn(l, cat, agg) || predToColumn(r, cat, agg)
-    case XorP(l, r) => predToColumn(l, cat, agg) =!= predToColumn(r, cat, agg)
-    case NotP(x) => !predToColumn(x, cat, agg)
+    case XorP(l, r) =>
+      // dialect predicates are TWO-valued (a null comparison is plain
+      // false, reference value.go) — coalesce before xor/negation so
+      // rows with null operands behave like the reference
+      coalesce(predToColumn(l, cat, agg), lit(false)) =!=
+        coalesce(predToColumn(r, cat, agg), lit(false))
+    case NotP(x) => notTV(predToColumn(x, cat, agg))
   }
 
-  private def nullCmp(op: CmpOp, c: Column): Column = op match {
+  /** Two-valued NOT: !(null) must be true, not null (the reference's
+    * interpreter returns plain booleans; Spark's 3VL would silently
+    * drop rows with null operands under negation). */
+  private def notTV(c: Column): Column = !coalesce(c, lit(false))
+
+  /** expr OP null — only a null cell sorts at/below a null literal. */
+  private def nullCmpRight(op: CmpOp, c: Column): Column = op match {
+    case Eq => c.isNull
+    case Ne => c.isNotNull
+    case Lt | Le => c.isNull // null.Less(null) true; x.Less(null) false
+    case Gt | Ge => lit(false)
+  }
+
+  /** null OP expr — the null literal is less than everything. */
+  private def nullCmpLeft(op: CmpOp, c: Column): Column = op match {
     case Eq => c.isNull
     case Ne => c.isNotNull
     case Lt | Le => lit(true) // null < anything (reference value.go:134-139)

@@ -31,6 +31,9 @@ class CsvSourceSpec extends SparkSpec {
     assert(Durations.parse("1 week").get.getSeconds == 7 * 86400)
     assert(Durations.parse("1y").get.getSeconds == 52L * 7 * 86400)
     assert(Durations.parse("1h30m").get.getSeconds == 5400)
+    // Go semantics: sign applies to the whole compound; ms parses
+    assert(Durations.parse("-1h30m").get.getSeconds == -5400)
+    assert(Durations.parse("100ms").get.toMillis == 100)
     assert(Durations.parse("nope").isEmpty)
     // Go Duration.String() fidelity: all units below the leading one
     assert(Durations.format(java.time.Duration.ofSeconds(5400)) == "1h30m0s")

@@ -128,6 +128,40 @@ class CorpusSpec extends SparkSpec {
     test(s"good: $label") { assert(run(q) >= 0) }
   }
 
+  // ── two-valued predicate semantics (reference interpreter booleans) ─
+  test("not like keeps rows with null operands (two-valued NOT)") {
+    // c32 is "" (null) every 5th row of 200 → 40 nulls; non-null cells
+    // all start with 'v', so only the null rows survive the negation
+    assert(run(s"select c32 from $parking where c32 not like 'v%'") == 40)
+  }
+
+  test("not in negates as two-valued") {
+    val all = run(s"select c5 from $parking")
+    val in = run(s"select c5 from $parking where c5 in (NY, NJ)")
+    val notIn = run(s"select c5 from $parking where c5 not in (NY, NJ)")
+    assert(in + notIn == all && notIn > 0)
+  }
+
+  test("not between works post-expression") {
+    assert(run(s"select c8 from $parking where c8 not between 0 and 50") == 100)
+  }
+
+  test("x not = y parses and negates") {
+    val eq = run(s"select c5 from $parking where c5 = NY")
+    val ne = run(s"select c5 from $parking where c5 not = NY")
+    assert(eq + ne == 200)
+  }
+
+  test("ordering against null literal is side-sensitive") {
+    // non-null values never sort below a null literal; null cells do
+    assert(run(s"select c1 from $parking where c1 < null") == 0)
+    assert(run(s"select c32 from $parking where c32 < null") == 40)
+  }
+
+  test("cN out of bounds is an error, not a literal") {
+    assertThrows[Exception](g.sql(s"select c45 from $parking").collect())
+  }
+
   // ── bad corpus (validity rules, :70-73, :143-153, :160-161) ─────────
   lazy val bad: Seq[(String, String)] = Seq(
     s"select c16 * c17 from $parking" -> "string multiply",

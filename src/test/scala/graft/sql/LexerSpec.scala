@@ -20,15 +20,18 @@ class LexerSpec extends AnyFunSuite {
     assertThrows[LexError](tokenize("select 'oops from t"))
   }
 
-  test("absolute paths are single tokens; bare slash is division") {
+  test("paths are single tokens only after from/join; '/' is division elsewhere") {
     val toks = tokenize("select a / 2 from /data/x.csv")
     assert(toks.contains(Op("/")))
     assert(toks.collect { case Word(w) if w.startsWith("/") => w } ==
       Vector("/data/x.csv"))
-  }
-
-  test("dotted names lex as word-dot-word for the parser to rejoin") {
-    val toks = tokenize("from cities.csv")
-    assert(toks == Vector(Word("from"), Word("cities"), Op("."), Word("csv"), EOF))
+    // identifier-adjacent slash stays arithmetic, never a path literal
+    val div = tokenize("select revenue/quantity from t")
+    assert(div.count { case Op("/") => true; case _ => false } == 1)
+    assert(div.collect { case Word(w) => w } == Vector("select", "revenue", "quantity", "from", "t"))
+    // relative paths with slashes and dots work in table context
+    val rel = tokenize("from data/file.csv x join other.csv y")
+    assert(rel.collect { case Word(w) if w.contains("/") || w.contains(".") => w } ==
+      Vector("data/file.csv", "other.csv"))
   }
 }
