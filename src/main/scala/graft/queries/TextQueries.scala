@@ -74,6 +74,28 @@ object TextQueries {
            |FROM ($docToks))""".stripMargin
       }),
 
+    // Reproducible sampling — the training-data way: hash buckets, not
+    // RNG (same rows selected on any cluster size, any run, both
+    // engines; rand()-based sampling can never be oracle-gated)
+    Q("t05_hash_sample",
+      (s, dir) => Tables(s, dir, "documents")
+        .filter((col("doc_id") * lit(2654435761L)) % lit(1000) < 100) // 10%
+        .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE (doc_id * 2654435761) % 1000 < 100""".stripMargin)),
+
+    Q("t06_train_split",
+      (s, dir) => {
+        val bucket = (col("doc_id") * lit(2654435761L)) % lit(100)
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+      },
+      Some("""SELECT doc_id, CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+             |WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+             |FROM documents""".stripMargin)),
+
     Q("t04_fingerprint",
       (s, dir) => Tables(s, dir, "documents").select(
         col("doc_id"), docFingerprint(col("text")).as("fp")),

@@ -137,10 +137,14 @@ object CsvSource {
 
     val cols = raw.columns.zip(types).map { case (name, t) =>
       val base = nullify(col(name))
+      // try_cast: cells outside the sampled type become null instead of
+      // failing the scan under ANSI mode (the reference zeroes
+      // unparseable cells, selector.go:305-322 — null is our analog;
+      // one bad cell must never kill a 100 TB read)
       (t match {
         case LNull | LStr => base
-        case LInt => base.cast(LongType)
-        case LFloat => base.cast(DoubleType)
+        case LInt => base.try_cast(LongType)
+        case LFloat => base.try_cast(DoubleType)
         case LDate => castDate(base)
         case LDur => castDuration(base)
       }).as(name)

@@ -68,4 +68,18 @@ class CsvSourceSpec extends SparkSpec {
     val df2 = CsvSource.read(spark, nh.toString, header = false)
     assert(df2.columns.sameElements(Seq("col1", "col2")))
   }
+
+  test("inference samples only the first 10k rows (reference utils.go:434)") {
+    val dir = Files.createTempDirectory("graftcutoff")
+    val f = dir.resolve("mixed.csv")
+    val sb = new StringBuilder("v\n")
+    (1 to 10000).foreach(i => sb.append(i).append('\n'))
+    sb.append("10000.5\n") // row 10001: float — beyond the sample window
+    Files.writeString(f, sb.toString)
+    val df = CsvSource.read(spark, f.toString)
+    assert(df.schema.fields.head.dataType.typeName == "long")
+    // the unsampled float cell can't cast to long → null (documented
+    // divergence: the reference's Go parser yields a zero value)
+    assert(df.filter("v IS NULL").count() == 1)
+  }
 }
