@@ -91,6 +91,17 @@ object DialectQueries {
       sql("select count(distinct l_suppkey) as ns from lineitem"),
       Some("SELECT CAST(count(DISTINCT l_suppkey) AS DOUBLE) AS ns FROM lineitem")),
 
+    Q("s13_dialect_not_twovalued",
+      sql("""select c_custkey, o_orderpriority from customer cu
+            |left join orders o on cu.c_custkey = o.o_custkey
+            |where not o.o_orderpriority like '1%'""".stripMargin),
+      // dialect NOT is two-valued: rows where the left join produced a
+      // null priority survive the negation (DuckDB's SQL NOT is 3VL,
+      // so the oracle coalesces explicitly)
+      Some("""SELECT c_custkey, o_orderpriority
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |WHERE NOT coalesce(o_orderpriority ILIKE '1%', false)""".stripMargin)),
+
     Q("s12_dialect_date_arith",
       sql("""select o_orderkey, o_orderdate + '2 weeks' as due,
             |o_custkey % 7 as bucket, 2 ^ 10 as k

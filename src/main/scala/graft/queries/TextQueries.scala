@@ -76,24 +76,28 @@ object TextQueries {
 
     // Reproducible sampling — the training-data way: hash buckets, not
     // RNG (same rows selected on any cluster size, any run, both
-    // engines; rand()-based sampling can never be oracle-gated)
+    // engines; rand()-based sampling can never be oracle-gated).
+    // The id is reduced mod 1e6 BEFORE the multiply: ids can be 64-bit
+    // at scale and ANSI mode turns a Long overflow into a crash.
     Q("t05_hash_sample",
       (s, dir) => Tables(s, dir, "documents")
-        .filter((col("doc_id") * lit(2654435761L)) % lit(1000) < 100) // 10%
+        .filter(((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(1000) < 100)
         .select(col("doc_id"), col("source")),
       Some("""SELECT doc_id, source FROM documents
-             |WHERE (doc_id * 2654435761) % 1000 < 100""".stripMargin)),
+             |WHERE ((doc_id % 1000000) * 2654435761) % 1000 < 100""".stripMargin)),
 
     Q("t06_train_split",
       (s, dir) => {
-        val bucket = (col("doc_id") * lit(2654435761L)) % lit(100)
+        val bucket = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(100)
         Tables(s, dir, "documents").select(
           col("doc_id"),
           when(bucket < 80, "train").when(bucket < 90, "val")
             .otherwise("test").as("split"))
       },
-      Some("""SELECT doc_id, CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-             |WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+      Some("""SELECT doc_id,
+             |CASE WHEN ((doc_id % 1000000) * 2654435761) % 100 < 80 THEN 'train'
+             |WHEN ((doc_id % 1000000) * 2654435761) % 100 < 90 THEN 'val'
+             |ELSE 'test' END AS split
              |FROM documents""".stripMargin)),
 
     Q("t04_fingerprint",

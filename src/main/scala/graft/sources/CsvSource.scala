@@ -92,10 +92,12 @@ object CsvSource {
       .when(unit.isin("y", "year", "years"), 52L * 7L * 86400L) // y = 52w
     val simple = when(numUnit =!= "" && unitSecs.isNotNull,
       numUnit.cast(DoubleType) * unitSecs.cast(DoubleType))
-    // compact Go style over the unsigned body; sign re-applied at the end
+    // compact Go style over the unsigned body; sign re-applied at the
+    // end. try_cast everywhere: regexp_extract yields '' for absent
+    // components and ANSI-mode cast('') would kill the scan.
     val body = regexp_replace(t, "^-", "")
     def part(re: String): Column =
-      coalesce(regexp_extract(body, re, 1).cast(DoubleType), lit(0.0))
+      coalesce(regexp_extract(body, re, 1).try_cast(DoubleType), lit(0.0))
     val unsigned = part("(\\d+(?:\\.\\d+)?)h") * 3600 +
       part("(\\d+(?:\\.\\d+)?)m(?![s])") * 60 +
       // plain (\d+)s cannot false-match inside ms/us/ns: a letter, not a
@@ -104,7 +106,13 @@ object CsvSource {
       part("(\\d+(?:\\.\\d+)?)ms") / 1e3 +
       part("(\\d+(?:\\.\\d+)?)us") / 1e6 +
       part("(\\d+(?:\\.\\d+)?)ns") / 1e9
-    val goOk = body.rlike("^(\\d+(?:\\.\\d+)?(h|ms|us|ns|m|s))+$")
+    // ordered, at-most-once components: regexp_extract takes only the
+    // first match per unit, so repeated units ('1h2h' — which Go sums)
+    // must be rejected here → null, never a silently wrong value
+    val goOk = body.rlike(
+      "^(\\d+(?:\\.\\d+)?h)?(\\d+(?:\\.\\d+)?m)?(\\d+(?:\\.\\d+)?s)?" +
+        "(\\d+(?:\\.\\d+)?ms)?(\\d+(?:\\.\\d+)?us)?(\\d+(?:\\.\\d+)?ns)?$") &&
+      body.rlike("\\d")
     val go = when(goOk,
       when(t.startsWith("-"), -unsigned).otherwise(unsigned))
     val secs = coalesce(simple, go)

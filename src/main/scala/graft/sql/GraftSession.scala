@@ -16,13 +16,27 @@ import graft.sources.CsvSource
 final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = None,
     val password: Option[String] = None) {
   private val registry = mutable.LinkedHashMap.empty[String, DataFrame]
-  private var fileSeq = 0 // _f1.._fN in first-use order (reference utils.go:2)
+  // _f1.._fN index the files in first-use order PER STATEMENT
+  // (reference rebuilds its registry per query, utils.go:507-570);
+  // sql() resets them, and table() assigns them as tables resolve
+  private var fileSeq = 0
 
   def register(name: String, df: DataFrame): this.type = {
     registry(name.toLowerCase) = df
-    fileSeq += 1
-    registry(s"_f$fileSeq") = df
     this
+  }
+
+  private def resetFileKeys(): Unit = {
+    registry.keys.filter(_.matches("^_f\\d+$")).toSeq.foreach(registry.remove)
+    fileSeq = 0
+  }
+
+  private def recordUse(df: DataFrame): DataFrame = {
+    if (!registry.exists { case (k, v) => k.startsWith("_f") && (v eq df) }) {
+      fileSeq += 1
+      registry(s"_f$fileSeq") = df
+    }
+    df
   }
 
   /** Register every table in a scale-factor directory (TESTDATA.md). */
@@ -36,7 +50,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
 
   def table(name: String): DataFrame = table(name, noHeader = false)
 
-  def table(name: String, noHeader: Boolean): DataFrame = {
+  def table(name: String, noHeader: Boolean): DataFrame = recordUse {
     val key = name.toLowerCase
     registry.get(key)
       .orElse(registry.get(basename(key)))
@@ -61,9 +75,12 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
     slash.replaceAll("\\.(csv|parquet)$", "")
   }
 
-  /** Compile + plan one dialect statement. */
-  def sql(query: String): DataFrame =
+  /** Compile + plan one dialect statement. `_fN` keys index files in
+    * first-use order within this statement. */
+  def sql(query: String): DataFrame = {
+    resetFileKeys()
     new Planner((n, nh) => table(n, nh), password).plan(Parser.parse(query))
+  }
 
   /** `;`-separated multi-statement execution (reference main.go:117-147). */
   def sqlAll(queries: String): Seq[DataFrame] =

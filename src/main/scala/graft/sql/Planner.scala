@@ -633,19 +633,22 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     * drop rows with null operands under negation). */
   private def notTV(c: Column): Column = !coalesce(c, lit(false))
 
-  /** expr OP null — only a null cell sorts at/below a null literal. */
+  /** expr OP null — exact reference dispatch (value.go): typed
+    * Less/LessEq return false on type mismatch, Greater/GreatEq true;
+    * null.Greater(null) compares empty payloads (false),
+    * null.GreatEq/LessEq are always false, null.Less(null) false. */
   private def nullCmpRight(op: CmpOp, c: Column): Column = op match {
     case Eq => c.isNull
     case Ne => c.isNotNull
-    case Lt | Le => c.isNull // null.Less(null) true; x.Less(null) false
-    case Gt | Ge => lit(false)
+    case Lt | Le => lit(false) // x.Less(null)=false; null.Less(null)=false
+    case Gt | Ge => c.isNotNull // x.Greater(null)=true; null.Greater/GreatEq(null)=false
   }
 
-  /** null OP expr — the null literal is less than everything. */
+  /** null OP expr — null.Less(non-null)=true, everything else false. */
   private def nullCmpLeft(op: CmpOp, c: Column): Column = op match {
     case Eq => c.isNull
     case Ne => c.isNotNull
-    case Lt | Le => lit(true) // null < anything (reference value.go:134-139)
-    case Gt | Ge => lit(false)
+    case Lt => c.isNotNull // null.Less: true unless the cell is null too
+    case Le | Gt | Ge => lit(false) // null.LessEq/Greater/GreatEq ≈ false
   }
 }

@@ -152,10 +152,13 @@ class CorpusSpec extends SparkSpec {
     assert(eq + ne == 200)
   }
 
-  test("ordering against null literal is side-sensitive") {
-    // non-null values never sort below a null literal; null cells do
+  test("ordering against null literal matches reference value dispatch") {
+    // typed Less vs null → false; typed Greater vs null → true;
+    // null cell vs null literal → false for every ordering op
     assert(run(s"select c1 from $parking where c1 < null") == 0)
-    assert(run(s"select c32 from $parking where c32 < null") == 40)
+    assert(run(s"select c32 from $parking where c32 < null") == 0)
+    assert(run(s"select c1 from $parking where c1 > null") == 200)
+    assert(run(s"select c32 from $parking where c32 >= null") == 160) // non-null cells only
   }
 
   test("cN out of bounds is an error, not a literal") {
