@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape assertions: the scale-critical physical-plan properties
+  * audited via Explain, pinned as tests so a refactor can't silently
+  * regress pushdown, broadcast sides, or top-k strategy. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, sf0001).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("filters and projection push into the parquet scan (q03)") {
+    val p = plan("q03_where_logic")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(p.contains("LessThan(l_shipdate"), "shipdate filter should reach the scan")
+    // pruned read: the scan must not materialize all 11 lineitem columns
+    assert(!p.contains("l_comment") && !p.contains("l_tax"),
+      "projection pruning failed - unneeded columns in scan")
+  }
+
+  test("join chain broadcasts the dimension sides (q16)") {
+    val p = plan("q16_join_chain_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort (q08)") {
+    val p = plan("q08_order_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("kNN broadcasts the small query side, never the candidates (v01)") {
+    val p = plan("v01_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    // the broadcast exchange must wrap the q_id/q_emb projection
+    val bcIdx = p.indexOf("BroadcastExchange")
+    assert(bcIdx >= 0 && p.indexOf("q_emb", bcIdx) >= 0,
+      "broadcast side should be the query projection")
+  }
+
+  test("sessionization reuses one shuffle for window + groupBy (e02)") {
+    val p = plan("e02_sessions")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected at most 1 hash exchange, got $exchanges:\n${p.take(800)}")
+  }
+
+  test("salted aggregation keeps two-phase shape without extra shuffles (q29)") {
+    val p = plan("q29_salted_agg")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"salted agg should shuffle at most twice, got $exchanges")
+  }
+}

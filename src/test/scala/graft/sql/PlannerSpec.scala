@@ -141,6 +141,16 @@ class PlannerSpec extends SparkSpec {
     assert(r.length == 1 && r.head.getString(0) == "AFRICA")
   }
 
+  test("_fN indexes files in first-use order per statement") {
+    val rs = g.sqlAll(
+      "select r_regionkey from region; select n.n_nationkey from nation n inner join _f1 m on n.n_nationkey = m.n_nationkey")
+    assert(rs.size == 2)
+    // statement 2's _f1 must be nation (its own first-used file), so the
+    // self-join resolves m.n_nationkey; were _fN global, _f1 would be
+    // region from statement 1 and the column lookup would fail
+    assert(rs(1).count() == 25)
+  }
+
   test("distinct + order + limit compose") {
     val got = g.sql("select distinct o_orderpriority from orders order by o_orderpriority asc limit 3")
       .collect().map(_.getString(0))
