@@ -37,10 +37,16 @@ object Cli {
       }
     }
     val q = query.getOrElse {
-      // piped stdin (reference caps at 10k bytes, main.go:164)
+      // piped stdin (reference caps at 10k bytes, main.go:164). A pipe
+      // may deliver partial chunks — loop until EOF or the cap.
       val buf = new Array[Char](10000)
-      val n = Console.in.read(buf)
-      if (n <= 0) sys.error("no query given (-c or stdin)") else new String(buf, 0, n)
+      var filled = 0
+      var n = Console.in.read(buf, 0, buf.length)
+      while (n > 0 && filled + n <= buf.length) {
+        filled += n
+        n = if (filled < buf.length) Console.in.read(buf, filled, buf.length - filled) else -1
+      }
+      if (filled <= 0) sys.error("no query given (-c or stdin)") else new String(buf, 0, filled)
     }
 
     val spark = SparkSession.builder()

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types._
 
 /** Distributed global row numbering — the scale path for the dialect's
@@ -8,33 +8,46 @@ import org.apache.spark.sql.types._
   * result" need.
   *
   * A window over a global ORDER BY funnels every row through one
-  * partition; this instead range-partitions on the order columns,
-  * sorts within partitions, computes per-partition counts (one small
-  * job), and adds partition offsets — the classic zipWithIndex shape,
-  * all partitions working in parallel. Cost: one extra count pass;
-  * no single-task bottleneck at any scale.
+  * partition; this uses RDD `zipWithIndex` instead: one small job
+  * counts rows per partition, then every partition numbers itself in
+  * parallel from its broadcast offset — no single-task bottleneck at
+  * any scale, no `Exchange SinglePartition` in any plan.
+  *
+  * Why RDD-level rather than a DataFrame self-join on
+  * `spark_partition_id()`: the two internal jobs must see IDENTICAL
+  * partitioning. Two separate DataFrame actions re-plan independently —
+  * under AQE the same shuffle can coalesce differently per action and
+  * the collected offsets would describe partitions that no longer
+  * exist (observed: q23 off-by-k at sf0.01 with AQE on). zipWithIndex
+  * runs both jobs on the SAME RDD instance: partitioning is fixed once
+  * and shuffle outputs are reused, so the count pass and the numbering
+  * pass agree by construction. The cost is one serialization boundary
+  * (a pipeline breaker, like any shuffle) — the numbering operator is
+  * inherently two-phase anyway.
   */
 object RowNumbers {
 
-  def global(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
-      name: String = "rn", step: Double = 1.0,
-      numPartitions: Option[Int] = None): DataFrame = {
+  /** Attach `name` = step · (1-based row index in natural scan order —
+    * (partition, offset) order, matching the reference's single-
+    * threaded scan counter). */
+  def scanOrder(df: DataFrame, name: String = "rn", step: Double = 1.0): DataFrame = {
     val spark = df.sparkSession
-    val parts = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
-    val sorted = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-    val counts = sorted.rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
-    val bcOffsets = spark.sparkContext.broadcast(offsets)
-    val outSchema = StructType(df.schema.fields :+ StructField(name, DoubleType, nullable = false))
-    val rdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      val base = bcOffsets.value(i)
-      it.zipWithIndex.map { case (r, j) =>
-        Row.fromSeq(r.toSeq :+ (base + j + 1) * step)
-      }
+    val schema = StructType(df.schema.fields :+
+      StructField(name, DoubleType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1) * step)
     }
-    spark.createDataFrame(rdd, outSchema)
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Ordered numbering: range-partition on `order` + sort within
+    * partitions (ranges are ordered across partitions, so scan order
+    * of the sorted frame IS the global order), then zip. */
+  def global(df: DataFrame, order: Seq[Column], name: String = "rn",
+      step: Double = 1.0, numPartitions: Option[Int] = None): DataFrame = {
+    val parts = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    scanOrder(df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*), name, step)
   }
 }

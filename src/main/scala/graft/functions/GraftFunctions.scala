@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,16 +39,10 @@ object GraftFunctions {
     * isNull, not SQL three-valued logic. */
   def eqNull(c: Column): Column = c.isNull
 
-  /** Dialect `inc([step])` (reference selector.go:204-207): stateful
-    * auto-increment in scan order. The reference is single-threaded;
-    * under distribution "scan order" must be made explicit, so this
-    * takes the ordering columns. Returns float (step * row_number).
-    * Scale note: a global row number forces a single-partition window —
-    * for 100 TB use graft.core.RowNumbers.global (range-partitioned
-    * zipWithIndex-style offsets, no single-task bottleneck); this form
-    * is the semantics-faithful small-result variant. */
-  def inc(order: Seq[Column], step: Double = 1.0): Column =
-    (row_number().over(Window.orderBy(order: _*)).cast(DoubleType)) * lit(step)
+  // NB: dialect `inc([step])` (reference selector.go:204-207) lives in
+  // graft.core.RowNumbers — a global-ORDER-BY window Column would force
+  // an Exchange SinglePartition, so numbering is a DataFrame-level
+  // two-phase op (per-partition offsets), not a Column function.
 
   /** AES-256-GCM encrypt, key = SHA-256(password), base64 text out
     * (reference selector.go:163-203: random nonce prepended — Spark's

@@ -39,9 +39,17 @@ final class QueryServer(graft: GraftSession, port: Int) {
       try {
         val query = extractField(body, "query")
           .getOrElse(throw new IllegalArgumentException("missing 'query' field"))
-        spark.sparkContext.setJobGroup(jobGroup, query, interruptOnCancel = true)
-        val results = Parser.splitStatements(query).map { stmt =>
-          JsonResult.of(graft.sql(stmt), stmt)
+        // Serialize execution: GraftSession's registry (resetFileKeys /
+        // _fN binding) is per-statement mutable state, so concurrent
+        // requests must not interleave inside it. /stop/ still works —
+        // cancelJobGroup acts from its own handler thread and
+        // interrupts the running job. The reference is equally serial
+        // (one websocket, one query at a time, server.go:61-70).
+        val results = graft.synchronized {
+          spark.sparkContext.setJobGroup(jobGroup, query, interruptOnCancel = true)
+          Parser.splitStatements(query).map { stmt =>
+            JsonResult.of(graft.sql(stmt), stmt)
+          }
         }
         JsonResult.bundle(results, "ok")
       } catch {

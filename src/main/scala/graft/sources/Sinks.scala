@@ -38,22 +38,33 @@ object Sinks {
   }
 
   private def formatDuration(c: Column): Column = {
-    // Go Duration.String(): all units below the leading one are
-    // printed; one leading sign for negative values ("-1h30m0s", not
-    // "-1h-30m0s"). Sub-second fractions are truncated (dialect
-    // durations are second-granular after parsing).
-    val signed = c.cast("long") // interval → total seconds
-    val totalSecs = abs(signed)
-    val sign = when(signed < 0L, lit("-")).otherwise(lit(""))
-    val h = (totalSecs / 3600L).cast(LongType)
-    val m = ((totalSecs % 3600L) / 60L).cast(LongType)
-    val s = (totalSecs % 60L).cast(LongType)
-    val hms = concat(h.cast(StringType), lit("h"), m.cast(StringType), lit("m"),
-      s.cast(StringType), lit("s"))
-    val ms = concat(m.cast(StringType), lit("m"), s.cast(StringType), lit("s"))
-    val just = concat(s.cast(StringType), lit("s"))
+    // Go Duration.String() in column algebra, µs-exact (Spark intervals
+    // are microsecond-granular): all units below the leading one are
+    // printed, one leading sign ("-1h30m0.5s"), sub-second values in
+    // µs/ms forms with stripped fractions ("100ms", "1.5ms"). Mirrors
+    // graft.sql.Durations.format — DurationsSpec cross-checks them.
+    val us = (c.cast(DecimalType(20, 6)) * lit(1000000L)).cast(LongType) // exact total µs
+    val a = abs(us)
+    val sign = when(us < 0L, lit("-")).otherwise(lit(""))
+    // whole."frac" with trailing zeros stripped; bare whole when frac=0
+    def fracStr(whole: Column, part: Column, width: Int): Column =
+      when(part === 0L, whole.cast(StringType)).otherwise(concat(
+        whole.cast(StringType), lit("."),
+        regexp_replace(lpad(part.cast(StringType), width, "0"), "0+$", "")))
+    val subUs = concat(a.cast(StringType), lit("µs"))
+    val subMs = concat(fracStr((a / 1000L).cast(LongType), a % 1000L, 3), lit("ms"))
+    val h = (a / 3600000000L).cast(LongType)
+    val m = ((a % 3600000000L) / 60000000L).cast(LongType)
+    val secStr = fracStr(((a % 60000000L) / 1000000L).cast(LongType), a % 1000000L, 6)
+    val hms = when(h > 0L,
+        concat(h.cast(StringType), lit("h"), m.cast(StringType), lit("m"), secStr, lit("s")))
+      .when(m > 0L, concat(m.cast(StringType), lit("m"), secStr, lit("s")))
+      .otherwise(concat(secStr, lit("s")))
     when(c.isNull, lit(null)).otherwise(concat(sign,
-      when(h =!= 0, hms).otherwise(when(m =!= 0, ms).otherwise(just))))
+      when(a === 0L, lit("0s"))
+        .when(a < 1000L, subUs)
+        .when(a < 1000000L, subMs)
+        .otherwise(hms)))
   }
 
   /** Save as CSV at `path` (reference appends .csv when missing,

@@ -77,11 +77,34 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
   def plan(q: Query): DataFrame = {
     checkValidity(q)
     intColumns = q.from.intColumns
-    val (df, cat) = buildFrom(q.from)
-    val afterWhere = q.where match {
-      case Some(p) => df.filter(predToColumn(p, cat, agg = false))
+    val (df, cat0) = buildFrom(q.from)
+    val afterWhere0 = q.where match {
+      case Some(p) => df.filter(predToColumn(p, cat0, agg = false))
       case None => df
     }
+    // inc() numbers the retained rows in scan order (reference
+    // selector.go:204-207 increments per evaluated row, post-where).
+    // RowNumbers.scanOrder (zipWithIndex two-phase shape) keeps every
+    // partition numbering itself in parallel; a window over a global
+    // ORDER BY would funnel the whole dataset through one task. The
+    // zip boundary drops attribute qualifiers, so the frame is first
+    // renamed positionally (__inN) and the catalog rewritten to match —
+    // duplicate names across joined files stay unambiguous.
+    val needsInc =
+      (q.items.map(_.expr) ++ q.distinct.map(_.expr).toSeq ++
+        q.orderBy.toSeq ++ q.groupBy).exists(exprContainsInc) ||
+      q.having.exists(predContainsInc)
+    val (afterWhere, cat) =
+      if (needsInc) {
+        val named = afterWhere0.select(cat0.entries.zipWithIndex.map {
+          case ((_, _, c, _), i) => c.as(s"__in$i")
+        }: _*)
+        val zipped = graft.core.RowNumbers.scanOrder(named, IncCol)
+        val entries = cat0.entries.zipWithIndex.map {
+          case ((qual, n, _, t), i) => (qual, n, col(s"__in$i"), t)
+        }
+        (zipped, Cat(entries))
+      } else (afterWhere0, cat0)
     val hasAgg = q.items.exists(containsAgg) || q.groupBy.nonEmpty ||
       q.having.exists(predContainsAgg)
 
@@ -247,10 +270,42 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     filtered.select(keep: _*)
   }
 
+  /** Internal column carrying the pre-attached scan-order row index. */
+  private val IncCol = "__graft_inc"
+
+  private def exprContainsInc(e: Expr): Boolean = e match {
+    case FnCall("inc", _) => true
+    case FnCall(_, args) => args.exists(exprContainsInc)
+    case Arith(_, l, r) => exprContainsInc(l) || exprContainsInc(r)
+    case Neg(x) => exprContainsInc(x)
+    case AggCall(_, a, _) => exprContainsInc(a)
+    case CaseSearched(bs, els) =>
+      bs.exists { case (p, x) => predContainsInc(p) || exprContainsInc(x) } ||
+        els.exists(exprContainsInc)
+    case CaseSimple(s, bs, els) =>
+      exprContainsInc(s) ||
+        bs.exists { case (v, x) => exprContainsInc(v) || exprContainsInc(x) } ||
+        els.exists(exprContainsInc)
+    case _ => false
+  }
+
+  private def predContainsInc(p: Pred): Boolean = p match {
+    case Cmp(_, l, r) => exprContainsInc(l) || exprContainsInc(r)
+    case LikeP(e, _, _) => exprContainsInc(e)
+    case InP(e, list, _) => exprContainsInc(e) || list.exists(exprContainsInc)
+    case BetweenP(e, a, b, _) =>
+      exprContainsInc(e) || exprContainsInc(a) || exprContainsInc(b)
+    case AndP(l, r) => predContainsInc(l) || predContainsInc(r)
+    case OrP(l, r) => predContainsInc(l) || predContainsInc(r)
+    case XorP(l, r) => predContainsInc(l) || predContainsInc(r)
+    case NotP(x) => predContainsInc(x)
+  }
+
   // ── validity rules (reference aggCheck, parser.go:119-138) ──────────
   private def checkValidity(q: Query): Unit = {
     q.where.foreach { p =>
       if (predContainsAgg(p)) throw PlanError("aggregates not allowed in where clause")
+      if (predContainsInc(p)) throw PlanError("inc() not allowed in where clause")
     }
     q.items.foreach(it => checkAggCompo(it.expr))
     q.having.foreach { p =>
@@ -382,8 +437,8 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       val (rc0, rt0) = typed(r, cat, agg)
       // literal-dimension retyping (reference typeChart treeProcess.go:15-28):
       // a string literal next to a date/duration column becomes that type
-      val (lc, lt) = retypeLit(l, lc0, lt0, rt0)
-      val (rc, rt) = retypeLit(r, rc0, rt0, lt0)
+      val (lc, lt) = retypeLit(l, lc0, lt0, rt0, cat)
+      val (rc, rt) = retypeLit(r, rc0, rt0, lt0, cat)
       compileArith(op, lc, lt, rc, rt)
 
     case FnCall(name, args) => compileFn(name, args, cat, agg)
@@ -404,7 +459,7 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       val (sc, st) = typed(subj, cat, agg)
       val start = branches.foldLeft(Option.empty[Column]) { case (acc, (v, res)) =>
         val (vc0, vt0) = typed(v, cat, agg)
-        val (vc, _) = retypeLit(v, vc0, vt0, st)
+        val (vc, _) = retypeLit(v, vc0, vt0, st, cat)
         val value = typed(res, cat, agg)._1
         Some(acc.fold(when(sc === vc, value))(_.when(sc === vc, value)))
       }.getOrElse(throw PlanError("case requires at least one when"))
@@ -419,9 +474,14 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
 
   /** Retype a *literal* operand to its peer's type: string literals
     * become dates/durations next to date/duration columns; numeric
-    * literals stay numeric (reference enforceType treeProcess.go:383-539). */
-  private def retypeLit(ast: Expr, c: Column, t: DType, peer: DType): (Column, DType) =
+    * literals stay numeric (reference enforceType treeProcess.go:383-539).
+    * A quoted token that already resolved as a COLUMN ('Issue Date') —
+    * or a bare integer that the `c` option resolved positionally — must
+    * NOT be retyped: the reference resolves words to columns first and
+    * only type-coerces true values (parser.go:444, treeProcess.go:417). */
+  private def retypeLit(ast: Expr, c: Column, t: DType, peer: DType, cat: Cat): (Column, DType) =
     ast match {
+      case l: Lit if resolvesAsColumn(l, cat) => (c, t)
       case Lit(raw, true) => peer match {
         case TDate =>
           // a literal that parses as a duration stays a duration even
@@ -450,6 +510,14 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         (lit(raw), TStr)
       case _ => (c, t)
     }
+
+  /** Mirrors typed()'s column-resolution rules for Lit tokens: quoted
+    * words that match a column, and bare in-range integers under the
+    * `c` option, are columns — never candidates for literal retyping. */
+  private def resolvesAsColumn(l: Lit, cat: Cat): Boolean =
+    if (l.quoted) cat.tryLookup(ColRef(None, l.raw)).isDefined
+    else intColumns && !l.raw.contains('.') &&
+      scala.util.Try(l.raw.toLong).toOption.exists(v => v >= 1 && v <= cat.entries.size)
 
   private def compileArith(op: ArithOp, lc: Column, lt: DType,
       rc: Column, rt: DType): (Column, DType) = {
@@ -527,13 +595,12 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       case "decrypt" =>
         (GraftFunctions.decrypt(typed(args.head, cat, agg)._1, passwordArg(args, cat)), TStr)
       case "inc" =>
-        // inc([step]) — reference is scan-ordered; under distribution we
-        // order by the full natural key of partition+offset via
-        // monotonically_increasing_id dense-ranked (stable, parallel).
+        // inc([step]) — scan-ordered numbering; plan() pre-attached the
+        // distributed row index (RowNumbers.scanOrder two-phase shape),
+        // so this is a plain column reference: parallel, no
+        // single-partition window anywhere in the plan.
         val step = args.headOption.collect { case Lit(raw, _) => raw.toDouble }.getOrElse(1.0)
-        import org.apache.spark.sql.expressions.Window
-        (row_number().over(Window.orderBy(monotonically_increasing_id()))
-          .cast(DoubleType) * lit(step), TFloat)
+        (col(IncCol) * lit(step), TFloat)
       case "format" =>
         // declared but unimplemented in the reference (scanner.go:62):
         // pass-through, documented divergence-free
@@ -556,10 +623,18 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
   private def compileAgg(name: String, arg: Expr, distinct: Boolean,
       cat: Cat): (Column, DType) = {
     val (c0, t) = typed(arg, cat, agg = false)
-    val c = if (distinct) { // per-aggregate distinct (reference selector.go:259-263)
+    // per-aggregate distinct (reference selector.go:259-263): the btree
+    // dedup gates EVERY aggregate there, so avg/stdev must average the
+    // unique values too — Bridge.distinctAgg sets isDistinct on the
+    // aggregate expression (min/max are distinct-invariant).
+    val c = if (distinct) {
+      import org.apache.spark.sql.graftbridge.Bridge.distinctAgg
       name match {
         case "count" => return (countDistinct(c0).cast(DoubleType), TFloat)
         case "sum" => return (sum_distinct(c0), t)
+        case "avg" => return (distinctAgg(avg(c0)), if (t == TDur) TDur else TFloat)
+        case "stdev" => return (distinctAgg(stddev_samp(c0)), TFloat)
+        case "stdevp" => return (distinctAgg(stddev_pop(c0)), TFloat)
         case _ => c0 // min/max distinct ≡ plain
       }
     } else c0
@@ -589,8 +664,8 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         case _ =>
           val (lc0, lt0) = typed(l, cat, agg)
           val (rc0, rt0) = typed(r, cat, agg)
-          val (lc, _) = retypeLit(l, lc0, lt0, rt0)
-          val (rc, _) = retypeLit(r, rc0, rt0, lt0)
+          val (lc, _) = retypeLit(l, lc0, lt0, rt0, cat)
+          val (rc, _) = retypeLit(r, rc0, rt0, lt0, cat)
           op match {
             case Eq => lc === rc
             case Ne => lc =!= rc
@@ -607,14 +682,14 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       val (ec, et) = typed(e, cat, agg)
       val vals = list.map { x =>
         val (c0, t0) = typed(x, cat, agg)
-        retypeLit(x, c0, t0, et)._1
+        retypeLit(x, c0, t0, et, cat)._1
       }
       val c = ec.isin(vals: _*)
       if (neg) notTV(c) else c
     case BetweenP(e, a, b, neg) =>
       val (ec, et) = typed(e, cat, agg)
-      val av = retypeLit(a, typed(a, cat, agg)._1, typed(a, cat, agg)._2, et)._1
-      val bv = retypeLit(b, typed(b, cat, agg)._1, typed(b, cat, agg)._2, et)._1
+      val av = retypeLit(a, typed(a, cat, agg)._1, typed(a, cat, agg)._2, et, cat)._1
+      val bv = retypeLit(b, typed(b, cat, agg)._1, typed(b, cat, agg)._2, et, cat)._1
       val c = GraftFunctions.betweenSym(ec, av, bv)
       if (neg) notTV(c) else c
     case AndP(l, r) => predToColumn(l, cat, agg) && predToColumn(r, cat, agg)

@@ -11,4 +11,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rewrite an aggregate Column to its DISTINCT form (`avg(DISTINCT x)`,
+    * `stddev_samp(DISTINCT x)`, …). Spark's DataFrame API only surfaces
+    * distinct variants for count/sum; the engine needs it for every
+    * aggregate (the dialect's per-aggregate btree dedup). Spark 4
+    * Columns wrap ColumnNodes — flip isDistinct on the function node
+    * (the sql-api shape every functions.* aggregate produces). */
+  def distinctAgg(c: Column): Column = c.node match {
+    case f: org.apache.spark.sql.internal.UnresolvedFunction =>
+      Column(f.copy(isDistinct = true))
+    case _ => throw new IllegalArgumentException(
+      s"distinctAgg: not a function column: ${c.node}")
+  }
 }

@@ -46,6 +46,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected at most 1 hash exchange, got $exchanges:\n${p.take(800)}")
   }
 
+  test("row numbering never plans a single-partition exchange (q23)") {
+    val p = plan("q23_inc")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
+  test("dialect inc() never plans a single-partition exchange") {
+    val df = graft.sql.GraftSession(spark, sf0001)
+      .sql("select o_orderkey, inc() as rn from orders")
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
   test("salted aggregation keeps two-phase shape without extra shuffles (q29)") {
     val p = plan("q29_salted_agg")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sql.Durations
+
+class SinksSpec extends SparkSpec {
+
+  test("column duration formatting matches Durations.format (Go Duration.String)") {
+    // µs-granular cases across every Go formatting branch: sub-ms,
+    // fractional ms, fractional seconds, compound h/m/s, negatives
+    val micros = Seq(0L, 1L, 999L, 1000L, 1500L, 100000L, 999999L,
+      1000000L, 1500000L, 90500000L, 3600000000L, 5445500000L,
+      -5445500000L, -100000L, 86400000000L * 3 + 3 * 60000000L + 500000L)
+    import spark.implicits._
+    val df = micros.toDF("us")
+      .select(col("us"), (col("us") * expr("INTERVAL 1 MICROSECOND")).as("d"))
+    val got = Sinks.formatted(df.select(col("d"))).collect().map(_.getString(0))
+    val want = micros.map(u => Durations.format(java.time.Duration.ofNanos(u * 1000L)))
+    got.zip(want).zip(micros).foreach { case ((g, w), u) =>
+      assert(g == w, s"$u µs: column '$g' != driver '$w'")
+    }
+  }
+
+  test("duration format round-trips through parse at µs granularity") {
+    Seq(1500L, 100000L, 1500000L, 90500000L, -90500000L).foreach { u =>
+      val d = java.time.Duration.ofNanos(u * 1000L)
+      assert(Durations.parse(Durations.format(d)).contains(d), Durations.format(d))
+    }
+  }
+}

@@ -157,9 +157,38 @@ class PlannerSpec extends SparkSpec {
     assert(got.sameElements(Array("1-URGENT", "2-HIGH", "3-MEDIUM")))
   }
 
+  test("quoted column names beside a date column stay columns (no literal retyping)") {
+    // 'o_orderdate' resolves as the column; before the retypeLit guard
+    // it was re-parsed as a date literal (null) and silently emptied
+    // the predicate
+    val all = g.sql("select o_orderkey from orders").count()
+    assert(rows("select o_orderkey from orders where 'o_orderdate' = o_orderdate") == all)
+  }
+
+  test("avg/stdev(distinct) aggregate the UNIQUE values (reference btree dedup)") {
+    // o_orderkey % 3 has values {0,1,2} with many duplicates
+    val r = g.sql(
+      "select avg(distinct o_orderkey % 3) as a, stdev(distinct o_orderkey % 3) as sd, stdevp(distinct o_orderkey % 3) as sp from orders")
+      .collect().head
+    assert(r.getDouble(0) == 1.0, s"avg(distinct {0,1,2}) must be 1.0, got ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12) // stddev_samp({0,1,2}) = 1
+    assert(math.abs(r.getDouble(2) - math.sqrt(2.0 / 3.0)) < 1e-12)
+  }
+
+  test("inc() numbers retained rows 1..N, step scales, same index per row") {
+    val got = g.sql(
+      "select o_orderkey, inc() as rn, inc(0.5) as h from orders where o_orderkey > 100")
+      .collect()
+    val n = got.length
+    assert(n > 0)
+    assert(got.map(_.getDouble(1)).sorted.sameElements((1 to n).map(_.toDouble)))
+    assert(got.forall(r => r.getDouble(2) == r.getDouble(1) * 0.5))
+  }
+
   // ── bad-query corpus (dialect validity rules) ───────────────────────
   val badQueries = Seq(
     "select sum(o_totalprice) from orders where sum(o_totalprice) > 5" -> "agg in where",
+    "select o_orderkey from orders where inc() > 5" -> "inc in where",
     "select max(o_totalprice) + o_custkey from orders" -> "agg + bare column",
     "select sum(count(o_custkey)) from orders" -> "nested aggregates",
     "select o_orderkey from orders where o_orderdate * 2 > 5" -> "date multiply",
