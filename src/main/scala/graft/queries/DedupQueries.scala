@@ -18,8 +18,9 @@ import graft.queries.{OracleSql => O}
   *  - LSH banding: explode k/r band keys per doc, self-join on the
   *    band key (shuffle keyed by band hash — candidate pairs only,
   *    never the full n² cross product);
-  *  - n-gram Jaccard: verification-stage exact measure, applied to a
-  *    bounded candidate set (here: same-source pairs).
+  *  - n-gram Jaccard: verification-stage exact measure, applied to the
+  *    LSH candidate pairs (the full MinHash→LSH→verify pipeline);
+  *  - embedding near-dup: pairs within random-hyperplane LSH buckets.
   */
 object DedupQueries {
   private val K = 8          // minhash permutations
@@ -67,6 +68,37 @@ object DedupQueries {
   private def bandKeySql(j: Int): String =
     s"(mh${2 * j} * 31 + mh${2 * j + 1}) % $P"
 
+  /** LSH candidate pairs (doc_a < doc_b): explode band keys, self-join
+    * keyed on (band, bkey) — the bounded candidate set both d03 (the
+    * pairs themselves) and d04 (exact-Jaccard verification) consume.
+    * This is the whole point of MinHash-LSH at scale: downstream
+    * exact measures touch only these pairs, never n². */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = sigDF(s, dir)
+    val bands = sig.select(
+      col("doc_id"),
+      explode(array((0 until BANDS).map(j =>
+        struct(lit(j).as("band"), bandKey(j).as("bkey"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[candidatePairs]] as WITH-clauses (expects a
+    * `sig` CTE named by [[sigSql]]). */
+  private def candidatePairsSql: String = {
+    val bandsSel = (0 until BANDS)
+      .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""bands AS ($bandsSel),
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |         FROM bands l JOIN bands r
+       |         ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("d01_dedup_exact",
@@ -83,54 +115,36 @@ object DedupQueries {
       bench = true),
 
     Q("d03_minhash_lsh_pairs",
-      (s, dir) => {
-        val sig = sigDF(s, dir)
-        val bands = sig.select(
-          col("doc_id"),
-          explode(array((0 until BANDS).map(j =>
-            struct(lit(j).as("band"), bandKey(j).as("bkey"))): _*)).as("b"))
-          .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-        val l = bands.as("l")
-        val r = bands.as("r")
-        l.join(r, col("l.band") === col("r.band") &&
-            col("l.bkey") === col("r.bkey") &&
-            col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-          .distinct()
-      },
-      Some {
-        val bandsSel = (0 until BANDS)
-          .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM sig")
-          .mkString("\nUNION ALL\n")
-        s"""WITH sig AS ($sigSql),
-           |bands AS ($bandsSel)
-           |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-           |FROM bands l JOIN bands r
-           |ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id""".stripMargin
-      },
+      (s, dir) => candidatePairs(s, dir),
+      Some(s"""WITH sig AS ($sigSql),
+              |$candidatePairsSql
+              |SELECT doc_a, doc_b FROM cand""".stripMargin),
       bench = true),
 
+    // Verification stage of the MinHash-LSH pipeline: exact n-gram
+    // Jaccard computed ONLY on the LSH candidate pairs (joins keyed on
+    // doc_id — hash joins on a bounded set), never all-pairs within a
+    // key. A skewed `source` (one dominant crawl) cannot blow this up.
     Q("d04_ngram_jaccard",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            array_distinct(tokenHashes(col("text"))).as("th"))
-        val l = d.as("l")
-        val r = d.as("r")
-        val inter = size(array_intersect(col("l.th"), col("r.th")))
-        val union = size(col("l.th")) + size(col("r.th")) - inter
-        l.join(r, col("l.source") === col("r.source") &&
-            col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          .select(col("doc_id"), array_distinct(tokenHashes(col("text"))).as("th"))
+        val inter = size(array_intersect(col("la"), col("rb")))
+        val union = size(col("la")) + size(col("rb")) - inter
+        candidatePairs(s, dir)
+          .join(d.select(col("doc_id").as("doc_a"), col("th").as("la")), "doc_a")
+          .join(d.select(col("doc_id").as("doc_b"), col("th").as("rb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
             (inter.cast(DoubleType) / union.cast(DoubleType)).as("jac"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, source,
-              |  list_distinct(${O.tokenHashes("text")}) AS th FROM documents)
-              |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+      Some(s"""WITH sig AS ($sigSql),
+              |$candidatePairsSql,
+              |d AS (SELECT doc_id, list_distinct(${O.tokenHashes("text")}) AS th FROM documents)
+              |SELECT doc_a, doc_b,
               |CAST(len(list_filter(l.th, iv -> list_contains(r.th, iv))) AS DOUBLE)
               |  / CAST(len(l.th) + len(r.th)
               |         - len(list_filter(l.th, uv -> list_contains(r.th, uv))) AS DOUBLE) AS jac
-              |FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id""".stripMargin)),
+              |FROM cand JOIN d l ON doc_a = l.doc_id JOIN d r ON doc_b = r.doc_id""".stripMargin)),
 
     Q("d05_simhash",
       (s, dir) => Tables(s, dir, "documents")
@@ -146,23 +160,29 @@ object DedupQueries {
            |FROM (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents)""".stripMargin
       }),
 
+    // Embedding near-dup via the vector-LSH scale path: pair only
+    // within random-hyperplane buckets (shuffle keyed by bucket),
+    // cosine-verify inside the bucket — not all-pairs within `label`,
+    // which is quadratic in the dominant label's population.
     Q("d06_embed_neardup",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"), col("embedding"))
+          .select(col("vec_id"), col("embedding"),
+            VectorQueries.lshBucket(col("embedding")).as("bucket"))
         val l = e.as("l")
         val r = e.as("r")
         val sim = VectorQueries.cosine(col("l.embedding"), col("r.embedding"))
-        l.join(r, col("l.label") === col("r.label") &&
+        l.join(r, col("l.bucket") === col("r.bucket") &&
             col("l.vec_id") < col("r.vec_id"))
           .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
             sim.as("sim"))
           .filter(col("sim") > 0.2)
       },
-      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |${VectorQueries.lshBucketSql("embedding")} AS bucket FROM embeddings)
               |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
               |${VectorQueries.cosineSql("l.embedding", "r.embedding")} AS sim
-              |FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+              |FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
               |WHERE ${VectorQueries.cosineSql("l.embedding", "r.embedding")} > 0.2""".stripMargin))
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -12,7 +12,8 @@ import graft.queries.{OracleSql => O}
   * vectors): brute-force cosine top-k as the exactness baseline, and a
   * random-hyperplane LSH bucketing as the scale path (bucket first,
   * then brute-force only within buckets — turns the n² cross join
-  * into a per-bucket join keyed by a 8-bit signature).
+  * into per-bucket joins keyed by banded sign-bit signatures,
+  * OR-amplified across BANDS bands for recall).
   *
   * All vector math is `zip_with`/`aggregate` column algebra with
   * explicit double casts and a fixed left-fold order, so the DuckDB
@@ -54,22 +55,49 @@ object VectorQueries {
   private def planeValSql(j: Int, i: String): String =
     s"(CAST((($j * 64 + $i) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)"
 
-  private val PLANES = 8
+  /** Signature sizing. Collision prob. in one band for angle-similarity
+    * s is (1−θ/π)^PLANES; OR over BANDS bands amplifies recall while
+    * each band key still has 2^PLANES values — bucket population
+    * shrinks exponentially in PLANES, so scaling to a bigger corpus
+    * means raising PLANES (finer buckets) and/or BANDS (recall), not
+    * rewriting the query: every site below takes them as parameters.
+    * 4×8 = a 32-bit signature. */
+  val PLANES = 8
+  val BANDS = 4
 
-  /** Sign-bit bucket of a vector under PLANES fixed hyperplanes. */
-  def lshBucket(v: Column): Column =
-    (0 until PLANES).map { j =>
-      val dot = fold(transform(v, (x, i) => x.cast(DoubleType) * planeVal(j, i)))
+  /** Sign-bit bucket of a vector under `planes` fixed hyperplanes
+    * starting at global plane index `offset` (bands = disjoint plane
+    * ranges of one signature family). */
+  def lshBucket(v: Column, planes: Int = PLANES, offset: Int = 0): Column =
+    (0 until planes).map { j =>
+      val dot = fold(transform(v, (x, i) => x.cast(DoubleType) * planeVal(offset + j, i)))
       when(dot > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  def lshBucketSql(v: String): String =
-    (0 until PLANES).map { j =>
+  def lshBucketSql(v: String, planes: Int = PLANES, offset: Int = 0): String =
+    (0 until planes).map { j =>
       // DuckDB lambda index pi is 1-based; plane dims are 0-based.
       val dot = O.dfold(
-        s"list_transform($v, (px, pi) -> CAST(px AS DOUBLE) * ${planeValSql(j, "(pi - 1)")})")
+        s"list_transform($v, (px, pi) -> CAST(px AS DOUBLE) * ${planeValSql(offset + j, "(pi - 1)")})")
       s"(CASE WHEN $dot > 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
+
+  /** OR-amplified candidate pairs over a (vec_id, embedding) frame:
+    * BANDS band keys of PLANES sign bits each; a pair is a candidate
+    * if ANY band collides. Shuffles keyed by (band, bkey); pairs are
+    * deduped as bare ids BEFORE any similarity math. */
+  def bandedCandidates(e: DataFrame, planes: Int = PLANES, bands: Int = BANDS): DataFrame = {
+    val keyed = e.select(col("vec_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          lshBucket(col("embedding"), planes, b * planes).as("bkey"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    keyed.as("l").join(keyed.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("q_id"), col("r.vec_id").as("n_id"))
+      .distinct()
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -107,30 +135,37 @@ object VectorQueries {
 
     Q("v03_ann_bucketed",
       (s, dir) => {
-        // Scale path: join only within LSH buckets, then rank. At 100 TB
-        // this is a shuffle keyed by (bucket), not an n² cross join.
-        val e = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            lshBucket(col("embedding")).as("bucket"))
-        val l = e.as("l")
-        val r = e.as("r")
-        val sims = l.join(r, col("l.bucket") === col("r.bucket") &&
-            col("l.vec_id") =!= col("r.vec_id"))
-          .select(col("l.vec_id").as("q_id"), col("r.vec_id").as("n_id"),
-            cosine(col("l.embedding"), col("r.embedding")).as("sim"))
+        // Scale path: banded OR-amplified LSH — BANDS keys of PLANES
+        // sign bits each; a pair is a candidate if ANY band collides.
+        // Shuffles are keyed by (band, bkey) and candidate pairs are
+        // deduped as bare id pairs BEFORE the cosine (so a pair
+        // colliding in several bands is verified once, and the dedup
+        // shuffle carries ids, not embeddings). Never an n² cross join.
+        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val sims = bandedCandidates(e)
+          .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+          .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), "n_id")
+          .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("n_id").asc)
         sims.withColumn("rank", row_number().over(w).cast(LongType))
           .filter(col("rank") <= 5)
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
-              |          FROM embeddings)
-              |SELECT q_id, n_id, sim, rank FROM
-              |(SELECT l.vec_id AS q_id, r.vec_id AS n_id,
-              |   ${cosineSql("l.embedding", "r.embedding")} AS sim,
-              |   CAST(row_number() OVER (PARTITION BY l.vec_id
-              |     ORDER BY ${cosineSql("l.embedding", "r.embedding")} DESC, r.vec_id ASC) AS BIGINT) AS rank
-              | FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id != r.vec_id)
-              |WHERE rank <= 5""".stripMargin))
+      Some {
+        val bandsSel = (0 until BANDS).map(b =>
+          s"SELECT vec_id, $b AS band, ${lshBucketSql("embedding", PLANES, b * PLANES)} AS bkey FROM e")
+          .mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |bands AS ($bandsSel),
+           |cand AS (SELECT DISTINCT l.vec_id AS q_id, r.vec_id AS n_id
+           |         FROM bands l JOIN bands r
+           |         ON l.band = r.band AND l.bkey = r.bkey AND l.vec_id != r.vec_id),
+           |sims AS (SELECT q_id, n_id, ${cosineSql("a.embedding", "b.embedding")} AS sim
+           |         FROM cand JOIN e a ON q_id = a.vec_id JOIN e b ON n_id = b.vec_id)
+           |SELECT q_id, n_id, sim, rank FROM
+           |(SELECT q_id, n_id, sim, CAST(row_number() OVER
+           |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+           | FROM sims) WHERE rank <= 5""".stripMargin
+      })
   )
 }

@@ -46,6 +46,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected at most 1 hash exchange, got $exchanges:\n${p.take(800)}")
   }
 
+  test("d04 jaccard verifies LSH candidates, never all-pairs on source") {
+    val p = plan("d04_ngram_jaccard")
+    // joins are keyed on doc ids / band keys — the skew-prone `source`
+    // column must not appear anywhere (it isn't even read)
+    assert(!p.toLowerCase.contains("source"), "d04 must not key on source")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d06 near-dup pairs within LSH buckets (join keyed on bucket)") {
+    val p = plan("d06_embed_neardup")
+    assert(p.contains("bucket"), "join key must include the LSH bucket")
+    assert(!p.toLowerCase.contains("label"), "d06 must not key on label")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("row numbering never plans a single-partition exchange (q23)") {
     val p = plan("q23_inc")
     assert(!p.contains("Exchange SinglePartition"), p.take(800))
