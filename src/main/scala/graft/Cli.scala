@@ -9,8 +9,12 @@ import graft.sources.Sinks
   * CSV/parquet tables and print/save CSV results.
   *
   * Usage:
-  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH] [--password PW]
+  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH] [--password PW]
   *   echo "select ..." | runMain graft.Cli [--dir DIR]
+  *
+  * --save writes one coalesced CSV per statement (reference-style
+  * single file); --save-dir writes partitioned part files in parallel
+  * (the at-scale path, no single-task coalesce).
   *
   * --password supplies the default for encrypt/decrypt when the 2nd
   * argument is omitted (the reference prompts interactively). A wrong
@@ -21,6 +25,7 @@ object Cli {
     var query: Option[String] = None
     var dir: Option[String] = None
     var save: Option[String] = None
+    var saveDir: Option[String] = None
     var password: Option[String] = None
     var i = 0
     def value(flag: String): String = {
@@ -32,6 +37,7 @@ object Cli {
         case "-c" => query = Some(value("-c"))
         case "--dir" => dir = Some(value("--dir"))
         case "--save" => save = Some(value("--save"))
+        case "--save-dir" => saveDir = Some(value("--save-dir"))
         case "--password" => password = Some(value("--password"))
         case other => sys.error(s"unknown argument: $other")
       }
@@ -63,12 +69,18 @@ object Cli {
     val session = new GraftSession(spark, dir, password)
     val statements = Parser.splitStatements(q)
     val results = statements.map(session.sql)
-    save match {
-      case Some(base) =>
+    (save, saveDir) match {
+      case (Some(base), _) =>
         Sinks.savePaths(base, results.size).zip(results).foreach {
           case (p, df) => Sinks.saveCsv(df, p); System.err.println(s"saved $p")
         }
-      case None =>
+      case (None, Some(base)) =>
+        // parallel mode: each partition writes its own part file
+        Sinks.savePaths(base, results.size).map(_.stripSuffix(".csv"))
+          .zip(results).foreach { case (p, df) =>
+            Sinks.saveCsvDir(df, p); System.err.println(s"saved $p/")
+          }
+      case _ =>
         results.foreach(Sinks.printCsv(_))
     }
     spark.stop()

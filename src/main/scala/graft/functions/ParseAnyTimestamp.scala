@@ -44,28 +44,78 @@ case class ParseAnyTimestamp(child: Expression) extends UnaryExpression {
 }
 
 object ParseAnyTimestamp {
-  import java.time.format.DateTimeFormatter
-  import java.time.{LocalDate, LocalDateTime}
+  import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+  import java.time.temporal.ChronoField
+  import java.time.{LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
+  import java.util.Locale
 
+  /** Case-insensitive US-locale formatter ("FEB 3, 2013" parses too —
+    * dateparse is case-insensitive on month names). */
+  private def fmt(pattern: String): DateTimeFormatter =
+    new DateTimeFormatterBuilder().parseCaseInsensitive()
+      .appendPattern(pattern).toFormatter(Locale.US)
+
+  /** Datetime pattern + optional fractional seconds (1-9 digits). */
+  private def fmtFrac(pattern: String): DateTimeFormatter =
+    new DateTimeFormatterBuilder().parseCaseInsensitive()
+      .appendPattern(pattern)
+      .optionalStart()
+      .appendFraction(ChronoField.NANO_OF_SECOND, 1, 9, true)
+      .optionalEnd()
+      .toFormatter(Locale.US)
+
+  // the dateparse.ParseAny surface (reference utils.go:392-397),
+  // ordered by real-world frequency: ISO first, then US slash/dash
+  // forms, month-name forms, compact/epoch digits, RFC3339 with zone
   private val dateTimeFormats = Seq(
-    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"),
-    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+    fmtFrac("yyyy-MM-dd HH:mm:ss"),
+    fmtFrac("yyyy-MM-dd'T'HH:mm:ss"),
+    fmtFrac("yyyy/MM/dd HH:mm:ss"),
+    fmtFrac("MM/dd/yyyy HH:mm:ss"),
+    fmtFrac("M/d/yyyy H:mm:ss"),
+    fmt("yyyy-MM-dd HH:mm"),
+    fmt("MM/dd/yyyy HH:mm"))
   private val dateFormats = Seq(
-    DateTimeFormatter.ofPattern("yyyy-MM-dd"),
-    DateTimeFormatter.ofPattern("yyyy/MM/dd"),
-    DateTimeFormatter.ofPattern("MM/dd/yyyy"),
-    DateTimeFormatter.ofPattern("M/d/yyyy"),
-    DateTimeFormatter.ofPattern("MMM d yyyy"),
-    DateTimeFormatter.ofPattern("MMMM d, yyyy"))
+    fmt("yyyy-MM-dd"),
+    fmt("yyyy/MM/dd"),
+    fmt("MM/dd/yyyy"),
+    fmt("M/d/yyyy"),
+    fmt("MM-dd-yyyy"),   // US dashes (dateparse prefers month-first)
+    fmt("dd-MMM-yyyy"),  // 02-Jan-2006
+    fmt("MMM d yyyy"),
+    fmt("MMM d, yyyy"),  // Feb 3, 2013
+    fmt("MMMM d yyyy"),
+    fmt("MMMM d, yyyy"), // February 3, 2013
+    fmt("d MMM yyyy"),   // 3 Feb 2013
+    fmt("d MMMM yyyy"))
+  private val zonedFormats = Seq(
+    DateTimeFormatter.ISO_OFFSET_DATE_TIME, // RFC3339 incl. Z / ±hh:mm
+    fmtFrac("yyyy-MM-dd HH:mm:ss XXX"),
+    fmtFrac("yyyy-MM-dd HH:mm:ss Z"))
 
-  /** Parse to epoch micros (LocalDateTime semantics, NTZ); null when
-    * no pattern matches. Called from both interpreted eval and
-    * generated code. */
+  /** All-digit strings, dateparse conventions: 8 = yyyyMMdd; 10/13/
+    * 16/19 digits = epoch seconds/millis/micros/nanos. Any other width
+    * is NOT a date (a numeric id must never misparse). */
+  private def digitsToMicros(v: String): java.lang.Long = v.length match {
+    case 8 =>
+      try java.lang.Long.valueOf(DateTimeUtils.localDateTimeToMicros(
+        LocalDate.parse(v, DateTimeFormatter.BASIC_ISO_DATE).atStartOfDay))
+      catch { case _: Exception => null }
+    case 10 => java.lang.Long.valueOf(v.toLong * 1000000L)
+    case 13 => java.lang.Long.valueOf(v.toLong * 1000L)
+    case 16 => java.lang.Long.valueOf(v.toLong)
+    case 19 => java.lang.Long.valueOf(v.toLong / 1000L)
+    case _ => null
+  }
+
+  /** Parse to epoch micros (LocalDateTime semantics, NTZ; zoned inputs
+    * are converted to their UTC wall-clock); null when no pattern
+    * matches. Called from both interpreted eval and generated code. */
   def parseMicros(s: UTF8String): java.lang.Long = {
     if (s == null) return null
     val v = s.toString.trim
     if (v.isEmpty) return null
-    // fast path: ISO yyyy-MM-dd[ HH:mm:ss] dominates real data
+    if (v.forall(_.isDigit)) return digitsToMicros(v)
     dateTimeFormats.foreach { f =>
       try return java.lang.Long.valueOf(
         DateTimeUtils.localDateTimeToMicros(LocalDateTime.parse(v, f)))
@@ -74,6 +124,11 @@ object ParseAnyTimestamp {
     dateFormats.foreach { f =>
       try return java.lang.Long.valueOf(
         DateTimeUtils.localDateTimeToMicros(LocalDate.parse(v, f).atStartOfDay))
+      catch { case _: Exception => () }
+    }
+    zonedFormats.foreach { f =>
+      try return java.lang.Long.valueOf(DateTimeUtils.localDateTimeToMicros(
+        OffsetDateTime.parse(v, f).withOffsetSameInstant(ZoneOffset.UTC).toLocalDateTime))
       catch { case _: Exception => () }
     }
     null

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is real and tested — binary payload column,
   * metadata struct, partition-batched decode via `Dataset.mapPartitions`
   * (the JVM analog of mapInPandas: one iterator per partition, so a
-  * decoder can amortize model/codec setup per batch). The decode itself
-  * is a STUB: this container has no image/audio codecs, so
-  * [[FakeDecoder.decode]] derives deterministic pseudo-features from
-  * the bytes. Swapping in a real codec changes only that function.
+  * decoder can amortize model/codec setup per batch). Image dimensions
+  * decode for real via javax.imageio; audio/video codecs are not in
+  * this container, so [[Decoder.decode]] falls back to deterministic
+  * pseudo-features there. Swapping in real codecs changes only that
+  * function.
   */
 object Multimodal {
 
@@ -32,17 +33,32 @@ object Multimodal {
       n_frames: Long,
       checksum: Long)            // rolling byte hash
 
-  /** STUB decoder — deterministic pseudo-decode standing in for a real
-    * image/audio library (not available in this container). */
-  object FakeDecoder {
+  /** Feature decoder. Images decode for REAL via javax.imageio (in the
+    * JDK: PNG/JPEG/GIF/BMP width+height); payloads ImageIO cannot read
+    * — and audio/video, whose codecs are not in this container — fall
+    * back to deterministic pseudo-features derived from the bytes, so
+    * the pipeline stays total and oracle-checkable. Swapping in real
+    * audio/video codecs changes only [[decode]]'s fallback arms. */
+  object Decoder {
+    /** Real image header decode: Some((width, height)) when the bytes
+      * are a readable image, None otherwise. */
+    def imageDims(bytes: Array[Byte]): Option[(Int, Int)] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None else Some((img.getWidth, img.getHeight))
+      } catch { case _: Exception => None }
+
     def decode(r: MediaRecord): MediaFeatures = {
       val len = r.media.length.toLong
       // rolling hash of payload bytes (checksum feature)
       var h = 0L
       var i = 0
       while (i < r.media.length) { h = (h * 31 + (r.media(i) & 0xff)) % 1000000007L; i += 1 }
+      val (w, ht) = (if (r.kind == "image") imageDims(r.media) else None)
+        .map { case (dw, dh) => (dw.toLong, dh.toLong) }
+        .getOrElse((len % 640 + 1, len % 480 + 1)) // pseudo-dims fallback
       MediaFeatures(r.doc_id, r.kind, len,
-        width = len % 640 + 1, height = len % 480 + 1,
+        width = w, height = ht,
         n_frames = if (r.kind == "video") len % 30 + 1 else 1L,
         checksum = h)
     }
@@ -67,7 +83,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { batch =>
       // per-partition setup would go here (codec init, model load)
-      batch.map(FakeDecoder.decode)
+      batch.map(Decoder.decode)
     }
   }
 }

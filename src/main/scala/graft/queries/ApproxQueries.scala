@@ -7,23 +7,52 @@ import graft.core.Tables
 
 /** Approximate/sketch operators — the 100 TB scale path next to the
   * exact forms (HLL instead of exact count-distinct's full shuffle of
-  * keys; t-digest quantiles instead of a global sort). Sketches are
-  * engine-specific, so there is no DuckDB hash oracle — the driver
-  * records the weaker rows-only check; accuracy bounds are asserted in
-  * ApproxSpec against the exact answers. */
+  * keys; t-digest-style quantiles instead of a global sort).
+  *
+  * Sketch VALUES are engine-specific, so they can't hash-match a
+  * foreign oracle. Instead each query SELF-GATES: it computes the
+  * exact answer alongside the sketch and emits boolean within-bounds
+  * columns (plus the exact values where they're deterministic); the
+  * oracle asserts the exact values and literal `true` for the bounds,
+  * so a sketch drifting out of tolerance flips the hash gate red. */
 object ApproxQueries {
   val all: Seq[Q] = Seq(
 
+    // HLL++ distinct counts, rsd = 2%; gate: |approx−exact| ≤ 3·rsd·exact
     Q("x01_approx_distinct",
-      (s, dir) => Tables(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps")),
-      None),
+      (s, dir) => {
+        val a = Tables(s, dir, "lineitem").agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("asu"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"))
+        a.select(
+          col("exact_parts"), col("exact_supps"),
+          (abs(col("ap") - col("exact_parts")).cast(DoubleType) <=
+            lit(3 * 0.02) * col("exact_parts").cast(DoubleType)).as("parts_ok"),
+          (abs(col("asu") - col("exact_supps")).cast(DoubleType) <=
+            lit(3 * 0.02) * col("exact_supps").cast(DoubleType)).as("supps_ok"))
+      },
+      Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+             |true AS parts_ok, true AS supps_ok FROM lineitem""".stripMargin)),
 
+    // approx percentiles (accuracy 10000 ⇒ rank error ~1e-4); gate:
+    // the sketch value must land between the exact quantiles at
+    // p ± 10× the rank-error bound
     Q("x02_approx_quantiles",
-      (s, dir) => Tables(s, dir, "lineitem").agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99")),
-      None)
+      (s, dir) => {
+        val a = Tables(s, dir, "lineitem").agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("a99"),
+          expr("percentile(l_extendedprice, 0.499)").as("lo50"),
+          expr("percentile(l_extendedprice, 0.501)").as("hi50"),
+          expr("percentile(l_extendedprice, 0.989)").as("lo99"),
+          expr("percentile(l_extendedprice, 0.991)").as("hi99"))
+        a.select(
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_ok"),
+          (col("a99") >= col("lo99") && col("a99") <= col("hi99")).as("p99_ok"))
+      },
+      Some("SELECT true AS p50_ok, true AS p99_ok FROM (SELECT 1)"))
   )
 }

@@ -16,6 +16,49 @@ object DialectQueries {
   private def sql(q: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
     (s, dir) => GraftSession(s, dir).sql(q)
 
+  /** Duration-typed CSV fixture (durations are a dialect-inferred CSV
+    * type — the parquet sf tables can't carry them). Written
+    * deterministically to a stable path so the DuckDB oracle can
+    * read_csv the same file; single small file ⇒ one split ⇒ scan
+    * order = file order in both engines (which also makes inc()
+    * oracle-checkable). Group sums/averages divide evenly so interval
+    * avg is µs-exact on both sides. */
+  val durationsCsvPath = "/tmp/graft_fixtures/durations.csv"
+  private def durationsCsv(): String = {
+    val p = java.nio.file.Paths.get(durationsCsvPath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p,
+      """task,dept,dur
+        |t1,a,90m
+        |t2,a,2 hours
+        |t3,a,45s
+        |t4,a,NA
+        |t5,b,30 minutes
+        |t6,b,1h
+        |t7,b,10m
+        |t8,c,1d
+        |t9,c,2w
+        |t10,c,1y
+        |""".stripMargin)
+    durationsCsvPath
+  }
+
+  /** DuckDB mirror: Go "N unit" duration cells → BIGINT microseconds
+    * (Spark writes DayTimeIntervalType to parquet as int64 µs). */
+  private def durOracleCte: String =
+    s"""d AS (SELECT dept, task,
+       |  CAST(regexp_extract(trim(dur), '^(-?\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)$$', 1) AS DOUBLE)
+       |  * (CASE lower(regexp_extract(trim(dur), '^(-?\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)$$', 2))
+       |     WHEN 's' THEN 1 WHEN 'second' THEN 1 WHEN 'seconds' THEN 1
+       |     WHEN 'm' THEN 60 WHEN 'minute' THEN 60 WHEN 'minutes' THEN 60
+       |     WHEN 'h' THEN 3600 WHEN 'hour' THEN 3600 WHEN 'hours' THEN 3600
+       |     WHEN 'd' THEN 86400 WHEN 'day' THEN 86400 WHEN 'days' THEN 86400
+       |     WHEN 'w' THEN 604800 WHEN 'week' THEN 604800 WHEN 'weeks' THEN 604800
+       |     WHEN 'y' THEN 31449600 WHEN 'year' THEN 31449600 WHEN 'years' THEN 31449600
+       |     END) * 1000000 AS us
+       |  FROM read_csv('$durationsCsvPath', header=true)
+       |  WHERE dur IS NOT NULL AND trim(dur) NOT IN ('', 'NA', 'null'))""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("s01_dialect_project",
@@ -101,6 +144,27 @@ object DialectQueries {
       Some("""SELECT c_custkey, o_orderpriority
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |WHERE NOT coalesce(o_orderpriority ILIKE '1%', false)""".stripMargin)),
+
+    Q("s14_dialect_duration_agg",
+      (s, dir) => {
+        val path = durationsCsv()
+        GraftSession(s, dir).sql(
+          s"select dept, sum(dur) as total_dur, avg(dur) as avg_dur, count(dur) as n from $path group by dept")
+      },
+      Some(s"""WITH $durOracleCte
+              |SELECT dept, CAST(sum(us) AS BIGINT) AS total_dur,
+              |CAST(avg(us) AS BIGINT) AS avg_dur,
+              |CAST(count(us) AS DOUBLE) AS n
+              |FROM d GROUP BY dept""".stripMargin)),
+
+    Q("s15_dialect_inc",
+      (s, dir) => {
+        val path = durationsCsv()
+        GraftSession(s, dir).sql(s"select task, inc() as rn from $path")
+      },
+      // single-file CSV: scan order = file order in both engines
+      Some(s"""SELECT task, CAST(row_number() OVER () AS DOUBLE) AS rn
+              |FROM read_csv('$durationsCsvPath', header=true)""".stripMargin)),
 
     Q("s12_dialect_date_arith",
       sql("""select o_orderkey, o_orderdate + '2 weeks' as due,

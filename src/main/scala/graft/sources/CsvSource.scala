@@ -45,30 +45,20 @@ object CsvSource {
     else LStr
   }
 
-  /** Permissive date parsing (the reference uses dateparse.ParseAny). */
-  private val dateFormats = Seq(
-    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"),
-    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"),
-    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd"),
-    java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd"),
-    java.time.format.DateTimeFormatter.ofPattern("MM/dd/yyyy"),
-    java.time.format.DateTimeFormatter.ofPattern("M/d/yyyy"),
-    java.time.format.DateTimeFormatter.ofPattern("MMM d yyyy"),
-    java.time.format.DateTimeFormatter.ofPattern("MMMM d, yyyy"))
-
-  def parseDate(v: String): Option[java.time.LocalDateTime] = {
-    dateFormats.view.flatMap { f =>
-      try {
-        val parsed = f.parseBest(v, java.time.LocalDateTime.from _,
-          java.time.LocalDate.from _)
-        parsed match {
-          case dt: java.time.LocalDateTime => Some(dt)
-          case d: java.time.LocalDate => Some(d.atStartOfDay)
-          case _ => None
-        }
-      } catch { case _: Exception => None }
-    }.headOption
-  }
+  /** Permissive date parsing (the reference uses dateparse.ParseAny) —
+    * delegates to ParseAnyTimestamp so the sampler's classification
+    * and the distributed cast share ONE pattern chain: a cell the
+    * sampler calls a date always casts, and vice versa. Note the
+    * lattice checks int BEFORE date, so all-digit cells (ids, epochs)
+    * stay ints during inference; epoch forms only matter when a
+    * date-typed context parses a literal. */
+  def parseDate(v: String): Option[java.time.LocalDateTime] =
+    Option(graft.functions.ParseAnyTimestamp.parseMicros(
+      org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      .map(us => java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us.longValue, 1000000L),
+        (Math.floorMod(us.longValue, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC))
 
   /** Spark-side date cast mirroring [[parseDate]]'s pattern chain —
     * one native expression instead of an 8-way try_to_timestamp

@@ -68,14 +68,22 @@ object Sinks {
   }
 
   /** Save as CSV at `path` (reference appends .csv when missing,
-    * files.go:158-180). Spark-native form: a directory with one
-    * coalesced part file — at scale, drop the coalesce(1) and let each
-    * partition write in parallel. */
+    * files.go:158-180). CLI convenience form: ONE part file
+    * (coalesce(1)) so the output reads like the reference's single
+    * CSV. For big results use [[saveCsvDir]]. */
   def saveCsv(df: DataFrame, path: String): String = {
     val p = if (path.endsWith(".csv")) path else path + ".csv"
     formatted(df).coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(p)
     p
+  }
+
+  /** Parallel CSV save: every partition writes its own part file —
+    * the 100 TB path (no single-task coalesce bottleneck). */
+  def saveCsvDir(df: DataFrame, path: String): String = {
+    formatted(df).write.mode("overwrite")
+      .option("header", "true").csv(path)
+    path
   }
 
   /** Multi-query save paths: base, base-2, base-3 ...

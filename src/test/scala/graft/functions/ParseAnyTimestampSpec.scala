@@ -20,6 +20,33 @@ class ParseAnyTimestampSpec extends SparkSpec {
     assert(got(8) == null && got(9) == null)
   }
 
+  test("broadened dateparse surface: epochs, dashes, month names, RFC3339") {
+    val cases = Seq(
+      "1577959872"                 -> "2020-01-02 10:11:12", // epoch seconds
+      "1577959872000"              -> "2020-01-02 10:11:12", // epoch millis
+      "1577959872000000"           -> "2020-01-02 10:11:12", // epoch micros
+      "1577959872000000000"        -> "2020-01-02 10:11:12", // epoch nanos
+      "20200102"                   -> "2020-01-02 00:00:00", // yyyyMMdd
+      "01-02-2020"                 -> "2020-01-02 00:00:00", // US dashes, month first
+      "02-Jan-2020"                -> "2020-01-02 00:00:00", // dd-MMM-yyyy
+      "Jan 2, 2020"                -> "2020-01-02 00:00:00",
+      "FEB 3, 2013"                -> "2013-02-03 00:00:00", // case-insensitive
+      "2 January 2020"             -> "2020-01-02 00:00:00",
+      "2020-01-02T10:11:12Z"       -> "2020-01-02 10:11:12", // RFC3339 UTC
+      "2020-01-02T10:11:12+02:00"  -> "2020-01-02 08:11:12", // zone → UTC wall clock
+      "2020-01-02 10:11:12.5"      -> "2020-01-02 10:11:12.5",
+      "2020/01/02 10:11:12"        -> "2020-01-02 10:11:12",
+      "01/02/2020 10:11"           -> "2020-01-02 10:11:00",
+      "123456789"                  -> null, // 9 digits: not a date width
+      "12345"                      -> null)
+    val got = cases.map(_._1)
+      .toDF("s").select(parse_any_ts(col("s")).cast("string")).as[String]
+      .collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"'$in' → '$g', want '$want'")
+    }
+  }
+
   test("works under whole-stage codegen on a real column") {
     val df = Seq.tabulate(1000)(i => f"2021-${i % 12 + 1}%02d-${i % 28 + 1}%02d")
       .toDF("s").select(parse_any_ts(col("s")).as("ts"))

@@ -1,26 +1,22 @@
 package graft.queries
 
-import org.apache.spark.sql.functions._
 import graft.SparkSpec
-import graft.core.Tables
 
-/** Accuracy bounds for the sketch operators vs exact answers. */
+/** The sketch queries self-gate (exact + within-bounds booleans in the
+  * result itself — see ApproxQueries); these tests pin that the gate
+  * columns actually come out true on real data. */
 class ApproxSpec extends SparkSpec {
 
-  test("approx_count_distinct within 5% of exact at sf0.001") {
-    val li = Tables(spark, sf0001, "lineitem")
-    val exact = li.agg(countDistinct(col("l_partkey"))).collect().head.getLong(0)
-    val approx = Registry.queries("x01_approx_distinct")(spark, sf0001)
-      .collect().head.getLong(0)
-    assert(math.abs(approx - exact).toDouble / exact < 0.05,
-      s"approx $approx vs exact $exact")
+  test("x01 HLL distinct counts stay within 3·rsd of exact") {
+    val r = Registry.queries("x01_approx_distinct")(spark, sf0001).collect().head
+    assert(r.getAs[Boolean]("parts_ok"), s"parts out of bounds: $r")
+    assert(r.getAs[Boolean]("supps_ok"), s"supps out of bounds: $r")
+    assert(r.getAs[Long]("exact_parts") > 0)
   }
 
-  test("approx median brackets the exact median") {
-    val li = Tables(spark, sf0001, "lineitem")
-    val exact = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.001).head
-    val p50 = Registry.queries("x02_approx_quantiles")(spark, sf0001)
-      .collect().head.getDouble(0)
-    assert(math.abs(p50 - exact) / exact < 0.02, s"p50 $p50 vs exact $exact")
+  test("x02 approx percentiles bracket the exact quantile band") {
+    val r = Registry.queries("x02_approx_quantiles")(spark, sf0001).collect().head
+    assert(r.getAs[Boolean]("p50_ok"), s"p50 out of bounds: $r")
+    assert(r.getAs[Boolean]("p99_ok"), s"p99 out of bounds: $r")
   }
 }

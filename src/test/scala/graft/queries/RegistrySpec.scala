@@ -6,10 +6,9 @@ import graft.SparkSpec
   * tier); rowcounts sane; oracle entries exist. */
 class RegistrySpec extends SparkSpec {
 
-  test("every query has an oracle or is an explicitly rows-only sketch op") {
-    val rowsOnly = Set("x01_approx_distinct", "x02_approx_quantiles")
-    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(noOracle == rowsOnly, s"unexpected oracle-less queries: ${noOracle -- rowsOnly}")
+  test("every query has an oracle (sketch ops self-gate via bounds columns)") {
+    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.isEmpty, s"oracle-less queries: $noOracle")
   }
 
   Registry.all.foreach { q =>

@@ -22,6 +22,23 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("saveCsv writes one part; saveCsvDir writes one part per partition") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x").repartition(4)
+    def parts(dir: String): Int =
+      new java.io.File(dir).listFiles().count(f => f.getName.startsWith("part-"))
+
+    val single = Sinks.saveCsv(df, "/tmp/graft_sink_single")
+    assert(single == "/tmp/graft_sink_single.csv")
+    assert(parts(single) == 1)
+
+    val par = Sinks.saveCsvDir(df, "/tmp/graft_sink_par")
+    assert(parts(par) == 4, "parallel save must not coalesce")
+    // content round-trips
+    val back = spark.read.option("header", "true").csv(par)
+    assert(back.count() == 100)
+  }
+
   test("duration format round-trips through parse at µs granularity") {
     Seq(1500L, 100000L, 1500000L, 90500000L, -90500000L).foreach { u =>
       val d = java.time.Duration.ofNanos(u * 1000L)
