@@ -34,8 +34,15 @@ object TextFunctions {
       lit(0L),
       (h, c) => (h * lit(31L) + ascii(c)) % lit(P))
 
-  /** Token-hash array for a document (the shingle set base). */
+  /** Token-hash array for a document (the shingle set base) — native
+    * codegen'd expression (TextHashExprs); [[tokenHashesHof]] is the
+    * equivalent column-algebra form the oracle SQL mirrors, pinned
+    * equal in TextFunctionsSpec. */
   def tokenHashes(text: Column): Column =
+    TextHashExprs.token_hashes(text)
+
+  /** Interpreted HOF form of [[tokenHashes]] (reference semantics). */
+  def tokenHashesHof(text: Column): Column =
     transform(tokens(text), t => tokenHash(t))
 
   /** Word n-gram (shingle) hashes from a token-hash array: hash of each
@@ -86,8 +93,14 @@ object TextFunctions {
 
   /** SimHash over token hashes, `bits` wide (≤30: hashes are mod P<2^30):
     * bit j of the fingerprint is 1 iff #tokens with bit j set exceeds
-    * half the token count. A sum over bit positions — portable math. */
-  def simhash(hashes: Column, bits: Int = 24): Column = {
+    * half the token count. Native single-traversal expression;
+    * [[simhashHof]] is the per-bit fold form, pinned equal in
+    * TextFunctionsSpec. */
+  def simhash(hashes: Column, bits: Int = 24): Column =
+    TextHashExprs.simhash_native(hashes, bits)
+
+  /** Interpreted HOF form of [[simhash]] (one fold per bit). */
+  def simhashHof(hashes: Column, bits: Int = 24): Column = {
     val n = size(hashes)
     val terms = (0 until bits).map { j =>
       val cnt = aggregate(hashes, lit(0L),

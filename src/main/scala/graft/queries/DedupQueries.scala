@@ -29,21 +29,17 @@ object DedupQueries {
 
   /** doc_id + minhash signature columns mh0..mh{K-1}.
     *
-    * Staged projections on purpose: higher-order functions are
-    * interpreted (no codegen, no common-subexpression elimination), so
-    * token hashes, shingles, and the signature are each materialized
-    * once per row behind a named column, and the k minhashes come from
-    * a single fold (minhashSigFold) instead of k independent
-    * array_min passes. This took d02 from 12.7s to sub-second at
-    * sf0.01 — at 100 TB it's the difference between one linear pass
-    * per document and k× re-tokenization. */
+    * Two native codegen'd expressions (graft.functions.TextHashExprs):
+    * text → token hashes in one pass, then a fused shingle+minhash
+    * that feeds every n-window's rolling hash straight into the k
+    * running minima — no shingle array, no interpreted HOF lambdas
+    * anywhere on the hot path. (Round 1 staged HOF projections; the
+    * fused native form is another ~3× on d02 and is the 100 TB shape.) */
   private def sigDF(s: SparkSession, dir: String): DataFrame = {
-    val withTh = Tables(s, dir, "documents")
-      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
-    val withSh = withTh
-      .select(col("doc_id"), shinglesFromHashes(col("th"), SHINGLE).as("sh"))
-    val withSig = withSh
-      .select(col("doc_id"), minhashSigFold(col("sh"), K).as("sig"))
+    import graft.functions.TextHashExprs._
+    val withSig = Tables(s, dir, "documents")
+      .select(col("doc_id"), token_hashes(col("text")).as("th"))
+      .select(col("doc_id"), shingle_minhash(col("th"), SHINGLE, K).as("sig"))
     withSig.select(
       col("doc_id") +: (0 until K).map(i =>
         element_at(col("sig"), i + 1).as(s"mh$i")): _*)

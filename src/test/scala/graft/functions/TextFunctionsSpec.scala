@@ -20,6 +20,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(refTokenHash("hello") == 99162322L)
   }
 
+  test("native token_hashes ≡ interpreted HOF form on edge cases") {
+    val samples = Seq(
+      "hello world", "  Key  AGG row ", "", "   ", "one",
+      "MIXED Case Tokens here", "tabs\tand\nnewlines\rsplit",
+      "punct, stays! in-token 123 4.5")
+    val df = samples.toDF("t")
+    val native = df.select(tokenHashes(col("t"))).as[Seq[Long]].collect()
+    val hof = df.select(tokenHashesHof(col("t"))).as[Seq[Long]].collect()
+    samples.indices.foreach(i =>
+      assert(native(i) == hof(i), s"'${samples(i)}': ${native(i)} vs ${hof(i)}"))
+  }
+
+  test("native fused shingle_minhash ≡ staged shingles + minhashSigFold") {
+    val samples = Seq("a b c d e f g", "one two three", "a b", "", "x y z")
+    val df = samples.toDF("t").select(tokenHashes(col("t")).as("th"))
+    val native = df.select(TextHashExprs.shingle_minhash(col("th"), 3, 8))
+      .as[Seq[Option[Long]]].collect()
+    val staged = df.select(
+      minhashSigFold(shinglesFromHashes(col("th"), 3), 8))
+      .as[Seq[Option[Long]]].collect()
+    samples.indices.foreach(i =>
+      assert(native(i) == staged(i), s"'${samples(i)}': ${native(i)} vs ${staged(i)}"))
+  }
+
+  test("native simhash ≡ per-bit HOF fold") {
+    val samples = Seq("the quick brown fox", "a", "", "many words to hash here now")
+    val df = samples.toDF("t").select(tokenHashes(col("t")).as("th"))
+    val native = df.select(simhash(col("th"), 24)).as[Long].collect()
+    val hof = df.select(simhashHof(col("th"), 24)).as[Long].collect()
+    assert(native.sameElements(hof))
+  }
+
   test("tokens lowercase and drop empties") {
     val got = Seq("  Key  AGG row ").toDF("t")
       .select(tokens(col("t"))).as[Seq[String]].collect().head
