@@ -25,9 +25,15 @@ object VectorQueries {
   private def fold(c: Column): Column =
     aggregate(c, lit(0.0), (acc, x) => acc + x)
 
-  /** Cosine similarity with order-fixed folds and per-element double
-    * casts (embedding elements are float32). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity — native codegen'd expression running the same
+    * order-fixed folds with per-element double casts (embedding
+    * elements are float32); [[cosineHof]] is the column-algebra form
+    * the oracle mirrors, pinned bit-equal in VectorExprsSpec. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosine_native(a, b)
+
+  /** Interpreted HOF form of [[cosine]]. */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = fold(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
     val na = fold(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)))
     val nb = fold(transform(b, x => x.cast(DoubleType) * x.cast(DoubleType)))
@@ -67,8 +73,13 @@ object VectorQueries {
 
   /** Sign-bit bucket of a vector under `planes` fixed hyperplanes
     * starting at global plane index `offset` (bands = disjoint plane
-    * ranges of one signature family). */
+    * ranges of one signature family) — native expression;
+    * [[lshBucketHof]] pinned equal in VectorExprsSpec. */
   def lshBucket(v: Column, planes: Int = PLANES, offset: Int = 0): Column =
+    graft.functions.VectorExprs.lsh_bucket(v, planes, offset)
+
+  /** Interpreted HOF form of [[lshBucket]]. */
+  def lshBucketHof(v: Column, planes: Int = PLANES, offset: Int = 0): Column =
     (0 until planes).map { j =>
       val dot = fold(transform(v, (x, i) => x.cast(DoubleType) * planeVal(offset + j, i)))
       when(dot > 0.0, lit(1L << j)).otherwise(lit(0L))
