@@ -69,6 +69,8 @@ object Cli {
     val session = new GraftSession(spark, dir, password)
     val statements = Parser.splitStatements(q)
     val results = statements.map(session.sql)
+    if (save.isDefined && saveDir.isDefined)
+      sys.error("--save and --save-dir are mutually exclusive")
     (save, saveDir) match {
       case (Some(base), _) =>
         Sinks.savePaths(base, results.size).zip(results).foreach {

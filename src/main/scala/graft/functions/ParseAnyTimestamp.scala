@@ -88,25 +88,37 @@ object ParseAnyTimestamp {
     fmt("MMMM d, yyyy"), // February 3, 2013
     fmt("d MMM yyyy"),   // 3 Feb 2013
     fmt("d MMMM yyyy"))
+  /** Datetime + optional fraction BETWEEN seconds and the zone suffix
+    * ('2020-01-02 10:11:12.5+02:00' / '... .5 +0000'). */
+  private def fmtFracZone(base: String, zone: String): DateTimeFormatter =
+    new DateTimeFormatterBuilder().parseCaseInsensitive()
+      .appendPattern(base)
+      .optionalStart()
+      .appendFraction(ChronoField.NANO_OF_SECOND, 1, 9, true)
+      .optionalEnd()
+      .appendPattern(zone)
+      .toFormatter(Locale.US)
   private val zonedFormats = Seq(
     DateTimeFormatter.ISO_OFFSET_DATE_TIME, // RFC3339 incl. Z / ±hh:mm
-    fmtFrac("yyyy-MM-dd HH:mm:ss XXX"),
-    fmtFrac("yyyy-MM-dd HH:mm:ss Z"))
+    fmtFracZone("yyyy-MM-dd HH:mm:ss", "XXX"),
+    fmtFracZone("yyyy-MM-dd HH:mm:ss", " XXX"),
+    fmtFracZone("yyyy-MM-dd HH:mm:ss", " Z"))
 
   /** All-digit strings, dateparse conventions: 8 = yyyyMMdd; 10/13/
     * 16/19 digits = epoch seconds/millis/micros/nanos. Any other width
-    * is NOT a date (a numeric id must never misparse). */
-  private def digitsToMicros(v: String): java.lang.Long = v.length match {
-    case 8 =>
-      try java.lang.Long.valueOf(DateTimeUtils.localDateTimeToMicros(
+    * is NOT a date (a numeric id must never misparse), and anything
+    * unparseable — e.g. 19 digits above Long.MaxValue — is null, never
+    * an exception (one bad cell must not kill a scan). */
+  private def digitsToMicros(v: String): java.lang.Long =
+    try v.length match {
+      case 8 => java.lang.Long.valueOf(DateTimeUtils.localDateTimeToMicros(
         LocalDate.parse(v, DateTimeFormatter.BASIC_ISO_DATE).atStartOfDay))
-      catch { case _: Exception => null }
-    case 10 => java.lang.Long.valueOf(v.toLong * 1000000L)
-    case 13 => java.lang.Long.valueOf(v.toLong * 1000L)
-    case 16 => java.lang.Long.valueOf(v.toLong)
-    case 19 => java.lang.Long.valueOf(v.toLong / 1000L)
-    case _ => null
-  }
+      case 10 => java.lang.Long.valueOf(Math.multiplyExact(v.toLong, 1000000L))
+      case 13 => java.lang.Long.valueOf(Math.multiplyExact(v.toLong, 1000L))
+      case 16 => java.lang.Long.valueOf(v.toLong)
+      case 19 => java.lang.Long.valueOf(v.toLong / 1000L)
+      case _ => null
+    } catch { case _: Exception => null }
 
   /** Parse to epoch micros (LocalDateTime semantics, NTZ; zoned inputs
     * are converted to their UTC wall-clock); null when no pattern

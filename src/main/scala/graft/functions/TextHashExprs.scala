@@ -24,11 +24,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHashOps {
   val P: Long = TextFunctions.P
 
-  /** Lowercase, split on ASCII whitespace runs (Java regex \s), and
-    * polynomial-hash each token over its code points — one pass, no
-    * intermediate token/char arrays. */
+  /** Lowercase (Locale.ROOT — locale-independent, like Spark's lower()
+    * and DuckDB's lower(); a tr_TR default locale must not change
+    * hashes), split on ASCII whitespace runs (Java regex \s), and
+    * polynomial-hash each token over its CODE POINTS — one pass, no
+    * intermediate token/char arrays. NB: for non-BMP characters the
+    * HOF form (split-per-code-unit + ascii()) differs; the pinned
+    * native≡HOF equivalence covers BMP text, and the DuckDB oracle's
+    * per-character ascii() matches the code-point form used here. */
   def tokenHashes(s: UTF8String): ArrayData = {
-    val str = s.toString.toLowerCase
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     val len = str.length
     var i = 0

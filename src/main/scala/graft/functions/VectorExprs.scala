@@ -17,9 +17,14 @@ import org.apache.spark.sql.types._
 object VectorOps {
 
   /** Cosine similarity of two float vectors: dot / (√na · √nb), all
-    * three sums accumulated left-to-right like the staged folds. */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * three sums accumulated left-to-right like the staged folds.
+    * Ragged pair → null, matching the HOF form (zip_with pads with
+    * null, the fold's acc+null nulls the whole dot) and the DuckDB
+    * oracle — a truncated embedding must not emit a similarity the
+    * oracle drops. */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -28,13 +33,7 @@ object VectorOps {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    // zip_with pads the shorter side with null → null product skipped
-    // by the fold; square sums still cover each full vector
-    var j = n
-    while (j < a.numElements()) { val x = a.getFloat(j).toDouble; na += x * x; j += 1 }
-    j = n
-    while (j < b.numElements()) { val y = b.getFloat(j).toDouble; nb += y * y; j += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   /** Sign-bit LSH bucket under `planes` deterministic hyperplanes
@@ -67,12 +66,19 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     case other => TypeCheckResult.TypeCheckFailure(s"cosine needs two array<float>, got $other")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = VectorOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $cls.cosine($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |java.lang.Double cosr = $cls.cosine($a, $b);
+         |if (cosr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = cosr.doubleValue(); }
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =

@@ -40,13 +40,28 @@ object Multimodal {
     * the pipeline stays total and oracle-checkable. Swapping in real
     * audio/video codecs changes only [[decode]]'s fallback arms. */
   object Decoder {
-    /** Real image header decode: Some((width, height)) when the bytes
-      * are a readable image, None otherwise. */
-    def imageDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    /** Real image HEADER decode: Some((width, height)) when the bytes
+      * are a readable image, None otherwise. Header-only on purpose —
+      * ImageIO.read would decode the full pixel raster (a 50-megapixel
+      * JPEG → hundreds of MB of heap churn per row on the per-partition
+      * hot path); ImageReader.getWidth/getHeight read just the header. */
+    def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      var stream: javax.imageio.stream.ImageInputStream = null
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        if (img == null) None else Some((img.getWidth, img.getHeight))
+        stream = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(stream)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(stream)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
       } catch { case _: Exception => None }
+      finally if (stream != null) stream.close()
+    }
 
     def decode(r: MediaRecord): MediaFeatures = {
       val len = r.media.length.toLong

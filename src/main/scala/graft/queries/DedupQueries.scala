@@ -156,29 +156,38 @@ object DedupQueries {
            |FROM (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents)""".stripMargin
       }),
 
-    // Embedding near-dup via the vector-LSH scale path: pair only
-    // within random-hyperplane buckets (shuffle keyed by bucket),
-    // cosine-verify inside the bucket — not all-pairs within `label`,
-    // which is quadratic in the dominant label's population.
+    // Embedding near-dup via the vector-LSH scale path: the banded
+    // OR-amplified candidate generator (shared with v03 — ~97% recall
+    // at near-dup similarity vs ~59% for a single 8-bit band), with
+    // pairs deduped as bare ids before the cosine — not all-pairs
+    // within `label`, which is quadratic in the dominant label's
+    // population.
     Q("d06_embed_neardup",
       (s, dir) => {
-        val e = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            VectorQueries.lshBucket(col("embedding")).as("bucket"))
-        val l = e.as("l")
-        val r = e.as("r")
-        val sim = VectorQueries.cosine(col("l.embedding"), col("r.embedding"))
-        l.join(r, col("l.bucket") === col("r.bucket") &&
-            col("l.vec_id") < col("r.vec_id"))
-          .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-            sim.as("sim"))
+        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        VectorQueries.bandedCandidates(e)
+          .filter(col("q_id") < col("n_id")) // unordered pair once
+          .join(e.select(col("vec_id").as("q_id"), col("embedding").as("ea")), "q_id")
+          .join(e.select(col("vec_id").as("n_id"), col("embedding").as("eb")), "n_id")
+          .select(col("q_id").as("vec_a"), col("n_id").as("vec_b"),
+            VectorQueries.cosine(col("ea"), col("eb")).as("sim"))
           .filter(col("sim") > 0.2)
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding,
-              |${VectorQueries.lshBucketSql("embedding")} AS bucket FROM embeddings)
-              |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-              |${VectorQueries.cosineSql("l.embedding", "r.embedding")} AS sim
-              |FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-              |WHERE ${VectorQueries.cosineSql("l.embedding", "r.embedding")} > 0.2""".stripMargin))
+      Some {
+        import VectorQueries.{cosineSql, lshBucketSql}
+        val vb = VectorQueries.BANDS
+        val vp = VectorQueries.PLANES
+        val bandsSel = (0 until vb).map(b =>
+          s"SELECT vec_id, $b AS band, ${lshBucketSql("embedding", vp, b * vp)} AS bkey FROM e")
+          .mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |bands AS ($bandsSel),
+           |cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+           |         FROM bands l JOIN bands r
+           |         ON l.band = r.band AND l.bkey = r.bkey AND l.vec_id < r.vec_id)
+           |SELECT vec_a, vec_b, ${cosineSql("a.embedding", "b.embedding")} AS sim
+           |FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id
+           |WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.2""".stripMargin
+      })
   )
 }

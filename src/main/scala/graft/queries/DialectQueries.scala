@@ -24,22 +24,37 @@ object DialectQueries {
     * oracle-checkable). Group sums/averages divide evenly so interval
     * avg is µs-exact on both sides. */
   val durationsCsvPath = "/tmp/graft_fixtures/durations.csv"
-  private def durationsCsv(): String = {
-    val p = java.nio.file.Paths.get(durationsCsvPath)
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p,
-      """task,dept,dur
-        |t1,a,90m
-        |t2,a,2 hours
-        |t3,a,45s
-        |t4,a,NA
-        |t5,b,30 minutes
-        |t6,b,1h
-        |t7,b,10m
-        |t8,c,1d
-        |t9,c,2w
-        |t10,c,1y
-        |""".stripMargin)
+  private val durationsCsvContent =
+    """task,dept,dur
+      |t1,a,90m
+      |t2,a,2 hours
+      |t3,a,45s
+      |t4,a,NA
+      |t5,b,30 minutes
+      |t6,b,1h
+      |t7,b,10m
+      |t8,c,1d
+      |t9,c,2w
+      |t10,c,1y
+      |""".stripMargin
+  private def durationsCsv(): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val p = Paths.get(durationsCsvPath)
+    // skip when already current; otherwise write a temp file and move
+    // atomically — a concurrent reader (the DuckDB oracle, a parallel
+    // suite) must never observe a truncated fixture
+    val current = Files.exists(p) &&
+      (try Files.readString(p) == durationsCsvContent catch { case _: Exception => false })
+    if (!current) {
+      Files.createDirectories(p.getParent)
+      val tmp = Files.createTempFile(p.getParent, "durations", ".csv.tmp")
+      Files.writeString(tmp, durationsCsvContent)
+      try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: Exception =>
+        Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     durationsCsvPath
   }
 

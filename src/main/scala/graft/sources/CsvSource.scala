@@ -94,14 +94,17 @@ object CsvSource {
       // digit, precedes their 's'
       part("(\\d+(?:\\.\\d+)?)s") +
       part("(\\d+(?:\\.\\d+)?)ms") / 1e3 +
-      part("(\\d+(?:\\.\\d+)?)us") / 1e6 +
+      part("(\\d+(?:\\.\\d+)?)(?:us|µs)") / 1e6 +
       part("(\\d+(?:\\.\\d+)?)ns") / 1e9
     // ordered, at-most-once components: regexp_extract takes only the
     // first match per unit, so repeated units ('1h2h' — which Go sums)
-    // must be rejected here → null, never a silently wrong value
+    // must be rejected here → null, never a silently wrong value.
+    // 'µs' accepted alongside 'us' — Go Duration.String() (and our
+    // Sinks) EMIT µs, so saved output must re-ingest (Durations.parse
+    // and this cast stay in sync).
     val goOk = body.rlike(
       "^(\\d+(?:\\.\\d+)?h)?(\\d+(?:\\.\\d+)?m)?(\\d+(?:\\.\\d+)?s)?" +
-        "(\\d+(?:\\.\\d+)?ms)?(\\d+(?:\\.\\d+)?us)?(\\d+(?:\\.\\d+)?ns)?$") &&
+        "(\\d+(?:\\.\\d+)?ms)?(\\d+(?:\\.\\d+)?(?:us|µs))?(\\d+(?:\\.\\d+)?ns)?$") &&
       body.rlike("\\d")
     val go = when(goOk,
       when(t.startsWith("-"), -unsigned).otherwise(unsigned))

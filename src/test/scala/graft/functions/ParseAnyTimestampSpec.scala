@@ -37,7 +37,9 @@ class ParseAnyTimestampSpec extends SparkSpec {
       "2020-01-02 10:11:12.5"      -> "2020-01-02 10:11:12.5",
       "2020/01/02 10:11:12"        -> "2020-01-02 10:11:12",
       "01/02/2020 10:11"           -> "2020-01-02 10:11:00",
+      "2020-01-02 10:11:12.5+02:00" -> "2020-01-02 08:11:12.5", // fraction before zone
       "123456789"                  -> null, // 9 digits: not a date width
+      "9999999999999999999"        -> null, // 19 digits > Long.MaxValue: null, not a crash
       "12345"                      -> null)
     val got = cases.map(_._1)
       .toDF("s").select(parse_any_ts(col("s")).cast("string")).as[String]

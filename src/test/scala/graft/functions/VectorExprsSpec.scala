@@ -22,6 +22,15 @@ class VectorExprsSpec extends SparkSpec {
     assert(diff == 0, s"$diff pairs differ between native and HOF cosine")
   }
 
+  test("ragged vector pairs are null in both native and HOF cosine") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    val r = df.select(
+      VectorQueries.cosine(col("a"), col("b")).as("n"),
+      VectorQueries.cosineHof(col("a"), col("b")).as("h")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1), s"ragged pair must be null: $r")
+  }
+
   test("native lshBucket ≡ HOF lshBucket for banded offsets") {
     val e = Tables(spark, sf0001, "embeddings")
     (0 until 2).foreach { band =>

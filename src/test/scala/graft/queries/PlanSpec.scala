@@ -54,9 +54,9 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("d06 near-dup pairs within LSH buckets (join keyed on bucket)") {
+  test("d06 near-dup pairs within banded LSH buckets (join keyed on band key)") {
     val p = plan("d06_embed_neardup")
-    assert(p.contains("bucket"), "join key must include the LSH bucket")
+    assert(p.contains("bkey"), "join key must include the LSH band key")
     assert(!p.toLowerCase.contains("label"), "d06 must not key on label")
     assert(!p.contains("CartesianProduct"))
   }

@@ -39,6 +39,22 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 100)
   }
 
+  test("saved sub-ms durations re-ingest through CSV inference (µs spelling)") {
+    import spark.implicits._
+    // 500µs and 1.5ms — the sink emits Go µs/ms forms; a re-read must
+    // classify the column as duration and parse to the same interval
+    val micros = Seq(500L, 1500L, 90500000L)
+    val df = micros.toDF("us")
+      .select((col("us") * expr("INTERVAL 1 MICROSECOND")).as("dur"))
+    val path = Sinks.saveCsv(df, "/tmp/graft_sink_durcsv")
+    val back = CsvSource.read(spark, path)
+    assert(back.schema.head.dataType.typeName.startsWith("interval"),
+      s"re-ingested type: ${back.schema.head.dataType}")
+    val got = back.select(col("dur").cast("decimal(20,6)")).collect()
+      .map(r => math.round(r.getDecimal(0).doubleValue() * 1e6)).toSeq.sorted
+    assert(got == micros.sorted, got.mkString(","))
+  }
+
   test("duration format round-trips through parse at µs granularity") {
     Seq(1500L, 100000L, 1500000L, 90500000L, -90500000L).foreach { u =>
       val d = java.time.Duration.ofNanos(u * 1000L)
