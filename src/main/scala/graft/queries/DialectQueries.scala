@@ -181,6 +181,21 @@ object DialectQueries {
       Some(s"""SELECT task, CAST(row_number() OVER () AS DOUBLE) AS rn
               |FROM read_csv('$durationsCsvPath', header=true)""".stripMargin)),
 
+    // Bare non-grouping column in a grouped query: last scanned row's
+    // value per group (reference stage-0 slot overwrite) — gateable on
+    // the single-file fixture where scan order = file order
+    Q("s16_dialect_lastwrite",
+      (s, dir) => {
+        val path = durationsCsv()
+        GraftSession(s, dir).sql(
+          s"select dept, task, count(task) as n from $path group by dept")
+      },
+      Some(s"""SELECT dept, arg_max(task, rid) AS task,
+              |CAST(count(task) AS DOUBLE) AS n
+              |FROM (SELECT *, row_number() OVER () AS rid
+              |      FROM read_csv('$durationsCsvPath', header=true))
+              |GROUP BY dept""".stripMargin)),
+
     Q("s12_dialect_date_arith",
       sql("""select o_orderkey, o_orderdate + '2 weeks' as due,
             |o_custkey % 7 as bucket, 2 ^ 10 as k

@@ -251,17 +251,32 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     val gcols = q.groupBy.zipWithIndex.map { case (g, i) =>
       exprToColumn(g, cat, agg = false).as(s"__g$i")
     }
+    // Bare (aggregate-free) selections that are not grouping
+    // expressions take the LAST scanned row's value per group — the
+    // reference overwrites the group's stage-0 slot on every matching
+    // row (selector.go:45-51, treeProcess.go:612-642). Distributed
+    // analog: max_by over a scan-order id. Grouping expressions pass
+    // through as themselves (deterministic either way).
+    def isGroupExpr(e: Expr): Boolean = q.groupBy.contains(e)
+    def lastWrite(e: Expr): Boolean = !exprContainsAgg(e) && !isGroupExpr(e)
+    val needsLastWrite = (items.map(_.expr) ++ q.orderBy.toSeq).exists(lastWrite)
+    val dfA = if (needsLastWrite) df.withColumn("__lw_mid", monotonically_increasing_id())
+      else df
+    def aggItem(e: Expr): Column = {
+      val c = exprToColumn(e, cat, agg = true)
+      if (lastWrite(e)) max_by(c, col("__lw_mid")) else c
+    }
     val itemCols = items.zipWithIndex.map { case (it, i) =>
-      exprToColumn(it.expr, cat, agg = true).as(outName(it, i))
+      aggItem(it.expr).as(outName(it, i))
     }
     // aggregates inside having become hidden slots, filtered post-agg
     // (the reference hoists them the same way, treeProcess.go:660-726)
     val havingCol = q.having.map(p => predToColumn(p, cat, agg = true).as("__having"))
-    val orderCol = q.orderBy.map(o => exprToColumn(o, cat, agg = true).as("__order"))
+    val orderCol = q.orderBy.map(o => aggItem(o).as("__order"))
     val aggCols = itemCols ++ havingCol.toSeq ++ orderCol.toSeq
     val grouped =
-      if (gcols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-      else df.groupBy(gcols: _*).agg(aggCols.head, aggCols.tail: _*)
+      if (gcols.isEmpty) dfA.agg(aggCols.head, aggCols.tail: _*)
+      else dfA.groupBy(gcols: _*).agg(aggCols.head, aggCols.tail: _*)
     val filtered = if (havingCol.isDefined) grouped.filter(col("__having")).drop("__having")
       else grouped
     // grouping keys are internal (__gN) — output is the select list

@@ -175,6 +175,17 @@ class PlannerSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - math.sqrt(2.0 / 3.0)) < 1e-12)
   }
 
+  test("bare non-grouping column with aggregates = last scanned value (A6)") {
+    // single-partition frame: scan order is row order, so the 'last
+    // write' is deterministic — the max o_orderkey row's priority
+    val r = g.sql(
+      "select o_orderstatus, o_orderkey, max(o_totalprice) from orders group by o_orderstatus")
+    assert(r.count() == 3) // runs (was an AnalysisException before)
+    val one = g.sql("select o_orderpriority, count(o_orderkey) from orders")
+      .collect().head
+    assert(one.getString(0) != null) // implicit group: some row's value
+  }
+
   test("inc() numbers retained rows 1..N, step scales, same index per row") {
     val got = g.sql(
       "select o_orderkey, inc() as rn, inc(0.5) as h from orders where o_orderkey > 100")
