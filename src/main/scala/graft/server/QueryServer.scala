@@ -3,8 +3,10 @@ package graft.server
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.Executors
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 import graft.sql.{GraftSession, Parser}
@@ -22,16 +24,46 @@ final class QueryServer(graft: GraftSession, port: Int) {
   private val jobGroup = "graft-query-server"
   @volatile private var server: HttpServer = _
 
+  /** Live progress for the server's job group (the reference streams
+    * per-query progress over its websocket, server.go TimedNotifier;
+    * this is the polling analog — GET /progress/). Tracked via a
+    * SparkListener: jobs in flight, task counts for the current query. */
+  private val activeJobs = new AtomicInteger(0)
+  private val totalTasks = new AtomicLong(0)
+  private val doneTasks = new AtomicLong(0)
+  private val listener = new SparkListener {
+    private val groupJobs = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    override def onJobStart(js: SparkListenerJobStart): Unit =
+      if (js.properties != null &&
+          jobGroup == js.properties.getProperty("spark.jobGroup.id")) {
+        groupJobs.add(js.jobId)
+        activeJobs.incrementAndGet()
+      }
+    override def onJobEnd(je: SparkListenerJobEnd): Unit =
+      if (groupJobs.remove(je.jobId)) activeJobs.decrementAndGet()
+    override def onStageSubmitted(ss: SparkListenerStageSubmitted): Unit =
+      if (ss.properties != null &&
+          jobGroup == ss.properties.getProperty("spark.jobGroup.id"))
+        totalTasks.addAndGet(ss.stageInfo.numTasks.toLong)
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      doneTasks.incrementAndGet() // cheap global counter; reset per query
+  }
+
   def start(): Int = {
+    spark.sparkContext.addSparkListener(listener)
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/query/", (ex: HttpExchange) => handleQuery(ex))
     server.createContext("/stop/", (ex: HttpExchange) => handleStop(ex))
+    server.createContext("/progress/", (ex: HttpExchange) => handleProgress(ex))
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    spark.sparkContext.removeSparkListener(listener)
+  }
 
   private def handleQuery(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -46,6 +78,7 @@ final class QueryServer(graft: GraftSession, port: Int) {
         // interrupts the running job. The reference is equally serial
         // (one websocket, one query at a time, server.go:61-70).
         val results = graft.synchronized {
+          totalTasks.set(0); doneTasks.set(0) // progress window = this query
           spark.sparkContext.setJobGroup(jobGroup, query, interruptOnCancel = true)
           Parser.splitStatements(query).map { stmt =>
             JsonResult.of(graft.sql(stmt), stmt)
@@ -56,6 +89,14 @@ final class QueryServer(graft: GraftSession, port: Int) {
         case e: Throwable => JsonResult.bundle(Nil, s"error: ${e.getMessage}")
       } finally spark.sparkContext.clearJobGroup()
     respond(ex, 200, response)
+  }
+
+  private def handleProgress(ex: HttpExchange): Unit = {
+    val total = totalTasks.get
+    val done = math.min(doneTasks.get, total)
+    val pct = if (total == 0) 0.0 else math.rint(1000.0 * done / total) / 10
+    respond(ex, 200,
+      s"""{"ActiveJobs":${activeJobs.get},"TasksDone":$done,"TasksTotal":$total,"Percent":$pct}""")
   }
 
   private def handleStop(ex: HttpExchange): Unit = {

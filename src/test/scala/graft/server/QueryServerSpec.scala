@@ -43,6 +43,25 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("GET /progress/ reports task counts after a query") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val q = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query":"select count(o_orderkey) as n from orders"}""")).build()
+      client.send(q, HttpResponse.BodyHandlers.ofString())
+      val p = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/progress/"))
+        .GET().build()
+      val resp = client.send(p, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.body().contains(""""TasksTotal""""), resp.body())
+      // the finished query ran at least one task and none are active
+      assert(resp.body().contains(""""ActiveJobs":0"""), resp.body())
+    } finally server.stop()
+  }
+
   test("POST /stop/ responds (cancellation path wired)") {
     val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
     val port = server.start()
