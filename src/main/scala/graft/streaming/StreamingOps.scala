@@ -61,6 +61,19 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup: keep the first occurrence per key within
+    * the watermark horizon — the incremental form of d01 for a
+    * continuously-arriving corpus. dropDuplicates + watermark bounds
+    * state to the horizon (without the watermark, state would grow
+    * with the stream); at 100 TB/day this is the only tractable shape
+    * for online dedup, with the batch MinHash pipeline as the
+    * periodic full-corpus pass. `keyCols` is typically a content hash
+    * (md5(text)) plus any partition key. */
+  def dedupFirstSeen(rows: DataFrame, tsCol: String, horizon: String,
+      keyCols: Seq[String]): DataFrame =
+    rows.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ── stateful sessionization ─────────────────────────────────────────
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(lastTs: Long, sessions: Long, events: Long)

@@ -41,6 +41,25 @@ class StreamingSpec extends SparkSpec {
     assert(written.count() == Tables(spark, sf0001, "events").count())
   }
 
+  test("streaming dedup keeps one row per key within the watermark") {
+    import org.apache.spark.sql.functions._
+    // events stream with a synthetic duplicate-heavy key (value bucket)
+    val stream = StreamingOps.readEvents(spark, sf0001)
+      .withColumn("k", (col("event_id") % 50).cast("long"))
+    val q = StreamingOps.dedupFirstSeen(stream, "ts", "2 hours", Seq("k"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_stream")
+    assert(got.count() > 0)
+    // never more than one row per key
+    val dupKeys = got.groupBy("k").count().filter("count > 1").count()
+    assert(dupKeys == 0, s"$dupKeys keys emitted more than once")
+    assert(got.count() <= 50)
+  }
+
   test("stateful sessionization emits per-user session counts") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val batchEvents = Tables(spark, sf0001, "events")
