@@ -26,7 +26,10 @@ object Sinks {
           val plain = regexp_replace(regexp_replace(g, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
           when(c.isNull, lit(null))
             .otherwise(when(g.contains("e"), noExpZeros).otherwise(plain))
-        case _: TimestampType =>
+        case _: TimestampType | _: TimestampNTZType =>
+          // reference formats dates with Go's "2006-01-02 15:04:05"
+          // layout — seconds precision, fraction dropped (value.go:494);
+          // NTZ is what CSV-inferred date columns carry
           date_format(c, "yyyy-MM-dd HH:mm:ss")
         case _: DayTimeIntervalType =>
           // Go Duration.String(): HhMmSs with units omitted when zero

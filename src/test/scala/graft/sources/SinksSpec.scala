@@ -39,6 +39,14 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 100)
   }
 
+  test("NTZ timestamps format at seconds precision like the reference") {
+    import spark.implicits._
+    val df = Seq("2020-01-02 10:11:12.5", "2020-01-02 10:11:12").toDF("s")
+      .select(col("s").cast("timestamp_ntz").as("t"))
+    val got = Sinks.formatted(df).collect().map(_.getString(0))
+    assert(got.forall(_ == "2020-01-02 10:11:12"), got.mkString(","))
+  }
+
   test("saved sub-ms durations re-ingest through CSV inference (µs spelling)") {
     import spark.implicits._
     // 500µs and 1.5ms — the sink emits Go µs/ms forms; a re-read must
