@@ -63,15 +63,18 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     time("minhash_sig_d02") {
-      docs.select(col("doc_id"), tokenHashes(col("text")).as("th"))
-        .select(col("doc_id"), shinglesFromHashes(col("th"), 3).as("sh"))
-        .select(col("doc_id"), minhashSigFold(col("sh"), 8).as("sig"))
+      // production shape: native token_hashes + fused shingle_minhash
+      docs.select(col("doc_id"),
+          graft.functions.TextHashExprs.token_hashes(col("text")).as("th"))
+        .select(col("doc_id"),
+          graft.functions.TextHashExprs.shingle_minhash(col("th"), 3, 8).as("sig"))
         .write.format("noop").mode("overwrite").save()
     }
     time("lsh_pairs_d03") {
-      val sig = docs.select(col("doc_id"), tokenHashes(col("text")).as("th"))
-        .select(col("doc_id"), shinglesFromHashes(col("th"), 3).as("sh"))
-        .select(col("doc_id"), minhashSigFold(col("sh"), 8).as("sig"))
+      val sig = docs.select(col("doc_id"),
+          graft.functions.TextHashExprs.token_hashes(col("text")).as("th"))
+        .select(col("doc_id"),
+          graft.functions.TextHashExprs.shingle_minhash(col("th"), 3, 8).as("sig"))
       val bands = sig.select(col("doc_id"), explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),
           ((element_at(col("sig"), 2 * j + 1) * lit(31L) +
