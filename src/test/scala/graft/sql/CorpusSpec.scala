@@ -122,7 +122,9 @@ class CorpusSpec extends SparkSpec {
     s"nh select c.c1, r.c2 from $cities c join $country r on c.c3 = r.c1" -> "nh join",
     s"nh select c.c1 from $cities c left join $country r on c.c3 = r.c1 where r.c2 = null" -> "left join null probe",
     s"nh select c.c1, r.c2 from $cities c bjoin $country r on c.c3 = r.c1" -> "bjoin hint",
-    s"nh select c.c1 from $cities c join $country r on c.c3 = r.c1 order by c.c2" -> "ordered join")
+    s"nh select c.c1 from $cities c join $country r on c.c3 = r.c1 order by c.c2" -> "ordered join",
+    // expression join keys (main_test.go:162: c.c3+dog = r.c1+dog)
+    s"nh select c.c1 from $cities c join $country r on c.c3 + dog = r.c1 + dog" -> "expression join keys")
 
   good.foreach { case (q, label) =>
     test(s"good: $label") { assert(run(q) >= 0) }

@@ -66,4 +66,24 @@ class PropertySpec extends AnyFunSuite {
       assert(h >= 0 && h < P)
     }
   }
+
+  test("parser never crashes ungracefully on random token soup") {
+    // malformed input must raise a controlled error (or parse), never a
+    // StackOverflow/NPE/MatchError — a user typo must not kill a server
+    val word = Gen.oneOf("select", "from", "where", "join", "on", "group",
+      "by", "order", "top", "distinct", "case", "when", "then", "end",
+      "and", "or", "not", "(", ")", ",", "=", "<", "+", "*", "'q'",
+      "c1", "42", "3.5", ";", "t", "inc()", "sum", "between", "in", "like")
+    val soup = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    samples(soup, n = 400).foreach { q =>
+      try { Parser.parse(q); () }
+      catch {
+        case _: StackOverflowError | _: NullPointerException |
+             _: MatchError =>
+          fail(s"ungraceful parser crash on: $q")
+        case _: Exception => () // controlled rejection is fine
+      }
+    }
+  }
 }
