@@ -104,6 +104,69 @@ object TextQueries {
       (s, dir) => Tables(s, dir, "documents").select(
         col("doc_id"), docFingerprint(col("text")).as("fp")),
       Some(s"""SELECT doc_id, ${O.foldHash(O.tokenHashes("text"))} AS fp
-              |FROM documents""".stripMargin))
+              |FROM documents""".stripMargin)),
+
+    // Stratified sampling: per-stratum keep fractions (downsample the
+    // dominant languages, keep the rest) — the corpus-balancing shape.
+    // Hash buckets, not RNG, so the same rows are selected on any
+    // cluster and the oracle can replay it. Narrow: no shuffle.
+    Q("t07_stratified_sample",
+      (s, dir) => {
+        val bucket = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(100)
+        val keep = when(col("lang") === "en", lit(30))
+          .when(col("lang") === "fr", lit(50)).otherwise(lit(100))
+        Tables(s, dir, "documents")
+          .filter(bucket < keep)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE ((doc_id % 1000000) * 2654435761) % 100 <
+             |  CASE WHEN lang = 'en' THEN 30 WHEN lang = 'fr' THEN 50 ELSE 100 END""".stripMargin)),
+
+    // Corpus vocabulary: top-k token hashes by document frequency —
+    // explode + two-phase hash aggregation + TakeOrdered (top-k never
+    // sorts the full vocabulary). (n DESC, tok ASC) is a total order,
+    // so the cut is deterministic in both engines.
+    Q("t08_vocab_topk",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(explode(array_distinct(tokenHashes(col("text")))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok").asc)
+        .limit(100),
+      Some(s"""SELECT tok, CAST(count(*) AS BIGINT) AS df
+              |FROM (SELECT unnest(list_distinct(${O.tokenHashes("text")})) AS tok
+              |      FROM documents)
+              |GROUP BY tok ORDER BY df DESC, tok ASC LIMIT 100""".stripMargin)),
+
+    // Decontamination: flag corpus docs sharing word-3-gram shingles
+    // with a benchmark set (stand-in: docs 0-4). The benchmark side is
+    // tiny → broadcast; the corpus side streams through one narrow
+    // explode + broadcast-join + per-doc count. No shuffle of the
+    // corpus except the final per-doc aggregation.
+    Q("t09_decontam",
+      (s, dir) => {
+        val sh = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(
+              shinglesFromHashes(tokenHashes(col("text")), 3))).as("s"))
+        val bench = broadcast(sh.filter(col("doc_id") < 5)
+          .select(col("s")).distinct())
+        sh.filter(col("doc_id") >= 5)
+          .join(bench, "s")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+      },
+      Some {
+        val shingles =
+          s"""list_transform(range(0, CAST(greatest(len(th) - 2, 0) AS BIGINT)),
+             |  si -> ${O.foldHash("list_slice(th, si + 1, si + 3)")})""".stripMargin
+        s"""WITH th AS (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM th),
+           |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+           |FROM sh JOIN bench USING (s) WHERE doc_id >= 5
+           |GROUP BY doc_id""".stripMargin
+      })
   )
 }

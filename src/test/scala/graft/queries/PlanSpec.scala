@@ -74,6 +74,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(800))
   }
 
+  test("vocab top-k plans as TakeOrderedAndProject over partial aggs (t08)") {
+    val p = plan("t08_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("decontamination broadcasts the benchmark side (t09)") {
+    val p = plan("t09_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted aggregation keeps two-phase shape without extra shuffles (q29)") {
     val p = plan("q29_salted_agg")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
