@@ -1,11 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.Tables
+import graft.core.{Det, Tables}
 import graft.queries.{OracleSql => O}
 
 /** Similarity search over the `embeddings` table (64-dim float
@@ -110,6 +110,35 @@ object VectorQueries {
       .distinct()
   }
 
+  // ── IVF coarse quantizer ─────────────────────────────────────────────
+  /** Per-label element-wise centroids — the IVF cell table. Decimal
+    * sums (Det) keep the per-dimension means bit-identical to the
+    * oracle under partial aggregation. Two-phase: (label, dim) hash
+    * agg, then reassembly into an ordered array per label. */
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(Det.davg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("centroid"))
+
+  /** DuckDB mirror of [[centroids]] (aligned unnests zip in DuckDB;
+    * list(... ORDER BY pos) rebuilds the ordered vector). The float
+    * element is cast to DOUBLE before the decimal: Spark's
+    * float→decimal cast goes through the exact double value, DuckDB's
+    * direct float→decimal rounds the short float representation —
+    * casting via DOUBLE makes both engines round the same number. */
+  def centroidsSql: String =
+    s"""SELECT label, list(c ORDER BY pos) AS centroid FROM (
+       |  SELECT label, pos, ${Det.sql.davg("CAST(x AS DOUBLE)")} AS c FROM (
+       |    SELECT label, unnest(embedding) AS x,
+       |           unnest(range(len(embedding))) AS pos
+       |    FROM embeddings)
+       |  GROUP BY label, pos)
+       |GROUP BY label""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("v01_knn_brute",
@@ -177,6 +206,57 @@ object VectorQueries {
            |(SELECT q_id, n_id, sim, CAST(row_number() OVER
            |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
            | FROM sims) WHERE rank <= 5""".stripMargin
-      })
+      }),
+
+    // IVF coarse quantizer: the data-derived cell table (vs v02/v03's
+    // data-independent hyperplanes). At 100 TB the centroid pass is a
+    // (label, dim)-keyed aggregation — k·d rows out, no matter the
+    // corpus size.
+    Q("v04_ivf_centroids",
+      (s, dir) => centroids(s, dir),
+      Some(centroidsSql)),
+
+    // IVF search: every vector assigned to its nearest centroid (tiny
+    // broadcast cell table), then queries probe ONLY their cell.
+    // Deterministic assignment tie-break (csim DESC, label ASC).
+    Q("v05_ivf_search",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val scored = e.crossJoin(broadcast(centroids(s, dir)))
+          .select(col("vec_id"), col("embedding"), col("label"),
+            cosineHof(col("centroid"), col("embedding")).as("csim"))
+        val wa = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("label").asc)
+        val assigned = scored.withColumn("rk", row_number().over(wa))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("embedding"), col("label").as("cell"))
+        val qs = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+        val sims = assigned
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
+          .join(broadcast(qs), "cell")
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id").asc)
+        sims.withColumn("rank", row_number().over(wr).cast(LongType))
+          .filter(col("rank") <= 5)
+      },
+      Some(s"""WITH cents AS ($centroidsSql),
+              |scored AS (SELECT e.vec_id, e.embedding, c.label,
+              |  ${cosineSql("c.centroid", "e.embedding")} AS csim
+              |  FROM embeddings e CROSS JOIN cents c),
+              |assigned AS (SELECT vec_id, embedding, label AS cell FROM
+              |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+              |     ORDER BY csim DESC, label ASC) AS rk FROM scored)
+              |  WHERE rk = 1),
+              |sims AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+              |  ${cosineSql("q.embedding", "n.embedding")} AS sim
+              |  FROM assigned n JOIN assigned q ON n.cell = q.cell AND q.vec_id != n.vec_id
+              |  WHERE q.vec_id < 5)
+              |SELECT q_id, n_id, sim, rank FROM (SELECT q_id, n_id, sim,
+              |  CAST(row_number() OVER (PARTITION BY q_id
+              |    ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank FROM sims)
+              |WHERE rank <= 5""".stripMargin))
   )
 }
