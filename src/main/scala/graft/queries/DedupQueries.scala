@@ -48,9 +48,7 @@ object DedupQueries {
   /** DuckDB mirror of [[sigDF]] as a subquery string. */
   private def sigSql: String = {
     val th = O.tokenHashes("text")
-    val shingles =
-      s"""list_transform(range(0, CAST(greatest(len(th) - ${SHINGLE - 1}, 0) AS BIGINT)),
-         |  si -> ${O.foldHash(s"list_slice(th, si + 1, si + $SHINGLE)")})""".stripMargin
+    val shingles = O.shingles(SHINGLE)
     val mhs = (0 until K)
       .map(i => s"${O.minhash1("sh", hashA(i), hashB(i))} AS mh$i").mkString(",\n")
     s"""SELECT doc_id, $mhs FROM

@@ -33,6 +33,14 @@ object OracleSql {
   def minhash1(listExpr: String, a: Long, b: Long): String =
     s"list_min(list_transform($listExpr, mh -> (mh * $a + $b) % $P))"
 
+  /** Word n-gram (shingle) hashes over a token-hash list expression
+    * named `th` in scope: fold of each n-window (list_slice bounds are
+    * 1-based inclusive). Mirror of TextFunctions.shinglesFromHashes —
+    * shared by the dedup and decontamination oracles. */
+  def shingles(n: Int): String =
+    s"""list_transform(range(0, CAST(greatest(len(th) - ${n - 1}, 0) AS BIGINT)),
+       |  si -> ${foldHash(s"list_slice(th, si + 1, si + $n)")})""".stripMargin
+
   /** Sum of a BIGINT list (empty → 0), as BIGINT. */
   def lsum(listExpr: String): String =
     s"CAST(coalesce(list_sum($listExpr), 0) AS BIGINT)"

@@ -158,11 +158,8 @@ object TextQueries {
           .agg(count(lit(1)).as("n_overlap"))
       },
       Some {
-        val shingles =
-          s"""list_transform(range(0, CAST(greatest(len(th) - 2, 0) AS BIGINT)),
-             |  si -> ${O.foldHash("list_slice(th, si + 1, si + 3)")})""".stripMargin
         s"""WITH th AS (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents),
-           |sh AS (SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM th),
+           |sh AS (SELECT doc_id, unnest(list_distinct(${O.shingles(3)})) AS s FROM th),
            |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
            |FROM sh JOIN bench USING (s) WHERE doc_id >= 5

@@ -31,6 +31,14 @@ final class QueryServer(graft: GraftSession, port: Int) {
   private val activeJobs = new AtomicInteger(0)
   private val totalTasks = new AtomicLong(0)
   private val doneTasks = new AtomicLong(0)
+  // stages belonging to the server's job group — onTaskEnd carries no
+  // job-group property, so task completions are attributed via the
+  // stage→group mapping collected at submission (a shared SparkContext
+  // may run foreign work whose tasks must not count)
+  private val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private def resetProgress(): Unit = {
+    totalTasks.set(0); doneTasks.set(0); groupStages.clear()
+  }
   private val listener = new SparkListener {
     private val groupJobs = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     override def onJobStart(js: SparkListenerJobStart): Unit =
@@ -43,10 +51,12 @@ final class QueryServer(graft: GraftSession, port: Int) {
       if (groupJobs.remove(je.jobId)) activeJobs.decrementAndGet()
     override def onStageSubmitted(ss: SparkListenerStageSubmitted): Unit =
       if (ss.properties != null &&
-          jobGroup == ss.properties.getProperty("spark.jobGroup.id"))
+          jobGroup == ss.properties.getProperty("spark.jobGroup.id")) {
+        groupStages.add(ss.stageInfo.stageId)
         totalTasks.addAndGet(ss.stageInfo.numTasks.toLong)
+      }
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-      doneTasks.incrementAndGet() // cheap global counter; reset per query
+      if (groupStages.contains(te.stageId)) doneTasks.incrementAndGet()
   }
 
   def start(): Int = {
@@ -78,7 +88,7 @@ final class QueryServer(graft: GraftSession, port: Int) {
         // interrupts the running job. The reference is equally serial
         // (one websocket, one query at a time, server.go:61-70).
         val results = graft.synchronized {
-          totalTasks.set(0); doneTasks.set(0) // progress window = this query
+          resetProgress() // progress window = this query
           spark.sparkContext.setJobGroup(jobGroup, query, interruptOnCancel = true)
           Parser.splitStatements(query).map { stmt =>
             JsonResult.of(graft.sql(stmt), stmt)

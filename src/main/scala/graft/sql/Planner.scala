@@ -256,9 +256,39 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     // reference overwrites the group's stage-0 slot on every matching
     // row (selector.go:45-51, treeProcess.go:612-642). Distributed
     // analog: max_by over a scan-order id. Grouping expressions pass
-    // through as themselves (deterministic either way).
+    // through as themselves, and so do pure-literal expressions (a
+    // constant is the same on every row; wrapping it would turn the
+    // empty-relation single group's value into NULL).
     def isGroupExpr(e: Expr): Boolean = q.groupBy.contains(e)
-    def lastWrite(e: Expr): Boolean = !exprContainsAgg(e) && !isGroupExpr(e)
+    def usesInput(e: Expr): Boolean = e match {
+      case r: ColRef => cat.tryLookup(r).isDefined // unresolved bare word = literal
+      case l: Lit => resolvesAsColumn(l, cat)
+      case Arith(_, a, b) => usesInput(a) || usesInput(b)
+      case Neg(x) => usesInput(x)
+      case FnCall("inc", _) => true // row counter varies per row
+      case FnCall(_, args) => args.exists(usesInput)
+      case AggCall(_, _, _) => false
+      case CaseSearched(bs, els) =>
+        bs.exists { case (p, x) => predUsesInput(p) || usesInput(x) } ||
+          els.exists(usesInput)
+      case CaseSimple(s0, bs, els) =>
+        usesInput(s0) ||
+          bs.exists { case (v, x) => usesInput(v) || usesInput(x) } ||
+          els.exists(usesInput)
+      case _ => false
+    }
+    def predUsesInput(p: Pred): Boolean = p match {
+      case Cmp(_, l, r) => usesInput(l) || usesInput(r)
+      case LikeP(e0, _, _) => usesInput(e0)
+      case InP(e0, list, _) => usesInput(e0) || list.exists(usesInput)
+      case BetweenP(e0, a, b, _) => usesInput(e0) || usesInput(a) || usesInput(b)
+      case AndP(l, r) => predUsesInput(l) || predUsesInput(r)
+      case OrP(l, r) => predUsesInput(l) || predUsesInput(r)
+      case XorP(l, r) => predUsesInput(l) || predUsesInput(r)
+      case NotP(x) => predUsesInput(x)
+    }
+    def lastWrite(e: Expr): Boolean =
+      !exprContainsAgg(e) && !isGroupExpr(e) && usesInput(e)
     val needsLastWrite = (items.map(_.expr) ++ q.orderBy.toSeq).exists(lastWrite)
     val dfA = if (needsLastWrite) df.withColumn("__lw_mid", monotonically_increasing_id())
       else df

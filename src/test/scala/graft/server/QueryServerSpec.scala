@@ -54,11 +54,18 @@ class QueryServerSpec extends SparkSpec {
       client.send(q, HttpResponse.BodyHandlers.ofString())
       val p = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/progress/"))
         .GET().build()
-      val resp = client.send(p, HttpResponse.BodyHandlers.ofString())
-      assert(resp.statusCode() == 200)
-      assert(resp.body().contains(""""TasksTotal""""), resp.body())
-      // the finished query ran at least one task and none are active
-      assert(resp.body().contains(""""ActiveJobs":0"""), resp.body())
+      val first = client.send(p, HttpResponse.BodyHandlers.ofString())
+      assert(first.statusCode() == 200)
+      assert(first.body().contains(""""TasksTotal""""), first.body())
+      // job-end events arrive on the async listener bus — poll until
+      // the finished query's jobs drain rather than racing the bus
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      var body = first.body()
+      while (!body.contains(""""ActiveJobs":0""") && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        body = client.send(p, HttpResponse.BodyHandlers.ofString()).body()
+      }
+      assert(body.contains(""""ActiveJobs":0"""), body)
     } finally server.stop()
   }
 
