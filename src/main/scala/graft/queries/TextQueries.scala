@@ -17,14 +17,20 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
 
+    // t01-t03 run on ONE fused native tokenization pass
+    // (TextProfileExpr): every per-token metric from a single struct,
+    // vs the interpreted HOF forms re-walking the token array per
+    // metric (language ID alone took 5 stopword passes).
     Q("t01_token_stats",
       (s, dir) => Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
         .select(
           col("doc_id"),
-          size(col("tk")).cast(org.apache.spark.sql.types.LongType).as("n_tok"),
-          subwordCountT(col("tk")).as("n_subword"),
-          meanTokenLenT(col("tk")).as("mean_tok_len"),
+          col("p.n_tok").as("n_tok"),
+          col("p.n_subword").as("n_subword"),
+          (col("p.sum_tok_len").cast(DoubleType) /
+            greatest(col("p.n_tok"), lit(1L)).cast(DoubleType)).as("mean_tok_len"),
           punctRatio(col("text")).as("punct_ratio")),
       Some(s"""SELECT doc_id,
               |CAST(len(tk) AS BIGINT) AS n_tok,
@@ -36,9 +42,21 @@ object TextQueries {
               |FROM ($docToks)""".stripMargin)),
 
     Q("t02_quality",
-      (s, dir) => Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
-        .select(col("doc_id"), qualityScoreT(col("text"), col("tk")).as("quality")),
+      (s, dir) => {
+        val enIdx = graft.functions.TextProfileOps.langs.indexOf("en")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+          .select(col("doc_id"), {
+            val nTok = col("p.n_tok").cast(DoubleType)
+            val ratioEn = element_at(col("p.sw_hits"), enIdx + 1).cast(DoubleType) /
+              greatest(col("p.n_tok"), lit(1L)).cast(DoubleType)
+            val lenScore = least(nTok / lit(20.0), lit(1.0))
+            val punctScore = lit(1.0) - least(punctRatio(col("text")) * lit(4.0), lit(1.0))
+            val swScore = least(ratioEn * lit(5.0), lit(1.0))
+            ((lenScore + punctScore + swScore) / lit(3.0)).as("quality")
+          })
+      },
       Some(s"""SELECT doc_id,
               |(least(CAST(len(tk) AS DOUBLE) / 20.0, 1.0)
               | + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
@@ -48,12 +66,26 @@ object TextQueries {
       bench = true),
 
     Q("t03_langid",
-      (s, dir) => Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
-        .select(
-          col("doc_id"), col("lang").as("lang_label"),
-          langIdFromToks(col("tk")).as("lang_pred"),
-          stopwordRatio(col("tk"), stopwords("en")).as("ratio_en")),
+      (s, dir) => {
+        import graft.functions.TextProfileOps.langs
+        val enIdx = langs.indexOf("en")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+          .select(col("doc_id"), col("lang").as("lang_label"), {
+            val n = greatest(col("p.n_tok"), lit(1L)).cast(DoubleType)
+            val scored = langs.zipWithIndex.map { case (l, i) =>
+              struct((element_at(col("p.sw_hits"), i + 1).cast(DoubleType) / n).as("s"),
+                lit(l).as("l"))
+            }
+            val best = array_max(array(scored: _*))
+            when(best.getField("s") > 0.0, best.getField("l"))
+              .otherwise(lit("und")).as("lang_pred")
+          }, {
+            val n = greatest(col("p.n_tok"), lit(1L)).cast(DoubleType)
+            (element_at(col("p.sw_hits"), enIdx + 1).cast(DoubleType) / n).as("ratio_en")
+          })
+      },
       Some {
         // argmax over (ratio, lang) with lexicographically-greatest
         // tie-break — mirrored as a descending >= CASE chain.

@@ -52,6 +52,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(native.sameElements(hof))
   }
 
+  test("fused text_profile ≡ HOF token metrics") {
+    val samples = Seq(
+      "the quick brown fox", "", "   ", "one", "THE the The",
+      "el la de y que", "tabs\tand\nnewlines", "punct, counts! here")
+    val df = samples.toDF("t")
+      .select(col("t"), tokens(col("t")).as("tk"),
+        TextProfileExprs.text_profile(col("t")).as("p"))
+    val rows = df.select(
+      size(col("tk")).cast("long"), col("p.n_tok"),
+      subwordCountT(col("tk")), col("p.n_subword"),
+      meanTokenLenT(col("tk")),
+      col("p.sum_tok_len").cast("double") /
+        greatest(col("p.n_tok"), lit(1L)).cast("double"),
+      stopwordRatio(col("tk"), stopwords("en")),
+      element_at(col("p.sw_hits"), TextProfileOps.langs.indexOf("en") + 1).cast("double") /
+        greatest(col("p.n_tok"), lit(1L)).cast("double")).collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1), s"n_tok '$s'")
+      assert(r.getLong(2) == r.getLong(3), s"n_subword '$s'")
+      assert(r.getDouble(4) == r.getDouble(5), s"mean_len '$s'")
+      assert(r.getDouble(6) == r.getDouble(7), s"sw_ratio '$s'")
+    }
+  }
+
   test("tokens lowercase and drop empties") {
     val got = Seq("  Key  AGG row ").toDF("t")
       .select(tokens(col("t"))).as[Seq[String]].collect().head
