@@ -69,6 +69,32 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("concurrent queries serialize safely (registry is per-statement state)") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(q: String) = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+        .POST(HttpRequest.BodyPublishers.ofString(s"""{"query":"$q"}""")).build()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = (1 to 6).map { i =>
+        val q = if (i % 2 == 0)
+          "select count(r_regionkey) as n from region"
+        else
+          "select count(n_nationkey) as n from nation"
+        Future(client.send(post(q), HttpResponse.BodyHandlers.ofString()).body())
+      }
+      val bodies = Await.result(Future.sequence(fs), 120.seconds)
+      bodies.zipWithIndex.foreach { case (b, idx) =>
+        assert(b.contains(""""Status":"ok""""), b)
+        val want = if ((idx + 1) % 2 == 0) """"Vals":[["5"]]""" else """"Vals":[["25"]]"""
+        assert(b.contains(want), s"request $idx: $b")
+      }
+    } finally server.stop()
+  }
+
   test("POST /stop/ responds (cancellation path wired)") {
     val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
     val port = server.start()
