@@ -69,6 +69,21 @@ class CsvSourceSpec extends SparkSpec {
     assert(df2.columns.sameElements(Seq("col1", "col2")))
   }
 
+  test("quoted cells keep embedded commas; cells trim on read (selector.go:301)") {
+    val dir = Files.createTempDirectory("graftquoted")
+    val f = dir.resolve("quoted.csv")
+    Files.writeString(f,
+      "name,note,num\n" +
+      "\"a, b\",\"  spaced  \", 42\n" +
+      "c,x,7\n")
+    val df = CsvSource.read(spark, f.toString)
+    val types = df.schema.fields.map(x => (x.name, x.dataType.typeName)).toMap
+    assert(types("num") == "long") // " 42" trims before typing
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.contains(("a, b", "spaced", 42L)), rows.mkString(";"))
+    assert(rows.contains(("c", "x", 7L)))
+  }
+
   test("inference samples only the first 10k rows (reference utils.go:434)") {
     val dir = Files.createTempDirectory("graftcutoff")
     val f = dir.resolve("mixed.csv")
