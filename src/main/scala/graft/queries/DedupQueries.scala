@@ -35,15 +35,8 @@ object DedupQueries {
     * running minima — no shingle array, no interpreted HOF lambdas
     * anywhere on the hot path. (Round 1 staged HOF projections; the
     * fused native form is another ~3× on d02 and is the 100 TB shape.) */
-  private def sigDF(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextHashExprs._
-    val withSig = Tables(s, dir, "documents")
-      .select(col("doc_id"), token_hashes(col("text")).as("th"))
-      .select(col("doc_id"), shingle_minhash(col("th"), SHINGLE, K).as("sig"))
-    withSig.select(
-      col("doc_id") +: (0 until K).map(i =>
-        element_at(col("sig"), i + 1).as(s"mh$i")): _*)
-  }
+  private def sigDF(s: SparkSession, dir: String): DataFrame =
+    sigOf(Tables(s, dir, "documents"))
 
   /** DuckDB mirror of [[sigDF]] as a subquery string. */
   private def sigSql: String = {
@@ -66,19 +59,36 @@ object DedupQueries {
     * keyed on (band, bkey) — the bounded candidate set both d03 (the
     * pairs themselves) and d04 (exact-Jaccard verification) consume.
     * This is the whole point of MinHash-LSH at scale: downstream
-    * exact measures touch only these pairs, never n². */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = sigDF(s, dir)
+    * exact measures touch only these pairs, never n². The self-join
+    * routes through [[graft.core.BucketGuard]]: a degenerate bucket
+    * (boilerplate crawl sharing a band key) degrades to salted chunks
+    * + a connectivity star instead of going quadratic. */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    candidatePairsOf(sigDF(s, dir))
+
+  /** [[candidatePairs]] over an explicit signature frame (doc_id +
+    * mh0..mh{K-1}) with a configurable hot-bucket threshold. */
+  def candidatePairsOf(sig: DataFrame,
+      maxBucket: Int = graft.core.BucketGuard.DefaultMaxBucket): DataFrame = {
     val bands = sig.select(
       col("doc_id"),
       explode(array((0 until BANDS).map(j =>
         struct(lit(j).as("band"), bandKey(j).as("bkey"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-    bands.as("l").join(bands.as("r"),
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    graft.core.BucketGuard.boundedPairs(bands, "doc_id", "doc_a", "doc_b",
+      maxBucket = maxBucket, directed = false)
+  }
+
+  /** Signature frame for an arbitrary documents frame — the fixture
+    * path for hot-bucket tests. */
+  def sigOf(docs: DataFrame): DataFrame = {
+    import graft.functions.TextHashExprs._
+    val withSig = docs
+      .select(col("doc_id"), token_hashes(col("text")).as("th"))
+      .select(col("doc_id"), shingle_minhash(col("th"), SHINGLE, K).as("sig"))
+    withSig.select(
+      col("doc_id") +: (0 until K).map(i =>
+        element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** DuckDB mirror of [[candidatePairs]] as WITH-clauses (expects a

@@ -96,47 +96,60 @@ object VectorQueries {
   /** OR-amplified candidate pairs over a (vec_id, embedding) frame:
     * BANDS band keys of PLANES sign bits each; a pair is a candidate
     * if ANY band collides. Shuffles keyed by (band, bkey); pairs are
-    * deduped as bare ids BEFORE any similarity math. */
-  def bandedCandidates(e: DataFrame, planes: Int = PLANES, bands: Int = BANDS): DataFrame = {
+    * deduped as bare ids BEFORE any similarity math. The self-join
+    * routes through [[graft.core.BucketGuard]]: a pile of near-zero
+    * vectors sharing one sign pattern degrades to salted chunks + a
+    * connectivity star instead of going quadratic in the hot bucket. */
+  def bandedCandidates(e: DataFrame, planes: Int = PLANES, bands: Int = BANDS,
+      maxBucket: Int = graft.core.BucketGuard.DefaultMaxBucket): DataFrame = {
     val keyed = e.select(col("vec_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           lshBucket(col("embedding"), planes, b * planes).as("bkey"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    keyed.as("l").join(keyed.as("r"),
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.vec_id") =!= col("r.vec_id"))
-      .select(col("l.vec_id").as("q_id"), col("r.vec_id").as("n_id"))
-      .distinct()
+    graft.core.BucketGuard.boundedPairs(keyed, "vec_id", "q_id", "n_id",
+      maxBucket = maxBucket, directed = true)
   }
 
   // ── IVF coarse quantizer ─────────────────────────────────────────────
-  /** Per-label element-wise centroids — the IVF cell table. Decimal
-    * sums (Det) keep the per-dimension means bit-identical to the
-    * oracle under partial aggregation. Two-phase: (label, dim) hash
-    * agg, then reassembly into an ordered array per label. */
-  def centroids(s: SparkSession, dir: String): DataFrame =
+  /** Per-label per-dimension centroid components `(label, pos, c)` —
+    * the IVF cell table in scalar-row form. Decimal sums (Det) keep
+    * the per-dimension means bit-identical to the oracle under
+    * partial aggregation. At 100 TB this is one (label, dim)-keyed
+    * hash aggregation producing k·d rows regardless of corpus size. */
+  def centroidRows(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      // BIGINT pos: the oracle's unnest(range(...)) is BIGINT-typed
+      .select(col("label"), col("pos").cast(LongType).as("pos"), col("x"))
       .groupBy(col("label"), col("pos"))
       .agg(Det.davg(col("x")).as("c"))
+
+  /** [[centroidRows]] reassembled into one ordered array per label —
+    * the presentation/broadcast form v05 probes against. */
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    centroidRows(s, dir)
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         e => e.getField("c")).as("centroid"))
 
-  /** DuckDB mirror of [[centroids]] (aligned unnests zip in DuckDB;
-    * list(... ORDER BY pos) rebuilds the ordered vector). The float
-    * element is cast to DOUBLE before the decimal: Spark's
-    * float→decimal cast goes through the exact double value, DuckDB's
-    * direct float→decimal rounds the short float representation —
-    * casting via DOUBLE makes both engines round the same number. */
-  def centroidsSql: String =
-    s"""SELECT label, list(c ORDER BY pos) AS centroid FROM (
-       |  SELECT label, pos, ${Det.sql.davg("CAST(x AS DOUBLE)")} AS c FROM (
+  /** DuckDB mirror of [[centroidRows]]. The float element is cast to
+    * DOUBLE before the decimal: Spark's float→decimal cast goes
+    * through the exact double value, DuckDB's direct float→decimal
+    * rounds the short float representation — casting via DOUBLE makes
+    * both engines round the same number. */
+  def centroidRowsSql: String =
+    s"""SELECT label, pos, ${Det.sql.davg("CAST(x AS DOUBLE)")} AS c FROM (
        |    SELECT label, unnest(embedding) AS x,
        |           unnest(range(len(embedding))) AS pos
        |    FROM embeddings)
-       |  GROUP BY label, pos)
+       |  GROUP BY label, pos""".stripMargin
+
+  /** DuckDB mirror of [[centroids]] (aligned unnests zip in DuckDB;
+    * list(... ORDER BY pos) rebuilds the ordered vector). */
+  def centroidsSql: String =
+    s"""SELECT label, list(c ORDER BY pos) AS centroid FROM (
+       |$centroidRowsSql)
        |GROUP BY label""".stripMargin
 
   val all: Seq[Q] = Seq(
@@ -211,10 +224,11 @@ object VectorQueries {
     // IVF coarse quantizer: the data-derived cell table (vs v02/v03's
     // data-independent hyperplanes). At 100 TB the centroid pass is a
     // (label, dim)-keyed aggregation — k·d rows out, no matter the
-    // corpus size.
+    // corpus size. Gated as (label, pos, c) scalar rows — the driver's
+    // comparator can't sort array columns; v05 regroups internally.
     Q("v04_ivf_centroids",
-      (s, dir) => centroids(s, dir),
-      Some(centroidsSql)),
+      (s, dir) => centroidRows(s, dir),
+      Some(centroidRowsSql)),
 
     // IVF search: every vector assigned to its nearest centroid (tiny
     // broadcast cell table), then queries probe ONLY their cell.

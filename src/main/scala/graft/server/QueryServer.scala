@@ -31,6 +31,11 @@ final class QueryServer(graft: GraftSession, port: Int) {
   private val activeJobs = new AtomicInteger(0)
   private val totalTasks = new AtomicLong(0)
   private val doneTasks = new AtomicLong(0)
+  // queries currently executing + the high-water mark (observable so
+  // tests can prove requests truly overlap rather than timing them)
+  private val inflight = new AtomicInteger(0)
+  private val peakInflight = new AtomicInteger(0)
+  def maxObservedConcurrency: Int = peakInflight.get
   // stages belonging to the server's job group — onTaskEnd carries no
   // job-group property, so task completions are attributed via the
   // stage→group mapping collected at submission (a shared SparkContext
@@ -65,6 +70,7 @@ final class QueryServer(graft: GraftSession, port: Int) {
     server.createContext("/query/", (ex: HttpExchange) => handleQuery(ex))
     server.createContext("/stop/", (ex: HttpExchange) => handleStop(ex))
     server.createContext("/progress/", (ex: HttpExchange) => handleProgress(ex))
+    server.createContext("/files/", (ex: HttpExchange) => handleFiles(ex))
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()
     server.getAddress.getPort
@@ -81,24 +87,57 @@ final class QueryServer(graft: GraftSession, port: Int) {
       try {
         val query = extractField(body, "query")
           .getOrElse(throw new IllegalArgumentException("missing 'query' field"))
-        // Serialize execution: GraftSession's registry (resetFileKeys /
-        // _fN binding) is per-statement mutable state, so concurrent
-        // requests must not interleave inside it. /stop/ still works —
-        // cancelJobGroup acts from its own handler thread and
-        // interrupts the running job. The reference is equally serial
-        // (one websocket, one query at a time, server.go:61-70).
-        val results = graft.synchronized {
-          resetProgress() // progress window = this query
-          spark.sparkContext.setJobGroup(jobGroup, query, interruptOnCancel = true)
-          Parser.splitStatements(query).map { stmt =>
-            JsonResult.of(graft.sql(stmt), stmt)
-          }
-        }
+        // Concurrent execution: each request forks its own GraftSession,
+        // so the per-statement registry state (`_fN` binding) is private
+        // to the request and queries run genuinely in parallel on the
+        // shared (thread-safe) SparkSession — the reference is
+        // single-flight (one websocket, one global retData,
+        // server.go:61-70,109), but single-flight on a 32-core box
+        // wastes the whole point of the Spark rebuild. /stop/ still
+        // works: setJobGroup is thread-local, every handler thread tags
+        // its jobs with the same group, and cancelJobGroup interrupts
+        // them all.
+        val n = inflight.incrementAndGet()
+        peakInflight.accumulateAndGet(n, math.max)
+        if (n == 1) resetProgress() // progress window = current burst of queries
+        val results =
+          try {
+            spark.sparkContext.setJobGroup(jobGroup, query, interruptOnCancel = true)
+            val session = graft.fork()
+            Parser.splitStatements(query).map { stmt =>
+              JsonResult.of(session.sql(stmt), stmt)
+            }
+          } finally inflight.decrementAndGet()
         JsonResult.bundle(results, "ok")
       } catch {
         case e: Throwable => JsonResult.bundle(Nil, s"error: ${e.getMessage}")
       } finally spark.sparkContext.clearJobGroup()
     respond(ex, 200, response)
+  }
+
+  /** File browser (reference files.go:183-220): GET /files/?dir=…
+    * lists subdirectories and queryable files (csv/parquet/json) of a
+    * directory, plus the parent — the engine-side data the reference's
+    * GUI tree renders. */
+  private def handleFiles(ex: HttpExchange): Unit = {
+    import java.io.File
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val dir = q.split('&').collectFirst {
+      case kv if kv.startsWith("dir=") =>
+        java.net.URLDecoder.decode(kv.drop(4), StandardCharsets.UTF_8)
+    }.filter(_.nonEmpty).getOrElse(System.getProperty("user.home", "/"))
+    val f = new File(dir)
+    if (!f.isDirectory) { respond(ex, 200, s"""{"Status":"error: not a directory: ${JsonResult.esc(dir)}"}"""); return }
+    val entries = Option(f.listFiles()).getOrElse(Array.empty[File]).sortBy(_.getName)
+    def arr(xs: Seq[String]) = xs.map(s => "\"" + JsonResult.esc(s) + "\"").mkString("[", ",", "]")
+    val dirs = entries.filter(e => e.isDirectory && !e.getName.startsWith(".")).map(_.getAbsolutePath)
+    val files = entries.filter { e =>
+      val n = e.getName.toLowerCase
+      e.isFile && (n.endsWith(".csv") || n.endsWith(".parquet") || n.endsWith(".json"))
+    }.map(_.getAbsolutePath)
+    val parent = Option(f.getAbsoluteFile.getParent).getOrElse(f.getAbsolutePath)
+    respond(ex, 200,
+      s"""{"Status":"ok","Path":"${JsonResult.esc(f.getAbsolutePath)}","Parent":"${JsonResult.esc(parent)}","Dirs":${arr(dirs.toSeq)},"Files":${arr(files.toSeq)}}""")
   }
 
   private def handleProgress(ex: HttpExchange): Unit = {

@@ -26,6 +26,21 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
     this
   }
 
+  /** Independent copy of this session: same SparkSession/defaultDir/
+    * password, snapshot of the registry (DataFrames are immutable, so
+    * sharing them is safe). The per-statement mutable state (`_fN`
+    * file keys, fileSeq) starts fresh — a forked session can run
+    * concurrently with its parent and with sibling forks, which is
+    * what lets the query server execute requests in parallel instead
+    * of single-flight. */
+  def fork(): GraftSession = synchronized {
+    val child = new GraftSession(spark, defaultDir, password)
+    registry.foreach { case (k, v) =>
+      if (!k.matches("^_f\\d+$")) child.registry(k) = v
+    }
+    child
+  }
+
   private def resetFileKeys(): Unit = {
     registry.keys.filter(_.matches("^_f\\d+$")).toSeq.foreach(registry.remove)
     fileSeq = 0

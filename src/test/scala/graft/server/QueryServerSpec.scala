@@ -69,7 +69,53 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
-  test("concurrent queries serialize safely (registry is per-statement state)") {
+  test("two in-flight queries genuinely overlap (per-request session, no single-flight)") {
+    import org.apache.spark.sql.functions.{col, udf}
+    // a query whose execution provably takes ≥800ms inside a task, so
+    // two parallel POSTs must overlap unless the server single-flights
+    val slow = udf { (x: Long) => Thread.sleep(800L); x }
+    val proto = GraftSession(spark, sf0001)
+      .register("slowtab", spark.range(1).repartition(1).select(slow(col("id")).as("v")))
+    val server = new QueryServer(proto, port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post() = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query":"select v from slowtab"}""")).build()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = (1 to 2).map(_ => Future(client.send(post(), HttpResponse.BodyHandlers.ofString()).body()))
+      val bodies = Await.result(Future.sequence(fs), 60.seconds)
+      bodies.foreach(b => assert(b.contains(""""Status":"ok""""), b))
+      assert(server.maxObservedConcurrency >= 2,
+        s"queries never overlapped (peak=${server.maxObservedConcurrency})")
+    } finally server.stop()
+  }
+
+  test("GET /files/ lists directories and queryable files") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port/files/?dir=$sf0001")).GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      val body = resp.body()
+      assert(body.contains(""""Status":"ok""""), body)
+      assert(body.contains("region.parquet"), body)
+      assert(body.contains(""""Parent":""""), body)
+      // non-directory → error status, not a crash
+      val bad = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port/files/?dir=/no/such/dir")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.body().contains("error"), bad.body())
+    } finally server.stop()
+  }
+
+  test("concurrent queries stay correct (per-request registry isolation)") {
     val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
     val port = server.start()
     try {
