@@ -152,6 +152,117 @@ object VectorQueries {
        |$centroidRowsSql)
        |GROUP BY label""".stripMargin
 
+  // ── unsupervised IVF: Lloyd's k-means ────────────────────────────────
+  // v04/v05's cells are label means — supervised stand-ins. k-means
+  // works on unlabeled corpora: deterministic hash-sampled seeds, a
+  // fixed number of Lloyd iterations, each one (cell, dim)-keyed
+  // aggregation. Cluster centers are k·d doubles — tiny — so each
+  // iteration collects them and embeds them as literal arrays in the
+  // next assignment pass (exactly how a 1000-executor k-means ships
+  // centers: broadcast, never a shuffle of the corpus by center).
+  val KMEANS_K = 4
+  val KMEANS_ITERS = 3
+
+  /** Squared-L2 distance of a float-vector column to a literal center,
+    * as the same order-fixed fold both engines run bit-identically. */
+  private def sqDist(emb: Column, center: Array[Double]): Column =
+    fold(zip_with(emb, array(center.map(lit(_)): _*),
+      (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)))
+
+  /** Nearest-center assignment: (vec_id, embedding, cell). Ties break
+    * to the smallest cell id (mirrors ORDER BY dist ASC, cell ASC). */
+  def kmeansAssign(e: DataFrame, centers: Seq[(Int, Array[Double])]): DataFrame = {
+    require(centers.nonEmpty)
+    val dists = centers.map { case (j, c) => sqDist(col("embedding"), c).as(s"__d$j") }
+    val withD = e.select(col("vec_id") +: col("embedding") +: dists: _*)
+    val m =
+      if (centers.size == 1) col(s"__d${centers.head._1}")
+      else least(centers.map { case (j, _) => col(s"__d$j") }: _*)
+    val cellCol = centers.tail
+      .foldLeft(when(col(s"__d${centers.head._1}") === m, lit(centers.head._1.toLong))) {
+        case (w, (j, _)) => w.when(col(s"__d$j") === m, lit(j.toLong))
+      }.otherwise(lit(centers.head._1.toLong))
+    withD.select(col("vec_id"), col("embedding"), cellCol.as("cell"))
+  }
+
+  /** Per-(cell, pos) centroid components of an assigned frame —
+    * the same Det-decimal shape as [[centroidRows]]. */
+  private def cellRows(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("cell"), col("pos").cast(LongType).as("pos"), col("x"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(Det.davg(col("x")).as("c"))
+
+  /** Deterministic seed sample: the k vectors with the smallest
+    * multiplicative hash of vec_id (same integer family as the LSH
+    * planes — both engines replicate it exactly); cell j = j-th seed
+    * in (hash, vec_id) order. */
+  private def kmeansSeeds(e: DataFrame, k: Int): Seq[(Int, Array[Double])] =
+    e.withColumn("__h", (col("vec_id").cast(LongType) * lit(2654435761L)) % lit(1000003L))
+      .orderBy(col("__h").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("embedding"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, j) => (j, r.getSeq[Float](0).map(_.toDouble).toArray) }
+      .toSeq
+
+  /** Cluster centers after `iters` Lloyd iterations, as (cell, center)
+    * pairs; a cell that loses all members drops out (both engines
+    * reproduce the same drop deterministically). */
+  def kmeansFit(e: DataFrame, k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): Seq[(Int, Array[Double])] = {
+    var centers = kmeansSeeds(e, k)
+    for (_ <- 1 to iters)
+      centers = cellRows(kmeansAssign(e, centers)).collect()
+        .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (cell, rs) =>
+          (cell.toInt, rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray) }
+    centers
+  }
+
+  /** Final-iteration centroid components (cell, pos, c) as a lazy
+    * frame — the v06 gate shape (scalar rows, comparator-sortable). */
+  def kmeansCentroidRowsOf(e: DataFrame, k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): DataFrame =
+    cellRows(kmeansAssign(e, kmeansFit(e, k, iters - 1)))
+
+  def kmeansCentroidRows(s: SparkSession, dir: String): DataFrame =
+    kmeansCentroidRowsOf(
+      Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+
+  /** DuckDB mirror of [[kmeansCentroidRows]]: the Lloyd loop unrolled
+    * as chained CTEs — seeds by the same hash order, each iteration an
+    * assignment (row_number over dist ASC, cell ASC) plus the Det
+    * decimal per-dimension mean. */
+  def kmeansCentroidRowsSql(k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): String = {
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    // DuckDB lambda index ki is 1-based, matching element ki of cent
+    def distSql(cent: String) = O.dfold(
+      s"list_transform(embedding, (kx, ki) -> (${d("kx")} - $cent[ki]) * (${d("kx")} - $cent[ki]))")
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              |seeds AS (SELECT cell, embedding FROM
+              |  (SELECT embedding, CAST(row_number() OVER
+              |     (ORDER BY (vec_id * 2654435761) % 1000003 ASC, vec_id ASC) - 1 AS BIGINT) AS cell
+              |   FROM e) WHERE cell < $k),
+              |cent0 AS (SELECT cell, list_transform(embedding, sx -> ${d("sx")}) AS cent FROM seeds)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+                |assign$i AS (SELECT vec_id, embedding, cell FROM
+                |  (SELECT e.vec_id, e.embedding, c.cell,
+                |     row_number() OVER (PARTITION BY e.vec_id
+                |       ORDER BY ${distSql("c.cent")} ASC, c.cell ASC) AS rk
+                |   FROM e CROSS JOIN cent${i - 1} c) WHERE rk = 1),
+                |rows$i AS (SELECT cell, pos, ${Det.sql.davg("CAST(x AS DOUBLE)")} AS c FROM
+                |  (SELECT cell, unnest(embedding) AS x, unnest(range(len(embedding))) AS pos
+                |   FROM assign$i) GROUP BY cell, pos)""".stripMargin
+      if (i < iters) sb ++= s""",
+                |cent$i AS (SELECT cell, list(c ORDER BY pos) AS cent FROM rows$i GROUP BY cell)""".stripMargin
+    }
+    sb ++= s"\nSELECT cell, pos, c FROM rows$iters"
+    sb.toString
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("v01_knn_brute",
@@ -229,6 +340,13 @@ object VectorQueries {
     Q("v04_ivf_centroids",
       (s, dir) => centroidRows(s, dir),
       Some(centroidRowsSql)),
+
+    // True unsupervised IVF: Lloyd's k-means on the unlabeled corpus —
+    // deterministic hash seeds, 3 fixed iterations, centers shipped as
+    // broadcast literals each pass (never a corpus shuffle by center).
+    Q("v06_kmeans_centroids",
+      (s, dir) => kmeansCentroidRows(s, dir),
+      Some(kmeansCentroidRowsSql())),
 
     // IVF search: every vector assigned to its nearest centroid (tiny
     // broadcast cell table), then queries probe ONLY their cell.
