@@ -74,7 +74,8 @@ object ParseAnyTimestamp {
     fmtFrac("MM/dd/yyyy HH:mm:ss"),
     fmtFrac("M/d/yyyy H:mm:ss"),
     fmt("yyyy-MM-dd HH:mm"),
-    fmt("MM/dd/yyyy HH:mm"))
+    fmt("MM/dd/yyyy HH:mm"),
+    fmt("EEE MMM d HH:mm:ss yyyy")) // unix `date` output: Mon Jan 2 15:04:05 2006
   private val dateFormats = Seq(
     fmt("yyyy-MM-dd"),
     fmt("yyyy/MM/dd"),
@@ -87,7 +88,15 @@ object ParseAnyTimestamp {
     fmt("MMMM d yyyy"),
     fmt("MMMM d, yyyy"), // February 3, 2013
     fmt("d MMM yyyy"),   // 3 Feb 2013
-    fmt("d MMMM yyyy"))
+    fmt("d MMMM yyyy"),
+    fmt("yyyy.M.d"),     // dotted year-first (2006.01.02)
+    fmt("d.M.yyyy"),     // dotted European day-first (02.01.2006, 2.1.2006)
+    // yyyy-MM month form (2014-04 → first of month); the 4-digit-year
+    // requirement keeps short numeric pairs (12-04) unparseable
+    new DateTimeFormatterBuilder().parseCaseInsensitive()
+      .appendPattern("yyyy-MM")
+      .parseDefaulting(ChronoField.DAY_OF_MONTH, 1)
+      .toFormatter(Locale.US))
   /** Datetime + optional fraction BETWEEN seconds and the zone suffix
     * ('2020-01-02 10:11:12.5+02:00' / '... .5 +0000'). */
   private def fmtFracZone(base: String, zone: String): DateTimeFormatter =
@@ -125,8 +134,11 @@ object ParseAnyTimestamp {
     * matches. Called from both interpreted eval and generated code. */
   def parseMicros(s: UTF8String): java.lang.Long = {
     if (s == null) return null
-    val v = s.toString.trim
+    var v = s.toString.trim
     if (v.isEmpty) return null
+    // unix `date` pads single-digit days with a double space
+    // (Mon Jan  2 15:04:05 2006); collapse only when one is present
+    if (v.indexOf("  ") >= 0) v = v.replaceAll(" +", " ")
     if (v.forall(_.isDigit)) return digitsToMicros(v)
     dateTimeFormats.foreach { f =>
       try return java.lang.Long.valueOf(

@@ -196,6 +196,16 @@ object DialectQueries {
               |      FROM read_csv('$durationsCsvPath', header=true))
               |GROUP BY dept""".stripMargin)),
 
+    // Dialect FROM over a .parquet path: at 100 TB parquet is the
+    // right format, so the dialect front-end must read it first-class
+    // (same lexer path tokens + `_fN`/basename registration as CSV;
+    // filters/projections push into the columnar scan — pinned in
+    // PlanSpec).
+    Q("s17_dialect_parquet",
+      (s, dir) => GraftSession(s, dir).sql(
+        s"select doc_id, lang, n_chars from $dir/documents.parquet where lang != 'en'"),
+      Some("SELECT doc_id, lang, n_chars FROM documents WHERE lang != 'en'")),
+
     Q("s12_dialect_date_arith",
       sql("""select o_orderkey, o_orderdate + '2 weeks' as due,
             |o_custkey % 7 as bucket, 2 ^ 10 as k

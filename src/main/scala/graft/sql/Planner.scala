@@ -94,12 +94,28 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       (q.items.map(_.expr) ++ q.distinct.map(_.expr).toSeq ++
         q.orderBy.toSeq ++ q.groupBy).exists(exprContainsInc) ||
       q.having.exists(predContainsInc)
+    // Scan-order CONTRACT (multi-file inputs): rows number in
+    // (lexicographic file name, byte offset within file) order — the
+    // same order DuckDB's read_csv glob scans, and the natural
+    // "concatenate the files" reading. Implemented by range-sorting on
+    // (input_file_name, monotonically_increasing_id) before the zip:
+    // on a single file this is byte order (unchanged semantics); on
+    // non-file inputs (joins, registered frames) input_file_name is
+    // empty so the key degrades to mid = (partition, offset) — the
+    // documented partition-order divergence (DIALECT.md).
     val (afterWhere, cat) =
       if (needsInc) {
-        val named = afterWhere0.select(cat0.entries.zipWithIndex.map {
+        val tagged = afterWhere0
+          .withColumn("__scanfile", input_file_name())
+          .withColumn("__scanoff", monotonically_increasing_id())
+        val named = tagged.select(cat0.entries.zipWithIndex.map {
           case ((_, _, c, _), i) => c.as(s"__in$i")
-        }: _*)
-        val zipped = graft.core.RowNumbers.scanOrder(named, IncCol)
+        } ++ Seq(col("__scanfile"), col("__scanoff")): _*)
+        val ordered = named
+          .repartitionByRange(col("__scanfile"), col("__scanoff"))
+          .sortWithinPartitions(col("__scanfile"), col("__scanoff"))
+        val zipped = graft.core.RowNumbers.scanOrder(ordered, IncCol)
+          .drop("__scanfile", "__scanoff")
         val entries = cat0.entries.zipWithIndex.map {
           case ((qual, n, _, t), i) => (qual, n, col(s"__in$i"), t)
         }

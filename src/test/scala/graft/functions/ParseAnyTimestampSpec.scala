@@ -38,6 +38,14 @@ class ParseAnyTimestampSpec extends SparkSpec {
       "2020/01/02 10:11:12"        -> "2020-01-02 10:11:12",
       "01/02/2020 10:11"           -> "2020-01-02 10:11:00",
       "2020-01-02 10:11:12.5+02:00" -> "2020-01-02 08:11:12.5", // fraction before zone
+      "02.01.2020"                 -> "2020-01-02 00:00:00", // dotted European, day first
+      "2.1.2020"                   -> "2020-01-02 00:00:00",
+      "2020.01.02"                 -> "2020-01-02 00:00:00", // dotted year-first
+      "2020-01"                    -> "2020-01-01 00:00:00", // yyyy-MM month form
+      "Thu Jan 2 10:11:12 2020"    -> "2020-01-02 10:11:12", // unix date
+      "Thu Jan  2 10:11:12 2020"   -> "2020-01-02 10:11:12", // unix date, padded day
+      "12-04"                      -> null, // short numeric pair: not a month form
+      "3.14"                       -> null, // two dotted components: not a date
       "123456789"                  -> null, // 9 digits: not a date width
       "9999999999999999999"        -> null, // 19 digits > Long.MaxValue: null, not a crash
       "12345"                      -> null)

@@ -20,6 +20,17 @@ class PlanSpec extends SparkSpec {
       "projection pruning failed - unneeded columns in scan")
   }
 
+  test("dialect parquet FROM pushes filter and pruning into the scan (s17)") {
+    val p = plan("s17_dialect_parquet")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(p.contains("Not(EqualTo(lang,en))"),
+      "lang != 'en' should reach the scan as a pushed filter")
+    // pruned read: text (the wide column) must not be materialized
+    assert(!p.contains("ReadSchema") || !p.substring(p.indexOf("ReadSchema"))
+      .takeWhile(_ != '\n').contains("text"),
+      "projection pruning failed - text column in dialect parquet scan")
+  }
+
   test("join chain broadcasts the dimension sides (q16)") {
     val p = plan("q16_join_chain_agg")
     assert(p.contains("BroadcastHashJoin"), p.take(500))

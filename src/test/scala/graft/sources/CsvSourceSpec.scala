@@ -19,6 +19,10 @@ class CsvSourceSpec extends SparkSpec {
     assert(narrowest("007") == LStr)      // leading-zero ID protection
     assert(narrowest("2020-01-02") == LDate)
     assert(narrowest("2020-01-02 10:11:12") == LDate)
+    assert(narrowest("02.01.2020") == LDate)               // dotted European
+    assert(narrowest("2020-01") == LDate)                  // yyyy-MM month form
+    assert(narrowest("Thu Jan  2 10:11:12 2020") == LDate) // unix date
+    assert(narrowest("3.14") == LFloat)                    // dots stay numeric first
     assert(narrowest("5 minutes") == LDur)
     assert(narrowest("72h3m") == LDur)
     assert(narrowest("hello") == LStr)

@@ -196,6 +196,28 @@ class PlannerSpec extends SparkSpec {
     assert(got.forall(r => r.getDouble(2) == r.getDouble(1) * 0.5))
   }
 
+  test("inc() scan order on multi-file input = (file name, offset)") {
+    // two-file fixture: b.csv is LARGER (Spark's scan packs files by
+    // size descending, so partition order would visit b first) but
+    // lexicographically later — the contract says a.csv numbers first
+    val dir = java.nio.file.Files.createTempDirectory("graft_multifile")
+    java.nio.file.Files.writeString(dir.resolve("a.csv"),
+      "task\na1\na2\na3\n")
+    java.nio.file.Files.writeString(dir.resolve("b.csv"),
+      "task\n" + (1 to 40).map(i => s"b$i-padded-to-make-this-file-bigger").mkString("\n") + "\n")
+    val multi = graft.sources.CsvSource.read(spark, dir.toString)
+    val gm = GraftSession(spark, sf0001).register("multi", multi)
+    val got = gm.sql("select task, inc() as rn from multi")
+      .collect().sortBy(_.getDouble(1))
+    assert(got.length == 43)
+    // a.csv rows first, in file order
+    assert(got.take(3).map(_.getString(0)).toSeq == Seq("a1", "a2", "a3"))
+    // then b.csv rows, in file order
+    assert(got(3).getString(0) == "b1-padded-to-make-this-file-bigger")
+    assert(got.last.getString(0) == "b40-padded-to-make-this-file-bigger")
+    assert(got.map(_.getDouble(1)).toSeq == (1 to 43).map(_.toDouble))
+  }
+
   // ── bad-query corpus (dialect validity rules) ───────────────────────
   val badQueries = Seq(
     "select sum(o_totalprice) from orders where sum(o_totalprice) > 5" -> "agg in where",
