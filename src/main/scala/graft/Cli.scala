@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.sql.{GraftSession, Parser}
+import graft.sql.{GraftSession, Parser, Planner}
 import graft.sources.Sinks
 
 /** CLI entry (reference main.go:149-168): run dialect queries against
@@ -17,10 +17,27 @@ import graft.sources.Sinks
   * (the at-scale path, no single-task coalesce).
   *
   * --password supplies the default for encrypt/decrypt when the 2nd
-  * argument is omitted (the reference prompts interactively). A wrong
-  * password decrypts to null rather than erroring (try_aes_decrypt).
+  * argument is omitted. When it is absent AND the run is interactive
+  * (a real terminal), a query that needs a password prompts for one
+  * with echo off — reference parity (utils.go:835-846 prompts via its
+  * websocket/terminal); headless runs still fail fast with the
+  * PlanError. A wrong password decrypts to null rather than erroring
+  * (try_aes_decrypt).
   */
 object Cli {
+
+  /** Run `run(password)`; if planning fails ONLY for a missing
+    * password and none was given, ask `prompt` once and retry. The
+    * prompt returning None (no terminal) rethrows the original error. */
+  private[graft] def runWithPrompt(
+      given: Option[String],
+      prompt: () => Option[String])(
+      run: Option[String] => Seq[DataFrame]): Seq[DataFrame] =
+    try run(given) catch {
+      case e: Planner#PlanError if given.isEmpty && e.msg.contains("password required") =>
+        prompt().map(p => run(Some(p))).getOrElse(throw e)
+    }
+
   def main(args: Array[String]): Unit = {
     var query: Option[String] = None
     var dir: Option[String] = None
@@ -66,9 +83,13 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val session = new GraftSession(spark, dir, password)
     val statements = Parser.splitStatements(q)
-    val results = statements.map(session.sql)
+    val results = runWithPrompt(password,
+      () => Option(System.console()).map(c =>
+        new String(c.readPassword("password: ")))) { pw =>
+      val session = new GraftSession(spark, dir, pw)
+      statements.map(session.sql)
+    }
     if (save.isDefined && saveDir.isDefined)
       sys.error("--save and --save-dir are mutually exclusive")
     (save, saveDir) match {

@@ -3,20 +3,21 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Det, RowNumbers, Tables}
+import graft.core.{Bucketing, Det, RowNumbers, Tables}
 import graft.functions.TextFunctions._
 
 /** Scaling probe: unions key-shifted copies of sf0.1 in-memory (~sf1:
   * 6M lineitem rows, 50k docs, 500k vectors at 10×) and times the
   * heaviest operator shapes, so "would this hold at 10×?" is measured,
-  * not guessed. Results land in SCALE_r{N}.json (second arg). Run:
-  *   sbt "runMain graft.ScaleProbe [copies] [outJson]"
+  * not guessed. Results land in SCALE_r{N}.json. Run:
+  *   sbt "runMain graft.ScaleProbe [copies] [outJson]"          — standard probes
+  *   sbt "runMain graft.ScaleProbe factjoin [copies] [outJson]" — 100× fact-fact
+  *     join, bucketed (Bucketing.scala) vs shuffle path head-to-head
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val copies = args.headOption.map(_.toInt).getOrElse(10)
-    val outJson = args.lift(1)
-    val dir = "/root/testdata/sf0.1"
+  private val dir = "/root/testdata/sf0.1"
+
+  private def session(): SparkSession = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -26,29 +27,105 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
 
-    def scaled(name: String, keyCols: Seq[String]): DataFrame = {
-      val base = Tables(spark, dir, name)
-      val shift = 10000000L
-      (0 until copies).map { i =>
-        keyCols.foldLeft(base)((df, k) =>
-          df.withColumn(k, col(k) + lit(i * shift)))
-      }.reduce(_ unionAll _)
+  private def scaled(spark: SparkSession, name: String, keyCols: Seq[String],
+      copies: Int): DataFrame = {
+    val base = Tables(spark, dir, name)
+    val shift = 10000000L
+    (0 until copies).map { i =>
+      keyCols.foldLeft(base)((df, k) =>
+        df.withColumn(k, col(k) + lit(i * shift)))
+    }.reduce(_ unionAll _)
+  }
+
+  private val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+  private def time(label: String)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    f
+    val sec = (System.nanoTime() - t0) / 1e9
+    results(label) = math.rint(sec * 100) / 100
+    println(f"$label%-28s $sec%8.2f s")
+  }
+
+  private def writeJson(outJson: Option[String], copies: Int,
+      extra: String = ""): Unit =
+    outJson.foreach { p =>
+      val probes = results.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
+      val json =
+        s"""{"copies": $copies, "sf_base": 0.1, "probes": {$probes}$extra}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      println(s"wrote $p")
     }
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    def time(label: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      val sec = (System.nanoTime() - t0) / 1e9
-      results(label) = math.rint(sec * 100) / 100
-      println(f"$label%-28s $sec%8.2f s")
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("factjoin")) factJoin(args.drop(1))
+    else standard(args)
+
+  /** The heaviest 10× probe (join_agg_fact_fact) head-to-head at big
+    * copy counts: the per-query shuffle path vs the pay-once bucketed
+    * path. At 100 TB the fact-fact join is THE cost center; bucketing
+    * both fact tables on the join key at ingest turns every subsequent
+    * join into a co-located sort-merge with no exchange (BucketingSpec
+    * pins the plan shape). This probe measures that trade at ~sf10
+    * (60M lineitem rows at 100 copies): one bucketed write, then the
+    * same join+agg through both paths. */
+  def factJoin(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(100)
+    val outJson = args.lift(1)
+    val spark = session()
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_bucketed").toString
+
+    val li = scaled(spark, "lineitem", Seq("l_orderkey"), copies)
+    val o = scaled(spark, "orders", Seq("o_orderkey", "o_custkey"), copies)
+    val liRows = li.count(); val oRows = o.count()
+    println(s"copies=$copies  lineitem=$liRows  orders=$oRows")
+
+    def joinAgg(l: DataFrame, r: DataFrame): Unit =
+      l.join(r, l("l_orderkey") === r("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(Det.dsum(col("l_extendedprice")))
+        .write.format("noop").mode("overwrite").save()
+
+    time("join_agg_shuffle")(joinAgg(li, o))
+
+    // Pay the shuffle once at write time: both sides hash-bucketed and
+    // sorted on the join key into the same bucket count.
+    time("bucket_write_both") {
+      Bucketing.writeBucketed(li, "li_b", "l_orderkey", 32, warehouse)
+      Bucketing.writeBucketed(o, "o_b", "o_orderkey", 32, warehouse)
+    }
+    time("join_agg_bucketed") {
+      joinAgg(Bucketing.table(spark, "li_b"), Bucketing.table(spark, "o_b"))
+    }
+    // Amortization: a second run through each path (steady state — the
+    // bucketed advantage repeats every query, the write cost doesn't).
+    time("join_agg_shuffle_2nd")(joinAgg(li, o))
+    time("join_agg_bucketed_2nd") {
+      joinAgg(Bucketing.table(spark, "li_b"), Bucketing.table(spark, "o_b"))
     }
 
-    val li = scaled("lineitem", Seq("l_orderkey"))
-    val o = scaled("orders", Seq("o_orderkey", "o_custkey"))
-    val docs = scaled("documents", Seq("doc_id"))
-    val vecs = scaled("embeddings", Seq("vec_id"))
+    val perMRowShuffle = results("join_agg_shuffle_2nd") / (liRows / 1e6)
+    val perMRowBucketed = results("join_agg_bucketed_2nd") / (liRows / 1e6)
+    println(f"per-1M-rows: shuffle $perMRowShuffle%.3f s, bucketed $perMRowBucketed%.3f s")
+    writeJson(outJson, copies,
+      s""", "lineitem_rows": $liRows, "sec_per_1m_rows": {"shuffle": ${math.rint(perMRowShuffle * 1000) / 1000}, "bucketed": ${math.rint(perMRowBucketed * 1000) / 1000}}""")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warehouse))
+    spark.stop()
+  }
+
+  def standard(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+
+    val li = scaled(spark, "lineitem", Seq("l_orderkey"), copies)
+    val o = scaled(spark, "orders", Seq("o_orderkey", "o_custkey"), copies)
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+    val vecs = scaled(spark, "embeddings", Seq("vec_id"), copies)
     println(s"copies=$copies  lineitem=${li.count()}  docs=${docs.count()}")
 
     time("agg_q09") {
@@ -101,13 +178,7 @@ object ScaleProbe {
       println(s"  ann candidates: $n")
     }
 
-    outJson.foreach { p =>
-      val probes = results.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
-      val json =
-        s"""{"copies": $copies, "sf_base": 0.1, "probes": {$probes}}"""
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
-      println(s"wrote $p")
-    }
+    writeJson(outJson, copies)
     spark.stop()
   }
 }

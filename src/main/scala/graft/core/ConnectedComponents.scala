@@ -1,0 +1,70 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the last stage
+  * of the dedup pipeline: LSH candidate pairs form a graph whose
+  * components are duplicate clusters, and each cluster keeps one
+  * canonical document.
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts
+  * labeled with its own id; each round every vertex takes the minimum
+  * of its own label and its neighbors' labels, until a round changes
+  * nothing. Convergence is O(component diameter) rounds — and LSH dup
+  * clusters are near-cliques (every near-dup pair tends to share a
+  * band), so the diameter is tiny (2-3) regardless of corpus size.
+  * For adversarial long-chain graphs the bound is the [[maxIters]]
+  * cap; the algorithm logs and returns the partial labeling rather
+  * than looping unbounded (callers needing pathological-diameter
+  * graphs should switch to alternating large-star/small-star, which
+  * converges in O(log n) — not needed for dedup workloads).
+  *
+  * Scale design (100 TB): the loop touches ONLY the edge list and the
+  * vertices that appear in it — candidate pairs, a vanishing fraction
+  * of the corpus; singleton documents never enter the iteration. Each
+  * round is one shuffle keyed on vertex id (edges join labels, groupBy
+  * min). `localCheckpoint` after each round truncates the lineage so
+  * plan size stays constant across iterations instead of growing a
+  * nested-join tree the optimizer re-analyzes every round.
+  */
+object ConnectedComponents {
+
+  /** Component label per vertex: (id, lbl) where lbl is the minimum
+    * vertex id reachable from `id`. Input edges are undirected pairs
+    * in columns `srcCol`/`dstCol`; vertices not present in any edge
+    * are absent from the output (they are their own singleton
+    * component — callers coalesce). */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
+      .union(edges.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // min over each vertex's neighborhood labels, one keyed shuffle
+      val nbrMin = sym
+        .join(labels.select(col("id").as("nbr"), col("lbl").as("nlbl")), "nbr")
+        .groupBy("id").agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      System.err.println(
+        s"[graft] connected components hit maxIters=$maxIters still changing " +
+          s"($changed labels); returning partial labeling")
+    labels
+  }
+}

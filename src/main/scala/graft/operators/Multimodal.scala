@@ -101,4 +101,43 @@ object Multimodal {
       batch.map(Decoder.decode)
     }
   }
+
+  final case class FrameFeature(
+      doc_id: Long,
+      kind: String,
+      frame_pos: Long,           // sampled frame index within the stream
+      frame_hash: Long,          // per-frame fingerprint
+      out_w: Long,               // aspect-preserving resize into box×box
+      out_h: Long)
+
+  /** Frame-sample + resize: the one-to-many leg of the multimodal
+    * pipeline (a video row explodes into up to `maxFrames` evenly
+    * spaced frame rows; images/audio contribute one). Row-amplifying
+    * but still a narrow `mapPartitions` flatMap — no shuffle, and the
+    * decoder is invoked once per record, not per emitted frame, which
+    * is what makes per-partition codec amortization matter here.
+    * Resize is aspect-fit into a `box`×`box` square (the usual vision
+    * model input prep); with no raster decoder in the container the
+    * output is the geometry (out_w, out_h) the resize would produce,
+    * from the same dims [[Decoder.decode]] reports. */
+  def sampleFrames(media: Dataset[MediaRecord], maxFrames: Int = 4,
+      box: Int = 224)(implicit spark: SparkSession): Dataset[FrameFeature] = {
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { r =>
+        val f = Decoder.decode(r)
+        val samples =
+          if (r.kind == "video") math.min(f.n_frames, maxFrames.toLong).toInt else 1
+        val step = f.n_frames / samples // even spacing, integer stride
+        val scale = math.min(box.toDouble / f.width, box.toDouble / f.height)
+        val ow = math.max(1L, math.floor(f.width * scale).toLong)
+        val oh = math.max(1L, math.floor(f.height * scale).toLong)
+        (0 until samples).iterator.map { i =>
+          val pos = i.toLong * step
+          FrameFeature(f.doc_id, f.kind, pos,
+            (f.checksum * 31L + pos) % 1000000007L, ow, oh)
+        }
+      }
+    }
+  }
 }

@@ -196,6 +196,51 @@ object DedupQueries {
            |SELECT vec_a, vec_b, ${cosineSql("a.embedding", "b.embedding")} AS sim
            |FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id
            |WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.2""".stripMargin
-      })
+      }),
+
+    // Last stage of the dedup pipeline: the LSH candidate pairs form a
+    // graph whose connected components are duplicate CLUSTERS (pairwise
+    // output alone over-counts: a triplicate doc is 3 pairs but one
+    // cluster). ConnectedComponents runs min-label propagation over the
+    // pairs only — singleton docs never enter the loop — then each
+    // cluster keeps one canonical doc (longest text, ties to the lowest
+    // doc_id). Output: every doc with its cluster id and a keep flag,
+    // i.e. a complete, deterministic dedup plan for the corpus.
+    Q("d07_dedup_clusters",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        val cc = graft.core.ConnectedComponents.run(
+          candidatePairs(s, dir), "doc_a", "doc_b")
+        val labeled = docs
+          .join(cc.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lbl"), col("doc_id")).as("cluster_id"), col("n_chars"))
+        val maxLen = labeled.groupBy("cluster_id").agg(max("n_chars").as("maxlen"))
+        val keepers = labeled.join(maxLen, "cluster_id")
+          .filter(col("n_chars") === col("maxlen"))
+          .groupBy("cluster_id").agg(min("doc_id").as("keep_id"))
+        labeled.join(keepers, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"),
+            when(col("doc_id") === col("keep_id"), lit(1L)).otherwise(lit(0L)).as("keep"))
+      },
+      Some(s"""WITH RECURSIVE sig AS ($sigSql),
+              |$candidatePairsSql,
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+              |          UNION SELECT doc_b, doc_a FROM cand),
+              |walk(u, lbl) AS (
+              |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) t
+              |  UNION
+              |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u),
+              |cc AS (SELECT u AS doc_id, min(lbl) AS lbl FROM walk GROUP BY u),
+              |labeled AS (SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS cluster_id, d.n_chars
+              |            FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id),
+              |ml AS (SELECT cluster_id, max(n_chars) AS maxlen FROM labeled GROUP BY cluster_id),
+              |keepers AS (SELECT l.cluster_id, min(l.doc_id) AS keep_id
+              |            FROM labeled l JOIN ml
+              |            ON l.cluster_id = ml.cluster_id AND l.n_chars = ml.maxlen
+              |            GROUP BY l.cluster_id)
+              |SELECT l.doc_id, l.cluster_id,
+              |       CAST(CASE WHEN l.doc_id = k.keep_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+              |FROM labeled l JOIN keepers k ON l.cluster_id = k.cluster_id""".stripMargin))
   )
 }

@@ -23,6 +23,31 @@ object MultimodalQueries {
               |strlen(text) % 480 + 1 AS height,
               |CASE WHEN CAST(doc_id % 3 AS INTEGER) = 2 THEN strlen(text) % 30 + 1 ELSE 1 END AS n_frames,
               |${O.tokenHash("text")} AS checksum
-              |FROM documents""".stripMargin))
+              |FROM documents""".stripMargin)),
+
+    // One-to-many leg: frame sampling (video rows explode into evenly
+    // spaced frame rows) + aspect-fit resize geometry, all inside one
+    // narrow mapPartitions flatMap. The DuckDB mirror lateral-unnests
+    // a generate_series per row over the same deterministic arithmetic.
+    Q("m02_frame_sample",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+        Multimodal.sampleFrames(media).toDF()
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+              |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+              |  strlen(text) % 640 + 1 AS w,
+              |  strlen(text) % 480 + 1 AS h,
+              |  CASE WHEN CAST(doc_id % 3 AS INTEGER) = 2 THEN strlen(text) % 30 + 1 ELSE 1 END AS nf,
+              |  ${O.tokenHash("text")} AS checksum
+              |  FROM documents),
+              |g AS (SELECT *, CASE WHEN kind = 'video' THEN LEAST(nf, 4) ELSE 1 END AS samples FROM f)
+              |SELECT doc_id, kind,
+              |  CAST(u.i * (nf // samples) AS BIGINT) AS frame_pos,
+              |  CAST((checksum * 31 + u.i * (nf // samples)) % 1000000007 AS BIGINT) AS frame_hash,
+              |  CAST(GREATEST(1, FLOOR(w * LEAST(224.0 / w, 224.0 / h))) AS BIGINT) AS out_w,
+              |  CAST(GREATEST(1, FLOOR(h * LEAST(224.0 / w, 224.0 / h))) AS BIGINT) AS out_h
+              |FROM g, UNNEST(generate_series(0, samples - 1)) AS u(i)""".stripMargin))
   )
 }

@@ -71,10 +71,10 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
       .orElse(registry.get(basename(key)))
       .getOrElse {
         if (key.endsWith(".csv")) {
-          val df = CsvSource.read(spark, name, header = !noHeader)
+          val df = CsvSource.read(spark, resolvePath(name), header = !noHeader)
           register(basename(key), df); df
         } else if (key.endsWith(".parquet")) {
-          val df = Tables.load(spark, name)
+          val df = Tables.load(spark, resolvePath(name))
           register(basename(key), df); df
         } else defaultDir match {
           case Some(d) =>
@@ -84,6 +84,17 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
         }
       }
   }
+
+  /** A relative file path in FROM resolves against the session's
+    * default directory when it doesn't exist as given (the reference
+    * resolves relative paths against its working directory,
+    * utils.go:507-570; `--dir` is the headless analog). Absolute and
+    * locally-existing paths are used verbatim. */
+  private def resolvePath(p: String): String =
+    if (new java.io.File(p).isAbsolute || new java.io.File(p).exists()) p
+    else defaultDir.map(d => s"$d/$p")
+      .filter(f => new java.io.File(f).exists())
+      .getOrElse(p)
 
   private def basename(p: String): String = {
     val slash = p.split('/').last

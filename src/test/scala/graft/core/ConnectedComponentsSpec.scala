@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Min-label propagation connected components: cluster labeling over
+  * edge lists (chains force multi-round propagation, cliques converge
+  * in one), vertices absent from edges stay absent, and the labeling
+  * is deterministic run-to-run. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, clique, and singleton components get min-id labels") {
+    // chain 1-2-3-4 (diameter 3, needs multiple rounds), clique 10-11-12,
+    // isolated pair 20-21
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("edge direction is irrelevant: high→low edges still propagate the min") {
+    val got = cc(Seq((5L, 1L), (5L, 9L), (9L, 3L)))
+    assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+
+  test("vertices not in any edge are absent (callers coalesce singletons)") {
+    val got = cc(Seq((1L, 2L)))
+    assert(got.keySet == Set(1L, 2L))
+  }
+
+  test("long path converges within default iteration cap and run-to-run stable") {
+    val path = (0L until 15L).map(i => (i, i + 1)) // diameter 15 < maxIters 20
+    val a = cc(path); val b = cc(path)
+    assert(a == b)
+    assert(a.values.toSet == Set(0L))
+  }
+
+  test("d07 shape: keep flag marks exactly one doc per cluster") {
+    val df = graft.queries.Registry.queries("d07_dedup_clusters")(spark, sf0001)
+    val perCluster = df.groupBy("cluster_id")
+      .agg(sum("keep").as("keepers"), count(lit(1)).as("n"))
+    assert(perCluster.filter(col("keepers") =!= 1L).count() == 0,
+      "every cluster must keep exactly one canonical doc")
+    // every doc appears exactly once
+    val docs = graft.core.Tables(spark, sf0001, "documents").count()
+    assert(df.count() == docs)
+    assert(df.select("doc_id").distinct().count() == docs)
+  }
+}

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal.{Decoder, MediaRecord}
 
-class MultimodalSpec extends AnyFunSuite {
+class MultimodalSpec extends graft.SparkSpec {
 
   private def pngBytes(w: Int, h: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -43,5 +43,27 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Decoder.decode(MediaRecord(3L, bytes, "video", "test"))
     assert(f.n_frames == bytes.length % 30 + 1)
     assert(f.checksum > 0)
+  }
+
+  test("frame sampling: videos explode to ≤4 evenly spaced frames, others to 1") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val media = Seq(
+      MediaRecord(0L, Array.fill[Byte](9)(1), "video", "t"),   // n_frames = 9%30+1 = 10 → 4 samples, step 2
+      MediaRecord(1L, Array.fill[Byte](2)(1), "video", "t"),   // n_frames = 3 → 3 samples, step 1
+      MediaRecord(2L, Array.fill[Byte](50)(1), "image", "t"),  // 1 frame
+      MediaRecord(3L, Array.fill[Byte](7)(1), "audio", "t")    // 1 frame
+    ).toDS()
+    val frames = Multimodal.sampleFrames(media).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(0L).map(_.frame_pos).sorted.toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(byDoc(1L).map(_.frame_pos).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(byDoc(2L).map(_.frame_pos).toSeq == Seq(0L))
+    assert(byDoc(3L).map(_.frame_pos).toSeq == Seq(0L))
+    // aspect-fit into 224: pseudo dims (len%640+1, len%480+1); doc 2 has
+    // dims (51, 51) → square scales to (224, 224)
+    assert(byDoc(2L).head.out_w == 224L && byDoc(2L).head.out_h == 224L)
+    // frame hash varies with position
+    assert(byDoc(0L).map(_.frame_hash).distinct.length == 4)
   }
 }
