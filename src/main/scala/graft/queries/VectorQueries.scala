@@ -389,6 +389,56 @@ object VectorQueries {
               |SELECT q_id, n_id, sim, rank FROM (SELECT q_id, n_id, sim,
               |  CAST(row_number() OVER (PARTITION BY q_id
               |    ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank FROM sims)
+              |WHERE rank <= 5""".stripMargin)),
+
+    // Multi-probe IVF: queries probe their top-2 nearest cells instead
+    // of one. A query near a cell boundary has near-neighbors on the
+    // far side of the boundary; probing the runner-up cell recovers
+    // them (IvfRecallSpec asserts recall ≥ single-probe vs the v01
+    // exact baseline). Cost scales linearly in probes — still a tiny
+    // broadcast of (query, cell) rows against the cell-partitioned
+    // corpus, never a widening of the corpus side.
+    Q("v07_ivf_multiprobe",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val scored = e.crossJoin(broadcast(centroids(s, dir)))
+          .select(col("vec_id"), col("embedding"), col("label"),
+            cosineHof(col("centroid"), col("embedding")).as("csim"))
+        val wa = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("label").asc)
+        val ranked = scored.withColumn("rk", row_number().over(wa))
+        val assigned = ranked.filter(col("rk") === 1)
+          .select(col("vec_id"), col("embedding"), col("label").as("cell"))
+        // each query appears once per probed cell; a neighbor lives in
+        // exactly one cell, so (q,n) pairs are already unique
+        val qs = ranked.filter(col("vec_id") < 5 && col("rk") <= 2)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("label").as("cell"))
+        val sims = assigned
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
+          .join(broadcast(qs), "cell")
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id").asc)
+        sims.withColumn("rank", row_number().over(wr).cast(LongType))
+          .filter(col("rank") <= 5)
+      },
+      Some(s"""WITH cents AS ($centroidsSql),
+              |scored AS (SELECT e.vec_id, e.embedding, c.label,
+              |  ${cosineSql("c.centroid", "e.embedding")} AS csim
+              |  FROM embeddings e CROSS JOIN cents c),
+              |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY csim DESC, label ASC) AS rk FROM scored),
+              |assigned AS (SELECT vec_id, embedding, label AS cell FROM ranked WHERE rk = 1),
+              |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS cell
+              |       FROM ranked WHERE rk <= 2 AND vec_id < 5),
+              |sims AS (SELECT q.q_id, n.vec_id AS n_id,
+              |  ${cosineSql("q.q_emb", "n.embedding")} AS sim
+              |  FROM assigned n JOIN qs q ON n.cell = q.cell AND q.q_id != n.vec_id)
+              |SELECT q_id, n_id, sim, rank FROM (SELECT q_id, n_id, sim,
+              |  CAST(row_number() OVER (PARTITION BY q_id
+              |    ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank FROM sims)
               |WHERE rank <= 5""".stripMargin))
   )
 }

@@ -1,0 +1,81 @@
+package graft.server
+
+/** Embedded single-page query console — the engine-side analog of the
+  * reference's web GUI (reference webgui/, server.go:91-106): a query
+  * box driving POST /query/, live progress from GET /progress/, stop,
+  * and a file browser over GET /files/. One static page, no build
+  * step, no framework — the GUI surface the engine actually owes its
+  * users (grid rendering, editing affordances etc. stay out of scope).
+  */
+object Console {
+  val html: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft console</title>
+      |<style>
+      | body{font-family:ui-monospace,Menlo,Consolas,monospace;margin:0;display:flex;height:100vh}
+      | #side{width:280px;min-width:200px;overflow:auto;border-right:1px solid #ccc;padding:8px;font-size:12px}
+      | #main{flex:1;display:flex;flex-direction:column;padding:8px;overflow:hidden}
+      | textarea{width:100%;height:110px;font:inherit;box-sizing:border-box}
+      | #bar{height:6px;background:#eee;margin:6px 0}
+      | #fill{height:100%;width:0;background:#4a8}
+      | #out{flex:1;overflow:auto}
+      | table{border-collapse:collapse;margin:8px 0;font-size:12px}
+      | td,th{border:1px solid #bbb;padding:2px 6px;text-align:left}
+      | th{background:#f3f3f3}
+      | .dir{color:#26c;cursor:pointer}.file{color:#282;cursor:pointer}
+      | .err{color:#b00;white-space:pre-wrap}
+      | button{margin-right:6px}
+      |</style></head><body>
+      |<div id="side"><b>files</b> <span id="path"></span><div id="tree"></div></div>
+      |<div id="main">
+      | <textarea id="q" placeholder="select * from lineitem.parquet where l_quantity &gt; 45"></textarea>
+      | <div>
+      |  <button onclick="run()">run</button>
+      |  <button onclick="fetch('/stop/',{method:'POST'})">stop</button>
+      |  <span id="status"></span>
+      | </div>
+      | <div id="bar"><div id="fill"></div></div>
+      | <div id="out"></div>
+      |</div>
+      |<script>
+      |let timer=null;
+      |function esc(s){const d=document.createElement('div');d.textContent=s;return d.innerHTML}
+      |function poll(){fetch('/progress/').then(r=>r.json()).then(p=>{
+      |  document.getElementById('fill').style.width=(p.Percent||0)+'%';})}
+      |function run(){
+      |  const q=document.getElementById('q').value;
+      |  document.getElementById('status').textContent='running…';
+      |  timer=setInterval(poll,400);
+      |  fetch('/query/',{method:'POST',body:JSON.stringify({query:q})})
+      |  .then(r=>r.json()).then(d=>{
+      |    clearInterval(timer);poll();
+      |    document.getElementById('status').textContent=d.Status;
+      |    const out=document.getElementById('out');out.innerHTML='';
+      |    if(d.Status!=='ok'){out.innerHTML='<div class="err">'+esc(d.Status)+'</div>';return}
+      |    for(const e of d.Entries){
+      |      let h='<table><tr>'+e.Colnames.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>';
+      |      for(const row of e.Vals) h+='<tr>'+row.map(v=>'<td>'+esc(v)+'</td>').join('')+'</tr>';
+      |      h+='</table>';
+      |      if(e.Clipped) h+='<div>(clipped to '+e.ShowLimit+' rows)</div>';
+      |      out.innerHTML+=h;
+      |    }
+      |  }).catch(e=>{clearInterval(timer);
+      |    document.getElementById('status').textContent='error: '+e})}
+      |function ls(dir){
+      |  fetch('/files/?dir='+encodeURIComponent(dir||'')).then(r=>r.json()).then(d=>{
+      |    if(d.Status!=='ok')return;
+      |    document.getElementById('path').textContent=d.Path;
+      |    const t=document.getElementById('tree');t.innerHTML='';
+      |    const up=document.createElement('div');up.className='dir';up.textContent='..';
+      |    up.onclick=()=>ls(d.Parent);t.appendChild(up);
+      |    for(const x of d.Dirs){const e=document.createElement('div');e.className='dir';
+      |      e.textContent=x.split('/').pop()+'/';e.onclick=()=>ls(x);t.appendChild(e)}
+      |    for(const x of d.Files){const e=document.createElement('div');e.className='file';
+      |      e.textContent=x.split('/').pop();
+      |      e.onclick=()=>{const q=document.getElementById('q');q.value+=(q.value?' ':'')+x};
+      |      t.appendChild(e)}
+      |  })}
+      |ls('');
+      |</script></body></html>
+      |""".stripMargin
+}

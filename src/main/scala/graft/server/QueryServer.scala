@@ -67,6 +67,7 @@ final class QueryServer(graft: GraftSession, port: Int) {
   def start(): Int = {
     spark.sparkContext.addSparkListener(listener)
     server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/", (ex: HttpExchange) => handleRoot(ex))
     server.createContext("/query/", (ex: HttpExchange) => handleQuery(ex))
     server.createContext("/stop/", (ex: HttpExchange) => handleStop(ex))
     server.createContext("/progress/", (ex: HttpExchange) => handleProgress(ex))
@@ -79,6 +80,20 @@ final class QueryServer(graft: GraftSession, port: Int) {
   def stop(): Unit = {
     if (server != null) server.stop(0)
     spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Embedded console page (reference launches its GUI at /,
+    * server.go:91-106). "/" is the fallback context: exact root serves
+    * the console, anything unmatched 404s. */
+  private def handleRoot(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    if (path == "/" || path == "/index.html") {
+      val bytes = Console.html.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    } else respond(ex, 404, s"""{"Status":"error: no such endpoint: ${JsonResult.esc(path)}"}""")
   }
 
   private def handleQuery(ex: HttpExchange): Unit = {

@@ -101,4 +101,12 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 2, s"salted agg should shuffle at most twice, got $exchanges")
   }
+
+  test("multimodal extract (m01) and frame sampling (m02) stay narrow - zero shuffles") {
+    Seq("m01_media_features", "m02_frame_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q should be a narrow mapPartitions pipeline, found a shuffle:\n${p.take(600)}")
+    }
+  }
 }

@@ -141,6 +141,25 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("GET / serves the embedded console; unknown paths 404") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val root = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(root.statusCode() == 200)
+      assert(root.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      assert(root.body().contains("graft console"), root.body().take(200))
+      assert(root.body().contains("/query/") && root.body().contains("/progress/"))
+      val missing = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/nope")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(missing.statusCode() == 404, missing.body())
+    } finally server.stop()
+  }
+
   test("POST /stop/ responds (cancellation path wired)") {
     val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
     val port = server.start()
