@@ -48,8 +48,9 @@ object BucketGuard {
     val counts = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("__n"), min(col(id)).as("__rep"))
     // same key family as the pair join — the agg and both joins share
-    // one (band, bkey) hash partitioning; AQE broadcasts counts when
-    // the bucket table is small
+    // one (band, bkey) hash partitioning (ReuseExchange computes the
+    // signature subtree once); measured faster than the window-function
+    // single-pass variant, whose per-group sort loses to the hash agg
     val tagged = bands.join(counts, Seq("band", "bkey"))
     val chunks = ceil(col("__n").cast(LongType) / lit(maxBucket.toLong)).cast(LongType)
     val salted = tagged.withColumn("__salt",

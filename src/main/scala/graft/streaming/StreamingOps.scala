@@ -74,6 +74,26 @@ object StreamingOps {
     rows.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup dedup: the online form of the d02 minhash
+    * pass. Each arriving doc's k-minhash signature is folded to one
+    * 64-bit state key (xxhash64 of the signature array); docs whose
+    * shingle sets collide on the whole signature — near-dups at
+    * J ≈ high similarity, plus exact dups — keep only the first
+    * arrival within the watermark horizon. State is one long per
+    * surviving doc per horizon, so an online filter in front of the
+    * periodic batch LSH pipeline (d03/d04/d07) costs O(horizon), not
+    * O(corpus). Signature computation is the same native codegen'd
+    * expression pair the batch gates run. */
+  def dedupNearDup(rows: DataFrame, tsCol: String, horizon: String,
+      textCol: String = "text", shingle: Int = 3, k: Int = 8): DataFrame = {
+    import graft.functions.TextHashExprs._
+    rows.withColumn("__sig",
+        xxhash64(shingle_minhash(token_hashes(col(textCol)), shingle, k)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+  }
+
   // ── stateful sessionization ─────────────────────────────────────────
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(lastTs: Long, sessions: Long, events: Long)

@@ -60,6 +60,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() <= 50)
   }
 
+  test("streaming near-dup dedup keeps one doc per minhash signature") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextHashExprs._
+    // docs as a stream: re-use the events file source for timestamps,
+    // attach duplicate-heavy text (5 distinct payloads + exact copies)
+    val stream = StreamingOps.readEvents(spark, sf0001)
+      .withColumn("text", concat(lit("payload text number "),
+        (col("event_id") % 5).cast("string"),
+        lit(" with enough words to shingle properly here")))
+    val q = StreamingOps.dedupNearDup(stream, "ts", "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardup_stream")
+    assert(got.count() > 0 && got.count() <= 5, s"got ${got.count()}")
+    // survivors carry distinct signatures — matches the batch signature
+    val sigs = got.withColumn("sig",
+        shingle_minhash(token_hashes(col("text")), 3, 8))
+      .select("sig").distinct().count()
+    assert(sigs == got.count())
+  }
+
   test("stateful sessionization emits per-user session counts") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val batchEvents = Tables(spark, sf0001, "events")
