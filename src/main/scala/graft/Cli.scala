@@ -51,6 +51,10 @@ object Cli {
     }
     while (i < args.length) {
       args(i) match {
+        case "-v" | "--version" =>
+          // reference -v (main.go:34); dialect surface tracks 0.74
+          println("graft 0.3 (dialect compatible with csvtool 0.74)")
+          return
         case "-c" => query = Some(value("-c"))
         case "--dir" => dir = Some(value("--dir"))
         case "--save" => save = Some(value("--save"))

@@ -61,7 +61,46 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("factjoin")) factJoin(args.drop(1))
+    else if (args.headOption.contains("abguard")) abGuard(args.drop(1))
     else standard(args)
+
+  /** Same-JVM A/B of the hot-bucket guard's benign-path overhead:
+    * candidate generation through BucketGuard vs the raw unguarded
+    * self-join, interleaved twice each so machine drift cancels.
+    * (Standalone probe runs vary ±40% run-to-run on this box — only a
+    * same-session interleave isolates the guard's own cost.) */
+  def abGuard(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = session()
+    val vecs = scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+    println(s"copies=$copies vecs=${vecs.count()}")
+
+    def guarded(): Unit = {
+      graft.queries.VectorQueries.bandedCandidates(vecs, planes = 16, bands = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def raw(): Unit = {
+      val keyed = vecs.select(col("vec_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            graft.queries.VectorQueries.lshBucket(col("embedding"), 16, b * 16).as("bkey"))): _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      keyed.as("l").join(keyed.as("r"),
+          col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+            col("l.vec_id") =!= col("r.vec_id"))
+        .select(col("l.vec_id").as("q_id"), col("r.vec_id").as("n_id"))
+        .distinct()
+        .write.format("noop").mode("overwrite").save()
+    }
+    // warm both, then interleave
+    raw(); guarded()
+    for (round <- 1 to 2) {
+      time(s"raw_$round")(raw())
+      time(s"guarded_$round")(guarded())
+    }
+    spark.stop()
+  }
 
   /** The heaviest 10× probe (join_agg_fact_fact) head-to-head at big
     * copy counts: the per-query shuffle path vs the pay-once bucketed

@@ -45,16 +45,22 @@ object BucketGuard {
     */
   def boundedPairs(bands: DataFrame, id: String, outA: String, outB: String,
       maxBucket: Int = DefaultMaxBucket, directed: Boolean = false): DataFrame = {
-    val counts = bands.groupBy(col("band"), col("bkey"))
+    // Hot-bucket detection joins back only the OVERSIZED buckets — on a
+    // benign corpus that set is empty, so the left join is a broadcast
+    // of nothing and the benign path costs one map-side partial
+    // aggregation (the count shuffle carries (band,bkey) partials, not
+    // the band rows). The earlier shape joined the full counts table
+    // onto every band row: a second full shuffle of the band set, ~2×
+    // on the 10× ANN probe. Unhinted join on purpose: AQE broadcasts
+    // the (near-)empty hot set at runtime, and degrades gracefully to
+    // a shuffle join if a pathological corpus makes it huge.
+    val hot = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("__n"), min(col(id)).as("__rep"))
-    // same key family as the pair join — the agg and both joins share
-    // one (band, bkey) hash partitioning (ReuseExchange computes the
-    // signature subtree once); measured faster than the window-function
-    // single-pass variant, whose per-group sort loses to the hash agg
-    val tagged = bands.join(counts, Seq("band", "bkey"))
+      .filter(col("__n") > maxBucket)
+    val tagged = bands.join(hot, Seq("band", "bkey"), "left")
     val chunks = ceil(col("__n").cast(LongType) / lit(maxBucket.toLong)).cast(LongType)
     val salted = tagged.withColumn("__salt",
-      when(col("__n") <= maxBucket, lit(0L))
+      when(col("__n").isNull, lit(0L))
         .otherwise(pmod(xxhash64(col(id)), chunks)))
     val l = salted.as("l"); val r = salted.as("r")
     val cmp: Column =
@@ -65,7 +71,7 @@ object BucketGuard {
       .select(col(s"l.$id").as(outA), col(s"r.$id").as(outB))
     // connectivity star for degraded buckets: rep ↔ every member, so
     // chunking never splits a bucket's candidate component
-    val starBase = tagged.filter(col("__n") > maxBucket && col(id) =!= col("__rep"))
+    val starBase = tagged.filter(col("__n").isNotNull && col(id) =!= col("__rep"))
     val star =
       if (directed)
         starBase.select(col("__rep").as(outA), col(id).as(outB))

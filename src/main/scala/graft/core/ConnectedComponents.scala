@@ -8,17 +8,19 @@ import org.apache.spark.sql.functions._
   * components are duplicate clusters, and each cluster keeps one
   * canonical document.
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts
-  * labeled with its own id; each round every vertex takes the minimum
-  * of its own label and its neighbors' labels, until a round changes
-  * nothing. Convergence is O(component diameter) rounds — and LSH dup
-  * clusters are near-cliques (every near-dup pair tends to share a
-  * band), so the diameter is tiny (2-3) regardless of corpus size.
-  * For adversarial long-chain graphs the bound is the [[maxIters]]
-  * cap; the algorithm logs and returns the partial labeling rather
-  * than looping unbounded (callers needing pathological-diameter
-  * graphs should switch to alternating large-star/small-star, which
-  * converges in O(log n) — not needed for dedup workloads).
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Every vertex starts labeled with its own id; each round every
+  * vertex takes the minimum of its own label and its neighbors'
+  * labels, then shortcuts through its label's label (path halving —
+  * labels are themselves vertex ids, so one self-join follows the
+  * pointer chain two hops at a time). Neighbor propagation alone
+  * converges in O(component diameter) rounds; the shortcut drops that
+  * to O(log diameter) — a 1000-vertex chain labels in ~10 rounds, not
+  * 1000. LSH dup clusters are near-cliques (diameter 2-3) where one
+  * or two rounds suffice; the doubling is what makes adversarial
+  * chain-shaped graphs safe under the same [[maxIters]] cap (hit it
+  * and the algorithm logs and returns the partial labeling rather
+  * than looping unbounded).
   *
   * Scale design (100 TB): the loop touches ONLY the edge list and the
   * vertices that appear in it — candidate pairs, a vanishing fraction
@@ -52,9 +54,15 @@ object ConnectedComponents {
       val nbrMin = sym
         .join(labels.select(col("id").as("nbr"), col("lbl").as("nlbl")), "nbr")
         .groupBy("id").agg(min(col("nlbl")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // pointer jumping: follow lbl → lbl(lbl). The parent's label is
+      // ≤ the parent id by construction, so the shortcut only lowers.
+      val next = stepped
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("plbl")),
+          Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("plbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
       changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
         .filter(col("lbl") =!= col("old")).count()

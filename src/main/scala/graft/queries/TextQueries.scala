@@ -196,6 +196,51 @@ object TextQueries {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
            |FROM sh JOIN bench USING (s) WHERE doc_id >= 5
            |GROUP BY doc_id""".stripMargin
-      })
+      }),
+
+    // Repetition signals (the Gopher-rule quality filters): duplicate
+    // word fraction and the share of the text owned by its most
+    // frequent bigram. Deliberately the distributed shape — explode +
+    // two-level keyed aggregation — not a per-row array histogram:
+    // the 100 TB corpus never materializes a doc's full bigram
+    // multiset in one task's memory, and the (doc_id, gram) shuffle
+    // partial-aggregates map-side.
+    Q("t10_repetition",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents").select(col("doc_id"),
+          filter(split(lower(col("text")), "\\s+"), t => length(t) > lit(0)).as("w"))
+        val words = toks.select(col("doc_id"), explode(col("w")).as("word"))
+        val wstats = words.groupBy("doc_id").agg(
+          count(lit(1)).as("n_words"), countDistinct(col("word")).as("n_distinct"))
+        val bigrams = toks.select(col("doc_id"),
+          explode(zip_with(
+            slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+            slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b))).as("g"))
+          .filter(col("g").isNotNull)
+        val btop = bigrams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("mx"))
+        wstats.join(btop, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"),
+            ((col("n_words") - col("n_distinct")).cast(DoubleType) /
+              col("n_words").cast(DoubleType)).as("dup_word_frac"),
+            when(col("n_words") > 1,
+              col("mx").cast(DoubleType) / (col("n_words") - 1).cast(DoubleType))
+              .otherwise(lit(0.0)).as("top_bigram_frac"))
+      },
+      Some(s"""WITH toksr AS (SELECT doc_id, ${O.toks("text")} AS w FROM documents),
+              |words AS (SELECT doc_id, unnest(w) AS word FROM toksr),
+              |ws AS (SELECT doc_id, count(*) AS n_words,
+              |       count(DISTINCT word) AS n_distinct FROM words GROUP BY doc_id),
+              |bg AS (SELECT doc_id, w[bi] || ' ' || w[bi + 1] AS g
+              |       FROM toksr, UNNEST(generate_series(1, len(w) - 1)) AS u(bi)),
+              |bt AS (SELECT doc_id, max(c) AS mx FROM
+              |       (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+              |       GROUP BY doc_id)
+              |SELECT ws.doc_id, CAST(n_words AS BIGINT) AS n_words,
+              |  CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+              |  CASE WHEN n_words > 1
+              |    THEN CAST(mx AS DOUBLE) / CAST(n_words - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac
+              |FROM ws LEFT JOIN bt ON ws.doc_id = bt.doc_id""".stripMargin))
   )
 }

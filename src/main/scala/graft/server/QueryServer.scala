@@ -19,7 +19,8 @@ import graft.sql.{GraftSession, Parser}
   * checks a stop flag; Spark's cancellation interrupts tasks the same
   * way). The embedded GUI is out of engine scope (SURVEY.md §2.1 S8).
   */
-final class QueryServer(graft: GraftSession, port: Int) {
+final class QueryServer(graft: GraftSession, port: Int,
+    bindAll: Boolean = false) {
   private val spark: SparkSession = graft.spark
   private val jobGroup = "graft-query-server"
   @volatile private var server: HttpServer = _
@@ -66,7 +67,11 @@ final class QueryServer(graft: GraftSession, port: Int) {
 
   def start(): Int = {
     spark.sparkContext.addSparkListener(listener)
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+    // loopback-only by default (reference parity: non-localhost needs
+    // the explicit danger flag, main.go:31); bindAll opens 0.0.0.0
+    server = HttpServer.create(
+      if (bindAll) new InetSocketAddress(port)
+      else new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", (ex: HttpExchange) => handleRoot(ex))
     server.createContext("/query/", (ex: HttpExchange) => handleQuery(ex))
     server.createContext("/stop/", (ex: HttpExchange) => handleStop(ex))
@@ -205,11 +210,15 @@ final class QueryServer(graft: GraftSession, port: Int) {
   }
 }
 
-/** Standalone server entry: runMain graft.server.ServerMain [port] [dir]. */
+/** Standalone server entry:
+  * runMain graft.server.ServerMain [port] [dir] [--allow-remote].
+  * Binds 127.0.0.1 unless --allow-remote (reference `-l`, main.go:31). */
 object ServerMain {
   def main(args: Array[String]): Unit = {
-    val port = args.headOption.map(_.toInt).getOrElse(8060)
-    val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val bindAll = args.contains("--allow-remote")
+    val pos = args.filterNot(_ == "--allow-remote")
+    val port = pos.headOption.map(_.toInt).getOrElse(8060)
+    val dir = pos.lift(1).getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -218,7 +227,7 @@ object ServerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val s = new QueryServer(GraftSession(spark, dir), port)
+    val s = new QueryServer(GraftSession(spark, dir), port, bindAll)
     val actual = s.start()
     System.err.println(s"graft query server listening on :$actual")
     Thread.currentThread.join()

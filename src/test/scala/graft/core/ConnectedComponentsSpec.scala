@@ -34,11 +34,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.keySet == Set(1L, 2L))
   }
 
-  test("long path converges within default iteration cap and run-to-run stable") {
-    val path = (0L until 15L).map(i => (i, i + 1)) // diameter 15 < maxIters 20
+  test("200-vertex chain converges within the cap (pointer jumping, O(log d)) and is stable") {
+    // diameter 200 ≫ maxIters 20: neighbor propagation alone could not
+    // label this inside the cap; path halving must be doing its job
+    val path = (0L until 200L).map(i => (i, i + 1))
     val a = cc(path); val b = cc(path)
     assert(a == b)
     assert(a.values.toSet == Set(0L))
+    assert(a.size == 201)
   }
 
   test("d07 shape: keep flag marks exactly one doc per cluster") {
