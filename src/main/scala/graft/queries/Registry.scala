@@ -17,7 +17,7 @@ object Registry {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ DialectQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ VectorQueries.all ++ EventQueries.all ++
-      MultimodalQueries.all ++ ApproxQueries.all
+      MultimodalQueries.all ++ ApproxQueries.all ++ PipelineQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
