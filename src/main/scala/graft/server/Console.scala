@@ -3,9 +3,10 @@ package graft.server
 /** Embedded single-page query console — the engine-side analog of the
   * reference's web GUI (reference webgui/, server.go:91-106): a query
   * box driving POST /query/, live progress from GET /progress/, stop,
-  * and a file browser over GET /files/. One static page, no build
-  * step, no framework — the GUI surface the engine actually owes its
-  * users (grid rendering, editing affordances etc. stay out of scope).
+  * and a file browser over GET /files/. Result grids sort client-side
+  * by clicking a column header (numeric-aware, toggling direction —
+  * the reference GUI's grid sort, SURVEY §2.7 O4). One static page,
+  * no build step, no framework.
   */
 object Console {
   val html: String =
@@ -21,7 +22,7 @@ object Console {
       | #out{flex:1;overflow:auto}
       | table{border-collapse:collapse;margin:8px 0;font-size:12px}
       | td,th{border:1px solid #bbb;padding:2px 6px;text-align:left}
-      | th{background:#f3f3f3}
+      | th{background:#f3f3f3;cursor:pointer;user-select:none}
       | .dir{color:#26c;cursor:pointer}.file{color:#282;cursor:pointer}
       | .err{color:#b00;white-space:pre-wrap}
       | button{margin-right:6px}
@@ -38,8 +39,28 @@ object Console {
       | <div id="out"></div>
       |</div>
       |<script>
-      |let timer=null;
+      |let timer=null,entries=[],sortState={};
       |function esc(s){const d=document.createElement('div');d.textContent=s;return d.innerHTML}
+      |function render(){
+      |  const out=document.getElementById('out');out.innerHTML='';
+      |  entries.forEach((e,ei)=>{
+      |    let h='<table><tr>'+e.Colnames.map((c,ci)=>
+      |      '<th onclick="sortBy('+ei+','+ci+')">'+esc(c)+
+      |      (sortState[ei]&&sortState[ei].col===ci?(sortState[ei].asc?' ▲':' ▼'):'')+
+      |      '</th>').join('')+'</tr>';
+      |    for(const row of e.Vals) h+='<tr>'+row.map(v=>'<td>'+esc(v)+'</td>').join('')+'</tr>';
+      |    h+='</table>';
+      |    if(e.Clipped) h+='<div>(clipped to '+e.ShowLimit+' rows)</div>';
+      |    out.innerHTML+=h;
+      |  })}
+      |function sortBy(ei,ci){
+      |  const s=sortState[ei]||{col:-1,asc:true};
+      |  s.asc=s.col===ci?!s.asc:true;s.col=ci;sortState[ei]=s;
+      |  entries[ei].Vals.sort((a,b)=>{
+      |    const x=a[ci],y=b[ci],nx=parseFloat(x),ny=parseFloat(y);
+      |    const c=(!isNaN(nx)&&!isNaN(ny))?nx-ny:(x<y?-1:x>y?1:0);
+      |    return s.asc?c:-c});
+      |  render()}
       |function poll(){fetch('/progress/').then(r=>r.json()).then(p=>{
       |  document.getElementById('fill').style.width=(p.Percent||0)+'%';})}
       |function run(){
@@ -50,15 +71,9 @@ object Console {
       |  .then(r=>r.json()).then(d=>{
       |    clearInterval(timer);poll();
       |    document.getElementById('status').textContent=d.Status;
-      |    const out=document.getElementById('out');out.innerHTML='';
-      |    if(d.Status!=='ok'){out.innerHTML='<div class="err">'+esc(d.Status)+'</div>';return}
-      |    for(const e of d.Entries){
-      |      let h='<table><tr>'+e.Colnames.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>';
-      |      for(const row of e.Vals) h+='<tr>'+row.map(v=>'<td>'+esc(v)+'</td>').join('')+'</tr>';
-      |      h+='</table>';
-      |      if(e.Clipped) h+='<div>(clipped to '+e.ShowLimit+' rows)</div>';
-      |      out.innerHTML+=h;
-      |    }
+      |    if(d.Status!=='ok'){document.getElementById('out').innerHTML=
+      |      '<div class="err">'+esc(d.Status)+'</div>';return}
+      |    entries=d.Entries;sortState={};render();
       |  }).catch(e=>{clearInterval(timer);
       |    document.getElementById('status').textContent='error: '+e})}
       |function ls(dir){

@@ -153,6 +153,7 @@ class QueryServerSpec extends SparkSpec {
       assert(root.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
       assert(root.body().contains("graft console"), root.body().take(200))
       assert(root.body().contains("/query/") && root.body().contains("/progress/"))
+      assert(root.body().contains("sortBy"), "grid sort handler must be served")
       val missing = client.send(
         HttpRequest.newBuilder(URI.create(s"http://localhost:$port/nope")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
