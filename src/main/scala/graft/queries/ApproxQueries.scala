@@ -54,5 +54,49 @@ object ApproxQueries {
           (col("a99") >= col("lo99") && col("a99") <= col("hi99")).as("p99_ok"))
       },
       Some("SELECT true AS p50_ok, true AS p99_ok FROM (SELECT 1)"))
-  )
+  ) ++ profile
+
+  // Column profiling (the SUMMARIZE every ingest pipeline runs before
+  // trusting a new drop of data): per-column row count, nulls,
+  // exact distinct, min/max/mean — computed in ONE aggregation pass
+  // over the table (a single agg row carrying every metric, exploded
+  // to per-column rows afterward; the multi-distinct expand is the
+  // only data amplification and is Catalyst's standard planning for
+  // it). Means run through Det decimal so the gate hash-matches.
+  private def profCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def profile: Seq[Q] = {
+    import org.apache.spark.sql.functions._
+    Seq(Q("x03_column_profile",
+      (s, dir) => {
+        val li = graft.core.Tables(s, dir, "lineitem")
+        val aggs = count(lit(1)).as("__n") +: profCols.flatMap { c =>
+          Seq(count(col(c)).as(s"__cnt_$c"),
+            countDistinct(col(c)).as(s"__nd_$c"),
+            min(col(c)).as(s"__min_$c"),
+            max(col(c)).as(s"__max_$c"),
+            graft.core.Det.davg(col(c)).as(s"__mean_$c"))
+        }
+        val one = li.agg(aggs.head, aggs.tail: _*)
+        one.select(explode(array(profCols.map { c =>
+          struct(lit(c).as("col_name"),
+            col("__n").as("n"),
+            (col("__n") - col(s"__cnt_$c")).as("n_null"),
+            col(s"__nd_$c").as("n_distinct"),
+            col(s"__min_$c").as("min_v"),
+            col(s"__max_$c").as("max_v"),
+            col(s"__mean_$c").as("mean_v"))
+        }: _*)).as("p")).select(col("p.*"))
+      },
+      Some {
+        val branches = profCols.map { c =>
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+             |CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             |CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |min($c) AS min_v, max($c) AS max_v,
+             |${graft.core.Det.sql.davg(c)} AS mean_v FROM lineitem""".stripMargin
+        }
+        branches.mkString("\nUNION ALL\n")
+      }))
+  }
 }
