@@ -102,6 +102,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"salted agg should shuffle at most twice, got $exchanges")
   }
 
+  test("column profile (x03) is one aggregation pass - no join, single scan") {
+    val p = plan("x03_column_profile")
+    assert(!p.contains("Join"), "profile must not self-join per column")
+    // count tree nodes ("+- Scan parquet  (n)"), not the detail
+    // section's "(n) Scan parquet" headers
+    assert("[+:]- Scan parquet".r.findAllIn(p).size == 1,
+      "profile must read the table exactly once")
+  }
+
+  test("repetition signals (t10) never go cartesian; aggs combine map-side") {
+    val p = plan("t10_repetition")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "two-level agg should partial-aggregate map-side")
+  }
+
   test("multimodal extract (m01) and frame sampling (m02) stay narrow - zero shuffles") {
     Seq("m01_media_features", "m02_frame_sample").foreach { q =>
       val p = plan(q)
