@@ -11,6 +11,7 @@ import graft.sources.Sinks
   * Usage:
   *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH] [--password PW]
   *   echo "select ..." | runMain graft.Cli [--dir DIR]
+  *   runMain graft.Cli -v            # version (reference -v, main.go:34)
   *
   * --save writes one coalesced CSV per statement (reference-style
   * single file); --save-dir writes partitioned part files in parallel

@@ -37,6 +37,36 @@ object DialectQueries {
       |t9,c,2w
       |t10,c,1y
       |""".stripMargin
+  val clicksJsonPath = "/tmp/graft_fixtures/clicks.json"
+  private val clicksJsonContent =
+    """{"id": 1, "kind": "click", "score": 1.5}
+      |{"id": 2, "kind": "click", "score": 2.0}
+      |{"id": 3, "kind": "view", "score": 0.5}
+      |{"id": 4, "kind": "view", "score": 4.25}
+      |{"id": 5, "kind": "click", "score": 3.25}
+      |{"id": 6, "kind": "scroll", "score": 1.0}
+      |""".stripMargin
+  private def clicksJson(): String =
+    writeFixture(clicksJsonPath, clicksJsonContent)
+
+  private def writeFixture(pathStr: String, content: String): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val p = Paths.get(pathStr)
+    val current = Files.exists(p) &&
+      (try Files.readString(p) == content catch { case _: Exception => false })
+    if (!current) {
+      Files.createDirectories(p.getParent)
+      val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
+      Files.writeString(tmp, content)
+      try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: Exception =>
+        Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    pathStr
+  }
+
   private def durationsCsv(): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val p = Paths.get(durationsCsvPath)
@@ -205,6 +235,18 @@ object DialectQueries {
       (s, dir) => GraftSession(s, dir).sql(
         s"select doc_id, lang, n_chars from $dir/documents.parquet where lang != 'en'"),
       Some("SELECT doc_id, lang, n_chars FROM documents WHERE lang != 'en'")),
+
+    // JSON (JSONL) files first-class in dialect FROM, same registry as
+    // CSV/parquet. Scores step in exact binary fractions so the double
+    // group sums are order-independent and hash-safe.
+    Q("s18_dialect_json",
+      (s, dir) => {
+        val path = clicksJson()
+        GraftSession(s, dir).sql(
+          s"select kind, sum(score) as total, count(id) as n from $path group by kind")
+      },
+      Some(s"""SELECT kind, sum(score) AS total, CAST(count(id) AS DOUBLE) AS n
+              |FROM read_json_auto('$clicksJsonPath') GROUP BY kind""".stripMargin)),
 
     Q("s12_dialect_date_arith",
       sql("""select o_orderkey, o_orderdate + '2 weeks' as due,

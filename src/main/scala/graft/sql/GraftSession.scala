@@ -73,7 +73,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
         if (key.endsWith(".csv")) {
           val df = CsvSource.read(spark, resolvePath(name), header = !noHeader)
           register(basename(key), df); df
-        } else if (key.endsWith(".parquet")) {
+        } else if (key.endsWith(".parquet") || key.endsWith(".json")) {
           val df = Tables.load(spark, resolvePath(name))
           register(basename(key), df); df
         } else defaultDir match {
@@ -98,7 +98,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
 
   private def basename(p: String): String = {
     val slash = p.split('/').last
-    slash.replaceAll("\\.(csv|parquet)$", "")
+    slash.replaceAll("\\.(csv|parquet|json)$", "")
   }
 
   /** Compile + plan one dialect statement. `_fN` keys index files in

@@ -218,6 +218,25 @@ class PlannerSpec extends SparkSpec {
     assert(got.map(_.getDouble(1)).toSeq == (1 to 43).map(_.toDouble))
   }
 
+  test("JSON files in FROM: direct path and relative-to-dir resolution") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json")
+    java.nio.file.Files.writeString(dir.resolve("items.json"),
+      """{"a": 1, "b": "x"}
+        |{"a": 7, "b": "y"}
+        |{"a": 3, "b": "z"}
+        |""".stripMargin)
+    // absolute path
+    val gj = GraftSession(spark, sf0001)
+    val abs = gj.sql(s"select b from ${dir.resolve("items.json")} where a > 2 order by b asc")
+      .collect().map(_.getString(0)).toSeq
+    assert(abs == Seq("y", "z"))
+    // relative name resolves against the session dir (CLI --dir analog)
+    val gRel = GraftSession(spark, dir.toString)
+    assert(gRel.sql("select a from items.json").count() == 3)
+    // basename registration: second reference hits the registry
+    assert(gRel.sql("select a from items where a = 1").count() == 1)
+  }
+
   // ── bad-query corpus (dialect validity rules) ───────────────────────
   val badQueries = Seq(
     "select sum(o_totalprice) from orders where sum(o_totalprice) > 5" -> "agg in where",
