@@ -207,6 +207,15 @@ object ScaleProbe {
       RowNumbers.scanOrder(li.select(col("l_orderkey")), "rn")
         .write.format("noop").mode("overwrite").save()
     }
+    time("dedup_cc_d07") {
+      // the d07 tail: connected components over the LSH candidate
+      // pairs (iterative — includes every propagation round + the
+      // convergence checks), then the per-cluster keeper join
+      val pairs = graft.queries.DedupQueries
+        .candidatePairsOf(graft.queries.DedupQueries.sigOf(docs))
+      val cc = graft.core.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+      println(s"  cc labeled vertices: ${cc.count()}")
+    }
     time("ann_banded_candidates") {
       // candidate generation at 10× vectors: finer buckets (16 planes)
       // as n grows — the knob the parameterization exists for
