@@ -55,18 +55,21 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("nbr"), col("lbl").as("nlbl")), "nbr")
         .groupBy("id").agg(min(col("nlbl")).as("nmin"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
       // pointer jumping: follow lbl → lbl(lbl). The parent's label is
       // ≤ the parent id by construction, so the shortcut only lowers.
+      // The pre-round label rides along as `old`, so the convergence
+      // check below is a filter over the checkpointed round output —
+      // not another join against the previous labels.
       val next = stepped
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("plbl")),
           Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("plbl"), col("lbl")).as("lbl"))
+        .select(col("id"), col("old"),
+          coalesce(col("plbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
     if (changed > 0)
