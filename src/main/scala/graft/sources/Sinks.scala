@@ -71,13 +71,27 @@ object Sinks {
   }
 
   /** Save as CSV at `path` (reference appends .csv when missing,
-    * files.go:158-180). CLI convenience form: ONE part file
-    * (coalesce(1)) so the output reads like the reference's single
-    * CSV. For big results use [[saveCsvDir]]. */
+    * files.go:158-180). CLI convenience form: the result lands as ONE
+    * actual .csv FILE at the path — Spark's writer always emits a
+    * part-file directory, so the single coalesced part is moved over
+    * the target afterward (a reference user expects `out.csv` to be a
+    * file, not `out.csv/part-0000…`). Local-filesystem semantics on
+    * purpose: this is the CLI path; the 100 TB path is
+    * [[saveCsvDir]], which keeps parallel part files. */
   def saveCsv(df: DataFrame, path: String): String = {
     val p = if (path.endsWith(".csv")) path else path + ".csv"
+    val tmp = p + ".__spark_tmp__"
     formatted(df).coalesce(1).write.mode("overwrite")
-      .option("header", "true").csv(p)
+      .option("header", "true").csv(tmp)
+    val dir = new java.io.File(tmp)
+    val part = Option(dir.listFiles()).getOrElse(Array.empty)
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    val target = new java.io.File(p)
+    if (target.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(target)
+    java.nio.file.Files.move(part.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
     p
   }
 

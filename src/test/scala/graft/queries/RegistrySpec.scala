@@ -6,6 +6,12 @@ import graft.SparkSpec
   * tier); rowcounts sane; oracle entries exist. */
 class RegistrySpec extends SparkSpec {
 
+  test("gate names are unique (a duplicate would silently shadow in the maps)") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      names.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }.mkString(","))
+  }
+
   test("every query has an oracle (sketch ops self-gate via bounds columns)") {
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.isEmpty, s"oracle-less queries: $noOracle")

@@ -22,18 +22,25 @@ class SinksSpec extends SparkSpec {
     }
   }
 
-  test("saveCsv writes one part; saveCsvDir writes one part per partition") {
+  test("saveCsv writes one actual FILE; saveCsvDir writes one part per partition") {
     import spark.implicits._
     val df = (1 to 100).toDF("x").repartition(4)
-    def parts(dir: String): Int =
-      new java.io.File(dir).listFiles().count(f => f.getName.startsWith("part-"))
 
     val single = Sinks.saveCsv(df, "/tmp/graft_sink_single")
     assert(single == "/tmp/graft_sink_single.csv")
-    assert(parts(single) == 1)
+    // reference parity: a plain .csv file at the path, not a part dir
+    val f = new java.io.File(single)
+    assert(f.isFile, "saveCsv must leave a single .csv FILE, not a Spark part directory")
+    assert(scala.io.Source.fromFile(f).getLines().length == 101) // header + 100
+
+    // overwriting a previous save (and a legacy directory-shaped one) works
+    val again = Sinks.saveCsv(df.limit(5), "/tmp/graft_sink_single")
+    assert(new java.io.File(again).isFile)
+    assert(scala.io.Source.fromFile(again).getLines().length == 6)
 
     val par = Sinks.saveCsvDir(df, "/tmp/graft_sink_par")
-    assert(parts(par) == 4, "parallel save must not coalesce")
+    val parts = new java.io.File(par).listFiles().count(f => f.getName.startsWith("part-"))
+    assert(parts == 4, "parallel save must not coalesce")
     // content round-trips
     val back = spark.read.option("header", "true").csv(par)
     assert(back.count() == 100)
