@@ -11,8 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// forward piped stdin to the forked JVM (the CLI's stdin query mode)
+// forward piped stdin to the forked JVM (the CLI's stdin query mode) —
+// for BOTH run and runMain (they are separate tasks; `runMain graft.Cli`
+// without this silently sees EOF and errors "no query given")
 run / connectInput := true
+Compile / runMain / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -10,7 +10,9 @@ import graft.sources.Sinks
   *
   * Usage:
   *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH] [--password PW]
-  *   echo "select ..." | runMain graft.Cli [--dir DIR]
+  *   echo "select ..." | sbt 'runMain graft.Cli [--dir DIR]'
+  *     (plain sbt or direct java/spark-submit — sbt's -batch mode
+  *     consumes stdin for its own command stream)
   *   runMain graft.Cli -v            # version (reference -v, main.go:34)
   *
   * --save writes one coalesced CSV per statement (reference-style
