@@ -141,6 +141,24 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("browser row clip: wide result limits to 20000/ncols rows, Clipped set") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query":"select * from lineitem"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val body = resp.body()
+      // lineitem sf0.001: ~6000 rows x 11 cols ⇒ showLimit 1818 < rows
+      assert(body.contains(""""Clipped":true"""), body.take(300))
+      assert(body.contains(""""ShowLimit":1818"""), body.take(300))
+      assert(body.contains(""""Numrows":1818"""), body.take(300))
+    } finally server.stop()
+  }
+
   test("GET / serves the embedded console; unknown paths 404") {
     val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
     val port = server.start()
