@@ -92,8 +92,11 @@ object Cli {
 
     val statements = Parser.splitStatements(q)
     val results = runWithPrompt(password,
-      () => Option(System.console()).map(c =>
-        new String(c.readPassword("password: ")))) { pw =>
+      // readPassword returns null on EOF (Ctrl-D): degrade to None so
+      // the original "password required" PlanError surfaces, not an NPE
+      () => Option(System.console())
+        .flatMap(c => Option(c.readPassword("password: ")))
+        .map(new String(_))) { pw =>
       val session = new GraftSession(spark, dir, pw)
       statements.map(session.sql)
     }

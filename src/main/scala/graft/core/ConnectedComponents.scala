@@ -47,6 +47,13 @@ object ConnectedComponents {
     var labels = sym.select(col("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
+    // each round's localCheckpoint pins a fresh copy of the label set
+    // in block storage; without explicit release up to maxIters copies
+    // stay resident for the job's life. Dataset.unpersist() is a no-op
+    // here (it only consults the CacheManager, not the checkpointed
+    // RDD), so the superseded round's backing RDD is unpersisted
+    // directly once the new round is materialized.
+    var liveChk: DataFrame = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -69,13 +76,26 @@ object ConnectedComponents {
           coalesce(col("plbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
       changed = next.filter(col("lbl") =!= col("old")).count()
+      unpersistCheckpoint(liveChk) // next is materialized; prior round's blocks are dead
+      liveChk = next
       labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
+    unpersistCheckpoint(sym) // the loop is over; the edge list is no longer needed
     if (changed > 0)
       System.err.println(
         s"[graft] connected components hit maxIters=$maxIters still changing " +
           s"($changed labels); returning partial labeling")
     labels
   }
+
+  /** Release the block-storage copy behind a localCheckpoint'ed frame.
+    * The checkpoint lives on the RDD inside the LogicalRDD leaf, which
+    * CacheManager (and thus Dataset.unpersist) knows nothing about. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpoint leaf — nothing pinned
+    }
 }

@@ -126,8 +126,12 @@ object Multimodal {
     media.mapPartitions { batch =>
       batch.flatMap { r =>
         val f = Decoder.decode(r)
+        // clamp ≥1: a video reporting n_frames == 0 (impossible via
+        // Decoder.decode today, but an unchecked public-API invariant)
+        // must not divide by zero below
         val samples =
-          if (r.kind == "video") math.min(f.n_frames, maxFrames.toLong).toInt else 1
+          if (r.kind == "video") math.max(1L, math.min(f.n_frames, maxFrames.toLong)).toInt
+          else 1
         val step = f.n_frames / samples // even spacing, integer stride
         val scale = math.min(box.toDouble / f.width, box.toDouble / f.height)
         val ow = math.max(1L, math.floor(f.width * scale).toLong)

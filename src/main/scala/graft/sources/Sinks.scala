@@ -80,6 +80,15 @@ object Sinks {
     * [[saveCsvDir]], which keeps parallel part files. */
   def saveCsv(df: DataFrame, path: String): String = {
     val p = if (path.endsWith(".csv")) path else path + ".csv"
+    // the part-file move below uses java.io.File — valid only on the
+    // local filesystem. On HDFS/S3 the write would succeed remotely
+    // and then fail with a misleading "no part file" error, leaving
+    // the remote tmp dir behind: fail fast instead.
+    val scheme = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf()).getScheme
+    if (scheme != "file")
+      sys.error(s"saveCsv writes a single local .csv file; path scheme " +
+        s"'$scheme' is not local — use saveCsvDir (parallel part files) instead")
     val tmp = p + ".__spark_tmp__"
     formatted(df).coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(tmp)

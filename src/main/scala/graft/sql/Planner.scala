@@ -134,11 +134,11 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       case Some(_) if !hasAgg =>
         // keep the FIRST row per distinct value in natural scan order
         // (reference probes a btree as it scans, evaluator.go:105-111);
-        // min_by over monotonically_increasing_id ≈ (split, row) order,
-        // distributed — not dropDuplicates' arbitrary row
+        // min_by over scanOrderKey = (file name, mid), distributed —
+        // not dropDuplicates' arbitrary row
         val outCols = preDistinct.columns.filter(c => c != "__distinct" && c != "__mid")
         val packed = preDistinct
-          .withColumn("__mid", monotonically_increasing_id())
+          .withColumn("__mid", scanOrderKey)
           .groupBy(col("__distinct"))
           .agg(min_by(struct(outCols.map(col).toSeq: _*), col("__mid")).as("__row"))
         packed.select(outCols.map(c => col(s"__row.$c").as(c)).toSeq: _*)
@@ -306,7 +306,7 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     def lastWrite(e: Expr): Boolean =
       !exprContainsAgg(e) && !isGroupExpr(e) && usesInput(e)
     val needsLastWrite = (items.map(_.expr) ++ q.orderBy.toSeq).exists(lastWrite)
-    val dfA = if (needsLastWrite) df.withColumn("__lw_mid", monotonically_increasing_id())
+    val dfA = if (needsLastWrite) df.withColumn("__lw_mid", scanOrderKey)
       else df
     def aggItem(e: Expr): Column = {
       val c = exprToColumn(e, cat, agg = true)
@@ -333,6 +333,20 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
 
   /** Internal column carrying the pre-attached scan-order row index. */
   private val IncCol = "__graft_inc"
+
+  /** Ordering key for the scan-order CONTRACT shared by all three
+    * order-sensitive semantics (inc(), distinct keep-first, last-write):
+    * (lexicographic file name, mid). On a multi-file table Spark's
+    * FilePartition packing orders splits by SIZE, not name, so bare
+    * monotonically_increasing_id diverges from the documented
+    * (file name, byte offset) order (DIALECT.md; reference
+    * utils.go:122-143 scans files in byte order). Struct comparison is
+    * lexicographic, so this is a drop-in min_by/max_by ordering
+    * argument — no extra sort or shuffle. Non-file inputs (joins,
+    * registered frames) yield "" for input_file_name and degrade to
+    * mid = (partition, offset) order — the documented divergence. */
+  private def scanOrderKey: Column =
+    struct(input_file_name().as("f"), monotonically_increasing_id().as("m"))
 
   private def exprContainsInc(e: Expr): Boolean = e match {
     case FnCall("inc", _) => true

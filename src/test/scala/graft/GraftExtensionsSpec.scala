@@ -43,8 +43,11 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("non-literal sizing arguments are rejected with a clear error") {
     GraftSqlFunctions.register(spark)
+    // self-contained view: no ordering dependency on the previous test
+    core.Tables(spark, sf0001, "documents").limit(5)
+      .createOrReplaceTempView("ext_docs_nonlit")
     val e = intercept[Exception] {
-      spark.sql("SELECT simhash(token_hashes('x'), doc_id) FROM ext_docs").collect()
+      spark.sql("SELECT simhash(token_hashes('x'), doc_id) FROM ext_docs_nonlit").collect()
     }
     assert(e.getMessage.contains("integer literal") ||
       Option(e.getCause).exists(_.getMessage.contains("integer literal")),

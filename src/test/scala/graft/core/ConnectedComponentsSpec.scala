@@ -44,6 +44,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(a.size == 201)
   }
 
+  test("superseded per-round checkpoints are released, not pinned for the job") {
+    // a 200-chain runs ~8 pointer-jumping rounds, each localCheckpoint
+    // pinning a label-set copy; after run() only the FINAL round's
+    // checkpoint may stay resident (the returned frame derives from it).
+    // Guards the LogicalRDD unpersist path against silently not matching.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = ConnectedComponents.run(
+      (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst"), "src", "dst")
+    labels.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"expected ≤1 resident checkpoint, found ${leaked.size}")
+  }
+
   test("d07 shape: keep flag marks exactly one doc per cluster") {
     val df = graft.queries.Registry.queries("d07_dedup_clusters")(spark, sf0001)
     val perCluster = df.groupBy("cluster_id")

@@ -218,6 +218,44 @@ class PlannerSpec extends SparkSpec {
     assert(got.map(_.getDouble(1)).toSeq == (1 to 43).map(_.toDouble))
   }
 
+  test("distinct keep-first honors (file name, offset) scan order on 2 files") {
+    // b.csv is LARGER (size-desc packing scans it first — and when both
+    // tiny files pack into ONE partition, its rows get the smaller mids)
+    // but lexicographically later: the contract says a.csv's row wins
+    val dir = java.nio.file.Files.createTempDirectory("graft_distinct2f")
+    java.nio.file.Files.writeString(dir.resolve("a.csv"),
+      "key,src\nk1,a1\nk2,a2\n")
+    java.nio.file.Files.writeString(dir.resolve("b.csv"),
+      "key,src\n" + (1 to 40).flatMap(i =>
+        Seq(s"k1,b$i-padded-to-make-this-file-bigger",
+            s"k2,b$i-padded-to-make-this-file-bigger")).mkString("\n") + "\n")
+    val multi = graft.sources.CsvSource.read(spark, dir.toString)
+    val gm = GraftSession(spark, sf0001).register("multi", multi)
+    val got = gm.sql("select distinct key src from multi")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("k1" -> "a1", "k2" -> "a2"))
+  }
+
+  test("last-write bare column honors (file name, offset) scan order on 2 files") {
+    // same shape: bare `src` alongside count() must take the LAST row
+    // in contract order = b.csv's final row per key, even though the
+    // size-desc scan visits b.csv's rows first (smaller mids)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lw2f")
+    java.nio.file.Files.writeString(dir.resolve("a.csv"),
+      "key,src\nk1,a1\nk2,a2\n")
+    java.nio.file.Files.writeString(dir.resolve("b.csv"),
+      "key,src\n" + (1 to 40).flatMap(i =>
+        Seq(s"k1,b$i-padded-to-make-this-file-bigger",
+            s"k2,b$i-padded-to-make-this-file-bigger")).mkString("\n") + "\n")
+    val multi = graft.sources.CsvSource.read(spark, dir.toString)
+    val gm = GraftSession(spark, sf0001).register("multi", multi)
+    val got = gm.sql("select key, src, count(src) as n from multi group by key")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got == Map(
+      "k1" -> ("b40-padded-to-make-this-file-bigger", 41.0),
+      "k2" -> ("b40-padded-to-make-this-file-bigger", 41.0)))
+  }
+
   test("JSON files in FROM: direct path and relative-to-dir resolution") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json")
     java.nio.file.Files.writeString(dir.resolve("items.json"),
