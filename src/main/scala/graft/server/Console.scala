@@ -33,6 +33,7 @@ object Console {
       | <div>
       |  <button onclick="run()">run</button>
       |  <button onclick="fetch('/stop/',{method:'POST'})">stop</button>
+      |  save to <input id="save" size="28" placeholder="(optional) /path/out.csv">
       |  <span id="status"></span>
       | </div>
       | <div id="bar"><div id="fill"></div></div>
@@ -63,14 +64,23 @@ object Console {
       |  render()}
       |function poll(){fetch('/progress/').then(r=>r.json()).then(p=>{
       |  document.getElementById('fill').style.width=(p.Percent||0)+'%';})}
-      |function run(){
+      |function run(password){
       |  const q=document.getElementById('q').value;
+      |  const body={query:q};
+      |  const save=document.getElementById('save').value.trim();
+      |  if(save){body.savePath=save;body.saveMode='single'}
+      |  if(password)body.password=password;
       |  document.getElementById('status').textContent='running…';
       |  timer=setInterval(poll,400);
-      |  fetch('/query/',{method:'POST',body:JSON.stringify({query:q})})
+      |  fetch('/query/',{method:'POST',body:JSON.stringify(body)})
       |  .then(r=>r.json()).then(d=>{
       |    clearInterval(timer);poll();
-      |    document.getElementById('status').textContent=d.Status;
+      |    if(d.Status==='need_password'){
+      |      const pw=window.prompt('password:');
+      |      if(pw!==null){run(pw);return}
+      |    }
+      |    document.getElementById('status').textContent=d.Status+
+      |      (d.SavedPaths&&d.SavedPaths.length?' — saved '+d.SavedPaths.join(', '):'');
       |    if(d.Status!=='ok'){document.getElementById('out').innerHTML=
       |      '<div class="err">'+esc(d.Status)+'</div>';return}
       |    entries=d.Entries;sortState={};render();
@@ -91,6 +101,10 @@ object Console {
       |      t.appendChild(e)}
       |  })}
       |ls('');
+      |// heartbeat: an open console tab counts as a connected client,
+      |// so the server's idle auto-exit (120s) doesn't fire under it —
+      |// the polling analog of the reference's websocket client count
+      |setInterval(()=>fetch('/progress/'),30000);
       |</script></body></html>
       |""".stripMargin
 }

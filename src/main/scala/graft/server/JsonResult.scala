@@ -49,8 +49,13 @@ object JsonResult {
       s""""Vals":$vals,"Clipped":${r.clipped},"Query":${jstr(r.query)}}"""
   }
 
-  /** Multi-statement bundle (reference ReturnData, utils.go:611-617). */
-  def bundle(results: Seq[SingleResult], status: String): String =
+  /** Multi-statement bundle (reference ReturnData, utils.go:611-617).
+    * SavedPaths lists where each statement's result landed when the
+    * request carried a savePath (reference FileIO/SavePath,
+    * main.go:124-131). */
+  def bundle(results: Seq[SingleResult], status: String,
+      saved: Seq[String] = Nil): String =
     s"""{"Status":${jstr(status)},"Clipped":${results.exists(_.clipped)},""" +
+      s""""SavedPaths":${saved.map(jstr).mkString("[", ",", "]")},""" +
       s""""Entries":${results.map(toJson).mkString("[", ",", "]")}}"""
 }

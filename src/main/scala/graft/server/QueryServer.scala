@@ -9,7 +9,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
-import graft.sql.{GraftSession, Parser}
+import graft.sources.Sinks
+import graft.sql.{GraftSession, Parser, Planner}
 
 /** Minimal HTTP query API (reference server.go:91-157): POST /query/
   * with JSON {"query": "..."} runs `;`-separated dialect statements and
@@ -37,6 +38,13 @@ final class QueryServer(graft: GraftSession, port: Int,
   private val inflight = new AtomicInteger(0)
   private val peakInflight = new AtomicInteger(0)
   def maxObservedConcurrency: Int = peakInflight.get
+  // last time any client touched the server (nanos) — the idle
+  // auto-exit's activity signal (reference counts websocket clients,
+  // main.go:84-96; the console's heartbeat is the polling analog)
+  private val lastRequestNanos = new AtomicLong(System.nanoTime())
+  def nanosSinceLastRequest: Long =
+    if (inflight.get > 0) 0L // a running query is activity, however long
+    else System.nanoTime() - lastRequestNanos.get
   // stages belonging to the server's job group — onTaskEnd carries no
   // job-group property, so task completions are attributed via the
   // stage→group mapping collected at submission (a shared SparkContext
@@ -44,6 +52,16 @@ final class QueryServer(graft: GraftSession, port: Int,
   private val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
   private def resetProgress(): Unit = {
     totalTasks.set(0); doneTasks.set(0); groupStages.clear()
+  }
+  // the inflight transition 0→1 and the reset must be one atomic step:
+  // without the lock, two simultaneous requests can both pass the
+  // n==1 check window and one clears the counters after the other's
+  // jobs started — /progress/ totals would shrink mid-burst
+  private val progressLock = new Object
+  private def beginQuery(): Unit = progressLock.synchronized {
+    val n = inflight.incrementAndGet()
+    peakInflight.accumulateAndGet(n, math.max)
+    if (n == 1) resetProgress() // progress window = current burst of queries
   }
   private val listener = new SparkListener {
     private val groupJobs = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
@@ -93,6 +111,7 @@ final class QueryServer(graft: GraftSession, port: Int,
   private def handleRoot(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
     if (path == "/" || path == "/index.html") {
+      lastRequestNanos.set(System.nanoTime())
       val bytes = Console.html.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
       ex.sendResponseHeaders(200, bytes.length)
@@ -103,10 +122,19 @@ final class QueryServer(graft: GraftSession, port: Int,
 
   private def handleQuery(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val password = extractField(body, "password")
     val response =
       try {
         val query = extractField(body, "query")
           .getOrElse(throw new IllegalArgumentException("missing 'query' field"))
+        // Save parity (reference FileIO/SavePath, main.go:124-131,
+        // files.go:85-156): an optional savePath writes each
+        // statement's FULL result to disk (the JSON reply stays
+        // clipped). Default is the parallel part-file path
+        // (saveCsvDir — the 100 TB shape); saveMode "single" is the
+        // CLI-style one-file local convenience.
+        val savePath = extractField(body, "savePath")
+        val singleFile = extractField(body, "saveMode").contains("single")
         // Concurrent execution: each request forks its own GraftSession,
         // so the per-statement registry state (`_fN` binding) is private
         // to the request and queries run genuinely in parallel on the
@@ -117,19 +145,31 @@ final class QueryServer(graft: GraftSession, port: Int,
         // works: setJobGroup is thread-local, every handler thread tags
         // its jobs with the same group, and cancelJobGroup interrupts
         // them all.
-        val n = inflight.incrementAndGet()
-        peakInflight.accumulateAndGet(n, math.max)
-        if (n == 1) resetProgress() // progress window = current burst of queries
-        val results =
+        beginQuery()
+        val (results, saved) =
           try {
             spark.sparkContext.setJobGroup(jobGroup, query, interruptOnCancel = true)
-            val session = graft.fork()
-            Parser.splitStatements(query).map { stmt =>
-              JsonResult.of(session.sql(stmt), stmt)
+            val session = graft.fork(password)
+            val planned = Parser.splitStatements(query).map(s => (s, session.sql(s)))
+            val savedPaths = savePath match {
+              case Some(base) =>
+                Sinks.savePaths(base, planned.size).zip(planned).map {
+                  case (p, (_, df)) =>
+                    if (singleFile) Sinks.saveCsv(df, p)
+                    else Sinks.saveCsvDir(df, p)
+                }
+              case None => Seq.empty[String]
             }
+            (planned.map { case (stmt, df) => JsonResult.of(df, stmt) }, savedPaths)
           } finally inflight.decrementAndGet()
-        JsonResult.bundle(results, "ok")
+        JsonResult.bundle(results, "ok", saved)
       } catch {
+        // the polling analog of the reference's SK_PASS websocket
+        // prompt (server.go:66-70): a structured status the console
+        // re-prompts on, then retries the request with a password field
+        case e: Planner#PlanError
+            if password.isEmpty && e.msg.contains("password required") =>
+          JsonResult.bundle(Nil, "need_password")
         case e: Throwable => JsonResult.bundle(Nil, s"error: ${e.getMessage}")
       } finally spark.sparkContext.clearJobGroup()
     respond(ex, 200, response)
@@ -174,6 +214,7 @@ final class QueryServer(graft: GraftSession, port: Int,
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    lastRequestNanos.set(System.nanoTime())
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)
@@ -210,13 +251,54 @@ final class QueryServer(graft: GraftSession, port: Int,
   }
 }
 
+/** Idle auto-exit (reference main.go:84-96: the server exits after
+  * 120 s with zero connected clients unless `-s`). Clock and exit
+  * action are injected so the decision logic is unit-testable without
+  * a wall clock or a process kill. */
+final class IdleMonitor(timeoutNanos: Long, idleNanos: () => Long,
+    onIdle: () => Unit) {
+  /** One poll: fire onIdle iff the idle time reached the timeout.
+    * Returns whether it fired. */
+  def check(): Boolean = {
+    val fire = idleNanos() >= timeoutNanos
+    if (fire) onIdle()
+    fire
+  }
+
+  /** Daemon polling loop (1 s cadence — the timeout is minutes). */
+  def start(): Thread = {
+    val t = new Thread(() => {
+      while (!check()) Thread.sleep(1000L)
+    }, "graft-idle-monitor")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+}
+
 /** Standalone server entry:
-  * runMain graft.server.ServerMain [port] [dir] [--allow-remote].
-  * Binds 127.0.0.1 unless --allow-remote (reference `-l`, main.go:31). */
+  * runMain graft.server.ServerMain [port] [dir] [--allow-remote] [--open] [-s].
+  * Binds 127.0.0.1 unless --allow-remote (reference `-l`, main.go:31).
+  * `--open` launches the system browser at the console URL (reference
+  * launchBrowser, server.go); without `-s`/`--stay` the process exits
+  * after 120 s with no client activity (reference main.go:84-96). */
 object ServerMain {
+  private val flags = Set("--allow-remote", "--open", "-s", "--stay")
+
+  /** Best-effort browser launch; headless boxes just get the URL. */
+  private def openBrowser(url: String): Unit = {
+    val cmd = sys.props.get("os.name") match {
+      case Some(n) if n.toLowerCase.contains("mac") => Seq("open", url)
+      case _ => Seq("xdg-open", url)
+    }
+    try { new ProcessBuilder(cmd: _*).start(); () }
+    catch { case _: Exception => System.err.println(s"open $url in a browser") }
+  }
+
   def main(args: Array[String]): Unit = {
     val bindAll = args.contains("--allow-remote")
-    val pos = args.filterNot(_ == "--allow-remote")
+    val stay = args.contains("-s") || args.contains("--stay")
+    val pos = args.filterNot(flags)
     val port = pos.headOption.map(_.toInt).getOrElse(8060)
     val dir = pos.lift(1).getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -230,6 +312,13 @@ object ServerMain {
     val s = new QueryServer(GraftSession(spark, dir), port, bindAll)
     val actual = s.start()
     System.err.println(s"graft query server listening on :$actual")
+    if (args.contains("--open")) openBrowser(s"http://localhost:$actual/")
+    if (!stay) {
+      System.err.println("exiting after 120s with no client activity (pass -s to stay)")
+      new IdleMonitor(120L * 1000000000L, () => s.nanosSinceLastRequest,
+        () => { System.err.println("idle timeout — exiting"); s.stop(); sys.exit(0) }
+      ).start()
+    }
     Thread.currentThread.join()
   }
 }

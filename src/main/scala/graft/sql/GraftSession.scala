@@ -33,8 +33,13 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
     * concurrently with its parent and with sibling forks, which is
     * what lets the query server execute requests in parallel instead
     * of single-flight. */
-  def fork(): GraftSession = synchronized {
-    val child = new GraftSession(spark, defaultDir, password)
+  def fork(): GraftSession = fork(None)
+
+  /** Fork with a per-request password (the web analog of the
+    * reference's SK_PASS websocket prompt, server.go:66-70): the
+    * override wins, otherwise the parent's password carries over. */
+  def fork(passwordOverride: Option[String]): GraftSession = synchronized {
+    val child = new GraftSession(spark, defaultDir, passwordOverride.orElse(password))
     registry.foreach { case (k, v) =>
       if (!k.matches("^_f\\d+$")) child.registry(k) = v
     }

@@ -179,6 +179,132 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("POST /query/ with savePath writes the CSV AND returns the clipped JSON") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val dir = java.nio.file.Files.createTempDirectory("graft_websave")
+      // single-file mode, multi-statement → base.csv and base-2.csv
+      val base = s"$dir/out.csv"
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"query":"select count(r_regionkey) as n from region; select n_name from nation","savePath":"$base","saveMode":"single"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      val body = resp.body()
+      assert(body.contains(""""Status":"ok""""), body)
+      assert(body.contains(""""Vals":[["5"]]"""), body) // JSON reply still present
+      assert(body.contains(s""""SavedPaths":["$dir/out.csv","$dir/out-2.csv"]"""), body.take(400))
+      val f1 = new java.io.File(s"$dir/out.csv")
+      val f2 = new java.io.File(s"$dir/out-2.csv")
+      assert(f1.isFile && f2.isFile, "single-file mode must leave real .csv files")
+      val lines1 = java.nio.file.Files.readAllLines(f1.toPath)
+      assert(lines1.get(0) == "n" && lines1.get(1) == "5", lines1.toString)
+      assert(java.nio.file.Files.readAllLines(f2.toPath).size == 26) // header + 25 nations
+
+      // default mode: parallel part-file directory (the 100 TB path)
+      val resp2 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"query":"select n_name from nation","savePath":"$dir/par.csv"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp2.body().contains(""""Status":"ok""""), resp2.body())
+      val pdir = new java.io.File(s"$dir/par.csv")
+      assert(pdir.isDirectory, "default save mode keeps parallel part files")
+      assert(pdir.listFiles().exists(f => f.getName.startsWith("part-")), "part files expected")
+    } finally server.stop()
+  }
+
+  test("encrypt without password → need_password; with password → round-trip") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      val q = "select decrypt(encrypt(r_name)) as back from region"
+      val without = post(s"""{"query":"$q"}""")
+      assert(without.contains(""""Status":"need_password""""), without)
+      val withPw = post(s"""{"query":"$q","password":"hunter2"}""")
+      assert(withPw.contains(""""Status":"ok""""), withPw)
+      assert(withPw.contains("AFRICA"), withPw) // decrypt(encrypt(x)) = x
+      // a wrong 'password' is still a real run (nulls), never a prompt loop
+      assert(!withPw.contains("need_password"))
+    } finally server.stop()
+  }
+
+  test("progress totals never shrink while a burst is in flight (reset race)") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val slow = udf { (x: Long) => Thread.sleep(300L); x }
+    val proto = GraftSession(spark, sf0001)
+      .register("slowburst", spark.range(8).repartition(4).select(slow(col("id")).as("v")))
+    val server = new QueryServer(proto, port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post() = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query":"select sum(v) as s from slowburst"}""")).build()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val done = new java.util.concurrent.atomic.AtomicInteger(0)
+      val fs = (1 to 4).map(_ => Future {
+        val b = client.send(post(), HttpResponse.BodyHandlers.ofString()).body()
+        done.incrementAndGet(); b
+      })
+      // sample /progress/ while ALL four are still in flight: totals
+      // must be monotone — a racy reset would clear them mid-burst
+      var samples = List.empty[(Long, Long)]
+      while (done.get() == 0) {
+        val b = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/progress/")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+        val total = """"TasksTotal":(\d+)""".r.findFirstMatchIn(b).map(_.group(1).toLong)
+        val doneT = """"TasksDone":(\d+)""".r.findFirstMatchIn(b).map(_.group(1).toLong)
+        for (t <- total; d <- doneT) samples = (d, t) :: samples
+        Thread.sleep(15)
+      }
+      val bodies = Await.result(Future.sequence(fs), 120.seconds)
+      bodies.foreach(b => assert(b.contains(""""Status":"ok""""), b))
+      val ordered = samples.reverse
+      ordered.sliding(2).foreach {
+        case List((d1, t1), (d2, t2)) =>
+          assert(t2 >= t1, s"TasksTotal shrank mid-burst: $ordered")
+          assert(d2 >= d1, s"TasksDone shrank mid-burst: $ordered")
+        case _ => ()
+      }
+    } finally server.stop()
+  }
+
+  test("IdleMonitor fires exactly at the timeout; requests reset the clock") {
+    // injected clock: no sleeping, no real browser/process exit
+    var idle = 0L
+    var fired = 0
+    val m = new IdleMonitor(120L, () => idle, () => fired += 1)
+    idle = 0L; assert(!m.check() && fired == 0)
+    idle = 119L; assert(!m.check() && fired == 0)
+    idle = 120L; assert(m.check() && fired == 1)
+    idle = 3L; assert(!m.check() && fired == 1) // activity resets — no refire
+    // a live server: any request (here the console page) resets idle age
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      Thread.sleep(50)
+      val before = server.nanosSinceLastRequest
+      HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(server.nanosSinceLastRequest < before,
+        "a client request must reset the idle clock")
+    } finally server.stop()
+  }
+
   test("POST /stop/ responds (cancellation path wired)") {
     val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
     val port = server.start()
