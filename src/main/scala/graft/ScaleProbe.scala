@@ -41,12 +41,17 @@ object ScaleProbe {
   }
 
   private val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+  // per-leg stage/task-time accounting (attached by abGuard): separates
+  // real compute from scheduler/barrier latency when reading A/Bs
+  private val stageCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
   private def time(label: String)(f: => Unit): Unit = {
+    val s0 = stageCount.get; val m0 = taskMs.get
     val t0 = System.nanoTime()
     f
     val sec = (System.nanoTime() - t0) / 1e9
     results(label) = math.rint(sec * 100) / 100
-    println(f"$label%-28s $sec%8.2f s")
+    println(f"$label%-28s $sec%8.2f s  stages=${stageCount.get - s0}%3d taskSec=${(taskMs.get - m0) / 1e3}%8.2f")
   }
 
   private def writeJson(outJson: Option[String], copies: Int,
@@ -72,6 +77,13 @@ object ScaleProbe {
   def abGuard(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val spark = session()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stageCount.incrementAndGet()
+        taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+      }
+    })
     val vecs = scaled(spark, "embeddings", Seq("vec_id"), copies)
       .select(col("vec_id"), col("embedding"))
     println(s"copies=$copies vecs=${vecs.count()}")

@@ -45,39 +45,54 @@ object BucketGuard {
     */
   def boundedPairs(bands: DataFrame, id: String, outA: String, outB: String,
       maxBucket: Int = DefaultMaxBucket, directed: Boolean = false): DataFrame = {
-    // Hot-bucket detection joins back only the OVERSIZED buckets — on a
-    // benign corpus that set is empty, so the left join is a broadcast
-    // of nothing and the benign path costs one map-side partial
-    // aggregation (the count shuffle carries (band,bkey) partials, not
-    // the band rows). The earlier shape joined the full counts table
-    // onto every band row: a second full shuffle of the band set, ~2×
-    // on the 10× ANN probe. Unhinted join on purpose: AQE broadcasts
-    // the (near-)empty hot set at runtime, and degrades gracefully to
-    // a shuffle join if a pathological corpus makes it huge.
-    val hot = bands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("__n"), min(col(id)).as("__rep"))
-      .filter(col("__n") > maxBucket)
-    val tagged = bands.join(hot, Seq("band", "bkey"), "left")
+    // `bands` is usually a COMPUTED frame (an explode over minhash/LSH
+    // expressions, often over a unioned input) and the expensive unit
+    // here is a full pass over it, not shuffle bytes. ONE capped
+    // aggregation ([[graft.functions.BoundedBucketAgg]]) yields, per
+    // bucket, the exact count, the exact min-id representative, and a
+    // complete member array whenever the bucket is benign:
+    //  - benign buckets (n ≤ maxBucket): all-pairs are emitted
+    //    DIRECTLY from the aggregated array (explode × explode) —
+    //    bit-identical pair set to the unguarded self-join, with no
+    //    join and no second pass over the band set;
+    //  - hot buckets: detected exactly in the same pass; only their
+    //    rows (selected by a broadcast of the near-empty marker set)
+    //    are salted into ⌈n/maxBucket⌉ hash-chunks and joined
+    //    within-chunk, with the representative replicated into every
+    //    chunk so the chunked join also emits the connectivity star.
+    // On a benign corpus the hot branch is empty: the guard's whole
+    // overhead is the aggregation that replaces the self-join.
+    // One explicit exchange by bucket key; the aggregation runs
+    // co-partitioned on it (no aggregation shuffle of its own) and the
+    // hot branch's join below reads the SAME exchange via
+    // ReuseExchange — so the band set is computed exactly once.
+    val ex = bands.repartition(col("band"), col("bkey"))
+    val agg = ex.groupBy(col("band"), col("bkey"))
+      .agg(graft.functions.BucketAggExprs.bounded_bucket(col(id), maxBucket).as("__b"))
+    val pairCmp: (Column, Column) => Column =
+      if (directed) (a, b) => a =!= b else (a, b) => a < b
+    val benign = agg.filter(col("__b.n") <= maxBucket)
+      .select(explode(col("__b.members")).as("__a"), col("__b.members").as("__ms"))
+      .select(col("__a"), explode(col("__ms")).as("__c"))
+      .filter(pairCmp(col("__a"), col("__c")))
+      .select(col("__a").as(outA), col("__c").as(outB))
+    val markers = agg.filter(col("__b.n") > maxBucket)
+      .select(col("band"), col("bkey"),
+        col("__b.n").as("__n"), col("__b.rep").as("__rep"))
     val chunks = ceil(col("__n").cast(LongType) / lit(maxBucket.toLong)).cast(LongType)
-    val salted = tagged.withColumn("__salt",
-      when(col("__n").isNull, lit(0L))
-        .otherwise(pmod(xxhash64(col(id)), chunks)))
-    val l = salted.as("l"); val r = salted.as("r")
-    val cmp: Column =
-      if (directed) col(s"l.$id") =!= col(s"r.$id") else col(s"l.$id") < col(s"r.$id")
-    val within = l.join(r,
+    val hotRows = ex.join(markers, Seq("band", "bkey")) // inner: benign rows drop
+      .withColumn("__salt", pmod(xxhash64(col(id)), chunks))
+      .select(col(id), col("band"), col("bkey"), col("__salt"))
+    val repRows = markers.select(
+      col("__rep").as(id), col("band"), col("bkey"),
+      explode(sequence(lit(0L), chunks - 1)).as("__salt"))
+    val members = hotRows.union(repRows)
+    val l = members.as("l"); val r = members.as("r")
+    val hotPairs = l.join(r,
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.__salt") === col("r.__salt") && cmp)
+          col("l.__salt") === col("r.__salt") && pairCmp(col(s"l.$id"), col(s"r.$id")))
       .select(col(s"l.$id").as(outA), col(s"r.$id").as(outB))
-    // connectivity star for degraded buckets: rep ↔ every member, so
-    // chunking never splits a bucket's candidate component
-    val starBase = tagged.filter(col("__n").isNotNull && col(id) =!= col("__rep"))
-    val star =
-      if (directed)
-        starBase.select(col("__rep").as(outA), col(id).as(outB))
-          .union(starBase.select(col(id).as(outA), col("__rep").as(outB)))
-      else starBase.select(col("__rep").as(outA), col(id).as(outB))
-    within.union(star).distinct()
+    benign.union(hotPairs).distinct()
   }
 
   /** Buckets the guard degraded: (band, bkey, n, rep) for every bucket
