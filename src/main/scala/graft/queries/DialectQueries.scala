@@ -248,6 +248,32 @@ object DialectQueries {
       Some(s"""SELECT kind, sum(score) AS total, CAST(count(id) AS DOUBLE) AS n
               |FROM read_json_auto('$clicksJsonPath') GROUP BY kind""".stripMargin)),
 
+    // Dialect over PRE-BUCKETED catalog tables: writeBucketed pays the
+    // fact-fact shuffle once at write time; after that a dialect
+    // `bjoin` between the two tables plans a co-located sort-merge
+    // join with no exchange on either side (BucketingSpec pins the
+    // plan; SCALE_r3 measured 3.1× at 100×). The oracle joins the
+    // original parquet — bucketing must not change content.
+    Q("s19_dialect_bucketed_join",
+      (s, dir) => {
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val wh = s"/tmp/graft_bucketed_$tag"
+        val li = s"li_bk_$tag"; val ord = s"o_bk_$tag"
+        graft.core.Bucketing.writeBucketed(
+          graft.core.Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          li, "l_orderkey", 8, wh)
+        graft.core.Bucketing.writeBucketed(
+          graft.core.Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          ord, "o_orderkey", 8, wh)
+        GraftSession(s, dir).sql(
+          s"""select o_orderpriority, count(l_suppkey) as n from $li l
+             |bjoin $ord o on l.l_orderkey = o.o_orderkey
+             |group by o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, CAST(count(l_suppkey) AS DOUBLE) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     Q("s12_dialect_date_arith",
       sql("""select o_orderkey, o_orderdate + '2 weeks' as due,
             |o_custkey % 7 as bucket, 2 ^ 10 as k

@@ -81,6 +81,15 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
         } else if (key.endsWith(".parquet") || key.endsWith(".json")) {
           val df = Tables.load(spark, resolvePath(name))
           register(basename(key), df); df
+        } else if (spark.catalog.tableExists(key)) {
+          // saved catalog tables — notably Bucketing.writeBucketed's
+          // bucketed facts: spark.table carries the bucket metadata, so
+          // a dialect `bjoin` over two pre-bucketed tables plans the
+          // co-located no-exchange sort-merge join (the 100 TB
+          // fact-fact path, SCALE_r3: 3.1×). A plain path read would
+          // lose the bucketing and shuffle both sides every query.
+          val df = spark.table(key)
+          register(key, df); df
         } else defaultDir match {
           case Some(d) =>
             val df = Tables(spark, d, key)

@@ -47,4 +47,31 @@ class BucketingSpec extends SparkSpec {
       assert(bucketedN == plainN)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("dialect bjoin over pre-bucketed catalog tables is exchange-free on the join") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_buckets_dlg").toString
+    Bucketing.writeBucketed(Tables(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_suppkey"), "li_dlg", "l_orderkey", 4, wh)
+    Bucketing.writeBucketed(Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_orderpriority"), "o_dlg", "o_orderkey", 4, wh)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the dialect resolves catalog tables (GraftSession.table
+      // fallback), so the bucket metadata reaches the planner and
+      // bjoin's sort-merge runs co-located
+      val df = graft.sql.GraftSession(spark, sf0001).sql(
+        """select o_orderpriority, count(l_suppkey) as n from li_dlg l
+          |bjoin o_dlg o on l.l_orderkey = o.o_orderkey
+          |group by o_orderpriority""".stripMargin)
+      val plan = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("SortMergeJoin"), plan.take(1200))
+      val exchanges = "Arguments: hashpartitioning\\(([^)]*)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(exchanges.forall(k => !k.contains("l_orderkey") && !k.contains("o_orderkey")),
+        s"dialect bjoin must not shuffle bucketed sides:\n${plan.take(1500)}")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }

@@ -125,4 +125,18 @@ class PlanSpec extends SparkSpec {
         s"$q should be a narrow mapPartitions pipeline, found a shuffle:\n${p.take(600)}")
     }
   }
+
+  test("rank<=k paths keep WindowGroupLimit pushdown (v03, e03)") {
+    // the row_number() <= k filters rely on Spark planning a
+    // per-partition top-k (WindowGroupLimit) BEFORE the window sort's
+    // shuffle — without it every partition funnels its full rank group
+    // into the sort. A refactor (e.g. ranking through a struct) can
+    // silently lose the pushdown; pin it on the two shapes that feed
+    // the most rows into their window.
+    Seq("v03_ann_bucketed", "e03_user_topk").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost the WindowGroupLimit pushdown:\n${p.take(800)}")
+    }
+  }
 }
