@@ -67,7 +67,39 @@ object ScaleProbe {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("factjoin")) factJoin(args.drop(1))
     else if (args.headOption.contains("abguard")) abGuard(args.drop(1))
+    else if (args.headOption.contains("cc")) ccProbe(args.drop(1))
     else standard(args)
+
+  /** 100× probe of the heaviest 10× tail: the d07 dedup-clusters
+    * pipeline (LSH candidates → connected components). Confirms the
+    * round count stays O(log diameter) and per-row cost stays
+    * sub-linear as copies grow — the two claims the operator's scale
+    * design rests on. */
+  def ccProbe(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(100)
+    val outJson = args.lift(1)
+    val spark = session()
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+    val nDocs = docs.count()
+    println(s"copies=$copies docs=$nDocs")
+    var rounds = 0
+    var vertices = 0L
+    var pairCount = 0L
+    time("lsh_candidate_pairs") {
+      pairCount = graft.queries.DedupQueries
+        .candidatePairsOf(graft.queries.DedupQueries.sigOf(docs)).count()
+    }
+    time("dedup_cc_end_to_end") {
+      val pairs = graft.queries.DedupQueries
+        .candidatePairsOf(graft.queries.DedupQueries.sigOf(docs))
+      val (cc, r) = graft.core.ConnectedComponents.runCounted(pairs, "doc_a", "doc_b")
+      rounds = r
+      vertices = cc.count()
+    }
+    writeJson(outJson, copies,
+      s""", "docs": $nDocs, "candidate_pairs": $pairCount, "cc_rounds": $rounds, "cc_vertices": $vertices""")
+    spark.stop()
+  }
 
   /** Same-JVM A/B of the hot-bucket guard's benign-path overhead:
     * candidate generation through BucketGuard vs the raw unguarded

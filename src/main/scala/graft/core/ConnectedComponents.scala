@@ -38,7 +38,15 @@ object ConnectedComponents {
     * are absent from the output (they are their own singleton
     * component — callers coalesce). */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20): DataFrame =
+    runCounted(edges, srcCol, dstCol, maxIters)._1
+
+  /** [[run]] plus the number of propagation rounds executed — the
+    * observable the O(log d) pointer-jumping claim is probed on
+    * (ScaleProbe cc mode; a chain graph labels in ~log₂(diameter)
+    * rounds, not O(diameter)). */
+  def runCounted(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 20): (DataFrame, Int) = {
     val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
       .union(edges.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
       .distinct()
@@ -86,7 +94,7 @@ object ConnectedComponents {
       System.err.println(
         s"[graft] connected components hit maxIters=$maxIters still changing " +
           s"($changed labels); returning partial labeling")
-    labels
+    (labels, iter)
   }
 
   /** Release the block-storage copy behind a localCheckpoint'ed frame.
