@@ -234,13 +234,19 @@ object VectorQueries {
     * as chained CTEs — seeds by the same hash order, each iteration an
     * assignment (row_number over dist ASC, cell ASC) plus the Det
     * decimal per-dimension mean. */
-  def kmeansCentroidRowsSql(k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): String = {
+  /** The Lloyd loop unrolled as a WITH-clause body (no leading `WITH`,
+    * no final SELECT): seeds by the deterministic hash order, then per
+    * iteration an assignment (`assign$i`: vec_id, embedding, cell) and
+    * the Det-decimal per-dimension centroid rows (`rows$i`). Shared by
+    * the v06 oracle (reads `rows$iters`) and the semantic-dedup d08
+    * oracle (reads `assign$iters`). */
+  def kmeansCtesSql(k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): String = {
     def d(e: String) = s"CAST($e AS DOUBLE)"
     // DuckDB lambda index ki is 1-based, matching element ki of cent
     def distSql(cent: String) = O.dfold(
       s"list_transform(embedding, (kx, ki) -> (${d("kx")} - $cent[ki]) * (${d("kx")} - $cent[ki]))")
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    sb ++= s"""e AS (SELECT vec_id, embedding FROM embeddings),
               |seeds AS (SELECT cell, embedding FROM
               |  (SELECT embedding, CAST(row_number() OVER
               |     (ORDER BY (vec_id * 2654435761) % 1000003 ASC, vec_id ASC) - 1 AS BIGINT) AS cell
@@ -259,9 +265,11 @@ object VectorQueries {
       if (i < iters) sb ++= s""",
                 |cent$i AS (SELECT cell, list(c ORDER BY pos) AS cent FROM rows$i GROUP BY cell)""".stripMargin
     }
-    sb ++= s"\nSELECT cell, pos, c FROM rows$iters"
     sb.toString
   }
+
+  def kmeansCentroidRowsSql(k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): String =
+    s"WITH ${kmeansCtesSql(k, iters)}\nSELECT cell, pos, c FROM rows$iters"
 
   val all: Seq[Q] = Seq(
 

@@ -126,6 +126,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup (d08) pairs within cells via a keyed join, never cartesian") {
+    val p = plan("d08_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairing must stay keyed on the cell:\n${p.take(800)}")
+  }
+
   test("rank<=k paths keep WindowGroupLimit pushdown (v03, e03)") {
     // the row_number() <= k filters rely on Spark planning a
     // per-partition top-k (WindowGroupLimit) BEFORE the window sort's
