@@ -447,6 +447,36 @@ object VectorQueries {
               |SELECT q_id, n_id, sim, rank FROM (SELECT q_id, n_id, sim,
               |  CAST(row_number() OVER (PARTITION BY q_id
               |    ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank FROM sims)
-              |WHERE rank <= 5""".stripMargin))
+              |WHERE rank <= 5""".stripMargin)),
+
+    // Embedding-space decontamination — the vector analog of t09's
+    // shingle decontam: flag every training vector whose MAX cosine
+    // against the (tiny, BROADCAST) benchmark set crosses the
+    // threshold. The benchmark side broadcasts exactly like t09's
+    // shingle table and v01's query side, so at 100 TB the train side
+    // streams through one narrow pass plus a keyed max-aggregation;
+    // max of bit-identical doubles is order-insensitive, so the flag
+    // is deterministic (no Det needed).
+    Q("v08_embed_decontam",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val bench = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        e.filter(col("vec_id") >= 50)
+          .join(broadcast(bench))
+          .select(col("vec_id"), cosine(col("embedding"), col("b_emb")).as("sim"))
+          .groupBy(col("vec_id"))
+          .agg(max(col("sim")).as("msim"))
+          .select(col("vec_id"), col("msim"),
+            when(col("msim") > 0.3, lit(1L)).otherwise(lit(0L)).as("contaminated"))
+      },
+      Some(s"""WITH bench AS (SELECT vec_id AS b_id, embedding AS b_emb
+              |              FROM embeddings WHERE vec_id < 50),
+              |m AS (SELECT e.vec_id, max(${cosineSql("e.embedding", "b.b_emb")}) AS msim
+              |      FROM embeddings e CROSS JOIN bench b
+              |      WHERE e.vec_id >= 50 GROUP BY e.vec_id)
+              |SELECT vec_id, msim,
+              |  CAST(CASE WHEN msim > 0.3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+              |FROM m""".stripMargin))
   )
 }
