@@ -50,4 +50,40 @@ object RowNumbers {
     scanOrder(df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*), name, step)
   }
+
+  /** Attach `name` = inclusive running sum of LongType column `value`
+    * in natural scan order. Same two-phase shape as [[scanOrder]]: one
+    * tiny job collects a per-partition total (one long per partition),
+    * then every partition sums itself in parallel from its broadcast
+    * offset. Both jobs run on the SAME RDD instance so partitioning is
+    * fixed once and shuffle outputs are reused (the AQE re-plan hazard
+    * documented above) — never an `Exchange SinglePartition`, which is
+    * what a `sum() OVER (ORDER BY …)` window would plan. */
+  def scanCumsum(df: DataFrame, value: String, name: String = "cum"): DataFrame = {
+    val spark = df.sparkSession
+    val idx = df.schema.fieldIndex(value)
+    val schema = StructType(df.schema.fields :+
+      StructField(name, LongType, nullable = false))
+    val rdd = df.rdd
+    val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(idx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partTotals.scanLeft(0L)(_ + _))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = offsets.value(i)
+      it.map { r => s += r.getLong(idx); Row.fromSeq(r.toSeq :+ s) }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Ordered running sum: range-partition + sort (as [[global]]), then
+    * [[scanCumsum]]. The building block for sequence packing: global
+    * token offsets at any scale without a single-task window. */
+  def globalCumsum(df: DataFrame, order: Seq[Column], value: String,
+      name: String = "cum", numPartitions: Option[Int] = None): DataFrame = {
+    val parts = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    scanCumsum(df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*), value, name)
+  }
 }

@@ -282,6 +282,46 @@ object DedupQueries {
               |            GROUP BY l.cluster_id)
               |SELECT l.doc_id, l.cluster_id,
               |       CAST(CASE WHEN l.doc_id = k.keep_id THEN 1 ELSE 0 END AS BIGINT) AS keep
-              |FROM labeled l JOIN keepers k ON l.cluster_id = k.cluster_id""".stripMargin))
+              |FROM labeled l JOIN keepers k ON l.cluster_id = k.cluster_id""".stripMargin)),
+
+    // Exact-substring duplication (the n-gram form of Lee et al.'s
+    // "Deduplicating Training Data Makes Language Models Better"
+    // suffix-array dedup): a 16-token window that appears verbatim in
+    // two or more docs marks both as substring-duplicated; each doc
+    // reports the fraction of its windows that are shared. Shape is
+    // two keyed aggregations plus one join ON THE GRAM KEY — candidate
+    // work is proportional to corpus n-grams, never doc pairs, and
+    // both the gram count and the per-doc rollup partial-aggregate
+    // map-side. The explode feeds both consumers through one explicit
+    // repartition with identical column sets so Catalyst plans a
+    // single reused exchange (differently-pruned consumers would each
+    // recompute the scan — see SCALE_r3 plan-reuse finding).
+    Q("d09_exact_substring",
+      (s, dir) => {
+        val sh = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(
+            shinglesFromHashes(tokenHashes(col("text")), 16))).as("g"))
+          .repartition(col("g"))
+        val cnt = sh.groupBy(col("g")).agg(count(col("doc_id")).as("nd"))
+        sh.join(cnt, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(col("g")).as("n_grams"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_grams"), col("n_shared"),
+            (col("n_shared").cast(DoubleType) /
+              col("n_grams").cast(DoubleType)).as("dup_frac"),
+            (col("n_shared").cast(DoubleType) /
+              col("n_grams").cast(DoubleType) > lit(0.2)).as("flag"))
+      },
+      Some(s"""WITH th AS (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents),
+              |sh AS (SELECT doc_id, unnest(list_distinct(${O.shingles(16)})) AS g FROM th),
+              |cnt AS (SELECT g, count(*) AS nd FROM sh GROUP BY g),
+              |j AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              |      CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+              |      FROM sh JOIN cnt USING (g) GROUP BY doc_id)
+              |SELECT doc_id, n_grams, n_shared,
+              |  CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
+              |  (CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE)) > 0.2 AS flag
+              |FROM j""".stripMargin))
   )
 }

@@ -241,6 +241,66 @@ object TextQueries {
               |  CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
               |  CASE WHEN n_words > 1
               |    THEN CAST(mx AS DOUBLE) / CAST(n_words - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac
-              |FROM ws LEFT JOIN bt ON ws.doc_id = bt.doc_id""".stripMargin))
+              |FROM ws LEFT JOIN bt ON ws.doc_id = bt.doc_id""".stripMargin)),
+
+    // Sequence packing (GPT-style concat-then-chunk): tokens of the
+    // whole corpus are conceptually concatenated in doc_id order and
+    // cut into fixed L-token training sequences; each doc reports its
+    // global token offset and the first/last sequence it lands in.
+    // The global running sum is RowNumbers.globalCumsum — range
+    // partition + per-partition sums + broadcast offsets — NOT a
+    // `sum() OVER (ORDER BY …)` window, which would funnel 100 TB
+    // through one `Exchange SinglePartition` task. Integer `div`
+    // (not double floor) so bin ids stay exact past 2^53 tokens.
+    Q("t11_seq_pack",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"),
+          graft.functions.TextProfileExprs.text_profile(col("text"))
+            .getField("n_tok").as("n_tok"))
+        graft.core.RowNumbers
+          .globalCumsum(docs, Seq(col("doc_id")), "n_tok", "cum")
+          .select(col("doc_id"), col("n_tok"),
+            (col("cum") - col("n_tok")).as("tok_start"),
+            expr("(cum - n_tok) div 512").as("first_bin"),
+            expr("(cum - 1) div 512").as("last_bin"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id,
+              |  CAST(len(${O.toks("text")}) AS BIGINT) AS n_tok FROM documents),
+              |c AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER
+              |  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |  AS BIGINT) AS cum FROM n)
+              |SELECT doc_id, n_tok, cum - n_tok AS tok_start,
+              |  (cum - n_tok) // 512 AS first_bin,
+              |  (cum - 1) // 512 AS last_bin FROM c""".stripMargin)),
+
+    // Temperature-balanced multilingual resampling (the XLM-R /
+    // mC4-style corpus rebalance): keep fraction f_l = (n_min/n_l)^α
+    // per language, α = 0.5, realized through the same deterministic
+    // hash buckets as t05 so any cluster selects identical rows.
+    // α = 0.5 is deliberate: sqrt is correctly rounded in IEEE-754,
+    // so Spark and the oracle compute bit-identical thresholds — a
+    // pow() there could flip a doc at a bucket boundary. The lang
+    // histogram is a tiny agg broadcast back; the corpus pass is one
+    // narrow filter.
+    Q("t12_temperature_sample",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+        val thresholds = counts
+          .crossJoin(broadcast(counts.agg(min(col("n_l")).as("n_min"))))
+          .select(col("lang"),
+            floor(sqrt(col("n_min").cast(DoubleType) /
+              col("n_l").cast(DoubleType)) * lit(10000.0)).as("thresh"))
+        docs.join(broadcast(thresholds), "lang")
+          .filter(((col("doc_id") % lit(1000000L)) * lit(2654435761L)) %
+            lit(10000) < col("thresh"))
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""WITH cnt AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+             |th AS (SELECT lang, CAST(floor(sqrt(
+             |    CAST((SELECT min(n_l) FROM cnt) AS DOUBLE) / CAST(n_l AS DOUBLE)
+             |  ) * 10000) AS BIGINT) AS thresh FROM cnt)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
+             |WHERE ((d.doc_id % 1000000) * 2654435761) % 10000 < th.thresh""".stripMargin))
   )
 }

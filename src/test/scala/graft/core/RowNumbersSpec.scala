@@ -22,4 +22,26 @@ class RowNumbersSpec extends SparkSpec {
       .select(col("rn")).collect().map(_.getDouble(0)).sorted
     assert(got.sameElements(Array(0.5, 1.0, 1.5, 2.0, 2.5)))
   }
+
+  test("globalCumsum matches the single-partition window running sum") {
+    val df = Tables(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("v"))
+    val got = RowNumbers.globalCumsum(df, Seq(col("c_custkey")), "v", "cum",
+      numPartitions = Some(7))
+      .select(col("c_custkey"), col("cum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var s = 0L
+    val want = rows.map { case (k, v) => s += v; (k, s) }
+    assert(got.sameElements(want))
+  }
+
+  test("scanCumsum is exact across empty and uneven partitions") {
+    val df = spark.range(0, 100, 1, 13).toDF("v")
+      .filter(col("v") % 3 =!= 0) // punch holes so partitions are uneven
+    val got = RowNumbers.scanCumsum(df, "v", "cum")
+      .agg(max(col("cum"))).collect()(0).getLong(0)
+    val want = (0L until 100L).filter(_ % 3 != 0).sum
+    assert(got == want)
+  }
 }

@@ -132,6 +132,23 @@ class PlanSpec extends SparkSpec {
       s"within-cell pairing must stay keyed on the cell:\n${p.take(800)}")
   }
 
+  test("exact-substring dedup (d09) joins on the gram key and reuses one exchange") {
+    val p = plan("d09_exact_substring")
+    assert(!p.contains("CartesianProduct"),
+      s"gram-count join must stay keyed on the gram:\n${p.take(800)}")
+    // the exploded shingle frame feeds the gram-count agg AND the join
+    // probe through one explicit repartition; if a refactor prunes the
+    // two branches differently the exchange stops being reused and the
+    // scan+explode+tokenize (the expensive pass) runs twice (the
+    // SCALE_r3 plan-reuse pitfall). AQE performs the reuse at stage
+    // materialization, so assert on the FINAL executed plan.
+    val df = Registry.queries("d09_exact_substring")(spark, sf0001)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString
+    assert(f.contains("ReusedExchange"),
+      s"shingle exchange no longer shared between count and probe:\n${f.take(1200)}")
+  }
+
   test("rank<=k paths keep WindowGroupLimit pushdown (v03, e03)") {
     // the row_number() <= k filters rely on Spark planning a
     // per-partition top-k (WindowGroupLimit) BEFORE the window sort's
