@@ -301,6 +301,48 @@ object TextQueries {
              |    CAST((SELECT min(n_l) FROM cnt) AS DOUBLE) / CAST(n_l AS DOUBLE)
              |  ) * 10000) AS BIGINT) AS thresh FROM cnt)
              |SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
-             |WHERE ((d.doc_id % 1000000) * 2654435761) % 10000 < th.thresh""".stripMargin))
+             |WHERE ((d.doc_id % 1000000) * 2654435761) % 10000 < th.thresh""".stripMargin)),
+
+    // Unigram-LM negative log-likelihood (the CCNet-style perplexity
+    // quality filter, with the corpus itself as the LM): vocabulary =
+    // words with count >= 5 (Zipf-bounded, so the broadcast stays
+    // small at any corpus size), OOV floored at ln(1/N). Reported as
+    // avg NLL, monotone in perplexity — exp() is deliberately NOT
+    // applied: a trailing libm call per row could differ from the
+    // oracle's in the last ulp, while the per-token ln() feeds the
+    // DECIMAL(38,6) Det sum, which absorbs sub-1e-6 engine deltas.
+    // Shape: one word-keyed agg (map-side partials soak the Zipf
+    // skew), broadcast vocab join back, one per-doc agg.
+    Q("t13_unigram_nll",
+      (s, dir) => {
+        val words = Tables(s, dir, "documents").select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > lit(0))).as("word"))
+        val total = words.agg(count(lit(1)).as("n"))
+        val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 5)
+          .crossJoin(broadcast(total))
+          .select(col("word"),
+            log(col("c").cast(DoubleType) / col("n").cast(DoubleType)).as("logp"))
+        words.join(broadcast(vocab), Seq("word"), "left")
+          .crossJoin(broadcast(total.select(
+            log(lit(1.0) / col("n").cast(DoubleType)).as("oov_logp"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            (-(sum(coalesce(col("logp"), col("oov_logp")).cast(graft.core.Det.dec))
+              .cast(DoubleType)) / count(lit(1)).cast(DoubleType)).as("avg_nll"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, unnest(${O.toks("text")}) AS word FROM documents),
+              |tot AS (SELECT count(*) AS n FROM w),
+              |voc AS (SELECT word, ln(CAST(count(*) AS DOUBLE) /
+              |          CAST((SELECT n FROM tot) AS DOUBLE)) AS logp
+              |        FROM w GROUP BY word HAVING count(*) >= 5),
+              |sc AS (SELECT doc_id, coalesce(v.logp,
+              |          ln(1.0 / CAST((SELECT n FROM tot) AS DOUBLE))) AS lp
+              |       FROM w LEFT JOIN voc v USING (word))
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+              |  -(CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE))
+              |    / CAST(count(*) AS DOUBLE) AS avg_nll
+              |FROM sc GROUP BY doc_id""".stripMargin))
   )
 }
