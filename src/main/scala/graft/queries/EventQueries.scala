@@ -66,6 +66,34 @@ object EventQueries {
              |  CAST(row_number() OVER (PARTITION BY event_type
              |    ORDER BY count(event_id) DESC, user_id ASC) AS BIGINT) AS rank
              | FROM events GROUP BY event_type, user_id)
-             |WHERE rank <= 3""".stripMargin))
+             |WHERE rank <= 3""".stripMargin)),
+
+    // As-of join: every click matched to the user's most recent
+    // purchase at-or-before it (the time-series feature-lookup join).
+    // AsofJoin.backward is the union+running-window form — one hash
+    // exchange on user_id, linear per group — never the quadratic
+    // range-join+max. The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`,
+    // so the operator is gated against an independent first-class
+    // implementation of the semantics, not a SQL re-derivation.
+    Q("e04_asof_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsofJoin
+          .backward(clicks, purchases, "user_id", "ts", Seq("ts", "value"),
+            prefix = "p_")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("p_ts"), col("p_value"))
+      },
+      Some("""SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+             |  CAST(r.ts AS TIMESTAMP) AS p_ts, r.value AS p_value
+             |FROM (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'click') l
+             |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+             |                WHERE event_type = 'purchase') r
+             |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
   )
 }

@@ -343,6 +343,25 @@ object TextQueries {
               |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
               |  -(CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE))
               |    / CAST(count(*) AS DOUBLE) AS avg_nll
-              |FROM sc GROUP BY doc_id""".stripMargin))
+              |FROM sc GROUP BY doc_id""".stripMargin)),
+
+    // BPE tokenizer training, round 1 (graft.operators.Bpe): weighted
+    // adjacent-pair counts over the frequency-weighted VOCABULARY —
+    // the corpus is aggregated once (map-side partials soak the Zipf
+    // skew) and pair counting runs over |vocab| rows, not corpus rows.
+    // Top-50 cut is deterministic: (freq DESC, pair ASC) total order.
+    // The full sequential merge loop is Bpe.train (BpeSpec-gated
+    // against an independent in-memory reference — data-dependent
+    // per-round rewrites aren't expressible as one SQL oracle).
+    Q("t14_bpe_pairs",
+      (s, dir) => graft.operators.Bpe.pairCounts(
+          graft.operators.Bpe.charVocab(Tables(s, dir, "documents"), "text"))
+        .orderBy(col("freq").desc, col("pair").asc).limit(50),
+      Some(s"""WITH w AS (SELECT unnest(${O.toks("text")}) AS word FROM documents),
+              |v AS (SELECT word, count(*) AS wc FROM w GROUP BY word),
+              |p AS (SELECT substring(word, i, 1) || ' ' || substring(word, i + 1, 1) AS pair, wc
+              |      FROM v, UNNEST(generate_series(1, length(word) - 1)) AS u(i))
+              |SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p
+              |GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 50""".stripMargin))
   )
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Gates Bpe.train against an independent in-memory reference
+  * implementation (the textbook vocab-dict algorithm) — merge-for-merge
+  * including weighted frequencies and greedy left-to-right rewrite
+  * semantics on repeated symbols. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Textbook reference: Map[spaced-word, count], full rescan per round. */
+  private def referenceBpe(words: Seq[String], k: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words.map(_.toLowerCase)
+      .groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toVector -> g.size.toLong }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    var i = 0
+    while (i < k && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- vocab; j <- 0 until syms.length - 1)
+        counts((syms(j), syms(j + 1))) = counts.getOrElse((syms(j), syms(j + 1)), 0L) + c
+      val best = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a + " " + b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= 2 =>
+          out += ((a, b, c))
+          vocab = vocab.map { case (syms, wc) =>
+            val m = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                m += a + b; j += 2
+              } else { m += syms(j); j += 1 }
+            }
+            m.result() -> wc
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+          i += 1
+        case _ => done = true
+      }
+    }
+    out.result()
+  }
+
+  private val corpus = Seq(
+    "low low low low low", "lower lower newest newest",
+    "newest newest newest newest", "widest widest widest", "new new newer")
+
+  test("train matches the reference merge-for-merge with frequencies") {
+    val docs = corpus.toDF("text")
+    val got = Bpe.train(docs, "text", 12)
+      .map(m => (m.left, m.right, m.freq))
+    val want = referenceBpe(corpus.flatMap(_.split(" ")), 12)
+    assert(got === want)
+    // sanity: merges actually chain into multi-char symbols
+    assert(got.exists { case (a, b, _) => (a + b).length >= 4 })
+  }
+
+  test("greedy left-to-right on repeated symbols: 'a a a' merges once") {
+    val docs = Seq("aaa aaa baa").toDF("text")
+    val merges = Bpe.train(docs, "text", 1, minFreq = 1L)
+    // counting sees ("a","a") at both offsets of "a a a", but the merge
+    // rewrite is non-overlapping left-to-right: "aa" + trailing "a"
+    assert(merges.map(m => (m.left, m.right)) === Seq(("a", "a")))
+    assert(Bpe.encodeWord("aaa", merges) === Seq("aa", "a"))
+    assert(Bpe.encodeWord("baa", merges) === Seq("b", "aa"))
+  }
+
+  test("encodeWord replays the learned merges") {
+    val docs = corpus.toDF("text")
+    val merges = Bpe.train(docs, "text", 12)
+    val enc = Bpe.encodeWord("newest", merges)
+    assert(enc.mkString === "newest")
+    assert(enc.length < "newest".length)
+  }
+}
