@@ -362,6 +362,62 @@ object TextQueries {
               |p AS (SELECT substring(word, i, 1) || ' ' || substring(word, i + 1, 1) AS pair, wc
               |      FROM v, UNNEST(generate_series(1, length(word) - 1)) AS u(i))
               |SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p
-              |GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 50""".stripMargin))
+              |GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 50""".stripMargin)),
+
+    // Per-source document cap (the domain-cap crawl rule: at most N
+    // docs per origin, earliest doc_ids win). row_number ≤ N over a
+    // (source)-keyed window — Spark 4 plans WindowGroupLimit, so each
+    // partition emits at most N rows per source BEFORE the window
+    // sort's shuffle (pinned in PlanSpec). One exchange, no global sort.
+    Q("t15_source_cap",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id").asc)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 10)
+      },
+      Some("""SELECT doc_id, source, rk FROM
+             |(SELECT doc_id, source, CAST(row_number() OVER
+             |   (PARTITION BY source ORDER BY doc_id ASC) AS BIGINT) AS rk
+             | FROM documents) WHERE rk <= 10""".stripMargin)),
+
+    // PII detection + redaction. The synthetic corpus carries no PII,
+    // so a deterministic contact line (emails + an IPv4, derived from
+    // doc_id/source) is composed INTO the text by both engines and the
+    // regex machinery — count then redact — is what's gated, character
+    // for character. Patterns stay in the Java∩RE2 common subset.
+    // Narrow single pass; regexp_replace is codegen'd.
+    Q("t16_pii_redact",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val full = concat(
+          lit("contact user"), col("doc_id").cast(StringType),
+          lit("@"), col("source"), lit(".com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" or admin@"), col("source"), lit(".org")))
+            .otherwise(lit("")),
+          lit(" from 10."), (col("doc_id") % 256).cast(StringType),
+          lit(".0.1 re: "), col("text"))
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          regexp_count(full, lit(emailRe)).cast(LongType).as("n_emails"),
+          regexp_count(full, lit(ipRe)).cast(LongType).as("n_ips"),
+          regexp_replace(regexp_replace(full, emailRe, "<EMAIL>"),
+            ipRe, "<IP>").as("redacted"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_extract_all(ftext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |CAST(len(regexp_extract_all(ftext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |regexp_replace(regexp_replace(ftext,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+             |FROM (SELECT doc_id,
+             |  'contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.com'
+             |  || CASE WHEN doc_id % 3 = 0 THEN ' or admin@' || source || '.org' ELSE '' END
+             |  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 re: ' || text AS ftext
+             |FROM documents)""".stripMargin))
   )
 }
