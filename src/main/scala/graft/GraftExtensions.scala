@@ -60,6 +60,29 @@ object GraftSqlFunctions {
     },
     "parse_any_ts" -> { args =>
       arity(args, 1, "parse_any_ts"); ParseAnyTimestamp(args.head)
+    },
+    // Bloom sketch pair (graft.core.Bloom): `bloom_agg(v[, items])`
+    // aggregates values (xxhash64-reduced) into a serialized sketch;
+    // probe with `bloom_might_contain((SELECT bloom_agg(v) FROM b), v)`
+    // — the SQL subquery is the scalar-subquery form the probe
+    // expression requires. Returns an AggregateFunction; the analyzer
+    // wraps it like any built-in aggregate.
+    "bloom_agg" -> { args =>
+      if (args.isEmpty || args.size > 2)
+        throw new IllegalArgumentException("bloom_agg expects 1-2 arguments")
+      val items =
+        if (args.size == 2) intArg(args, 1, "bloom_agg").toLong else 1000000L
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args.head)),
+        org.apache.spark.sql.catalyst.expressions.Literal(items),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          graft.core.Bloom.numBits(items, 0.01)))
+    },
+    "bloom_might_contain" -> { args =>
+      arity(args, 2, "bloom_might_contain")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        args.head,
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))
     }
   )
 

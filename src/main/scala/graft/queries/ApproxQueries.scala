@@ -97,6 +97,50 @@ object ApproxQueries {
              |${graft.core.Det.sql.davg(c)} AS mean_v FROM lineitem""".stripMargin
         }
         branches.mkString("\nUNION ALL\n")
+      })) ++ Seq(
+
+    // Bloom-filter decontamination — the scale path when the benchmark
+    // / blocklist side is too big for a broadcast-hash-join relation
+    // (t09's shape): one serialized sketch per executor instead. Same
+    // self-gate idea as x01/x02: the exact overlap is computed
+    // alongside and the sketch's guarantees become boolean columns the
+    // oracle asserts literally — superset_ok pins "no false negatives"
+    // (a bloom law, deterministic), fp_ok pins the false-positive count
+    // under a bound with astronomic margin (n_probes·fpp expected).
+    Q("x04_bloom_decontam",
+      (s, dir) => {
+        import graft.functions.TextFunctions._
+        val sh = Tables(s, dir, "documents").select(col("doc_id"),
+          explode(array_distinct(
+            shinglesFromHashes(tokenHashes(col("text")), 3))).as("sh"))
+        val bench = sh.filter(col("doc_id") < 5).select(col("sh")).distinct()
+        val bloom = bench.agg(graft.core.Bloom.bloomAgg(col("sh"), 4096L).as("bf"))
+        val corpus = sh.filter(col("doc_id") >= 5)
+        val maybe = corpus
+          .withColumn("hit", graft.core.Bloom.mightContain(bloom, col("sh")))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_probes"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("n_maybe"))
+        val exacts = corpus.join(broadcast(bench), "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+        maybe.join(exacts, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            (col("n_maybe") >= coalesce(col("n_exact"), lit(0L))).as("superset_ok"),
+            (col("n_maybe") <= coalesce(col("n_exact"), lit(0L)) +
+              greatest(lit(10L), col("n_probes") / 5)).as("fp_ok"))
+      },
+      Some {
+        val th = graft.queries.OracleSql.tokenHashes("text")
+        s"""WITH t AS (SELECT doc_id, $th AS th FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(${graft.queries.OracleSql.shingles(3)})) AS s FROM t),
+           |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+           |ex AS (SELECT doc_id, count(*) AS n_exact FROM sh JOIN bench USING (s)
+           |       WHERE doc_id >= 5 GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact,
+           |  true AS superset_ok, true AS fp_ok
+           |FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id >= 5) d
+           |LEFT JOIN ex USING (doc_id)""".stripMargin
       }))
   }
 }
