@@ -240,36 +240,99 @@ object VectorQueries {
     * the Det-decimal per-dimension centroid rows (`rows$i`). Shared by
     * the v06 oracle (reads `rows$iters`) and the semantic-dedup d08
     * oracle (reads `assign$iters`). */
-  def kmeansCtesSql(k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): String = {
+  def kmeansCtesSql(k: Int = KMEANS_K, iters: Int = KMEANS_ITERS,
+      prefix: String = "",
+      src: String = "SELECT vec_id, embedding FROM embeddings"): String = {
+    // `prefix` namespaces every CTE so several unrolled loops can share
+    // one WITH clause (the PQ oracle runs one loop per subspace);
+    // `src` picks the (vec_id, embedding) input — e.g. a list slice.
+    val p = prefix
     def d(e: String) = s"CAST($e AS DOUBLE)"
     // DuckDB lambda index ki is 1-based, matching element ki of cent
     def distSql(cent: String) = O.dfold(
       s"list_transform(embedding, (kx, ki) -> (${d("kx")} - $cent[ki]) * (${d("kx")} - $cent[ki]))")
     val sb = new StringBuilder
-    sb ++= s"""e AS (SELECT vec_id, embedding FROM embeddings),
-              |seeds AS (SELECT cell, embedding FROM
+    sb ++= s"""${p}e AS ($src),
+              |${p}seeds AS (SELECT cell, embedding FROM
               |  (SELECT embedding, CAST(row_number() OVER
               |     (ORDER BY (vec_id * 2654435761) % 1000003 ASC, vec_id ASC) - 1 AS BIGINT) AS cell
-              |   FROM e) WHERE cell < $k),
-              |cent0 AS (SELECT cell, list_transform(embedding, sx -> ${d("sx")}) AS cent FROM seeds)""".stripMargin
+              |   FROM ${p}e) WHERE cell < $k),
+              |${p}cent0 AS (SELECT cell, list_transform(embedding, sx -> ${d("sx")}) AS cent FROM ${p}seeds)""".stripMargin
     for (i <- 1 to iters) {
       sb ++= s""",
-                |assign$i AS (SELECT vec_id, embedding, cell FROM
-                |  (SELECT e.vec_id, e.embedding, c.cell,
-                |     row_number() OVER (PARTITION BY e.vec_id
+                |${p}assign$i AS (SELECT vec_id, embedding, cell FROM
+                |  (SELECT ${p}e.vec_id, ${p}e.embedding, c.cell,
+                |     row_number() OVER (PARTITION BY ${p}e.vec_id
                 |       ORDER BY ${distSql("c.cent")} ASC, c.cell ASC) AS rk
-                |   FROM e CROSS JOIN cent${i - 1} c) WHERE rk = 1),
-                |rows$i AS (SELECT cell, pos, ${Det.sql.davg("CAST(x AS DOUBLE)")} AS c FROM
+                |   FROM ${p}e CROSS JOIN ${p}cent${i - 1} c) WHERE rk = 1),
+                |${p}rows$i AS (SELECT cell, pos, ${Det.sql.davg("CAST(x AS DOUBLE)")} AS c FROM
                 |  (SELECT cell, unnest(embedding) AS x, unnest(range(len(embedding))) AS pos
-                |   FROM assign$i) GROUP BY cell, pos)""".stripMargin
+                |   FROM ${p}assign$i) GROUP BY cell, pos)""".stripMargin
       if (i < iters) sb ++= s""",
-                |cent$i AS (SELECT cell, list(c ORDER BY pos) AS cent FROM rows$i GROUP BY cell)""".stripMargin
+                |${p}cent$i AS (SELECT cell, list(c ORDER BY pos) AS cent FROM ${p}rows$i GROUP BY cell)""".stripMargin
     }
     sb.toString
   }
 
   def kmeansCentroidRowsSql(k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): String =
     s"WITH ${kmeansCtesSql(k, iters)}\nSELECT cell, pos, c FROM rows$iters"
+
+  // ── product quantization ─────────────────────────────────────────────
+  // The ANN memory path at 100 TB: dim split into M subspaces, an
+  // independent k-cell codebook per subspace, each vector stored as M
+  // small codes (64 floats → 4 bytes at M=4, k≤256). Codebook training
+  // reuses the deterministic Lloyd machinery above per subspace (tiny
+  // driver-collected centers, broadcast as literals); ENCODING — the
+  // part that touches the whole corpus — fuses all M assignments into
+  // one projection, so it is a single narrow scan.
+
+  /** Nearest-center cell id as a composable EXPRESSION over any vector
+    * column (ties to the smallest cell id — same order the SQL mirror's
+    * `ORDER BY dist ASC, cell ASC` picks). Codegen subexpression
+    * elimination dedups the repeated distance terms. */
+  def assignCellExpr(emb: Column, centers: Seq[(Int, Array[Double])]): Column = {
+    require(centers.nonEmpty)
+    val dists = centers.map { case (j, c) => (j, sqDist(emb, c)) }
+    val m =
+      if (dists.size == 1) dists.head._2 else least(dists.map(_._2): _*)
+    dists.tail
+      .foldLeft(when(dists.head._2 === m, lit(dists.head._1.toLong))) {
+        case (w, (j, dcol)) => w.when(dcol === m, lit(j.toLong))
+      }.otherwise(lit(dists.head._1.toLong))
+  }
+
+  val PQ_M = 4
+
+  /** PQ codes (vec_id, sub, code): per-subspace Lloyd fit on the
+    * sliced vectors, then ONE fused encode pass over the corpus. */
+  def pqCodes(e: DataFrame, dim: Int, m: Int = PQ_M, k: Int = KMEANS_K,
+      iters: Int = KMEANS_ITERS): DataFrame = {
+    val dSub = dim / m
+    val codeCols = (0 until m).map { s =>
+      val subEmb = slice(col("embedding"), s * dSub + 1, dSub)
+      val centers = kmeansFit(
+        e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1)
+      assignCellExpr(subEmb, centers).as(s"__code$s")
+    }
+    e.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(s => col(s"__code$s")): _*))
+          .as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast(LongType).as("sub"), col("code"))
+  }
+
+  def pqCodesSql(dim: Int, m: Int = PQ_M, k: Int = KMEANS_K,
+      iters: Int = KMEANS_ITERS): String = {
+    val dSub = dim / m
+    val ctes = (0 until m).map { s =>
+      kmeansCtesSql(k, iters, prefix = s"s${s}_",
+        src = s"SELECT vec_id, embedding[${s * dSub + 1}:${(s + 1) * dSub}] AS embedding FROM embeddings")
+    }
+    val unions = (0 until m).map { s =>
+      s"SELECT vec_id, CAST($s AS BIGINT) AS sub, cell AS code FROM s${s}_assign$iters"
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${unions.mkString("\nUNION ALL\n")}"
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -477,6 +540,16 @@ object VectorQueries {
               |      WHERE e.vec_id >= 50 GROUP BY e.vec_id)
               |SELECT vec_id, msim,
               |  CAST(CASE WHEN msim > 0.3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
-              |FROM m""".stripMargin))
+              |FROM m""".stripMargin)),
+
+    // Product quantization codes — every vector's M per-subspace cell
+    // assignments. The oracle unrolls M independent Lloyd loops over
+    // the list slices (kmeansCtesSql prefix/src parameters), so fit AND
+    // encode are both hash-gated end to end.
+    Q("v09_pq_codes",
+      (s, dir) => pqCodes(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        dim = 64),
+      Some(pqCodesSql(dim = 64)))
   )
 }

@@ -149,6 +149,14 @@ class PlanSpec extends SparkSpec {
       s"shingle exchange no longer shared between count and probe:\n${f.take(1200)}")
   }
 
+  test("PQ encode (v09) is one narrow pass - zero exchanges after fit") {
+    // codebook fit is driver-side (tiny collected centers); the corpus
+    // encode must fuse all M subspace assignments into one projection
+    val p = plan("v09_pq_codes")
+    assert(!p.contains("Exchange"),
+      s"PQ encode gained a shuffle:\n${p.take(1000)}")
+  }
+
   test("rank<=k paths keep WindowGroupLimit pushdown (v03, e03)") {
     // the row_number() <= k filters rely on Spark planning a
     // per-partition top-k (WindowGroupLimit) BEFORE the window sort's
