@@ -301,11 +301,17 @@ object VectorQueries {
       }.otherwise(lit(dists.head._1.toLong))
   }
 
-  val PQ_M = 4
+  // 8 subspaces x 16 cells = 8 half-byte codes per vector (64 floats
+  // -> 4 bytes). k only affects the seed cut in the SQL mirror and M
+  // only the loop count, so codebook resolution costs the oracle
+  // nothing; these synthetic embeddings have weak neighbor structure
+  // (NN dist ~0.64x the median), so finer subspaces carry the recall.
+  val PQ_M = 8
+  val PQ_K = 16
 
   /** PQ codes (vec_id, sub, code): per-subspace Lloyd fit on the
     * sliced vectors, then ONE fused encode pass over the corpus. */
-  def pqCodes(e: DataFrame, dim: Int, m: Int = PQ_M, k: Int = KMEANS_K,
+  def pqCodes(e: DataFrame, dim: Int, m: Int = PQ_M, k: Int = PQ_K,
       iters: Int = KMEANS_ITERS): DataFrame = {
     val dSub = dim / m
     val codeCols = (0 until m).map { s =>
@@ -321,7 +327,7 @@ object VectorQueries {
       .select(col("vec_id"), col("sub").cast(LongType).as("sub"), col("code"))
   }
 
-  def pqCodesSql(dim: Int, m: Int = PQ_M, k: Int = KMEANS_K,
+  def pqCodesSql(dim: Int, m: Int = PQ_M, k: Int = PQ_K,
       iters: Int = KMEANS_ITERS): String = {
     val dSub = dim / m
     val ctes = (0 until m).map { s =>
@@ -550,6 +556,129 @@ object VectorQueries {
       (s, dir) => pqCodes(
         Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         dim = 64),
-      Some(pqCodesSql(dim = 64)))
+      Some(pqCodesSql(dim = 64))),
+
+    // PQ asymmetric-distance (ADC) top-k search: the database side is
+    // ONLY codes (M small ints per vector — the compressed form that
+    // fits 100 TB of vectors in RAM); each query's distance to a
+    // database vector is the sum of its per-subspace distances to the
+    // centers the codes name. The query side (tiny) is broadcast; the
+    // per-code center distances are literal when-chains, so the scan
+    // side never touches raw database vectors. Codes and centers both
+    // come from the same deterministic fit v09 gates; the oracle
+    // recomputes ADC from the unrolled loops' cent/assign CTEs.
+    Q("v10_pq_adc_topk",
+      (s, dir) => {
+        val scored = pqAdcScores(s, dir)
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").asc, col("n_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 10)
+      },
+      Some(s"""WITH ${pqAdcScoresSql()}
+              |SELECT q_id, n_id, adc, rank FROM
+              |(SELECT q_id, n_id, adc, CAST(row_number() OVER
+              |   (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rank
+              | FROM sc) WHERE rank <= 10""".stripMargin)),
+
+    // PQ search, production two-stage form: ADC shortlists SHORTK
+    // candidates from codes alone, then ONLY the shortlist's raw
+    // vectors are gathered (a keyed join — |q|·SHORTK rows, independent
+    // of corpus size) and re-ranked by exact L2. Quantization error
+    // decides the shortlist, never the final order — recall jumps from
+    // ~0.3 (pure ADC on this weakly-clustered data) to ~0.8 (PqSpec).
+    Q("v11_pq_rerank",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val ws = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").asc, col("n_id").asc)
+        val short = pqAdcScores(s, dir)
+          .withColumn("srk", row_number().over(ws)).filter(col("srk") <= 50)
+          .select(col("q_id"), col("n_id"))
+        val l2 = fold(zip_with(col("q_emb"), col("n_emb"), (x, y) =>
+          (x.cast(DoubleType) - y.cast(DoubleType)) *
+            (x.cast(DoubleType) - y.cast(DoubleType))))
+        val rer = short
+          .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), "n_id")
+          .join(broadcast(e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
+          .select(col("q_id"), col("n_id"), l2.as("l2"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("l2").asc, col("n_id").asc)
+        rer.withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 10)
+      },
+      Some {
+        val exact = O.dfold(
+          """list_transform(q.q_emb, (kx, ki) ->
+            | (CAST(kx AS DOUBLE) - CAST(n.n_emb[ki] AS DOUBLE))
+            | * (CAST(kx AS DOUBLE) - CAST(n.n_emb[ki] AS DOUBLE)))""".stripMargin)
+        s"""WITH ${pqAdcScoresSql()},
+           |short AS (SELECT q_id, n_id FROM
+           |  (SELECT q_id, n_id, row_number() OVER
+           |     (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS srk FROM sc)
+           |  WHERE srk <= 50),
+           |rer AS (SELECT short.q_id, short.n_id, $exact AS l2 FROM short
+           |  JOIN (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings) n USING (n_id)
+           |  JOIN (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5) q USING (q_id))
+           |SELECT q_id, n_id, l2, rank FROM
+           |(SELECT q_id, n_id, l2, CAST(row_number() OVER
+           |   (PARTITION BY q_id ORDER BY l2 ASC, n_id ASC) AS BIGINT) AS rank
+           | FROM rer) WHERE rank <= 10""".stripMargin
+      })
   )
+
+  /** ADC scores (q_id, n_id, adc) of every query × database-code pair —
+    * the shared core of v10/v11. Codebooks from the same deterministic
+    * per-subspace fit v09 encodes with. */
+  def pqAdcScores(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64; val m = PQ_M; val dSub = dim / m
+    val k = PQ_K; val iters = KMEANS_ITERS
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val codebooks = (0 until m).map { ss =>
+      val subEmb = slice(col("embedding"), ss * dSub + 1, dSub)
+      kmeansFit(e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1)
+    }
+    val codeCols = (0 until m).map(ss => assignCellExpr(
+      slice(col("embedding"), ss * dSub + 1, dSub), codebooks(ss)).as(s"c$ss"))
+    val db = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("n_id") +: codeCols: _*)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val adc = (0 until m).map { ss =>
+      val qSub = slice(col("q_emb"), ss * dSub + 1, dSub)
+      val cb = codebooks(ss)
+      cb.tail.foldLeft(
+        when(col(s"c$ss") === cb.head._1.toLong, sqDist(qSub, cb.head._2))) {
+        case (w, (j, c)) => w.when(col(s"c$ss") === j.toLong, sqDist(qSub, c))
+      }.otherwise(lit(Double.MaxValue))
+    }.reduce(_ + _)
+    db.join(broadcast(q)).select(col("q_id"), col("n_id"), adc.as("adc"))
+  }
+
+  /** WITH-clause body ending in `sc` (q_id, n_id, adc) — the DuckDB
+    * mirror of [[pqAdcScores]]. */
+  def pqAdcScoresSql(): String = {
+    val dim = 64; val m = PQ_M; val dSub = dim / m
+    val iters = KMEANS_ITERS
+    val ctes = (0 until m).map { ss =>
+      kmeansCtesSql(PQ_K, iters, prefix = s"s${ss}_",
+        src = s"SELECT vec_id, embedding[${ss * dSub + 1}:${(ss + 1) * dSub}] AS embedding FROM embeddings")
+    }
+    val dbJoins = (1 until m).map(ss =>
+      s"JOIN s${ss}_assign$iters a$ss USING (vec_id)").mkString(" ")
+    val centJoins = (0 until m).map(ss =>
+      s"JOIN s${ss}_cent${iters - 1} t$ss ON t$ss.cell = db.c$ss").mkString("\n")
+    val dists = (0 until m).map { ss =>
+      O.dfold(s"""list_transform(q.q_emb[${ss * dSub + 1}:${(ss + 1) * dSub}],
+         | (kx, ki) -> (CAST(kx AS DOUBLE) - t$ss.cent[ki]) * (CAST(kx AS DOUBLE) - t$ss.cent[ki]))""".stripMargin)
+    }.mkString(" + ")
+    s"""${ctes.mkString(",\n")},
+       |db AS (SELECT vec_id AS n_id, ${(0 until m).map(ss => s"a$ss.cell AS c$ss").mkString(", ")}
+       |       FROM s0_assign$iters a0 $dbJoins WHERE vec_id >= 5),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+       |sc AS (SELECT q.q_id, db.n_id, $dists AS adc
+       |       FROM db CROSS JOIN q
+       |$centJoins)""".stripMargin
+  }
 }
