@@ -68,7 +68,52 @@ object ScaleProbe {
     if (args.headOption.contains("factjoin")) factJoin(args.drop(1))
     else if (args.headOption.contains("abguard")) abGuard(args.drop(1))
     else if (args.headOption.contains("cc")) ccProbe(args.drop(1))
+    else if (args.headOption.contains("r4ops")) r4Ops(args.drop(1))
     else standard(args)
+
+  /** Round-4 operator probes. (a) As-of join at `copies`× events with
+    * user count held CONSTANT (event ids shifted, user ids not), so
+    * per-user history deepens — the regime where the naive
+    * range-join+max goes quadratic per group while the union+window
+    * form stays linear. (b) PQ fused encode over `copies`× vectors —
+    * one narrow pass, should scale linearly. */
+  def r4Ops(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val ev = scaled(spark, "events", Seq("event_id"), copies)
+    val nEv = ev.count()
+    println(s"copies=$copies events=$nEv")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    time("asof_union_window") {
+      graft.operators.AsofJoin
+        .backward(clicks, purchases, "user_id", "ts", Seq("ts", "value"),
+          tiebreak = None)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("asof_naive_rangejoin") {
+      // the shape AsofJoin.backward exists to avoid: per-key partial
+      // cartesian (clicks × earlier purchases), then max_by per click
+      clicks.as("l")
+        .join(purchases.as("r"),
+          col("l.user_id") === col("r.user_id") && col("r.ts") <= col("l.ts"))
+        .groupBy(col("l.event_id"))
+        .agg(max_by(struct(col("r.ts"), col("r.value")), col("r.ts")).as("m"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val vecs = scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+    val nVec = vecs.count()
+    time("pq_encode_fused") {
+      graft.queries.VectorQueries.pqCodes(vecs, dim = 64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    writeJson(outJson, copies, s""", "events": $nEv, "vectors": $nVec""")
+    spark.stop()
+  }
 
   /** 100× probe of the heaviest 10× tail: the d07 dedup-clusters
     * pipeline (LSH candidates → connected components). Confirms the

@@ -59,6 +59,107 @@ object VectorOps {
   }
 }
 
+/** Codebook ops over a literal centroid table (row-major k×d doubles,
+  * cell ids alongside — ids can be sparse after Lloyd drops). Distances
+  * accumulate the SAME left-fold Σ(x_i − c_i)² per cell, cells scanned
+  * in ascending id order with strict `<`, so ties keep the smallest
+  * cell id — exactly the HOF when-chain and the oracle's
+  * `ORDER BY dist ASC, cell ASC`. `offset` addresses a subspace window
+  * of the full vector, so PQ never materializes slice arrays per row. */
+object CentroidOps {
+
+  def nearest(v: ArrayData, offset: Int, d: Int,
+      cellIds: Array[Long], flat: Array[Double]): Long = {
+    val k = cellIds.length
+    var best = Double.PositiveInfinity
+    var bestCell = cellIds(0)
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        val x = v.getFloat(offset + i).toDouble - flat(j * d + i)
+        s += x * x
+        i += 1
+      }
+      if (s < best) { best = s; bestCell = cellIds(j) }
+      j += 1
+    }
+    bestCell
+  }
+
+  /** Distance from the vector's window to the centroid named by
+    * `code`; an unknown code yields Double.MaxValue (unreachable when
+    * codes come from [[nearest]] over the same table). */
+  def dist(v: ArrayData, code: Long, offset: Int, d: Int,
+      cellIds: Array[Long], flat: Array[Double]): Double = {
+    val k = cellIds.length
+    var j = 0
+    while (j < k) {
+      if (cellIds(j) == code) {
+        var s = 0.0
+        var i = 0
+        while (i < d) {
+          val x = v.getFloat(offset + i).toDouble - flat(j * d + i)
+          s += x * x
+          i += 1
+        }
+        return s
+      }
+      j += 1
+    }
+    Double.MaxValue
+  }
+}
+
+case class NearestCentroidExpr(child: Expression, cellIds: Array[Long],
+    flat: Array[Double], d: Int, offset: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"nearest_centroid needs array<float>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CentroidOps.nearest(input.asInstanceOf[ArrayData], offset, d, cellIds, flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = CentroidOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val cellsRef = ctx.addReferenceObj("cellIds", cellIds, "long[]")
+    val flatRef = ctx.addReferenceObj("flat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $cls.nearest($c, $offset, $d, $cellsRef, $flatRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
+case class CentroidDistExpr(left: Expression, right: Expression,
+    cellIds: Array[Long], flat: Array[Double], d: Int, offset: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"centroid_dist needs (array<float>, bigint), got $other")
+  }
+
+  override def nullSafeEval(v: Any, code: Any): Any =
+    CentroidOps.dist(v.asInstanceOf[ArrayData], code.asInstanceOf[Long],
+      offset, d, cellIds, flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = CentroidOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val cellsRef = ctx.addReferenceObj("cellIds", cellIds, "long[]")
+    val flatRef = ctx.addReferenceObj("flat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, code) =>
+      s"${ev.value} = $cls.dist($v, $code, $offset, $d, $cellsRef, $flatRef);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CentroidDistExpr =
+    copy(left = l, right = r)
+}
+
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -112,4 +213,22 @@ object VectorExprs {
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
   def lsh_bucket(v: Column, planes: Int, offset: Int): Column =
     Bridge.column(LshBucketExpr(Bridge.expression(v), planes, offset))
+
+  private def flatten(centers: Seq[(Int, Array[Double])]): (Array[Long], Array[Double]) =
+    (centers.map(_._1.toLong).toArray, centers.flatMap(_._2).toArray)
+
+  /** Nearest-centroid cell id over the vector window [offset, offset+d). */
+  def nearest_centroid(v: Column, centers: Seq[(Int, Array[Double])],
+      d: Int, offset: Int = 0): Column = {
+    val (cells, flat) = flatten(centers)
+    Bridge.column(NearestCentroidExpr(Bridge.expression(v), cells, flat, d, offset))
+  }
+
+  /** Squared distance from the vector window to the centroid `code` names. */
+  def centroid_dist(v: Column, code: Column, centers: Seq[(Int, Array[Double])],
+      d: Int, offset: Int = 0): Column = {
+    val (cells, flat) = flatten(centers)
+    Bridge.column(CentroidDistExpr(Bridge.expression(v), Bridge.expression(code),
+      cells, flat, d, offset))
+  }
 }

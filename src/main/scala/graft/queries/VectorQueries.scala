@@ -170,19 +170,15 @@ object VectorQueries {
       (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)))
 
   /** Nearest-center assignment: (vec_id, embedding, cell). Ties break
-    * to the smallest cell id (mirrors ORDER BY dist ASC, cell ASC). */
+    * to the smallest cell id (mirrors ORDER BY dist ASC, cell ASC).
+    * Native codegen'd loop (NearestCentroidExpr) — the HOF fold form
+    * ([[assignCellExpr]]) is interpreted per element and was measured
+    * ~20× slower at probe scale; VectorExprsSpec pins them equal. */
   def kmeansAssign(e: DataFrame, centers: Seq[(Int, Array[Double])]): DataFrame = {
     require(centers.nonEmpty)
-    val dists = centers.map { case (j, c) => sqDist(col("embedding"), c).as(s"__d$j") }
-    val withD = e.select(col("vec_id") +: col("embedding") +: dists: _*)
-    val m =
-      if (centers.size == 1) col(s"__d${centers.head._1}")
-      else least(centers.map { case (j, _) => col(s"__d$j") }: _*)
-    val cellCol = centers.tail
-      .foldLeft(when(col(s"__d${centers.head._1}") === m, lit(centers.head._1.toLong))) {
-        case (w, (j, _)) => w.when(col(s"__d$j") === m, lit(j.toLong))
-      }.otherwise(lit(centers.head._1.toLong))
-    withD.select(col("vec_id"), col("embedding"), cellCol.as("cell"))
+    e.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorExprs.nearest_centroid(
+        col("embedding"), centers, centers.head._2.length).as("cell"))
   }
 
   /** Per-(cell, pos) centroid components of an assigned frame —
@@ -286,10 +282,13 @@ object VectorQueries {
   // part that touches the whole corpus — fuses all M assignments into
   // one projection, so it is a single narrow scan.
 
-  /** Nearest-center cell id as a composable EXPRESSION over any vector
-    * column (ties to the smallest cell id — same order the SQL mirror's
-    * `ORDER BY dist ASC, cell ASC` picks). Codegen subexpression
-    * elimination dedups the repeated distance terms. */
+  /** HOF reference form of the squared distance (VectorExprsSpec pins
+    * the native loop against it). */
+  def sqDistHof(emb: Column, center: Array[Double]): Column = sqDist(emb, center)
+
+  /** HOF reference form of nearest-cell assignment (interpreted; kept
+    * as the independent implementation VectorExprsSpec pins the native
+    * NearestCentroidExpr against — same tie order, same left folds). */
   def assignCellExpr(emb: Column, centers: Seq[(Int, Array[Double])]): Column = {
     require(centers.nonEmpty)
     val dists = centers.map { case (j, c) => (j, sqDist(emb, c)) }
@@ -318,7 +317,9 @@ object VectorQueries {
       val subEmb = slice(col("embedding"), s * dSub + 1, dSub)
       val centers = kmeansFit(
         e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1)
-      assignCellExpr(subEmb, centers).as(s"__code$s")
+      // native loop with a subspace OFFSET — no per-row slice arrays
+      graft.functions.VectorExprs.nearest_centroid(
+        col("embedding"), centers, dSub, s * dSub).as(s"__code$s")
     }
     e.select(col("vec_id") +: codeCols: _*)
       .select(col("vec_id"),
@@ -639,19 +640,18 @@ object VectorQueries {
       val subEmb = slice(col("embedding"), ss * dSub + 1, dSub)
       kmeansFit(e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1)
     }
-    val codeCols = (0 until m).map(ss => assignCellExpr(
-      slice(col("embedding"), ss * dSub + 1, dSub), codebooks(ss)).as(s"c$ss"))
+    val codeCols = (0 until m).map(ss =>
+      graft.functions.VectorExprs.nearest_centroid(
+        col("embedding"), codebooks(ss), dSub, ss * dSub).as(s"c$ss"))
     val db = e.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("n_id") +: codeCols: _*)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // ADC = Σ_s dist(q window s, centroid named by code_s): native
+    // codegen'd lookups, summed left-to-right like the oracle
     val adc = (0 until m).map { ss =>
-      val qSub = slice(col("q_emb"), ss * dSub + 1, dSub)
-      val cb = codebooks(ss)
-      cb.tail.foldLeft(
-        when(col(s"c$ss") === cb.head._1.toLong, sqDist(qSub, cb.head._2))) {
-        case (w, (j, c)) => w.when(col(s"c$ss") === j.toLong, sqDist(qSub, c))
-      }.otherwise(lit(Double.MaxValue))
+      graft.functions.VectorExprs.centroid_dist(
+        col("q_emb"), col(s"c$ss"), codebooks(ss), dSub, ss * dSub)
     }.reduce(_ + _)
     db.join(broadcast(q)).select(col("q_id"), col("n_id"), adc.as("adc"))
   }

@@ -41,4 +41,45 @@ class VectorExprsSpec extends SparkSpec {
       assert(diff == 0, s"band $band: $diff buckets differ")
     }
   }
+
+  test("native nearest_centroid ≡ HOF when-chain (offsets + tie order)") {
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dSub = 8
+    // real codebook from the deterministic fit, on a middle subspace
+    val centers = VectorQueries.kmeansFit(
+      e.select(col("vec_id"),
+        slice(col("embedding"), 2 * dSub + 1, dSub).as("embedding")), 16, 2)
+    val diff = e.select(
+      VectorExprs.nearest_centroid(col("embedding"), centers, dSub, 2 * dSub).as("n"),
+      VectorQueries.assignCellExpr(
+        slice(col("embedding"), 2 * dSub + 1, dSub), centers).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(diff == 0, s"$diff assignments differ between native and HOF")
+    // duplicated centroid: both must keep the smaller cell id
+    val dup = Seq(0, 1).map(j => (j, centers.head._2))
+    val ties = e.limit(20).select(
+      VectorExprs.nearest_centroid(col("embedding"), dup, dSub, 2 * dSub).as("n"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ties == Set(0L), s"tie must keep cell 0, got $ties")
+  }
+
+  test("native centroid_dist ≡ HOF sqDist fold for every code") {
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dSub = 8
+    val centers = VectorQueries.kmeansFit(
+      e.select(col("vec_id"),
+        slice(col("embedding"), 1, dSub).as("embedding")), 16, 2)
+    val hof = centers.map { case (j, c) =>
+      VectorQueries.sqDistHof(slice(col("embedding"), 1, dSub), c).as(s"h$j")
+    }
+    val native = centers.map { case (j, _) =>
+      VectorExprs.centroid_dist(col("embedding"), lit(j.toLong), centers, dSub, 0).as(s"n$j")
+    }
+    val bad = e.limit(100).select(hof ++ native: _*)
+      .filter(centers.map { case (j, _) =>
+        col(s"h$j") =!= col(s"n$j") }.reduce(_ || _)).count()
+    assert(bad == 0, s"$bad rows have a native/HOF distance mismatch")
+  }
 }
