@@ -94,6 +94,37 @@ object EventQueries {
              |      WHERE event_type = 'click') l
              |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
              |                WHERE event_type = 'purchase') r
-             |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
+             |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+
+    // Range (band/non-equi) join: every event matched to its value tier
+    // by `lo <= value < hi`. The tier table is tiny and broadcast, so
+    // the physical plan is a BroadcastNestedLoopJoin — which IS the
+    // right plan for a non-equi join against a broadcastable dim: the
+    // fact side streams through once, no shuffle. (A big-big range
+    // join would bin both sides to equi-keys first; this is the
+    // dim-lookup shape.) Half-open bounds make the tiers a partition,
+    // so the join is exactly one-row-per-event (gated by rowcount).
+    Q("e05_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val tiers = Seq(
+          ("low", Double.NegativeInfinity, 10.0),
+          ("mid", 10.0, 100.0),
+          ("high", 100.0, Double.PositiveInfinity))
+          .toDF("tier", "lo", "hi")
+        Tables(s, dir, "events")
+          .join(broadcast(tiers),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("tier"))
+          .agg(Det.cnt(col("event_id")).as("n"), Det.dsum(col("value")).as("sum_value"))
+      },
+      Some(s"""SELECT tier, ${Det.sql.cnt("event_id")} AS n,
+              |${Det.sql.dsum("value")} AS sum_value
+              |FROM events JOIN (VALUES
+              |  ('low', CAST('-infinity' AS DOUBLE), 10.0),
+              |  ('mid', 10.0, 100.0),
+              |  ('high', 100.0, CAST('infinity' AS DOUBLE))) t(tier, lo, hi)
+              |ON value >= lo AND value < hi
+              |GROUP BY tier""".stripMargin))
   )
 }
