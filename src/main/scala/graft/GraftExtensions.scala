@@ -83,6 +83,10 @@ object GraftSqlFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         args.head,
         new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))
+    },
+    "normalize_text" -> { args =>
+      arity(args, 1, "normalize_text")
+      graft.functions.TextNormalizeExpr(args.head)
     }
   )
 

@@ -418,6 +418,21 @@ object TextQueries {
              |  'contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.com'
              |  || CASE WHEN doc_id % 3 = 0 THEN ' or admin@' || source || '.org' ELSE '' END
              |  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 re: ' || text AS ftext
-             |FROM documents)""".stripMargin))
+             |FROM documents)""".stripMargin)),
+
+    // Unicode canonicalization (native TextNormalizeExpr): lowercase →
+    // accent strip → NFC → whitespace collapse → trim, one codegen'd
+    // pass. The ASCII corpus is composed with accented/multi-space
+    // prefixes by BOTH engines so the normalization does real work the
+    // hash gate can see.
+    Q("t17_normalize",
+      (s, dir) => Tables(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextNormalizeExprs.normalize_text(
+          concat(lit("Café  NAÏVE Übung crème brûlée:\t"), col("text"))).as("norm")),
+      Some("""SELECT doc_id, trim(regexp_replace(
+             |  nfc_normalize(strip_accents(lower(
+             |    'Café  NAÏVE Übung crème brûlée:' || chr(9) || text))),
+             |  '\s+', ' ', 'g')) AS norm
+             |FROM documents""".stripMargin))
   )
 }
