@@ -149,6 +149,21 @@ class PlanSpec extends SparkSpec {
       s"shingle exchange no longer shared between count and probe:\n${f.take(1200)}")
   }
 
+  test("range join (e05) broadcasts the tier dim - never a shuffled cartesian") {
+    val p = plan("e05_range_join")
+    // BNLJ over a broadcast 3-row dim IS the right non-equi plan: the
+    // fact side streams through once with no shuffle before the agg
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("PII redaction (t16) and normalization (t17) stay narrow - zero exchanges") {
+    Seq("t16_pii_redact", "t17_normalize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n${p.take(800)}")
+    }
+  }
+
   test("PQ encode (v09) is one narrow pass - zero exchanges after fit") {
     // codebook fit is driver-side (tiny collected centers); the corpus
     // encode must fuse all M subspace assignments into one projection
