@@ -99,6 +99,50 @@ object StreamingOps {
   final case class SessionState(lastTs: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+  // ── streaming as-of join ────────────────────────────────────────────
+  final case class AsofEv(event_id: Long, user_id: Long, ts_us: Long,
+      is_right: Boolean, value: Double)
+  final case class LastRight(ts_us: Long, value: Double)
+  final case class AsofMatch(event_id: Long, user_id: Long, ts_us: Long,
+      p_ts_us: Option[Long], p_value: Option[Double])
+
+  /** Streaming as-of join (the online feature lookup): every arriving
+    * `leftType` event is matched to the user's most recent `rightType`
+    * event at-or-before it. The batch form (operators/AsofJoin) scans
+    * a window over history; the streaming-native form keeps ONE row of
+    * state per key — the latest right event — and matches left events
+    * as they arrive. Within a micro-batch the group is processed in
+    * (ts, right-first) order, so equal-timestamp rights are visible to
+    * their lefts exactly like the batch operator's side ordering;
+    * across batches the state carries the match forward. State is O(1)
+    * per user, not O(history) — the only tractable shape online. */
+  def asofLatest(events: DataFrame, leftType: String = "click",
+      rightType: String = "purchase")
+      (implicit spark: SparkSession): Dataset[AsofMatch] = {
+    import spark.implicits._
+    val evs = events.filter(col("event_type").isin(leftType, rightType))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("event_type") === rightType).as("is_right"),
+        coalesce(col("value"), lit(0.0)).as("value")).as[AsofEv]
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastRight, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[AsofEv], state: GroupState[LastRight]) =>
+          // false sorts before true: rights precede lefts at equal ts
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, !e.is_right))
+          val out = Seq.newBuilder[AsofMatch]
+          var st = state.getOption
+          sorted.foreach { e =>
+            if (e.is_right) st = Some(LastRight(e.ts_us, e.value))
+            else out += AsofMatch(e.event_id, user, e.ts_us,
+              st.map(_.ts_us), st.map(_.value))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Per-user session counting with explicit state: a >30 min silence
     * opens a new session (same rule as EventQueries e02, kept hot in
     * GroupState instead of a window shuffle — the streaming-native

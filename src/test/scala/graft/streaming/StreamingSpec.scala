@@ -84,6 +84,29 @@ class StreamingSpec extends SparkSpec {
     assert(sigs == got.count())
   }
 
+  test("streaming as-of join matches the batch operator click-for-click") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf0001, "events")
+    val got = StreamingOps.asofLatest(ev).collect()
+      .map(m => m.event_id -> ((m.p_ts_us, m.p_value))).toMap
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val want = graft.operators.AsofJoin
+      .backward(clicks, purchases, "user_id", "ts", Seq("ts", "value"), prefix = "p_")
+      .select(col("event_id"), unix_micros(col("p_ts")).as("p_us"), col("p_value"))
+      .collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got.size == want.size && got.nonEmpty)
+    got.foreach { case (id, m) =>
+      assert(want(id) == m, s"click $id: state $m vs batch ${want(id)}")
+    }
+  }
+
   test("stateful sessionization emits per-user session counts") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val batchEvents = Tables(spark, sf0001, "events")
