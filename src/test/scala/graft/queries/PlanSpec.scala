@@ -179,7 +179,8 @@ class PlanSpec extends SparkSpec {
     // into the sort. A refactor (e.g. ranking through a struct) can
     // silently lose the pushdown; pin it on the two shapes that feed
     // the most rows into their window.
-    Seq("v03_ann_bucketed", "e03_user_topk", "t15_source_cap").foreach { q =>
+    Seq("v03_ann_bucketed", "e03_user_topk", "t15_source_cap",
+        "v10_pq_adc_topk").foreach { q =>
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q lost the WindowGroupLimit pushdown:\n${p.take(800)}")
