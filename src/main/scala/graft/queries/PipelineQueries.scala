@@ -53,6 +53,42 @@ object PipelineQueries {
            |JOIN spl ON d.doc_id = spl.doc_id
            |WHERE d.doc_id >= 5 AND qual.quality > 0.5 AND dedup.keep = 1
            |  AND d.doc_id NOT IN (SELECT doc_id FROM cont WHERE n_overlap > 0)""".stripMargin
+      }),
+
+    // The embedding-side pipeline: semantic dedup (d08 keep set) →
+    // embedding decontamination (v08) → PQ compression of the
+    // survivors (v09's fit+encode, codebooks trained ON the curated
+    // set — the real pipeline order). One composed program; the oracle
+    // chains the same stage SQL as CTEs and re-runs the unrolled PQ
+    // loops over the curated CTE, so the composition is hash-gated.
+    Q("p02_embedding_curation",
+      (s, dir) => {
+        val keep = qv("d08_semantic_dedup").build(s, dir)
+          .filter(col("keep") === 1).select(col("vec_id"))
+        val cont = qv("v08_embed_decontam").build(s, dir)
+          .filter(col("contaminated") === 1).select(col("vec_id"))
+        val curated = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") >= 50)
+          .join(keep, "vec_id")
+          .join(cont, Seq("vec_id"), "left_anti")
+          .cache() // the PQ fit re-reads it ~2·M times (tiny driver loops)
+        VectorQueries.pqCodes(curated, dim = 64)
+      },
+      Some {
+        def cte(name: String): String = qv(name).oracle.get
+        VectorQueries.pqCodesSql(dim = 64, table = "curated",
+          leadingCtes =
+            s"""keep AS (${cte("d08_semantic_dedup")}),
+               |cont AS (${cte("v08_embed_decontam")}),
+               |curated AS (SELECT e.vec_id, e.embedding FROM embeddings e
+               |  JOIN keep k ON e.vec_id = k.vec_id AND k.keep = 1
+               |  WHERE e.vec_id >= 50 AND e.vec_id NOT IN
+               |    (SELECT vec_id FROM cont WHERE contaminated = 1))""".stripMargin)
       })
   )
+
+  private def qv(name: String): Q =
+    (DedupQueries.all ++ VectorQueries.all).find(_.name == name)
+      .getOrElse(sys.error(s"pipeline stage $name missing"))
 }

@@ -329,16 +329,18 @@ object VectorQueries {
   }
 
   def pqCodesSql(dim: Int, m: Int = PQ_M, k: Int = PQ_K,
-      iters: Int = KMEANS_ITERS): String = {
+      iters: Int = KMEANS_ITERS, table: String = "embeddings",
+      leadingCtes: String = ""): String = {
     val dSub = dim / m
     val ctes = (0 until m).map { s =>
       kmeansCtesSql(k, iters, prefix = s"s${s}_",
-        src = s"SELECT vec_id, embedding[${s * dSub + 1}:${(s + 1) * dSub}] AS embedding FROM embeddings")
+        src = s"SELECT vec_id, embedding[${s * dSub + 1}:${(s + 1) * dSub}] AS embedding FROM $table")
     }
     val unions = (0 until m).map { s =>
       s"SELECT vec_id, CAST($s AS BIGINT) AS sub, cell AS code FROM s${s}_assign$iters"
     }
-    s"WITH ${ctes.mkString(",\n")}\n${unions.mkString("\nUNION ALL\n")}"
+    val lead = if (leadingCtes.isEmpty) "" else leadingCtes + ",\n"
+    s"WITH $lead${ctes.mkString(",\n")}\n${unions.mkString("\nUNION ALL\n")}"
   }
 
   val all: Seq[Q] = Seq(
