@@ -322,6 +322,61 @@ object DedupQueries {
               |SELECT doc_id, n_grams, n_shared,
               |  CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
               |  (CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE)) > 0.2 AS flag
-              |FROM j""".stripMargin))
+              |FROM j""".stripMargin)),
+
+    // Span REMOVAL — the step after d09's flagging (Lee et al. cut the
+    // duplicated substrings, not the docs): every token covered by a
+    // cross-doc-shared 16-token window is dropped and the doc's text
+    // reassembled from the survivors in order. All keyed work — gram
+    // count, coverage explode, ordered per-doc reassembly — no doc
+    // pairs anywhere; the reassembly is collect_list + array_sort per
+    // doc, bounded by doc length, never corpus-wide ordering.
+    Q("d10_dedup_spans",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val win = docs.select(col("doc_id"),
+          posexplode(shinglesFromHashes(tokenHashes(col("text")), 16))
+            .as(Seq("wpos", "g")))
+        val shared = win.select(col("doc_id"), col("g")).distinct()
+          .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select(col("g"))
+        val covered = win.join(shared, "g")
+          .select(col("doc_id"),
+            explode(sequence(col("wpos"), col("wpos") + 15)).as("pos"))
+          .distinct()
+        val toks = docs.select(col("doc_id"),
+          posexplode(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > lit(0))).as(Seq("pos", "tok")))
+        val clean = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok"))).as("clean_text"))
+        docs.select(col("doc_id"))
+          .join(clean, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+      },
+      Some(s"""WITH th AS (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents),
+              |shl AS (SELECT doc_id, ${O.shingles(16)} AS sh FROM th),
+              |win AS (SELECT doc_id, sh[i] AS g, i FROM shl,
+              |        UNNEST(generate_series(1, len(sh))) AS u(i)),
+              |shared AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM win)
+              |           GROUP BY g HAVING count(*) >= 2),
+              |cov AS (SELECT DISTINCT doc_id, u2.p FROM win JOIN shared USING (g),
+              |        UNNEST(generate_series(win.i, win.i + 15)) AS u2(p)),
+              |tkl AS (SELECT doc_id, ${O.toks("text")} AS tk FROM documents),
+              |toksr AS (SELECT doc_id, tk[p] AS tok, p FROM tkl,
+              |          UNNEST(generate_series(1, len(tk))) AS u(p)),
+              |clean AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              |          string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+              |          FROM toksr t LEFT JOIN cov c
+              |          ON t.doc_id = c.doc_id AND t.p = c.p
+              |          WHERE c.p IS NULL GROUP BY t.doc_id)
+              |SELECT d.doc_id, coalesce(clean.n_kept, 0) AS n_kept,
+              |  coalesce(clean.clean_text, '') AS clean_text
+              |FROM documents d LEFT JOIN clean ON d.doc_id = clean.doc_id""".stripMargin))
   )
 }
