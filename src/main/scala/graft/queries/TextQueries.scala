@@ -420,6 +420,62 @@ object TextQueries {
              |  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 re: ' || text AS ftext
              |FROM documents)""".stripMargin)),
 
+    // Bigram LM negative log-likelihood with stupid backoff (λ=0.4) —
+    // the next rung after t13's unigram filter: p(w2|w1) = c2/c1 when
+    // the bigram clears the count floor, else λ·p(w2). Same scale
+    // shape as t13 — word/bigram-keyed aggs (map-side partials soak
+    // Zipf), Zipf-bounded vocab tables broadcast back, one per-doc
+    // agg; the per-transition ln() feeds the Det decimal sum so both
+    // engines absorb sub-1e-6 deltas identically.
+    Q("t18_bigram_nll",
+      (s, dir) => {
+        val tk = Tables(s, dir, "documents").select(col("doc_id"),
+          filter(split(lower(col("text")), "\\s+"), t => length(t) > lit(0)).as("w"))
+        val words = tk.select(col("doc_id"), explode(col("w")).as("word"))
+        val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
+        val tot = words.agg(count(lit(1)).as("n"))
+        val n = greatest(size(col("w")) - 1, lit(0))
+        val trans = tk.select(col("doc_id"), explode(zip_with(
+            slice(col("w"), lit(1), n), slice(col("w"), lit(2), n),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("t"))
+          .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
+        val big = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+          .filter(col("c2") >= 3)
+        val lp = when(col("c2").isNotNull,
+            log(col("c2").cast(DoubleType) / col("c1_w1").cast(DoubleType)))
+          .otherwise(log(lit(0.4) * col("c1_w2").cast(DoubleType) /
+            col("n").cast(DoubleType)))
+        trans
+          .join(broadcast(uni.select(col("word").as("w1"), col("c1").as("c1_w1"))), "w1")
+          .join(broadcast(uni.select(col("word").as("w2"), col("c1").as("c1_w2"))), "w2")
+          .join(broadcast(big), Seq("w1", "w2"), "left")
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_trans"),
+            (-(sum(lp.cast(graft.core.Det.dec)).cast(DoubleType)) /
+              count(lit(1)).cast(DoubleType)).as("avg_nll2"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, ${O.toks("text")} AS w FROM documents),
+              |words AS (SELECT doc_id, unnest(w) AS word FROM tk),
+              |uni AS (SELECT word, count(*) AS c1 FROM words GROUP BY word),
+              |tot AS (SELECT count(*) AS n FROM words),
+              |tr AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM tk,
+              |       UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+              |big AS (SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY w1, w2
+              |        HAVING count(*) >= 3),
+              |sc AS (SELECT tr.doc_id,
+              |  CASE WHEN b.c2 IS NOT NULL
+              |    THEN ln(CAST(b.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+              |    ELSE ln(0.4 * CAST(u2.c1 AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE))
+              |  END AS lp
+              |  FROM tr JOIN uni u1 ON tr.w1 = u1.word
+              |          JOIN uni u2 ON tr.w2 = u2.word
+              |          LEFT JOIN big b ON tr.w1 = b.w1 AND tr.w2 = b.w2)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+              |  -(CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE))
+              |    / CAST(count(*) AS DOUBLE) AS avg_nll2
+              |FROM sc GROUP BY doc_id""".stripMargin)),
+
     // Unicode canonicalization (native TextNormalizeExpr): lowercase →
     // accent strip → NFC → whitespace collapse → trim, one codegen'd
     // pass. The ASCII corpus is composed with accented/multi-space
