@@ -86,4 +86,64 @@ object RowNumbers {
     scanCumsum(df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*), value, name)
   }
+
+  /** Per-KEY 1-based row numbering (`row_number() OVER (PARTITION BY
+    * key ORDER BY order)`) without hashing all rows of a key into one
+    * reducer: range-partition on (key, order) — a hot key SPREADS over
+    * consecutive partitions instead of landing on one task — then the
+    * same two-phase shape: per-partition per-key run counts (keys are
+    * contiguous after the range sort, so this is one streaming pass),
+    * driver-side prefix offsets per key across partitions, broadcast,
+    * parallel assignment. Driver state is O(distinct keys): built for
+    * the low/moderate-cardinality keys that NEED it (aspect buckets,
+    * language strata, domains) — exactly where a window's
+    * one-reducer-per-key shape collapses at 100 TB. For
+    * high-cardinality keys use the plain window (keys already spread). */
+  def grouped(df: DataFrame, key: Seq[String], order: Seq[Column],
+      name: String = "rn", numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val sortCols = key.map(org.apache.spark.sql.functions.col) ++ order
+    val keyed = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val kIdx = key.map(keyed.schema.fieldIndex)
+    val rdd = keyed.rdd
+    val runs: Array[(Int, Seq[(Seq[Any], Long)])] =
+      rdd.mapPartitionsWithIndex { (i, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+        var cur: Seq[Any] = null
+        var c = 0L
+        it.foreach { r =>
+          val k = kIdx.map(r.get)
+          if (k == cur) c += 1
+          else { if (cur != null) buf += ((cur, c)); cur = k; c = 1L }
+        }
+        if (cur != null) buf += ((cur, c))
+        Iterator((i, buf.toSeq))
+      }.collect()
+    // per (partition, key) start offset = rows of that key in EARLIER partitions
+    val seen = scala.collection.mutable.Map.empty[Seq[Any], Long]
+    val offsets = runs.sortBy(_._1).flatMap { case (i, ks) =>
+      ks.map { case (k, c) =>
+        val start = seen.getOrElse(k, 0L)
+        seen(k) = start + c
+        ((i, k), start)
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(keyed.schema.fields :+
+      StructField(name, LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cur: Seq[Any] = null
+      var n = 0L
+      it.map { r =>
+        val k = kIdx.map(r.get)
+        if (k != cur) { cur = k; n = bc.value.getOrElse((i, k), 0L) }
+        n += 1
+        Row.fromSeq(r.toSeq :+ n)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
 }

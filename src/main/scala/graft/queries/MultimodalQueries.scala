@@ -48,6 +48,45 @@ object MultimodalQueries {
               |  CAST((checksum * 31 + u.i * (nf // samples)) % 1000000007 AS BIGINT) AS frame_hash,
               |  CAST(GREATEST(1, FLOOR(w * LEAST(224.0 / w, 224.0 / h))) AS BIGINT) AS out_w,
               |  CAST(GREATEST(1, FLOOR(h * LEAST(224.0 / w, 224.0 / h))) AS BIGINT) AS out_h
-              |FROM g, UNNEST(generate_series(0, samples - 1)) AS u(i)""".stripMargin))
+              |FROM g, UNNEST(generate_series(0, samples - 1)) AS u(i)""".stripMargin)),
+
+    // Aspect-ratio bucketed batching (image-gen training prep): images
+    // classed into the five standard aspect buckets, then given a
+    // per-bucket batch index. The numbering is RowNumbers.grouped —
+    // range-partitioned two-phase, so a bucket's rows SPREAD across
+    // partitions instead of funneling into one reducer per bucket
+    // (five hot keys is exactly where a plain window collapses at
+    // scale). Threshold classing (not nearest-ratio) keeps the bucket
+    // decision a few exact double compares both engines share.
+    Q("m03_aspect_batches",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.DoubleType
+        val feats = Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))).toDF()
+        val images = feats.filter(col("kind") === "image")
+          .select(col("doc_id"), (col("width").cast(DoubleType) /
+            col("height").cast(DoubleType)).as("r"))
+        val b = images.withColumn("bucket",
+          when(col("r") < 0.6, "9:16").when(col("r") < 0.85, "3:4")
+            .when(col("r") < 1.15, "1:1").when(col("r") < 1.5, "4:3")
+            .otherwise("16:9")).drop("r")
+        graft.core.RowNumbers.grouped(b, Seq("bucket"), Seq(col("doc_id")))
+          .select(col("doc_id"), col("bucket"),
+            expr("(rn - 1) div 16").as("batch_idx"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |  CAST(strlen(text) % 640 + 1 AS DOUBLE)
+             |    / CAST(strlen(text) % 480 + 1 AS DOUBLE) AS r
+             |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0),
+             |b AS (SELECT doc_id,
+             |  CASE WHEN r < 0.6 THEN '9:16' WHEN r < 0.85 THEN '3:4'
+             |       WHEN r < 1.15 THEN '1:1' WHEN r < 1.5 THEN '4:3'
+             |       ELSE '16:9' END AS bucket FROM f)
+             |SELECT doc_id, bucket,
+             |  (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 16
+             |    AS batch_idx
+             |FROM b""".stripMargin))
   )
 }

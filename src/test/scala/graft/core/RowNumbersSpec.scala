@@ -44,4 +44,20 @@ class RowNumbersSpec extends SparkSpec {
     val want = (0L until 100L).filter(_ % 3 != 0).sum
     assert(got == want)
   }
+
+  test("grouped row numbers match the per-key window result") {
+    val df = Tables(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
+    val got = RowNumbers.grouped(df, Seq("c_nationkey"),
+      Seq(col("c_custkey")), "rn", numPartitions = Some(7))
+      .select(col("c_nationkey"), col("c_custkey"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val want = df.withColumn("rn",
+      row_number().over(w).cast("long")).collect()
+      .map(r => (r.getLong(1), r.getLong(0)) -> r.getLong(2)).toMap
+    assert(got.size == want.size)
+    got.foreach { case (k, n) => assert(want(k) == n, s"$k: $n vs ${want(k)}") }
+  }
 }
