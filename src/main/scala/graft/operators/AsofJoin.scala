@@ -29,7 +29,10 @@ object AsofJoin {
   /** Left rows joined with the latest right payload at-or-before their
     * timestamp. Right `payload` columns come back `prefix`-renamed,
     * null when no right row precedes the left row (left-outer
-    * semantics, like DuckDB's `ASOF LEFT JOIN`). */
+    * semantics, like DuckDB's `ASOF LEFT JOIN`). NB: null KEYS group
+    * together here (window partitioning), whereas SQL join equality
+    * would drop them — pre-filter null keys if that distinction
+    * matters for your data. */
   def backward(
       left: DataFrame,
       right: DataFrame,
