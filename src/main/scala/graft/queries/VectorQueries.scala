@@ -628,8 +628,76 @@ object VectorQueries {
            |(SELECT q_id, n_id, l2, CAST(row_number() OVER
            |   (PARTITION BY q_id ORDER BY l2 ASC, n_id ASC) AS BIGINT) AS rank
            | FROM rer) WHERE rank <= 10""".stripMargin
-      })
+      }),
+
+    // IVF-PQ: the canonical billion-scale ANN index layout — coarse
+    // cell (the inverted list id) + M PQ codes over the RESIDUAL
+    // (vector − cell centroid). Residual energy ≪ vector energy, so
+    // the same code budget quantizes finer. Entirely composed from the
+    // gated Lloyd + PQ machinery; the oracle chains coarse loop →
+    // residual CTE → M residual-PQ loops, so routing, residuals, and
+    // codes are all hash-gated together.
+    Q("v12_ivfpq_codes",
+      (s, dir) => ivfPqCodes(Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")), dim = 64),
+      Some(ivfPqCodesSql(dim = 64)))
   )
+
+  /** Residual vectors for IVF-PQ: each vector minus its coarse-cell
+    * centroid, rounded back to float (both engines round the same
+    * IEEE double difference to the same float). Centers arrive as
+    * driver-side literals, so this is one narrow pass. */
+  def residuals(assigned: DataFrame, centers: Seq[(Int, Array[Double])]): DataFrame = {
+    val res = centers.tail.foldLeft(
+      when(col("cell") === centers.head._1.toLong,
+        residExpr(centers.head._2))) {
+      case (w, (j, c)) => w.when(col("cell") === j.toLong, residExpr(c))
+    }
+    assigned.select(col("vec_id"), col("cell"), res.as("embedding"))
+  }
+
+  private def residExpr(c: Array[Double]): Column =
+    zip_with(col("embedding"), array(c.map(lit(_)): _*),
+      (x, y) => (x.cast(DoubleType) - y).cast(FloatType))
+
+  /** IVF-PQ codes — the canonical billion-scale ANN layout: a coarse
+    * quantizer routes each vector to a cell (the inverted list), PQ
+    * codebooks are trained on the RESIDUALS (vector − cell centroid;
+    * residual energy ≪ vector energy, so the same code budget buys
+    * more precision), and each vector stores (cell, M codes). One
+    * coarse fit + assignment, one narrow residual pass, then the
+    * fused PQ encode — all reusing the gated Lloyd/PQ machinery. */
+  def ivfPqCodes(e: DataFrame, dim: Int, coarseK: Int = KMEANS_K,
+      m: Int = PQ_M, k: Int = PQ_K, iters: Int = KMEANS_ITERS): DataFrame = {
+    val coarse = kmeansFit(e, coarseK, iters - 1)
+    val resid = residuals(kmeansAssign(e, coarse), coarse).cache()
+    pqCodes(resid.select(col("vec_id"), col("embedding")), dim, m, k, iters)
+      .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+  }
+
+  def ivfPqCodesSql(dim: Int, coarseK: Int = KMEANS_K, m: Int = PQ_M,
+      k: Int = PQ_K, iters: Int = KMEANS_ITERS): String = {
+    val dSub = dim / m
+    val resid =
+      s"""resid AS (SELECT a.vec_id, a.cell,
+         |  list_transform(a.embedding, (rx, ri) ->
+         |    CAST(CAST(rx AS DOUBLE) - c.cent[ri] AS FLOAT)) AS embedding
+         |  FROM assign$iters a JOIN cent${iters - 1} c ON a.cell = c.cell)""".stripMargin
+    val pqCtes = (0 until m).map { s =>
+      kmeansCtesSql(k, iters, prefix = s"s${s}_",
+        src = s"SELECT vec_id, embedding[${s * dSub + 1}:${(s + 1) * dSub}] AS embedding FROM resid")
+    }
+    val unions = (0 until m).map { s =>
+      s"SELECT vec_id, CAST($s AS BIGINT) AS sub, cell AS code FROM s${s}_assign$iters"
+    }
+    s"""WITH ${kmeansCtesSql(coarseK, iters)},
+       |$resid,
+       |${pqCtes.mkString(",\n")},
+       |codes AS (${unions.mkString("\nUNION ALL\n")})
+       |SELECT codes.vec_id, r.cell, codes.sub, codes.code
+       |FROM codes JOIN resid r ON codes.vec_id = r.vec_id""".stripMargin
+  }
 
   /** ADC scores (q_id, n_id, adc) of every query × database-code pair —
     * the shared core of v10/v11. Codebooks from the same deterministic
