@@ -640,8 +640,105 @@ object VectorQueries {
     Q("v12_ivfpq_codes",
       (s, dir) => ivfPqCodes(Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding")), dim = 64),
-      Some(ivfPqCodesSql(dim = 64)))
+      Some(ivfPqCodesSql(dim = 64))),
+
+    // IVF-PQ search: queries probe their top-2 coarse cells (v07's
+    // multi-probe recall trick), the query RESIDUAL against each
+    // probed cell's centroid is formed once per probe, and ADC runs
+    // against only the codes stored in those cells — the scan side
+    // touches codes, never raw vectors, and only ~nprobe/K of them.
+    // This is the full billion-scale search path (route → residual →
+    // ADC) with every stage hash-gated.
+    Q("v13_ivfpq_search",
+      (s, dir) => {
+        val dim = 64; val m = PQ_M; val dSub = dim / m
+        val iters = KMEANS_ITERS
+        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val coarse = kmeansFit(e, KMEANS_K, iters - 1)
+        val resid = residuals(kmeansAssign(e, coarse), coarse).cache()
+        val codebooks = (0 until m).map { ss =>
+          val subEmb = slice(col("embedding"), ss * dSub + 1, dSub)
+          kmeansFit(resid.select(col("vec_id"), subEmb.as("embedding")),
+            PQ_K, iters - 1)
+        }
+        val codeCols = (0 until m).map(ss =>
+          graft.functions.VectorExprs.nearest_centroid(
+            col("embedding"), codebooks(ss), dSub, ss * dSub).as(s"c$ss"))
+        val db = resid.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("n_id") +: col("cell").as("n_cell") +: codeCols: _*)
+        // query side: top-2 coarse cells by (dist, cell), then the
+        // residual against each probed centroid — tiny, broadcast
+        val cellStructs = coarse.map { case (j, c) =>
+          struct(sqDistHof(col("embedding"), c).as("d"), lit(j.toLong).as("cl"))
+        }
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            explode(slice(array_sort(array(cellStructs: _*)), 1, 2))
+              .as("p"))
+          .select(col("q_id"), col("q_emb"), col("p.cl").as("pcell"))
+        val qres = coarse.tail.foldLeft(
+          when(col("pcell") === coarse.head._1.toLong,
+            residExprOn(col("q_emb"), coarse.head._2))) {
+          case (w, (j, c)) => w.when(col("pcell") === j.toLong,
+            residExprOn(col("q_emb"), c))
+        }
+        val qSide = probes.select(col("q_id"), col("pcell"), qres.as("q_res"))
+        val adc = (0 until m).map { ss =>
+          graft.functions.VectorExprs.centroid_dist(
+            col("q_res"), col(s"c$ss"), codebooks(ss), dSub, ss * dSub)
+        }.reduce(_ + _)
+        val scored = db.join(broadcast(qSide), col("n_cell") === col("pcell"))
+          .select(col("q_id"), col("n_id"), adc.as("adc"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").asc, col("n_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 10)
+      },
+      Some {
+        val dim = 64; val m = PQ_M; val dSub = dim / m
+        val iters = KMEANS_ITERS
+        val base = ivfPqCodesSql(dim)
+        // reuse v12's CTE chain up to `codes`, then add the search legs
+        val upToCodes = base.substring(0, base.indexOf("\nSELECT codes.vec_id"))
+        def cdist(cent: String) = O.dfold(
+          s"list_transform(embedding, (kx, ki) -> (CAST(kx AS DOUBLE) - $cent[ki]) * (CAST(kx AS DOUBLE) - $cent[ki]))")
+        val dists = (0 until m).map { ss =>
+          O.dfold(s"""list_transform(q.q_res[${ss * dSub + 1}:${(ss + 1) * dSub}],
+             | (kx, ki) -> (CAST(kx AS DOUBLE) - t$ss.cent[ki]) * (CAST(kx AS DOUBLE) - t$ss.cent[ki]))""".stripMargin)
+        }.mkString(" + ")
+        val centJoins = (0 until m).map(ss =>
+          s"JOIN s${ss}_cent${iters - 1} t$ss ON t$ss.cell = dbw.c$ss").mkString("\n")
+        s"""$upToCodes,
+           |dbw AS (SELECT r.vec_id AS n_id, r.cell AS n_cell,
+           |        ${(0 until m).map(ss => s"a$ss.cell AS c$ss").mkString(", ")}
+           |        FROM resid r ${(0 until m).map(ss =>
+                      s"JOIN s${ss}_assign$iters a$ss ON r.vec_id = a$ss.vec_id").mkString(" ")}
+           |        WHERE r.vec_id >= 5),
+           |probes AS (SELECT q_id, q_emb, pcell FROM
+           |  (SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell AS pcell,
+           |     row_number() OVER (PARTITION BY e.vec_id
+           |       ORDER BY ${cdist("c.cent")} ASC, c.cell ASC) AS rk
+           |   FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) e
+           |   CROSS JOIN cent${iters - 1} c) WHERE rk <= 2),
+           |q AS (SELECT p.q_id, p.pcell,
+           |  list_transform(p.q_emb, (rx, ri) ->
+           |    CAST(CAST(rx AS DOUBLE) - c.cent[ri] AS FLOAT)) AS q_res
+           |  FROM probes p JOIN cent${iters - 1} c ON p.pcell = c.cell),
+           |sc AS (SELECT q.q_id, dbw.n_id, $dists AS adc
+           |       FROM dbw JOIN q ON dbw.n_cell = q.pcell
+           |$centJoins)
+           |SELECT q_id, n_id, adc, rank FROM
+           |(SELECT q_id, n_id, adc, CAST(row_number() OVER
+           |   (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rank
+           | FROM sc) WHERE rank <= 10""".stripMargin
+      })
   )
+
+  /** Residual of an arbitrary vector column against a literal center
+    * (float-rounded like [[residExpr]]). */
+  private def residExprOn(emb: Column, c: Array[Double]): Column =
+    zip_with(emb, array(c.map(lit(_)): _*),
+      (x, y) => (x.cast(DoubleType) - y).cast(FloatType))
 
   /** Residual vectors for IVF-PQ: each vector minus its coarse-cell
     * centroid, rounded back to float (both engines round the same
