@@ -97,13 +97,5 @@ object ConnectedComponents {
     (labels, iter)
   }
 
-  /** Release the block-storage copy behind a localCheckpoint'ed frame.
-    * The checkpoint lives on the RDD inside the LogicalRDD leaf, which
-    * CacheManager (and thus Dataset.unpersist) knows nothing about. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => () // not a checkpoint leaf — nothing pinned
-    }
+  private def unpersistCheckpoint(df: DataFrame): Unit = Lineage.release(df)
 }

@@ -59,7 +59,11 @@ object Bpe {
     * pair occurs at least `minFreq` times. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       minFreq: Long = 2L): Seq[Merge] = {
-    var v = charVocab(docs, textCol).cache()
+    // Lineage.cut per round, not cache(): a cache cuts execution but
+    // the logical plan still nests every prior round, and per-round
+    // plan analysis / plan-string generation grows without bound —
+    // a real tokenizer trains thousands of merges.
+    var v = graft.core.Lineage.cut(charVocab(docs, textCol))
     val merges = Seq.newBuilder[Merge]
     var done = false
     var i = 0
@@ -74,21 +78,30 @@ object Bpe {
         merges += Merge(i, a, b, freq)
         val pat = "(?<=^| )" + Pattern.quote(a) + " " + Pattern.quote(b) +
           "(?=$| )"
-        val next = v.withColumn("sym",
+        // Eager cut materializes the round, so at most two vocab
+        // copies are ever resident; the superseded round's blocks are
+        // released (the vocab row count never changes).
+        val next = graft.core.Lineage.cut(v.withColumn("sym",
           regexp_replace(col("sym"), lit(pat),
-            lit(Matcher.quoteReplacement(a + b)))).cache()
-        // Materialize the round so at most two vocab copies are ever
-        // resident, then drop the superseded one (lineage stays O(1)
-        // via the cache cut; the vocab row count never changes).
-        next.count()
-        v.unpersist()
+            lit(Matcher.quoteReplacement(a + b)))))
+        graft.core.Lineage.release(v)
         v = next
         i += 1
       }
     }
-    v.unpersist()
+    graft.core.Lineage.release(v)
     merges.result()
   }
+
+  /** Distributed corpus encoding with a learned merge list: text →
+    * array of subword symbols, one codegen'd static call per row
+    * (functions.BpeEncodeExpr). Rank-priority merging — repeatedly
+    * merge the lowest-rank adjacent pair — which is the standard
+    * encoder equivalence of applying merges in learned order
+    * (BpeSpec pins it token-for-token against [[encodeWord]]). */
+  def encode(text: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeExprs.bpe_encode(text,
+      merges.map(m => (m.left, m.right)))
 
   /** Segment one word (plain string) with a learned merge list — the
     * driver-side encoder twin of [[train]], for spec-level checks. */

@@ -74,4 +74,24 @@ class BpeSpec extends SparkSpec {
     assert(enc.mkString === "newest")
     assert(enc.length < "newest".length)
   }
+
+  test("distributed encoder ≡ order-replay reference on real documents") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    val merges = Bpe.train(docs, "text", 20, minFreq = 1L)
+    val got = docs.select(col("doc_id"), Bpe.encode(col("text"), merges).as("sw"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val want = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      r.getLong(0) -> toks.flatMap(Bpe.encodeWord(_, merges)).toSeq
+    }.toMap
+    assert(got.size == want.size && got.nonEmpty)
+    got.foreach { case (id, sw) =>
+      assert(want(id) == sw, s"doc $id: $sw vs ${want(id)}")
+    }
+    // merges actually compress: fewer subwords than characters
+    val chars = want.values.map(_.map(_.length).sum).sum
+    val subs = want.values.map(_.size).sum
+    assert(subs < chars)
+  }
 }
