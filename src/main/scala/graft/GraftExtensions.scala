@@ -87,6 +87,22 @@ object GraftSqlFunctions {
     "normalize_text" -> { args =>
       arity(args, 1, "normalize_text")
       graft.functions.TextNormalizeExpr(args.head)
+    },
+    // Count-min sketch pair (graft.core.Cms): `cms_agg(v)` aggregates
+    // frequencies into a serialized grid; probe with
+    // `cms_estimate((SELECT cms_agg(v) FROM t), v)` — the subquery is
+    // the scalar-subquery form the probe expression requires.
+    "cms_agg" -> { args =>
+      arity(args, 1, "cms_agg")
+      new org.apache.spark.sql.catalyst.expressions.aggregate.CountMinSketchAgg(
+        args.head,
+        org.apache.spark.sql.catalyst.expressions.Literal(0.001d),
+        org.apache.spark.sql.catalyst.expressions.Literal(0.99d),
+        org.apache.spark.sql.catalyst.expressions.Literal(42))
+    },
+    "cms_estimate" -> { args =>
+      arity(args, 2, "cms_estimate")
+      graft.core.CmsEstimate(args.head, args(1))
     }
   )
 

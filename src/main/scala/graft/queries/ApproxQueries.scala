@@ -141,6 +141,35 @@ object ApproxQueries {
            |  true AS superset_ok, true AS fp_ok
            |FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id >= 5) d
            |LEFT JOIN ex USING (doc_id)""".stripMargin
-      }))
+      }),
+
+    // Count-min-sketch heavy hitters — per-key frequency when the key
+    // domain is too large to groupBy exactly (per-URL counts over a
+    // crawl). Same self-gate idea: the exact top-10 is computed
+    // alongside and the sketch's guarantees become boolean columns —
+    // ge_ok pins "never an underestimate" (a CMS law, deterministic),
+    // err_ok pins the overestimate under 3·eps·N (holds w.p. ≥ conf
+    // per probe; astronomic margin at depth 7). The sketch arrives at
+    // the probe as a scalar subquery — executed once, shipped to every
+    // task — and N rides in on a broadcast single-row count.
+    Q("x05_cms_heavy_hitters",
+      (s, dir) => {
+        val eps = 0.001
+        val ev = Tables(s, dir, "events")
+        val sketch = ev.agg(graft.core.Cms.agg(col("user_id"), eps).as("cms"))
+        val total = ev.agg(count(lit(1)).as("n_total"))
+        val est = graft.core.Cms.estimate(sketch, col("user_id"))
+        ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("user_id").asc).limit(10)
+          .crossJoin(broadcast(total))
+          .select(col("user_id"), col("n_exact"),
+            (est >= col("n_exact")).as("ge_ok"),
+            (est <= col("n_exact") + greatest(lit(10L),
+              (lit(3 * eps) * col("n_total")).cast(LongType))).as("err_ok"))
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact,
+             |true AS ge_ok, true AS err_ok
+             |FROM events GROUP BY user_id
+             |ORDER BY n_exact DESC, user_id ASC LIMIT 10""".stripMargin)))
   }
 }
