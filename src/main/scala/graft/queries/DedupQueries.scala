@@ -377,6 +377,72 @@ object DedupQueries {
               |          WHERE c.p IS NULL GROUP BY t.doc_id)
               |SELECT d.doc_id, coalesce(clean.n_kept, 0) AS n_kept,
               |  coalesce(clean.clean_text, '') AS clean_text
-              |FROM documents d LEFT JOIN clean ON d.doc_id = clean.doc_id""".stripMargin))
+              |FROM documents d LEFT JOIN clean ON d.doc_id = clean.doc_id""".stripMargin)),
+
+    // Incremental dedup — the continuous-crawl shape: a small NEW
+    // batch (a fixed 10% doc_id slice here, so the proportions hold
+    // at every scale factor) checked against the standing
+    // corpus without ever reshuffling the corpus. Both probes key on
+    // the corpus side's natural layout and BROADCAST the batch: the
+    // exact check joins corpus md5s to broadcast batch md5s, the
+    // near-dup check joins the corpus's (band, bkey) LSH index — at
+    // 100 TB a persisted table maintained batch-over-batch — to the
+    // batch's band keys. One corpus scan per probe, zero corpus
+    // shuffles (pinned in PlanSpec: two broadcast joins, no SMJ on a
+    // corpus side). Output per new doc: candidate count, exact-dup
+    // flag, novelty flag.
+    Q("d11_incremental_dedup",
+      (s, dir) => {
+        val isNewDoc = col("doc_id") % 10 === 9
+        val docs = Tables(s, dir, "documents")
+        val sig = sigDF(s, dir)
+        val bands = sig.select(
+          col("doc_id"),
+          explode(array((0 until BANDS).map(j =>
+            struct(lit(j).as("band"), bandKey(j).as("bkey"))): _*)).as("b"))
+          .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+        val newBands = bands.filter(isNewDoc)
+          .withColumnRenamed("doc_id", "new_id")
+        val cands = bands.filter(!isNewDoc)
+          .join(broadcast(newBands), Seq("band", "bkey"))
+          .groupBy("new_id").agg(countDistinct(col("doc_id")).as("n_cands"))
+        val newMd5 = docs.filter(isNewDoc)
+          .select(col("doc_id").as("new_id"), md5(col("text").cast(BinaryType)).as("h"))
+        val exact = docs.filter(!isNewDoc)
+          .select(md5(col("text").cast(BinaryType)).as("h"))
+          .join(broadcast(newMd5), Seq("h"))
+          .select(col("new_id")).distinct()
+        // the assembly joins are batch-sized on both sides — broadcast
+        // them too so the whole plan is exchange-free on the big side
+        docs.filter(isNewDoc).select(col("doc_id").as("new_id"))
+          .join(broadcast(cands), Seq("new_id"), "left")
+          .join(broadcast(exact.withColumn("__ex", lit(1L))), Seq("new_id"), "left")
+          .select(col("new_id"),
+            coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+            col("__ex").isNotNull.as("is_exact_dup"),
+            (coalesce(col("n_cands"), lit(0L)) === 0L).as("is_novel"))
+      },
+      Some {
+        val bandsSel = (0 until BANDS)
+          .map(j => s"SELECT doc_id, $j AS band, ${bandKeySql(j)} AS bkey FROM sig")
+          .mkString("\nUNION ALL\n")
+        s"""WITH sig AS ($sigSql),
+           |bands AS ($bandsSel),
+           |cand AS (SELECT n.doc_id AS new_id, CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_cands
+           |         FROM bands n JOIN bands c ON n.band = c.band AND n.bkey = c.bkey
+           |         WHERE n.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+           |         GROUP BY n.doc_id),
+           |ex AS (SELECT DISTINCT n.doc_id AS new_id FROM documents n JOIN documents c
+           |       ON md5(n.text) = md5(c.text)
+           |       WHERE n.doc_id % 10 = 9 AND c.doc_id % 10 <> 9)
+           |SELECT d.doc_id AS new_id,
+           |  CAST(coalesce(cand.n_cands, 0) AS BIGINT) AS n_cands,
+           |  (ex.new_id IS NOT NULL) AS is_exact_dup,
+           |  coalesce(cand.n_cands, 0) = 0 AS is_novel
+           |FROM documents d
+           |LEFT JOIN cand ON d.doc_id = cand.new_id
+           |LEFT JOIN ex ON d.doc_id = ex.new_id
+           |WHERE d.doc_id % 10 = 9""".stripMargin
+      })
   )
 }

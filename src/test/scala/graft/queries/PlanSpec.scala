@@ -186,4 +186,14 @@ class PlanSpec extends SparkSpec {
         s"$q lost the WindowGroupLimit pushdown:\n${p.take(800)}")
     }
   }
+
+  test("incremental dedup (d11) broadcasts the batch - corpus never shuffles into a join") {
+    val p = plan("d11_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    // both corpus-side probes (band index + md5) must stream the
+    // corpus against a broadcast batch, never sort-merge it
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side shuffled into a sort-merge join:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
