@@ -69,7 +69,49 @@ object ScaleProbe {
     else if (args.headOption.contains("abguard")) abGuard(args.drop(1))
     else if (args.headOption.contains("cc")) ccProbe(args.drop(1))
     else if (args.headOption.contains("r4ops")) r4Ops(args.drop(1))
+    else if (args.headOption.contains("incdedup")) incDedup(args.drop(1))
     else standard(args)
+
+  /** The economic case for incremental dedup (d11): at `copies`×
+    * documents, probing a 10% NEW batch against the standing corpus's
+    * band index (broadcast batch, corpus streams once) vs recomputing
+    * the full all-pairs candidate set — the cost a pipeline pays every
+    * crawl drop without an incremental path. The full recompute's pair
+    * join grows with corpus×corpus bucket co-occupancy; the probe
+    * grows with corpus×batch. */
+  def incDedup(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+    val nDocs = docs.count()
+    println(s"copies=$copies docs=$nDocs")
+    def bandsOf(d: DataFrame): DataFrame = {
+      val sig = graft.queries.DedupQueries.sigOf(d) // doc_id, mh0..mh7
+      sig.select(col("doc_id"), explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          ((col(s"mh${2 * j}") * lit(31L) +
+            col(s"mh${2 * j + 1}")) % lit(P)).as("bkey"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    }
+    val isNew = col("doc_id") % 10 === 9
+    var fullPairs = 0L; var probed = 0L
+    time("full_recompute_pairs") {
+      fullPairs = graft.queries.DedupQueries
+        .candidatePairsOf(graft.queries.DedupQueries.sigOf(docs)).count()
+    }
+    time("incremental_probe") {
+      val bands = bandsOf(docs)
+      probed = bands.filter(!isNew)
+        .join(broadcast(bands.filter(isNew).withColumnRenamed("doc_id", "new_id")),
+          Seq("band", "bkey"))
+        .groupBy("new_id").agg(countDistinct(col("doc_id")).as("n_cands"))
+        .count()
+    }
+    writeJson(outJson, copies,
+      s""", "docs": $nDocs, "full_pairs": $fullPairs, "batch_docs_probed": $probed""")
+    spark.stop()
+  }
 
   /** Round-4 operator probes. (a) As-of join at `copies`× events with
     * user count held CONSTANT (event ids shifted, user ids not), so
