@@ -147,6 +147,18 @@ object StreamingOps {
     * opens a new session (same rule as EventQueries e02, kept hot in
     * GroupState instead of a window shuffle — the streaming-native
     * shape; state per key is O(1)). */
+  /** Streaming heavy-hitters: one global count-min grid as the ENTIRE
+    * aggregation state — a bounded w·d integer grid no matter how many
+    * distinct keys the stream carries (per-key streaming state would
+    * grow with the key domain; a crawl's URL space is unbounded).
+    * Complete/update mode emits the merged sketch every batch; probe
+    * with [[graft.core.Cms.estimate]] / the `cms_estimate` SQL
+    * function. CMS cell sums are commutative and associative, so the
+    * streamed grid is byte-identical to the batch sketch over the same
+    * rows regardless of batch boundaries (pinned in StreamingSpec). */
+  def cmsCounts(rows: DataFrame, keyCol: String): DataFrame =
+    rows.agg(graft.core.Cms.agg(col(keyCol)).as("cms"))
+
   def sessionize(events: DataFrame)(implicit spark: SparkSession): Dataset[UserSessions] = {
     import spark.implicits._
     val evs = events.select(col("user_id"),

@@ -107,6 +107,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS heavy-hitters grid is byte-identical to the batch sketch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = StreamingOps.cmsCounts(ms.toDF.withColumnRenamed("value", "k"), "k")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream")
+      .start()
+    // two batches: the grid must merge across the boundary
+    ms.addData(Seq.tabulate(200)(i => (i % 7).toLong): _*)
+    q.processAllAvailable()
+    ms.addData(Seq.tabulate(100)(i => (i % 3).toLong): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cms_stream").head().getAs[Array[Byte]]("cms")
+    val all = Seq.tabulate(200)(i => (i % 7).toLong) ++
+      Seq.tabulate(100)(i => (i % 3).toLong)
+    val batch = all.toDF("k").agg(graft.core.Cms.agg(col("k")).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    assert(java.util.Arrays.equals(streamed, batch),
+      "streamed CMS grid differs from the batch sketch")
+    // and the probe path reads it: key 0 counted in both batches
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(streamed)
+    val est0 = graft.core.CmsEstimate.probeLong(cms, 0L)
+    assert(est0 >= 63L && est0 <= 70L, s"est0 = $est0") // exact 29+34=63
+  }
+
   test("stateful sessionization emits per-user session counts") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val batchEvents = Tables(spark, sf0001, "events")
