@@ -489,6 +489,34 @@ object TextQueries {
              |  nfc_normalize(strip_accents(lower(
              |    'Café  NAÏVE Übung crème brûlée:' || chr(9) || text))),
              |  '\s+', ' ', 'g')) AS norm
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Per-source token-budget sampling — the data-mixing step that
+    // caps each source's contribution at a fixed token budget (docs
+    // admitted in doc_id order until the source's running token total
+    // crosses the cap). One source-keyed exchange; the running sum is
+    // linear per partition. The same shape scales to a global budget
+    // via RowNumbers.globalCumsum (t11's two-phase distributed cumsum)
+    // when a single source outgrows one partition.
+    Q("t19_token_budget",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(filter(split(lower(col("text")), "\\s+"),
+              t => length(t) > lit(0))).cast(LongType).as("n_tok"))
+          .withColumn("cum_tok", sum(col("n_tok")).over(w))
+          .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"),
+            (col("cum_tok") <= lit(1000L)).as("keep"))
+      },
+      Some(s"""SELECT doc_id, source, n_tok,
+              |  CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+              |  CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) <= 1000 AS keep
+              |FROM (SELECT doc_id, source,
+              |      CAST(len(${O.toks("text")}) AS BIGINT) AS n_tok FROM documents)""".stripMargin))
   )
 }
