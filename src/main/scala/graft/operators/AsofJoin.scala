@@ -45,18 +45,22 @@ object AsofJoin {
     val r = right.select(
       right(key).as("__k"), right(ts).as("__t"), lit(0).as("__side"),
       tb.as("__tb"),
+      // deterministic final tiebreak: right rows sharing (key, ts,
+      // tiebreak) would otherwise order partition-dependently and
+      // last(__pay) would pick a run-to-run nondeterministic payload
+      xxhash64(struct(payload.map(right(_)): _*)).as("__tb2"),
       struct(payload.map(right(_)): _*).as("__pay"))
     val payType = r.schema("__pay").dataType
     val leftCols = left.columns.toSeq
     val l = left.select(
       left(key).as("__k"), left(ts).as("__t"), lit(1).as("__side"),
-      lit(0L).as("__tb"),
+      lit(0L).as("__tb"), lit(0L).as("__tb2"),
       lit(null).cast(payType).as("__pay"),
       struct(leftCols.map(left(_)): _*).as("__lrow"))
     val u = r.withColumn("__lrow", lit(null).cast(l.schema("__lrow").dataType))
       .unionByName(l)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc, col("__tb2").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)

@@ -106,7 +106,7 @@ object Bpe {
   /** Segment one word (plain string) with a learned merge list — the
     * driver-side encoder twin of [[train]], for spec-level checks. */
   def encodeWord(word: String, merges: Seq[Merge]): Seq[String] = {
-    var syms = word.toLowerCase.map(_.toString).toVector
+    var syms = word.toLowerCase(java.util.Locale.ROOT).map(_.toString).toVector
     for (m <- merges) {
       val out = Vector.newBuilder[String]
       var j = 0

@@ -73,7 +73,11 @@ object PipelineQueries {
           .join(keep, "vec_id")
           .join(cont, Seq("vec_id"), "left_anti")
           .cache() // the PQ fit re-reads it ~2·M times (tiny driver loops)
-        VectorQueries.pqCodes(curated, dim = 64)
+        val codes = VectorQueries.pqCodes(curated, dim = 64)
+        // fits done — release so one JVM running many queries doesn't
+        // accumulate a resident curated copy per run
+        curated.unpersist(blocking = false)
+        codes
       },
       Some {
         def cte(name: String): String = qv(name).oracle.get

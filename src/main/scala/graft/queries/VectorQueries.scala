@@ -661,6 +661,11 @@ object VectorQueries {
           kmeansFit(resid.select(col("vec_id"), subEmb.as("embedding")),
             PQ_K, iters - 1)
         }
+        // the eager fit loops above were the multi-read consumer; drop
+        // the cache now so a long-lived session doesn't accumulate one
+        // resident copy per run (the plan below recomputes the narrow
+        // residual pass once at execution)
+        resid.unpersist(blocking = false)
         val codeCols = (0 until m).map(ss =>
           graft.functions.VectorExprs.nearest_centroid(
             col("embedding"), codebooks(ss), dSub, ss * dSub).as(s"c$ss"))
@@ -768,7 +773,11 @@ object VectorQueries {
       m: Int = PQ_M, k: Int = PQ_K, iters: Int = KMEANS_ITERS): DataFrame = {
     val coarse = kmeansFit(e, coarseK, iters - 1)
     val resid = residuals(kmeansAssign(e, coarse), coarse).cache()
-    pqCodes(resid.select(col("vec_id"), col("embedding")), dim, m, k, iters)
+    val codes = pqCodes(resid.select(col("vec_id"), col("embedding")), dim, m, k, iters)
+    // the PQ fits inside pqCodes were the multi-read consumer; drop the
+    // cache so repeated runs in one JVM don't pile up resident copies
+    resid.unpersist(blocking = false)
+    codes
       .join(resid.select(col("vec_id"), col("cell")), "vec_id")
       .select(col("vec_id"), col("cell"), col("sub"), col("code"))
   }

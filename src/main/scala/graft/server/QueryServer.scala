@@ -155,12 +155,19 @@ final class QueryServer(graft: GraftSession, port: Int,
               case Some(base) =>
                 Sinks.savePaths(base, planned.size).zip(planned).map {
                   case (p, (_, df)) =>
+                    // cache across the two consumers: the CSV save and
+                    // the clipped JSON reply below would otherwise each
+                    // run the full query from scratch
+                    df.persist()
                     if (singleFile) Sinks.saveCsv(df, p)
                     else Sinks.saveCsvDir(df, p)
                 }
               case None => Seq.empty[String]
             }
-            (planned.map { case (stmt, df) => JsonResult.of(df, stmt) }, savedPaths)
+            val jsons = planned.map { case (stmt, df) => JsonResult.of(df, stmt) }
+            if (savePath.isDefined)
+              planned.foreach(_._2.unpersist(blocking = false))
+            (jsons, savedPaths)
           } finally inflight.decrementAndGet()
         JsonResult.bundle(results, "ok", saved)
       } catch {

@@ -81,20 +81,24 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
         } else if (key.endsWith(".parquet") || key.endsWith(".json")) {
           val df = Tables.load(spark, resolvePath(name))
           register(basename(key), df); df
-        } else if (spark.catalog.tableExists(key)) {
-          // saved catalog tables — notably Bucketing.writeBucketed's
-          // bucketed facts: spark.table carries the bucket metadata, so
-          // a dialect `bjoin` over two pre-bucketed tables plans the
-          // co-located no-exchange sort-merge join (the 100 TB
-          // fact-fact path, SCALE_r3: 3.1×). A plain path read would
-          // lose the bucketing and shuffle both sides every query.
-          val df = spark.table(key)
-          register(key, df); df
-        } else defaultDir match {
-          case Some(d) =>
-            val df = Tables(spark, d, key)
-            register(key, df); df
-          case None => throw new IllegalArgumentException(s"unknown table: $name")
+        } else {
+          // data-directory files resolve FIRST: catalog.tableExists
+          // also matches temp views, so a same-named view (or a stale
+          // saved table) must not silently shadow `<dir>/<name>.*`.
+          // The catalog is the fallback for names with no backing
+          // file — notably Bucketing.writeBucketed's bucketed facts:
+          // spark.table carries the bucket metadata, so a dialect
+          // `bjoin` over two pre-bucketed tables plans the co-located
+          // no-exchange sort-merge join (the 100 TB fact-fact path,
+          // SCALE_r3: 3.1×). A plain path read would lose the
+          // bucketing and shuffle both sides every query.
+          defaultDir.flatMap(d => scala.util.Try(Tables(spark, d, key)).toOption) match {
+            case Some(df) => register(key, df); df
+            case None if spark.catalog.tableExists(key) =>
+              val df = spark.table(key)
+              register(key, df); df
+            case None => throw new IllegalArgumentException(s"unknown table: $name")
+          }
         }
       }
   }

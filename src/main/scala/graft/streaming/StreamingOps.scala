@@ -134,19 +134,26 @@ object StreamingOps {
           val out = Seq.newBuilder[AsofMatch]
           var st = state.getOption
           sorted.foreach { e =>
-            if (e.is_right) st = Some(LastRight(e.ts_us, e.value))
-            else out += AsofMatch(e.event_id, user, e.ts_us,
-              st.map(_.ts_us), st.map(_.value))
+            if (e.is_right) {
+              // a late-arriving right older than the stored state must
+              // not regress it — state is the LATEST right seen
+              if (st.forall(_.ts_us <= e.ts_us))
+                st = Some(LastRight(e.ts_us, e.value))
+            } else {
+              // the as-of invariant: never match a right AFTER the
+              // left. A left arriving late (behind a newer right from
+              // a prior batch) gets no match rather than a wrong one —
+              // O(1) state cannot resurrect the discarded older right.
+              val m = st.filter(_.ts_us <= e.ts_us)
+              out += AsofMatch(e.event_id, user, e.ts_us,
+                m.map(_.ts_us), m.map(_.value))
+            }
           }
           st.foreach(state.update)
           out.result().iterator
       }
   }
 
-  /** Per-user session counting with explicit state: a >30 min silence
-    * opens a new session (same rule as EventQueries e02, kept hot in
-    * GroupState instead of a window shuffle — the streaming-native
-    * shape; state per key is O(1)). */
   /** Streaming heavy-hitters: one global count-min grid as the ENTIRE
     * aggregation state — a bounded w·d integer grid no matter how many
     * distinct keys the stream carries (per-key streaming state would
@@ -159,6 +166,10 @@ object StreamingOps {
   def cmsCounts(rows: DataFrame, keyCol: String): DataFrame =
     rows.agg(graft.core.Cms.agg(col(keyCol)).as("cms"))
 
+  /** Per-user session counting with explicit state: a >30 min silence
+    * opens a new session (same rule as EventQueries e02, kept hot in
+    * GroupState instead of a window shuffle — the streaming-native
+    * shape; state per key is O(1)). */
   def sessionize(events: DataFrame)(implicit spark: SparkSession): Dataset[UserSessions] = {
     import spark.implicits._
     val evs = events.select(col("user_id"),

@@ -107,6 +107,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of join honors the invariant across out-of-order batches") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String, Double)]
+    val df = ms.toDF.toDF("event_id", "user_id", "us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = StreamingOps.asofLatest(df)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_ooo").start()
+    ms.addData((1L, 1L, 100L, "purchase", 5.0))
+    q.processAllAvailable()
+    // a LATE click behind the stored purchase must not match forward;
+    // a later click matches normally
+    ms.addData((2L, 1L, 50L, "click", 0.0), (3L, 1L, 150L, "click", 0.0))
+    q.processAllAvailable()
+    // a LATE purchase older than the state must not regress it
+    ms.addData((4L, 1L, 80L, "purchase", 7.0))
+    q.processAllAvailable()
+    ms.addData((5L, 1L, 160L, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("asof_ooo").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got(2L) === None, "late click matched a future purchase")
+    assert(got(3L) === Some(100L))
+    assert(got(5L) === Some(100L), "late purchase regressed the state")
+  }
+
   test("streaming CMS heavy-hitters grid is byte-identical to the batch sketch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
