@@ -443,6 +443,35 @@ object DedupQueries {
            |LEFT JOIN cand ON d.doc_id = cand.new_id
            |LEFT JOIN ex ON d.doc_id = ex.new_id
            |WHERE d.doc_id % 10 = 9""".stripMargin
-      })
+      }),
+
+    // Source-overlap audit — which crawl sources near-duplicate each
+    // other (the question behind source-level dedup priorities and
+    // crawl budget allocation). Aggregates the SAME bounded LSH
+    // candidate pairs d03/d04 use up to (source_a, source_b) — work is
+    // proportional to candidate pairs, never doc pairs; the doc→source
+    // attachment joins are keyed on doc id and broadcast-able (the
+    // doc_id→source map is a projection, tiny relative to text).
+    // Unordered source pairs are canonicalized (least/greatest) so one
+    // row per source pair comes out.
+    Q("d12_source_overlap",
+      (s, dir) => {
+        val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+        candidatePairs(s, dir)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH sig AS ($sigSql),
+              |$candidatePairsSql
+              |SELECT LEAST(a.source, b.source) AS source_a,
+              |  GREATEST(a.source, b.source) AS source_b,
+              |  CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM cand JOIN documents a ON cand.doc_a = a.doc_id
+              |          JOIN documents b ON cand.doc_b = b.doc_id
+              |GROUP BY 1, 2""".stripMargin))
   )
 }

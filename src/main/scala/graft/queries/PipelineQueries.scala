@@ -95,4 +95,43 @@ object PipelineQueries {
   private def qv(name: String): Q =
     (DedupQueries.all ++ VectorQueries.all).find(_.name == name)
       .getOrElse(sys.error(s"pipeline stage $name missing"))
+
+  /** Per-source corpus health report — the dashboard every ingest runs
+    * before trusting a new crawl: per source, document count, how many
+    * docs share their exact text with ANY doc corpus-wide, recorded
+    * language spread, and mean quality score (t02's formula). One
+    * composed plan: the md5 dup-count aggregation (d01's shape) joins
+    * back by hash, quality rides the fused text-profile pass, and the
+    * rollup is one source-keyed aggregation. */
+  val report: Seq[Q] = Seq(
+    Q("p03_source_report",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val docs = Tables(s, dir, "documents")
+        val quality = q("t02_quality").build(s, dir)
+        val byHash = docs
+          .groupBy(md5(col("text").cast(BinaryType)).as("h"))
+          .agg(count(lit(1)).as("nc"))
+        docs.select(col("doc_id"), col("source"), col("lang"),
+            md5(col("text").cast(BinaryType)).as("h"))
+          .join(byHash, "h")
+          .join(quality, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum(when(col("nc") >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            graft.core.Det.davg(col("quality")).as("avg_quality"))
+      },
+      Some {
+        val t02 = q("t02_quality").oracle.get
+        s"""WITH q AS ($t02),
+           |d AS (SELECT doc_id, source, lang, md5(text) AS h FROM documents),
+           |c AS (SELECT h, count(*) AS nc FROM d GROUP BY h)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN nc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |  ${graft.core.Det.sql.davg("quality")} AS avg_quality
+           |FROM d JOIN c USING (h) JOIN q USING (doc_id)
+           |GROUP BY source""".stripMargin
+      }))
 }

@@ -17,7 +17,8 @@ object Registry {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ DialectQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ VectorQueries.all ++ EventQueries.all ++
-      MultimodalQueries.all ++ ApproxQueries.all ++ PipelineQueries.all
+      MultimodalQueries.all ++ ApproxQueries.all ++ PipelineQueries.all ++
+      PipelineQueries.report
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
