@@ -170,6 +170,26 @@ object ApproxQueries {
       Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact,
              |true AS ge_ok, true AS err_ok
              |FROM events GROUP BY user_id
-             |ORDER BY n_exact DESC, user_id ASC LIMIT 10""".stripMargin)))
+             |ORDER BY n_exact DESC, user_id ASC LIMIT 10""".stripMargin)),
+
+    // Fixed-width histogram — the distribution profile every ingest
+    // run wants next to x03's moments. The bucket key is pure per-row
+    // arithmetic (floor(value/25)), so the whole thing is one groupBy
+    // with map-side combine: bucket count is bounded by the value
+    // range, never the row count, and no sort or second pass happens
+    // anywhere. Works unchanged at any scale factor because the key
+    // derives from the value, not from observed min/max.
+    Q("x06_histogram",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(floor(col("value") / 25.0).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          graft.core.Det.dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value")),
+      Some(s"""SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+              |CAST(count(*) AS BIGINT) AS n,
+              |${graft.core.Det.sql.dsum("value")} AS sum_value,
+              |min(value) AS min_value, max(value) AS max_value
+              |FROM events GROUP BY 1""".stripMargin)))
   }
 }

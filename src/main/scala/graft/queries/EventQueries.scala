@@ -125,6 +125,71 @@ object EventQueries {
               |  ('mid', 10.0, 100.0),
               |  ('high', 100.0, CAST('infinity' AS DOUBLE))) t(tier, lo, hi)
               |ON value >= lo AND value < hi
-              |GROUP BY tier""".stripMargin))
+              |GROUP BY tier""".stripMargin)),
+
+    // Running (cumulative) and moving-window aggregates per user — the
+    // time-series feature shape (running spend, 3-event moving mean).
+    // Scale: one hash exchange on user_id, then both frames evaluate
+    // in a single Window operator over the sorted partition — no
+    // second shuffle, no global ordering. Cumulative double sums are
+    // order-DEPENDENT, so both engines run the frame sum in
+    // DECIMAL(38,6) (exact, associative) and cast back — bit-identical
+    // at any partition count. (ts, event_id) orders total per user, so
+    // every frame is deterministic.
+    Q("e06_running_aggs",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mov = w.rowsBetween(-2, Window.currentRow)
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            sum(col("value").cast(Det.dec)).over(cum)
+              .cast(DoubleType).as("cum_value"),
+            (sum(col("value").cast(Det.dec)).over(mov).cast(DoubleType) /
+              count(col("value")).over(mov).cast(DoubleType)).as("mov_avg3"))
+      },
+      Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             |  PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |  AS cum_value,
+             |CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             |  PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             | / CAST(COUNT(value) OVER (
+             |  PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |  AS mov_avg3
+             |FROM events""".stripMargin)),
+
+    // Ordered funnel: of the users who viewed, how many clicked AFTER
+    // their first view, then purchased after that click. One groupBy
+    // per user computing the three first-occurrence timestamps in a
+    // single agg pass (conditional min — no self-joins, no per-stage
+    // scans), then a global count. Scale: two exchanges total, the
+    // second over a single row per user.
+    Q("e07_funnel",
+      (s, dir) => {
+        val firsts = Tables(s, dir, "events").groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        firsts.agg(
+          count(col("t_view")).as("n_view"),
+          count(when(col("t_click") > col("t_view"), lit(1))).as("n_view_click"),
+          count(when(col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click"), lit(1))).as("n_full_funnel"))
+      },
+      Some("""SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+             |CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+             |  AS n_view_click,
+             |CAST(count(CASE WHEN t_click > t_view AND t_purchase > t_click
+             |  THEN 1 END) AS BIGINT) AS n_full_funnel
+             |FROM (SELECT user_id,
+             |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+             | FROM events GROUP BY user_id)""".stripMargin))
   )
 }

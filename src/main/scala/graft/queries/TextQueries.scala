@@ -517,6 +517,119 @@ object TextQueries {
               |  CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) <= 1000 AS keep
               |FROM (SELECT doc_id, source,
-              |      CAST(len(${O.toks("text")}) AS BIGINT) AS n_tok FROM documents)""".stripMargin))
+              |      CAST(len(${O.toks("text")}) AS BIGINT) AS n_tok FROM documents)""".stripMargin)),
+
+    // DSIR-style importance weights for data selection: score every
+    // corpus doc by how target-like its unigram distribution is —
+    // mean over doc tokens of ln(p_target(w)/p_corpus(w)), add-1
+    // smoothed over the shared vocab (target stand-in: the 'en'
+    // slice). Scale: token-hash keyed aggs (BIGINT keys, map-side
+    // partials soak Zipf) build the two count tables; the per-word
+    // log-ratio table is vocab-sized (Zipf-bounded) and broadcast
+    // back; one per-doc agg. The corpus is touched twice, shuffled by
+    // word never by doc pair. Per-token ln() feeds the Det decimal
+    // sum — t18's cross-engine absorption.
+    Q("t20_importance_weights",
+      (s, dir) => {
+        val words = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+          explode(tokenHashes(col("text"))).as("w"))
+        val counts = words.groupBy(col("w")).agg(
+          count(lit(1)).as("c_all"),
+          count(when(col("lang") === "en", lit(1))).as("c_tgt"))
+        val tot = counts.agg(
+          sum(col("c_all")).as("n_all"), sum(col("c_tgt")).as("n_tgt"),
+          count(lit(1)).as("v"))
+        val lr = log(((col("c_tgt") + lit(1L)).cast(DoubleType) /
+            (col("n_tgt") + col("v")).cast(DoubleType)) /
+          ((col("c_all") + lit(1L)).cast(DoubleType) /
+            (col("n_all") + col("v")).cast(DoubleType)))
+        words
+          .join(broadcast(counts), "w")
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            (sum(lr.cast(graft.core.Det.dec)).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType)).as("importance"))
+      },
+      Some(s"""WITH words AS (SELECT doc_id, lang,
+              |         unnest(${O.tokenHashes("text")}) AS w FROM documents),
+              |counts AS (SELECT w, count(*) AS c_all,
+              |           count(CASE WHEN lang = 'en' THEN 1 END) AS c_tgt
+              |           FROM words GROUP BY w),
+              |tot AS (SELECT sum(c_all) AS n_all, sum(c_tgt) AS n_tgt,
+              |        count(*) AS v FROM counts)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+              |  CAST(SUM(CAST(ln(
+              |    (CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + v AS DOUBLE)) /
+              |    (CAST(c_all + 1 AS DOUBLE) / CAST(n_all + v AS DOUBLE))
+              |  ) AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |    AS importance
+              |FROM words JOIN counts USING (w), tot
+              |GROUP BY doc_id""".stripMargin)),
+
+    // BM25 keyword retrieval (k1=1.2, b=0.75): top-20 docs for a term
+    // set — the inverted-index probe every corpus-search / RAG-prep
+    // pipeline runs. Scale: the posting list is built by FILTERING the
+    // exploded tokens to the query terms FIRST (predicate on the
+    // token value — at 100 TB this is the inverted-index lookup, work
+    // ∝ matching postings, not corpus size); df and avgdl are
+    // vocab/corpus scalars broadcast back; one per-doc agg then a
+    // global top-k (TakeOrderedAndProject). Per-term doubles feed the
+    // Det decimal sum; the final order key rounds to 1e-6 so both
+    // engines rank identically.
+    Q("t21_bm25",
+      (s, dir) => {
+        val terms = Seq("spark", "window", "join")
+        val docs = Tables(s, dir, "documents").select(col("doc_id"),
+          filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > lit(0)).as("tk"))
+          .select(col("doc_id"), col("tk"),
+            size(col("tk")).cast(LongType).as("dl"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl"))
+        val post = docs.select(col("doc_id"), col("dl"),
+            explode(col("tk")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = post.groupBy(col("term")).agg(
+          countDistinct(col("doc_id")).as("df"))
+        val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+        val idf = log(lit(1.0) + (col("n_docs").cast(DoubleType) -
+          col("df").cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5)))
+        val tfd = col("tf").cast(DoubleType)
+        val score = idf * tfd * lit(1.2 + 1.0) /
+          (tfd + lit(1.2) * (lit(1.0 - 0.75) +
+            lit(0.75) * col("dl").cast(DoubleType) / avgdl))
+        post
+          .join(broadcast(df), "term")
+          .crossJoin(broadcast(nd))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(score.cast(graft.core.Det.dec)).cast(DoubleType).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, ${O.toks("text")} AS tk FROM documents),
+              |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM docs),
+              |nd AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+              |post AS (SELECT doc_id, term, count(*) AS tf FROM
+              |         (SELECT doc_id, unnest(tk) AS term FROM docs)
+              |         WHERE term IN ('spark', 'window', 'join')
+              |         GROUP BY doc_id, term),
+              |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term)
+              |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+              |  CAST(SUM(CAST(
+              |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+              |             / (CAST(df.df AS DOUBLE) + 0.5))
+              |    * CAST(tf AS DOUBLE) * 2.2
+              |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
+              |       0.75 * CAST(l.dl AS DOUBLE)
+              |       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+              |  AS DECIMAL(38,6))) AS DOUBLE) AS bm25
+              |FROM post p JOIN df USING (term) JOIN dl l ON p.doc_id = l.doc_id, nd
+              |GROUP BY p.doc_id
+              |ORDER BY bm25 DESC, p.doc_id ASC LIMIT 20""".stripMargin))
   )
 }

@@ -736,7 +736,55 @@ object VectorQueries {
            |(SELECT q_id, n_id, adc, CAST(row_number() OVER
            |   (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rank
            | FROM sc) WHERE rank <= 10""".stripMargin
-      })
+      }),
+
+    // Int8 scalar quantization (SQ) — the simplest 4× vector
+    // compression: per-DIMENSION min/max over the corpus define 256
+    // uniform levels, each float becomes one byte. Complements PQ:
+    // SQ is a narrow two-pass (d-row stats table broadcast back, one
+    // encode pass), no training loop. The gate hashes the codes (as a
+    // per-vector sum — 64 bounded ints fold into one exact BIGINT)
+    // plus the reconstruction MSE against mid-rise dequantization; a
+    // one-level shift in any code of any vector moves sum_code and
+    // the gate goes red. Constant dims (hi = lo) encode as 0 on both
+    // engines. All arithmetic is the same IEEE double chain.
+    Q("v14_sq_codes",
+      (s, dir) => {
+        val dims = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .select(col("vec_id"), col("pos"), col("xf").cast(DoubleType).as("x"))
+        val stats = dims.groupBy(col("pos")).agg(
+          min(col("x")).as("lo"), max(col("x")).as("hi"))
+        val span = col("hi") - col("lo")
+        val code = when(span === lit(0.0), lit(0L)).otherwise(
+          least(lit(255L),
+            floor((col("x") - col("lo")) / span * lit(256.0)).cast(LongType)))
+        val deq = col("lo") + (col("code").cast(DoubleType) + lit(0.5)) *
+          (span / lit(256.0))
+        val err = (col("x") - deq) * (col("x") - deq)
+        dims.join(broadcast(stats), "pos")
+          .withColumn("code", code)
+          .groupBy(col("vec_id"))
+          .agg(sum(col("code")).as("sum_code"),
+            (sum(err.cast(graft.core.Det.dec)).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType)).as("mse"))
+      },
+      Some("""WITH dims AS (SELECT vec_id,
+             |    CAST(unnest(embedding) AS DOUBLE) AS x,
+             |    unnest(range(len(embedding))) AS pos FROM embeddings),
+             |stats AS (SELECT pos, min(x) AS lo, max(x) AS hi
+             |          FROM dims GROUP BY pos),
+             |enc AS (SELECT vec_id, x, lo, hi,
+             |  CASE WHEN hi - lo = 0.0 THEN 0
+             |       ELSE least(255, CAST(floor((x - lo) / (hi - lo) * 256.0)
+             |                        AS BIGINT)) END AS code
+             |  FROM dims JOIN stats USING (pos))
+             |SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_code,
+             |  CAST(SUM(CAST(
+             |    (x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256.0))) *
+             |    (x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256.0)))
+             |  AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mse
+             |FROM enc GROUP BY vec_id""".stripMargin))
   )
 
   /** Residual of an arbitrary vector column against a literal center

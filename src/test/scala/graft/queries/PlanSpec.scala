@@ -196,4 +196,39 @@ class PlanSpec extends SparkSpec {
       "corpus side shuffled into a sort-merge join:\n" + p.take(1200))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("running aggregates (e06) evaluate both frames after ONE exchange") {
+    // formatted mode prints each node in the tree AND as a "(N) Op"
+    // detail section — count the numbered detail headers
+    val p = plan("e06_running_aggs")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n${p.take(800)}")
+  }
+
+  test("funnel (e07) is two agg passes - no self-joins, no per-stage scans") {
+    val p = plan("e07_funnel")
+    assert(!p.contains("Join"), "funnel should not join:\n" + p.take(800))
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 1, s"expected a single events scan, got $scans")
+  }
+
+  test("BM25 (t21) broadcasts df/corpus stats and plans top-k as TakeOrderedAndProject") {
+    val p = plan("t21_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(p.contains("BroadcastHashJoin"), "df should broadcast:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("importance weights (t20) broadcast the vocab table back - corpus never sort-merges") {
+    val p = plan("t20_importance_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus tokens shuffled into a sort-merge join:\n" + p.take(1200))
+  }
+
+  test("SQ encode (v14) broadcasts the d-row stats table") {
+    val p = plan("v14_sq_codes")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
