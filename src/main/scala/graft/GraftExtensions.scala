@@ -88,6 +88,10 @@ object GraftSqlFunctions {
       arity(args, 1, "normalize_text")
       graft.functions.TextNormalizeExpr(args.head)
     },
+    "compress_ratio" -> { args =>
+      arity(args, 1, "compress_ratio")
+      graft.functions.CompressRatioExpr(args.head)
+    },
     // Count-min sketch pair (graft.core.Cms): `cms_agg(v)` aggregates
     // frequencies into a serialized grid; probe with
     // `cms_estimate((SELECT cms_agg(v) FROM t), v)` — the subquery is

@@ -190,6 +190,31 @@ object EventQueries {
              |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
              |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
              |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-             | FROM events GROUP BY user_id)""".stripMargin))
+             | FROM events GROUP BY user_id)""".stripMargin)),
+
+    // Semi-structured props: pull a typed field out of the JSON blob
+    // column and aggregate on it — the "parse the event payload"
+    // step every telemetry pipeline runs. get_json_object is a
+    // per-row narrow op (codegen'd Jackson path eval, no UDF), so
+    // extraction adds zero exchanges: the only shuffle is the final
+    // per-type agg. A malformed blob yields null and drops out of the
+    // aggregates the same way on both engines.
+    Q("e08_json_props",
+      (s, dir) => Tables(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"),
+          Det.dsum(col("k").cast(DoubleType)).as("sum_k"),
+          max(col("k")).as("max_k"),
+          count(when(col("k") > 50L, lit(1))).as("n_hi")),
+      Some(s"""SELECT event_type, CAST(count(k) AS BIGINT) AS n_k,
+              |${Det.sql.dsum("CAST(k AS DOUBLE)")} AS sum_k,
+              |max(k) AS max_k,
+              |CAST(count(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_hi
+              |FROM (SELECT event_type,
+              |      CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+              |      FROM events)
+              |GROUP BY event_type""".stripMargin))
   )
 }

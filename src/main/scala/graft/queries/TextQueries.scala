@@ -630,6 +630,65 @@ object TextQueries {
               |  AS DECIMAL(38,6))) AS DOUBLE) AS bm25
               |FROM post p JOIN df USING (term) JOIN dl l ON p.doc_id = l.doc_id, nd
               |GROUP BY p.doc_id
-              |ORDER BY bm25 DESC, p.doc_id ASC LIMIT 20""".stripMargin))
+              |ORDER BY bm25 DESC, p.doc_id ASC LIMIT 20""".stripMargin)),
+
+    // EXACT global decile bucketing (length balancing / curriculum
+    // binning by corpus-wide quantile). A naive ntile() needs a total
+    // order = one partition holding the corpus; the scale-honest
+    // trick: global quantiles of an integer metric are exact from the
+    // VALUE HISTOGRAM — groupBy(value) first (domain-sized output,
+    // ≪ rows), cumsum over the tiny distinct-value table, thresholds
+    // t_i = min{v : 10·cum(v) ≥ i·N} (pure integer tests — nothing to
+    // round), broadcast 9 rows back, decile = 1 + #{t_i < value}.
+    // The corpus is touched twice, never sorted. (x02's t-digest is
+    // the unbounded-domain fallback.)
+    Q("t22_decile_bucketing",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+        // single-partition window is SAFE here: input is the distinct
+        // value domain (hundreds of rows), not the corpus
+        val wv = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_chars"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val cum = hist.withColumn("cum", sum(col("c")).over(wv))
+        val tot = docs.agg(count(lit(1)).as("n"))
+        val thr = cum.crossJoin(broadcast(tot))
+          .select(col("n_chars"), col("cum"), col("n"),
+            explode(array((1 to 9).map(i => lit(i.toLong)): _*)).as("i"))
+          .filter(col("cum") * lit(10L) >= col("i") * col("n"))
+          .groupBy(col("i")).agg(min(col("n_chars")).as("thr"))
+        docs.crossJoin(broadcast(thr))
+          .groupBy(col("doc_id"), col("n_chars"))
+          .agg((count(when(col("n_chars") > col("thr"), lit(1))) + lit(1L))
+            .as("decile"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, n_chars FROM documents),
+             |hist AS (SELECT n_chars, count(*) AS c FROM docs GROUP BY n_chars),
+             |cum AS (SELECT n_chars, SUM(c) OVER (ORDER BY n_chars
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+             |tot AS (SELECT count(*) AS n FROM docs),
+             |thr AS (SELECT i, min(n_chars) AS thr
+             |        FROM cum CROSS JOIN tot
+             |        CROSS JOIN (SELECT unnest(range(1, 10)) AS i) g
+             |        WHERE cum * 10 >= i * n GROUP BY i)
+             |SELECT d.doc_id, d.n_chars,
+             |  CAST(count(CASE WHEN d.n_chars > t.thr THEN 1 END) + 1 AS BIGINT)
+             |    AS decile
+             |FROM docs d CROSS JOIN thr t
+             |GROUP BY d.doc_id, d.n_chars""".stripMargin)),
+
+    // Deflate compression ratio — the cheap repetition/boilerplate
+    // signal (template spam compresses far below prose, high-entropy
+    // noise above it). One codegen'd static call per row, zero
+    // exchanges. DuckDB has no deflate, so there is NO oracle — the
+    // driver records the weaker rows-only gate and the real gate is
+    // CompressRatioSpec (ordering, bounds, determinism). The flag
+    // composes the signal with t10's Gopher rules downstream.
+    Q("t23_compress_ratio",
+      (s, dir) => Tables(s, dir, "documents").select(col("doc_id"),
+        graft.functions.CompressRatioExprs.compress_ratio(col("text")).as("ratio"))
+        .withColumn("is_repetitive", col("ratio") < 0.35),
+      None)
   )
 }
