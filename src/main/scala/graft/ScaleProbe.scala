@@ -69,6 +69,7 @@ object ScaleProbe {
     else if (args.headOption.contains("abguard")) abGuard(args.drop(1))
     else if (args.headOption.contains("cc")) ccProbe(args.drop(1))
     else if (args.headOption.contains("r4ops")) r4Ops(args.drop(1))
+    else if (args.headOption.contains("newops")) newOps(args.drop(1))
     else if (args.headOption.contains("incdedup")) incDedup(args.drop(1))
     else standard(args)
 
@@ -119,6 +120,52 @@ object ScaleProbe {
     * range-join+max goes quadratic per group while the union+window
     * form stays linear. (b) PQ fused encode over `copies`× vectors —
     * one narrow pass, should scale linearly. */
+  /** 10× probe of the continuation operators: DSIR importance weights
+    * (two word-keyed aggs + broadcast-back), BM25 (postings filtered
+    * before any shuffle), SQ encode + embedding normalization (d-row
+    * stats broadcast, per-vec agg), running window aggs (one keyed
+    * exchange). Confirms each stays roughly linear — the shapes have
+    * no pair joins, so the risk is a silent broadcast flip or agg
+    * skew, which the timings would show superlinearly. */
+  def newOps(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val nDoc = docs.count()
+    println(s"copies=$copies docs=$nDoc")
+    time("t20_importance_weights") {
+      graft.queries.TextQueries.importanceWeights(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("t21_bm25") {
+      graft.queries.TextQueries.bm25(docs, Seq("spark", "window", "join"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val vecs = scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+    time("v14_sq_codes") {
+      graft.queries.VectorQueries.sqCodes(vecs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("v15_embed_normalize") {
+      graft.queries.VectorQueries.embedNormalize(vecs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val ev = scaled(spark, "events", Seq("event_id", "user_id"), copies)
+    time("e06_running_aggs") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = w.rowsBetween(Long.MinValue, 0)
+      ev.select(col("event_id"), col("user_id"),
+          sum(col("value").cast(Det.dec)).over(cum).cast("double").as("cum_value"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    writeJson(outJson, copies, s""", "docs": $nDoc""")
+    spark.stop()
+  }
+
   def r4Ops(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val outJson = args.lift(1)

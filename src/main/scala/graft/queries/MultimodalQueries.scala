@@ -87,6 +87,36 @@ object MultimodalQueries {
              |SELECT doc_id, bucket,
              |  (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 16
              |    AS batch_idx
-             |FROM b""".stripMargin))
+             |FROM b""".stripMargin)),
+
+    // Media dedup by payload checksum — the exact-dup pass over a
+    // binary asset store (crawled images/audio repeat constantly):
+    // one hash groupBy on (kind, checksum) — d01's shape lifted to
+    // binary columns — then a per-kind rollup. n_redundant is the
+    // delete count an asset-dedup job would report. Scale: two keyed
+    // aggs, the second over group-count-sized input.
+    Q("m04_media_dedup",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import org.apache.spark.sql.functions._
+        val feats = Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))).toDF()
+        val groups = feats.groupBy(col("kind"), col("checksum"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical"))
+        groups.groupBy(col("kind")).agg(
+          sum(col("n")).as("n_media"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("n") - lit(1L)).as("n_redundant"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+              |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+              |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+              |  ${O.tokenHash("text")} AS checksum FROM documents),
+              |g AS (SELECT kind, checksum, count(*) AS n FROM f
+              |      GROUP BY kind, checksum)
+              |SELECT kind, CAST(sum(n) AS BIGINT) AS n_media,
+              |  CAST(count(*) AS BIGINT) AS n_distinct,
+              |  CAST(sum(n - 1) AS BIGINT) AS n_redundant
+              |FROM g GROUP BY kind""".stripMargin))
   )
 }

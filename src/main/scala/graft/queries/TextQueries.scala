@@ -530,27 +530,7 @@ object TextQueries {
     // word never by doc pair. Per-token ln() feeds the Det decimal
     // sum — t18's cross-engine absorption.
     Q("t20_importance_weights",
-      (s, dir) => {
-        val words = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
-          explode(tokenHashes(col("text"))).as("w"))
-        val counts = words.groupBy(col("w")).agg(
-          count(lit(1)).as("c_all"),
-          count(when(col("lang") === "en", lit(1))).as("c_tgt"))
-        val tot = counts.agg(
-          sum(col("c_all")).as("n_all"), sum(col("c_tgt")).as("n_tgt"),
-          count(lit(1)).as("v"))
-        val lr = log(((col("c_tgt") + lit(1L)).cast(DoubleType) /
-            (col("n_tgt") + col("v")).cast(DoubleType)) /
-          ((col("c_all") + lit(1L)).cast(DoubleType) /
-            (col("n_all") + col("v")).cast(DoubleType)))
-        words
-          .join(broadcast(counts), "w")
-          .crossJoin(broadcast(tot))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tok"),
-            (sum(lr.cast(graft.core.Det.dec)).cast(DoubleType) /
-              count(lit(1)).cast(DoubleType)).as("importance"))
-      },
+      (s, dir) => importanceWeights(Tables(s, dir, "documents")),
       Some(s"""WITH words AS (SELECT doc_id, lang,
               |         unnest(${O.tokenHashes("text")}) AS w FROM documents),
               |counts AS (SELECT w, count(*) AS c_all,
@@ -568,49 +548,17 @@ object TextQueries {
               |GROUP BY doc_id""".stripMargin)),
 
     // BM25 keyword retrieval (k1=1.2, b=0.75): top-20 docs for a term
-    // set — the inverted-index probe every corpus-search / RAG-prep
-    // pipeline runs. Scale: the posting list is built by FILTERING the
-    // exploded tokens to the query terms FIRST (predicate on the
-    // token value — at 100 TB this is the inverted-index lookup, work
-    // ∝ matching postings, not corpus size); df and avgdl are
-    // vocab/corpus scalars broadcast back; one per-doc agg then a
-    // global top-k (TakeOrderedAndProject). Per-term doubles feed the
-    // Det decimal sum; the final order key rounds to 1e-6 so both
-    // engines rank identically.
+    // set — the corpus-search / RAG-prep scoring probe. Scale: ONE
+    // tokenize pass into a per-doc agg (dl + per-term tf together;
+    // map-side partials collapse tokens before the exchange, so the
+    // shuffle is doc-count-sized); nd/df/postings all read that same
+    // exchange (ReusedExchange, pinned); then a global top-k
+    // (TakeOrderedAndProject). Per-term doubles feed the Det decimal
+    // sum; the final order key rounds to 1e-6 so both engines rank
+    // identically.
     Q("t21_bm25",
-      (s, dir) => {
-        val terms = Seq("spark", "window", "join")
-        val docs = Tables(s, dir, "documents").select(col("doc_id"),
-          filter(split(lower(col("text")), "\\s+"),
-            t => length(t) > lit(0)).as("tk"))
-          .select(col("doc_id"), col("tk"),
-            size(col("tk")).cast(LongType).as("dl"))
-        val nd = docs.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("sum_dl"))
-        val post = docs.select(col("doc_id"), col("dl"),
-            explode(col("tk")).as("term"))
-          .filter(col("term").isin(terms: _*))
-          .groupBy(col("doc_id"), col("dl"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val df = post.groupBy(col("term")).agg(
-          countDistinct(col("doc_id")).as("df"))
-        val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
-        val idf = log(lit(1.0) + (col("n_docs").cast(DoubleType) -
-          col("df").cast(DoubleType) + lit(0.5)) /
-          (col("df").cast(DoubleType) + lit(0.5)))
-        val tfd = col("tf").cast(DoubleType)
-        val score = idf * tfd * lit(1.2 + 1.0) /
-          (tfd + lit(1.2) * (lit(1.0 - 0.75) +
-            lit(0.75) * col("dl").cast(DoubleType) / avgdl))
-        post
-          .join(broadcast(df), "term")
-          .crossJoin(broadcast(nd))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_terms"),
-            sum(score.cast(graft.core.Det.dec)).cast(DoubleType).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id").asc)
-          .limit(20)
-      },
+      (s, dir) => bm25(Tables(s, dir, "documents"),
+        Seq("spark", "window", "join")),
       Some(s"""WITH docs AS (SELECT doc_id, ${O.toks("text")} AS tk FROM documents),
               |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM docs),
               |nd AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
@@ -691,4 +639,81 @@ object TextQueries {
         .withColumn("is_repetitive", col("ratio") < 0.35),
       None)
   )
+
+  /** t20's builder on an arbitrary (doc_id, lang, text) frame — shared
+    * with ScaleProbe so the probe times exactly the gated plan. */
+  def importanceWeights(docsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val words = docsIn.select(col("doc_id"), col("lang"),
+      explode(tokenHashes(col("text"))).as("w"))
+    val counts = words.groupBy(col("w")).agg(
+      count(lit(1)).as("c_all"),
+      count(when(col("lang") === "en", lit(1))).as("c_tgt"))
+    val tot = counts.agg(
+      sum(col("c_all")).as("n_all"), sum(col("c_tgt")).as("n_tgt"),
+      count(lit(1)).as("v"))
+    val lr = log(((col("c_tgt") + lit(1L)).cast(DoubleType) /
+        (col("n_tgt") + col("v")).cast(DoubleType)) /
+      ((col("c_all") + lit(1L)).cast(DoubleType) /
+        (col("n_all") + col("v")).cast(DoubleType)))
+    words
+      .join(broadcast(counts), "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (sum(lr.cast(graft.core.Det.dec)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("importance"))
+  }
+
+  /** t21's builder on an arbitrary (doc_id, text) frame — shared with
+    * ScaleProbe so the probe times exactly the gated plan.
+    *
+    * Structured so EVERY downstream consumer (corpus stats nd, df,
+    * the scored postings) reads the ONE per-doc aggregation exchange:
+    * tokenize once, Exchange(doc_id), then nd/df/posts are derived
+    * from that exchange and Spark's ReusedExchange dedups the scans
+    * (pinned in PlanSpec). The first cut derived nd/post/df from
+    * separate subplans and tokenized the corpus four times — 5×
+    * slower at the 10× probe. */
+  def bm25(docsIn: org.apache.spark.sql.DataFrame,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    // one pass: dl + per-term tf in a single per-doc agg
+    // (explode_outer keeps token-less docs in the corpus stats)
+    val tokens = docsIn.select(col("doc_id"),
+      explode_outer(filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > lit(0))).as("term"))
+    val aggs = count(col("term")).as("dl") +:
+      terms.map(t => count(when(col("term") === t, lit(1))).as(s"tf_$t"))
+    val perDoc = tokens.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // n_docs, avgdl AND every per-term df in ONE tiny broadcast row —
+    // a separate per-term df agg would prune perDoc differently and
+    // break the exchange reuse (doc_id is perDoc's grouping key, so
+    // both remaining consumers require the identical column set)
+    val statAggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.map(t => count(when(col(s"tf_$t") > 0L, lit(1))).as(s"df_$t"))
+    val nd = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val post = perDoc.select(col("doc_id"), col("dl"),
+        explode(array(terms.map(t =>
+          struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("p"))
+      .select(col("doc_id"), col("dl"), col("p.term").as("term"), col("p.tf").as("tf"))
+      .filter(col("tf") > 0L)
+    val dfCol = terms.tail.foldLeft(
+      when(col("term") === terms.head, col(s"df_${terms.head}"))) {
+        (w, t) => w.when(col("term") === t, col(s"df_$t"))
+      }
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val idf = log(lit(1.0) + (col("n_docs").cast(DoubleType) -
+      dfCol.cast(DoubleType) + lit(0.5)) /
+      (dfCol.cast(DoubleType) + lit(0.5)))
+    val tfd = col("tf").cast(DoubleType)
+    val score = idf * tfd * lit(1.2 + 1.0) /
+      (tfd + lit(1.2) * (lit(1.0 - 0.75) +
+        lit(0.75) * col("dl").cast(DoubleType) / avgdl))
+    post
+      .crossJoin(broadcast(nd))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(score.cast(graft.core.Det.dec)).cast(DoubleType).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
 }

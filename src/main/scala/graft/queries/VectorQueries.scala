@@ -749,26 +749,8 @@ object VectorQueries {
     // the gate goes red. Constant dims (hi = lo) encode as 0 on both
     // engines. All arithmetic is the same IEEE double chain.
     Q("v14_sq_codes",
-      (s, dir) => {
-        val dims = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
-          .select(col("vec_id"), col("pos"), col("xf").cast(DoubleType).as("x"))
-        val stats = dims.groupBy(col("pos")).agg(
-          min(col("x")).as("lo"), max(col("x")).as("hi"))
-        val span = col("hi") - col("lo")
-        val code = when(span === lit(0.0), lit(0L)).otherwise(
-          least(lit(255L),
-            floor((col("x") - col("lo")) / span * lit(256.0)).cast(LongType)))
-        val deq = col("lo") + (col("code").cast(DoubleType) + lit(0.5)) *
-          (span / lit(256.0))
-        val err = (col("x") - deq) * (col("x") - deq)
-        dims.join(broadcast(stats), "pos")
-          .withColumn("code", code)
-          .groupBy(col("vec_id"))
-          .agg(sum(col("code")).as("sum_code"),
-            (sum(err.cast(graft.core.Det.dec)).cast(DoubleType) /
-              count(lit(1)).cast(DoubleType)).as("mse"))
-      },
+      (s, dir) => sqCodes(Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))),
       Some("""WITH dims AS (SELECT vec_id,
              |    CAST(unnest(embedding) AS DOUBLE) AS x,
              |    unnest(range(len(embedding))) AS pos FROM embeddings),
@@ -784,8 +766,77 @@ object VectorQueries {
              |    (x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256.0))) *
              |    (x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256.0)))
              |  AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mse
-             |FROM enc GROUP BY vec_id""".stripMargin))
+             |FROM enc GROUP BY vec_id""".stripMargin)),
+
+    // Embedding preprocessing: mean-center against the corpus
+    // centroid, then L2-normalize — the standard prep before any
+    // cosine ANN (centering removes the hubness-inducing common
+    // component; unit norm turns cosine into dot). Scale: per-dim
+    // means are one d-row agg broadcast back; centering/norming is
+    // narrow; the only corpus exchange is the per-vec agg. Gate:
+    // the norm BEFORE scaling, the decimal-summed normalized
+    // coordinates, and a unit-norm residual bound — all through the
+    // same IEEE chain (sqrt is correctly rounded, so l2 is
+    // bit-identical from the identical decimal sum).
+    Q("v15_embed_normalize",
+      (s, dir) => embedNormalize(Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))),
+      Some(s"""WITH dims AS (SELECT vec_id,
+              |    CAST(unnest(embedding) AS DOUBLE) AS x,
+              |    unnest(range(len(embedding))) AS pos FROM embeddings),
+              |means AS (SELECT pos, ${graft.core.Det.sql.davg("x")} AS mu
+              |          FROM dims GROUP BY pos),
+              |cent AS (SELECT vec_id, x - mu AS c FROM dims JOIN means USING (pos))
+              |SELECT vec_id,
+              |  sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,6))) AS DOUBLE)) AS l2,
+              |  CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE)
+              |    / sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,6))) AS DOUBLE)) AS sum_unit,
+              |  sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,6))) AS DOUBLE)) > 0.0 AS norm_ok
+              |FROM cent GROUP BY vec_id""".stripMargin))
   )
+
+  /** v14's builder on an arbitrary (vec_id, embedding) frame — shared
+    * with ScaleProbe so the probe times exactly the gated plan. */
+  def sqCodes(e: DataFrame): DataFrame = {
+    val dims = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"), col("xf").cast(DoubleType).as("x"))
+    val stats = dims.groupBy(col("pos")).agg(
+      min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val span = col("hi") - col("lo")
+    val code = when(span === lit(0.0), lit(0L)).otherwise(
+      least(lit(255L),
+        floor((col("x") - col("lo")) / span * lit(256.0)).cast(LongType)))
+    val deq = col("lo") + (col("code").cast(DoubleType) + lit(0.5)) *
+      (span / lit(256.0))
+    val err = (col("x") - deq) * (col("x") - deq)
+    dims.join(broadcast(stats), "pos")
+      .withColumn("code", code)
+      .groupBy(col("vec_id"))
+      .agg(sum(col("code")).as("sum_code"),
+        (sum(err.cast(graft.core.Det.dec)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("mse"))
+  }
+
+  /** v15's builder on an arbitrary (vec_id, embedding) frame — shared
+    * with ScaleProbe so the probe times exactly the gated plan. */
+  def embedNormalize(e: DataFrame): DataFrame = {
+    val dims = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"), col("xf").cast(DoubleType).as("x"))
+    val means = dims.groupBy(col("pos"))
+      .agg(graft.core.Det.davg(col("x")).as("mu"))
+    val c = col("x") - col("mu")
+    val centered = dims.join(broadcast(means), "pos")
+      .select(col("vec_id"), col("pos"), c.as("c"))
+    val l2 = sqrt(sum((col("c") * col("c")).cast(graft.core.Det.dec))
+      .cast(DoubleType))
+    centered.groupBy(col("vec_id"))
+      .agg(l2.as("l2"),
+        sum(col("c").cast(graft.core.Det.dec)).cast(DoubleType).as("sum_c"))
+      .select(col("vec_id"), col("l2"), (col("sum_c") / col("l2")).as("sum_unit"),
+        (col("l2") > lit(0.0)).as("norm_ok"))
+  }
 
   /** Residual of an arbitrary vector column against a literal center
     * (float-rounded like [[residExpr]]). */
