@@ -21,7 +21,7 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =
       if (name.endsWith(".parquet") || name.endsWith(".csv") ||
-        name.endsWith(".json")) load(spark, name)
+        name.endsWith(".json") || name.endsWith(".orc")) load(spark, name)
       else spark.read.parquet(s"$dir/$name.parquet")
     normalizeNanoTs(df)
   }
@@ -43,5 +43,6 @@ object Tables {
   def load(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".csv")) graft.sources.CsvSource.read(spark, path)
     else if (path.endsWith(".json")) spark.read.json(path)
+    else if (path.endsWith(".orc")) spark.read.orc(path)
     else spark.read.parquet(path)
 }

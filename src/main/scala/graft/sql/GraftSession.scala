@@ -78,7 +78,8 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
         if (key.endsWith(".csv")) {
           val df = CsvSource.read(spark, resolvePath(name), header = !noHeader)
           register(basename(key), df); df
-        } else if (key.endsWith(".parquet") || key.endsWith(".json")) {
+        } else if (key.endsWith(".parquet") || key.endsWith(".json") ||
+            key.endsWith(".orc")) {
           val df = Tables.load(spark, resolvePath(name))
           register(basename(key), df); df
         } else {
@@ -116,7 +117,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
 
   private def basename(p: String): String = {
     val slash = p.split('/').last
-    slash.replaceAll("\\.(csv|parquet|json)$", "")
+    slash.replaceAll("\\.(csv|parquet|json|orc)$", "")
   }
 
   /** Compile + plan one dialect statement. `_fN` keys index files in

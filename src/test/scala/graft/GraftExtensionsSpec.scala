@@ -58,7 +58,7 @@ class GraftExtensionsSpec extends SparkSpec {
     // the injection list and the runtime list are the same `all` —
     // assert the class instantiates and covers every name
     val names = GraftSqlFunctions.all.map(_._1)
-    assert(names.size == 12 && names.distinct.size == 12)
+    assert(names.size == 13 && names.distinct.size == 13)
     new GraftExtensions() // constructible via spark.sql.extensions
   }
 }

@@ -275,6 +275,22 @@ class PlannerSpec extends SparkSpec {
     assert(gRel.sql("select a from items where a = 1").count() == 1)
   }
 
+  test("ORC files in FROM: same query answers as the parquet original") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc")
+    val nation = spark.read.parquet(s"$sf0001/nation.parquet")
+    nation.write.mode("overwrite").orc(dir.resolve("nation.orc").toString)
+    val g = GraftSession(spark, sf0001)
+    val q = "select n_regionkey, count(n_nationkey) as n from %s group by n_regionkey"
+    val fromOrc = g.sql(q.format(dir.resolve("nation.orc")))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val fromParquet = g.sql(q.format("nation"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(fromOrc == fromParquet && fromOrc.nonEmpty)
+    // relative resolution + basename registry, like csv/parquet/json
+    val gRel = GraftSession(spark, dir.toString)
+    assert(gRel.sql("select n_name from nation.orc").count() == nation.count())
+  }
+
   // ── bad-query corpus (dialect validity rules) ───────────────────────
   val badQueries = Seq(
     "select sum(o_totalprice) from orders where sum(o_totalprice) > 5" -> "agg in where",
