@@ -19,19 +19,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * (ordering, bounds, determinism) rather than an oracle hash.
   */
 object CompressRatioOps {
+  // per-row hot path: reuse one native zlib stream + buffer per
+  // executor thread (reset() restores the identical fixed
+  // level/strategy state, so output — and the ratio — is unchanged)
+  private val deflater = ThreadLocal.withInitial[Deflater](() =>
+    new Deflater(Deflater.DEFAULT_COMPRESSION, /*nowrap=*/ true))
+  private val buffer = ThreadLocal.withInitial[Array[Byte]](() =>
+    new Array[Byte](8192))
+
   /** compressed_len / raw_len of the UTF-8 bytes; 1.0 for empty. */
   def ratio(s: UTF8String): Double = {
     val raw = s.getBytes
     if (raw.length == 0) return 1.0
-    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, /*nowrap=*/ true)
-    try {
-      d.setInput(raw)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / raw.length.toDouble
-    } finally d.end()
+    val d = deflater.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = buffer.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / raw.length.toDouble
   }
 }
 

@@ -213,7 +213,9 @@ object EventQueries {
               |max(k) AS max_k,
               |CAST(count(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_hi
               |FROM (SELECT event_type,
-              |      CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+              |      CASE WHEN json_valid(props) THEN
+              |        TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)
+              |      END AS k
               |      FROM events)
               |GROUP BY event_type""".stripMargin))
   )

@@ -102,7 +102,7 @@ object MultimodalQueries {
         val feats = Multimodal.extractFeatures(
           Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))).toDF()
         val groups = feats.groupBy(col("kind"), col("checksum"))
-          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical"))
+          .agg(count(lit(1)).as("n"))
         groups.groupBy(col("kind")).agg(
           sum(col("n")).as("n_media"),
           count(lit(1)).as("n_distinct"),

@@ -592,7 +592,11 @@ object TextQueries {
     // the unbounded-domain fallback.)
     Q("t22_decile_bucketing",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        // nulls sort FIRST in Spark windows but LAST in DuckDB —
+        // exclude them up front so the cumsum agrees cross-engine
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .filter(col("n_chars").isNotNull)
         val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
         // single-partition window is SAFE here: input is the distinct
         // value domain (hundreds of rows), not the corpus
@@ -611,7 +615,8 @@ object TextQueries {
           .agg((count(when(col("n_chars") > col("thr"), lit(1))) + lit(1L))
             .as("decile"))
       },
-      Some("""WITH docs AS (SELECT doc_id, n_chars FROM documents),
+      Some("""WITH docs AS (SELECT doc_id, n_chars FROM documents
+             |        WHERE n_chars IS NOT NULL),
              |hist AS (SELECT n_chars, count(*) AS c FROM docs GROUP BY n_chars),
              |cum AS (SELECT n_chars, SUM(c) OVER (ORDER BY n_chars
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
@@ -655,12 +660,15 @@ object TextQueries {
         (col("n_tgt") + col("v")).cast(DoubleType)) /
       ((col("c_all") + lit(1L)).cast(DoubleType) /
         (col("n_all") + col("v")).cast(DoubleType)))
+    // ln once per VOCAB word on the tiny side of the broadcast — the
+    // corpus-sized pass then only casts/sums the prejoined ratio
+    val ratios = counts.crossJoin(broadcast(tot))
+      .select(col("w"), lr.as("lr"))
     words
-      .join(broadcast(counts), "w")
-      .crossJoin(broadcast(tot))
+      .join(broadcast(ratios), "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
-        (sum(lr.cast(graft.core.Det.dec)).cast(DoubleType) /
+        (sum(col("lr").cast(graft.core.Det.dec)).cast(DoubleType) /
           count(lit(1)).cast(DoubleType)).as("importance"))
   }
 
@@ -672,15 +680,15 @@ object TextQueries {
     * tokenize once, Exchange(doc_id), then nd/df/posts are derived
     * from that exchange and Spark's ReusedExchange dedups the scans
     * (pinned in PlanSpec). The first cut derived nd/post/df from
-    * separate subplans and tokenized the corpus four times — 5×
-    * slower at the 10× probe. */
+    * separate subplans and tokenized the corpus four times — 9.4×
+    * slower at the 10× probe (SCALE_r4f). */
   def bm25(docsIn: org.apache.spark.sql.DataFrame,
       terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     // one pass: dl + per-term tf in a single per-doc agg
-    // (explode_outer keeps token-less docs in the corpus stats)
+    // (explode_outer keeps token-less docs in the corpus stats;
+    // tokenization is the SHARED TextFunctions.tokens ≡ OracleSql.toks)
     val tokens = docsIn.select(col("doc_id"),
-      explode_outer(filter(split(lower(col("text")), "\\s+"),
-        t => length(t) > lit(0))).as("term"))
+      explode_outer(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
     val aggs = count(col("term")).as("dl") +:
       terms.map(t => count(when(col("term") === t, lit(1))).as(s"tf_$t"))
     val perDoc = tokens.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
