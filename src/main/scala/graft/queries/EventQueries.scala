@@ -217,6 +217,50 @@ object EventQueries {
               |        TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)
               |      END AS k
               |      FROM events)
-              |GROUP BY event_type""".stripMargin))
+              |GROUP BY event_type""".stripMargin)),
+
+    // OLAP rollup: hierarchical subtotals (type × hour, per-type
+    // total, grand total) in ONE pass — Spark plans a single Expand +
+    // aggregate, so the cost is one scan and one keyed exchange, not
+    // three queries. grouping_id disambiguates a null data value from
+    // a subtotal row (none here, but the contract matters).
+    Q("e09_rollup",
+      (s, dir) => Tables(s, dir, "events")
+        .rollup(col("event_type"), hour(col("ts")).cast(LongType).as("h"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"),
+          grouping_id().cast(LongType).as("gid")),
+      Some(s"""SELECT event_type, h2 AS h,
+              |CAST(count(*) AS BIGINT) AS n,
+              |${Det.sql.dsum("value")} AS sum_value,
+              |CAST(GROUPING(event_type) * 2 + GROUPING(h2) AS BIGINT) AS gid
+              |FROM (SELECT event_type, value,
+              |      CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT) AS h2
+              |      FROM events)
+              |GROUP BY ROLLUP (event_type, h2)""".stripMargin)),
+
+    // Pivot: per-user event-type counts as columns — the wide feature
+    // table every per-entity ML prep builds. Spark pivots with an
+    // EXPLICIT value list (no extra distinct-discovery pass over the
+    // corpus at scale); one groupBy exchange, counts as conditional
+    // aggs. Empty cells: Spark pivot yields null, the oracle's
+    // conditional count yields 0 — coalesce on the Spark side pins
+    // the same contract.
+    Q("e10_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      },
+      Some("""SELECT user_id,
+             |CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+             |CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+             |CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+             |CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+             |CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+             |FROM events GROUP BY user_id""".stripMargin))
   )
 }
