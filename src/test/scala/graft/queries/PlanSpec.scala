@@ -240,4 +240,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(500))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("rollup (e09) is ONE Expand + aggregate pass - single scan, single exchange") {
+    val p = plan("e09_rollup")
+    assert(p.contains("Expand"), "rollup should plan an Expand:\n" + p.take(500))
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(scans == 1 && exchanges == 1,
+      s"expected 1 scan + 1 exchange, got $scans/$exchanges")
+  }
+
+  test("pivot (e10) is one scan - no distinct-discovery pass") {
+    // explicit value list ⇒ no extra job to discover pivot values;
+    // Spark's pivot itself is two aggs ((keys+pivot col), then
+    // PivotFirst per key) ⇒ two exchanges is its canonical plan
+    val p = plan("e10_pivot")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(scans == 1 && exchanges <= 2,
+      s"expected 1 scan + at most 2 exchanges, got $scans/$exchanges")
+  }
 }
