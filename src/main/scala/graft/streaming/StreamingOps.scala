@@ -100,6 +100,10 @@ object StreamingOps {
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
   // ── streaming as-of join ────────────────────────────────────────────
+  final case class FunnelEv(user_id: Long, ts_us: Long, event_type: String)
+  final case class FunnelState(v: Long, c: Long, p: Long) // Long.MaxValue = unseen
+  final case class FunnelStage(user_id: Long, stage: Int, ts_us: Long)
+
   final case class AsofEv(event_id: Long, user_id: Long, ts_us: Long,
       is_right: Boolean, value: Double)
   final case class LastRight(ts_us: Long, value: Double)
@@ -150,6 +154,49 @@ object StreamingOps {
             }
           }
           st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming funnel: each user's view→click→purchase progress as a
+    * per-key STATE MACHINE — three first-occurrence timestamps (O(1)
+    * state), a stage derived from their ordering (1 viewed, 2 clicked
+    * after first view, 3 purchased after that click — e07's exact
+    * predicate), and a FunnelStage row emitted whenever an event
+    * CHANGES the user's stage. Minima only decrease, so a late event
+    * can demote as well as promote (an earlier-timestamped purchase
+    * arriving late can undo a conversion) — the emission stream
+    * converges to the batch answer whatever the batch boundaries
+    * (pinned in StreamingSpec: final stage per user ≡ e07's rollup). */
+  def funnelStages(events: DataFrame)(implicit spark: SparkSession): Dataset[FunnelStage] = {
+    import spark.implicits._
+    val evs = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type")).as[FunnelEv]
+    def stageOf(s: FunnelState): Int =
+      if (s.v == Long.MaxValue) 0
+      else if (s.c > s.v && s.c != Long.MaxValue)
+        if (s.p > s.c && s.p != Long.MaxValue) 3 else 2
+      else 1
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          var st = state.getOption
+            .getOrElse(FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue))
+          var cur = stageOf(st)
+          val out = Seq.newBuilder[FunnelStage]
+          rows.toSeq.sortBy(_.ts_us).foreach { e =>
+            st = e.event_type match {
+              case "view"  => st.copy(v = math.min(st.v, e.ts_us))
+              case "click" => st.copy(c = math.min(st.c, e.ts_us))
+              case _       => st.copy(p = math.min(st.p, e.ts_us))
+            }
+            val ns = stageOf(st)
+            if (ns != cur) { out += FunnelStage(user, ns, e.ts_us); cur = ns }
+          }
+          state.update(st)
           out.result().iterator
       }
   }

@@ -138,6 +138,51 @@ class StreamingSpec extends SparkSpec {
     assert(got(5L) === Some(100L), "late purchase regressed the state")
   }
 
+  test("streaming funnel final stages reproduce the batch funnel rollup (e07)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf0001, "events")
+    // last emitted stage per user (emissions are stage CHANGES; on
+    // batch data the final one is the converged answer)
+    val finals = StreamingOps.funnelStages(ev).collect()
+      .groupBy(_.user_id)
+      .map { case (u, xs) => u -> xs.maxBy(_.ts_us).stage }
+    val got = (
+      finals.count(_._2 >= 1).toLong,
+      finals.count(_._2 >= 2).toLong,
+      finals.count(_._2 == 3).toLong)
+    val want = graft.queries.Registry.queries("e07_funnel")(spark, sf0001)
+      .collect().head
+    assert(got == ((want.getLong(0), want.getLong(1), want.getLong(2))),
+      s"streamed $got vs batch $want")
+  }
+
+  test("streaming funnel demotes on a late out-of-order event") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val df = ms.toDF.toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = StreamingOps.funnelStages(df)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_ooo").start()
+    // full funnel in order → stage reaches 3
+    ms.addData((1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"))
+    q.processAllAvailable()
+    // a LATE purchase at ts=150 lowers first-purchase below the first
+    // click → the conversion no longer holds → demote to stage 2
+    ms.addData((1L, 150L, "purchase"))
+    q.processAllAvailable(); q.stop()
+    // memory sink appends per micro-batch, so collected order is
+    // ARRIVAL order — the late event's older ts must not reorder it
+    val stages = spark.table("funnel_ooo").collect().map(_.getInt(1)).toSeq
+    assert(stages.last == 2, s"expected demotion to 2, got $stages")
+    assert(stages.contains(3), s"expected an interim stage-3 emission, got $stages")
+  }
+
   test("streaming CMS heavy-hitters grid is byte-identical to the batch sketch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
