@@ -100,10 +100,6 @@ object StreamingOps {
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
   // ── streaming as-of join ────────────────────────────────────────────
-  final case class FunnelEv(user_id: Long, ts_us: Long, event_type: String)
-  final case class FunnelState(v: Long, c: Long, p: Long) // Long.MaxValue = unseen
-  final case class FunnelStage(user_id: Long, stage: Int, ts_us: Long)
-
   final case class AsofEv(event_id: Long, user_id: Long, ts_us: Long,
       is_right: Boolean, value: Double)
   final case class LastRight(ts_us: Long, value: Double)
@@ -157,6 +153,12 @@ object StreamingOps {
           out.result().iterator
       }
   }
+
+  // ── streaming funnel ────────────────────────────────────────────────
+
+  final case class FunnelEv(user_id: Long, ts_us: Long, event_type: String)
+  final case class FunnelState(v: Long, c: Long, p: Long) // Long.MaxValue = unseen
+  final case class FunnelStage(user_id: Long, stage: Int, ts_us: Long)
 
   /** Streaming funnel: each user's view→click→purchase progress as a
     * per-key STATE MACHINE — three first-occurrence timestamps (O(1)
