@@ -642,7 +642,62 @@ object TextQueries {
       (s, dir) => Tables(s, dir, "documents").select(col("doc_id"),
         graft.functions.CompressRatioExprs.compress_ratio(col("text")).as("ratio"))
         .withColumn("is_repetitive", col("ratio") < 0.35),
-      None)
+      None),
+
+    // PMI collocations: the top word pairs that co-occur far above
+    // chance — classic corpus mining (multiword expressions, named
+    // entities). PMI = ln(p(w1,w2)/(p(w1)p(w2))), count floor ≥ 5.
+    // Scale: t18's transition shape — word/bigram-keyed aggs with
+    // map-side partials, Zipf-bounded unigram table broadcast back;
+    // the floor prunes the bigram tail before any join. Output PMI is
+    // a per-row double (no decimal sum to hide in), so BOTH engines
+    // round it into DECIMAL(38,6) — the ordering key — absorbing
+    // cross-engine ln() ulps the way t18's sums do.
+    Q("t24_pmi_collocations",
+      (s, dir) => {
+        val tk = Tables(s, dir, "documents").select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("w"))
+        val words = tk.select(explode(col("w")).as("word"))
+        val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
+        val nt = words.agg(count(lit(1)).as("n_tok"))
+        val n = greatest(size(col("w")) - 1, lit(0))
+        val trans = tk.select(explode(zip_with(
+            slice(col("w"), lit(1), n), slice(col("w"), lit(2), n),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("t"))
+          .select(col("t.w1").as("w1"), col("t.w2").as("w2"))
+        val big = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5)
+        val nb = trans.agg(count(lit(1)).as("n_big"))
+        val pmi = log((col("c12").cast(DoubleType) / col("n_big").cast(DoubleType)) /
+          ((col("c1_w1").cast(DoubleType) / col("n_tok").cast(DoubleType)) *
+            (col("c1_w2").cast(DoubleType) / col("n_tok").cast(DoubleType))))
+        big
+          .join(broadcast(uni.select(col("word").as("w1"), col("c1").as("c1_w1"))), "w1")
+          .join(broadcast(uni.select(col("word").as("w2"), col("c1").as("c1_w2"))), "w2")
+          .crossJoin(broadcast(nb))
+          .crossJoin(broadcast(nt))
+          .select(col("w1"), col("w2"), col("c12"),
+            pmi.cast(graft.core.Det.dec).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+          .limit(30)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, ${O.toks("text")} AS w FROM documents),
+              |words AS (SELECT unnest(w) AS word FROM tk),
+              |uni AS (SELECT word, count(*) AS c1 FROM words GROUP BY word),
+              |nt AS (SELECT count(*) AS n_tok FROM words),
+              |tr AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM tk,
+              |       UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+              |big AS (SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY w1, w2
+              |        HAVING count(*) >= 5),
+              |nb AS (SELECT count(*) AS n_big FROM tr)
+              |SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+              |  CAST(ln((CAST(b.c12 AS DOUBLE) / CAST(n_big AS DOUBLE)) /
+              |    ((CAST(u1.c1 AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+              |     (CAST(u2.c1 AS DOUBLE) / CAST(n_tok AS DOUBLE))))
+              |  AS DECIMAL(38,6)) AS pmi
+              |FROM big b JOIN uni u1 ON b.w1 = u1.word
+              |           JOIN uni u2 ON b.w2 = u2.word, nb, nt
+              |ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC LIMIT 30""".stripMargin))
   )
 
   /** t20's builder on an arbitrary (doc_id, lang, text) frame — shared
