@@ -433,7 +433,9 @@ object TextQueries {
           filter(split(lower(col("text")), "\\s+"), t => length(t) > lit(0)).as("w"))
         val words = tk.select(col("doc_id"), explode(col("w")).as("word"))
         val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
-        val tot = words.agg(count(lit(1)).as("n"))
+        // total from the aggregated vocab table, not a second corpus
+        // tokenize (t21's lesson); same value, vocab-sized input
+        val tot = uni.agg(sum(col("c1")).as("n"))
         val n = greatest(size(col("w")) - 1, lit(0))
         val trans = tk.select(col("doc_id"), explode(zip_with(
             slice(col("w"), lit(1), n), slice(col("w"), lit(2), n),
@@ -659,15 +661,18 @@ object TextQueries {
           graft.functions.TextFunctions.tokens(col("text")).as("w"))
         val words = tk.select(explode(col("w")).as("word"))
         val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
-        val nt = words.agg(count(lit(1)).as("n_tok"))
+        // totals from the AGGREGATED tables, not the token stream —
+        // n_tok/n_big consume the uni/bigram exchanges (vocab-sized)
+        // instead of re-tokenizing the corpus per total (t21's lesson)
+        val nt = uni.agg(sum(col("c1")).as("n_tok"))
         val n = greatest(size(col("w")) - 1, lit(0))
         val trans = tk.select(explode(zip_with(
             slice(col("w"), lit(1), n), slice(col("w"), lit(2), n),
             (a, b) => struct(a.as("w1"), b.as("w2")))).as("t"))
           .select(col("t.w1").as("w1"), col("t.w2").as("w2"))
-        val big = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-          .filter(col("c12") >= 5)
-        val nb = trans.agg(count(lit(1)).as("n_big"))
+        val bigAll = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val big = bigAll.filter(col("c12") >= 5)
+        val nb = bigAll.agg(sum(col("c12")).as("n_big"))
         val pmi = log((col("c12").cast(DoubleType) / col("n_big").cast(DoubleType)) /
           ((col("c1_w1").cast(DoubleType) / col("n_tok").cast(DoubleType)) *
             (col("c1_w2").cast(DoubleType) / col("n_tok").cast(DoubleType))))
