@@ -702,7 +702,31 @@ object TextQueries {
               |  AS DECIMAL(38,6)) AS pmi
               |FROM big b JOIN uni u1 ON b.w1 = u1.word
               |           JOIN uni u2 ON b.w2 = u2.word, nb, nt
-              |ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC LIMIT 30""".stripMargin))
+              |ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC LIMIT 30""".stripMargin)),
+
+    // Model-based quality scoring (operators/QualityClassifier): a
+    // logistic scorer over hashed token features trained to DISTILL a
+    // weak heuristic label (here t02's length signal: ≥ median
+    // tokens) on the even-doc_id half, scoring the held-out half —
+    // the CCNet/GPT-3 curation classifier stage, where the weak label
+    // is whatever the pipeline has (heuristics, LM perplexity, human
+    // prefs). Training is distributed L-BFGS (one treeAggregate per
+    // iter); featurize/score are narrow. Not SQL-expressible →
+    // rows-only gate here; the real gate is QualityClassifierSpec
+    // (held-out accuracy, bit-identical refits, probability bounds).
+    Q("t25_quality_classifier",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val weak = size(graft.functions.TextFunctions.tokens(col("text"))) >= 56
+        val model = graft.operators.QualityClassifier.train(
+          docs.filter(col("doc_id") % 2 === 0), weak)
+        graft.operators.QualityClassifier
+          .score(model, docs.filter(col("doc_id") % 2 === 1))
+          .select(col("doc_id"), col("quality_p"),
+            (col("quality_p") >= 0.5).as("keep"))
+      },
+      None)
   )
 
   /** t20's builder on an arbitrary (doc_id, lang, text) frame — shared

@@ -13,9 +13,11 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("every query has an oracle (sketch ops self-gate via bounds columns)") {
-    // t23: DuckDB cannot deflate — gated by CompressRatioSpec instead
-    // (documented in COVERAGE.md); anything else oracle-less is a bug
-    val allowed = Set("t23_compress_ratio")
+    // t23: DuckDB cannot deflate — gated by CompressRatioSpec.
+    // t25: L-BFGS training is not SQL-expressible — gated by
+    // QualityClassifierSpec. (Both documented in COVERAGE.md);
+    // anything else oracle-less is a bug
+    val allowed = Set("t23_compress_ratio", "t25_quality_classifier")
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
       .filterNot(allowed)
     assert(noOracle.isEmpty, s"oracle-less queries: $noOracle")
