@@ -26,8 +26,27 @@ import org.apache.spark.sql.functions._
 object QualityClassifier {
   val NumFeatures = 4096
 
+  // columns the featurize/score pipeline writes — an input frame
+  // carrying any of them would make MLlib throw a confusing
+  // duplicate-column AnalysisException mid-pipeline, so fail early
+  private val ReservedCols = Set("features", "__toks", "__label",
+    "rawPrediction", "probability", "prediction", "quality_p")
+  private def checkReserved(docs: DataFrame): Unit = {
+    val clash = docs.columns.toSet.intersect(ReservedCols)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} are reserved by QualityClassifier")
+  }
+
+  /** The demo weak label (used by t25 AND its spec — one definition so
+    * the spec always gates the configuration the query runs): the
+    * length heuristic at the fixture's median token count. Real
+    * pipelines swap in whatever weak signal they have. */
+  def lengthLabel(threshold: Int = 56): Column =
+    size(graft.functions.TextFunctions.tokens(col("text"))) >= threshold
+
   /** Narrow featurize: hashed token-count vectors. */
   def featurize(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    checkReserved(docs)
     val toks = docs.withColumn("__toks",
       graft.functions.TextFunctions.tokens(col(textCol)))
     new HashingTF().setInputCol("__toks").setOutputCol("features")

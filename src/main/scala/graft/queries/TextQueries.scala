@@ -208,7 +208,7 @@ object TextQueries {
     Q("t10_repetition",
       (s, dir) => {
         val toks = Tables(s, dir, "documents").select(col("doc_id"),
-          filter(split(lower(col("text")), "\\s+"), t => length(t) > lit(0)).as("w"))
+          tokens(col("text")).as("w"))
         val words = toks.select(col("doc_id"), explode(col("w")).as("word"))
         val wstats = words.groupBy("doc_id").agg(
           count(lit(1)).as("n_words"), countDistinct(col("word")).as("n_distinct"))
@@ -316,8 +316,7 @@ object TextQueries {
     Q("t13_unigram_nll",
       (s, dir) => {
         val words = Tables(s, dir, "documents").select(col("doc_id"),
-          explode(filter(split(lower(col("text")), "\\s+"),
-            t => length(t) > lit(0))).as("word"))
+          explode(tokens(col("text"))).as("word"))
         val total = words.agg(count(lit(1)).as("n"))
         val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
           .filter(col("c") >= 5)
@@ -430,7 +429,7 @@ object TextQueries {
     Q("t18_bigram_nll",
       (s, dir) => {
         val tk = Tables(s, dir, "documents").select(col("doc_id"),
-          filter(split(lower(col("text")), "\\s+"), t => length(t) > lit(0)).as("w"))
+          tokens(col("text")).as("w"))
         val words = tk.select(col("doc_id"), explode(col("w")).as("word"))
         val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
         // total from the aggregated vocab table, not a second corpus
@@ -507,8 +506,7 @@ object TextQueries {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            size(filter(split(lower(col("text")), "\\s+"),
-              t => length(t) > lit(0))).cast(LongType).as("n_tok"))
+            size(tokens(col("text"))).cast(LongType).as("n_tok"))
           .withColumn("cum_tok", sum(col("n_tok")).over(w))
           .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"),
             (col("cum_tok") <= lit(1000L)).as("keep"))
@@ -706,8 +704,8 @@ object TextQueries {
 
     // Model-based quality scoring (operators/QualityClassifier): a
     // logistic scorer over hashed token features trained to DISTILL a
-    // weak heuristic label (here t02's length signal: ≥ median
-    // tokens) on the even-doc_id half, scoring the held-out half —
+    // weak heuristic label (a length cut at the fixture's median
+    // token count) on the even-doc_id half, scoring the held-out half —
     // the CCNet/GPT-3 curation classifier stage, where the weak label
     // is whatever the pipeline has (heuristics, LM perplexity, human
     // prefs). Training is distributed L-BFGS (one treeAggregate per
@@ -718,7 +716,7 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("text"))
-        val weak = size(graft.functions.TextFunctions.tokens(col("text"))) >= 56
+        val weak = graft.operators.QualityClassifier.lengthLabel()
         val model = graft.operators.QualityClassifier.train(
           docs.filter(col("doc_id") % 2 === 0), weak)
         graft.operators.QualityClassifier

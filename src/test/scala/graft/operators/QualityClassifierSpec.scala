@@ -12,11 +12,12 @@ class QualityClassifierSpec extends SparkSpec {
 
   private lazy val docs = Tables(spark, sf0001, "documents")
     .select(col("doc_id"), col("lang"), col("text"))
-  // weak label the model distills: t02's length heuristic (the
-  // fixture's lang column is independent of its 31-token vocabulary
-  // by construction, so it is NOT learnable from text — length is)
-  private val weak =
-    size(graft.functions.TextFunctions.tokens(col("text"))) >= 56
+  // weak label the model distills — the SAME definition t25 runs
+  // (QualityClassifier.lengthLabel), so the spec always gates the
+  // query's configuration. (The fixture's lang column is independent
+  // of its 31-token vocabulary by construction, so language is NOT
+  // learnable from text — length is.)
+  private val weak = QualityClassifier.lengthLabel()
 
   test("held-out accuracy separates the weak label well above chance") {
     val model = QualityClassifier.train(
