@@ -190,6 +190,32 @@ object ApproxQueries {
               |CAST(count(*) AS BIGINT) AS n,
               |${graft.core.Det.sql.dsum("value")} AS sum_value,
               |min(value) AS min_value, max(value) AS max_value
-              |FROM events GROUP BY 1""".stripMargin)))
+              |FROM events GROUP BY 1""".stripMargin)),
+
+    // GROUPED approximate quantiles — x02's sketch path per key (the
+    // per-language/per-source length distribution every mixing report
+    // wants). One hash aggregation carries a t-digest-style sketch per
+    // group — bounded state per key vs t22's exact path, the right
+    // trade when the group count is large and the value domain
+    // unbounded. Same self-gate: exact per-group stats hash-match;
+    // the sketch's median lands between the exact 0.45/0.55 quantiles
+    // or the literal-true booleans flip the gate red.
+    Q("x07_grouped_quantiles",
+      (s, dir) => {
+        val a = Tables(s, dir, "documents").groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_nc"),
+          max(col("n_chars")).as("max_nc"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("a50"),
+          expr("percentile(n_chars, 0.45)").as("lo50"),
+          expr("percentile(n_chars, 0.55)").as("hi50"))
+        a.select(col("lang"), col("n"), col("min_nc"), col("max_nc"),
+          (col("a50").cast(DoubleType) >= col("lo50") &&
+            col("a50").cast(DoubleType) <= col("hi50")).as("p50_ok"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |min(n_chars) AS min_nc, max(n_chars) AS max_nc,
+             |true AS p50_ok
+             |FROM documents GROUP BY lang""".stripMargin)))
   }
 }
