@@ -162,6 +162,12 @@ object ScaleProbe {
           sum(col("value").cast(Det.dec)).over(cum).cast("double").as("cum_value"))
         .write.format("noop").mode("overwrite").save()
     }
+    // bigram family (word/bigram-keyed aggs; totals now derived from
+    // the aggregated tables, not extra tokenize passes)
+    time("t24_pmi") {
+      graft.queries.TextQueries.pmiCollocations(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
     writeJson(outJson, copies, s""", "docs": $nDoc""")
     spark.stop()
   }

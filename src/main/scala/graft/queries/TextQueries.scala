@@ -654,36 +654,7 @@ object TextQueries {
     // round it into DECIMAL(38,6) — the ordering key — absorbing
     // cross-engine ln() ulps the way t18's sums do.
     Q("t24_pmi_collocations",
-      (s, dir) => {
-        val tk = Tables(s, dir, "documents").select(col("doc_id"),
-          graft.functions.TextFunctions.tokens(col("text")).as("w"))
-        val words = tk.select(explode(col("w")).as("word"))
-        val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
-        // totals from the AGGREGATED tables, not the token stream —
-        // n_tok/n_big consume the uni/bigram exchanges (vocab-sized)
-        // instead of re-tokenizing the corpus per total (t21's lesson)
-        val nt = uni.agg(sum(col("c1")).as("n_tok"))
-        val n = greatest(size(col("w")) - 1, lit(0))
-        val trans = tk.select(explode(zip_with(
-            slice(col("w"), lit(1), n), slice(col("w"), lit(2), n),
-            (a, b) => struct(a.as("w1"), b.as("w2")))).as("t"))
-          .select(col("t.w1").as("w1"), col("t.w2").as("w2"))
-        val bigAll = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-        val big = bigAll.filter(col("c12") >= 5)
-        val nb = bigAll.agg(sum(col("c12")).as("n_big"))
-        val pmi = log((col("c12").cast(DoubleType) / col("n_big").cast(DoubleType)) /
-          ((col("c1_w1").cast(DoubleType) / col("n_tok").cast(DoubleType)) *
-            (col("c1_w2").cast(DoubleType) / col("n_tok").cast(DoubleType))))
-        big
-          .join(broadcast(uni.select(col("word").as("w1"), col("c1").as("c1_w1"))), "w1")
-          .join(broadcast(uni.select(col("word").as("w2"), col("c1").as("c1_w2"))), "w2")
-          .crossJoin(broadcast(nb))
-          .crossJoin(broadcast(nt))
-          .select(col("w1"), col("w2"), col("c12"),
-            pmi.cast(graft.core.Det.dec).as("pmi"))
-          .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
-          .limit(30)
-      },
+      (s, dir) => pmiCollocations(Tables(s, dir, "documents")),
       Some(s"""WITH tk AS (SELECT doc_id, ${O.toks("text")} AS w FROM documents),
               |words AS (SELECT unnest(w) AS word FROM tk),
               |uni AS (SELECT word, count(*) AS c1 FROM words GROUP BY word),
@@ -752,6 +723,40 @@ object TextQueries {
       .agg(count(lit(1)).as("n_tok"),
         (sum(col("lr").cast(graft.core.Det.dec)).cast(DoubleType) /
           count(lit(1)).cast(DoubleType)).as("importance"))
+  }
+
+  /** t24's builder on an arbitrary (doc_id, text) frame — shared with
+    * ScaleProbe so the probe times exactly the gated plan. Totals come
+    * from the AGGREGATED tables, not the token stream — n_tok/n_big
+    * consume the uni/bigram exchanges (vocab-sized) instead of
+    * re-tokenizing the corpus per total (t21's lesson). */
+  def pmiCollocations(docsIn: org.apache.spark.sql.DataFrame,
+      floor: Long = 5L, k: Int = 30): org.apache.spark.sql.DataFrame = {
+    val tk = docsIn.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("w"))
+    val words = tk.select(explode(col("w")).as("word"))
+    val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
+    val nt = uni.agg(sum(col("c1")).as("n_tok"))
+    val n = greatest(size(col("w")) - 1, lit(0))
+    val trans = tk.select(explode(zip_with(
+        slice(col("w"), lit(1), n), slice(col("w"), lit(2), n),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"))
+    val bigAll = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val big = bigAll.filter(col("c12") >= floor)
+    val nb = bigAll.agg(sum(col("c12")).as("n_big"))
+    val pmi = log((col("c12").cast(DoubleType) / col("n_big").cast(DoubleType)) /
+      ((col("c1_w1").cast(DoubleType) / col("n_tok").cast(DoubleType)) *
+        (col("c1_w2").cast(DoubleType) / col("n_tok").cast(DoubleType))))
+    big
+      .join(broadcast(uni.select(col("word").as("w1"), col("c1").as("c1_w1"))), "w1")
+      .join(broadcast(uni.select(col("word").as("w2"), col("c1").as("c1_w2"))), "w2")
+      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nt))
+      .select(col("w1"), col("w2"), col("c12"),
+        pmi.cast(graft.core.Det.dec).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
   }
 
   /** t21's builder on an arbitrary (doc_id, text) frame — shared with
