@@ -155,11 +155,7 @@ object ScaleProbe {
     }
     val ev = scaled(spark, "events", Seq("event_id", "user_id"), copies)
     time("e06_running_aggs") {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val cum = w.rowsBetween(Long.MinValue, 0)
-      ev.select(col("event_id"), col("user_id"),
-          sum(col("value").cast(Det.dec)).over(cum).cast("double").as("cum_value"))
+      graft.queries.EventQueries.runningAggs(ev)
         .write.format("noop").mode("overwrite").save()
     }
     // bigram family (word/bigram-keyed aggs; totals now derived from

@@ -12,11 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Deflate compression ratio — a classic cheap quality/repetition
   * signal (boilerplate and template spam compress far below natural
   * prose; high-entropy garbage compresses above it). One codegen'd
-  * static call per row; the deflater is allocated per call with a
-  * FIXED level and strategy, so the ratio is a pure function of the
-  * bytes — deterministic across executors and runs on one JVM
-  * version. No DuckDB analog exists, so the gate is CompressRatioSpec
-  * (ordering, bounds, determinism) rather than an oracle hash.
+  * static call per row; one native zlib stream is REUSED per executor
+  * thread, reset() before every call to the same FIXED level and
+  * strategy, so the ratio is a pure function of the bytes —
+  * deterministic across executors and runs on one JVM version. No
+  * DuckDB analog exists, so the gate is CompressRatioSpec (ordering,
+  * bounds, determinism) rather than an oracle hash.
   */
 object CompressRatioOps {
   // per-row hot path: reuse one native zlib stream + buffer per

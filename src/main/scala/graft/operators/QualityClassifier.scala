@@ -39,10 +39,11 @@ object QualityClassifier {
 
   /** The demo weak label (used by t25 AND its spec — one definition so
     * the spec always gates the configuration the query runs): the
-    * length heuristic at the fixture's median token count. Real
-    * pipelines swap in whatever weak signal they have. */
-  def lengthLabel(threshold: Int = 56): Column =
-    size(graft.functions.TextFunctions.tokens(col("text"))) >= threshold
+    * length heuristic at the fixture's median token count. `textCol`
+    * must match the one passed to train/score. Real pipelines swap in
+    * whatever weak signal they have. */
+  def lengthLabel(threshold: Int = 56, textCol: String = "text"): Column =
+    size(graft.functions.TextFunctions.tokens(col(textCol))) >= threshold
 
   /** Narrow featurize: hashed token-count vectors. */
   def featurize(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -137,18 +137,7 @@ object EventQueries {
     // at any partition count. (ts, event_id) orders total per user, so
     // every frame is deterministic.
     Q("e06_running_aggs",
-      (s, dir) => {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val mov = w.rowsBetween(-2, Window.currentRow)
-        Tables(s, dir, "events")
-          .select(col("event_id"), col("user_id"), col("ts"),
-            sum(col("value").cast(Det.dec)).over(cum)
-              .cast(DoubleType).as("cum_value"),
-            (sum(col("value").cast(Det.dec)).over(mov).cast(DoubleType) /
-              count(col("value")).over(mov).cast(DoubleType)).as("mov_avg3"))
-      },
+      (s, dir) => runningAggs(Tables(s, dir, "events")),
       Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
              |CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
              |  PARTITION BY user_id ORDER BY ts, event_id
@@ -263,4 +252,19 @@ object EventQueries {
              |CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
              |FROM events GROUP BY user_id""".stripMargin))
   )
+
+  /** e06's builder on an arbitrary events frame — shared with
+    * ScaleProbe so the probe times exactly the gated plan (both
+    * frames, not just the cumulative sum). */
+  def runningAggs(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = w.rowsBetween(-2, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"), col("ts"),
+      sum(col("value").cast(Det.dec)).over(cum)
+        .cast(DoubleType).as("cum_value"),
+      (sum(col("value").cast(Det.dec)).over(mov).cast(DoubleType) /
+        count(col("value")).over(mov).cast(DoubleType)).as("mov_avg3"))
+  }
 }

@@ -157,8 +157,9 @@ object StreamingOps {
   // ── streaming funnel ────────────────────────────────────────────────
 
   final case class FunnelEv(user_id: Long, ts_us: Long, event_type: String)
-  final case class FunnelState(v: Long, c: Long, p: Long) // Long.MaxValue = unseen
-  final case class FunnelStage(user_id: Long, stage: Int, ts_us: Long)
+  // Long.MaxValue = unseen; seq counts this user's emissions so far
+  final case class FunnelState(v: Long, c: Long, p: Long, seq: Long)
+  final case class FunnelStage(user_id: Long, stage: Int, seq: Long, ts_us: Long)
 
   /** Streaming funnel: each user's view→click→purchase progress as a
     * per-key STATE MACHINE — three first-occurrence timestamps (O(1)
@@ -169,7 +170,10 @@ object StreamingOps {
     * can demote as well as promote (an earlier-timestamped purchase
     * arriving late can undo a conversion) — the emission stream
     * converges to the batch answer whatever the batch boundaries
-    * (pinned in StreamingSpec: final stage per user ≡ e07's rollup). */
+    * (pinned in StreamingSpec: final stage per user ≡ e07's rollup).
+    * A demotion's ts_us is the LATE event's (older than the promote
+    * it undoes), so "latest stage" must reduce by `seq` — a per-user
+    * monotonic emission counter carried in state — never by ts. */
   def funnelStages(events: DataFrame)(implicit spark: SparkSession): Dataset[FunnelStage] = {
     import spark.implicits._
     val evs = events
@@ -186,7 +190,7 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
           var st = state.getOption
-            .getOrElse(FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue))
+            .getOrElse(FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue, 0L))
           var cur = stageOf(st)
           val out = Seq.newBuilder[FunnelStage]
           rows.toSeq.sortBy(_.ts_us).foreach { e =>
@@ -196,7 +200,11 @@ object StreamingOps {
               case _       => st.copy(p = math.min(st.p, e.ts_us))
             }
             val ns = stageOf(st)
-            if (ns != cur) { out += FunnelStage(user, ns, e.ts_us); cur = ns }
+            if (ns != cur) {
+              st = st.copy(seq = st.seq + 1)
+              out += FunnelStage(user, ns, st.seq, e.ts_us)
+              cur = ns
+            }
           }
           state.update(st)
           out.result().iterator

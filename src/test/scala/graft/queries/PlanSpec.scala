@@ -254,20 +254,22 @@ class PlanSpec extends SparkSpec {
     // an IMPLICIT pivot list makes Spark run a distinct job eagerly at
     // DataFrame-construction time and the final plan looks identical —
     // so the pin must catch the job itself, not the plan shape
-    // a discovery job runs SYNCHRONOUSLY inside the pivot() call;
-    // isolate it from the parquet schema-listing job Tables() fires by
-    // pre-building the base frame, then snapshotting the job ids
+    // a discovery job runs SYNCHRONOUSLY inside the pivot() call on
+    // THIS thread, so it inherits a job group set here — tagging makes
+    // the check deterministic (a global job count could catch stray
+    // untagged jobs from other suites sharing the session)
     import org.apache.spark.sql.functions._
-    val base = graft.core.Tables(spark, sf0001, "events") // schema job here
-    val tracker = spark.sparkContext.statusTracker
-    val before = tracker.getJobIdsForGroup(null).toSet
+    val base = graft.core.Tables(spark, sf0001, "events") // schema job outside the group
     val types = Seq("click", "error", "purchase", "signup", "view")
-    base.groupBy(col("user_id")).pivot("event_type", types)
+    spark.sparkContext.setJobGroup("e10-pivot-pin", "pivot build probe")
+    try base.groupBy(col("user_id")).pivot("event_type", types)
       .agg(count(lit(1))) // e10's exact shape: explicit list, build only
-    Thread.sleep(300)
-    val newJobs = tracker.getJobIdsForGroup(null).toSet -- before
+    finally spark.sparkContext.clearJobGroup()
+    Thread.sleep(300) // let the listener bus drain job-start events
+    val newJobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("e10-pivot-pin")
     assert(newJobs.isEmpty,
-      s"pivot construction triggered job(s) $newJobs - implicit value discovery?")
+      s"pivot construction triggered job(s) ${newJobs.mkString(",")} - implicit value discovery?")
     // Spark's pivot itself is two aggs ((keys+pivot col), then
     // PivotFirst per key) ⇒ two exchanges is its canonical plan
     val p = plan("e10_pivot")

@@ -142,11 +142,12 @@ class StreamingSpec extends SparkSpec {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     import org.apache.spark.sql.functions._
     val ev = Tables(spark, sf0001, "events")
-    // last emitted stage per user (emissions are stage CHANGES; on
-    // batch data the final one is the converged answer)
+    // last emitted stage per user — reduce by the monotonic emission
+    // counter, NEVER by ts (a cross-batch demotion carries the late
+    // event's OLDER ts; seq is the only safe ordering key)
     val finals = StreamingOps.funnelStages(ev).collect()
       .groupBy(_.user_id)
-      .map { case (u, xs) => u -> xs.maxBy(_.ts_us).stage }
+      .map { case (u, xs) => u -> xs.maxBy(_.seq).stage }
     val got = (
       finals.count(_._2 >= 1).toLong,
       finals.count(_._2 >= 2).toLong,
@@ -178,9 +179,14 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     // memory sink appends per micro-batch, so collected order is
     // ARRIVAL order — the late event's older ts must not reorder it
-    val stages = spark.table("funnel_ooo").collect().map(_.getInt(1)).toSeq
+    val rows = spark.table("funnel_ooo").collect()
+      .map(r => (r.getInt(1), r.getLong(2))) // (stage, seq)
+    val stages = rows.map(_._1).toSeq
     assert(stages.last == 2, s"expected demotion to 2, got $stages")
     assert(stages.contains(3), s"expected an interim stage-3 emission, got $stages")
+    // the demotion (older ts!) carries the HIGHEST seq — reducing by
+    // seq across batches reconstructs the converged stage
+    assert(rows.maxBy(_._2)._1 == 2, s"seq ordering broken: $rows")
   }
 
   test("streaming CMS heavy-hitters grid is byte-identical to the batch sketch") {
