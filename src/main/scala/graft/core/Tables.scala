@@ -21,7 +21,8 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =
       if (name.endsWith(".parquet") || name.endsWith(".csv") ||
-        name.endsWith(".json") || name.endsWith(".orc")) load(spark, name)
+        name.endsWith(".json") || name.endsWith(".orc") ||
+        name.endsWith(".xml")) load(spark, name)
       else spark.read.parquet(s"$dir/$name.parquet")
     normalizeNanoTs(df)
   }
@@ -44,5 +45,7 @@ object Tables {
     if (path.endsWith(".csv")) graft.sources.CsvSource.read(spark, path)
     else if (path.endsWith(".json")) spark.read.json(path)
     else if (path.endsWith(".orc")) spark.read.orc(path)
+    // Spark 4 ships XML natively; <row> is this engine's row element
+    else if (path.endsWith(".xml")) spark.read.option("rowTag", "row").xml(path)
     else spark.read.parquet(path)
 }

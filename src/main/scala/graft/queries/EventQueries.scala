@@ -250,7 +250,39 @@ object EventQueries {
              |CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
              |CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
              |CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
-             |FROM events GROUP BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Burst detection: hours where a type's event count spikes above
+    // mean + 2σ of its own hourly history — the monitoring/anomaly
+    // pass over ingest telemetry. Two keyed aggs (hourly, then
+    // per-type moments over hour-count rows — hours-sized input) and
+    // a broadcast join back; mean/σ run the Det decimal formulas so
+    // the threshold is bit-identical cross-engine and the boolean
+    // hashes.
+    Q("e11_burst_detect",
+      (s, dir) => {
+        val hourly = Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("ws"), col("event_type"), col("n"))
+        val stats = hourly.groupBy(col("event_type")).agg(
+          Det.davg(col("n").cast(DoubleType)).as("mu"),
+          Det.stdevSamp(col("n").cast(DoubleType)).as("sd"))
+        hourly.join(broadcast(stats), "event_type")
+          .select(col("ws"), col("event_type"), col("n"),
+            (col("n").cast(DoubleType) > col("mu") + lit(2.0) * col("sd"))
+              .as("is_burst"))
+      },
+      Some(s"""WITH hourly AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+              |  event_type, CAST(count(*) AS BIGINT) AS n
+              |  FROM events GROUP BY 1, 2),
+              |stats AS (SELECT event_type,
+              |  ${Det.sql.davg("CAST(n AS DOUBLE)")} AS mu,
+              |  ${Det.sql.stdevSamp("CAST(n AS DOUBLE)")} AS sd
+              |  FROM hourly GROUP BY event_type)
+              |SELECT ws, event_type, n,
+              |  CAST(n AS DOUBLE) > mu + 2.0 * sd AS is_burst
+              |FROM hourly JOIN stats USING (event_type)""".stripMargin))
   )
 
   /** e06's builder on an arbitrary events frame — shared with

@@ -183,7 +183,7 @@ final class QueryServer(graft: GraftSession, port: Int,
   }
 
   /** File browser (reference files.go:183-220): GET /files/?dir=…
-    * lists subdirectories and queryable files (csv/parquet/json/orc) of a
+    * lists subdirectories and queryable files (csv/parquet/json/orc/xml) of a
     * directory, plus the parent — the engine-side data the reference's
     * GUI tree renders. */
   private def handleFiles(ex: HttpExchange): Unit = {
@@ -200,7 +200,7 @@ final class QueryServer(graft: GraftSession, port: Int,
     val dirs = entries.filter(e => e.isDirectory && !e.getName.startsWith(".")).map(_.getAbsolutePath)
     val files = entries.filter { e =>
       val n = e.getName.toLowerCase
-      e.isFile && (n.endsWith(".csv") || n.endsWith(".parquet") || n.endsWith(".json") || n.endsWith(".orc"))
+      e.isFile && (n.endsWith(".csv") || n.endsWith(".parquet") || n.endsWith(".json") || n.endsWith(".orc") || n.endsWith(".xml"))
     }.map(_.getAbsolutePath)
     val parent = Option(f.getAbsoluteFile.getParent).getOrElse(f.getAbsolutePath)
     respond(ex, 200,

@@ -79,7 +79,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
           val df = CsvSource.read(spark, resolvePath(name), header = !noHeader)
           register(basename(key), df); df
         } else if (key.endsWith(".parquet") || key.endsWith(".json") ||
-            key.endsWith(".orc")) {
+            key.endsWith(".orc") || key.endsWith(".xml")) {
           val df = Tables.load(spark, resolvePath(name))
           register(basename(key), df); df
         } else {
@@ -117,7 +117,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
 
   private def basename(p: String): String = {
     val slash = p.split('/').last
-    slash.replaceAll("\\.(csv|parquet|json|orc)$", "")
+    slash.replaceAll("\\.(csv|parquet|json|orc|xml)$", "")
   }
 
   /** Compile + plan one dialect statement. `_fN` keys index files in

@@ -291,6 +291,24 @@ class PlannerSpec extends SparkSpec {
     assert(gRel.sql("select n_name from nation.orc").count() == nation.count())
   }
 
+  test("XML files in FROM: direct path, relative resolution, <row> row tag") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml")
+    java.nio.file.Files.writeString(dir.resolve("items.xml"),
+      """<rows>
+        |  <row><a>1</a><b>x</b></row>
+        |  <row><a>7</a><b>y</b></row>
+        |  <row><a>3</a><b>z</b></row>
+        |</rows>
+        |""".stripMargin)
+    val gx = GraftSession(spark, sf0001)
+    val abs = gx.sql(s"select b from ${dir.resolve("items.xml")} where a > 2 order by b asc")
+      .collect().map(_.getString(0)).toSeq
+    assert(abs == Seq("y", "z"))
+    val gRel = GraftSession(spark, dir.toString)
+    assert(gRel.sql("select a from items.xml").count() == 3)
+    assert(gRel.sql("select a from items where a = 1").count() == 1)
+  }
+
   // ── bad-query corpus (dialect validity rules) ───────────────────────
   val badQueries = Seq(
     "select sum(o_totalprice) from orders where sum(o_totalprice) > 5" -> "agg in where",
