@@ -1,0 +1,80 @@
+package graft.sql
+
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+/** Metamorphic properties of the full dialect pipeline (parse → plan →
+  * execute): relations that must hold between RELATED queries for any
+  * generated predicate, catching planner bugs (filter mistranslation,
+  * two-valued-not drift, limit/order interaction) that example-based
+  * gates can't enumerate. Runs on the 150-row customer fixture —
+  * numeric, text, and null-free key columns. */
+class MetamorphicSpec extends SparkSpec {
+
+  private lazy val g = GraftSession(spark, sf0001)
+  private lazy val total = g.sql("select c_custkey from customer").count()
+
+  private def rows(where: String): Long =
+    g.sql(s"select c_custkey from customer where $where").count()
+
+  // predicate grammar over customer: numeric compares, like, in,
+  // between, and/or/not combinations
+  private val atom: Gen[String] = Gen.oneOf(
+    Gen.choose(1L, 200L).map(k => s"c_custkey < $k"),
+    Gen.choose(1L, 200L).map(k => s"c_custkey >= $k"),
+    Gen.choose(0L, 24L).map(n => s"c_nationkey = $n"),
+    Gen.choose(0L, 9999L).map(a => s"c_acctbal > $a"),
+    Gen.oneOf("c_name like 'Customer%1'", "c_name like '%5'",
+      "c_mktsegment = 'BUILDING'", "c_custkey in (1, 3, 5, 7, 11)",
+      "c_custkey between 10 and 50"))
+
+  private val pred: Gen[String] = for {
+    a <- atom; b <- atom
+    form <- Gen.oneOf(0, 1, 2, 3)
+  } yield form match {
+    case 0 => a
+    case 1 => s"$a and $b"
+    case 2 => s"$a or $b"
+    case 3 => s"not ($a)"
+  }
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(gen.sample).flatten.take(n).toSeq
+
+  test("conjunction can only shrink the row set; disjunction only grow it") {
+    samples(Gen.zip(pred, atom), 12).foreach { case (p, q) =>
+      val rp = rows(p)
+      assert(rows(s"($p) and $q") <= rp, s"AND grew rows: ($p) and $q")
+      assert(rows(s"($p) or $q") >= rp, s"OR shrank rows: ($p) or $q")
+    }
+  }
+
+  test("two-valued not: p and not p partition the (null-free) table") {
+    samples(pred, 12).foreach { p =>
+      val (rp, rn) = (rows(p), rows(s"not ($p)"))
+      assert(rp + rn == total, s"p=$p: $rp + $rn != $total")
+    }
+  }
+
+  test("top N caps at N and never changes which predicate rows exist") {
+    samples(Gen.zip(pred, Gen.choose(1, 20)), 8).foreach { case (p, n) =>
+      val rp = rows(p)
+      val topped = g.sql(
+        s"select top $n c_custkey from customer where $p").count()
+      assert(topped == math.min(n.toLong, rp), s"top $n where $p")
+    }
+  }
+
+  test("order by never changes the row count; distinct never exceeds it") {
+    samples(pred, 8).foreach { p =>
+      val rp = rows(p)
+      val ordered = g.sql(
+        s"select c_custkey from customer where $p order by c_acctbal").count()
+      assert(ordered == rp, s"order by changed count for $p")
+      val dist = g.sql(
+        s"select distinct c_nationkey from customer where $p").count()
+      assert(dist <= math.max(rp, 1), s"distinct exceeded rows for $p")
+    }
+  }
+}
