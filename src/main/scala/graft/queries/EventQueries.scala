@@ -282,7 +282,35 @@ object EventQueries {
               |  FROM hourly GROUP BY event_type)
               |SELECT ws, event_type, n,
               |  CAST(n AS DOUBLE) > mu + 2.0 * sd AS is_burst
-              |FROM hourly JOIN stats USING (event_type)""".stripMargin))
+              |FROM hourly JOIN stats USING (event_type)""".stripMargin)),
+
+    // Cohort retention: users grouped by first-activity day, tracked
+    // by how many are still active k days later — the product
+    // analytics staple. Two keyed aggs: per-user first day (one
+    // exchange), then (cohort, offset) counts over per-user-day rows;
+    // the user→cohort map rides a broadcast join. Day arithmetic is
+    // integer (epoch days), so everything hashes exactly.
+    Q("e12_cohort_retention",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), datediff(col("ts").cast("date"),
+            lit("1970-01-01").cast("date")).cast(LongType).as("day"))
+        val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+        val userDays = ev.distinct()
+        userDays.join(broadcast(firsts), "user_id")
+          .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |  CAST(date_diff('day', DATE '1970-01-01',
+             |       CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day
+             |  FROM events),
+             |firsts AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+             |ud AS (SELECT DISTINCT user_id, day FROM ev)
+             |SELECT cohort, day - cohort AS offset,
+             |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
+             |FROM ud JOIN firsts USING (user_id)
+             |GROUP BY cohort, day - cohort""".stripMargin))
   )
 
   /** e06's builder on an arbitrary events frame — shared with

@@ -768,6 +768,74 @@ object VectorQueries {
              |  AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mse
              |FROM enc GROUP BY vec_id""".stripMargin)),
 
+    // SQ asymmetric search — v14's codes put to work, completing the
+    // SQ family the way v10 completes PQ: the database side is ONLY
+    // the dequantized byte codes (4× smaller residency), queries stay
+    // raw, distance is exact-query-vs-reconstructed L2. Scale: the
+    // corpus reconstructs narrowly (bounded 64-element per-vec
+    // collect), the 5-query side broadcasts, and the per-pair fold is
+    // the same order-faithful left fold the oracle's dfold mirrors —
+    // bit-identical doubles, so even the RANKING hash-matches.
+    Q("v16_sq_search",
+      (s, dir) => {
+        val dims = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .select(col("vec_id"), col("pos"), col("xf").cast(DoubleType).as("x"))
+        val stats = dims.groupBy(col("pos")).agg(
+          min(col("x")).as("lo"), max(col("x")).as("hi"))
+        val span = col("hi") - col("lo")
+        val code = when(span === lit(0.0), lit(0L)).otherwise(
+          least(lit(255L),
+            floor((col("x") - col("lo")) / span * lit(256.0)).cast(LongType)))
+        val enc = dims.join(broadcast(stats), "pos")
+          .withColumn("code", code)
+          .withColumn("deq", col("lo") +
+            (col("code").cast(DoubleType) + lit(0.5)) * (span / lit(256.0)))
+        val recon = enc.filter(col("vec_id") >= 5)
+          .groupBy(col("vec_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("deq")))).as("ps"))
+          .select(col("vec_id").as("n_id"),
+            transform(col("ps"), p => p.getField("deq")).as("de"))
+        val q = Tables(s, dir, "embeddings").filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val adc = aggregate(
+          zip_with(col("qe"), col("de"),
+            (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
+          lit(0.0), (acc, v) => acc + v)
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").asc, col("n_id").asc)
+        recon.join(broadcast(q))
+          .select(col("q_id"), col("n_id"), adc.as("adc"))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 10)
+      },
+      Some {
+        val sq = O.dfold(
+          """list_transform(qe, (vx, vi) ->
+            | (CAST(vx AS DOUBLE) - de[vi]) * (CAST(vx AS DOUBLE) - de[vi]))""".stripMargin)
+        s"""WITH dims AS (SELECT vec_id,
+           |    CAST(unnest(embedding) AS DOUBLE) AS x,
+           |    unnest(range(len(embedding))) AS pos FROM embeddings),
+           |stats AS (SELECT pos, min(x) AS lo, max(x) AS hi
+           |          FROM dims GROUP BY pos),
+           |enc AS (SELECT vec_id, pos, lo, hi,
+           |  CASE WHEN hi - lo = 0.0 THEN 0
+           |       ELSE least(255, CAST(floor((x - lo) / (hi - lo) * 256.0)
+           |                        AS BIGINT)) END AS code
+           |  FROM dims JOIN stats USING (pos)),
+           |recon AS (SELECT vec_id AS n_id,
+           |  list(lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256.0)
+           |       ORDER BY pos) AS de
+           |  FROM enc WHERE vec_id >= 5 GROUP BY vec_id),
+           |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+           |      WHERE vec_id < 5),
+           |sc AS (SELECT q_id, n_id, $sq AS adc FROM recon CROSS JOIN q)
+           |SELECT q_id, n_id, adc, rank FROM
+           |(SELECT q_id, n_id, adc, CAST(row_number() OVER
+           |   (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rank
+           | FROM sc) WHERE rank <= 10""".stripMargin
+      }),
+
     // Embedding preprocessing: mean-center against the corpus
     // centroid, then L2-normalize — the standard prep before any
     // cosine ANN (centering removes the hubness-inducing common
