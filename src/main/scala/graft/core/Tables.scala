@@ -20,12 +20,20 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =
-      if (name.endsWith(".parquet") || name.endsWith(".csv") ||
-        name.endsWith(".json") || name.endsWith(".orc") ||
-        name.endsWith(".xml")) load(spark, name)
+      if (hasExt(name)) load(spark, name)
       else spark.read.parquet(s"$dir/$name.parquet")
     normalizeNanoTs(df)
   }
+
+  // extension dispatch is case-INsensitive everywhere (GraftSession
+  // lowercases keys, /files/ lists Data.XML as queryable) — match that
+  private def ext(path: String): String = {
+    val lower = path.toLowerCase
+    val dot = lower.lastIndexOf('.')
+    if (dot < 0) "" else lower.substring(dot + 1)
+  }
+  private def hasExt(path: String): Boolean =
+    Set("parquet", "csv", "json", "orc", "xml").contains(ext(path))
 
   /** Spark 4 can't read TIMESTAMP(NANOS) parquet natively; with
     * spark.sql.legacy.parquet.nanosAsLong=true they surface as Long
@@ -41,11 +49,12 @@ object Tables {
 
   /** Load a direct path; CSV goes through the dialect-faithful
     * inference pass (graft.sources.CsvSource). */
-  def load(spark: SparkSession, path: String): DataFrame =
-    if (path.endsWith(".csv")) graft.sources.CsvSource.read(spark, path)
-    else if (path.endsWith(".json")) spark.read.json(path)
-    else if (path.endsWith(".orc")) spark.read.orc(path)
+  def load(spark: SparkSession, path: String): DataFrame = ext(path) match {
+    case "csv"  => graft.sources.CsvSource.read(spark, path)
+    case "json" => spark.read.json(path)
+    case "orc"  => spark.read.orc(path)
     // Spark 4 ships XML natively; <row> is this engine's row element
-    else if (path.endsWith(".xml")) spark.read.option("rowTag", "row").xml(path)
-    else spark.read.parquet(path)
+    case "xml"  => spark.read.option("rowTag", "row").xml(path)
+    case _      => spark.read.parquet(path)
+  }
 }

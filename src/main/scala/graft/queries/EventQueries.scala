@@ -287,9 +287,12 @@ object EventQueries {
     // Cohort retention: users grouped by first-activity day, tracked
     // by how many are still active k days later — the product
     // analytics staple. Two keyed aggs: per-user first day (one
-    // exchange), then (cohort, offset) counts over per-user-day rows;
-    // the user→cohort map rides a broadcast join. Day arithmetic is
-    // integer (epoch days), so everything hashes exactly.
+    // exchange), then (cohort, offset) counts over per-user-day rows.
+    // The user→cohort map is USER-cardinality — unbounded at scale —
+    // so the join is left unhinted (AQE broadcasts while it fits and
+    // shuffles on user_id beyond; both sides are already keyed).
+    // Day arithmetic is integer (epoch days), so everything hashes
+    // exactly.
     Q("e12_cohort_retention",
       (s, dir) => {
         val ev = Tables(s, dir, "events")
@@ -297,7 +300,7 @@ object EventQueries {
             lit("1970-01-01").cast("date")).cast(LongType).as("day"))
         val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
         val userDays = ev.distinct()
-        userDays.join(broadcast(firsts), "user_id")
+        userDays.join(firsts, "user_id")
           .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset"))
           .agg(countDistinct(col("user_id")).as("n_active"))
       },

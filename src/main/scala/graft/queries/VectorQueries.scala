@@ -751,22 +751,13 @@ object VectorQueries {
     Q("v14_sq_codes",
       (s, dir) => sqCodes(Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))),
-      Some("""WITH dims AS (SELECT vec_id,
-             |    CAST(unnest(embedding) AS DOUBLE) AS x,
-             |    unnest(range(len(embedding))) AS pos FROM embeddings),
-             |stats AS (SELECT pos, min(x) AS lo, max(x) AS hi
-             |          FROM dims GROUP BY pos),
-             |enc AS (SELECT vec_id, x, lo, hi,
-             |  CASE WHEN hi - lo = 0.0 THEN 0
-             |       ELSE least(255, CAST(floor((x - lo) / (hi - lo) * 256.0)
-             |                        AS BIGINT)) END AS code
-             |  FROM dims JOIN stats USING (pos))
-             |SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_code,
-             |  CAST(SUM(CAST(
-             |    (x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256.0))) *
-             |    (x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256.0)))
-             |  AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mse
-             |FROM enc GROUP BY vec_id""".stripMargin)),
+      Some(s"""WITH $sqEncSql
+              |SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_code,
+              |  CAST(SUM(CAST(
+              |    (x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256.0))) *
+              |    (x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256.0)))
+              |  AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mse
+              |FROM enc GROUP BY vec_id""".stripMargin)),
 
     // SQ asymmetric search — v14's codes put to work, completing the
     // SQ family the way v10 completes PQ: the database side is ONLY
@@ -778,19 +769,8 @@ object VectorQueries {
     // bit-identical doubles, so even the RANKING hash-matches.
     Q("v16_sq_search",
       (s, dir) => {
-        val dims = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
-          .select(col("vec_id"), col("pos"), col("xf").cast(DoubleType).as("x"))
-        val stats = dims.groupBy(col("pos")).agg(
-          min(col("x")).as("lo"), max(col("x")).as("hi"))
-        val span = col("hi") - col("lo")
-        val code = when(span === lit(0.0), lit(0L)).otherwise(
-          least(lit(255L),
-            floor((col("x") - col("lo")) / span * lit(256.0)).cast(LongType)))
-        val enc = dims.join(broadcast(stats), "pos")
-          .withColumn("code", code)
-          .withColumn("deq", col("lo") +
-            (col("code").cast(DoubleType) + lit(0.5)) * (span / lit(256.0)))
+        val enc = sqEnc(Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")))
         val recon = enc.filter(col("vec_id") >= 5)
           .groupBy(col("vec_id"))
           .agg(array_sort(collect_list(struct(col("pos"), col("deq")))).as("ps"))
@@ -813,16 +793,7 @@ object VectorQueries {
         val sq = O.dfold(
           """list_transform(qe, (vx, vi) ->
             | (CAST(vx AS DOUBLE) - de[vi]) * (CAST(vx AS DOUBLE) - de[vi]))""".stripMargin)
-        s"""WITH dims AS (SELECT vec_id,
-           |    CAST(unnest(embedding) AS DOUBLE) AS x,
-           |    unnest(range(len(embedding))) AS pos FROM embeddings),
-           |stats AS (SELECT pos, min(x) AS lo, max(x) AS hi
-           |          FROM dims GROUP BY pos),
-           |enc AS (SELECT vec_id, pos, lo, hi,
-           |  CASE WHEN hi - lo = 0.0 THEN 0
-           |       ELSE least(255, CAST(floor((x - lo) / (hi - lo) * 256.0)
-           |                        AS BIGINT)) END AS code
-           |  FROM dims JOIN stats USING (pos)),
+        s"""WITH $sqEncSql,
            |recon AS (SELECT vec_id AS n_id,
            |  list(lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256.0)
            |       ORDER BY pos) AS de
@@ -863,9 +834,10 @@ object VectorQueries {
               |FROM cent GROUP BY vec_id""".stripMargin))
   )
 
-  /** v14's builder on an arbitrary (vec_id, embedding) frame — shared
-    * with ScaleProbe so the probe times exactly the gated plan. */
-  def sqCodes(e: DataFrame): DataFrame = {
+  /** SQ encode internals shared by v14 (codes gate) and v16 (search):
+    * per-dim min/max joined back, mid-rise code + dequantized value
+    * per (vec, dim). ONE definition of the quantization contract. */
+  def sqEnc(e: DataFrame): DataFrame = {
     val dims = e
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
       .select(col("vec_id"), col("pos"), col("xf").cast(DoubleType).as("x"))
@@ -875,11 +847,31 @@ object VectorQueries {
     val code = when(span === lit(0.0), lit(0L)).otherwise(
       least(lit(255L),
         floor((col("x") - col("lo")) / span * lit(256.0)).cast(LongType)))
-    val deq = col("lo") + (col("code").cast(DoubleType) + lit(0.5)) *
-      (span / lit(256.0))
-    val err = (col("x") - deq) * (col("x") - deq)
     dims.join(broadcast(stats), "pos")
       .withColumn("code", code)
+      .withColumn("deq", col("lo") + (col("code").cast(DoubleType) + lit(0.5)) *
+        (span / lit(256.0)))
+  }
+
+  /** DuckDB mirror of [[sqEnc]]: CTE chain ending in
+    * `enc(vec_id, pos, x, lo, hi, code)` — shared by v14/v16 oracles. */
+  def sqEncSql: String =
+    """dims AS (SELECT vec_id,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    unnest(range(len(embedding))) AS pos FROM embeddings),
+      |stats AS (SELECT pos, min(x) AS lo, max(x) AS hi
+      |          FROM dims GROUP BY pos),
+      |enc AS (SELECT vec_id, pos, x, lo, hi,
+      |  CASE WHEN hi - lo = 0.0 THEN 0
+      |       ELSE least(255, CAST(floor((x - lo) / (hi - lo) * 256.0)
+      |                        AS BIGINT)) END AS code
+      |  FROM dims JOIN stats USING (pos))""".stripMargin
+
+  /** v14's builder on an arbitrary (vec_id, embedding) frame — shared
+    * with ScaleProbe so the probe times exactly the gated plan. */
+  def sqCodes(e: DataFrame): DataFrame = {
+    val err = (col("x") - col("deq")) * (col("x") - col("deq"))
+    sqEnc(e)
       .groupBy(col("vec_id"))
       .agg(sum(col("code")).as("sum_code"),
         (sum(err.cast(graft.core.Det.dec)).cast(DoubleType) /

@@ -39,8 +39,15 @@ class MetamorphicSpec extends SparkSpec {
     case 3 => s"not ($a)"
   }
 
-  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
-    Iterator.continually(gen.sample).flatten.take(n).toSeq
+  // FIXED seed: failures replay exactly (an unseeded sample loop makes
+  // a real planner bug look like flake — no seed to report, different
+  // predicates every CI run)
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(org.scalacheck.rng.Seed(42L))(_.next)
+      .map(seed => gen.apply(params, seed))
+      .flatten.take(n).toSeq
+  }
 
   test("conjunction can only shrink the row set; disjunction only grow it") {
     samples(Gen.zip(pred, atom), 12).foreach { case (p, q) =>
@@ -74,7 +81,10 @@ class MetamorphicSpec extends SparkSpec {
       assert(ordered == rp, s"order by changed count for $p")
       val dist = g.sql(
         s"select distinct c_nationkey from customer where $p").count()
-      assert(dist <= math.max(rp, 1), s"distinct exceeded rows for $p")
+      // strict: zero matched rows MUST give zero distinct rows (an
+      // empty-input distinct emitting a row is exactly the planner
+      // bug this property exists to catch)
+      assert(dist <= rp, s"distinct exceeded rows for $p")
     }
   }
 }
