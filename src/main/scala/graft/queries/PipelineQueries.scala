@@ -21,7 +21,7 @@ import graft.core.Tables
 object PipelineQueries {
 
   private def q(name: String): Q =
-    (DedupQueries.all ++ TextQueries.all).find(_.name == name)
+    (DedupQueries.all ++ TextQueries.all ++ EventQueries.all).find(_.name == name)
       .getOrElse(sys.error(s"pipeline stage $name missing"))
 
   val all: Seq[Q] = Seq(
@@ -133,5 +133,49 @@ object PipelineQueries {
            |  ${graft.core.Det.sql.davg("quality")} AS avg_quality
            |FROM d JOIN c USING (h) JOIN q USING (doc_id)
            |GROUP BY source""".stripMargin
+      }),
+
+    // The event-side per-user report: session count (e02's rule),
+    // funnel stage (e07's ordering predicate), and retention cohort
+    // (e12's first-activity day) composed into ONE plan — the
+    // user-360 table a product pipeline materializes. The sessions
+    // window and the two firsts/cohort aggs share the user_id
+    // exchange; the gate checks the composition like p01 does for
+    // text.
+    Q("p04_user_report",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val sessions = q("e02_sessions").build(s, dir)
+        val firsts = Tables(s, dir, "events").groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"),
+          min(datediff(col("ts").cast("date"),
+            lit("1970-01-01").cast("date")).cast(LongType)).as("cohort"))
+        val stage = when(col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click"), 3L)
+          .when(col("t_click") > col("t_view"), 2L)
+          .when(col("t_view").isNotNull, 1L).otherwise(0L)
+        sessions.join(firsts, "user_id")
+          .select(col("user_id"), col("n_sessions"), col("n_events"),
+            stage.as("funnel_stage"), col("cohort"))
+      },
+      Some {
+        val e02 = q("e02_sessions").oracle.get
+        s"""WITH sess AS ($e02),
+           |f AS (SELECT user_id,
+           |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase,
+           |  min(CAST(date_diff('day', DATE '1970-01-01',
+           |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)) AS cohort
+           |  FROM events GROUP BY user_id)
+           |SELECT user_id, sess.n_sessions, sess.n_events,
+           |  CAST(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 3
+           |       WHEN t_click > t_view THEN 2
+           |       WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           |    AS funnel_stage,
+           |  cohort
+           |FROM sess JOIN f USING (user_id)""".stripMargin
       }))
 }
