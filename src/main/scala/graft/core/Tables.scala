@@ -32,8 +32,8 @@ object Tables {
     val dot = lower.lastIndexOf('.')
     if (dot < 0) "" else lower.substring(dot + 1)
   }
-  private def hasExt(path: String): Boolean =
-    Set("parquet", "csv", "json", "orc", "xml").contains(ext(path))
+  private val knownExts = Set("parquet", "csv", "json", "orc", "xml")
+  private def hasExt(path: String): Boolean = knownExts.contains(ext(path))
 
   /** Spark 4 can't read TIMESTAMP(NANOS) parquet natively; with
     * spark.sql.legacy.parquet.nanosAsLong=true they surface as Long

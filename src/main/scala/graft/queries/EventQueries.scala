@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -159,27 +160,16 @@ object EventQueries {
     // scans), then a global count. Scale: two exchanges total, the
     // second over a single row per user.
     Q("e07_funnel",
-      (s, dir) => {
-        val firsts = Tables(s, dir, "events").groupBy(col("user_id")).agg(
-          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
-          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
-          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
-        firsts.agg(
-          count(col("t_view")).as("n_view"),
-          count(when(col("t_click") > col("t_view"), lit(1))).as("n_view_click"),
-          count(when(col("t_click") > col("t_view") &&
-            col("t_purchase") > col("t_click"), lit(1))).as("n_full_funnel"))
-      },
-      Some("""SELECT CAST(count(t_view) AS BIGINT) AS n_view,
-             |CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
-             |  AS n_view_click,
-             |CAST(count(CASE WHEN t_click > t_view AND t_purchase > t_click
-             |  THEN 1 END) AS BIGINT) AS n_full_funnel
-             |FROM (SELECT user_id,
-             |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-             |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-             |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-             | FROM events GROUP BY user_id)""".stripMargin)),
+      (s, dir) => userFirsts(Tables(s, dir, "events"))
+        .select(funnelStage.as("stage"))
+        .agg(count(when(col("stage") >= 1L, lit(1))).as("n_view"),
+          count(when(col("stage") >= 2L, lit(1))).as("n_view_click"),
+          count(when(col("stage") === 3L, lit(1))).as("n_full_funnel")),
+      Some(s"""SELECT CAST(count(CASE WHEN stage >= 1 THEN 1 END) AS BIGINT) AS n_view,
+              |CAST(count(CASE WHEN stage >= 2 THEN 1 END) AS BIGINT)
+              |  AS n_view_click,
+              |CAST(count(CASE WHEN stage = 3 THEN 1 END) AS BIGINT) AS n_full_funnel
+              |FROM (SELECT $funnelStageSql AS stage FROM ($userFirstsSql))""".stripMargin)),
 
     // Semi-structured props: pull a typed field out of the JSON blob
     // column and aggregate on it — the "parse the event payload"
@@ -298,23 +288,60 @@ object EventQueries {
         val ev = Tables(s, dir, "events")
           .select(col("user_id"), datediff(col("ts").cast("date"),
             lit("1970-01-01").cast("date")).cast(LongType).as("day"))
-        val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+        val firsts = userFirsts(Tables(s, dir, "events"))
+          .select(col("user_id"), col("cohort"))
         val userDays = ev.distinct()
         userDays.join(firsts, "user_id")
           .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset"))
           .agg(countDistinct(col("user_id")).as("n_active"))
       },
-      Some("""WITH ev AS (SELECT user_id,
-             |  CAST(date_diff('day', DATE '1970-01-01',
-             |       CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day
-             |  FROM events),
-             |firsts AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
-             |ud AS (SELECT DISTINCT user_id, day FROM ev)
+      Some(s"""WITH ev AS (SELECT user_id,
+              |  CAST(date_diff('day', DATE '1970-01-01',
+              |       CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day
+              |  FROM events),
+              |firsts AS (SELECT user_id, cohort FROM ($userFirstsSql)),
+              |ud AS (SELECT DISTINCT user_id, day FROM ev)
              |SELECT cohort, day - cohort AS offset,
              |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
              |FROM ud JOIN firsts USING (user_id)
              |GROUP BY cohort, day - cohort""".stripMargin))
   )
+
+  /** Per-user first-occurrence table — ONE definition of the funnel/
+    * cohort contract shared by e07, e12, and p04 (Spark side; the
+    * oracle mirror is [[userFirstsSql]]): first view/click/purchase
+    * timestamps plus the first-activity epoch day. */
+  def userFirsts(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+      min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"),
+      min(datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")).cast(LongType)).as("cohort"))
+
+  /** DuckDB mirror of [[userFirsts]] (a full SELECT over `events`). */
+  def userFirstsSql: String =
+    """SELECT user_id,
+      |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase,
+      |  min(CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)) AS cohort
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** The funnel-stage predicate over [[userFirsts]] columns: 3 = full
+    * funnel in order, 2 = clicked after first view, 1 = viewed. */
+  def funnelStage: Column =
+    when(col("t_click") > col("t_view") &&
+        col("t_purchase") > col("t_click"), 3L)
+      .when(col("t_click") > col("t_view"), 2L)
+      .when(col("t_view").isNotNull, 1L).otherwise(0L)
+
+  /** DuckDB mirror of [[funnelStage]]. */
+  def funnelStageSql: String =
+    """CAST(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 3
+      |     WHEN t_click > t_view THEN 2
+      |     WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)""".stripMargin
 
   /** e06's builder on an arbitrary events frame — shared with
     * ScaleProbe so the probe times exactly the gated plan (both

@@ -20,8 +20,11 @@ import graft.core.Tables
   */
 object PipelineQueries {
 
+  // one lookup over every base registry (names are globally unique,
+  // asserted by RegistrySpec)
   private def q(name: String): Q =
-    (DedupQueries.all ++ TextQueries.all ++ EventQueries.all).find(_.name == name)
+    (DedupQueries.all ++ TextQueries.all ++ EventQueries.all ++
+      VectorQueries.all).find(_.name == name)
       .getOrElse(sys.error(s"pipeline stage $name missing"))
 
   val all: Seq[Q] = Seq(
@@ -63,9 +66,9 @@ object PipelineQueries {
     // loops over the curated CTE, so the composition is hash-gated.
     Q("p02_embedding_curation",
       (s, dir) => {
-        val keep = qv("d08_semantic_dedup").build(s, dir)
+        val keep = q("d08_semantic_dedup").build(s, dir)
           .filter(col("keep") === 1).select(col("vec_id"))
-        val cont = qv("v08_embed_decontam").build(s, dir)
+        val cont = q("v08_embed_decontam").build(s, dir)
           .filter(col("contaminated") === 1).select(col("vec_id"))
         val curated = Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
@@ -80,7 +83,7 @@ object PipelineQueries {
         codes
       },
       Some {
-        def cte(name: String): String = qv(name).oracle.get
+        def cte(name: String): String = q(name).oracle.get
         VectorQueries.pqCodesSql(dim = 64, table = "curated",
           leadingCtes =
             s"""keep AS (${cte("d08_semantic_dedup")}),
@@ -92,9 +95,6 @@ object PipelineQueries {
       })
   )
 
-  private def qv(name: String): Q =
-    (DedupQueries.all ++ VectorQueries.all).find(_.name == name)
-      .getOrElse(sys.error(s"pipeline stage $name missing"))
 
   /** Per-source corpus health report — the dashboard every ingest runs
     * before trusting a new crawl: per source, document count, how many
@@ -146,35 +146,17 @@ object PipelineQueries {
       (s, dir) => {
         import org.apache.spark.sql.types._
         val sessions = q("e02_sessions").build(s, dir)
-        val firsts = Tables(s, dir, "events").groupBy(col("user_id")).agg(
-          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
-          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
-          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"),
-          min(datediff(col("ts").cast("date"),
-            lit("1970-01-01").cast("date")).cast(LongType)).as("cohort"))
-        val stage = when(col("t_click") > col("t_view") &&
-            col("t_purchase") > col("t_click"), 3L)
-          .when(col("t_click") > col("t_view"), 2L)
-          .when(col("t_view").isNotNull, 1L).otherwise(0L)
+        val firsts = EventQueries.userFirsts(Tables(s, dir, "events"))
         sessions.join(firsts, "user_id")
           .select(col("user_id"), col("n_sessions"), col("n_events"),
-            stage.as("funnel_stage"), col("cohort"))
+            EventQueries.funnelStage.as("funnel_stage"), col("cohort"))
       },
       Some {
         val e02 = q("e02_sessions").oracle.get
         s"""WITH sess AS ($e02),
-           |f AS (SELECT user_id,
-           |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-           |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-           |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase,
-           |  min(CAST(date_diff('day', DATE '1970-01-01',
-           |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)) AS cohort
-           |  FROM events GROUP BY user_id)
+           |f AS (${EventQueries.userFirstsSql})
            |SELECT user_id, sess.n_sessions, sess.n_events,
-           |  CAST(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 3
-           |       WHEN t_click > t_view THEN 2
-           |       WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-           |    AS funnel_stage,
+           |  ${EventQueries.funnelStageSql} AS funnel_stage,
            |  cohort
            |FROM sess JOIN f USING (user_id)""".stripMargin
       }))
