@@ -33,4 +33,14 @@ class RegistrySpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every registry query's short code appears in COVERAGE.md") {
+    // doc drift was the most recurrent review finding — keep the
+    // inventory doc complete by construction
+    val cov = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    val missing = Registry.all.map(_.name.split('_').head)
+      .filterNot(code => s"\\b$code\\b".r.findFirstIn(cov).isDefined)
+    assert(missing.isEmpty, s"queries absent from COVERAGE.md: $missing")
+  }
 }
