@@ -241,6 +241,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("burst detect (e11) and grouped quantiles (x07) stay two-agg shapes - no corpus re-scan") {
+    for (q <- Seq("e11_burst_detect", "x07_grouped_quantiles")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+      assert(scans <= 2, s"$q re-scans: $scans scans\n${p.take(600)}")
+    }
+  }
+
+  test("SQ search (v16) broadcasts the query side, never the reconstructed corpus") {
+    val p = plan("v16_sq_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(500))
+    val bcIdx = p.indexOf("BroadcastExchange")
+    assert(bcIdx >= 0 && p.indexOf("qe", bcIdx) >= 0,
+      "broadcast side should be the query projection")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("rollup (e09) is ONE Expand + aggregate pass - single scan, single exchange") {
     val p = plan("e09_rollup")
     assert(p.contains("Expand"), "rollup should plan an Expand:\n" + p.take(500))

@@ -45,6 +45,15 @@ class PqSpec extends SparkSpec {
     rs.sum / rs.size
   }
 
+  test("SQ search recall is near-exact (8 bits/dim loses almost nothing)") {
+    // the SQ trade vs PQ: 4x compression instead of 32x, but per-dim
+    // quantization error is tiny — asymmetric search should agree
+    // with exact L2 almost everywhere
+    val r = avgRecall(topk("v16_sq_search"))
+    info(s"avg SQ recall@10 = $r")
+    assert(r >= 0.9, s"SQ asymmetric search recall collapsed: $r")
+  }
+
   test("ADC top-10 recall beats random retrieval by >=10x") {
     val r = avgRecall(topk("v10_pq_adc_topk"))
     info(s"avg ADC recall@10 = $r")
