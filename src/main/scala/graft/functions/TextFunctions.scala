@@ -21,8 +21,16 @@ object TextFunctions {
     * a Long; products stay < 2^63 via the mod-31 step form). */
   val P: Long = 1000000007L
 
-  /** Whitespace tokenization of lowercased text. */
+  /** Whitespace tokenization of lowercased text — native codegen'd
+    * pass ([[TokensExpr]]); [[tokensHof]] is the column-algebra mirror
+    * the oracle fragment O.toks matches, pinned ≡ in
+    * TextFunctionsSpec. */
   def tokens(text: Column): Column =
+    TokensExprs.tokens_native(text)
+
+  /** Interpreted HOF form of [[tokens]] (filter is CodegenFallback —
+    * kept as the cross-pin, not the hot path). */
+  def tokensHof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Polynomial rolling hash of a string: fold c over chars,

@@ -12,6 +12,17 @@ class TextFunctionsSpec extends SparkSpec {
   private def refTokenHash(t: String): Long =
     t.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % P)
 
+  test("native tokens ≡ HOF chain on real documents and unicode edges") {
+    val docs = graft.core.Tables(spark, sf0001, "documents")
+      .select(col("text"))
+      .unionAll(Seq("", "  ", "Tab\there\nand  SPACE", "Çå Ü x",
+        "one").toDF("text"))
+    val diff = docs.select(tokens(col("text")).as("a"),
+        tokensHof(col("text")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0, "native tokens diverged from the HOF mirror")
+  }
+
   test("tokenHash matches the scalar fold") {
     val got = Seq("hello", "a", "spark")
       .toDF("t").select(tokenHash(col("t"))).as[Long].collect()
