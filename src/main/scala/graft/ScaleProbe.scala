@@ -70,6 +70,7 @@ object ScaleProbe {
     else if (args.headOption.contains("cc")) ccProbe(args.drop(1))
     else if (args.headOption.contains("r4ops")) r4Ops(args.drop(1))
     else if (args.headOption.contains("newops")) newOps(args.drop(1))
+    else if (args.headOption.contains("shingleab")) shingleAb(args.drop(1))
     else if (args.headOption.contains("incdedup")) incDedup(args.drop(1))
     else standard(args)
 
@@ -165,6 +166,30 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     writeJson(outJson, copies, s""", "docs": $nDoc""")
+    spark.stop()
+  }
+
+  /** Same-JVM A/B: the interpreted HOF shingle chain vs the native
+    * ShinglesExpr on the d09/d10 shape (16-gram explode + count).
+    * Interleaved twice so JVM warmth cancels. */
+  def shingleAb(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    import graft.functions.TextFunctions._
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("text"))
+    for (round <- 1 to 2) {
+      time(s"hof_16gram_r$round") {
+        docs.select(explode(shinglesFromHashesHof(tokenHashes(col("text")), 16)).as("g"))
+          .agg(count(lit(1))).collect()
+      }
+      time(s"native_16gram_r$round") {
+        docs.select(explode(shinglesFromHashes(tokenHashes(col("text")), 16)).as("g"))
+          .agg(count(lit(1))).collect()
+      }
+    }
+    writeJson(outJson, copies)
     spark.stop()
   }
 

@@ -54,8 +54,15 @@ object TextFunctions {
     transform(tokens(text), t => tokenHash(t))
 
   /** Word n-gram (shingle) hashes from a token-hash array: hash of each
-    * n-token window, combined as h = (h*31 + tokenHash) mod P. */
-  def shinglesFromHashes(th: Column, n: Int): Column = {
+    * n-token window, combined as h = (h*31 + tokenHash) mod P —
+    * native codegen'd pass ([[ShinglesExpr]]; the interpreted
+    * transform-over-slices mirror below is pinned ≡ in
+    * TextFunctionsSpec). */
+  def shinglesFromHashes(th: Column, n: Int): Column =
+    TextHashExprs.shingles_native(th, n)
+
+  /** Interpreted HOF form of [[shinglesFromHashes]]. */
+  def shinglesFromHashesHof(th: Column, n: Int): Column = {
     val idx = sequence(lit(0), size(th) - lit(n))
     when(size(th) >= n,
       transform(idx, i =>

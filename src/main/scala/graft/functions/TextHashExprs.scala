@@ -85,6 +85,26 @@ object TextHashOps {
     new GenericArrayData(out)
   }
 
+  /** All n-window rolling hashes of a token-hash array (the shingle
+    * list itself, for consumers that explode it — d09/d10/t09/x04);
+    * same fold as [[shingleMinhash]]'s inner loop. Fewer than n tokens
+    * → empty array (the HOF mirror's `.otherwise(array())`). */
+  def shingles(th: ArrayData, n: Int): ArrayData = {
+    val len = th.numElements()
+    val w = len - n + 1
+    if (w <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](w)
+    var i = 0
+    while (i < w) {
+      var sh = 0L
+      var j = 0
+      while (j < n) { sh = (sh * 31L + th.getLong(i + j)) % P; j += 1 }
+      out(i) = java.lang.Long.valueOf(sh)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** SimHash over token hashes in ONE traversal (the HOF form folds the
     * array once per bit). Hashes are non-negative (mod P). */
   def simhash(th: ArrayData, bits: Int): Long = {
@@ -143,6 +163,26 @@ case class ShingleMinhashExpr(child: Expression, n: Int, k: Int) extends UnaryEx
     copy(child = newChild)
 }
 
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles needs array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = TextHashOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.shingles($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
 case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -171,6 +211,8 @@ object TextHashExprs {
     Bridge.column(TokenHashesExpr(Bridge.expression(c)))
   def shingle_minhash(c: Column, n: Int, k: Int): Column =
     Bridge.column(ShingleMinhashExpr(Bridge.expression(c), n, k))
+  def shingles_native(c: Column, n: Int): Column =
+    Bridge.column(ShinglesExpr(Bridge.expression(c), n))
   def simhash_native(c: Column, bits: Int): Column =
     Bridge.column(SimHashExpr(Bridge.expression(c), bits))
 }

@@ -23,6 +23,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(diff == 0, "native tokens diverged from the HOF mirror")
   }
 
+  test("native shingles ≡ HOF chain on real documents (3- and 16-gram, incl. short docs)") {
+    val docs = graft.core.Tables(spark, sf0001, "documents")
+      .select(col("text"))
+      .unionAll(Seq("", "one", "two tokens", "a b c").toDF("text"))
+    for (n <- Seq(3, 16)) {
+      val diff = docs.select(
+          shinglesFromHashes(tokenHashes(col("text")), n).as("a"),
+          shinglesFromHashesHof(tokenHashes(col("text")), n).as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(diff == 0, s"native $n-gram shingles diverged from the HOF mirror")
+    }
+  }
+
   test("tokenHash matches the scalar fold") {
     val got = Seq("hello", "a", "spark")
       .toDF("t").select(tokenHash(col("t"))).as[Long].collect()
