@@ -130,8 +130,14 @@ object TextFunctions {
     bit_count(a.bitwiseXOR(b)).cast(LongType) // codegen'd popcount
 
   /** Rolling-hash document fingerprint: polynomial hash of the whole
-    * token-hash sequence (order-sensitive, unlike the minhash set). */
+    * token-hash sequence (order-sensitive, unlike the minhash set) —
+    * native fold ([[FoldHashExpr]]; HOF mirror pinned ≡ in
+    * TextFunctionsSpec). */
   def docFingerprint(text: Column): Column =
+    TextHashExprs.fold_hash(tokenHashes(text))
+
+  /** Interpreted HOF form of [[docFingerprint]]. */
+  def docFingerprintHof(text: Column): Column =
     aggregate(tokenHashes(text), lit(0L),
       (h, x) => (h * lit(31L) + x) % lit(P))
 

@@ -105,6 +105,16 @@ object TextHashOps {
     new GenericArrayData(out)
   }
 
+  /** Polynomial fold of a whole long array into one hash — the
+    * order-sensitive document fingerprint (t04). */
+  def foldHash(th: ArrayData): Long = {
+    val n = th.numElements()
+    var h = 0L
+    var i = 0
+    while (i < n) { h = (h * 31L + th.getLong(i)) % P; i += 1 }
+    h
+  }
+
   /** SimHash over token hashes in ONE traversal (the HOF form folds the
     * array once per bit). Hashes are non-negative (mod P). */
   def simhash(th: ArrayData, bits: Int): Long = {
@@ -183,6 +193,26 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class FoldHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fold_hash needs array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps.foldHash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = TextHashOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.foldHash($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FoldHashExpr =
+    copy(child = newChild)
+}
+
 case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -213,6 +243,8 @@ object TextHashExprs {
     Bridge.column(ShingleMinhashExpr(Bridge.expression(c), n, k))
   def shingles_native(c: Column, n: Int): Column =
     Bridge.column(ShinglesExpr(Bridge.expression(c), n))
+  def fold_hash(c: Column): Column =
+    Bridge.column(FoldHashExpr(Bridge.expression(c)))
   def simhash_native(c: Column, bits: Int): Column =
     Bridge.column(SimHashExpr(Bridge.expression(c), bits))
 }

@@ -36,6 +36,15 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native docFingerprint ≡ HOF fold on real documents") {
+    val docs = graft.core.Tables(spark, sf0001, "documents")
+      .select(col("text")).unionAll(Seq("", "one token").toDF("text"))
+    val diff = docs.select(docFingerprint(col("text")).as("a"),
+        docFingerprintHof(col("text")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0, "native fingerprint diverged from the HOF mirror")
+  }
+
   test("tokenHash matches the scalar fold") {
     val got = Seq("hello", "a", "spark")
       .toDF("t").select(tokenHash(col("t"))).as[Long].collect()
