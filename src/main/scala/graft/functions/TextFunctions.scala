@@ -8,8 +8,10 @@ import org.apache.spark.sql.types._
   * tokenization, deterministic token hashing, minhash, simhash,
   * language ID, quality scoring.
   *
-  * Everything here is pure `org.apache.spark.sql.functions` higher-order
-  * column algebra — codegen'd, no UDFs, fully distributable. The hash
+  * Hot-path forms are native codegen'd Catalyst expressions
+  * (TokensExpr/TextHashExprs); each keeps an equivalent higher-order
+  * column-algebra mirror, pinned bit-equal in TextFunctionsSpec — no
+  * UDFs anywhere, fully distributable. The hash
   * family is engine-portable arithmetic (polynomial rolling hash mod a
   * prime) so the DuckDB oracle can compute the identical numbers with
   * list lambdas; that keeps every one of these operators hash-gated
@@ -49,9 +51,10 @@ object TextFunctions {
   def tokenHashes(text: Column): Column =
     TextHashExprs.token_hashes(text)
 
-  /** Interpreted HOF form of [[tokenHashes]] (reference semantics). */
+  /** Interpreted HOF form of [[tokenHashes]] (reference semantics —
+    * every stage column-algebra, nothing native). */
   def tokenHashesHof(text: Column): Column =
-    transform(tokens(text), t => tokenHash(t))
+    transform(tokensHof(text), t => tokenHash(t))
 
   /** Word n-gram (shingle) hashes from a token-hash array: hash of each
     * n-token window, combined as h = (h*31 + tokenHash) mod P —
@@ -59,7 +62,10 @@ object TextFunctions {
     * transform-over-slices mirror below is pinned ≡ in
     * TextFunctionsSpec). */
   def shinglesFromHashes(th: Column, n: Int): Column =
-    TextHashExprs.shingles_native(th, n)
+    // the HOF mirror's when() yields [] even for NULL input (NULL >= n
+    // is null → otherwise-branch); match it
+    coalesce(TextHashExprs.shingles_native(th, n),
+      array().cast(ArrayType(LongType)))
 
   /** Interpreted HOF form of [[shinglesFromHashes]]. */
   def shinglesFromHashesHof(th: Column, n: Int): Column = {
@@ -71,10 +77,10 @@ object TextFunctions {
       .otherwise(array().cast(ArrayType(LongType)))
   }
 
-  /** Word n-gram (shingle) hashes straight from text. NB: higher-order
-    * functions are interpreted (no codegen/CSE), so when several
-    * downstream expressions consume the shingles, project them into a
-    * named column first — see DedupQueries.sigDF. */
+  /** Word n-gram (shingle) hashes straight from text (both stages
+    * native/codegen'd since TokensExpr/ShinglesExpr; staging into a
+    * named column — DedupQueries.sigDF — is still good for CSE when
+    * several expressions consume the same shingles). */
   def shingleHashes(text: Column, n: Int): Column =
     shinglesFromHashes(tokenHashes(text), n)
 

@@ -36,10 +36,10 @@ object TokensOps {
 
 case class TokensExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(s"tokens needs string, got $other")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tokens needs string, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
     TokensOps.tokens(input.asInstanceOf[UTF8String])

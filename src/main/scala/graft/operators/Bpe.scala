@@ -32,8 +32,8 @@ object Bpe {
   /** Frequency-weighted vocabulary of `textCol`, each word symbolized
     * to space-joined characters: columns (sym, wc). */
   def charVocab(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(filter(split(lower(col(textCol)), "\\s+"),
-        t => length(t) > lit(0))).as("w"))
+    docs.select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("wc"))
 

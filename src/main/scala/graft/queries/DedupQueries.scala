@@ -345,8 +345,8 @@ object DedupQueries {
             explode(sequence(col("wpos"), col("wpos") + 15)).as("pos"))
           .distinct()
         val toks = docs.select(col("doc_id"),
-          posexplode(filter(split(lower(col("text")), "\\s+"),
-            t => length(t) > lit(0))).as(Seq("pos", "tok")))
+          posexplode(graft.functions.TextFunctions.tokens(col("text")))
+            .as(Seq("pos", "tok")))
         val clean = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_kept"),

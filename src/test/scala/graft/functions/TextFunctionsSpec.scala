@@ -23,10 +23,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(diff == 0, "native tokens diverged from the HOF mirror")
   }
 
-  test("native shingles ≡ HOF chain on real documents (3- and 16-gram, incl. short docs)") {
+  test("native shingles ≡ HOF chain on real documents (3- and 16-gram, incl. short + NULL docs)") {
+    // NULL text: the HOF's when() yields [] (NULL >= n is null →
+    // otherwise) — the native form coalesces to match
     val docs = graft.core.Tables(spark, sf0001, "documents")
       .select(col("text"))
       .unionAll(Seq("", "one", "two tokens", "a b c").toDF("text"))
+      .unionAll(Seq(Tuple1(null: String)).toDF("text"))
     for (n <- Seq(3, 16)) {
       val diff = docs.select(
           shinglesFromHashes(tokenHashes(col("text")), n).as("a"),
