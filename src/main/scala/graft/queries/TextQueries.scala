@@ -646,13 +646,18 @@ object TextQueries {
 
     // PMI collocations: the top word pairs that co-occur far above
     // chance — classic corpus mining (multiword expressions, named
-    // entities). PMI = ln(p(w1,w2)/(p(w1)p(w2))), count floor ≥ 5.
-    // Scale: t18's transition shape — word/bigram-keyed aggs with
-    // map-side partials, Zipf-bounded unigram table broadcast back;
-    // the floor prunes the bigram tail before any join. Output PMI is
-    // a per-row double (no decimal sum to hide in), so BOTH engines
-    // round it into DECIMAL(38,6) — the ordering key — absorbing
-    // cross-engine ln() ulps the way t18's sums do.
+    // entities). PMI = ln(lift) with lift = p(w1,w2)/(p(w1)p(w2)),
+    // count floor ≥ 5. Scale: t18's transition shape — word/bigram-
+    // keyed aggs with map-side partials, Zipf-bounded unigram table
+    // broadcast back; the floor prunes the bigram tail before any
+    // join. Cross-engine determinism: PMI itself is a per-row double
+    // ln() and JVM/libm differ in the last ulp (r4's one red hash
+    // row), so the emitted/ordered key is the EXACT rational lift in
+    // parts-per-million — c12·n_tok²·10⁶ div (c1_w1·c1_w2·n_big),
+    // all-integer inputs, integral division (Spark `div` ≡ DuckDB
+    // `//` on positives) — identical on both engines; ln is monotone
+    // so lift order ≡ PMI order. 128-bit intermediates (DECIMAL(38,0)
+    // / HUGEINT) keep the product exact at 100 TB token counts.
     Q("t24_pmi_collocations",
       (s, dir) => pmiCollocations(Tables(s, dir, "documents")),
       Some(s"""WITH tk AS (SELECT doc_id, ${O.toks("text")} AS w FROM documents),
@@ -665,13 +670,12 @@ object TextQueries {
               |        HAVING count(*) >= 5),
               |nb AS (SELECT count(*) AS n_big FROM tr)
               |SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
-              |  CAST(ln((CAST(b.c12 AS DOUBLE) / CAST(n_big AS DOUBLE)) /
-              |    ((CAST(u1.c1 AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
-              |     (CAST(u2.c1 AS DOUBLE) / CAST(n_tok AS DOUBLE))))
-              |  AS DECIMAL(38,6)) AS pmi
+              |  CAST((CAST(b.c12 AS HUGEINT) * n_tok * n_tok * 1000000)
+              |    // (CAST(u1.c1 AS HUGEINT) * u2.c1 * n_big)
+              |  AS BIGINT) AS lift_ppm
               |FROM big b JOIN uni u1 ON b.w1 = u1.word
               |           JOIN uni u2 ON b.w2 = u2.word, nb, nt
-              |ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC LIMIT 30""".stripMargin)),
+              |ORDER BY lift_ppm DESC, b.w1 ASC, b.w2 ASC LIMIT 30""".stripMargin)),
 
     // Model-based quality scoring (operators/QualityClassifier): a
     // logistic scorer over hashed token features trained to DISTILL a
@@ -745,17 +749,22 @@ object TextQueries {
     val bigAll = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val big = bigAll.filter(col("c12") >= floor)
     val nb = bigAll.agg(sum(col("c12")).as("n_big"))
-    val pmi = log((col("c12").cast(DoubleType) / col("n_big").cast(DoubleType)) /
-      ((col("c1_w1").cast(DoubleType) / col("n_tok").cast(DoubleType)) *
-        (col("c1_w2").cast(DoubleType) / col("n_tok").cast(DoubleType))))
+    // Exact rational lift in ppm: ln() differs by ulps across engines,
+    // so the hashed/ordered key is integral — `div` truncates like
+    // DuckDB's `//` on positives, DECIMAL(38,0) intermediates are
+    // exact to 38 digits (n_tok² at 100 TB ≈ 10²⁶ still fits).
+    val liftPpm = expr(
+      """(cast(c12 as decimal(38,0)) * cast(n_tok as decimal(38,0))
+        |  * cast(n_tok as decimal(38,0)) * 1000000)
+        |div (cast(c1_w1 as decimal(38,0)) * cast(c1_w2 as decimal(38,0))
+        |  * cast(n_big as decimal(38,0)))""".stripMargin)
     big
       .join(broadcast(uni.select(col("word").as("w1"), col("c1").as("c1_w1"))), "w1")
       .join(broadcast(uni.select(col("word").as("w2"), col("c1").as("c1_w2"))), "w2")
       .crossJoin(broadcast(nb))
       .crossJoin(broadcast(nt))
-      .select(col("w1"), col("w2"), col("c12"),
-        pmi.cast(graft.core.Det.dec).as("pmi"))
-      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .select(col("w1"), col("w2"), col("c12"), liftPpm.as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
       .limit(k)
   }
 
