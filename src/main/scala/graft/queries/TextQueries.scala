@@ -684,23 +684,48 @@ object TextQueries {
     // the CCNet/GPT-3 curation classifier stage, where the weak label
     // is whatever the pipeline has (heuristics, LM perplexity, human
     // prefs). Training is distributed L-BFGS (one treeAggregate per
-    // iter); featurize/score are narrow. Not SQL-expressible →
-    // rows-only gate here; the real gate is QualityClassifierSpec
-    // (held-out accuracy, bit-identical refits, probability bounds).
+    // iter); scoring is a codegen'd all-integer fold (marginNano).
+    // Oracle strategy: L-BFGS isn't SQL, so the trained nano-weights
+    // are FROZEN as literals (operators/QualityWeights, regenerated by
+    // tools/FreezeQualityWeights) that the oracle embeds — DuckDB
+    // recomputes the exact BIGINT margin from documents.parquet with
+    // the shared tokenHash, hash-gating the scoring math end-to-end;
+    // the Spark side scores with the FRESHLY-trained weights, so a
+    // training drift from the frozen snapshot also reddens the gate.
+    // keep ⇔ margin ≥ 0 ⇔ sigmoid ≥ 0.5; the sigmoid itself is
+    // display-only (cross-engine exp() ulps — t24's lesson).
     Q("t25_quality_classifier",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("text"))
+          .select(col("doc_id"), col("text"))
         val weak = graft.operators.QualityClassifier.lengthLabel()
         val model = graft.operators.QualityClassifier.train(
           docs.filter(col("doc_id") % 2 === 0), weak)
         graft.operators.QualityClassifier
           .score(model, docs.filter(col("doc_id") % 2 === 1))
-          .select(col("doc_id"), col("quality_p"),
-            (col("quality_p") >= 0.5).as("keep"))
+          .select(col("doc_id"), col("margin_n"),
+            (col("margin_n") >= 0).as("keep"))
       },
-      None)
+      Some(t25OracleSql))
   )
+
+  /** t25's oracle: exact integer margin with the frozen nano-weights
+    * (1-based DuckDB list indexing; list_reduce over a bq-prepended
+    * list handles token-less docs as margin = bq, matching Spark's
+    * aggregate() start value). */
+  private def t25OracleSql: String = {
+    val w = graft.operators.QualityWeights.wq.mkString(", ")
+    val bq = graft.operators.QualityWeights.bq
+    val nf = graft.operators.QualityClassifier.NumFeatures
+    s"""WITH wv AS (SELECT [$w]::BIGINT[] AS wql)
+       |SELECT doc_id, margin_n, margin_n >= 0 AS keep FROM (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST($bq AS BIGINT),
+       |      list_transform(${O.tokenHashes("text")},
+       |        h -> wql[CAST(h % $nf AS INT) + 1])),
+       |      (a, b) -> a + b) AS margin_n
+       |  FROM documents, wv WHERE doc_id % 2 = 1)""".stripMargin
+  }
 
   /** t20's builder on an arbitrary (doc_id, lang, text) frame — shared
     * with ScaleProbe so the probe times exactly the gated plan. */

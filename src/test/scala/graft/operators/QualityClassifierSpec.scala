@@ -51,4 +51,35 @@ class QualityClassifierSpec extends SparkSpec {
       val p = r.getDouble(r.fieldIndex("quality_p")); p >= 0.0 && p <= 1.0
     })
   }
+
+  test("quality_p is the sigmoid of the exact integer margin") {
+    val model = QualityClassifier.train(
+      docs.filter(col("doc_id") % 2 === 0), weak)
+    val rows = QualityClassifier
+      .score(model, docs.filter(col("doc_id") % 2 === 1)).collect()
+    assert(rows.forall { r =>
+      val m = r.getLong(r.fieldIndex("margin_n"))
+      val p = r.getDouble(r.fieldIndex("quality_p"))
+      math.abs(p - 1.0 / (1.0 + math.exp(-m / QualityClassifier.WeightScale))) < 1e-12 &&
+        ((p >= 0.5) == (m >= 0))
+    })
+  }
+
+  // The t25 oracle scores with QualityWeights' FROZEN literals while
+  // the gated query scores with a fresh fit — this pin catches any
+  // training drift from the snapshot here, with a readable message,
+  // before it can redden the driver's hash gate. Retrains on the
+  // sf0.01 even half (the gate's training set, 250 docs — cheap).
+  test("retraining on sf0.01 reproduces the frozen nano-weights") {
+    val gateDocs = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val model = QualityClassifier.train(
+      gateDocs.filter(col("doc_id") % 2 === 0), weak)
+    val (wq, bq) = QualityClassifier.quantize(model)
+    assert(bq == QualityWeights.bq,
+      s"intercept drifted: $bq vs frozen ${QualityWeights.bq} — rerun FreezeQualityWeights")
+    val diff = wq.indices.filter(i => wq(i) != QualityWeights.wq(i))
+    assert(diff.isEmpty,
+      s"${diff.length} weights drifted (first at bucket ${diff.headOption.getOrElse(-1)}) — rerun FreezeQualityWeights")
+  }
 }

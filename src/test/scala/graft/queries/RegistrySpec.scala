@@ -14,10 +14,10 @@ class RegistrySpec extends SparkSpec {
 
   test("every query has an oracle (sketch ops self-gate via bounds columns)") {
     // t23: DuckDB cannot deflate — gated by CompressRatioSpec.
-    // t25: L-BFGS training is not SQL-expressible — gated by
-    // QualityClassifierSpec. (Both documented in COVERAGE.md);
-    // anything else oracle-less is a bug
-    val allowed = Set("t23_compress_ratio", "t25_quality_classifier")
+    // (Documented in COVERAGE.md); anything else oracle-less is a bug.
+    // (t25's scoring is oracle-gated via frozen nano-weights since r5;
+    // training stays pinned by QualityClassifierSpec.)
+    val allowed = Set("t23_compress_ratio")
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
       .filterNot(allowed)
     assert(noOracle.isEmpty, s"oracle-less queries: $noOracle")
