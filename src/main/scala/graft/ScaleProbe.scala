@@ -115,12 +115,6 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** Round-4 operator probes. (a) As-of join at `copies`× events with
-    * user count held CONSTANT (event ids shifted, user ids not), so
-    * per-user history deepens — the regime where the naive
-    * range-join+max goes quadratic per group while the union+window
-    * form stays linear. (b) PQ fused encode over `copies`× vectors —
-    * one narrow pass, should scale linearly. */
   /** 10× probe of the continuation operators: DSIR importance weights
     * (two word-keyed aggs + broadcast-back), BM25 (postings filtered
     * before any shuffle), SQ encode + embedding normalization (d-row
@@ -193,6 +187,12 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Round-4 operator probes. (a) As-of join at `copies`× events with
+    * user count held CONSTANT (event ids shifted, user ids not), so
+    * per-user history deepens — the regime where the naive
+    * range-join+max goes quadratic per group while the union+window
+    * form stays linear. (b) PQ fused encode over `copies`× vectors —
+    * one narrow pass, should scale linearly. */
   def r4Ops(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val outJson = args.lift(1)

@@ -22,7 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object CompressRatioOps {
   // per-row hot path: reuse one native zlib stream + buffer per
   // executor thread (reset() restores the identical fixed
-  // level/strategy state, so output — and the ratio — is unchanged)
+  // level/strategy state, so output — and the ratio — is unchanged).
+  // Trade-off: the Deflater is never end()ed, pinning one native zlib
+  // stream (~256 KB) per thread for its lifetime — the right call for
+  // long-lived executor task pools this expression targets; under
+  // heavy thread churn (many short-lived local sessions) that native
+  // memory is only reclaimed by the finalizer/cleaner on GC.
   private val deflater = ThreadLocal.withInitial[Deflater](() =>
     new Deflater(Deflater.DEFAULT_COMPRESSION, /*nowrap=*/ true))
   private val buffer = ThreadLocal.withInitial[Array[Byte]](() =>

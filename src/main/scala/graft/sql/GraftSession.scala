@@ -117,7 +117,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
 
   private def basename(p: String): String = {
     val slash = p.split('/').last
-    slash.replaceAll("\\.(csv|parquet|json|orc|xml)$", "")
+    slash.replaceAll("(?i)\\.(csv|parquet|json|orc|xml)$", "")
   }
 
   /** Compile + plan one dialect statement. `_fN` keys index files in

@@ -160,7 +160,7 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
   /** Path → registry-style base name (no dirs/extension) — dots in an
     * attribute qualifier would break Spark's column resolution. */
   private def baseName(t: String): String =
-    t.split('/').last.replaceAll("\\.(csv|parquet|json|orc|xml)$", "")
+    t.split('/').last.replaceAll("(?i)\\.(csv|parquet|json|orc|xml)$", "")
 
   private def buildFrom(f: FromClause): (DataFrame, Cat) = {
     val baseAlias = f.alias.getOrElse(baseName(f.table))

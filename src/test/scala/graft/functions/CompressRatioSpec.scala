@@ -46,6 +46,19 @@ class CompressRatioSpec extends SparkSpec {
     assert(ratioOf("xyz " * 50) == ratioOf("xyz " * 50))
   }
 
+  // Golden values: raw-deflate at DEFAULT_COMPRESSION is a pure,
+  // stable function of the bytes (zlib's output for a fixed
+  // level/strategy hasn't changed across releases), so the exact
+  // compressed byte counts are pinned — this fails if anyone touches
+  // the level, strategy, nowrap flag, or the ratio definition, which
+  // ordering/bounds tests would let slide. Expected values are
+  // compressed_len / raw_len with the observed compressed sizes.
+  test("golden ratios: exact deflate output pinned for fixed inputs") {
+    assert(ratioOf("aaa bbb ccc " * 40) == 19.0 / 480.0)
+    assert(ratioOf("the quick brown fox jumps over the lazy dog. " * 10) == 51.0 / 450.0)
+    assert(ratioOf("hello world graft") == 19.0 / 17.0)
+  }
+
   test("null-safe and registered as a SQL function") {
     graft.GraftSqlFunctions.register(spark)
     val rows = spark.sql(

@@ -284,7 +284,21 @@ class PlanSpec extends SparkSpec {
     try base.groupBy(col("user_id")).pivot("event_type", types)
       .agg(count(lit(1))) // e10's exact shape: explicit list, build only
     finally spark.sparkContext.clearJobGroup()
-    Thread.sleep(300) // let the listener bus drain job-start events
+    // statusTracker is fed by the (async, FIFO) listener bus — a fixed
+    // sleep could under-wait on a slow bus and false-pass. Instead run
+    // a sentinel job in its own group: its events were queued AFTER any
+    // pivot-discovery job's, so once the sentinel is visible, the
+    // pivot-group probe below is conclusive.
+    spark.sparkContext.setJobGroup("e10-pivot-sentinel", "bus drain sentinel")
+    try spark.sparkContext.parallelize(1 to 1, 1).count()
+    finally spark.sparkContext.clearJobGroup()
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (spark.sparkContext.statusTracker
+        .getJobIdsForGroup("e10-pivot-sentinel").isEmpty
+        && System.nanoTime() < deadline) Thread.sleep(25)
+    assert(spark.sparkContext.statusTracker
+      .getJobIdsForGroup("e10-pivot-sentinel").nonEmpty,
+      "listener bus failed to drain the sentinel job within 10 s")
     val newJobs = spark.sparkContext.statusTracker
       .getJobIdsForGroup("e10-pivot-pin")
     assert(newJobs.isEmpty,

@@ -309,6 +309,23 @@ class PlannerSpec extends SparkSpec {
     assert(gRel.sql("select a from items where a = 1").count() == 1)
   }
 
+  test("uppercase extension strips from the alias (Data.CSV ⇒ alias Data)") {
+    // ext dispatch is case-insensitive, so Items.CSV loads — the
+    // alias must strip '.CSV' too or qualified column resolution
+    // breaks on the dotted name (review finding r4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ucase")
+    java.nio.file.Files.writeString(dir.resolve("Items.CSV"),
+      "a,b\n1,x\n7,y\n3,z\n")
+    val g2 = GraftSession(spark, sf0001)
+    val abs = g2.sql(
+      s"select Items.b from ${dir.resolve("Items.CSV")} where Items.a > 2 order by b asc")
+      .collect().map(_.getString(0)).toSeq
+    assert(abs == Seq("y", "z"))
+    val gRel = GraftSession(spark, dir.toString)
+    assert(gRel.sql("select a from Items.CSV").count() == 3)
+    assert(gRel.sql("select a from items where a = 1").count() == 1)
+  }
+
   // ── bad-query corpus (dialect validity rules) ───────────────────────
   val badQueries = Seq(
     "select sum(o_totalprice) from orders where sum(o_totalprice) > 5" -> "agg in where",
