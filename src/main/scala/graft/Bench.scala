@@ -8,8 +8,18 @@ import graft.queries.Registry
   * flag) on SPARK_GRAFT_SF_DIR and prints ONE JSON line. Results are
   * materialized through the noop sink so projection/compute isn't
   * pruned away by a count-only plan; one untimed warm-up pass absorbs
-  * JVM/codegen/IO-cache warmup. */
+  * JVM/codegen/IO-cache warmup.
+  *
+  * This box's per-query wall noise is roughly ±40% (SCALE_r4 notes) —
+  * larger than most real round-over-round moves — so each query is
+  * timed across `Runs` warm passes, INTERLEAVED (pass 1 runs every
+  * query, then pass 2, …) so slow machine drift lands evenly on all
+  * queries. Reported per-query value = median; `spread` = MAD (median
+  * absolute deviation), so a regression is only credible when the
+  * delta clears the spread. `value` is the sum of medians. */
 object Bench {
+  val Runs = 5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,18 +42,33 @@ object Bench {
     // the round's benchmark before the JSON line prints
     bench.foreach(q => try materialize(q.name) catch { case _: Throwable => () })
 
-    val results = bench.map { q =>
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to Runs; q <- bench) {
       val t0 = System.nanoTime()
       try materialize(q.name)
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      samples(q.name) = samples(q.name) :+ (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = bench.map { q =>
+      val xs = samples(q.name)
+      val med = median(xs)
+      (q.name, med, median(xs.map(x => math.abs(x - med))))
+    }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val mads = results.map { case (k, _, mad) => "\"" + k + "\":" + mad }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$mads,"runs":$Runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
