@@ -104,8 +104,10 @@ object Cli {
       sys.error("--save and --save-dir are mutually exclusive")
     (save, saveDir) match {
       case (Some(base), _) =>
+        // streaming form: rows reach the file as the query runs, like
+        // the reference's realtime save (files.go:85-156)
         Sinks.savePaths(base, results.size).zip(results).foreach {
-          case (p, df) => Sinks.saveCsv(df, p); System.err.println(s"saved $p")
+          case (p, df) => Sinks.saveCsvStreaming(df, p); System.err.println(s"saved $p")
         }
       case (None, Some(base)) =>
         // parallel mode: each partition writes its own part file

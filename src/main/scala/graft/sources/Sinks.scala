@@ -90,8 +90,11 @@ object Sinks {
       sys.error(s"saveCsv writes a single local .csv file; path scheme " +
         s"'$scheme' is not local — use saveCsvDir (parallel part files) instead")
     val tmp = p + ".__spark_tmp__"
+    // escape=" gives RFC-4180 quote doubling (Go csv.Writer's form,
+    // matching printCsv/saveCsvStreaming) instead of Spark's default
+    // backslash escaping
     formatted(df).coalesce(1).write.mode("overwrite")
-      .option("header", "true").csv(tmp)
+      .option("header", "true").option("escape", "\"").csv(tmp)
     val dir = new java.io.File(tmp)
     val part = Option(dir.listFiles()).getOrElse(Array.empty)
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
@@ -108,9 +111,50 @@ object Sinks {
     * the 100 TB path (no single-task coalesce bottleneck). */
   def saveCsvDir(df: DataFrame, path: String): String = {
     formatted(df).write.mode("overwrite")
-      .option("header", "true").csv(path)
+      .option("header", "true").option("escape", "\"").csv(path)
     path
   }
+
+  /** Realtime single-file CSV save (reference files.go:85-156 streams
+    * rows to the save file DURING execution, primed before the query
+    * runs, main.go:124-131): header lands immediately, then rows are
+    * appended and flushed as `toLocalIterator` drains each partition —
+    * so a multi-hour scan shows partial output on disk, like the
+    * reference, instead of nothing until the end. CLI convenience
+    * form: executors still compute partitions in parallel; only the
+    * final append is serialized through the driver, bounded by one
+    * partition's rows in memory at a time. The 100 TB path remains
+    * [[saveCsvDir]]. */
+  def saveCsvStreaming(df: DataFrame, path: String): String = {
+    val p = if (path.endsWith(".csv")) path else path + ".csv"
+    val scheme = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf()).getScheme
+    if (scheme != "file")
+      sys.error(s"saveCsvStreaming appends to a single local .csv file; path " +
+        s"scheme '$scheme' is not local — use saveCsvDir (parallel part files) instead")
+    val target = new java.io.File(p)
+    if (target.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(target)
+    val f = formatted(df)
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(target))
+    try {
+      w.write(f.columns.mkString(",")); w.newLine(); w.flush()
+      f.toLocalIterator().forEachRemaining { row =>
+        w.write(csvLine(f.columns.length, row)); w.newLine(); w.flush()
+      }
+    } finally w.close()
+    p
+  }
+
+  /** One already-formatted row as a CSV line — RFC-4180 quoting
+    * matching Spark's CSV writer (quote when the value carries a
+    * comma, quote, or newline; embedded quotes doubled; null → empty). */
+  private def csvLine(ncols: Int, row: org.apache.spark.sql.Row): String =
+    (0 until ncols).map { i =>
+      val v = if (row.isNullAt(i)) "" else row.getString(i)
+      if (v.contains(",") || v.contains("\"") || v.contains("\n"))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
+    }.mkString(",")
 
   /** Multi-query save paths: base, base-2, base-3 ...
     * (reference files.go:85-156). */
@@ -125,12 +169,7 @@ object Sinks {
     val f = formatted(df)
     println(f.columns.mkString(","))
     f.limit(limit).toLocalIterator().forEachRemaining { row =>
-      println(f.columns.indices.map { i =>
-        val v = if (row.isNullAt(i)) "" else row.getString(i)
-        if (v.contains(",") || v.contains("\"") || v.contains("\n"))
-          "\"" + v.replace("\"", "\"\"") + "\""
-        else v
-      }.mkString(","))
+      println(csvLine(f.columns.length, row))
     }
   }
 }

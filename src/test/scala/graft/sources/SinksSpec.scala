@@ -46,6 +46,53 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 100)
   }
 
+  test("saveCsvStreaming: partial rows are on disk while the query still runs") {
+    // reference parity (files.go:85-156): rows stream to the save file
+    // DURING execution. Two-partition frame; every row of partition 1
+    // sleeps, so partition 0's rows must be visible on disk while the
+    // writer thread is still draining partition 1.
+    val slow = udf { (i: Long) => if (i >= 50) Thread.sleep(40); i }
+    val df = spark.range(0, 100, 1, 2).select(slow(col("id")).as("id"))
+    val path = "/tmp/graft_sink_stream.csv"
+    new java.io.File(path).delete()
+    @volatile var done = false
+    val t = new Thread(() => { Sinks.saveCsvStreaming(df, path); done = true })
+    t.start()
+    def lines(): Int = {
+      val f = new java.io.File(path)
+      if (!f.isFile) 0 else scala.io.Source.fromFile(f).getLines().length
+    }
+    // poll for the mid-query state: some rows written, query not done
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var sawPartial = false
+    while (!done && !sawPartial && System.nanoTime() < deadline) {
+      val n = lines()
+      if (n > 1 && n < 101 && !done) sawPartial = true else Thread.sleep(10)
+    }
+    t.join(60000)
+    assert(done, "streaming save did not finish")
+    assert(sawPartial, "no partial file was observable mid-query")
+    // and the final file is complete + identical to the atomic writer's
+    assert(lines() == 101)
+    val expect = (0 until 100).map(_.toString)
+    val got = scala.io.Source.fromFile(path).getLines().drop(1).toSeq
+    assert(got == expect)
+  }
+
+  test("saveCsvStreaming matches saveCsv byte-for-byte on mixed types") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 2.5, "plain", "with,comma"),
+      (2, 1.0 / 3.0, "has \"quote\"", "line\nbreak"),
+      (3, -0.0001, null.asInstanceOf[String], "z")
+    ).toDF("i", "d", "s1", "s2").coalesce(1)
+    val a = Sinks.saveCsv(df, "/tmp/graft_sink_ab_atomic")
+    val b = Sinks.saveCsvStreaming(df, "/tmp/graft_sink_ab_stream")
+    val fa = java.nio.file.Files.readString(java.nio.file.Paths.get(a))
+    val fb = java.nio.file.Files.readString(java.nio.file.Paths.get(b))
+    assert(fa == fb, s"atomic:\n$fa\nstreaming:\n$fb")
+  }
+
   test("NTZ timestamps format at seconds precision like the reference") {
     import spark.implicits._
     val df = Seq("2020-01-02 10:11:12.5", "2020-01-02 10:11:12").toDF("s")
