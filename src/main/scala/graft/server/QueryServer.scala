@@ -40,11 +40,48 @@ final class QueryServer(graft: GraftSession, port: Int,
   def maxObservedConcurrency: Int = peakInflight.get
   // last time any client touched the server (nanos) — the idle
   // auto-exit's activity signal (reference counts websocket clients,
-  // main.go:84-96; the console's heartbeat is the polling analog)
+  // main.go:84-96; a connected ws client OR console polling keeps the
+  // server alive)
   private val lastRequestNanos = new AtomicLong(System.nanoTime())
   def nanosSinceLastRequest: Long =
-    if (inflight.get > 0) 0L // a running query is activity, however long
+    if (inflight.get > 0 || ws.clientCount > 0) 0L // running query / live client
     else System.nanoTime() - lastRequestNanos.get
+
+  /** Push channel (reference /socket/, server.go:19-88): 1 Hz progress
+    * frames (the TimedNotifier cadence, utils.go:803-834), client
+    * `{"Type":"stop"}`, and the SK_PASS password round-trip. Listens on
+    * a sidecar loopback port (JDK HttpServer can't Upgrade a
+    * connection); GET /socket/ on the HTTP port advertises it. */
+  private val ws = new WsChannel("/socket/", handleWsMessage)
+  @volatile private var wsPortV: Int = -1
+  def wsPort: Int = wsPortV
+  // a query thread waiting on a websocket-delivered password (SK_PASS)
+  private val pendingPassword =
+    new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.CompletableFuture[String]]()
+  private[server] def handleWsMessage(msg: String): Unit = {
+    lastRequestNanos.set(System.nanoTime())
+    extractField(msg, "Type") match {
+      case Some("stop") => spark.sparkContext.cancelJobGroup(jobGroup)
+      case Some("password") =>
+        val f = pendingPassword.get()
+        if (f != null) extractField(msg, "Password").foreach(f.complete)
+      case _ => ()
+    }
+  }
+  /** Ask connected ws clients for a password (reference SK_PASS,
+    * server.go:66-70); None when no client is connected or none answers
+    * in time — the HTTP caller then gets the polling-style
+    * `need_password` status and retries with a password field. */
+  private def wsRequestPassword(timeoutMs: Long = 30000L): Option[String] = {
+    if (ws.clientCount == 0) return None
+    val fut = new java.util.concurrent.CompletableFuture[String]()
+    if (!pendingPassword.compareAndSet(null, fut)) return None // one prompt at a time
+    try {
+      ws.broadcast("""{"Type":"need_password"}""")
+      Some(fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+    } catch { case _: Exception => None }
+    finally pendingPassword.compareAndSet(fut, null)
+  }
   // stages belonging to the server's job group — onTaskEnd carries no
   // job-group property, so task completions are attributed via the
   // stage→group mapping collected at submission (a shared SparkContext
@@ -95,12 +132,33 @@ final class QueryServer(graft: GraftSession, port: Int,
     server.createContext("/stop/", (ex: HttpExchange) => handleStop(ex))
     server.createContext("/progress/", (ex: HttpExchange) => handleProgress(ex))
     server.createContext("/files/", (ex: HttpExchange) => handleFiles(ex))
+    server.createContext("/socket/", (ex: HttpExchange) =>
+      respond(ex, 200, s"""{"Status":"ok","Port":$wsPortV}"""))
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()
+    wsPortV = ws.start()
+    startProgressPusher()
     server.getAddress.getPort
   }
 
+  // 1 Hz progress push while clients are connected (reference
+  // TimedNotifier, utils.go:803-834 — the console no longer updates
+  // only as fast as it polls)
+  @volatile private var pushing = true
+  private def startProgressPusher(): Unit = {
+    val t = new Thread(() => {
+      while (pushing) {
+        if (ws.clientCount > 0)
+          ws.broadcast(s"""{"Type":"progress",${progressJson.drop(1)}""")
+        Thread.sleep(1000L)
+      }
+    }, "graft-ws-progress")
+    t.setDaemon(true); t.start()
+  }
+
   def stop(): Unit = {
+    pushing = false
+    ws.stop()
     if (server != null) server.stop(0)
     spark.sparkContext.removeSparkListener(listener)
   }
@@ -135,51 +193,65 @@ final class QueryServer(graft: GraftSession, port: Int,
         // CLI-style one-file local convenience.
         val savePath = extractField(body, "savePath")
         val singleFile = extractField(body, "saveMode").contains("single")
-        // Concurrent execution: each request forks its own GraftSession,
-        // so the per-statement registry state (`_fN` binding) is private
-        // to the request and queries run genuinely in parallel on the
-        // shared (thread-safe) SparkSession — the reference is
-        // single-flight (one websocket, one global retData,
-        // server.go:61-70,109), but single-flight on a 32-core box
-        // wastes the whole point of the Spark rebuild. /stop/ still
-        // works: setJobGroup is thread-local, every handler thread tags
-        // its jobs with the same group, and cancelJobGroup interrupts
-        // them all.
-        beginQuery()
-        val (results, saved) =
-          try {
-            spark.sparkContext.setJobGroup(jobGroup, query, interruptOnCancel = true)
-            val session = graft.fork(password)
-            val planned = Parser.splitStatements(query).map(s => (s, session.sql(s)))
-            val savedPaths = savePath match {
-              case Some(base) =>
-                Sinks.savePaths(base, planned.size).zip(planned).map {
-                  case (p, (_, df)) =>
-                    // cache across the two consumers: the CSV save and
-                    // the clipped JSON reply below would otherwise each
-                    // run the full query from scratch
-                    df.persist()
-                    if (singleFile) Sinks.saveCsv(df, p)
-                    else Sinks.saveCsvDir(df, p)
-                }
-              case None => Seq.empty[String]
+        try runQuery(query, password, savePath, singleFile)
+        catch {
+          case e: Planner#PlanError
+              if password.isEmpty && e.msg.contains("password required") =>
+            // reference SK_PASS (server.go:66-70): prompt a connected
+            // websocket client and retry with its answer; with no ws
+            // client the polling analog returns a structured status the
+            // console re-prompts on, then re-POSTs with a password field
+            wsRequestPassword() match {
+              case Some(pw) => runQuery(query, Some(pw), savePath, singleFile)
+              case None => JsonResult.bundle(Nil, "need_password")
             }
-            val jsons = planned.map { case (stmt, df) => JsonResult.of(df, stmt) }
-            if (savePath.isDefined)
-              planned.foreach(_._2.unpersist(blocking = false))
-            (jsons, savedPaths)
-          } finally inflight.decrementAndGet()
-        JsonResult.bundle(results, "ok", saved)
+        }
       } catch {
-        // the polling analog of the reference's SK_PASS websocket
-        // prompt (server.go:66-70): a structured status the console
-        // re-prompts on, then retries the request with a password field
-        case e: Planner#PlanError
-            if password.isEmpty && e.msg.contains("password required") =>
-          JsonResult.bundle(Nil, "need_password")
         case e: Throwable => JsonResult.bundle(Nil, s"error: ${e.getMessage}")
       } finally spark.sparkContext.clearJobGroup()
     respond(ex, 200, response)
+  }
+
+  /** Run one request's statements (plan + execute + optional save),
+    * returning the JSON bundle. Throws on plan/execution errors —
+    * handleQuery owns the error-to-status mapping. */
+  private def runQuery(query: String, password: Option[String],
+      savePath: Option[String], singleFile: Boolean): String = {
+    // Concurrent execution: each request forks its own GraftSession,
+    // so the per-statement registry state (`_fN` binding) is private
+    // to the request and queries run genuinely in parallel on the
+    // shared (thread-safe) SparkSession — the reference is
+    // single-flight (one websocket, one global retData,
+    // server.go:61-70,109), but single-flight on a 32-core box
+    // wastes the whole point of the Spark rebuild. /stop/ still
+    // works: setJobGroup is thread-local, every handler thread tags
+    // its jobs with the same group, and cancelJobGroup interrupts
+    // them all.
+    beginQuery()
+    val (results, saved) =
+      try {
+        spark.sparkContext.setJobGroup(jobGroup, query, interruptOnCancel = true)
+        val session = graft.fork(password)
+        val planned = Parser.splitStatements(query).map(s => (s, session.sql(s)))
+        val savedPaths = savePath match {
+          case Some(base) =>
+            Sinks.savePaths(base, planned.size).zip(planned).map {
+              case (p, (_, df)) =>
+                // cache across the two consumers: the CSV save and
+                // the clipped JSON reply below would otherwise each
+                // run the full query from scratch
+                df.persist()
+                if (singleFile) Sinks.saveCsv(df, p)
+                else Sinks.saveCsvDir(df, p)
+            }
+          case None => Seq.empty[String]
+        }
+        val jsons = planned.map { case (stmt, df) => JsonResult.of(df, stmt) }
+        if (savePath.isDefined)
+          planned.foreach(_._2.unpersist(blocking = false))
+        (jsons, savedPaths)
+      } finally inflight.decrementAndGet()
+    JsonResult.bundle(results, "ok", saved)
   }
 
   /** File browser (reference files.go:183-220): GET /files/?dir=…
@@ -207,13 +279,15 @@ final class QueryServer(graft: GraftSession, port: Int,
       s"""{"Status":"ok","Path":"${JsonResult.esc(f.getAbsolutePath)}","Parent":"${JsonResult.esc(parent)}","Dirs":${arr(dirs.toSeq)},"Files":${arr(files.toSeq)}}""")
   }
 
-  private def handleProgress(ex: HttpExchange): Unit = {
+  private def progressJson: String = {
     val total = totalTasks.get
     val done = math.min(doneTasks.get, total)
     val pct = if (total == 0) 0.0 else math.rint(1000.0 * done / total) / 10
-    respond(ex, 200,
-      s"""{"ActiveJobs":${activeJobs.get},"TasksDone":$done,"TasksTotal":$total,"Percent":$pct}""")
+    s"""{"ActiveJobs":${activeJobs.get},"TasksDone":$done,"TasksTotal":$total,"Percent":$pct}"""
   }
+
+  private def handleProgress(ex: HttpExchange): Unit =
+    respond(ex, 200, progressJson)
 
   private def handleStop(ex: HttpExchange): Unit = {
     spark.sparkContext.cancelJobGroup(jobGroup)
@@ -318,7 +392,8 @@ object ServerMain {
     spark.sparkContext.setLogLevel("WARN")
     val s = new QueryServer(GraftSession(spark, dir), port, bindAll)
     val actual = s.start()
-    System.err.println(s"graft query server listening on :$actual")
+    System.err.println(s"graft query server listening on :$actual " +
+      s"(websocket push on :${s.wsPort}, advertised at /socket/)")
     if (args.contains("--open")) openBrowser(s"http://localhost:$actual/")
     if (!stay) {
       System.err.println("exiting after 120s with no client activity (pass -s to stay)")

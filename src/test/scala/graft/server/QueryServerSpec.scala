@@ -29,6 +29,77 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  // ── websocket push channel (reference /socket/, server.go:19-88) ──
+
+  private def wsConnect(port: Int,
+      onFrame: (java.net.http.WebSocket, String) => Unit): java.net.http.WebSocket = {
+    val listener = new java.net.http.WebSocket.Listener {
+      private val sb = new StringBuilder
+      override def onText(w: java.net.http.WebSocket, data: CharSequence,
+          last: Boolean): java.util.concurrent.CompletionStage[_] = {
+        sb.append(data)
+        if (last) { val m = sb.toString; sb.clear(); onFrame(w, m) }
+        w.request(1); null
+      }
+    }
+    HttpClient.newHttpClient().newWebSocketBuilder()
+      .buildAsync(URI.create(s"ws://127.0.0.1:$port/socket/"), listener)
+      .join()
+  }
+
+  test("websocket: GET /socket/ advertises the port; progress frames push at 1 Hz") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      // port advertisement on the HTTP side
+      val client = HttpClient.newHttpClient()
+      val ad = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/socket/")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(ad.contains(s""""Port":${server.wsPort}"""), ad)
+      // push cadence: ≥2 progress frames arrive without any polling
+      val frames = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val w = wsConnect(server.wsPort, (_, m) => frames.add(m))
+      val first = frames.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      val second = frames.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(first != null && second != null, "expected two pushed frames")
+      Seq(first, second).foreach { f =>
+        assert(f.contains(""""Type":"progress"""") && f.contains(""""TasksTotal""""), f)
+      }
+      // a connected ws client counts as activity for the idle monitor
+      assert(server.nanosSinceLastRequest == 0L)
+      w.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+    } finally server.stop()
+  }
+
+  test("websocket: SK_PASS round-trip — client-delivered password satisfies the query") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      // client answers the need_password push with the password frame
+      val sawPrompt = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val w = wsConnect(server.wsPort, (wsk, m) =>
+        if (m.contains(""""Type":"need_password"""")) {
+          sawPrompt.set(true)
+          wsk.sendText("""{"Type":"password","Password":"hunter2"}""", true)
+        })
+      // passwordless POST of a query that needs one: served via the ws
+      // prompt instead of the polling need_password status
+      val body = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query":"select decrypt(encrypt(r_name)) as back from region"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(sawPrompt.get, "server never pushed need_password over the socket")
+      assert(body.contains(""""Status":"ok""""), body)
+      assert(body.contains("AFRICA"), body) // decrypt(encrypt(x)) = x
+      // stop messages dispatch through the same channel without error
+      w.sendText("""{"Type":"stop"}""", true).join()
+      w.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+    } finally server.stop()
+  }
+
   test("bad query returns error status, not a crash") {
     val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
     val port = server.start()
