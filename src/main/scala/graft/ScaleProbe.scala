@@ -51,7 +51,12 @@ object ScaleProbe {
     f
     val sec = (System.nanoTime() - t0) / 1e9
     results(label) = math.rint(sec * 100) / 100
-    println(f"$label%-28s $sec%8.2f s  stages=${stageCount.get - s0}%3d taskSec=${(taskMs.get - m0) / 1e3}%8.2f")
+    // task-time accounting only exists when a mode attached the stage
+    // listener (abGuard) — record it next to the wall time so the JSON
+    // carries the compute-vs-stage-latency split, not just the print
+    val tsec = (taskMs.get - m0) / 1e3
+    if (tsec > 0) results(label + "_tasksec") = math.rint(tsec * 100) / 100
+    println(f"$label%-28s $sec%8.2f s  stages=${stageCount.get - s0}%3d taskSec=$tsec%8.2f")
   }
 
   private def writeJson(outJson: Option[String], copies: Int,
@@ -72,7 +77,38 @@ object ScaleProbe {
     else if (args.headOption.contains("newops")) newOps(args.drop(1))
     else if (args.headOption.contains("shingleab")) shingleAb(args.drop(1))
     else if (args.headOption.contains("incdedup")) incDedup(args.drop(1))
+    else if (args.headOption.contains("classifier")) classifierProbe(args.drop(1))
     else standard(args)
+
+  /** t25 quality-classifier probe at `copies`× documents: train is
+    * MLlib L-BFGS — one treeAggregate gradient pass per iteration, so
+    * the scale question is (a) does the iteration count stay flat as
+    * the corpus grows (it should: same distribution, just more rows)
+    * and (b) is per-iteration cost linear. Score is a narrow codegen'd
+    * fold — linearity is the only check. */
+  def classifierProbe(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("text"))
+    val nDoc = docs.count()
+    println(s"copies=$copies docs=$nDoc")
+    import graft.operators.QualityClassifier
+    var model: org.apache.spark.ml.classification.LogisticRegressionModel = null
+    time("t25_train") {
+      model = QualityClassifier.train(docs, QualityClassifier.lengthLabel())
+    }
+    val iters = model.summary.totalIterations
+    println(s"iterations=$iters")
+    time("t25_score") {
+      QualityClassifier.score(model, docs)
+        .select(col("doc_id"), col("margin_n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    writeJson(outJson, copies, s""", "docs": $nDoc, "lbfgs_iterations": $iters""")
+    spark.stop()
+  }
 
   /** The economic case for incremental dedup (d11): at `copies`×
     * documents, probing a 10% NEW batch against the standing corpus's
@@ -157,6 +193,18 @@ object ScaleProbe {
     // the aggregated tables, not extra tokenize passes)
     time("t24_pmi") {
       graft.queries.TextQueries.pmiCollocations(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // BPE: train once on the BASE corpus (the vocab-side fixed cost —
+    // merges don't change with corpus copies), then time the native
+    // codegen'd encode over the scaled corpus, which is the step a
+    // 100 TB tokenization pipeline actually scales
+    val merges = graft.operators.Bpe.train(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
+      "text", 50)
+    time("bpe_encode") {
+      docs.select(col("doc_id"),
+          graft.operators.Bpe.encode(col("text"), merges).as("toks"))
         .write.format("noop").mode("overwrite").save()
     }
     writeJson(outJson, copies, s""", "docs": $nDoc""")
@@ -269,6 +317,7 @@ object ScaleProbe {
     * same-session interleave isolates the guard's own cost.) */
   def abGuard(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
     val spark = session()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
@@ -304,6 +353,7 @@ object ScaleProbe {
       time(s"raw_$round")(raw())
       time(s"guarded_$round")(guarded())
     }
+    writeJson(outJson, copies)
     spark.stop()
   }
 
