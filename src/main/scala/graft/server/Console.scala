@@ -2,11 +2,16 @@ package graft.server
 
 /** Embedded single-page query console — the engine-side analog of the
   * reference's web GUI (reference webgui/, server.go:91-106): a query
-  * box driving POST /query/, live progress from GET /progress/, stop,
-  * and a file browser over GET /files/. Result grids sort client-side
-  * by clicking a column header (numeric-aware, toggling direction —
-  * the reference GUI's grid sort, SURVEY §2.7 O4). One static page,
-  * no build step, no framework.
+  * box driving POST /query/, live progress pushed over the websocket
+  * channel (1 Hz frames; falls back to polling GET /progress/ when the
+  * socket is unavailable), stop, websocket password prompts, a file
+  * browser over GET /files/, and query history with arrows restored
+  * across page reloads from the server-side session state
+  * (GET/POST /info/ — reference index.js getState/setState,
+  * topbar.js historyArrows). Result grids sort client-side by
+  * clicking a column header (numeric-aware, toggling direction — the
+  * reference GUI's grid sort, SURVEY §2.7 O4). One static page, no
+  * build step, no framework.
   */
 object Console {
   val html: String =
@@ -31,6 +36,8 @@ object Console {
       |<div id="main">
       | <textarea id="q" placeholder="select * from lineitem.parquet where l_quantity &gt; 45"></textarea>
       | <div>
+      |  <button onclick="histGo(-1)" title="previous query">&#9664;</button>
+      |  <button onclick="histGo(1)" title="next query">&#9654;</button>
       |  <button onclick="run()">run</button>
       |  <button onclick="fetch('/stop/',{method:'POST'})">stop</button>
       |  save to <input id="save" size="28" placeholder="(optional) /path/out.csv">
@@ -40,7 +47,7 @@ object Console {
       | <div id="out"></div>
       |</div>
       |<script>
-      |let timer=null,entries=[],sortState={};
+      |let timer=null,entries=[],sortState={},ws=null,hist=[],hpos=0;
       |function esc(s){const d=document.createElement('div');d.textContent=s;return d.innerHTML}
       |function render(){
       |  const out=document.getElementById('out');out.innerHTML='';
@@ -62,19 +69,54 @@ object Console {
       |    const c=(!isNaN(nx)&&!isNaN(ny))?nx-ny:(x<y?-1:x>y?1:0);
       |    return s.asc?c:-c});
       |  render()}
-      |function poll(){fetch('/progress/').then(r=>r.json()).then(p=>{
-      |  document.getElementById('fill').style.width=(p.Percent||0)+'%';})}
+      |function applyProgress(p){
+      |  document.getElementById('fill').style.width=(p.Percent||0)+'%'}
+      |function poll(){fetch('/progress/').then(r=>r.json()).then(applyProgress)}
+      |// live push (reference /socket/, server.go:19-88): 1 Hz progress
+      |// frames + password prompts; the JDK server side listens on a
+      |// sidecar loopback port advertised at GET /socket/. While the
+      |// socket is up the run loop never polls.
+      |function connectWs(){
+      |  fetch('/socket/').then(r=>r.json()).then(d=>{
+      |    if(!d.Port||d.Port<0)return;
+      |    const w=new WebSocket('ws://'+location.hostname+':'+d.Port+'/socket/');
+      |    w.onopen=()=>{ws=w};
+      |    w.onclose=()=>{ws=null;setTimeout(connectWs,5000)};
+      |    w.onmessage=e=>{const m=JSON.parse(e.data);
+      |      if(m.Type==='progress')applyProgress(m);
+      |      else if(m.Type==='need_password'){
+      |        const pw=window.prompt('password:');
+      |        if(pw!==null)w.send(JSON.stringify({Type:'password',Password:pw}))}};
+      |  }).catch(()=>{})}
+      |connectWs();
+      |// query history, persisted server-side so a reload restores the
+      |// session (reference getState/setState, index.js:31-76)
+      |function saveHist(q){
+      |  if(q&&(!hist.length||hist[hist.length-1].query!==q))hist.push({query:q});
+      |  hpos=hist.length-1;
+      |  fetch('/info/?info=setState',{method:'POST',
+      |    body:JSON.stringify({haveInfo:true,history:hist})})}
+      |function histGo(d){
+      |  if(!hist.length)return;
+      |  hpos=Math.max(0,Math.min(hist.length-1,hpos+d));
+      |  document.getElementById('q').value=hist[hpos].query||''}
+      |fetch('/info/?info=getState').then(r=>r.json()).then(d=>{
+      |  if(d.history&&d.history.length){
+      |    hist=d.history;hpos=hist.length-1;
+      |    const q=document.getElementById('q');
+      |    if(!q.value)q.value=hist[hpos].query||''}}).catch(()=>{})
       |function run(password){
       |  const q=document.getElementById('q').value;
+      |  saveHist(q);
       |  const body={query:q};
       |  const save=document.getElementById('save').value.trim();
       |  if(save){body.savePath=save;body.saveMode='single'}
       |  if(password)body.password=password;
       |  document.getElementById('status').textContent='running…';
-      |  timer=setInterval(poll,400);
+      |  if(!ws)timer=setInterval(poll,400);
       |  fetch('/query/',{method:'POST',body:JSON.stringify(body)})
       |  .then(r=>r.json()).then(d=>{
-      |    clearInterval(timer);poll();
+      |    if(timer){clearInterval(timer);timer=null;poll()}
       |    if(d.Status==='need_password'){
       |      const pw=window.prompt('password:');
       |      if(pw!==null){run(pw);return}
@@ -84,7 +126,7 @@ object Console {
       |    if(d.Status!=='ok'){document.getElementById('out').innerHTML=
       |      '<div class="err">'+esc(d.Status)+'</div>';return}
       |    entries=d.Entries;sortState={};render();
-      |  }).catch(e=>{clearInterval(timer);
+      |  }).catch(e=>{if(timer){clearInterval(timer);timer=null}
       |    document.getElementById('status').textContent='error: '+e})}
       |function ls(dir){
       |  fetch('/files/?dir='+encodeURIComponent(dir||'')).then(r=>r.json()).then(d=>{
@@ -101,10 +143,10 @@ object Console {
       |      t.appendChild(e)}
       |  })}
       |ls('');
-      |// heartbeat: an open console tab counts as a connected client,
-      |// so the server's idle auto-exit (120s) doesn't fire under it —
-      |// the polling analog of the reference's websocket client count
-      |setInterval(()=>fetch('/progress/'),30000);
+      |// heartbeat while the socket is down: an open console tab still
+      |// counts as a connected client for the server's idle auto-exit
+      |// (120s); with the socket up the connection itself is the signal
+      |setInterval(()=>{if(!ws)fetch('/progress/')},30000);
       |</script></body></html>
       |""".stripMargin
 }

@@ -132,6 +132,7 @@ final class QueryServer(graft: GraftSession, port: Int,
     server.createContext("/stop/", (ex: HttpExchange) => handleStop(ex))
     server.createContext("/progress/", (ex: HttpExchange) => handleProgress(ex))
     server.createContext("/files/", (ex: HttpExchange) => handleFiles(ex))
+    server.createContext("/info/", (ex: HttpExchange) => handleInfo(ex))
     server.createContext("/socket/", (ex: HttpExchange) =>
       respond(ex, 200, s"""{"Status":"ok","Port":$wsPortV}"""))
     server.setExecutor(Executors.newFixedThreadPool(4))
@@ -277,6 +278,30 @@ final class QueryServer(graft: GraftSession, port: Int,
     val parent = Option(f.getAbsoluteFile.getParent).getOrElse(f.getAbsolutePath)
     respond(ex, 200,
       s"""{"Status":"ok","Path":"${JsonResult.esc(f.getAbsolutePath)}","Parent":"${JsonResult.esc(parent)}","Dirs":${arr(dirs.toSeq)},"Files":${arr(files.toSeq)}}""")
+  }
+
+  /** GUI session state (reference infoHandler, server.go:180-230): the
+    * console persists its query history and browser-dir state
+    * server-side, so a page reload restores the session. In-memory for
+    * the server's lifetime — exactly the reference's `var state` — and
+    * opaque to the engine: the body is stored and echoed verbatim. */
+  @volatile private var guiState: String = null
+  private def handleInfo(ex: HttpExchange): Unit = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val mode = q.split('&').collectFirst {
+      case kv if kv.startsWith("info=") => kv.drop(5)
+    }.getOrElse("")
+    mode match {
+      case "setState" =>
+        guiState = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        respond(ex, 200, """{"Status":"ok"}""")
+      case "getState" =>
+        respond(ex, 200,
+          Option(guiState).getOrElse("""{"haveInfo":false,"history":[]}"""))
+      case other =>
+        respond(ex, 200,
+          s"""{"Status":"error: unknown info request: ${JsonResult.esc(other)}"}""")
+    }
   }
 
   private def progressJson: String = {

@@ -376,6 +376,48 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("GET/POST /info/ — GUI session state roundtrip (reference infoHandler)") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get() = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/info/?info=getState"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString()).body()
+      // fresh server: no state yet
+      assert(get().contains(""""haveInfo":false"""), get())
+      // a console posts its history; getState echoes it verbatim
+      val state = """{"haveInfo":true,"history":[{"query":"select * from region"},{"query":"select top 2 n_name from nation"}]}"""
+      val set = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/info/?info=setState"))
+          .POST(HttpRequest.BodyPublishers.ofString(state)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(set.body().contains(""""Status":"ok""""), set.body())
+      assert(get() == state, get())
+      // unknown mode is a structured error, not a crash
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/info/?info=nosuch"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(bad.body().contains("unknown info request"), bad.body())
+    } finally server.stop()
+  }
+
+  test("console page wires websocket progress, password prompts, and history") {
+    // the console is a static string — pin the wiring the browser
+    // executes: socket discovery + connect, ws password answer,
+    // history arrows backed by /info/ state restore
+    val h = Console.html
+    assert(h.contains("fetch('/socket/')"), "socket port discovery")
+    assert(h.contains("new WebSocket("), "websocket connect")
+    assert(h.contains("need_password"), "ws password prompt handling")
+    assert(h.contains("Type:'password'"), "ws password answer frame")
+    assert(h.contains("info=getState") && h.contains("info=setState"),
+      "history persisted via /info/ session state")
+    assert(h.contains("histGo"), "history arrows")
+    assert(h.contains("if(!ws)timer=setInterval(poll,400)"),
+      "polling only as the no-socket fallback")
+  }
+
   test("POST /stop/ responds (cancellation path wired)") {
     val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
     val port = server.start()
