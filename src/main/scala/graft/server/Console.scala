@@ -10,7 +10,8 @@ package graft.server
   * (GET/POST /info/ — reference index.js getState/setState,
   * topbar.js historyArrows). Result grids sort client-side by
   * clicking a column header (numeric-aware, toggling direction — the
-  * reference GUI's grid sort, SURVEY §2.7 O4). One static page, no
+  * reference GUI's grid sort, SURVEY §2.7 O4), and a `?` toggle shows
+  * a dialect cheatsheet (reference help.js). One static page, no
   * build step, no framework.
   */
 object Console {
@@ -40,10 +41,24 @@ object Console {
       |  <button onclick="histGo(1)" title="next query">&#9654;</button>
       |  <button onclick="run()">run</button>
       |  <button onclick="fetch('/stop/',{method:'POST'})">stop</button>
+      |  <button onclick="toggleHelp()" title="query language help">?</button>
       |  save to <input id="save" size="28" placeholder="(optional) /path/out.csv">
       |  <span id="status"></span>
       | </div>
       | <div id="bar"><div id="fill"></div></div>
+      | <div id="help" style="display:none;overflow:auto;max-height:45%;border:1px solid #ccc;padding:8px;font-size:12px">
+      |  <b>Query shape</b>: <code>select &lt;expressions&gt; from &lt;file&gt; &lt;joins&gt; where &lt;predicates&gt; group by &lt;exprs&gt; having &lt;predicate&gt; order by &lt;expr&gt; [asc]</code>.
+      |  Multiple statements separated by <code>;</code>. <code>top N</code> after select (or <code>limit N</code> at the end) caps rows; <code>distinct</code> keeps the first row per value in scan order.<br><br>
+      |  <b>Files</b>: double-click a file in the browser to add its path to the query; csv, parquet, json, orc and xml all work in <code>from</code>.
+      |  Add <code>nh</code>/<code>noheader</code> after a csv path that has no header row. Columns are referenced by name or <code>cN</code> number.<br><br>
+      |  <b>Predicates</b>: <code>= != &lt;&gt; &lt; &lt;= &gt; &gt;=</code>, <code>like</code> (case-insensitive), <code>in (...)</code>, <code>between a and b</code>, combined with <code>and or xor not</code> and parentheses.<br><br>
+      |  <b>Aggregates</b>: <code>sum avg min max count stdev stdevp</code>, each with optional <code>distinct</code>; bare columns next to aggregates take the group's last value in scan order.<br><br>
+      |  <b>Functions</b>: <code>year month week day dayname monthname dayofyear dayofmonth hour</code> on dates; <code>abs coalesce inc([step]) format encrypt(x,pass) decrypt(x,pass)</code>.
+      |  Dates add durations: <code>birthdate + '3 weeks'</code>; <code>case</code> expressions (searched and simple) work as in SQL.<br><br>
+      |  <b>Joins</b>: <code>join / left join file alias on a.col = alias.col</code> chains across files; <code>sjoin</code> forces a broadcast (small file), <code>bjoin</code> a sort-merge (both big).<br><br>
+      |  <b>Saving</b>: fill the save box before running to also write each statement's FULL result as csv (the grid stays clipped); multiple statements get numbered suffixes.
+      |  Click a column header to sort the grid.
+      | </div>
       | <div id="out"></div>
       |</div>
       |<script>
@@ -69,6 +84,8 @@ object Console {
       |    const c=(!isNaN(nx)&&!isNaN(ny))?nx-ny:(x<y?-1:x>y?1:0);
       |    return s.asc?c:-c});
       |  render()}
+      |function toggleHelp(){const h=document.getElementById('help');
+      |  h.style.display=h.style.display==='none'?'block':'none'}
       |function applyProgress(p){
       |  document.getElementById('fill').style.width=(p.Percent||0)+'%'}
       |function poll(){fetch('/progress/').then(r=>r.json()).then(applyProgress)}

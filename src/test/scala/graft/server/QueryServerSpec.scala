@@ -414,6 +414,7 @@ class QueryServerSpec extends SparkSpec {
     assert(h.contains("info=getState") && h.contains("info=setState"),
       "history persisted via /info/ session state")
     assert(h.contains("histGo"), "history arrows")
+    assert(h.contains("toggleHelp"), "dialect help panel")
     assert(h.contains("if(!ws)timer=setInterval(poll,400)"),
       "polling only as the no-socket fallback")
   }
