@@ -774,15 +774,7 @@ object TextQueries {
     val bigAll = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val big = bigAll.filter(col("c12") >= floor)
     val nb = bigAll.agg(sum(col("c12")).as("n_big"))
-    // Exact rational lift in ppm: ln() differs by ulps across engines,
-    // so the hashed/ordered key is integral — `div` truncates like
-    // DuckDB's `//` on positives, DECIMAL(38,0) intermediates are
-    // exact to 38 digits (n_tok² at 100 TB ≈ 10²⁶ still fits).
-    val liftPpm = expr(
-      """(cast(c12 as decimal(38,0)) * cast(n_tok as decimal(38,0))
-        |  * cast(n_tok as decimal(38,0)) * 1000000)
-        |div (cast(c1_w1 as decimal(38,0)) * cast(c1_w2 as decimal(38,0))
-        |  * cast(n_big as decimal(38,0)))""".stripMargin)
+    val liftPpm = guardedLiftPpm
     big
       .join(broadcast(uni.select(col("word").as("w1"), col("c1").as("c1_w1"))), "w1")
       .join(broadcast(uni.select(col("word").as("w2"), col("c1").as("c1_w2"))), "w2")
@@ -791,6 +783,33 @@ object TextQueries {
       .select(col("w1"), col("w2"), col("c12"), liftPpm.as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
       .limit(k)
+  }
+
+  /** Exact rational lift in ppm: ln() differs by ulps across engines,
+    * so the hashed/ordered key is integral — `div` truncates like
+    * DuckDB's `//` on positives, and DECIMAL(38,0) intermediates are
+    * exact. The exactness DOMAIN is bounded: the numerator
+    * c12·n_tok²·10⁶ must stay under 10³⁸, which with Zipfian bigram
+    * counts (c12 ≲ 1% of n_tok) holds to n_tok ≈ 2·10¹¹ — roughly a
+    * 1.5 TB text corpus per PMI scope. Past that Spark's non-ANSI
+    * decimal overflow would silently null the MOST significant
+    * collocations out of the desc-ordered top-k (while DuckDB's
+    * HUGEINT throws), so the overflow is made LOUD here instead:
+    * shard the corpus (per-source/per-shard PMI then merge) or rank
+    * by double-precision ln at that scale, where a cross-engine
+    * hash gate is moot anyway. */
+  private[queries] def guardedLiftPpm: org.apache.spark.sql.Column = {
+    val raw = expr(
+      """(cast(c12 as decimal(38,0)) * cast(n_tok as decimal(38,0))
+        |  * cast(n_tok as decimal(38,0)) * 1000000)
+        |div (cast(c1_w1 as decimal(38,0)) * cast(c1_w2 as decimal(38,0))
+        |  * cast(n_big as decimal(38,0)))""".stripMargin)
+    // inputs are non-null counts, so a null product is precisely the
+    // decimal-overflow sentinel
+    when(raw.isNull, expr(
+      "raise_error('t24 lift overflow: corpus exceeds the exact-integer " +
+        "PMI domain (~2e11 tokens); shard the corpus or rank by double ln')"))
+      .otherwise(raw)
   }
 
   /** t21's builder on an arbitrary (doc_id, text) frame — shared with

@@ -95,7 +95,7 @@ object Console {
       |// socket is up the run loop never polls.
       |function connectWs(){
       |  fetch('/socket/').then(r=>r.json()).then(d=>{
-      |    if(!d.Port||d.Port<0)return;
+      |    if(!d.Port||d.Port<0){setTimeout(connectWs,5000);return}
       |    const w=new WebSocket('ws://'+location.hostname+':'+d.Port+'/socket/');
       |    w.onopen=()=>{ws=w};
       |    w.onclose=()=>{ws=null;setTimeout(connectWs,5000)};

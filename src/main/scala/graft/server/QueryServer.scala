@@ -52,7 +52,7 @@ final class QueryServer(graft: GraftSession, port: Int,
     * `{"Type":"stop"}`, and the SK_PASS password round-trip. Listens on
     * a sidecar loopback port (JDK HttpServer can't Upgrade a
     * connection); GET /socket/ on the HTTP port advertises it. */
-  private val ws = new WsChannel("/socket/", handleWsMessage)
+  private val ws = new WsChannel("/socket/", handleWsMessage, bindAll)
   @volatile private var wsPortV: Int = -1
   def wsPort: Int = wsPortV
   // a query thread waiting on a websocket-delivered password (SK_PASS)
@@ -136,8 +136,10 @@ final class QueryServer(graft: GraftSession, port: Int,
     server.createContext("/socket/", (ex: HttpExchange) =>
       respond(ex, 200, s"""{"Status":"ok","Port":$wsPortV}"""))
     server.setExecutor(Executors.newFixedThreadPool(4))
-    server.start()
+    // the push channel binds first so GET /socket/ can never observe
+    // the unset sidecar port once HTTP requests are possible
     wsPortV = ws.start()
+    server.start()
     startProgressPusher()
     server.getAddress.getPort
   }

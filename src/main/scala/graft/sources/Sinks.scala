@@ -94,7 +94,10 @@ object Sinks {
     // matching printCsv/saveCsvStreaming) instead of Spark's default
     // backslash escaping
     formatted(df).coalesce(1).write.mode("overwrite")
-      .option("header", "true").option("escape", "\"").csv(tmp)
+      .option("header", "true").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(tmp)
     val dir = new java.io.File(tmp)
     val part = Option(dir.listFiles()).getOrElse(Array.empty)
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
@@ -111,7 +114,10 @@ object Sinks {
     * the 100 TB path (no single-task coalesce bottleneck). */
   def saveCsvDir(df: DataFrame, path: String): String = {
     formatted(df).write.mode("overwrite")
-      .option("header", "true").option("escape", "\"").csv(path)
+      .option("header", "true").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
     path
   }
 
@@ -135,9 +141,12 @@ object Sinks {
     val target = new java.io.File(p)
     if (target.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(target)
     val f = formatted(df)
-    val w = new java.io.BufferedWriter(new java.io.FileWriter(target))
+    // explicit UTF-8 — FileWriter would use the platform default
+    // charset and silently mangle non-ASCII text on C-locale boxes
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(target), java.nio.charset.StandardCharsets.UTF_8))
     try {
-      w.write(f.columns.mkString(",")); w.newLine(); w.flush()
+      w.write(f.columns.map(csvField).mkString(",")); w.newLine(); w.flush()
       f.toLocalIterator().forEachRemaining { row =>
         w.write(csvLine(f.columns.length, row)); w.newLine(); w.flush()
       }
@@ -145,15 +154,20 @@ object Sinks {
     p
   }
 
-  /** One already-formatted row as a CSV line — RFC-4180 quoting
-    * matching Spark's CSV writer (quote when the value carries a
-    * comma, quote, or newline; embedded quotes doubled; null → empty). */
+  /** One CSV field — RFC-4180 quoting matching Spark's CSV writer:
+    * quote when the value carries a comma, quote, or newline (embedded
+    * quotes doubled), and quote the EMPTY string (Spark's write-side
+    * emptyValue is `""`, distinguishing empty from null on re-read). */
+  private def csvField(v: String): String =
+    if (v.isEmpty) "\"\""
+    else if (v.contains(",") || v.contains("\"") || v.contains("\n"))
+      "\"" + v.replace("\"", "\"\"") + "\""
+    else v
+
+  /** One already-formatted row as a CSV line (null → bare empty). */
   private def csvLine(ncols: Int, row: org.apache.spark.sql.Row): String =
     (0 until ncols).map { i =>
-      val v = if (row.isNullAt(i)) "" else row.getString(i)
-      if (v.contains(",") || v.contains("\"") || v.contains("\n"))
-        "\"" + v.replace("\"", "\"\"") + "\""
-      else v
+      if (row.isNullAt(i)) "" else csvField(row.getString(i))
     }.mkString(",")
 
   /** Multi-query save paths: base, base-2, base-3 ...

@@ -47,13 +47,27 @@ class CompressRatioSpec extends SparkSpec {
   }
 
   // Golden values: raw-deflate at DEFAULT_COMPRESSION is a pure,
-  // stable function of the bytes (zlib's output for a fixed
+  // stable function of the bytes (classic zlib's output for a fixed
   // level/strategy hasn't changed across releases), so the exact
   // compressed byte counts are pinned — this fails if anyone touches
   // the level, strategy, nowrap flag, or the ratio definition, which
   // ordering/bounds tests would let slide. Expected values are
   // compressed_len / raw_len with the observed compressed sizes.
+  // JDK builds linked against a different deflate implementation
+  // (zlib-ng, Cloudflare zlib) legitimately emit different bytes at
+  // the same settings — the canary `assume` cancels the golden pins
+  // there (drift in OUR config still fails on classic-zlib boxes,
+  // which includes this repo's CI box).
   test("golden ratios: exact deflate output pinned for fixed inputs") {
+    val canary = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput("canary canary canary".getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](64)
+      val n = d.deflate(buf); d.end(); n
+    }
+    assume(canary == 11,
+      s"JVM deflate is not classic zlib (canary $canary bytes) — golden byte counts don't apply")
     assert(ratioOf("aaa bbb ccc " * 40) == 19.0 / 480.0)
     assert(ratioOf("the quick brown fox jumps over the lazy dog. " * 10) == 51.0 / 450.0)
     assert(ratioOf("hello world graft") == 19.0 / 17.0)
