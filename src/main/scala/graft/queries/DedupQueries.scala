@@ -472,6 +472,82 @@ object DedupQueries {
               |  CAST(count(*) AS BIGINT) AS n_pairs
               |FROM cand JOIN documents a ON cand.doc_a = a.doc_id
               |          JOIN documents b ON cand.doc_b = b.doc_id
-              |GROUP BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // LSH parameter evaluation — the tuning loop every dedup pipeline
+    // runs before committing to (K, BANDS): precision/recall of the
+    // banded candidate generator against exact shingle-Jaccard ground
+    // truth at τ = 1/2 (integer-exact: 2·inter ≥ union, so no
+    // cross-engine float compare). Ground truth is NEVER all-pairs:
+    // a pair with jac > 0 shares ≥1 shingle, so true pairs come from
+    // a gram-keyed join (d09's shape) — bounded by shingle
+    // co-occurrence, not n². At 100 TB this runs on a hash-sample of
+    // the corpus (lshEval's sampleMod); counts and ppm ratios are
+    // exact integers either way.
+    Q("d13_lsh_eval",
+      (s, dir) => lshEval(Tables(s, dir, "documents")),
+      Some(s"""WITH sig AS ($sigSql),
+              |$candidatePairsSql,
+              |sh AS (SELECT doc_id, list_distinct(${O.shingles(SHINGLE)}) AS sh
+              |       FROM (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents)),
+              |post AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |            CAST(count(*) AS BIGINT) AS ic
+              |          FROM post a JOIN post b
+              |          ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |truth AS (SELECT doc_a, doc_b FROM inter
+              |          JOIN sh sa ON doc_a = sa.doc_id
+              |          JOIN sh sb ON doc_b = sb.doc_id
+              |          WHERE 2 * ic >= len(sa.sh) + len(sb.sh) - ic),
+              |conf AS (SELECT coalesce(t.doc_a, c.doc_a) AS doc_a,
+              |           t.doc_a IS NOT NULL AS is_t, c.doc_a IS NOT NULL AS is_c
+              |         FROM truth t FULL JOIN cand c
+              |         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+              |SELECT CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS n_true,
+              |  CAST(count(*) FILTER (WHERE is_c) AS BIGINT) AS n_cand,
+              |  CAST(count(*) FILTER (WHERE is_t AND is_c) AS BIGINT) AS tp,
+              |  CASE WHEN count(*) FILTER (WHERE is_c) = 0 THEN NULL
+              |    ELSE count(*) FILTER (WHERE is_t AND is_c) * 1000000
+              |         // count(*) FILTER (WHERE is_c) END AS precision_ppm,
+              |  CASE WHEN count(*) FILTER (WHERE is_t) = 0 THEN NULL
+              |    ELSE count(*) FILTER (WHERE is_t AND is_c) * 1000000
+              |         // count(*) FILTER (WHERE is_t) END AS recall_ppm
+              |FROM conf""".stripMargin))
   )
+
+  /** d13's builder: confusion counts + exact ppm precision/recall of
+    * [[candidatePairsOf]] vs exact shingle-Jaccard ≥ 1/2 on (a
+    * hash-sample of) `docs`. One output row. `sampleMod` > 1 keeps
+    * doc_ids with xxhash64 ≡ 0 (mod sampleMod) — the deterministic
+    * sampling that makes the eval affordable at corpus scale. */
+  def lshEval(docs: DataFrame, sampleMod: Long = 1L): DataFrame = {
+    val base =
+      if (sampleMod <= 1L) docs
+      else docs.filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0L)
+    val sh = base.select(col("doc_id"),
+      array_distinct(shinglesFromHashes(tokenHashes(col("text")), SHINGLE)).as("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inter = posting.select(col("doc_id").as("doc_a"), col("g"))
+      .join(posting.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ic"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(lit(2) * col("ic") >= col("na") + col("nb") - col("ic"))
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_t"))
+    val cand = candidatePairsOf(sigOf(base))
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(col("is_t")).as("n_true"),
+        count(col("is_c")).as("n_cand"),
+        count(when(col("is_t").isNotNull && col("is_c").isNotNull, 1)).as("tp"))
+      .select(col("n_true"), col("n_cand"), col("tp"),
+        expr("CASE WHEN n_cand = 0 THEN NULL ELSE tp * 1000000 div n_cand END")
+          .as("precision_ppm"),
+        expr("CASE WHEN n_true = 0 THEN NULL ELSE tp * 1000000 div n_true END")
+          .as("recall_ppm"))
+  }
 }
