@@ -83,12 +83,18 @@ object DedupQueries {
     * path for hot-bucket tests. */
   def sigOf(docs: DataFrame): DataFrame = {
     import graft.functions.TextHashExprs._
-    val withSig = docs
-      .select(col("doc_id"), token_hashes(col("text")).as("th"))
-      .select(col("doc_id"), shingle_minhash(col("th"), SHINGLE, K).as("sig"))
-    withSig.select(
-      col("doc_id") +: (0 until K).map(i =>
-        element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+    sigOfHashed(docs.select(col("doc_id"), token_hashes(col("text")).as("th")))
+  }
+
+  /** [[sigOf]]'s minhash stage over an already-tokenized
+    * (doc_id, th) frame — lets a caller share ONE tokenize pass
+    * between the signature and other th consumers (d13). */
+  def sigOfHashed(hashed: DataFrame): DataFrame = {
+    import graft.functions.TextHashExprs._
+    hashed.select(col("doc_id"), shingle_minhash(col("th"), SHINGLE, K).as("sig"))
+      .select(
+        col("doc_id") +: (0 until K).map(i =>
+          element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** DuckDB mirror of [[candidatePairs]] as WITH-clauses (expects a
@@ -524,8 +530,18 @@ object DedupQueries {
     val base =
       if (sampleMod <= 1L) docs
       else docs.filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0L)
-    val sh = base.select(col("doc_id"),
-      array_distinct(shinglesFromHashes(tokenHashes(col("text")), SHINGLE)).as("sh"))
+    // ONE tokenize pass: every consumer (truth sizes, both posting
+    // self-join sides, the minhash signature) reads the same explicit
+    // (doc_id, th) exchange via ReusedExchange — differently-pruned
+    // subplans would silently re-run the tokenizer 4× otherwise (the
+    // repo's recorded BM25 lesson; all consumers need exactly
+    // doc_id+th, so the canonicalized exchanges match)
+    val hashed = base
+      .select(col("doc_id"),
+        graft.functions.TextHashExprs.token_hashes(col("text")).as("th"))
+      .repartition(col("doc_id"))
+    val sh = hashed.select(col("doc_id"),
+      array_distinct(shinglesFromHashes(col("th"), SHINGLE)).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     val inter = posting.select(col("doc_id").as("doc_a"), col("g"))
@@ -537,7 +553,7 @@ object DedupQueries {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .filter(lit(2) * col("ic") >= col("na") + col("nb") - col("ic"))
       .select(col("doc_a"), col("doc_b"), lit(1).as("is_t"))
-    val cand = candidatePairsOf(sigOf(base))
+    val cand = candidatePairsOf(sigOfHashed(hashed))
       .select(col("doc_a"), col("doc_b"), lit(1).as("is_c"))
     truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
       .agg(

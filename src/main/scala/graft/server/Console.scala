@@ -104,7 +104,7 @@ object Console {
       |      else if(m.Type==='need_password'){
       |        const pw=window.prompt('password:');
       |        if(pw!==null)w.send(JSON.stringify({Type:'password',Password:pw}))}};
-      |  }).catch(()=>{})}
+      |  }).catch(()=>setTimeout(connectWs,5000))}
       |connectWs();
       |// query history, persisted server-side so a reload restores the
       |// session (reference getState/setState, index.js:31-76)

@@ -63,7 +63,12 @@ final class WsChannel(path: String, onMessage: String => Unit,
           val s = serverSocket.accept()
           val h = new Thread(() => serve(s), "graft-ws-client")
           h.setDaemon(true); h.start()
-        } catch { case _: Exception if !running => () case _: Exception => () }
+        } catch {
+          case _: Exception if !running => ()
+          // persistent accept failure (fd exhaustion, socket error
+          // state): back off instead of spinning a core hot
+          case _: Exception => Thread.sleep(100L)
+        }
       }
     }, "graft-ws-accept")
     t.setDaemon(true); t.start()
@@ -122,7 +127,11 @@ final class WsChannel(path: String, onMessage: String => Unit,
     def readLine(): String = {
       val sb = new StringBuilder
       var b = in.read()
-      while (b >= 0 && b != '\n') { if (b != '\r') sb += b.toChar; b = in.read() }
+      while (b >= 0 && b != '\n') {
+        if (b != '\r') sb += b.toChar
+        if (sb.length > 8192) return null // header-line cap: no unbounded buffering from unauthenticated peers
+        b = in.read()
+      }
       if (b < 0 && sb.isEmpty) null else sb.toString
     }
     val request = readLine()

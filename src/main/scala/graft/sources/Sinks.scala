@@ -97,6 +97,7 @@ object Sinks {
       .option("header", "true").option("escape", "\"")
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
+      .option("emptyValue", "") // bare empty, like the reference's Go csv.Writer
       .csv(tmp)
     val dir = new java.io.File(tmp)
     val part = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -117,6 +118,7 @@ object Sinks {
       .option("header", "true").option("escape", "\"")
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
+      .option("emptyValue", "") // bare empty, like the reference's Go csv.Writer
       .csv(path)
     path
   }
@@ -154,13 +156,13 @@ object Sinks {
     p
   }
 
-  /** One CSV field — RFC-4180 quoting matching Spark's CSV writer:
-    * quote when the value carries a comma, quote, or newline (embedded
-    * quotes doubled), and quote the EMPTY string (Spark's write-side
-    * emptyValue is `""`, distinguishing empty from null on re-read). */
+  /** One CSV field — RFC-4180 quoting matching both Spark's writer
+    * (with this object's options) and the reference's Go csv.Writer:
+    * quote when the value carries a comma, quote, CR, or LF (embedded
+    * quotes doubled); empty stays bare (Go never quotes empties — the
+    * Spark writers set emptyValue="" to agree). */
   private def csvField(v: String): String =
-    if (v.isEmpty) "\"\""
-    else if (v.contains(",") || v.contains("\"") || v.contains("\n"))
+    if (v.contains(",") || v.contains("\"") || v.contains("\n") || v.contains("\r"))
       "\"" + v.replace("\"", "\"\"") + "\""
     else v
 

@@ -149,6 +149,19 @@ class PlanSpec extends SparkSpec {
       s"shingle exchange no longer shared between count and probe:\n${f.take(1200)}")
   }
 
+  test("d13 eval shares ONE tokenize exchange across truth and signature") {
+    // four consumers (truth sizes, both posting join sides, minhash
+    // sig) all read the explicit (doc_id, th) repartition; if any
+    // consumer's pruning diverges, the tokenizer re-runs per consumer
+    // (the BM25 4x lesson). AQE reuses at stage materialization —
+    // assert on the executed plan.
+    val df = Registry.queries("d13_lsh_eval")(spark, sf0001)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString
+    assert(f.contains("ReusedExchange"),
+      s"tokenize exchange no longer shared across d13 consumers:\n${f.take(1200)}")
+  }
+
   test("range join (e05) broadcasts the tier dim - never a shuffled cartesian") {
     val p = plan("e05_range_join")
     // BNLJ over a broadcast 3-row dim IS the right non-equi plan: the

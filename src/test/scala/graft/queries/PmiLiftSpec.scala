@@ -48,8 +48,6 @@ class PmiLiftSpec extends SparkSpec {
         .select(TextQueries.guardedLiftPpm.as("lift"))
         .collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null &&
         (m.contains("t24 lift overflow") ||
           m.contains("NUMERIC_VALUE_OUT_OF_RANGE"))),
@@ -64,12 +62,14 @@ class PmiLiftSpec extends SparkSpec {
           .select(TextQueries.guardedLiftPpm.as("lift"))
           .collect()
       }
-      def msgs(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
       assert(msgs(e).exists(m => m != null && m.contains("t24 lift overflow")),
         e.toString)
     }
   }
+
+  /** Exception message chain (self + causes). */
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
 
   private def withSQLConf[A](kvs: (String, String)*)(f: => A): A = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }

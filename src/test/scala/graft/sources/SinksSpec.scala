@@ -81,28 +81,27 @@ class SinksSpec extends SparkSpec {
 
   test("saveCsvStreaming matches saveCsv byte-for-byte on mixed types") {
     import spark.implicits._
-    // fixture covers the writer-divergence traps: empty string
-    // (quoted "" on both, ≠ null's bare empty), whitespace padding
-    // (neither side trims), and non-ASCII (UTF-8 on both — a
-    // platform-charset FileWriter would mangle it on C-locale boxes)
+    // fixture covers the writer-divergence traps: empty string (bare
+    // on both — Go's csv.Writer never quotes empties), whitespace
+    // padding (neither side trims), lone carriage return (quoted on
+    // both), and non-ASCII (UTF-8 on both — a platform-charset
+    // FileWriter would mangle it on C-locale boxes)
     val df = Seq(
       (1, 2.5, "plain", "with,comma"),
       (2, 1.0 / 3.0, "has \"quote\"", "line\nbreak"),
       (3, -0.0001, null.asInstanceOf[String], "z"),
       (4, 1.25, "", "  padded  "),
-      (5, 0.5, "café 見本", "naïve")
+      (5, 0.5, "café 見本", "carriage\rreturn")
     ).toDF("i", "d", "s1", "s2").coalesce(1)
     val a = Sinks.saveCsv(df, "/tmp/graft_sink_ab_atomic")
     val b = Sinks.saveCsvStreaming(df, "/tmp/graft_sink_ab_stream")
     val fa = java.nio.file.Files.readString(java.nio.file.Paths.get(a))
     val fb = java.nio.file.Files.readString(java.nio.file.Paths.get(b))
     assert(fa == fb, s"atomic:\n$fa\nstreaming:\n$fb")
-    assert(fa.contains("\"\""), "empty string must stay distinguishable from null")
+    assert(fa.contains("4,1.25,,"), "empty string stays a bare field (Go form)")
     assert(fa.contains("  padded  "), "whitespace must not be trimmed")
     assert(fa.contains("café 見本"), "UTF-8 must survive both writers")
-    // (Spark's own reader folds both "" and bare-empty to null by
-    // default — the quoted form exists for readers that keep the
-    // distinction, e.g. DuckDB and Go's csv package)
+    assert(fa.contains("\"carriage\rreturn\""), "lone CR forces quoting")
   }
 
   test("NTZ timestamps format at seconds precision like the reference") {
