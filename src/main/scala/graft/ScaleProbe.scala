@@ -78,7 +78,33 @@ object ScaleProbe {
     else if (args.headOption.contains("shingleab")) shingleAb(args.drop(1))
     else if (args.headOption.contains("incdedup")) incDedup(args.drop(1))
     else if (args.headOption.contains("classifier")) classifierProbe(args.drop(1))
+    else if (args.headOption.contains("lsheval")) lshEvalProbe(args.drop(1))
     else standard(args)
+
+  /** d13 eval probe at `copies`× documents. Exact ground truth is
+    * inherently pair-quadratic inside shingle buckets, so the eval is
+    * DESIGNED to run on a hash-sample: with sampleMod = copies the
+    * sample stays constant-size as the corpus grows, and eval cost
+    * should stay flat — the property that makes LSH tuning affordable
+    * at any corpus size. The unsampled run at base scale anchors the
+    * cost the sample avoids. */
+  def lshEvalProbe(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("text"))
+    val nDoc = docs.count()
+    println(s"copies=$copies docs=$nDoc")
+    var sampled: Long = -1L
+    time(s"d13_eval_sampled") {
+      val r = graft.queries.DedupQueries.lshEval(docs, sampleMod = copies.toLong)
+        .collect()(0)
+      sampled = r.getLong(0) // n_true — proves the sample isn't empty
+    }
+    writeJson(outJson, copies, s""", "docs": $nDoc, "sample_n_true": $sampled""")
+    spark.stop()
+  }
 
   /** t25 quality-classifier probe at `copies`× documents: train is
     * MLlib L-BFGS — one treeAggregate gradient pass per iteration, so
