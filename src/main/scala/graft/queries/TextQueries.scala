@@ -243,6 +243,47 @@ object TextQueries {
               |    THEN CAST(mx AS DOUBLE) / CAST(n_words - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac
               |FROM ws LEFT JOIN bt ON ws.doc_id = bt.doc_id""".stripMargin)),
 
+    // Line-level repetition (the Gopher/MassiveText duplicate-line
+    // filters, complementing t10's token-level signals): per doc, the
+    // fraction of non-empty lines that are duplicates and the
+    // fraction of line characters contained in duplicated lines —
+    // boilerplate pages repeat whole lines (nav bars, footers) that
+    // token-level stats under-weigh. Two keyed aggregations
+    // ((doc,line) then doc) — linear, no corpus-wide state.
+    Q("t26_line_repetition",
+      (s, dir) => {
+        val lines = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+          .filter(length(trim(col("line"))) > 0)
+        lines.groupBy(col("doc_id"), col("line"))
+          .agg(count(lit(1)).as("c"), length(col("line")).as("len"))
+          .groupBy("doc_id")
+          .agg(
+            sum(col("c")).as("n_lines"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c") * col("len")).as("n_chars"),
+            sum(when(col("c") > 1, col("c") * col("len"))
+              .otherwise(lit(0L))).as("dup_chars"))
+          .select(col("doc_id"), col("n_lines"),
+            ((col("n_lines") - col("n_distinct")).cast(DoubleType) /
+              col("n_lines").cast(DoubleType)).as("dup_line_frac"),
+            (col("dup_chars").cast(DoubleType) /
+              col("n_chars").cast(DoubleType)).as("dup_line_char_frac"))
+      },
+      Some("""WITH ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+             |           FROM documents),
+             |nz AS (SELECT doc_id, line FROM ln WHERE len(trim(line)) > 0),
+             |lc AS (SELECT doc_id, line, count(*) AS c, len(line) AS l
+             |       FROM nz GROUP BY doc_id, line),
+             |agg AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+             |          sum(c * l) AS n_chars,
+             |          sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dup_chars
+             |        FROM lc GROUP BY doc_id)
+             |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+             |  CAST(n_lines - n_distinct AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
+             |  CAST(dup_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dup_line_char_frac
+             |FROM agg""".stripMargin)),
+
     // Sequence packing (GPT-style concat-then-chunk): tokens of the
     // whole corpus are conceptually concatenated in doc_id order and
     // cut into fixed L-token training sequences; each doc reports its
