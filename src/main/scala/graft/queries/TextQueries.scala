@@ -245,44 +245,56 @@ object TextQueries {
 
     // Line-level repetition (the Gopher/MassiveText duplicate-line
     // filters, complementing t10's token-level signals): per doc, the
-    // fraction of non-empty lines that are duplicates and the
-    // fraction of line characters contained in duplicated lines —
+    // fraction of non-empty lines belonging to a duplicated line and
+    // the fraction of line characters in duplicated lines —
     // boilerplate pages repeat whole lines (nav bars, footers) that
-    // token-level stats under-weigh. Two keyed aggregations
-    // ((doc,line) then doc) — linear, no corpus-wide state.
+    // token-level stats under-weigh. Both metrics count ALL
+    // occurrences of a line whose count > 1 (the Dolma/NeMo Gopher
+    // reproduction convention, so the paired paper thresholds apply
+    // consistently). Every document gets a row — blank-only/empty
+    // texts report (0, 0.0, 0.0) rather than vanishing, so a
+    // keep-filter join can't silently drop them. Two keyed
+    // aggregations ((doc,line) then doc) — linear, no corpus state.
     Q("t26_line_repetition",
       (s, dir) => {
-        val lines = Tables(s, dir, "documents")
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val lines = docs
           .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
           .filter(length(trim(col("line"))) > 0)
-        lines.groupBy(col("doc_id"), col("line"))
+        val agg = lines.groupBy(col("doc_id"), col("line"))
           .agg(count(lit(1)).as("c"), length(col("line")).as("len"))
           .groupBy("doc_id")
           .agg(
             sum(col("c")).as("n_lines"),
-            count(lit(1)).as("n_distinct"),
             sum(col("c") * col("len")).as("n_chars"),
+            sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_lines"),
             sum(when(col("c") > 1, col("c") * col("len"))
               .otherwise(lit(0L))).as("dup_chars"))
-          .select(col("doc_id"), col("n_lines"),
-            ((col("n_lines") - col("n_distinct")).cast(DoubleType) /
-              col("n_lines").cast(DoubleType)).as("dup_line_frac"),
-            (col("dup_chars").cast(DoubleType) /
-              col("n_chars").cast(DoubleType)).as("dup_line_char_frac"))
+        docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+            when(col("n_lines").isNull, lit(0.0))
+              .otherwise(col("dup_lines").cast(DoubleType) /
+                col("n_lines").cast(DoubleType)).as("dup_line_frac"),
+            when(col("n_lines").isNull, lit(0.0))
+              .otherwise(col("dup_chars").cast(DoubleType) /
+                col("n_chars").cast(DoubleType)).as("dup_line_char_frac"))
       },
       Some("""WITH ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
              |           FROM documents),
              |nz AS (SELECT doc_id, line FROM ln WHERE len(trim(line)) > 0),
              |lc AS (SELECT doc_id, line, count(*) AS c, len(line) AS l
              |       FROM nz GROUP BY doc_id, line),
-             |agg AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
-             |          sum(c * l) AS n_chars,
+             |agg AS (SELECT doc_id, sum(c) AS n_lines, sum(c * l) AS n_chars,
+             |          sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
              |          sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dup_chars
              |        FROM lc GROUP BY doc_id)
-             |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
-             |  CAST(n_lines - n_distinct AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
-             |  CAST(dup_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dup_line_char_frac
-             |FROM agg""".stripMargin)),
+             |SELECT d.doc_id, CAST(coalesce(agg.n_lines, 0) AS BIGINT) AS n_lines,
+             |  CASE WHEN agg.n_lines IS NULL THEN 0.0
+             |    ELSE CAST(agg.dup_lines AS DOUBLE) / CAST(agg.n_lines AS DOUBLE) END AS dup_line_frac,
+             |  CASE WHEN agg.n_lines IS NULL THEN 0.0
+             |    ELSE CAST(agg.dup_chars AS DOUBLE) / CAST(agg.n_chars AS DOUBLE) END AS dup_line_char_frac
+             |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin)),
 
     // Sequence packing (GPT-style concat-then-chunk): tokens of the
     // whole corpus are conceptually concatenated in doc_id order and
