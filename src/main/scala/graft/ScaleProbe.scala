@@ -79,7 +79,40 @@ object ScaleProbe {
     else if (args.headOption.contains("incdedup")) incDedup(args.drop(1))
     else if (args.headOption.contains("classifier")) classifierProbe(args.drop(1))
     else if (args.headOption.contains("lsheval")) lshEvalProbe(args.drop(1))
+    else if (args.headOption.contains("linerep")) lineRepProbe(args.drop(1))
     else standard(args)
+
+  /** t26 at `copies`× documents: two keyed aggregations plus the
+    * per-doc left join back to documents — should scale linearly (the
+    * line-key agg is bounded by per-doc line counts, never corpus
+    * cross terms). */
+  def lineRepProbe(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val dirTables = scaled(spark, "documents", Seq("doc_id"), copies)
+    val nDoc = dirTables.count()
+    println(s"copies=$copies docs=$nDoc")
+    time("t26_line_repetition") {
+      // mirror the registry query's plan on the scaled frame
+      val docs = dirTables.select(col("doc_id"), col("text"))
+      val lines = docs
+        .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+        .filter(length(trim(col("line"))) > 0)
+      val agg = lines.groupBy(col("doc_id"), col("line"))
+        .agg(count(lit(1)).as("c"), length(col("line")).as("len"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_lines"),
+          sum(col("c") * col("len")).as("n_chars"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_lines"),
+          sum(when(col("c") > 1, col("c") * col("len"))
+            .otherwise(lit(0L))).as("dup_chars"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .write.format("noop").mode("overwrite").save()
+    }
+    writeJson(outJson, copies, s""", "docs": $nDoc""")
+    spark.stop()
+  }
 
   /** d13 eval probe at `copies`× documents. Exact ground truth is
     * inherently pair-quadratic inside shingle buckets, so the eval is
