@@ -80,7 +80,41 @@ object ScaleProbe {
     else if (args.headOption.contains("classifier")) classifierProbe(args.drop(1))
     else if (args.headOption.contains("lsheval")) lshEvalProbe(args.drop(1))
     else if (args.headOption.contains("linerep")) lineRepProbe(args.drop(1))
+    else if (args.headOption.contains("r6ops")) r6Ops(args.drop(1))
     else standard(args)
+
+  /** Round-6 operator probes at `copies`×. (a) d14 winnowing: per-row
+    * selection + one fp-keyed exchange — the fp count should hold near
+    * 40% of grams while cost stays linear; (b) t27 C4 filters: one
+    * explode + keyed agg, linear; (c) v17 JL projection: one narrow
+    * codegen'd pass, the cheapest shape in the repo — any superlinear
+    * move here would mean a broken plan, not a slow operator. */
+  def r6Ops(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("text"))
+    val nDoc = docs.count()
+    val vecs = scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+    val nVec = vecs.count()
+    println(s"copies=$copies docs=$nDoc vecs=$nVec")
+    time("d14_winnowing") {
+      graft.queries.DedupQueries.winnowing(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("t27_c4_filters") {
+      graft.queries.TextQueries.c4Filters(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("v17_random_projection") {
+      graft.queries.VectorQueries.randomProjection(vecs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    writeJson(outJson, copies, s""", "docs": $nDoc, "vectors": $nVec""")
+    spark.stop()
+  }
 
   /** t26 at `copies`× documents: two keyed aggregations plus the
     * per-doc left join back to documents — should scale linearly (the

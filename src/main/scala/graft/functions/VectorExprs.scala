@@ -57,6 +57,33 @@ object VectorOps {
     }
     bucket
   }
+
+  /** Signed (±1) random projection to `outDims` dims, scaled by
+    * 1/√outDims (Achlioptas 2003's database-friendly JL form — ±1
+    * entries preserve pairwise distances in expectation like Gaussian
+    * ones). Sign (j,i) comes from the same integer plane family as
+    * [[lshBucket]]; each output is a left-fold over the input dims and
+    * ONE division, so the HOF mirror and the DuckDB oracle reproduce
+    * it bit-identically. */
+  def randomProject(v: ArrayData, outDims: Int): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Double](outDims)
+    val scale = math.sqrt(outDims.toDouble)
+    var j = 0
+    while (j < outDims) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val h = (j * 64L + i) * 2654435761L % 1000003L
+        val x = v.getFloat(i).toDouble
+        s += (if (h % 2L == 0L) x else -x)
+        i += 1
+      }
+      out(j) = s / scale
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Codebook ops over a literal centroid table (row-major k×d doubles,
@@ -205,6 +232,25 @@ case class LshBucketExpr(child: Expression, planes: Int, offset: Int) extends Un
     copy(child = newChild)
 }
 
+case class RandomProjectExpr(child: Expression, outDims: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"random_project needs array<float>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.randomProject(input.asInstanceOf[ArrayData], outDims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = VectorOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.randomProject($c, $outDims);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjectExpr =
+    copy(child = newChild)
+}
+
 /** Column builders. */
 object VectorExprs {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -213,6 +259,8 @@ object VectorExprs {
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
   def lsh_bucket(v: Column, planes: Int, offset: Int): Column =
     Bridge.column(LshBucketExpr(Bridge.expression(v), planes, offset))
+  def random_project(v: Column, outDims: Int): Column =
+    Bridge.column(RandomProjectExpr(Bridge.expression(v), outDims))
 
   private def flatten(centers: Seq[(Int, Array[Double])]): (Array[Long], Array[Double]) =
     (centers.map(_._1.toLong).toArray, centers.flatMap(_._2).toArray)

@@ -518,8 +518,64 @@ object DedupQueries {
               |  CASE WHEN count(*) FILTER (WHERE is_t) = 0 THEN NULL
               |    ELSE count(*) FILTER (WHERE is_t AND is_c) * 1000000
               |         // count(*) FILTER (WHERE is_t) END AS recall_ppm
-              |FROM conf""".stripMargin))
+              |FROM conf""".stripMargin)),
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    // the MOSS algorithm): slide a w-window over the doc's k-gram
+    // hashes and keep each window's MINIMUM, guaranteeing any shared
+    // token run of length ≥ w+k-1 still collides while storing only
+    // ~2/(w+1) of the grams — the classic fingerprint-budget knob
+    // between d01's exact hash and d09's every-gram index. Selection is
+    // pure per-row array algebra (no window operator, no shuffle);
+    // the cross-doc count then runs d09's gram-keyed shape on the
+    // REDUCED set: one explicit fp-keyed exchange shared by the count
+    // and the join (ReusedExchange), work ∝ selected fingerprints,
+    // never doc pairs. Output mirrors d09 over the winnowed space.
+    Q("d14_winnowing",
+      (s, dir) => winnowing(Tables(s, dir, "documents")),
+      Some(s"""WITH th AS (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents),
+              |shl AS (SELECT doc_id, ${O.shingles(5)} AS sh FROM th),
+              |fpl AS (SELECT doc_id, list_distinct(list_transform(
+              |          range(0, CAST(greatest(len(sh) - 3, least(len(sh), 1)) AS BIGINT)),
+              |          wi -> list_min(list_slice(sh, wi + 1, wi + 4)))) AS fps
+              |        FROM shl),
+              |post AS (SELECT doc_id, unnest(fps) AS fp FROM fpl),
+              |cnt AS (SELECT fp, count(*) AS nd FROM post GROUP BY fp),
+              |j AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+              |      CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp
+              |      FROM post JOIN cnt USING (fp) GROUP BY doc_id)
+              |SELECT doc_id, n_fp, n_shared_fp,
+              |  CAST(n_shared_fp AS DOUBLE) / CAST(n_fp AS DOUBLE) AS dup_frac,
+              |  (CAST(n_shared_fp AS DOUBLE) / CAST(n_fp AS DOUBLE)) > 0.2 AS flag
+              |FROM j""".stripMargin))
   )
+
+  /** d14's builder on an arbitrary documents frame — shared with
+    * ScaleProbe so the probe times exactly the gated plan. Window 4
+    * over 5-gram hashes ⇒ guarantee length 8 tokens, expected
+    * fingerprint density 2/(w+1) = 0.4 of the grams. */
+  def winnowing(docs: DataFrame): DataFrame = {
+    val W = 4 // window width over K-gram hashes
+    val KG = 5 // k-gram width (guarantee length = W + KG - 1 = 8)
+    val sh = shinglesFromHashes(tokenHashes(col("text")), KG)
+    val m = greatest(size(sh) - lit(W - 1), least(size(sh), lit(1)))
+    val fps = when(size(sh) === 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(sequence(lit(0), m - lit(1)),
+        i => array_min(slice(sh, i + lit(1), lit(W))))))
+    val post = docs
+      .select(col("doc_id"), explode(fps).as("fp"))
+      .repartition(col("fp"))
+    val cnt = post.groupBy(col("fp")).agg(count(col("doc_id")).as("nd"))
+    post.join(cnt, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+      .select(col("doc_id"), col("n_fp"), col("n_shared_fp"),
+        (col("n_shared_fp").cast(DoubleType) /
+          col("n_fp").cast(DoubleType)).as("dup_frac"),
+        (col("n_shared_fp").cast(DoubleType) /
+          col("n_fp").cast(DoubleType) > lit(0.2)).as("flag"))
+  }
 
   /** d13's builder: confusion counts + exact ppm precision/recall of
     * [[candidatePairsOf]] vs exact shingle-Jaccard ≥ 1/2 on (a

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -295,6 +296,37 @@ object TextQueries {
              |  CASE WHEN agg.n_lines IS NULL THEN 0.0
              |    ELSE CAST(agg.dup_chars AS DOUBLE) / CAST(agg.n_chars AS DOUBLE) END AS dup_line_char_frac
              |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin)),
+
+    // C4-style heuristic cleaning (Raffel et al. 2020 §2.2): a line
+    // "survives" iff it ends in terminal punctuation (. ! ? ") and has
+    // ≥ 5 words; a page is kept iff ≥ 3 surviving lines and it contains
+    // neither "lorem ipsum" nor a curly brace (the paper's code-page
+    // proxy). Per-line tests are pure row-local string algebra (one
+    // explode + one keyed agg — map-side combinable, linear at any
+    // corpus size); page-level substring tests never touch the explode.
+    // Every compared value is an exact integer or boolean, so the gate
+    // has no cross-engine float surface. (The paper's badwords list and
+    // 3-sentence span dedup are out of scope: the former is a blocklist
+    // lookup — t15/t16's shape — the latter is d10's span removal.)
+    Q("t27_c4_filters",
+      (s, dir) => c4Filters(Tables(s, dir, "documents")),
+      Some(s"""WITH ln AS (SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+              |           FROM documents),
+              |nz AS (SELECT doc_id, line FROM ln WHERE len(line) > 0),
+              |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+              |          CAST(sum(CASE WHEN list_contains(['.', '!', '?', '"'], right(line, 1))
+              |                     AND len(${O.toks("line")}) >= 5
+              |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines
+              |        FROM nz GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  coalesce(per.n_lines, 0) AS n_lines,
+              |  coalesce(per.n_kept_lines, 0) AS n_kept_lines,
+              |  contains(lower(d.text), 'lorem ipsum') AS has_lorem,
+              |  contains(d.text, '{') AS has_brace,
+              |  (coalesce(per.n_kept_lines, 0) >= 3
+              |   AND NOT contains(lower(d.text), 'lorem ipsum')
+              |   AND NOT contains(d.text, '{')) AS keep
+              |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin)),
 
     // Sequence packing (GPT-style concat-then-chunk): tokens of the
     // whole corpus are conceptually concatenated in doc_id order and
@@ -916,5 +948,32 @@ object TextQueries {
         sum(score.cast(graft.core.Det.dec)).cast(DoubleType).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(20)
+  }
+
+  /** t27's builder on an arbitrary documents frame — shared with
+    * ScaleProbe so the probe times exactly the gated plan. One explode
+    * + one keyed agg for the line rules; the page-level substring
+    * vetoes evaluate on the un-exploded side. */
+  def c4Filters(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), col("text"))
+    val line = trim(col("raw"))
+    val lastCh = substring(line, -1, 1)
+    val kept = lastCh.isin(".", "!", "?", "\"") &&
+      size(graft.functions.TextFunctions.tokens(line)) >= 5
+    val perLine = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("raw"))
+      .filter(length(line) > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept_lines"))
+    docs
+      .join(perLine, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+        contains(lower(col("text")), lit("lorem ipsum")).as("has_lorem"),
+        contains(col("text"), lit("{")).as("has_brace"))
+      .withColumn("keep",
+        col("n_kept_lines") >= 3 && !col("has_lorem") && !col("has_brace"))
   }
 }

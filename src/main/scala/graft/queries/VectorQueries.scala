@@ -71,6 +71,11 @@ object VectorQueries {
   val PLANES = 8
   val BANDS = 4
 
+  /** v17's JL output width (must precede `all`: the oracle SQL string
+    * interpolates it eagerly). 1/√RP_OUT scaling keeps expected
+    * pairwise distances; raise it for tighter distortion. */
+  val RP_OUT = 16
+
   /** Sign-bit bucket of a vector under `planes` fixed hyperplanes
     * starting at global plane index `offset` (bands = disjoint plane
     * ranges of one signature family) — native expression;
@@ -831,8 +836,57 @@ object VectorQueries {
               |  CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE)
               |    / sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,6))) AS DOUBLE)) AS sum_unit,
               |  sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,6))) AS DOUBLE)) > 0.0 AS norm_ok
-              |FROM cent GROUP BY vec_id""".stripMargin))
+              |FROM cent GROUP BY vec_id""".stripMargin)),
+
+    // Johnson–Lindenstrauss dimensionality reduction (Achlioptas 2003's
+    // ±1 "database-friendly" form): project 64-d float embeddings to
+    // RP_OUT dims through a deterministic sign matrix drawn from the
+    // same integer plane family the LSH buckets use, scaled by
+    // 1/√RP_OUT. ONE narrow codegen'd pass per row (native expression —
+    // all 16 outputs in a single loop over the 64 inputs), no shuffle,
+    // no state: the standard pre-step that makes downstream ANN /
+    // clustering 4× cheaper per distance at a bounded distortion. Each
+    // output is a fixed-order left fold + one division, so the oracle's
+    // list_reduce mirror is bit-identical (RandomProjectSpec pins the
+    // HOF equivalence and the JL distortion bound).
+    Q("v17_random_projection",
+      (s, dir) => randomProjection(Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))),
+      Some {
+        def d(e: String) = s"CAST($e AS DOUBLE)"
+        val cols = (0 until RP_OUT).map { j =>
+          val term =
+            s"""CASE WHEN ((($j * 64 + (pi - 1)) * 2654435761) % 1000003) % 2 = 0
+               | THEN ${d("px")} ELSE -${d("px")} END""".stripMargin
+          val f = O.dfold(s"list_transform(embedding, (px, pi) -> $term)")
+          s"$f / sqrt(CAST($RP_OUT AS DOUBLE)) AS p$j"
+        }.mkString(",\n")
+        s"SELECT vec_id,\n$cols\nFROM embeddings"
+      })
   )
+
+  /** v17's builder on an arbitrary (vec_id, embedding) frame — shared
+    * with ScaleProbe so the probe times exactly the gated plan.
+    * Two-step select: the RP_OUT element_at reads reference ONE
+    * evaluation of the projection loop (CollapseProject keeps
+    * multiply-referenced non-cheap aliases un-inlined). */
+  def randomProjection(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), graft.functions.VectorExprs
+        .random_project(col("embedding"), RP_OUT).as("p"))
+      .select(col("vec_id") +: (0 until RP_OUT).map(j =>
+        element_at(col("p"), j + 1).as(s"p$j")): _*)
+
+  /** Interpreted HOF mirror of VectorExprs.random_project — spec pin
+    * only (RandomProjectSpec asserts bit-equality with the native
+    * expression, mirroring the cosine/lshBucket pins). */
+  def randomProjectHof(v: Column, outDims: Int = RP_OUT): Column =
+    array((0 until outDims).map { j =>
+      val signed = transform(v, (x, i) =>
+        when(((lit(j * 64L) + i.cast(LongType)) * lit(2654435761L)
+          % lit(1000003L)) % lit(2L) === 0L,
+          x.cast(DoubleType)).otherwise(-x.cast(DoubleType)))
+      fold(signed) / lit(math.sqrt(outDims.toDouble))
+    }: _*)
 
   /** SQ encode internals shared by v14 (codes gate) and v16 (search):
     * per-dim min/max joined back, mid-rise code + dequantized value

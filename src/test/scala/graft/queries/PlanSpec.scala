@@ -149,6 +149,30 @@ class PlanSpec extends SparkSpec {
       s"shingle exchange no longer shared between count and probe:\n${f.take(1200)}")
   }
 
+  test("winnowing (d14) reuses the fingerprint exchange like d09") {
+    val p = plan("d14_winnowing")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // selection is per-row array algebra — the ONLY exchange should be
+    // the explicit fp repartition, shared by the count and the join
+    val df = Registry.queries("d14_winnowing")(spark, sf0001)
+    df.collect()
+    val f = df.queryExecution.executedPlan.toString
+    assert(f.contains("ReusedExchange"),
+      s"fingerprint exchange no longer shared between count and probe:\n${f.take(1200)}")
+  }
+
+  test("random projection (v17) is one narrow pass - no exchange, single scan") {
+    val p = plan("v17_random_projection")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n${p.take(600)}")
+    assert(!p.contains("Exchange"),
+      s"projection must not shuffle:\n${p.take(600)}")
+    // the 16 element_at reads must share ONE RandomProjectExpr eval —
+    // CollapseProject would inline a cheap alias 16 times
+    val n = "randomproject".r.findAllIn(p.toLowerCase).size
+    assert(n <= 2, s"projection expression duplicated $n times:\n${p.take(900)}")
+  }
+
   test("d13 eval shares ONE tokenize exchange across truth and signature") {
     // four consumers (truth sizes, both posting join sides, minhash
     // sig) all read the explicit (doc_id, th) repartition; if any
