@@ -92,6 +92,70 @@ object PipelineQueries {
                |  JOIN keep k ON e.vec_id = k.vec_id AND k.keep = 1
                |  WHERE e.vec_id >= 50 AND e.vec_id NOT IN
                |    (SELECT vec_id FROM cont WHERE contaminated = 1))""".stripMargin)
+      }),
+
+    // The full pretraining-data build, source to training sequences:
+    // page vetoes (t27's lorem-ipsum/brace rules — the line-survival
+    // half of C4 is vacuous on this corpus's newline-free synthetic
+    // text, so the quality heuristic stands in as the page scorer) →
+    // quality threshold (t02) → exact-dedup canonical keeper (d01's
+    // min-doc_id-per-md5; p01 uses the near-dup clusters, this is the
+    // cheaper first-pass rung) → benchmark decontamination (t09) →
+    // GPT-style sequence packing of the SURVIVORS (t11's two-phase
+    // distributed cumsum — never a single-partition window). ONE
+    // composed plan: every stage is a lazy builder, so Catalyst shares
+    // the corpus scan across the filters and only the survivor set
+    // reaches the packing exchange. The oracle chains the same stage
+    // SQL as CTEs and re-runs the cumsum over the survivor CTE, so the
+    // gate hashes the COMPOSITION — exactly what a "switch the corpus
+    // build to this engine" user runs end-to-end.
+    Q("p05_pretrain_build",
+      (s, dir) => {
+        val pageOk = q("t27_c4_filters").build(s, dir)
+          .filter(!col("has_lorem") && !col("has_brace")).select(col("doc_id"))
+        val quality = q("t02_quality").build(s, dir)
+          .filter(col("quality") > 0.5).select(col("doc_id"))
+        val keepers = q("d01_dedup_exact").build(s, dir)
+          .select(col("keep_id").as("doc_id"))
+        val contaminated = q("t09_decontam").build(s, dir)
+          .filter(col("n_overlap") > 0).select(col("doc_id"))
+        val survivors = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextProfileExprs.text_profile(col("text"))
+              .getField("n_tok").as("n_tok"))
+          .filter(col("doc_id") >= 5)
+          .join(pageOk, "doc_id")
+          .join(quality, "doc_id")
+          .join(keepers, "doc_id")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        graft.core.RowNumbers
+          .globalCumsum(survivors, Seq(col("doc_id")), "n_tok", "cum")
+          .select(col("doc_id"), col("n_tok"),
+            (col("cum") - col("n_tok")).as("tok_start"),
+            expr("(cum - n_tok) div 512").as("first_bin"),
+            expr("(cum - 1) div 512").as("last_bin"))
+      },
+      Some {
+        def cte(name: String): String = q(name).oracle.get
+        s"""WITH c4 AS (${cte("t27_c4_filters")}),
+           |qual AS (${cte("t02_quality")}),
+           |keep AS (${cte("d01_dedup_exact")}),
+           |cont AS (${cte("t09_decontam")}),
+           |n AS (SELECT doc_id,
+           |  CAST(len(${OracleSql.toks("text")}) AS BIGINT) AS n_tok FROM documents),
+           |surv AS (SELECT n.doc_id, n.n_tok FROM n
+           |  JOIN c4 ON n.doc_id = c4.doc_id
+           |    AND NOT c4.has_lorem AND NOT c4.has_brace
+           |  JOIN qual ON n.doc_id = qual.doc_id AND qual.quality > 0.5
+           |  JOIN keep k ON n.doc_id = k.keep_id
+           |  WHERE n.doc_id >= 5 AND n.doc_id NOT IN
+           |    (SELECT doc_id FROM cont WHERE n_overlap > 0)),
+           |c AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER
+           |  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |  AS BIGINT) AS cum FROM surv)
+           |SELECT doc_id, n_tok, cum - n_tok AS tok_start,
+           |  (cum - n_tok) // 512 AS first_bin,
+           |  (cum - 1) // 512 AS last_bin FROM c""".stripMargin
       })
   )
 

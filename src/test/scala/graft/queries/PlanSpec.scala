@@ -85,6 +85,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(800))
   }
 
+  test("pretrain build (p05) packs without a single-partition exchange or cartesian") {
+    val p = plan("p05_pretrain_build")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing cumsum must stay distributed:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("vocab top-k plans as TakeOrderedAndProject over partial aggs (t08)") {
     val p = plan("t08_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
