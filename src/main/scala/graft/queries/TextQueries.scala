@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -15,6 +15,12 @@ object TextQueries {
 
   private val docToks =
     s"SELECT doc_id, lang, text, ${O.toks("text")} AS tk FROM documents"
+
+  /** The Gopher rule's 8 required stopwords (Rae et al. 2021 A1.1).
+    * Defined BEFORE `all` — its oracle SQL interpolates this at
+    * object init. */
+  val gopherReqStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   val all: Seq[Q] = Seq(
 
@@ -327,6 +333,136 @@ object TextQueries {
               |   AND NOT contains(lower(d.text), 'lorem ipsum')
               |   AND NOT contains(d.text, '{')) AS keep
               |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin)),
+
+    // Gopher document-level quality rules (Rae et al. 2021 App. A1.1,
+    // the MassiveText filter t02's heuristic score approximates):
+    // word-count bounds [50, 100k], mean word length in [3, 10],
+    // symbol-to-word ratio (#, "...", "…") ≤ 0.1, < 90% of lines
+    // bullet-started, < 30% ellipsis-ended, ≥ 80% of words containing
+    // an alphabetic character, and ≥ 2 of the paper's 8 required
+    // stopwords present. Two independent linear passes — a per-row
+    // token pass and t26/t27's explode + keyed line agg — joined on
+    // doc_id. The keep decision tests EXACT integer cross-products
+    // (e.g. mean ≥ 3 as sum_len ≥ 3·n_words), so no rule flips on a
+    // float ulp; the reported fractions are single IEEE divisions of
+    // those same integers, correctly rounded identically by both
+    // engines.
+    Q("t28_gopher_rules",
+      (s, dir) => gopherRules(Tables(s, dir, "documents")),
+      Some {
+        val reqList = gopherReqStop.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH tokp AS (SELECT doc_id, ${O.toks("text")} AS w,
+           |    (length(text) - length(replace(text, '#', '')))
+           |    + (length(text) - length(replace(text, '...', ''))) // 3
+           |    + (length(text) - length(replace(text, '…', ''))) AS n_sym
+           |  FROM documents),
+           |tok AS (SELECT doc_id,
+           |    CAST(len(w) AS BIGINT) AS n_words,
+           |    ${O.lsum("list_transform(w, v -> CAST(length(v) AS BIGINT))")} AS sum_len,
+           |    CAST(len(list_filter(w, aw -> regexp_matches(aw, '[a-z]'))) AS BIGINT) AS n_alpha,
+           |    CAST(len(list_intersect(list_distinct(w), $reqList)) AS BIGINT) AS n_req_stop,
+           |    CAST(n_sym AS BIGINT) AS n_sym
+           |  FROM tokp),
+           |ln AS (SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+           |       FROM documents),
+           |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           |    CAST(sum(CASE WHEN list_contains(['-', '*', '•'], left(line, 1))
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+           |    CAST(sum(CASE WHEN right(line, 3) = '...' OR right(line, 1) = '…'
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_ellip
+           |  FROM ln WHERE len(line) > 0 GROUP BY doc_id)
+           |SELECT t.doc_id, t.n_words,
+           |  CAST(sum_len AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS mean_word_len,
+           |  CAST(n_sym AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS symbol_ratio,
+           |  CAST(coalesce(n_bullet, 0) AS DOUBLE)
+           |    / CAST(greatest(coalesce(n_lines, 0), 1) AS DOUBLE) AS bullet_frac,
+           |  CAST(coalesce(n_ellip, 0) AS DOUBLE)
+           |    / CAST(greatest(coalesce(n_lines, 0), 1) AS DOUBLE) AS ellipsis_frac,
+           |  CAST(n_alpha AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS alpha_frac,
+           |  n_req_stop,
+           |  (n_words >= 50 AND n_words <= 100000
+           |   AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+           |   AND 10 * n_sym <= n_words
+           |   AND 10 * coalesce(n_bullet, 0) < 9 * coalesce(n_lines, 0)
+           |   AND 10 * coalesce(n_ellip, 0) < 3 * coalesce(n_lines, 0)
+           |   AND 5 * n_alpha >= 4 * n_words
+           |   AND n_req_stop >= 2) AS keep
+           |FROM tok t LEFT JOIN per ON t.doc_id = per.doc_id""".stripMargin
+      }),
+
+    // Gopher repetition signals beyond t10's word/bigram pair (Rae et
+    // al. 2021 Table A1): the char fraction owned by the MOST frequent
+    // 3-gram and the char fraction in ALL duplicated 5-grams (every
+    // occurrence counted — the Dolma/NeMo reproduction convention;
+    // true span-union coverage is what d09/d14's suffix structures
+    // buy). Gram char weight = its token chars (joining spaces
+    // excluded); denominator = the doc's total token chars from the
+    // fused t01 profile pass. One explode + (doc, gram) keyed agg per
+    // n — map-side combinable, linear in corpus size, never a per-doc
+    // in-memory histogram. A top-count tie resolves to the larger
+    // char weight (max over (count, chars) structs on both engines),
+    // keeping the hash deterministic.
+    Q("t29_dup_ngram_chars",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents").select(col("doc_id"),
+          tokens(col("text")).as("w"),
+          graft.functions.TextProfileExprs.text_profile(col("text"))
+            .getField("sum_tok_len").as("tot_chars"))
+        def gramCounts(n: Int): DataFrame = toks
+          .select(col("doc_id"), explode(ngrams(col("w"), n)).as("g"))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("doc_id"), col("c"),
+            (length(col("g")) - lit(n - 1)).cast(LongType).as("charw"))
+        val top3 = gramCounts(3).groupBy("doc_id")
+          .agg(max(struct(col("c"), col("charw"))).as("mx"))
+          .select(col("doc_id"),
+            (col("mx.c") * col("mx.charw")).as("top3_chars"))
+        val dup5 = gramCounts(5).groupBy("doc_id")
+          .agg(sum(when(col("c") >= 2, col("c") * col("charw"))
+            .otherwise(lit(0L))).as("dup5_chars"))
+        toks.select(col("doc_id"), col("tot_chars"))
+          .join(top3, Seq("doc_id"), "left")
+          .join(dup5, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("tot_chars"),
+            (coalesce(col("top3_chars"), lit(0L)).cast(DoubleType) /
+              greatest(col("tot_chars"), lit(1L)).cast(DoubleType))
+              .as("top3_char_frac"),
+            (coalesce(col("dup5_chars"), lit(0L)).cast(DoubleType) /
+              greatest(col("tot_chars"), lit(1L)).cast(DoubleType))
+              .as("dup5_char_frac"))
+      },
+      Some {
+        def gramSql(n: Int) = {
+          val cat = (0 until n).map(j => s"w[gi + $j]").mkString(" || ' ' || ")
+          s"""SELECT doc_id, g, count(*) AS c,
+             |    CAST(length(g) - ${n - 1} AS BIGINT) AS charw
+             |  FROM (SELECT doc_id, $cat AS g
+             |        FROM toksr, unnest(generate_series(1, len(w) - ${n - 1})) AS u(gi))
+             |  GROUP BY doc_id, g""".stripMargin
+        }
+        s"""WITH toksr AS (SELECT doc_id, ${O.toks("text")} AS w FROM documents),
+           |g3 AS (${gramSql(3)}),
+           |m3 AS (SELECT doc_id, max(c) AS cmax FROM g3 GROUP BY doc_id),
+           |t3 AS (SELECT g3.doc_id, m3.cmax, max(g3.charw) AS mw
+           |       FROM g3 JOIN m3 ON g3.doc_id = m3.doc_id AND g3.c = m3.cmax
+           |       GROUP BY g3.doc_id, m3.cmax),
+           |g5 AS (${gramSql(5)}),
+           |d5 AS (SELECT doc_id,
+           |         CAST(sum(CASE WHEN c >= 2 THEN c * charw ELSE 0 END) AS BIGINT)
+           |           AS dup5_chars
+           |       FROM g5 GROUP BY doc_id),
+           |tot AS (SELECT doc_id,
+           |    ${O.lsum("list_transform(w, v -> CAST(length(v) AS BIGINT))")} AS tot_chars
+           |  FROM toksr)
+           |SELECT tot.doc_id, tot.tot_chars,
+           |  CAST(coalesce(t3.cmax * t3.mw, 0) AS DOUBLE)
+           |    / CAST(greatest(tot.tot_chars, 1) AS DOUBLE) AS top3_char_frac,
+           |  CAST(coalesce(d5.dup5_chars, 0) AS DOUBLE)
+           |    / CAST(greatest(tot.tot_chars, 1) AS DOUBLE) AS dup5_char_frac
+           |FROM tot LEFT JOIN t3 ON tot.doc_id = t3.doc_id
+           |         LEFT JOIN d5 ON tot.doc_id = d5.doc_id""".stripMargin
+      }),
 
     // Sequence packing (GPT-style concat-then-chunk): tokens of the
     // whole corpus are conceptually concatenated in doc_id order and
@@ -954,6 +1090,68 @@ object TextQueries {
     * ScaleProbe so the probe times exactly the gated plan. One explode
     * + one keyed agg for the line rules; the page-level substring
     * vetoes evaluate on the un-exploded side. */
+  /** Word n-grams of a token array as space-joined strings — empty
+    * array below n tokens (the `when` guard matters: Spark's
+    * `sequence(1, 0)` DESCENDS, it is not empty). */
+  private def ngrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** t28's rule bundle over an arbitrary documents frame — the fixture
+    * entry point for GopherRulesSpec's boundary cases. */
+  def gopherRules(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), col("text"))
+    val nW = greatest(col("n_words"), lit(1L)).cast(DoubleType)
+    val nL = greatest(coalesce(col("n_lines"), lit(0L)), lit(1L)).cast(DoubleType)
+    val symCount =
+      (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))) +
+        ((length(col("text")) -
+          length(replace(col("text"), lit("..."), lit("")))) / lit(3))
+          .cast(IntegerType) +
+        (length(col("text")) - length(replace(col("text"), lit("…"), lit(""))))
+    val tok = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"),
+        symCount.cast(LongType).as("n_sym"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_words"),
+        coalesce(aggregate(col("w"), lit(0L),
+          (acc, x) => acc + length(x).cast(LongType)), lit(0L)).as("sum_len"),
+        size(filter(col("w"), x => x.rlike("[a-z]"))).cast(LongType).as("n_alpha"),
+        size(array_intersect(array_distinct(col("w")),
+          array(gopherReqStop.map(lit): _*))).cast(LongType).as("n_req_stop"),
+        col("n_sym"))
+    val line = trim(col("raw"))
+    val perLine = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("raw"))
+      .filter(length(line) > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(substring(line, 1, 1).isin("-", "*", "•"), 1L)
+          .otherwise(0L)).as("n_bullet"),
+        sum(when(line.endsWith("...") || line.endsWith("…"), 1L)
+          .otherwise(0L)).as("n_ellip"))
+    tok.join(perLine, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("sum_len").cast(DoubleType) / nW).as("mean_word_len"),
+        (col("n_sym").cast(DoubleType) / nW).as("symbol_ratio"),
+        (coalesce(col("n_bullet"), lit(0L)).cast(DoubleType) / nL).as("bullet_frac"),
+        (coalesce(col("n_ellip"), lit(0L)).cast(DoubleType) / nL).as("ellipsis_frac"),
+        (col("n_alpha").cast(DoubleType) / nW).as("alpha_frac"),
+        col("n_req_stop"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L &&
+          col("sum_len") >= lit(3L) * col("n_words") &&
+          col("sum_len") <= lit(10L) * col("n_words") &&
+          lit(10L) * col("n_sym") <= col("n_words") &&
+          lit(10L) * coalesce(col("n_bullet"), lit(0L)) <
+            lit(9L) * coalesce(col("n_lines"), lit(0L)) &&
+          lit(10L) * coalesce(col("n_ellip"), lit(0L)) <
+            lit(3L) * coalesce(col("n_lines"), lit(0L)) &&
+          lit(5L) * col("n_alpha") >= lit(4L) * col("n_words") &&
+          col("n_req_stop") >= 2L).as("keep"))
+  }
+
   def c4Filters(docsIn: DataFrame): DataFrame = {
     val docs = docsIn.select(col("doc_id"), col("text"))
     val line = trim(col("raw"))
