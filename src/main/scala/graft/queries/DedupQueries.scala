@@ -547,7 +547,67 @@ object DedupQueries {
               |SELECT doc_id, n_fp, n_shared_fp,
               |  CAST(n_shared_fp AS DOUBLE) / CAST(n_fp AS DOUBLE) AS dup_frac,
               |  (CAST(n_shared_fp AS DOUBLE) / CAST(n_fp AS DOUBLE)) > 0.2 AS flag
-              |FROM j""".stripMargin))
+              |FROM j""".stripMargin)),
+
+    // Containment near-dup (the asymmetric case minhash-Jaccard is
+    // blind to: a short doc pasted inside a long one has LOW Jaccard
+    // but containment ≈ 1). C(A,B) = |A∩B| / min(|A|,|B|) over the
+    // distinct 3-shingle sets. inter comes straight from the
+    // gram-keyed pair count — Σ_g nd(g)² work, the d09 shape, never
+    // all-pairs — with grams in > 256 docs vetoed up front
+    // (boilerplate grams contribute candidates quadratically and
+    // containment evidence barely; the veto is mirrored exactly in
+    // the oracle, so the gate covers the capped semantics the 100 TB
+    // run would use). Output bounded to C ≥ 1/2 pairs via the exact
+    // integer test 2·inter ≥ min; the is_dup flag at C ≥ 9/10
+    // likewise — no float threshold anywhere.
+    Q("d15_containment",
+      (s, dir) => {
+        val sh = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(
+            shinglesFromHashes(tokenHashes(col("text")), SHINGLE))).as("g"))
+          .repartition(col("g"))
+        val cnt = sh.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val rare = sh.join(cnt.filter(col("nd") <= 256), "g")
+        val inter = rare.select(col("g"), col("doc_id").as("doc_a"))
+          .join(rare.select(col("g"), col("doc_id").as("doc_b")), "g")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+          .filter(lit(2L) * col("inter") >= least(col("sa"), col("sb")))
+          .select(col("doc_a"), col("doc_b"), col("inter"),
+            least(col("sa"), col("sb")).as("min_sz"),
+            (col("inter").cast(DoubleType) /
+              least(col("sa"), col("sb")).cast(DoubleType)).as("containment"),
+            (lit(10L) * col("inter") >=
+              lit(9L) * least(col("sa"), col("sb"))).as("is_dup"))
+      },
+      Some(s"""WITH th AS (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents),
+              |sh AS (SELECT doc_id, unnest(list_distinct(${O.shingles(SHINGLE)})) AS g
+              |       FROM th),
+              |cnt AS (SELECT g, count(*) AS nd FROM sh GROUP BY g),
+              |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              |          FROM sh GROUP BY doc_id),
+              |rare AS (SELECT sh.doc_id, sh.g FROM sh JOIN cnt USING (g)
+              |         WHERE nd <= 256),
+              |pairs AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+              |            CAST(count(*) AS BIGINT) AS inter
+              |          FROM rare l JOIN rare r
+              |            ON l.g = r.g AND l.doc_id < r.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, inter,
+              |  least(sa.sz, sb.sz) AS min_sz,
+              |  CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+              |    AS containment,
+              |  (10 * inter >= 9 * least(sa.sz, sb.sz)) AS is_dup
+              |FROM pairs
+              |JOIN sizes sa ON doc_a = sa.doc_id
+              |JOIN sizes sb ON doc_b = sb.doc_id
+              |WHERE 2 * inter >= least(sa.sz, sb.sz)""".stripMargin))
   )
 
   /** d14's builder on an arbitrary documents frame — shared with

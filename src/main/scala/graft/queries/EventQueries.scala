@@ -304,7 +304,44 @@ object EventQueries {
              |SELECT cohort, day - cohort AS offset,
              |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
              |FROM ud JOIN firsts USING (user_id)
-             |GROUP BY cohort, day - cohort""".stripMargin))
+             |GROUP BY cohort, day - cohort""".stripMargin)),
+
+    // Event-type transition matrix (the first-order Markov view of
+    // user behavior): consecutive-event pairs per user, counted
+    // globally, with each row's probability normalized over its
+    // predecessor type. One keyed exchange on user_id (e02's
+    // partitioning) for the lag; the normalizing window then runs on
+    // the k²-row aggregate (k = #event types), never the corpus. The
+    // lag orders by (ts, event_id) so timestamp ties can't flip a
+    // transition between engines; n is an exact BIGINT and p a single
+    // IEEE division of two BIGINTs.
+    Q("e13_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val counts = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .select(col("prev_type"), col("event_type").as("next_type"))
+          .groupBy("prev_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+        val norm = Window.partitionBy(col("prev_type"))
+        counts.select(col("prev_type"), col("next_type"), col("n"),
+          (col("n").cast(DoubleType) /
+            sum(col("n")).over(norm).cast(DoubleType)).as("p"))
+      },
+      Some("""WITH tr AS (SELECT user_id, event_type,
+             |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    AS prev_type
+             |  FROM events),
+             |c AS (SELECT prev_type, event_type AS next_type,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, next_type, n,
+             |  CAST(n AS DOUBLE)
+             |    / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+             |FROM c""".stripMargin))
   )
 
   /** Per-user first-occurrence table — ONE definition of the funnel/

@@ -223,5 +223,44 @@ object PipelineQueries {
            |  ${EventQueries.funnelStageSql} AS funnel_stage,
            |  cohort
            |FROM sess JOIN f USING (user_id)""".stripMargin
-      }))
+      }),
+
+    // Data-mixing weights (the sampling plan a multi-source pretrain
+    // run feeds its loader): per-source token counts, temperature-
+    // smoothed mixture weights w_s = √n_s / Σ√n (α = 0.5 — sqrt is
+    // correctly rounded, a pow() would ulp-drift cross-engine; same
+    // rationale as t12), and the epoch factor a 1M-token budget
+    // implies per source (> 1 ⇒ that source repeats). The corpus
+    // touches ONE narrow fused-profile pass collapsed map-side to a
+    // source-count-sized table; Σ√n flows through Det decimal so the
+    // denominator is one exact number on any partitioning, then
+    // broadcast back as a 1-row crossJoin.
+    Q("p06_mixture_weights",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("source"),
+            graft.functions.TextProfileExprs.text_profile(col("text"))
+              .getField("n_tok").as("n_tok"))
+          .groupBy("source")
+          .agg(sum(col("n_tok")).as("n_tokens"))
+        val z = toks.agg(
+          graft.core.Det.dsum(sqrt(col("n_tokens").cast("double"))).as("z"))
+        toks.crossJoin(broadcast(z))
+          .withColumn("weight",
+            sqrt(col("n_tokens").cast("double")) / col("z"))
+          .select(col("source"), col("n_tokens"), col("weight"),
+            (lit(1000000.0) * col("weight") /
+              col("n_tokens").cast("double")).as("epochs"))
+      },
+      Some(s"""WITH n AS (SELECT source,
+              |    CAST(sum(len(${graft.queries.OracleSql.toks("text")})) AS BIGINT)
+              |      AS n_tokens
+              |  FROM documents GROUP BY source),
+              |zt AS (SELECT ${graft.core.Det.sql.dsum("sqrt(CAST(n_tokens AS DOUBLE))")}
+              |         AS z FROM n),
+              |w AS (SELECT source, n_tokens,
+              |        sqrt(CAST(n_tokens AS DOUBLE)) / z AS weight FROM n, zt)
+              |SELECT source, n_tokens, weight,
+              |  1000000.0 * weight / CAST(n_tokens AS DOUBLE) AS epochs
+              |FROM w""".stripMargin)))
 }

@@ -862,6 +862,44 @@ object VectorQueries {
           s"$f / sqrt(CAST($RP_OUT AS DOUBLE)) AS p$j"
         }.mkString(",\n")
         s"SELECT vec_id,\n$cols\nFROM embeddings"
+      }),
+
+    // Maximum-inner-product top-k (the retrieval scoring for UNnormal-
+    // ized embeddings — recommender/two-tower scores where magnitude
+    // carries information, the case v01's cosine divides away). Same
+    // broadcast-query brute-force shape as v01: candidates stream
+    // once, queries broadcast, WindowGroupLimit prunes to k per query
+    // before the final sort. The dot product is the order-fixed
+    // left-fold both engines replay element-by-element, so even the
+    // ranking hash-matches.
+    Q("v18_mips_topk",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        val scores = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            fold(zip_with(col("q_emb"), col("n_emb"),
+              (x, y) => x.cast(DoubleType) * y.cast(DoubleType))).as("ip"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("ip").desc, col("n_id").asc)
+        scores.withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 10)
+      },
+      Some {
+        def d(e: String) = s"CAST($e AS DOUBLE)"
+        val ip = O.dfold(
+          s"list_transform(q_emb, (zx, zi) -> ${d("zx")} * ${d("n_emb[zi]")})")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+           |           FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+           |scores AS (SELECT q_id, n_id, $ip AS ip
+           |           FROM q JOIN c ON q_id != n_id)
+           |SELECT q_id, n_id, ip, rank FROM
+           |(SELECT q_id, n_id, ip, CAST(row_number() OVER
+           |   (PARTITION BY q_id ORDER BY ip DESC, n_id ASC) AS BIGINT) AS rank
+           | FROM scores) WHERE rank <= 10""".stripMargin
       })
   )
 

@@ -224,11 +224,27 @@ class PlanSpec extends SparkSpec {
     // silently lose the pushdown; pin it on the two shapes that feed
     // the most rows into their window.
     Seq("v03_ann_bucketed", "e03_user_topk", "t15_source_cap",
-        "v10_pq_adc_topk").foreach { q =>
+        "v10_pq_adc_topk", "v18_mips_topk").foreach { q =>
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q lost the WindowGroupLimit pushdown:\n${p.take(800)}")
     }
+  }
+
+  test("v18 broadcasts the query side; e13 normalizes on the aggregate") {
+    val v = plan("v18_mips_topk")
+    assert(v.contains("BroadcastNestedLoopJoin") || v.contains("BroadcastHashJoin"),
+      s"v18 should broadcast the 5-row query side:\n${v.take(800)}")
+    // e13 shuffles exactly three times — user_id (lag window),
+    // (prev,next) agg, prev_type (normalizing window over the k²-row
+    // aggregate) — and never into a single partition; a refactor that
+    // normalized over the corpus-sized lag frame or lost the partial
+    // agg would add exchanges or a SinglePartition funnel.
+    val e = plan("e13_event_transitions")
+    assert(!e.contains("Exchange SinglePartition"),
+      s"e13 grew a single-partition funnel:\n${e.take(800)}")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(e).length
+    assert(nEx <= 3, s"e13 has $nEx hash exchanges (want <= 3):\n${e.take(800)}")
   }
 
   test("incremental dedup (d11) broadcasts the batch - corpus never shuffles into a join") {
