@@ -81,7 +81,55 @@ object ScaleProbe {
     else if (args.headOption.contains("lsheval")) lshEvalProbe(args.drop(1))
     else if (args.headOption.contains("linerep")) lineRepProbe(args.drop(1))
     else if (args.headOption.contains("r6ops")) r6Ops(args.drop(1))
+    else if (args.headOption.contains("r5new")) r5New(args.drop(1))
     else standard(args)
+
+  /** Probes for the round-5 continuation operators at `copies`×.
+    * (a) t28 Gopher rules + t29 n-gram char fractions: explode +
+    * keyed aggs, linear; t29's 5-gram explode is the heaviest text
+    * shape added this round. (b) e13 transitions: one user_id window
+    * exchange + a k²-row agg, linear per user history. (c) d15
+    * containment: Σ_g nd(g)² pair generation — the capped gram join —
+    * with copies multiplying every cluster's size, the superlinear
+    * risk this probe exists to watch. (d) v18 MIPS: broadcast 5
+    * queries against a scaling candidate side, linear. */
+  def r5New(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("text"))
+    val nDoc = docs.count()
+    val ev = scaled(spark, "events", Seq("event_id", "user_id"), copies)
+    val nEv = ev.count()
+    val vecs = scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+    val nVec = vecs.count()
+    println(s"copies=$copies docs=$nDoc events=$nEv vecs=$nVec")
+    time("t28_gopher_rules") {
+      graft.queries.TextQueries.gopherRules(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("t29_dup_ngram_chars") {
+      graft.queries.TextQueries.dupNgramChars(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("e13_event_transitions") {
+      graft.queries.EventQueries.transitions(ev)
+        .write.format("noop").mode("overwrite").save()
+    }
+    var d15Pairs = 0L
+    time("d15_containment") {
+      d15Pairs = graft.queries.DedupQueries.containment(docs).count()
+    }
+    time("v18_mips_topk") {
+      graft.queries.VectorQueries.mipsTopk(vecs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    writeJson(outJson, copies,
+      s""", "docs": $nDoc, "events": $nEv, "vectors": $nVec, "d15_pairs": $d15Pairs""")
+    spark.stop()
+  }
 
   /** Round-6 operator probes at `copies`×. (a) d14 winnowing: per-row
     * selection + one fp-keyed exchange — the fp count should hold near

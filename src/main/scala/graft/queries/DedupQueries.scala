@@ -562,30 +562,7 @@ object DedupQueries {
     // integer test 2·inter ≥ min; the is_dup flag at C ≥ 9/10
     // likewise — no float threshold anywhere.
     Q("d15_containment",
-      (s, dir) => {
-        val sh = Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(array_distinct(
-            shinglesFromHashes(tokenHashes(col("text")), SHINGLE))).as("g"))
-          .repartition(col("g"))
-        val cnt = sh.groupBy(col("g")).agg(count(lit(1)).as("nd"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val rare = sh.join(cnt.filter(col("nd") <= 256), "g")
-        val inter = rare.select(col("g"), col("doc_id").as("doc_a"))
-          .join(rare.select(col("g"), col("doc_id").as("doc_b")), "g")
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
-          .filter(lit(2L) * col("inter") >= least(col("sa"), col("sb")))
-          .select(col("doc_a"), col("doc_b"), col("inter"),
-            least(col("sa"), col("sb")).as("min_sz"),
-            (col("inter").cast(DoubleType) /
-              least(col("sa"), col("sb")).cast(DoubleType)).as("containment"),
-            (lit(10L) * col("inter") >=
-              lit(9L) * least(col("sa"), col("sb"))).as("is_dup"))
-      },
+      (s, dir) => containment(Tables(s, dir, "documents")),
       Some(s"""WITH th AS (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents),
               |sh AS (SELECT doc_id, unnest(list_distinct(${O.shingles(SHINGLE)})) AS g
               |       FROM th),
@@ -609,6 +586,33 @@ object DedupQueries {
               |JOIN sizes sb ON doc_b = sb.doc_id
               |WHERE 2 * inter >= least(sa.sz, sb.sz)""".stripMargin))
   )
+
+  /** d15's builder on an arbitrary documents frame — shared with
+    * ScaleProbe so the probe times exactly the gated plan. */
+  def containment(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(array_distinct(
+        shinglesFromHashes(tokenHashes(col("text")), SHINGLE))).as("g"))
+      .repartition(col("g"))
+    val cnt = sh.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val rare = sh.join(cnt.filter(col("nd") <= 256), "g")
+    val inter = rare.select(col("g"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("g"), col("doc_id").as("doc_b")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .filter(lit(2L) * col("inter") >= least(col("sa"), col("sb")))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        least(col("sa"), col("sb")).as("min_sz"),
+        (col("inter").cast(DoubleType) /
+          least(col("sa"), col("sb")).cast(DoubleType)).as("containment"),
+        (lit(10L) * col("inter") >=
+          lit(9L) * least(col("sa"), col("sb"))).as("is_dup"))
+  }
 
   /** d14's builder on an arbitrary documents frame — shared with
     * ScaleProbe so the probe times exactly the gated plan. Window 4

@@ -316,21 +316,7 @@ object EventQueries {
     // transition between engines; n is an exact BIGINT and p a single
     // IEEE division of two BIGINTs.
     Q("e13_event_transitions",
-      (s, dir) => {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val counts = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-          .filter(col("prev_type").isNotNull)
-          .select(col("prev_type"), col("event_type").as("next_type"))
-          .groupBy("prev_type", "next_type")
-          .agg(count(lit(1)).as("n"))
-        val norm = Window.partitionBy(col("prev_type"))
-        counts.select(col("prev_type"), col("next_type"), col("n"),
-          (col("n").cast(DoubleType) /
-            sum(col("n")).over(norm).cast(DoubleType)).as("p"))
-      },
+      (s, dir) => transitions(Tables(s, dir, "events")),
       Some("""WITH tr AS (SELECT user_id, event_type,
              |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              |    AS prev_type
@@ -343,6 +329,24 @@ object EventQueries {
              |    / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
              |FROM c""".stripMargin))
   )
+
+  /** e13's builder on an arbitrary events frame — shared with
+    * ScaleProbe so the probe times exactly the gated plan. */
+  def transitions(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val norm = Window.partitionBy(col("prev_type"))
+    counts.select(col("prev_type"), col("next_type"), col("n"),
+      (col("n").cast(DoubleType) /
+        sum(col("n")).over(norm).cast(DoubleType)).as("p"))
+  }
 
   /** Per-user first-occurrence table — ONE definition of the funnel/
     * cohort contract shared by e07, e12, and p04 (Spark side; the

@@ -403,35 +403,7 @@ object TextQueries {
     // char weight (max over (count, chars) structs on both engines),
     // keeping the hash deterministic.
     Q("t29_dup_ngram_chars",
-      (s, dir) => {
-        val toks = Tables(s, dir, "documents").select(col("doc_id"),
-          tokens(col("text")).as("w"),
-          graft.functions.TextProfileExprs.text_profile(col("text"))
-            .getField("sum_tok_len").as("tot_chars"))
-        def gramCounts(n: Int): DataFrame = toks
-          .select(col("doc_id"), explode(ngrams(col("w"), n)).as("g"))
-          .groupBy(col("doc_id"), col("g"))
-          .agg(count(lit(1)).as("c"))
-          .select(col("doc_id"), col("c"),
-            (length(col("g")) - lit(n - 1)).cast(LongType).as("charw"))
-        val top3 = gramCounts(3).groupBy("doc_id")
-          .agg(max(struct(col("c"), col("charw"))).as("mx"))
-          .select(col("doc_id"),
-            (col("mx.c") * col("mx.charw")).as("top3_chars"))
-        val dup5 = gramCounts(5).groupBy("doc_id")
-          .agg(sum(when(col("c") >= 2, col("c") * col("charw"))
-            .otherwise(lit(0L))).as("dup5_chars"))
-        toks.select(col("doc_id"), col("tot_chars"))
-          .join(top3, Seq("doc_id"), "left")
-          .join(dup5, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("tot_chars"),
-            (coalesce(col("top3_chars"), lit(0L)).cast(DoubleType) /
-              greatest(col("tot_chars"), lit(1L)).cast(DoubleType))
-              .as("top3_char_frac"),
-            (coalesce(col("dup5_chars"), lit(0L)).cast(DoubleType) /
-              greatest(col("tot_chars"), lit(1L)).cast(DoubleType))
-              .as("dup5_char_frac"))
-      },
+      (s, dir) => dupNgramChars(Tables(s, dir, "documents")),
       Some {
         def gramSql(n: Int) = {
           val cat = (0 until n).map(j => s"w[gi + $j]").mkString(" || ' ' || ")
@@ -1099,8 +1071,40 @@ object TextQueries {
         i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
       .otherwise(array().cast(ArrayType(StringType)))
 
+  /** t29's builder over an arbitrary documents frame — shared with
+    * ScaleProbe so the probe times exactly the gated plan. */
+  def dupNgramChars(docsIn: DataFrame): DataFrame = {
+    val toks = docsIn.select(col("doc_id"),
+      tokens(col("text")).as("w"),
+      graft.functions.TextProfileExprs.text_profile(col("text"))
+        .getField("sum_tok_len").as("tot_chars"))
+    def gramCounts(n: Int): DataFrame = toks
+      .select(col("doc_id"), explode(ngrams(col("w"), n)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"),
+        (length(col("g")) - lit(n - 1)).cast(LongType).as("charw"))
+    val top3 = gramCounts(3).groupBy("doc_id")
+      .agg(max(struct(col("c"), col("charw"))).as("mx"))
+      .select(col("doc_id"),
+        (col("mx.c") * col("mx.charw")).as("top3_chars"))
+    val dup5 = gramCounts(5).groupBy("doc_id")
+      .agg(sum(when(col("c") >= 2, col("c") * col("charw"))
+        .otherwise(lit(0L))).as("dup5_chars"))
+    toks.select(col("doc_id"), col("tot_chars"))
+      .join(top3, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tot_chars"),
+        (coalesce(col("top3_chars"), lit(0L)).cast(DoubleType) /
+          greatest(col("tot_chars"), lit(1L)).cast(DoubleType))
+          .as("top3_char_frac"),
+        (coalesce(col("dup5_chars"), lit(0L)).cast(DoubleType) /
+          greatest(col("tot_chars"), lit(1L)).cast(DoubleType))
+          .as("dup5_char_frac"))
+  }
+
   /** t28's rule bundle over an arbitrary documents frame — the fixture
-    * entry point for GopherRulesSpec's boundary cases. */
+    * entry point for GopherRulesSpec's boundary cases and ScaleProbe. */
   def gopherRules(docsIn: DataFrame): DataFrame = {
     val docs = docsIn.select(col("doc_id"), col("text"))
     val nW = greatest(col("n_words"), lit(1L)).cast(DoubleType)

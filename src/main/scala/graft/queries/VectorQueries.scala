@@ -873,20 +873,7 @@ object VectorQueries {
     // left-fold both engines replay element-by-element, so even the
     // ranking hash-matches.
     Q("v18_mips_topk",
-      (s, dir) => {
-        val e = Tables(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-        val scores = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"),
-            fold(zip_with(col("q_emb"), col("n_emb"),
-              (x, y) => x.cast(DoubleType) * y.cast(DoubleType))).as("ip"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("ip").desc, col("n_id").asc)
-        scores.withColumn("rank", row_number().over(w).cast(LongType))
-          .filter(col("rank") <= 10)
-      },
+      (s, dir) => mipsTopk(Tables(s, dir, "embeddings")),
       Some {
         def d(e: String) = s"CAST($e AS DOUBLE)"
         val ip = O.dfold(
@@ -902,6 +889,23 @@ object VectorQueries {
            | FROM scores) WHERE rank <= 10""".stripMargin
       })
   )
+
+  /** v18's builder on an arbitrary (vec_id, embedding) frame — shared
+    * with ScaleProbe; queries stay the 5 base-copy ids, so the probe
+    * holds the query count fixed while the candidate side scales. */
+  def mipsTopk(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scores = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        fold(zip_with(col("q_emb"), col("n_emb"),
+          (x, y) => x.cast(DoubleType) * y.cast(DoubleType))).as("ip"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip").desc, col("n_id").asc)
+    scores.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 10)
+  }
 
   /** v17's builder on an arbitrary (vec_id, embedding) frame — shared
     * with ScaleProbe so the probe times exactly the gated plan.
