@@ -35,17 +35,28 @@ object Tables {
   private val knownExts = Set("parquet", "csv", "json", "orc", "xml")
   private def hasExt(path: String): Boolean = knownExts.contains(ext(path))
 
-  /** Spark 4 can't read TIMESTAMP(NANOS) parquet natively; with
-    * spark.sql.legacy.parquet.nanosAsLong=true they surface as Long
-    * nanos. The test events stream is µs-valued, so ns→µs is lossless;
-    * convert any `ts` long column back to a proper TimestampType. */
-  private def normalizeNanoTs(df: DataFrame): DataFrame =
-    if (df.schema.fields.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+  /** Normalize the `ts` column of the events fixture to TimestampType,
+    * whatever precision/annotation the writer used:
+    *  - TIMESTAMP(NANOS) parquet (unreadable natively in Spark 4) read
+    *    with spark.sql.legacy.parquet.nanosAsLong=true surfaces as Long
+    *    nanos; the stream is µs-valued so ns→µs is lossless;
+    *  - plain µs TIMESTAMP with isAdjustedToUTC=false surfaces as
+    *    TIMESTAMP_NTZ; every session pins spark.sql.session.timeZone
+    *    to UTC, so the cast to TimestampType is exact.
+    * Keeping this in ONE place means a fixture-writer change reddens
+    * TablesContractSpec, not seven downstream call sites. */
+  def normalizeNanoTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Load a direct path; CSV goes through the dialect-faithful
     * inference pass (graft.sources.CsvSource). */

@@ -12,27 +12,24 @@ import org.apache.spark.sql.types._
   *    EventQueries e01 under incremental execution);
   *  - stateful per-user sessionization via mapGroupsWithState.
   *
-  * The events fixture is ns-precision parquet read with nanosAsLong,
-  * so the stream schema carries `ts` as Long nanos and converts — same
-  * normalization as graft.core.Tables.
+  * The stream schema is derived from the batch read of the same file
+  * (parquet footer), so a fixture-writer change in `ts` encoding
+  * (ns-Long vs µs TIMESTAMP_NTZ) is absorbed by the one shared
+  * normalization in graft.core.Tables rather than a hardcoded schema.
   */
 object StreamingOps {
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming read of the events table in a fixture directory (the
-    * file source needs a directory — filter to the events file). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * file source needs a directory — filter to the events file). The
+    * raw footer schema feeds readStream; Tables.normalizeNanoTs then
+    * yields a proper TimestampType `ts` whatever the writer encoded. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.core.Tables.normalizeNanoTs(
+      spark.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
 
   /** Watermarked hourly windowed aggregation — incremental version of
     * EventQueries e01. Watermark bounds state: late events beyond 2h
