@@ -827,15 +827,22 @@ object TextQueries {
     // Deflate compression ratio — the cheap repetition/boilerplate
     // signal (template spam compresses far below prose, high-entropy
     // noise above it). One codegen'd static call per row, zero
-    // exchanges. DuckDB has no deflate, so there is NO oracle — the
-    // driver records the weaker rows-only gate and the real gate is
-    // CompressRatioSpec (ordering, bounds, determinism). The flag
-    // composes the signal with t10's Gopher rules downstream.
+    // exchanges. DuckDB has no deflate, so the oracle joins a frozen
+    // golden fixture (fixtures/t23_golden.parquet) keyed by md5(text),
+    // generated INDEPENDENTLY with Python zlib (raw deflate, level 6 —
+    // byte-identical to java.util.zip.Deflater's default) over all
+    // three fixture SFs — a genuine cross-implementation check of the
+    // full rows/schema/hash gate. CompressRatioSpec still pins
+    // ordering, bounds, determinism. The flag composes the signal
+    // with t10's Gopher rules downstream.
     Q("t23_compress_ratio",
       (s, dir) => Tables(s, dir, "documents").select(col("doc_id"),
         graft.functions.CompressRatioExprs.compress_ratio(col("text")).as("ratio"))
         .withColumn("is_repetitive", col("ratio") < 0.35),
-      None),
+      Some("""SELECT d.doc_id, g.ratio, g.is_repetitive
+             |FROM documents d
+             |JOIN '/root/repo/fixtures/t23_golden.parquet' g
+             |  ON md5(d.text) = g.h""".stripMargin)),
 
     // PMI collocations: the top word pairs that co-occur far above
     // chance — classic corpus mining (multiword expressions, named
