@@ -82,7 +82,37 @@ object ScaleProbe {
     else if (args.headOption.contains("linerep")) lineRepProbe(args.drop(1))
     else if (args.headOption.contains("r6ops")) r6Ops(args.drop(1))
     else if (args.headOption.contains("r5new")) r5New(args.drop(1))
+    else if (args.headOption.contains("r6fix")) r6Fix(args.drop(1))
     else standard(args)
+
+  /** Probes for the shapes restored by the round-6 NTZ fix: e02's
+    * sessions window (one user_id exchange, lag + keyed agg) and
+    * p04's user-360 composition (sessions + userFirsts sharing the
+    * user_id exchange, funnel stage + cohort derived in the same
+    * plan). Linear per user history; nothing global. */
+  def r6Fix(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val ev = scaled(spark, "events", Seq("event_id", "user_id"), copies)
+    val nEv = ev.count()
+    println(s"copies=$copies events=$nEv")
+    time("e02_sessions") {
+      graft.queries.EventQueries.sessions(ev)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("p04_user_report") {
+      val sess = graft.queries.EventQueries.sessions(ev)
+      val firsts = graft.queries.EventQueries.userFirsts(ev)
+      sess.join(firsts, "user_id")
+        .select(col("user_id"), col("n_sessions"), col("n_events"),
+          graft.queries.EventQueries.funnelStage.as("funnel_stage"),
+          col("cohort"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    writeJson(outJson, copies, s""", "events": $nEv""")
+    spark.stop()
+  }
 
   /** Probes for the round-5 continuation operators at `copies`×.
     * (a) t28 Gopher rules + t29 n-gram char fractions: explode +

@@ -280,6 +280,25 @@ object DialectQueries {
             |from orders where o_orderdate < '1997-01-01'""".stripMargin),
       Some("""SELECT o_orderkey, o_orderdate + INTERVAL 14 DAY AS due,
              |o_custkey % 7 AS bucket, CAST(1024 AS BIGINT) AS k
-             |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin))
+             |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin)),
+
+    // session() as a dialect scalar (SURVEY §2.11 function-map
+    // addition): sessionization reachable from the SQL surface — the
+    // same >30-min-silence rule as e02, compiled to one hidden window
+    // column (Planner.hoistSessions: single hash-exchange on the
+    // partition key, two stacked Window ops, no global sort). max()
+    // of the per-row session number per user ≡ e02's session count.
+    Q("s20_dialect_session",
+      sql("""select user_id, max(session(ts, '30 minutes', user_id)) as n_sessions,
+            |count(event_id) as n_events from events group by user_id""".stripMargin),
+      Some("""SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+             |CAST(count(event_id) AS DOUBLE) AS n_events FROM
+             |(SELECT user_id, event_id,
+             |  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+             |       - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+             |         OVER (PARTITION BY user_id ORDER BY ts)
+             |       > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+             | FROM events)
+             |GROUP BY user_id""".stripMargin))
   )
 }

@@ -27,20 +27,7 @@ object EventQueries {
       bench = true),
 
     Q("e02_sessions",
-      (s, dir) => {
-        // Sessionization: a >30 min silence starts a new session.
-        // Scale: window partitioned by user_id — shuffles once on the
-        // session key, no global ordering anywhere.
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-        Tables(s, dir, "events")
-          .withColumn("gap_us",
-            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-          .withColumn("new_session",
-            when(col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
-          .groupBy(col("user_id"))
-          .agg((sum(col("new_session")) + lit(1L)).as("n_sessions"),
-            Det.cnt(col("event_id")).as("n_events"))
-      },
+      (s, dir) => sessions(Tables(s, dir, "events")),
       Some("""SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
              |CAST(count(event_id) AS DOUBLE) AS n_events FROM
              |(SELECT user_id, event_id,
@@ -346,6 +333,22 @@ object EventQueries {
     counts.select(col("prev_type"), col("next_type"), col("n"),
       (col("n").cast(DoubleType) /
         sum(col("n")).over(norm).cast(DoubleType)).as("p"))
+  }
+
+  /** e02's builder on an arbitrary events frame — shared with the Q
+    * gate, p04's composition, and ScaleProbe (r6fix mode).
+    * Sessionization: a >30 min silence starts a new session. Scale:
+    * window partitioned by user_id — shuffles once on the session
+    * key, no global ordering anywhere. */
+  def sessions(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    ev.withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg((sum(col("new_session")) + lit(1L)).as("n_sessions"),
+        Det.cnt(col("event_id")).as("n_events"))
   }
 
   /** Per-user first-occurrence table — ONE definition of the funnel/

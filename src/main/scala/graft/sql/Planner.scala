@@ -73,6 +73,10 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     * column refs (reference parser.go:479-486). Set per-query. */
   private var intColumns: Boolean = false
 
+  /** Hoisted session(ts, gap, part) calls → hidden-column name for the
+    * current query (same hidden-slot mechanism as inc()/having). */
+  private var sessionCols: Map[FnCall, String] = Map.empty
+
   // ── planning ────────────────────────────────────────────────────────
   def plan(q: Query): DataFrame = {
     checkValidity(q)
@@ -121,14 +125,25 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         }
         (zipped, Cat(entries))
       } else (afterWhere0, cat0)
+    // session(ts, gap, part) hoist: each distinct call becomes ONE
+    // hidden window column on the post-where frame (see hoistSessions);
+    // compileFn then resolves the call as a plain column reference, so
+    // it composes with aggregates (max(session(...))), group-by, and
+    // order-by exactly like any column.
+    sessionCols = Map.empty
+    val sessionCalls = collectSessionCalls(q)
+    val preAgg =
+      if (sessionCalls.isEmpty) afterWhere
+      else hoistSessions(afterWhere, cat, sessionCalls)
+
     val hasAgg = q.items.exists(containsAgg) || q.groupBy.nonEmpty ||
       q.having.exists(predContainsAgg)
 
     val selectItems = expandItems(q, cat)
 
     val preDistinct =
-      if (hasAgg) planAggregate(q, selectItems, afterWhere, cat)
-      else planProjection(q, selectItems, afterWhere, cat)
+      if (hasAgg) planAggregate(q, selectItems, preAgg, cat)
+      else planProjection(q, selectItems, preAgg, cat)
 
     val afterDistinct = q.distinct match {
       case Some(_) if !hasAgg =>
@@ -362,6 +377,95 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         bs.exists { case (v, x) => exprContainsInc(v) || exprContainsInc(x) } ||
         els.exists(exprContainsInc)
     case _ => false
+  }
+
+  // ── session() hoist ─────────────────────────────────────────────────
+
+  private def collectSessionExpr(e: Expr): Seq[FnCall] = e match {
+    case f @ FnCall("session", args) =>
+      f +: args.flatMap(collectSessionExpr)
+    case FnCall(_, args) => args.flatMap(collectSessionExpr)
+    case Arith(_, l, r) => collectSessionExpr(l) ++ collectSessionExpr(r)
+    case Neg(x) => collectSessionExpr(x)
+    case AggCall(_, a, _) => collectSessionExpr(a)
+    case CaseSearched(bs, els) =>
+      bs.flatMap { case (p, x) => collectSessionPred(p) ++ collectSessionExpr(x) } ++
+        els.toSeq.flatMap(collectSessionExpr)
+    case CaseSimple(s, bs, els) =>
+      collectSessionExpr(s) ++
+        bs.flatMap { case (v, x) => collectSessionExpr(v) ++ collectSessionExpr(x) } ++
+        els.toSeq.flatMap(collectSessionExpr)
+    case _ => Nil
+  }
+
+  private def collectSessionPred(p: Pred): Seq[FnCall] = p match {
+    case Cmp(_, l, r) => collectSessionExpr(l) ++ collectSessionExpr(r)
+    case LikeP(e, _, _) => collectSessionExpr(e)
+    case InP(e, list, _) => collectSessionExpr(e) ++ list.flatMap(collectSessionExpr)
+    case BetweenP(e, a, b, _) =>
+      collectSessionExpr(e) ++ collectSessionExpr(a) ++ collectSessionExpr(b)
+    case AndP(l, r) => collectSessionPred(l) ++ collectSessionPred(r)
+    case OrP(l, r) => collectSessionPred(l) ++ collectSessionPred(r)
+    case XorP(l, r) => collectSessionPred(l) ++ collectSessionPred(r)
+    case NotP(x) => collectSessionPred(x)
+  }
+
+  private def collectSessionCalls(q: Query): Seq[FnCall] = {
+    if (q.where.exists(p => collectSessionPred(p).nonEmpty))
+      throw PlanError("session() not allowed in where clause")
+    (q.items.flatMap(it => collectSessionExpr(it.expr)) ++
+      q.distinct.toSeq.flatMap(d => collectSessionExpr(d.expr)) ++
+      q.groupBy.flatMap(collectSessionExpr) ++
+      q.orderBy.toSeq.flatMap(collectSessionExpr) ++
+      q.having.toSeq.flatMap(collectSessionPred)).distinct
+  }
+
+  /** session(ts, gap, part): sessionization as a dialect scalar — rows
+    * of one partition key, ordered by ts, get a session number that
+    * increments whenever the silence since the previous row exceeds
+    * `gap` (a duration literal); numbering starts at 1 (EventQueries
+    * e02's rule, exposed to the SQL surface per SURVEY §2.11).
+    *
+    * Scale: both window passes (the lag gap-flag and the running sum)
+    * share ONE WindowSpec — partitionBy(part).orderBy(ts) — so the
+    * plan has a single hash-exchange on the partition key and two
+    * consecutive Window operators with no second shuffle; nothing is
+    * global, nothing funnels to one task (pinned in PlanSpec).
+    * Determinism: rows tied on ts may permute within a session, which
+    * cannot change any per-key aggregate of the session number (count
+    * of flags is order-free); per-ROW numbers are deterministic
+    * whenever (part, ts) is a unique key. */
+  private def hoistSessions(df: DataFrame, cat: Cat,
+      calls: Seq[FnCall]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var frame = df
+    calls.zipWithIndex.foreach { case (call, i) =>
+      if (call.args.size != 3)
+        throw PlanError("session(ts, gap, partition) takes three arguments")
+      val (tsC0, tsT) = typed(call.args.head, cat, agg = false)
+      if (tsT != TDate)
+        throw PlanError("session: first argument must be a date/timestamp column")
+      val tsC = tsC0.cast(TimestampType)
+      val gapUs: Long = call.args(1) match {
+        case Lit(raw, _) => Durations.parse(raw)
+          .map(d => d.toNanos / 1000L)
+          .getOrElse(throw PlanError(s"session: not a duration: $raw"))
+        case _ => throw PlanError("session: gap must be a duration literal")
+      }
+      val partC = typed(call.args(2), cat, agg = false)._1
+      val name = s"__graft_session$i"
+      val w = Window.partitionBy(partC).orderBy(tsC)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flag = s"${name}_new"
+      frame = frame
+        .withColumn(flag,
+          when(unix_micros(tsC) - lag(unix_micros(tsC), 1).over(w) > lit(gapUs),
+            1L).otherwise(0L))
+        .withColumn(name, sum(col(flag)).over(run) + lit(1L))
+        .drop(flag)
+      sessionCols += (call -> name)
+    }
+    frame
   }
 
   private def predContainsInc(p: Pred): Boolean = p match {
@@ -676,6 +780,13 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         // single-partition window anywhere in the plan.
         val step = args.headOption.collect { case Lit(raw, _) => raw.toDouble }.getOrElse(1.0)
         (col(IncCol) * lit(step), TFloat)
+      case "session" =>
+        // hoisted by plan() into a hidden window column — here it is a
+        // plain column reference (see hoistSessions)
+        sessionCols.get(FnCall(name, args)) match {
+          case Some(cn) => (col(cn), TInt)
+          case None => throw PlanError("session() not allowed here")
+        }
       case "format" =>
         // declared but unimplemented in the reference (scanner.go:62):
         // pass-through, documented divergence-free

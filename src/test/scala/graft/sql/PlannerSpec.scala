@@ -359,4 +359,46 @@ class PlannerSpec extends SparkSpec {
   goodQueries.foreach { q =>
     test(s"accepts: ${q.take(60)}") { assert(rows(q) >= 0) }
   }
+
+  // ── session() scalar ──────────────────────────────────────────────
+
+  test("session() numbers per-key sessions from 1, splitting on gap") {
+    val df = g.sql(
+      "select user_id, session(ts, '30 minutes', user_id) as sess from events")
+    val stats = df.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.min("sess").as("lo"),
+        org.apache.spark.sql.functions.max("sess").as("hi"))
+      .collect()
+    assert(stats.nonEmpty)
+    assert(stats.forall(_.getLong(1) == 1L), "every user starts at session 1")
+    assert(stats.exists(_.getLong(2) > 1L), "some user has >1 session")
+  }
+
+  test("session() plan: one hash-exchange, two stacked windows, no global sort") {
+    val df = g.sql(
+      "select user_id, max(session(ts, '30 minutes', user_id)) as n from events group by user_id")
+    val p = df.queryExecution.executedPlan.toString
+    // lag + running sum share the WindowSpec: partitioning is reused,
+    // so only the window's own exchange plus the (AQE-planned) final
+    // agg may hash-partition; nothing single-partitions.
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(800))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected <=1 hash exchange pre-AQE, got $exchanges\n${p.take(1200)}")
+  }
+
+  test("session() rejected in where; bad args rejected") {
+    assertThrows[Exception] {
+      g.sql("select user_id from events where session(ts, '30 minutes', user_id) > 1").collect()
+    }
+    assertThrows[Exception] {
+      g.sql("select session(ts, user_id) from events").collect()
+    }
+    assertThrows[Exception] {
+      g.sql("select session(ts, 'not a duration', user_id) from events").collect()
+    }
+    assertThrows[Exception] {
+      g.sql("select session(user_id, '30 minutes', user_id) from events").collect()
+    }
+  }
 }
