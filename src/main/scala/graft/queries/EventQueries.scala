@@ -314,8 +314,47 @@ object EventQueries {
              |SELECT prev_type, next_type, n,
              |  CAST(n AS DOUBLE)
              |    / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // Spark-NATIVE sessionization: session_window() produces the
+    // per-session rows themselves (start, end = last event + gap,
+    // aggregates) rather than e02's per-user counts — and the
+    // identical expression runs under Structured Streaming with a
+    // watermark (StreamingSpec pins stream ≡ batch). Boundary
+    // semantics: Spark merges an event into a session while
+    // next_ts < last_ts + gap, so a gap EXACTLY equal to 30 min
+    // starts a new session — the oracle's split predicate is >=
+    // (e02's dialect rule is >; the two differ only on the
+    // measure-zero exact-boundary case, documented here).
+    // Scale: one hash-exchange on user_id, then Spark's native
+    // session merge — state is O(open sessions), never O(history).
+    Q("e14_session_window",
+      (s, dir) => sessionWindows(Tables(s, dir, "events")),
+      Some("""WITH marks AS (SELECT user_id, ts, event_id, value,
+             |  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+             |       - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+             |         OVER (PARTITION BY user_id ORDER BY ts)
+             |       >= 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+             | FROM events),
+             |sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             |  ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |  AS sid FROM marks)
+             |SELECT user_id,
+             |  CAST(min(ts) AS TIMESTAMP) AS s_start,
+             |  CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS s_end,
+             |  CAST(count(event_id) AS DOUBLE) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |FROM sess GROUP BY user_id, sid""".stripMargin))
   )
+
+  /** e14's builder — batch form; the same expression composes under
+    * readStream + watermark (graft.streaming.StreamingOps). */
+  def sessionWindows(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(Det.cnt(col("event_id")).as("n_events"),
+        Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), col("n_events"), col("sum_value"))
 
   /** e13's builder on an arbitrary events frame — shared with
     * ScaleProbe so the probe times exactly the gated plan. */

@@ -436,6 +436,23 @@ object TextQueries {
            |         LEFT JOIN d5 ON tot.doc_id = d5.doc_id""".stripMargin
       }),
 
+    // Lexical diversity: per-doc type/token counts and hapax count —
+    // the classic TTR-family quality signals (template spam has few
+    // types per token; generated gibberish has hapax-heavy tails).
+    // Integer-only output (ratios divide exactly downstream), so the
+    // hash gate is ulp-proof. Scale: explode + two keyed aggs with
+    // map-side partials — the same vocab shape as t08, linear in
+    // corpus tokens, the (doc_id, token) key never hot.
+    Q("t30_lexical_diversity",
+      (s, dir) => lexicalDiversity(Tables(s, dir, "documents")),
+      Some(s"""WITH tk AS (SELECT doc_id, unnest(${O.toks("text")}) AS w
+              |           FROM documents),
+              |f AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY doc_id, w)
+              |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |  CAST(count(*) AS BIGINT) AS n_types,
+              |  CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax
+              |FROM f GROUP BY doc_id""".stripMargin)),
+
     // Sequence packing (GPT-style concat-then-chunk): tokens of the
     // whole corpus are conceptually concatenated in doc_id order and
     // cut into fixed L-token training sequences; each doc reports its
@@ -1080,6 +1097,17 @@ object TextQueries {
 
   /** t29's builder over an arbitrary documents frame — shared with
     * ScaleProbe so the probe times exactly the gated plan. */
+  /** t30's builder — shared with ScaleProbe. */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+    val f = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    f.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      count(when(col("c") === 1, lit(1))).as("n_hapax"))
+  }
+
   def dupNgramChars(docsIn: DataFrame): DataFrame = {
     val toks = docsIn.select(col("doc_id"),
       tokens(col("text")).as("w"),

@@ -348,32 +348,86 @@ object VectorQueries {
     s"WITH $lead${ctes.mkString(",\n")}\n${unions.mkString("\nUNION ALL\n")}"
   }
 
+  /** v01's builder: brute-force cosine top-k for the sampled query
+    * panel (vec_id < 5). The tiny QUERY side is broadcast — the
+    * candidate side is the 100 TB one; left alone Spark picked
+    * BuildRight(candidates). Shared by v01 and v19's truth side. */
+  def bruteKnn(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val sims = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB mirror of [[bruteKnn]]. */
+  def bruteKnnSql(k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+       |sims AS (SELECT q_id, n_id, ${cosineSql("q_emb", "n_emb")} AS sim
+       |         FROM q JOIN c ON q_id != n_id)
+       |SELECT q_id, n_id, sim, rank FROM
+       |(SELECT q_id, n_id, sim, CAST(row_number() OVER
+       |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+       | FROM sims) WHERE rank <= $k""".stripMargin
+
+  /** v05's builder: IVF search — every vector assigned to its nearest
+    * centroid (tiny broadcast cell table), queries probe ONLY their
+    * cell. Deterministic assignment tie-break (csim DESC, label ASC).
+    * Shared by v05 and v19's index-under-test side. */
+  def ivfSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val scored = e.crossJoin(broadcast(centroids(s, dir)))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        cosineHof(col("centroid"), col("embedding")).as("csim"))
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("label").asc)
+    val assigned = scored.withColumn("rk", row_number().over(wa))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("label").as("cell"))
+    val qs = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+    val sims = assigned
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
+      .join(broadcast(qs), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(wr).cast(LongType))
+      .filter(col("rank") <= 5)
+  }
+
+  /** DuckDB mirror of [[ivfSearch]]. */
+  def ivfSearchSql: String =
+    s"""WITH cents AS ($centroidsSql),
+       |scored AS (SELECT e.vec_id, e.embedding, c.label,
+       |  ${cosineSql("c.centroid", "e.embedding")} AS csim
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, embedding, label AS cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY csim DESC, label ASC) AS rk FROM scored)
+       |  WHERE rk = 1),
+       |sims AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |  ${cosineSql("q.embedding", "n.embedding")} AS sim
+       |  FROM assigned n JOIN assigned q ON n.cell = q.cell AND q.vec_id != n.vec_id
+       |  WHERE q.vec_id < 5)
+       |SELECT q_id, n_id, sim, rank FROM (SELECT q_id, n_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank FROM sims)
+       |WHERE rank <= 5""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("v01_knn_brute",
-      (s, dir) => {
-        val e = Tables(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-        // broadcast the tiny QUERY side — the candidate side is the
-        // 100 TB one; left alone Spark picked BuildRight(candidates)
-        val sims = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"),
-            cosine(col("q_emb"), col("n_emb")).as("sim"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("n_id").asc)
-        sims.withColumn("rank", row_number().over(w).cast(LongType))
-          .filter(col("rank") <= 10)
-      },
-      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
-              |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
-              |sims AS (SELECT q_id, n_id, ${cosineSql("q_emb", "n_emb")} AS sim
-              |         FROM q JOIN c ON q_id != n_id)
-              |SELECT q_id, n_id, sim, rank FROM
-              |(SELECT q_id, n_id, sim, CAST(row_number() OVER
-              |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
-              | FROM sims) WHERE rank <= 10""".stripMargin),
+      (s, dir) => bruteKnn(s, dir, 10),
+      Some(bruteKnnSql(10)),
       bench = true),
 
     Q("v02_lsh_buckets",
@@ -437,44 +491,38 @@ object VectorQueries {
     // broadcast cell table), then queries probe ONLY their cell.
     // Deterministic assignment tie-break (csim DESC, label ASC).
     Q("v05_ivf_search",
+      (s, dir) => ivfSearch(s, dir),
+      Some(ivfSearchSql)),
+
+    // ANN quality eval: recall@5 of the IVF index (v05) against the
+    // exact brute-force truth (v01's builder at k=5) — the evaluation
+    // harness an index rollout needs (d13 is the same idea for LSH
+    // dedup). Integer output (hits, k) per query keeps the gate
+    // ulp-proof; recall = hits/k downstream. Scale: truth is only
+    // computed for the SAMPLED query set (here vec_id < 5; at 100 TB
+    // a hash-sampled panel), so the brute side stays a
+    // broadcast-queries scan, never n².
+    Q("v19_ann_recall",
       (s, dir) => {
-        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val scored = e.crossJoin(broadcast(centroids(s, dir)))
-          .select(col("vec_id"), col("embedding"), col("label"),
-            cosineHof(col("centroid"), col("embedding")).as("csim"))
-        val wa = Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("label").asc)
-        val assigned = scored.withColumn("rk", row_number().over(wa))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("embedding"), col("label").as("cell"))
-        val qs = assigned.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
-        val sims = assigned
-          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
-          .join(broadcast(qs), "cell")
-          .filter(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
-        val wr = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("n_id").asc)
-        sims.withColumn("rank", row_number().over(wr).cast(LongType))
-          .filter(col("rank") <= 5)
+        val truth = bruteKnn(s, dir, 5).select(col("q_id"), col("n_id"))
+        val ivf = ivfSearch(s, dir).select(col("q_id"), col("n_id"))
+        val hits = truth.join(ivf, Seq("q_id", "n_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+        truth.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+            col("k"))
       },
-      Some(s"""WITH cents AS ($centroidsSql),
-              |scored AS (SELECT e.vec_id, e.embedding, c.label,
-              |  ${cosineSql("c.centroid", "e.embedding")} AS csim
-              |  FROM embeddings e CROSS JOIN cents c),
-              |assigned AS (SELECT vec_id, embedding, label AS cell FROM
-              |  (SELECT *, row_number() OVER (PARTITION BY vec_id
-              |     ORDER BY csim DESC, label ASC) AS rk FROM scored)
-              |  WHERE rk = 1),
-              |sims AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-              |  ${cosineSql("q.embedding", "n.embedding")} AS sim
-              |  FROM assigned n JOIN assigned q ON n.cell = q.cell AND q.vec_id != n.vec_id
-              |  WHERE q.vec_id < 5)
-              |SELECT q_id, n_id, sim, rank FROM (SELECT q_id, n_id, sim,
-              |  CAST(row_number() OVER (PARTITION BY q_id
-              |    ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank FROM sims)
-              |WHERE rank <= 5""".stripMargin)),
+      Some(s"""WITH truth AS (SELECT q_id, n_id FROM (${bruteKnnSql(5)})),
+              |ivf AS (SELECT q_id, n_id FROM ($ivfSearchSql)),
+              |h AS (SELECT truth.q_id, count(*) AS hits
+              |      FROM truth JOIN ivf ON truth.q_id = ivf.q_id
+              |                         AND truth.n_id = ivf.n_id
+              |      GROUP BY truth.q_id)
+              |SELECT t.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+              |  CAST(count(*) AS BIGINT) AS k
+              |FROM truth t LEFT JOIN h ON t.q_id = h.q_id
+              |GROUP BY t.q_id, h.hits""".stripMargin)),
 
     // Multi-probe IVF: queries probe their top-2 nearest cells instead
     // of one. A query near a cell boundary has near-neighbors on the

@@ -31,6 +31,16 @@ object StreamingOps {
         .parquet(dir))
   }
 
+  /** Watermarked streaming SESSION windows — e14's exact
+    * session_window expression under incremental execution
+    * (EventQueries.sessionWindows is the batch twin; StreamingSpec
+    * pins stream ≡ batch). Spark merges open sessions in state and
+    * the watermark bounds them: state is O(open sessions per user),
+    * closed sessions finalize and evict once the watermark passes. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    graft.queries.EventQueries.sessionWindows(
+      events.withWatermark("ts", "2 hours"))
+
   /** Watermarked hourly windowed aggregation — incremental version of
     * EventQueries e01. Watermark bounds state: late events beyond 2h
     * are dropped, so state size is O(active windows), not O(stream). */

@@ -30,6 +30,30 @@ class StreamingSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("streaming session windows match the batch session_window plan") {
+    val stream = StreamingOps.readEvents(spark, sf0001)
+    // complete mode for the same reason as the hourly test: one
+    // AvailableNow batch never advances the watermark past a session
+    val q = StreamingOps.sessionCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sessions_stream")
+    val batch = graft.queries.EventQueries.sessionWindows(
+      Tables(spark, sf0001, "events"))
+      .withColumnRenamed("n_events", "n_b")
+      .withColumnRenamed("sum_value", "sv_b")
+    val joined = streamed.join(batch, Seq("user_id", "s_start", "s_end"), "inner")
+    assert(streamed.count() > 0)
+    assert(joined.count() == streamed.count(),
+      "every streamed session must exist in the batch result with identical bounds")
+    assert(joined.count() == batch.count(),
+      "every batch session must be emitted by the stream")
+    assert(joined.filter("n_events != n_b OR sum_value != sv_b").count() == 0)
+  }
+
   test("realtime CSV export writes streamed rows to disk") {
     val out = java.nio.file.Files.createTempDirectory("graftstream")
     val q = StreamingOps.saveRealtimeCsv(
