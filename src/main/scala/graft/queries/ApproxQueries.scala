@@ -216,6 +216,54 @@ object ApproxQueries {
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
              |min(n_chars) AS min_nc, max(n_chars) AS max_nc,
              |true AS p50_ok
-             |FROM documents GROUP BY lang""".stripMargin)))
+             |FROM documents GROUP BY lang""".stripMargin)),
+
+    // Pairwise Pearson correlation over lineitem's numeric columns in
+    // ONE aggregate pass. Every moment (Σx, Σx², Σxy) flows through
+    // Det decimal, so the five sums are EXACT on any partitioning;
+    // r is then a fixed dag of correctly-rounded IEEE ops over
+    // identical doubles on both engines — deterministic without a
+    // tolerance. Scale: a single map-side-combined agg producing
+    // k + k(k-1)/2 scalars; the pair explosion happens on the 1-row
+    // aggregate, never on data.
+    Q("x08_correlation",
+      (s, dir) => {
+        import graft.core.Det
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val li = Tables(s, dir, "lineitem")
+        val sums = li.agg(
+          count(lit(1)).as("n"),
+          (cols.map(c => Det.dsum(col(c)).as(s"s_$c")) ++
+            cols.map(c => Det.dsum(col(c) * col(c)).as(s"ss_$c")) ++
+            cols.combinations(2).map { case Seq(a, b) =>
+              Det.dsum(col(a) * col(b)).as(s"sp_${a}_$b")
+            }.toSeq): _*)
+        val pairs = cols.combinations(2).map { case Seq(a, b) =>
+          val n = col("n").cast(DoubleType)
+          val cov = n * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+          val vx = n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+          val vy = n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+          struct(lit(a).as("c1"), lit(b).as("c2"),
+            col("n").as("n"), (cov / (sqrt(vx) * sqrt(vy))).as("r"))
+        }.toSeq
+        sums.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        def ds(x: String) = s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+        val aggs = (Seq("CAST(count(*) AS BIGINT) AS n") ++
+          cols.map(c => s"${ds(c)} AS s_$c") ++
+          cols.map(c => s"${ds(s"$c * $c")} AS ss_$c") ++
+          cols.combinations(2).map { case Seq(a, b) =>
+            s"${ds(s"$a * $b")} AS sp_${a}_$b" }.toSeq).mkString(", ")
+        val branches = cols.combinations(2).map { case Seq(a, b) =>
+          s"""SELECT '$a' AS c1, '$b' AS c2, n,
+             |  (CAST(n AS DOUBLE) * sp_${a}_$b - s_$a * s_$b)
+             |  / (sqrt(CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a)
+             |     * sqrt(CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b)) AS r
+             |FROM sums""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH sums AS (SELECT $aggs FROM lineitem)\n$branches"
+      }))
   }
 }

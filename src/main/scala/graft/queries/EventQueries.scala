@@ -344,8 +344,45 @@ object EventQueries {
              |  CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS s_end,
              |  CAST(count(event_id) AS DOUBLE) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-             |FROM sess GROUP BY user_id, sid""".stripMargin))
+             |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
+    // Inter-arrival cadence profile: per-event-type gap statistics
+    // over each user's timeline (gap attributed to the LATER event's
+    // type) — the bursty-bot-vs-human signal. Exact integer min/max;
+    // avg through Det decimal. One user_id window exchange + k-row agg.
+    Q("e15_interevent_gaps",
+      (s, dir) => interEventGaps(Tables(s, dir, "events")),
+      Some(s"""WITH g AS (SELECT event_type,
+              |  epoch_us(CAST(ts AS TIMESTAMP))
+              |    - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+              |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              | FROM events)
+              |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+              |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+              |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+              |  ${Det.sql.davg("gap_us")} AS avg_gap_us
+              |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""".stripMargin))
   )
+
+  /** e15's builder: inter-arrival gap statistics per event type —
+    * the latency/cadence profile (bursty crawlers vs humans, bot
+    * heuristics). The gap is per USER (lag over the user_id
+    * exchange), attributed to the LATER event's type; min/max are
+    * exact integers, avg flows through Det decimal. Same single
+    * user_id exchange as e02/e13 — one window shuffle, then a
+    * k-row aggregate. */
+  def interEventGaps(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        Det.davg(col("gap_us")).as("avg_gap_us"))
+  }
 
   /** e14's builder — batch form; the same expression composes under
     * readStream + watermark (graft.streaming.StreamingOps). */

@@ -453,6 +453,35 @@ object TextQueries {
               |  CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax
               |FROM f GROUP BY doc_id""".stripMargin)),
 
+    // Token-shape profile on RAW (case-preserving) whitespace tokens:
+    // capitalized-token and all-digit-token counts — cheap NER-ish /
+    // tabular-noise signals (high caps density ⇒ titles/names lists,
+    // high digit density ⇒ serial-number dumps). Integer-only gate.
+    // Pure per-row column algebra (split + two HOF filters) — no
+    // exchange at all; the regexes are ASCII classes with identical
+    // semantics in Java regex and RE2.
+    Q("t31_token_shape",
+      (s, dir) => {
+        val raw = filter(split(col("text"), "\\s+"),
+          t => length(t) > lit(0))
+        Tables(s, dir, "documents").select(col("doc_id"),
+          size(raw).cast(LongType).as("n_tok"),
+          size(filter(raw, t => t.rlike("^[A-Z]")))
+            .cast(LongType).as("n_caps"),
+          size(filter(raw, t => t.rlike("^[0-9]+$")))
+            .cast(LongType).as("n_digit"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |    t -> length(t) > 0)) AS BIGINT) AS n_tok,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |    t -> length(t) > 0 AND regexp_matches(t, '^[A-Z]')))
+             |    AS BIGINT) AS n_caps,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |    t -> length(t) > 0 AND regexp_matches(t, '^[0-9]+$')))
+             |    AS BIGINT) AS n_digit
+             |FROM documents""".stripMargin)),
+
     // Sequence packing (GPT-style concat-then-chunk): tokens of the
     // whole corpus are conceptually concatenated in doc_id order and
     // cut into fixed L-token training sequences; each doc reports its
