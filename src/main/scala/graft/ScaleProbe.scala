@@ -83,7 +83,60 @@ object ScaleProbe {
     else if (args.headOption.contains("r6ops")) r6Ops(args.drop(1))
     else if (args.headOption.contains("r5new")) r5New(args.drop(1))
     else if (args.headOption.contains("r6fix")) r6Fix(args.drop(1))
+    else if (args.headOption.contains("r6new")) r6New(args.drop(1))
     else standard(args)
+
+  /** Probes for the round-6 continuation operators. (a) e14 native
+    * session windows: Spark's merging-session aggregation after one
+    * user_id exchange — state is O(open sessions), the probe watches
+    * the merge stay linear in events. (b) e15 gaps: e13's window
+    * shape + k-row agg. (c) t30 lexical diversity: the two-level
+    * vocab agg — the (doc_id, token) key never hot, partials combine
+    * map-side. (d) t31 token shape: zero-exchange per-row algebra,
+    * the linearity floor. (e) x08: one-pass global moments. */
+  def r6New(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val ev = scaled(spark, "events", Seq("event_id", "user_id"), copies)
+    val nEv = ev.count()
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("text"))
+    val nDoc = docs.count()
+    val li = scaled(spark, "lineitem", Seq("l_orderkey"), copies)
+    val nLi = li.count()
+    println(s"copies=$copies events=$nEv docs=$nDoc lineitem=$nLi")
+    time("e14_session_window") {
+      graft.queries.EventQueries.sessionWindows(ev)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("e15_interevent_gaps") {
+      graft.queries.EventQueries.interEventGaps(ev)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("t30_lexical_diversity") {
+      graft.queries.TextQueries.lexicalDiversity(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("t31_token_shape") {
+      docs.select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > lit(0)))
+          .cast("long").as("n_tok"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("x08_correlation") {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      li.agg(count(lit(1)).as("n"),
+        (cols.map(c => graft.core.Det.dsum(col(c)).as(s"s_$c")) ++
+          cols.combinations(2).map { case Seq(a, b) =>
+            graft.core.Det.dsum(col(a) * col(b)).as(s"sp_${a}_$b")
+          }.toSeq): _*)
+        .write.format("noop").mode("overwrite").save()
+    }
+    writeJson(outJson, copies,
+      s""", "events": $nEv, "docs": $nDoc, "lineitem": $nLi""")
+    spark.stop()
+  }
 
   /** Probes for the shapes restored by the round-6 NTZ fix: e02's
     * sessions window (one user_id exchange, lag + keyed agg) and

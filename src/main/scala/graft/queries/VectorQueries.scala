@@ -348,6 +348,59 @@ object VectorQueries {
     s"WITH $lead${ctes.mkString(",\n")}\n${unions.mkString("\nUNION ALL\n")}"
   }
 
+  /** v20's builder: per-subspace PQ quantization distortion — the
+    * codebook-quality eval next to v19's recall eval (an index
+    * rollout watches both: recall against truth, and SSE drift as
+    * the corpus distribution moves). Training reuses the
+    * deterministic per-subspace Lloyd fit (tiny driver-collected
+    * centers → broadcast literals); the error pass is ONE narrow
+    * corpus scan (assign + same-order squared-distance fold), and
+    * per-row errors flow through Det decimal so the per-subspace SSE
+    * is exact on any partitioning. Output: (sub, n, sse). */
+  def pqDistortion(s: SparkSession, dir: String, dim: Int = 64,
+      m: Int = PQ_M, k: Int = PQ_K, iters: Int = KMEANS_ITERS): DataFrame = {
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val dSub = dim / m
+    val rows = (0 until m).map { sub =>
+      val subEmb = slice(col("embedding"), sub * dSub + 1, dSub)
+      val centers = kmeansFit(
+        e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1)
+      val code = graft.functions.VectorExprs.nearest_centroid(
+        col("embedding"), centers, dSub, sub * dSub)
+      val err = centers.tail.foldLeft(
+        when(code === lit(centers.head._1.toLong),
+          sqDistHof(subEmb, centers.head._2))) {
+        case (w, (j, c)) => w.when(code === lit(j.toLong), sqDistHof(subEmb, c))
+      }.otherwise(lit(null))
+      struct(lit(sub.toLong).as("sub"), err.as("err"))
+    }
+    e.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.sub"), col("p.err"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("err")).as("sse"))
+  }
+
+  /** DuckDB mirror of [[pqDistortion]]. */
+  def pqDistortionSql(dim: Int = 64, m: Int = PQ_M, k: Int = PQ_K,
+      iters: Int = KMEANS_ITERS): String = {
+    val dSub = dim / m
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    def distSql(cent: String) = O.dfold(
+      s"list_transform(embedding, (kx, ki) -> (${d("kx")} - $cent[ki]) * (${d("kx")} - $cent[ki]))")
+    val ctes = (0 until m).map { s =>
+      kmeansCtesSql(k, iters, prefix = s"s${s}_",
+        src = s"SELECT vec_id, embedding[${s * dSub + 1}:${(s + 1) * dSub}] AS embedding FROM embeddings")
+    }
+    val unions = (0 until m).map { s =>
+      s"""SELECT CAST($s AS BIGINT) AS sub, ${distSql("c.cent")} AS err
+         |FROM s${s}_assign$iters a JOIN s${s}_cent${iters - 1} c ON a.cell = c.cell""".stripMargin
+    }
+    s"""WITH ${ctes.mkString(",\n")},
+       |errs AS (${unions.mkString("\nUNION ALL\n")})
+       |SELECT sub, CAST(count(*) AS BIGINT) AS n, ${Det.sql.dsum("err")} AS sse
+       |FROM errs GROUP BY sub""".stripMargin
+  }
+
   /** v01's builder: brute-force cosine top-k for the sampled query
     * panel (vec_id < 5). The tiny QUERY side is broadcast — the
     * candidate side is the 100 TB one; left alone Spark picked
@@ -523,6 +576,11 @@ object VectorQueries {
               |  CAST(count(*) AS BIGINT) AS k
               |FROM truth t LEFT JOIN h ON t.q_id = h.q_id
               |GROUP BY t.q_id, h.hits""".stripMargin)),
+
+    // PQ codebook distortion eval — see [[pqDistortion]].
+    Q("v20_pq_distortion",
+      (s, dir) => pqDistortion(s, dir),
+      Some(pqDistortionSql())),
 
     // Multi-probe IVF: queries probe their top-2 nearest cells instead
     // of one. A query near a cell boundary has near-neighbors on the

@@ -371,4 +371,47 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1 && exchanges <= 2,
       s"expected 1 scan + at most 2 exchanges, got $scans/$exchanges")
   }
+
+  test("session windows (e14) shuffle once on user_id, never single-partition") {
+    val p = plan("e14_session_window")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges")
+  }
+
+  test("inter-event gaps (e15) stay within the window + k-row agg exchanges") {
+    val p = plan("e15_interevent_gaps")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
+  }
+
+  test("correlation matrix (x08) is one scan, one global-agg exchange, no join") {
+    val p = plan("x08_correlation")
+    assert(!p.contains("Join"), "x08 must not self-join per pair")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(scans == 1 && exchanges <= 1,
+      s"expected 1 scan + <=1 exchange, got $scans/$exchanges")
+  }
+
+  test("token shape (t31) is pure per-row algebra - zero exchanges") {
+    val p = plan("t31_token_shape")
+    assert(!p.contains("Exchange"),
+      s"t31 must not shuffle:\n${p.take(600)}")
+  }
+
+  test("lexical diversity (t30) is the two-level vocab agg shape") {
+    val p = plan("t30_lexical_diversity")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
+  }
+
+  test("ANN recall eval (v19) broadcasts query panels, never cartesian") {
+    val p = plan("v19_ann_recall")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "query panel sides should broadcast")
+  }
 }
