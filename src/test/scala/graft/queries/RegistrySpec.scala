@@ -12,14 +12,13 @@ class RegistrySpec extends SparkSpec {
       names.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }.mkString(","))
   }
 
-  test("every query has an oracle (sketch ops self-gate via bounds columns)") {
-    // t23: DuckDB cannot deflate — gated by CompressRatioSpec.
-    // (Documented in COVERAGE.md); anything else oracle-less is a bug.
-    // (t25's scoring is oracle-gated via frozen nano-weights since r5;
-    // training stays pinned by QualityClassifierSpec.)
-    val allowed = Set("t23_compress_ratio")
+  test("EVERY query has an oracle — zero exceptions since round 6") {
+    // t23 was the last holdout (DuckDB cannot deflate); since round 6
+    // its oracle joins the independently-generated golden fixture
+    // (fixtures/t23_golden.parquet). Sketch ops self-gate via exact
+    // columns + bounds booleans. An oracle-less query would regress
+    // the driver gate to a weaker rows-only check — keep this at zero.
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
-      .filterNot(allowed)
     assert(noOracle.isEmpty, s"oracle-less queries: $noOracle")
   }
 
