@@ -299,6 +299,23 @@ object DialectQueries {
              |         OVER (PARTITION BY user_id ORDER BY ts)
              |       > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
              | FROM events)
-             |GROUP BY user_id""".stripMargin))
+             |GROUP BY user_id""".stripMargin)),
+
+    // Pipeline text functions on the dialect surface (token_count via
+    // the native tokenizer, compress_ratio via the deflate
+    // expression): the oracle mirrors token_count with the pinned
+    // DuckDB tokenizer and compress_ratio with the independently
+    // generated golden fixture keyed by md5(text) — full hash gate on
+    // the dialect path end-to-end.
+    Q("s21_dialect_textfns",
+      sql("""select doc_id, token_count(text) as n_tok,
+            |compress_ratio(text) as ratio from documents""".stripMargin),
+      Some(s"""SELECT d.doc_id,
+              |  CAST(len(${graft.queries.OracleSql.toks("d.text")}) AS BIGINT)
+              |    AS n_tok,
+              |  g.ratio
+              |FROM documents d
+              |JOIN '/root/repo/fixtures/t23_golden.parquet' g
+              |  ON md5(d.text) = g.h""".stripMargin))
   )
 }

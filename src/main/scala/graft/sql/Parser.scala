@@ -36,7 +36,8 @@ final class Parser(toks: Vector[Tok]) {
   private val aggNames = Set("sum", "avg", "min", "max", "count", "stdev", "stdevp")
   private val fnNames = Set("year", "month", "week", "day", "dayofweek", "dayofyear",
     "dayofmonth", "hour", "monthname", "dayname", "abs", "coalesce",
-    "encrypt", "decrypt", "inc", "format", "session")
+    "encrypt", "decrypt", "inc", "format", "session",
+    "token_count", "compress_ratio")
   private val clauseKw = Set("from", "where", "group", "having", "order", "limit",
     "and", "or", "xor", "when", "then", "else", "end", "as", "asc",
     "join", "inner", "left", "outer", "sjoin", "bjoin", "on", "top",

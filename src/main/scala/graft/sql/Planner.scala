@@ -780,6 +780,14 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         // single-partition window anywhere in the plan.
         val step = args.headOption.collect { case Lit(raw, _) => raw.toDouble }.getOrElse(1.0)
         (col(IncCol) * lit(step), TFloat)
+      case "token_count" =>
+        // pipeline text surface in the dialect (SURVEY §2.11 function
+        // map, same spirit as session()): whitespace token count via
+        // the native codegen'd tokenizer
+        (graft.functions.TextFunctions.tokenCount(one), TInt)
+      case "compress_ratio" =>
+        // deflate ratio (t23's signal) — one codegen'd static call/row
+        (graft.functions.CompressRatioExprs.compress_ratio(one), TFloat)
       case "session" =>
         // hoisted by plan() into a hidden window column — here it is a
         // plain column reference (see hoistSessions)
