@@ -262,5 +262,55 @@ object PipelineQueries {
               |        sqrt(CAST(n_tokens AS DOUBLE)) / z AS weight FROM n, zt)
               |SELECT source, n_tokens, weight,
               |  1000000.0 * weight / CAST(n_tokens AS DOUBLE) AS epochs
-              |FROM w""".stripMargin)))
+              |FROM w""".stripMargin)),
+
+    // The round-6 signals composed into ONE per-doc quality scorecard
+    // (the filter table a curation run materializes before sampling):
+    // deflate ratio (t23), lexical diversity (t30), token shape (t31),
+    // and an integer-exact keep rule — not repetitive (ratio ≥ 0.35),
+    // TTR ≥ 0.3 (10·types ≥ 3·tokens), digit-token share ≤ ½
+    // (2·digits ≤ raw tokens). Scale: the per-row branch is
+    // zero-exchange; the diversity branch is the two-level vocab agg;
+    // they join once on doc_id. The ratio oracle joins the
+    // independent golden fixture — the whole composition stays a
+    // full hash gate.
+    Q("p07_quality_scorecard",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val raw = filter(split(col("text"), "\\s+"), t => length(t) > lit(0))
+        val rowSig = docs.select(col("doc_id"), col("source"),
+          graft.functions.CompressRatioExprs.compress_ratio(col("text"))
+            .as("ratio"),
+          size(raw).cast("long").as("n_raw"),
+          size(filter(raw, t => t.rlike("^[0-9]+$")))
+            .cast("long").as("n_digit"))
+        val div = TextQueries.lexicalDiversity(docs)
+        rowSig.join(div, Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("ratio"),
+            col("n_tokens"), col("n_types"),
+            (col("ratio") >= 0.35 &&
+              col("n_types") * 10L >= col("n_tokens") * 3L &&
+              col("n_digit") * 2L <= col("n_raw")).as("keep"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, unnest(${graft.queries.OracleSql.toks("text")}) AS w
+              |           FROM documents),
+              |f AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY doc_id, w),
+              |div AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |          CAST(count(*) AS BIGINT) AS n_types
+              |        FROM f GROUP BY doc_id),
+              |shape AS (SELECT doc_id,
+              |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              |    t -> length(t) > 0)) AS BIGINT) AS n_raw,
+              |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              |    t -> length(t) > 0 AND regexp_matches(t, '^[0-9]+$$')))
+              |    AS BIGINT) AS n_digit
+              |  FROM documents)
+              |SELECT d.doc_id, d.source, g.ratio, div.n_tokens, div.n_types,
+              |  (g.ratio >= 0.35 AND div.n_types * 10 >= div.n_tokens * 3
+              |   AND shape.n_digit * 2 <= shape.n_raw) AS keep
+              |FROM documents d
+              |JOIN '/root/repo/fixtures/t23_golden.parquet' g
+              |  ON md5(d.text) = g.h
+              |JOIN div ON d.doc_id = div.doc_id
+              |JOIN shape ON d.doc_id = shape.doc_id""".stripMargin)))
 }
