@@ -73,6 +73,27 @@ class MetamorphicSpec extends SparkSpec {
     }
   }
 
+  test("session() is monotone in gap and bounded by events per user") {
+    // metamorphic relations on the events fixture: a larger silence
+    // threshold can only merge sessions, never split them, so per-user
+    // session counts are antitone in gap; and 1 ≤ sessions ≤ events.
+    def sessions(gap: String): Map[Long, (Long, Long)] =
+      g.sql(s"""select user_id, max(session(ts, '$gap', user_id)) as ns,
+               |count(event_id) as ne from events group by user_id""".stripMargin)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2).toLong))
+        .toMap
+    val narrow = sessions("10 minutes")
+    val wide = sessions("2 hours")
+    assert(narrow.keySet == wide.keySet)
+    narrow.foreach { case (u, (nsN, ne)) =>
+      val (nsW, _) = wide(u)
+      assert(nsW <= nsN, s"user $u: widening the gap split sessions ($nsN -> $nsW)")
+      assert(nsN >= 1L && nsN <= ne, s"user $u: $nsN sessions outside [1, $ne]")
+    }
+    assert(narrow.exists { case (u, (ns, _)) => ns > wide(u)._1 },
+      "10m vs 2h should differ for at least one user on this fixture")
+  }
+
   test("order by never changes the row count; distinct never exceeds it") {
     samples(pred, 8).foreach { p =>
       val rp = rows(p)
