@@ -53,7 +53,8 @@ object Console {
       |  Add <code>nh</code>/<code>noheader</code> after a csv path that has no header row. Columns are referenced by name or <code>cN</code> number.<br><br>
       |  <b>Predicates</b>: <code>= != &lt;&gt; &lt; &lt;= &gt; &gt;=</code>, <code>like</code> (case-insensitive), <code>in (...)</code>, <code>between a and b</code>, combined with <code>and or xor not</code> and parentheses.<br><br>
       |  <b>Aggregates</b>: <code>sum avg min max count stdev stdevp</code>, each with optional <code>distinct</code>; bare columns next to aggregates take the group's last value in scan order.<br><br>
-      |  <b>Functions</b>: <code>year month week day dayname monthname dayofyear dayofmonth hour</code> on dates; <code>abs coalesce inc([step]) format encrypt(x,pass) decrypt(x,pass)</code>.
+      |  <b>Functions</b>: <code>year month week day dayname monthname dayofyear dayofmonth hour</code> on dates; <code>abs coalesce inc([step]) format encrypt(x,pass) decrypt(x,pass)</code>;
+      |  pipeline extras <code>session(ts, '30 minutes', user)</code> (per-key session number), <code>token_count(text)</code>, <code>compress_ratio(text)</code>.
       |  Dates add durations: <code>birthdate + '3 weeks'</code>; <code>case</code> expressions (searched and simple) work as in SQL.<br><br>
       |  <b>Joins</b>: <code>join / left join file alias on a.col = alias.col</code> chains across files; <code>sjoin</code> forces a broadcast (small file), <code>bjoin</code> a sort-merge (both big).<br><br>
       |  <b>Saving</b>: fill the save box before running to also write each statement's FULL result as csv (the grid stays clipped); multiple statements get numbered suffixes.
