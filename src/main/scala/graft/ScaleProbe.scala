@@ -120,7 +120,8 @@ object ScaleProbe {
     }
     time("t31_token_shape") {
       docs.select(col("doc_id"),
-        size(filter(split(col("text"), "\\s+"), t => length(t) > lit(0)))
+        size(filter(split(col("text"), graft.functions.TextFunctions.Ws),
+          t => length(t) > lit(0)))
           .cast("long").as("n_tok"))
         .write.format("noop").mode("overwrite").save()
     }

@@ -69,7 +69,7 @@ object BpeEncodeOps {
 
   def encode(text: UTF8String, t: Table): ArrayData = {
     val words = text.toString.toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").filter(_.nonEmpty)
+      .split(TextFunctions.Ws).filter(_.nonEmpty)
     val out = new java.util.ArrayList[UTF8String]()
     words.foreach(encodeWord(_, t, out))
     new GenericArrayData(out.toArray)

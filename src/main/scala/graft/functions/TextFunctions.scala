@@ -23,6 +23,17 @@ object TextFunctions {
     * a Long; products stay < 2^63 via the mod-31 step form). */
   val P: Long = 1000000007L
 
+  /** Whitespace regex shared by every tokenizer AND its oracle mirror.
+    * An explicit character class instead of `\s` because the engines
+    * disagree on the shorthand: Java's `\s` is [ \t\n\x0B\f\r] while
+    * RE2's lacks vertical tab — a VT-bearing document would silently
+    * diverge between Spark and the DuckDB oracle. Every escape here
+    * (`\t \n \x0B \f \r`) parses identically in Java regex and RE2,
+    * so interpolating this one value into both engines keeps them
+    * bit-identical (and equal to Java's old `\s` semantics, so no
+    * Spark-side behavior change). */
+  val Ws: String = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** Whitespace tokenization of lowercased text — native codegen'd
     * pass ([[TokensExpr]]); [[tokensHof]] is the column-algebra mirror
     * the oracle fragment O.toks matches, pinned ≡ in
@@ -33,7 +44,7 @@ object TextFunctions {
   /** Interpreted HOF form of [[tokens]] (filter is CodegenFallback —
     * kept as the cross-pin, not the hot path). */
   def tokensHof(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    filter(split(lower(text), Ws), t => length(t) > 0)
 
   /** Polynomial rolling hash of a string: fold c over chars,
     * h = (h*31 + ascii(c)) mod P. Deterministic, portable, and cheap;

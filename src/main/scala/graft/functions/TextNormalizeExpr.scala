@@ -14,7 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * NFC recompose → whitespace-run collapse → trim. One codegen'd
   * static call per row (Spark ships no unicode-normalize function).
   * The DuckDB oracle mirror is
-  * `trim(regexp_replace(nfc_normalize(strip_accents(lower(x))), '\s+', ' ', 'g'))`
+  * `trim(regexp_replace(nfc_normalize(strip_accents(lower(x))), Ws, ' ', 'g'))`
+  * with the shared explicit whitespace class [[TextFunctions.Ws]]
   * — utf8proc's strip_accents and the NFD/\p{M} form agree on Latin
   * accented letters (the t17 gate covers composed examples).
   */
@@ -24,7 +25,7 @@ object TextNormalizeOps {
     val stripped = Normalizer.normalize(lower, Normalizer.Form.NFD)
       .replaceAll("\\p{M}", "")
     val nfc = Normalizer.normalize(stripped, Normalizer.Form.NFC)
-    UTF8String.fromString(nfc.replaceAll("\\s+", " ").trim)
+    UTF8String.fromString(nfc.replaceAll(TextFunctions.Ws, " ").trim)
   }
 }
 

@@ -8,9 +8,10 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Fused whitespace tokenization — lowercase → split on `\s+` → drop
-  * empties in ONE codegen'd static call. Semantically identical to the
-  * column-algebra chain `filter(split(lower(text), "\\s+"), len > 0)`
+/** Fused whitespace tokenization — lowercase → split on whitespace
+  * runs ([[TextFunctions.Ws]]) → drop empties in ONE codegen'd static
+  * call. Semantically identical to the
+  * column-algebra chain `filter(split(lower(text), Ws), len > 0)`
   * (pinned bit-equal in TextFunctionsSpec), but that chain's `filter`
   * is a HigherOrderFunction with CodegenFallback — interpreted
   * per-row — and it sits on the hot path of every token-explode
@@ -20,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * matches the HOF chain exactly.
   */
 object TokensOps {
-  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val ws = java.util.regex.Pattern.compile(TextFunctions.Ws)
 
   def tokens(s: UTF8String): ArrayData = {
     val parts = ws.split(s.toLowerCase.toString)

@@ -56,41 +56,98 @@ object Bpe {
   final case class Merge(rank: Int, left: String, right: String, freq: Long)
 
   /** Learn `numMerges` BPE merges over the corpus. Stops early when no
-    * pair occurs at least `minFreq` times. */
+    * pair occurs at least `minFreq` times.
+    *
+    * Batched driver rounds: each Spark round-trip fetches the top
+    * `maxBatch + 1` ranked pairs and accepts the maximal PREFIX of the
+    * ranking that is pairwise symbol-disjoint, trimmed to frequencies
+    * strictly above the first excluded pair. That acceptance rule makes
+    * the batch provably identical to `maxBatch = 1` sequential
+    * training (pinned merge-for-merge in BpeSpec):
+    *  - prefix + disjoint ⇒ every accepted pair's count is invariant
+    *    under the earlier accepted merges (a merge only destroys/creates
+    *    pairs sharing one of its symbols), so at sequential step k the
+    *    count of p_k is still f_k, and every original pair ranked below
+    *    keeps freq ≤ f_k (conflicting counts only decrease);
+    *  - the strict-frequency trim ⇒ pairs CREATED by the batch (x·ab)
+    *    can't outrank an accepted pair: a new pair's count is bounded
+    *    by the destroyed pair (x,a) it came from, which conflicts with
+    *    the batch and is therefore ranked past the prefix, freq ≤
+    *    f_stop < f_k — ties included.
+    * A 50k-merge vocabulary train thus needs ~50k/batch driver
+    * round-trips instead of 50k (the probe shape in SCALE_r7). */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      minFreq: Long = 2L): Seq[Merge] = {
+      minFreq: Long = 2L, maxBatch: Int = 16): Seq[Merge] =
+    trainWithStats(docs, textCol, numMerges, minFreq, maxBatch)._1
+
+  /** [[train]] plus the number of driver round-trips it took — the
+    * batching win a scale probe can assert on. */
+  def trainWithStats(docs: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 2L, maxBatch: Int = 16): (Seq[Merge], Int) = {
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // Lineage.cut per round, not cache(): a cache cuts execution but
     // the logical plan still nests every prior round, and per-round
     // plan analysis / plan-string generation grows without bound —
     // a real tokenizer trains thousands of merges.
     var v = graft.core.Lineage.cut(charVocab(docs, textCol))
     val merges = Seq.newBuilder[Merge]
+    var rounds = 0
     var done = false
     var i = 0
     while (i < numMerges && !done) {
+      val want = math.min(maxBatch, numMerges - i)
       val top = pairCounts(v)
-        .orderBy(col("freq").desc, col("pair").asc).limit(1).collect()
-      if (top.isEmpty || top(0).getLong(1) < minFreq) done = true
+        .orderBy(col("freq").desc, col("pair").asc).limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      rounds += 1
+      val eligible = top.takeWhile(_._2 >= minFreq)
+      if (eligible.isEmpty) done = true
       else {
-        val pair = top(0).getString(0)
-        val freq = top(0).getLong(1)
-        val Array(a, b) = pair.split(" ", 2)
-        merges += Merge(i, a, b, freq)
-        val pat = "(?<=^| )" + Pattern.quote(a) + " " + Pattern.quote(b) +
-          "(?=$| )"
+        // maximal pairwise-disjoint prefix of the ranking
+        val used = scala.collection.mutable.Set.empty[String]
+        var idx = 0
+        var conflict = false
+        while (idx < eligible.length && idx < want && !conflict) {
+          val Array(a, b) = eligible(idx)._1.split(" ", 2)
+          if (used(a) || used(b)) conflict = true
+          else { used += a; used += b; idx += 1 }
+        }
+        // f_stop = count of the first pair NOT in the accepted prefix
+        // (conflicting, rank-cut, or sub-minFreq trailing); new pairs
+        // created by the batch are bounded by it. None ⇒ the ranking is
+        // exhausted and no pair can be created (see Scaladoc).
+        val fStop: Option[Long] =
+          if (idx < top.length) Some(top(idx)._2) else None
+        var keep = fStop match {
+          case Some(fs) => eligible.take(idx).lastIndexWhere(_._2 > fs) + 1
+          case None => idx
+        }
+        if (keep == 0) keep = 1 // p_1 is always the sequential choice
+        val accepted = eligible.take(keep)
+        accepted.foreach { case (pair, freq) =>
+          val Array(a, b) = pair.split(" ", 2)
+          merges += Merge(i, a, b, freq)
+          i += 1
+        }
+        // ONE narrow rewrite pass for the whole batch: the replaces
+        // chain on disjoint symbol sets, so order within the chain
+        // can't change the result.
+        val rewritten = accepted.foldLeft(col("sym")) { case (c, (pair, _)) =>
+          val Array(a, b) = pair.split(" ", 2)
+          val pat = "(?<=^| )" + Pattern.quote(a) + " " + Pattern.quote(b) +
+            "(?=$| )"
+          regexp_replace(c, lit(pat), lit(Matcher.quoteReplacement(a + b)))
+        }
         // Eager cut materializes the round, so at most two vocab
         // copies are ever resident; the superseded round's blocks are
         // released (the vocab row count never changes).
-        val next = graft.core.Lineage.cut(v.withColumn("sym",
-          regexp_replace(col("sym"), lit(pat),
-            lit(Matcher.quoteReplacement(a + b)))))
+        val next = graft.core.Lineage.cut(v.withColumn("sym", rewritten))
         graft.core.Lineage.release(v)
         v = next
-        i += 1
       }
     }
     graft.core.Lineage.release(v)
-    merges.result()
+    (merges.result(), rounds)
   }
 
   /** Distributed corpus encoding with a learned merge list: text →

@@ -97,6 +97,31 @@ object DedupQueries {
           element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
 
+  /** d01's exact-dedup shape over any (doc_id, text) frame — one
+    * hash-partitioned groupBy on md5(text). Shared by the gated d01
+    * and the dialect `dedup exact` statement lowering. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast(BinaryType)).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), Det.cnt(col("doc_id")).as("n_copies"))
+
+  /** The d02 signature as ONE ':'-joined string scalar — the dialect's
+    * minhash_sig(text). Same single native tokenize→shingle→minhash
+    * pass as [[sigOf]]; Long→decimal-string rendering is identical in
+    * Spark and DuckDB, so the concatenation stays hash-gateable. */
+  def minhashSigStr(text: Column): Column = {
+    import graft.functions.TextHashExprs._
+    concat_ws(":", transform(shingle_minhash(token_hashes(text), SHINGLE, K),
+      v => v.cast(StringType)))
+  }
+
+  /** DuckDB mirror of a whole-table [[minhashSigStr]] projection:
+    * doc_id + the ':'-joined signature (the s22 oracle). */
+  def sigConcatSql: String = {
+    val joined = (0 until K).map(i => s"CAST(mh$i AS VARCHAR)")
+      .mkString(" || ':' || ")
+    s"SELECT doc_id, $joined AS sig FROM ($sigSql)"
+  }
+
   /** DuckDB mirror of [[candidatePairs]] as WITH-clauses (expects a
     * `sig` CTE named by [[sigSql]]). */
   private def candidatePairsSql: String = {
@@ -109,15 +134,25 @@ object DedupQueries {
        |         ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
   }
 
+  /** d01's oracle over the `documents` table — shared with the dialect
+    * `dedup exact` gate (s24). */
+  val exactDedupOracle: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+      |CAST(count(doc_id) AS DOUBLE) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** d03's full oracle — shared with the dialect `dedup near` gate
+    * (s23), which must produce the identical candidate set. */
+  val lshPairsOracle: String =
+    s"""WITH sig AS ($sigSql),
+       |$candidatePairsSql
+       |SELECT doc_a, doc_b FROM cand""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("d01_dedup_exact",
-      (s, dir) => Tables(s, dir, "documents")
-        .groupBy(md5(col("text").cast(BinaryType)).as("text_md5"))
-        .agg(min(col("doc_id")).as("keep_id"), Det.cnt(col("doc_id")).as("n_copies")),
-      Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
-             |CAST(count(doc_id) AS DOUBLE) AS n_copies
-             |FROM documents GROUP BY md5(text)""".stripMargin)),
+      (s, dir) => exactDedup(Tables(s, dir, "documents")),
+      Some(exactDedupOracle)),
 
     Q("d02_minhash_sig",
       (s, dir) => sigDF(s, dir),
@@ -126,9 +161,7 @@ object DedupQueries {
 
     Q("d03_minhash_lsh_pairs",
       (s, dir) => candidatePairs(s, dir),
-      Some(s"""WITH sig AS ($sigSql),
-              |$candidatePairsSql
-              |SELECT doc_a, doc_b FROM cand""".stripMargin),
+      Some(lshPairsOracle),
       bench = true),
 
     // Verification stage of the MinHash-LSH pipeline: exact n-gram

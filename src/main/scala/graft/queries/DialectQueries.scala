@@ -315,7 +315,29 @@ object DialectQueries {
               |    AS n_tok,
               |  g.ratio
               |FROM documents d
-              |JOIN '/root/repo/fixtures/t23_golden.parquet' g
-              |  ON md5(d.text) = g.h""".stripMargin))
+              |JOIN '${graft.queries.OracleSql.golden("t23_golden.parquet")}' g
+              |  ON md5(d.text) = g.h""".stripMargin)),
+
+    // MinHash dedup on the dialect surface (the round-6 verdict's
+    // top-next): the flagship dedup capability reachable from SQL.
+    // s22 gates the per-row signature scalar (one fused native
+    // tokenize→shingle→minhash pass, ':'-joined so it fits the
+    // dialect's scalar type lattice); s23/s24 gate the `dedup`
+    // statement, which lowers VERBATIM to the d03/d01 builders and is
+    // checked against their exact oracles — the dialect path must
+    // reproduce the gated builders bit-for-bit (plan identity is
+    // additionally pinned in PlanSpec: band-keyed self-join, no
+    // cartesian, BucketGuard cap intact).
+    Q("s22_dialect_minhash_sig",
+      sql("select doc_id, minhash_sig(text) as sig from documents"),
+      Some(DedupQueries.sigConcatSql)),
+
+    Q("s23_dialect_dedup_near",
+      sql("dedup near doc_id, text from documents"),
+      Some(DedupQueries.lshPairsOracle)),
+
+    Q("s24_dialect_dedup_exact",
+      sql("dedup exact doc_id, text from documents"),
+      Some(DedupQueries.exactDedupOracle))
   )
 }

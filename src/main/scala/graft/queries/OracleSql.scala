@@ -10,9 +10,20 @@ import graft.functions.TextFunctions
 object OracleSql {
   val P: Long = TextFunctions.P
 
+  /** The tokenizers' whitespace regex, shared verbatim with the Spark
+    * side — see [[TextFunctions.Ws]] for why it is an explicit class
+    * rather than `\s` (Java/RE2 disagree on vertical tab). */
+  val Ws: String = TextFunctions.Ws
+
+  /** Absolute path of a committed golden fixture (fixtures/<name>),
+    * resolved from the working directory at runtime so the oracle SQL
+    * works on any checkout location, not just /root/repo. */
+  def golden(name: String): String =
+    new java.io.File(s"fixtures/$name").getAbsolutePath
+
   /** Lowercased whitespace tokens of expression `x`. */
   def toks(x: String): String =
-    s"list_filter(string_split_regex(lower($x), '\\s+'), t -> length(t) > 0)"
+    s"list_filter(string_split_regex(lower($x), '$Ws'), t -> length(t) > 0)"
 
   /** Polynomial rolling hash of string expression `t` (tokenHash). */
   def tokenHash(t: String): String =

@@ -277,7 +277,8 @@ object PipelineQueries {
     Q("p07_quality_scorecard",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val raw = filter(split(col("text"), "\\s+"), t => length(t) > lit(0))
+        val raw = filter(split(col("text"), graft.functions.TextFunctions.Ws),
+          t => length(t) > lit(0))
         val rowSig = docs.select(col("doc_id"), col("source"),
           graft.functions.CompressRatioExprs.compress_ratio(col("text"))
             .as("ratio"),
@@ -299,9 +300,9 @@ object PipelineQueries {
               |          CAST(count(*) AS BIGINT) AS n_types
               |        FROM f GROUP BY doc_id),
               |shape AS (SELECT doc_id,
-              |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              |  CAST(len(list_filter(string_split_regex(text, '${graft.queries.OracleSql.Ws}'),
               |    t -> length(t) > 0)) AS BIGINT) AS n_raw,
-              |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              |  CAST(len(list_filter(string_split_regex(text, '${graft.queries.OracleSql.Ws}'),
               |    t -> length(t) > 0 AND regexp_matches(t, '^[0-9]+$$')))
               |    AS BIGINT) AS n_digit
               |  FROM documents)
@@ -309,7 +310,7 @@ object PipelineQueries {
               |  (g.ratio >= 0.35 AND div.n_types * 10 >= div.n_tokens * 3
               |   AND shape.n_digit * 2 <= shape.n_raw) AS keep
               |FROM documents d
-              |JOIN '/root/repo/fixtures/t23_golden.parquet' g
+              |JOIN '${graft.queries.OracleSql.golden("t23_golden.parquet")}' g
               |  ON md5(d.text) = g.h
               |JOIN div ON d.doc_id = div.doc_id
               |JOIN shape ON d.doc_id = shape.doc_id""".stripMargin)))

@@ -458,11 +458,12 @@ object TextQueries {
     // tabular-noise signals (high caps density ⇒ titles/names lists,
     // high digit density ⇒ serial-number dumps). Integer-only gate.
     // Pure per-row column algebra (split + two HOF filters) — no
-    // exchange at all; the regexes are ASCII classes with identical
-    // semantics in Java regex and RE2.
+    // exchange at all; every regex is an explicit ASCII class (the
+    // whitespace split is the shared TextFunctions.Ws, interpolated
+    // into the oracle verbatim, so both engines run the same pattern).
     Q("t31_token_shape",
       (s, dir) => {
-        val raw = filter(split(col("text"), "\\s+"),
+        val raw = filter(split(col("text"), graft.functions.TextFunctions.Ws),
           t => length(t) > lit(0))
         Tables(s, dir, "documents").select(col("doc_id"),
           size(raw).cast(LongType).as("n_tok"),
@@ -471,16 +472,16 @@ object TextQueries {
           size(filter(raw, t => t.rlike("^[0-9]+$")))
             .cast(LongType).as("n_digit"))
       },
-      Some("""SELECT doc_id,
-             |  CAST(len(list_filter(string_split_regex(text, '\s+'),
-             |    t -> length(t) > 0)) AS BIGINT) AS n_tok,
-             |  CAST(len(list_filter(string_split_regex(text, '\s+'),
-             |    t -> length(t) > 0 AND regexp_matches(t, '^[A-Z]')))
-             |    AS BIGINT) AS n_caps,
-             |  CAST(len(list_filter(string_split_regex(text, '\s+'),
-             |    t -> length(t) > 0 AND regexp_matches(t, '^[0-9]+$')))
-             |    AS BIGINT) AS n_digit
-             |FROM documents""".stripMargin)),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(list_filter(string_split_regex(text, '${O.Ws}'),
+              |    t -> length(t) > 0)) AS BIGINT) AS n_tok,
+              |  CAST(len(list_filter(string_split_regex(text, '${O.Ws}'),
+              |    t -> length(t) > 0 AND regexp_matches(t, '^[A-Z]')))
+              |    AS BIGINT) AS n_caps,
+              |  CAST(len(list_filter(string_split_regex(text, '${O.Ws}'),
+              |    t -> length(t) > 0 AND regexp_matches(t, '^[0-9]+$$')))
+              |    AS BIGINT) AS n_digit
+              |FROM documents""".stripMargin)),
 
     // Sequence packing (GPT-style concat-then-chunk): tokens of the
     // whole corpus are conceptually concatenated in doc_id order and
@@ -725,11 +726,11 @@ object TextQueries {
       (s, dir) => Tables(s, dir, "documents").select(col("doc_id"),
         graft.functions.TextNormalizeExprs.normalize_text(
           concat(lit("Café  NAÏVE Übung crème brûlée:\t"), col("text"))).as("norm")),
-      Some("""SELECT doc_id, trim(regexp_replace(
-             |  nfc_normalize(strip_accents(lower(
-             |    'Café  NAÏVE Übung crème brûlée:' || chr(9) || text))),
-             |  '\s+', ' ', 'g')) AS norm
-             |FROM documents""".stripMargin)),
+      Some(s"""SELECT doc_id, trim(regexp_replace(
+              |  nfc_normalize(strip_accents(lower(
+              |    'Café  NAÏVE Übung crème brûlée:' || chr(9) || text))),
+              |  '${O.Ws}', ' ', 'g')) AS norm
+              |FROM documents""".stripMargin)),
 
     // Per-source token-budget sampling — the data-mixing step that
     // caps each source's contribution at a fixed token budget (docs
@@ -885,10 +886,10 @@ object TextQueries {
       (s, dir) => Tables(s, dir, "documents").select(col("doc_id"),
         graft.functions.CompressRatioExprs.compress_ratio(col("text")).as("ratio"))
         .withColumn("is_repetitive", col("ratio") < 0.35),
-      Some("""SELECT d.doc_id, g.ratio, g.is_repetitive
-             |FROM documents d
-             |JOIN '/root/repo/fixtures/t23_golden.parquet' g
-             |  ON md5(d.text) = g.h""".stripMargin)),
+      Some(s"""SELECT d.doc_id, g.ratio, g.is_repetitive
+              |FROM documents d
+              |JOIN '${O.golden("t23_golden.parquet")}' g
+              |  ON md5(d.text) = g.h""".stripMargin)),
 
     // PMI collocations: the top word pairs that co-occur far above
     // chance — classic corpus mining (multiword expressions, named

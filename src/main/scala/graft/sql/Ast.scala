@@ -55,6 +55,20 @@ object Ast {
   final case class XorP(l: Pred, r: Pred) extends Pred
   final case class NotP(p: Pred) extends Pred
 
+  // ── statements ──────────────────────────────────────────────────────
+  /** One dialect statement: a `select` query or a pipeline statement
+    * (beyond-reference surface, SURVEY §2.11 spirit). */
+  sealed trait Stmt
+
+  /** `dedup near|exact <idCol>[,] <textCol> from <table>` — the
+    * MinHash-LSH dedup pipeline on the SQL surface. `near` lowers to
+    * the d02/d03 builders (signature → banded LSH candidate pairs,
+    * BucketGuard-bounded); `exact` lowers to the d01 hash-groupBy.
+    * Single table only (the FROM reuses the select grammar's table
+    * resolution: registered name, basename, path, nh). */
+  final case class DedupStmt(near: Boolean, idCol: String, textCol: String,
+      from: FromClause) extends Stmt
+
   // ── query structure ─────────────────────────────────────────────────
   final case class SelectItem(expr: Expr, alias: Option[String])
 
@@ -88,5 +102,5 @@ object Ast {
       having: Option[Pred],
       orderBy: Option[Expr],
       orderAsc: Boolean, // dialect default is DESC (reference parser.go:928-948)
-      limit: Option[Long])
+      limit: Option[Long]) extends Stmt
 }

@@ -120,11 +120,16 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
     slash.replaceAll("(?i)\\.(csv|parquet|json|orc|xml)$", "")
   }
 
-  /** Compile + plan one dialect statement. `_fN` keys index files in
-    * first-use order within this statement. */
+  /** Compile + plan one dialect statement (`select ...` or the
+    * pipeline statement `dedup near|exact id, text from t`). `_fN`
+    * keys index files in first-use order within this statement. */
   def sql(query: String): DataFrame = {
     resetFileKeys()
-    new Planner((n, nh) => table(n, nh), password).plan(Parser.parse(query))
+    val planner = new Planner((n, nh) => table(n, nh), password)
+    Parser.parseStmt(query) match {
+      case q: Ast.Query => planner.plan(q)
+      case d: Ast.DedupStmt => planner.planDedup(d)
+    }
   }
 
   /** `;`-separated multi-statement execution (reference main.go:117-147). */

@@ -37,7 +37,7 @@ final class Parser(toks: Vector[Tok]) {
   private val fnNames = Set("year", "month", "week", "day", "dayofweek", "dayofyear",
     "dayofmonth", "hour", "monthname", "dayname", "abs", "coalesce",
     "encrypt", "decrypt", "inc", "format", "session",
-    "token_count", "compress_ratio")
+    "token_count", "compress_ratio", "minhash_sig")
   private val clauseKw = Set("from", "where", "group", "having", "order", "limit",
     "and", "or", "xor", "when", "then", "else", "end", "as", "asc",
     "join", "inner", "left", "outer", "sjoin", "bjoin", "on", "top",
@@ -45,6 +45,33 @@ final class Parser(toks: Vector[Tok]) {
     "noheader", "null")
 
   // ── entry ───────────────────────────────────────────────────────────
+  /** One statement: `select ...` or a pipeline statement (`dedup ...`). */
+  def parseStatement(): Stmt =
+    if (matches(peek, "dedup")) { advance(); parseDedup() }
+    else parseQuery()
+
+  /** `dedup near|exact <idCol>[,] <textCol> from <table> [nh]` —
+    * the MinHash-LSH pipeline as a first-class statement. */
+  private def parseDedup(): DedupStmt = {
+    val near =
+      if (accept("near")) true
+      else if (accept("exact")) false
+      else throw ParseError("expected 'near' or 'exact' after dedup")
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",") // commas optional, dialect-wide
+    val textCol = colName()
+    val from = parseFrom()
+    if (from.joins.nonEmpty)
+      throw ParseError("dedup takes a single table (no joins)")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    DedupStmt(near, idCol, textCol, from)
+  }
+
   def parseQuery(): Query = {
     // global prefix options before select: `nh select ...`, `c select ...`
     // (reference consumes these in openFiles, utils.go:507-570; the test
@@ -383,7 +410,12 @@ final class Parser(toks: Vector[Tok]) {
 }
 
 object Parser {
-  /** Parse one statement. */
+  /** Parse one statement (select query or pipeline statement). */
+  def parseStmt(sql: String): Ast.Stmt =
+    new Parser(Lexer.tokenize(sql)).parseStatement()
+
+  /** Parse one select query (the common case; pipeline statements go
+    * through [[parseStmt]]). */
   def parse(sql: String): Ast.Query =
     new Parser(Lexer.tokenize(sql)).parseQuery()
 

@@ -78,6 +78,31 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
   private var sessionCols: Map[FnCall, String] = Map.empty
 
   // ── planning ────────────────────────────────────────────────────────
+  /** `dedup near|exact id, text from t` — lowers VERBATIM to the gated
+    * dedup builders (DedupQueries): `near` is the d02→d03 pipeline
+    * (fused native MinHash signature → banded LSH self-join with the
+    * BucketGuard hot-bucket cap → candidate pairs doc_a < doc_b);
+    * `exact` is d01's single hash-partitioned groupBy on md5(text).
+    * Because the statement shares the builders, its physical plan is
+    * identical to d03's by construction (pinned in PlanSpec): band-key
+    * shuffles only, never a cartesian. */
+  def planDedup(d: DedupStmt): DataFrame = {
+    val base = resolve(d.from.table, d.from.noHeader)
+    // alias only when the source name differs from the builder's
+    // expected name — a redundant `x AS x` would survive as an extra
+    // Project and break the plan-identity pin vs the d03 builder
+    def named(want: String, target: String): Column = base.columns
+      .find(_.equalsIgnoreCase(want))
+      .map(actual => if (actual == target) base.col(actual)
+                     else base.col(actual).as(target))
+      .getOrElse(throw PlanError(s"column not found: $want"))
+    val docs = base.select(named(d.idCol, "doc_id"), named(d.textCol, "text"))
+    if (d.near)
+      graft.queries.DedupQueries.candidatePairsOf(
+        graft.queries.DedupQueries.sigOf(docs))
+    else graft.queries.DedupQueries.exactDedup(docs)
+  }
+
   def plan(q: Query): DataFrame = {
     checkValidity(q)
     intColumns = q.from.intColumns
@@ -383,7 +408,12 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
 
   private def collectSessionExpr(e: Expr): Seq[FnCall] = e match {
     case f @ FnCall("session", args) =>
-      f +: args.flatMap(collectSessionExpr)
+      // A session() inside another session()'s arguments would hit an
+      // empty sessionCols entry during the outer call's arg compile and
+      // surface as a misleading "not allowed here" — reject it up front.
+      if (args.flatMap(collectSessionExpr).nonEmpty)
+        throw PlanError("session() cannot be nested inside session() arguments")
+      Seq(f)
     case FnCall(_, args) => args.flatMap(collectSessionExpr)
     case Arith(_, l, r) => collectSessionExpr(l) ++ collectSessionExpr(r)
     case Neg(x) => collectSessionExpr(x)
@@ -788,6 +818,12 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       case "compress_ratio" =>
         // deflate ratio (t23's signal) — one codegen'd static call/row
         (graft.functions.CompressRatioExprs.compress_ratio(one), TFloat)
+      case "minhash_sig" =>
+        // d02's K-permutation MinHash signature as ONE ':'-joined
+        // string — the dedup pipeline's per-row primitive on the SQL
+        // surface (same fused native expression pass as the d02/d03
+        // builders; see DedupQueries.minhashSigStr)
+        (graft.queries.DedupQueries.minhashSigStr(one), TStr)
       case "session" =>
         // hoisted by plan() into a hidden window column — here it is a
         // plain column reference (see hoistSessions)

@@ -57,6 +57,22 @@ class BpeSpec extends SparkSpec {
     assert(got.exists { case (a, b, _) => (a + b).length >= 4 })
   }
 
+  test("batched rounds ≡ sequential rounds, in fewer driver trips") {
+    val docs = corpus.toDF("text")
+    val (seqM, seqRounds) = Bpe.trainWithStats(docs, "text", 12, maxBatch = 1)
+    val (batM, batRounds) = Bpe.trainWithStats(docs, "text", 12, maxBatch = 8)
+    assert(batM === seqM, "batched training must reproduce the sequential merge list")
+    assert(seqRounds >= 12, s"sequential should pay one trip per merge, got $seqRounds")
+    assert(batRounds < seqRounds,
+      s"batching should cut driver round-trips: $batRounds vs $seqRounds")
+    // real-corpus equivalence too (100 docs, 20 merges, minFreq 1)
+    val real = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    val (sm, sr) = Bpe.trainWithStats(real, "text", 20, minFreq = 1L, maxBatch = 1)
+    val (bm, br) = Bpe.trainWithStats(real, "text", 20, minFreq = 1L, maxBatch = 8)
+    assert(bm === sm)
+    assert(br < sr, s"expected fewer rounds on the real corpus: $br vs $sr")
+  }
+
   test("greedy left-to-right on repeated symbols: 'a a a' merges once") {
     val docs = Seq("aaa aaa baa").toDF("text")
     val merges = Bpe.train(docs, "text", 1, minFreq = 1L)

@@ -408,6 +408,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
   }
 
+  test("dialect dedup near (s23) lowers to d03's exact band-keyed plan") {
+    val dialect = Registry.queries("s23_dialect_dedup_near")(spark, sf0001)
+    val builder = Registry.queries("d03_minhash_lsh_pairs")(spark, sf0001)
+    val p = dialect.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dedup near must stay band-keyed:\n${p.take(800)}")
+    // the statement lowers through the SAME builders, so the optimized
+    // logical plans must be equivalent — the strongest possible pin
+    // that the SQL surface didn't fork the implementation
+    assert(dialect.queryExecution.optimizedPlan
+      .sameResult(builder.queryExecution.optimizedPlan),
+      "dialect dedup near plan diverged from the d03 builder plan")
+  }
+
   test("ANN recall eval (v19) broadcasts query panels, never cartesian") {
     val p = plan("v19_ann_recall")
     assert(!p.contains("CartesianProduct"), p.take(800))

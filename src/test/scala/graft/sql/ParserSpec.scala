@@ -102,4 +102,28 @@ class ParserSpec extends AnyFunSuite {
     val q = Parser.parse("select a b c from t")
     assert(q.items.size == 3)
   }
+
+  test("dedup statement grammar: near/exact, comma optional, single table") {
+    val d = Parser.parseStmt("dedup near doc_id, text from documents")
+      .asInstanceOf[Ast.DedupStmt]
+    assert(d.near && d.idCol == "doc_id" && d.textCol == "text")
+    assert(d.from.table == "documents")
+    val e = Parser.parseStmt("dedup exact id body from t")
+      .asInstanceOf[Ast.DedupStmt]
+    assert(!e.near && e.idCol == "id" && e.textCol == "body")
+    // mode is mandatory
+    assertThrows[Exception](Parser.parseStmt("dedup doc_id, text from t"))
+    // joins rejected
+    assertThrows[Exception](
+      Parser.parseStmt("dedup near a, b from t x join u y on x.k = y.k"))
+    // trailing garbage rejected
+    assertThrows[Exception](
+      Parser.parseStmt("dedup near a, b from t where a > 1"))
+  }
+
+  test("parseStmt still parses plain selects; parse rejects dedup") {
+    val q = Parser.parseStmt("select a from t").asInstanceOf[Ast.Query]
+    assert(q.items.size == 1)
+    assertThrows[Exception](Parser.parse("dedup near a, b from t"))
+  }
 }

@@ -401,4 +401,34 @@ class PlannerSpec extends SparkSpec {
       g.sql("select session(user_id, '30 minutes', user_id) from events").collect()
     }
   }
+
+  // ── dedup surface ─────────────────────────────────────────────────
+
+  test("minhash_sig(text) yields the K-long ':'-joined signature") {
+    val sig = g.sql("select doc_id, minhash_sig(text) as sig from documents")
+    assert(sig.columns.toSeq == Seq("doc_id", "sig"))
+    val first = sig.limit(1).collect()(0).getString(1)
+    assert(first.split(":").length == 8, first)
+  }
+
+  test("dedup statements execute and match their builder shapes") {
+    val pairs = g.sql("dedup near doc_id, text from documents")
+    assert(pairs.columns.toSeq == Seq("doc_a", "doc_b"))
+    val exact = g.sql("dedup exact doc_id, text from documents")
+    assert(exact.columns.toSeq == Seq("text_md5", "keep_id", "n_copies"))
+    assert(exact.count() > 0)
+    // id/text column names are caller-chosen, resolved case-insensitively
+    val renamed = g.sql("dedup exact DOC_ID, TEXT from documents")
+    assert(renamed.count() == exact.count())
+    assertThrows[Exception](
+      g.sql("dedup near no_such_col, text from documents").collect())
+  }
+
+  test("nested session() gets a dedicated error, not 'not allowed here'") {
+    val e = intercept[Exception] {
+      g.sql("select session(ts, '30 minutes', session(ts, '1 hours', user_id)) from events")
+        .collect()
+    }
+    assert(e.getMessage.contains("nested"), e.getMessage)
+  }
 }
