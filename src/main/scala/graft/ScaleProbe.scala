@@ -84,7 +84,59 @@ object ScaleProbe {
     else if (args.headOption.contains("r5new")) r5New(args.drop(1))
     else if (args.headOption.contains("r6fix")) r6Fix(args.drop(1))
     else if (args.headOption.contains("r6new")) r6New(args.drop(1))
+    else if (args.headOption.contains("r7ops")) r7Ops(args.drop(1))
     else standard(args)
+
+  /** Round-7 probes. (a) Wide correlation panels: k=32 forces
+    * correlationMatrix's chunked block-pair shape (m=14 blocks ⇒ 6
+    * cross-moment passes + 1 base pass, each aggregate ≤ 200 columns,
+    * each scan ≤ 2m panel columns) — the k=4 fused single-agg x08 runs
+    * alongside as the reference point. (b) Batched BPE training: same
+    * 50 merges, maxBatch 1 vs 16 — the JSON records wall time AND the
+    * driver round-trip counts, the thing batching actually buys. */
+  def r7Ops(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val li = scaled(spark, "lineitem", Seq("l_orderkey"), copies)
+    println(s"copies=$copies lineitem=${li.count()}")
+    val base4 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // 32-column panel: the 4 real measures + 28 cheap derived mixes
+    // (performance shape is what's probed; values don't matter)
+    val derivedNames = (0 until 28).map(i => s"c$i")
+    val derived = (0 until 28).foldLeft(li) { (df, i) =>
+      df.withColumn(s"c$i",
+        col("l_extendedprice") * lit(i % 7 + 1) +
+          col("l_quantity") * lit(i % 5 - 2) +
+          pmod(col("l_orderkey") * lit(2654435761L + i), lit(997 + i))
+            .cast("double"))
+    }
+    time("x08_corr_k4_fused") {
+      graft.queries.ApproxQueries.correlationMatrix(li, base4).collect()
+    }
+    time("x08_corr_k32_chunked") {
+      val n = graft.queries.ApproxQueries
+        .correlationMatrix(derived, base4 ++ derivedNames).count()
+      require(n == 32 * 31 / 2, s"expected 496 pairs, got $n")
+    }
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("text"))
+    println(s"docs=${docs.count()}")
+    var seqRounds = 0
+    var batRounds = 0
+    time("bpe_train50_seq") {
+      seqRounds = graft.operators.Bpe
+        .trainWithStats(docs, "text", 50, maxBatch = 1)._2
+    }
+    time("bpe_train50_batch16") {
+      batRounds = graft.operators.Bpe
+        .trainWithStats(docs, "text", 50, maxBatch = 16)._2
+    }
+    results("bpe_rounds_seq") = seqRounds.toDouble
+    results("bpe_rounds_batch16") = batRounds.toDouble
+    writeJson(outJson, copies)
+    spark.stop()
+  }
 
   /** Probes for the round-6 continuation operators. (a) e14 native
     * session windows: Spark's merging-session aggregation after one

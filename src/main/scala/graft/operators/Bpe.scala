@@ -55,8 +55,101 @@ object Bpe {
     * of the pair when it was merged. */
   final case class Merge(rank: Int, left: String, right: String, freq: Long)
 
+  /** Exact in-memory trainer over a collected (spaced-word, count)
+    * vocabulary — the fast path [[train]] takes when the vocab is
+    * Zipf/Heaps-bounded small enough to collect (the normal case:
+    * even a 100 TB corpus has a word vocabulary in the millions, a
+    * few hundred MB — this is how production tokenizer trainers run,
+    * one corpus aggregation then zero per-merge cluster jobs).
+    *
+    * Incremental algorithm, not per-merge rescan: a pair→word-indices
+    * inverted index plus a TreeSet ordered by (freq DESC, pair ASC)
+    * keep each merge O(words containing the pair), so 50k merges over
+    * a millions-entry vocab stay tractable. Semantics are identical to
+    * the distributed rounds — same greedy non-overlapping
+    * left-to-right rewrite, same (freq DESC, pair ASC) tie-break —
+    * pinned merge-for-merge in BpeSpec. */
+  def trainInMemory(vocab: Seq[(String, Long)], numMerges: Int,
+      minFreq: Long = 2L): Seq[Merge] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] =
+      vocab.map(_._1.split(" ").filter(_.nonEmpty)).toArray
+    val wc: Array[Long] = vocab.map(_._2).toArray
+
+    // non-overlapping left-to-right pair occurrences of one word
+    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+      (0 until syms.length - 1).iterator.map(j => (syms(j), syms(j + 1)))
+
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    words.indices.foreach { i =>
+      pairsOf(words(i)).foreach { p =>
+        counts(p) = counts.getOrElse(p, 0L) + wc(i)
+        index.getOrElseUpdate(p, mutable.Set.empty) += i
+      }
+    }
+    // (freq DESC, pair ASC) — the exact distributed orderBy
+    implicit val ord: Ordering[((String, String), Long)] =
+      Ordering.by { case ((a, b), f) => (-f, a + " " + b) }
+    val queue = mutable.TreeSet.empty[((String, String), Long)]
+    counts.foreach(queue += _)
+    def bump(p: (String, String), delta: Long, i: Int): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) queue.remove((p, old))
+      val nw = old + delta
+      if (nw != 0L) { counts(p) = nw; queue.add((p, nw)) }
+      else counts.remove(p)
+      if (delta > 0) index.getOrElseUpdate(p, mutable.Set.empty) += i
+    }
+
+    val merges = Seq.newBuilder[Merge]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      queue.headOption match {
+        case Some((p @ (a, b), f)) if f >= minFreq =>
+          merges += Merge(i, a, b, f)
+          val touched = index.getOrElse(p, mutable.Set.empty).toArray
+          touched.foreach { wi =>
+            val before = words(wi)
+            // greedy non-overlapping left-to-right rewrite (the regexp
+            // semantics of the distributed round)
+            val out = mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < before.length) {
+              if (j + 1 < before.length && before(j) == a && before(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += before(j); j += 1 }
+            }
+            val after = out.toArray
+            if (!java.util.Arrays.equals(
+                before.asInstanceOf[Array[AnyRef]],
+                after.asInstanceOf[Array[AnyRef]])) {
+              pairsOf(before).foreach(q => bump(q, -wc(wi), wi))
+              words(wi) = after
+              pairsOf(after).foreach(q => bump(q, wc(wi), wi))
+            }
+          }
+          // stale index entries (words that no longer contain a pair)
+          // are tolerated: the rewrite no-ops on them; the merged pair
+          // itself is gone from counts so it can't be re-picked
+          index.remove(p)
+          i += 1
+        case _ => done = true
+      }
+    }
+    merges.result()
+  }
+
   /** Learn `numMerges` BPE merges over the corpus. Stops early when no
     * pair occurs at least `minFreq` times.
+    *
+    * Vocabulary-size dispatch: the corpus is aggregated once to the
+    * frequency-weighted word vocabulary; when that vocab has at most
+    * `localVocabThreshold` entries (the Heaps'-law-bounded normal
+    * case at ANY corpus scale) it is collected and trained in memory
+    * ([[trainInMemory]]) — one cluster job total instead of one per
+    * merge round. Above the threshold, distributed batched rounds.
     *
     * Batched driver rounds: each Spark round-trip fetches the top
     * `maxBatch + 1` ranked pairs and accepts the maximal PREFIX of the
@@ -77,19 +170,32 @@ object Bpe {
     * A 50k-merge vocabulary train thus needs ~50k/batch driver
     * round-trips instead of 50k (the probe shape in SCALE_r7). */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      minFreq: Long = 2L, maxBatch: Int = 16): Seq[Merge] =
-    trainWithStats(docs, textCol, numMerges, minFreq, maxBatch)._1
+      minFreq: Long = 2L, maxBatch: Int = 16,
+      localVocabThreshold: Long = 2000000L): Seq[Merge] =
+    trainWithStats(docs, textCol, numMerges, minFreq, maxBatch,
+      localVocabThreshold)._1
 
-  /** [[train]] plus the number of driver round-trips it took — the
-    * batching win a scale probe can assert on. */
+  /** [[train]] plus the number of Spark jobs the merge loop took (the
+    * batching/local-path win a scale probe can assert on; the initial
+    * vocab aggregation counts as round 1). */
   def trainWithStats(docs: DataFrame, textCol: String, numMerges: Int,
-      minFreq: Long = 2L, maxBatch: Int = 16): (Seq[Merge], Int) = {
+      minFreq: Long = 2L, maxBatch: Int = 16,
+      localVocabThreshold: Long = 2000000L): (Seq[Merge], Int) = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // Lineage.cut per round, not cache(): a cache cuts execution but
     // the logical plan still nests every prior round, and per-round
     // plan analysis / plan-string generation grows without bound —
     // a real tokenizer trains thousands of merges.
     var v = graft.core.Lineage.cut(charVocab(docs, textCol))
+    if (v.count() <= localVocabThreshold) {
+      // Heaps'-bounded vocab ⇒ collect once and train in memory:
+      // the whole merge loop costs ONE cluster aggregation, however
+      // many merges are requested
+      val collected = v.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.core.Lineage.release(v)
+      return (trainInMemory(collected, numMerges, minFreq), 1)
+    }
     val merges = Seq.newBuilder[Merge]
     var rounds = 0
     var done = false

@@ -16,6 +16,92 @@ import graft.core.Tables
   * oracle asserts the exact values and literal `true` for the bounds,
   * so a sketch drifting out of tolerance flips the hash gate red. */
 object ApproxQueries {
+
+  /** Pairwise Pearson correlation over an ARBITRARY numeric column
+    * panel. Every moment (n, Σx, Σx², Σxy) flows through Det decimal,
+    * so the sums are exact on any partitioning and r is a fixed dag of
+    * correctly-rounded IEEE ops — deterministic without a tolerance.
+    *
+    * Two shapes, chosen by panel width (x08's round-6 audit point:
+    * the 4-column version hardcoded ONE aggregate; a k~100 panel would
+    * make that a 5,000-column aggregate and break codegen):
+    *  - small panels (moment count ≤ maxAggWidth): ONE map-side-
+    *    combined aggregate emitting k + k(k-1)/2 scalars — the gated
+    *    x08 plan, unchanged;
+    *  - wide panels: column-BLOCK chunking. Cols split into blocks of
+    *    m ≈ √maxAggWidth; one aggregate per block pair (i ≤ j) emits
+    *    that block pair's ≤ m² cross-moments and scans only the ≤ 2m
+    *    member columns (parquet column pruning keeps each pass narrow),
+    *    plus ⌈2k/maxAggWidth⌉ base-moment passes. Aggregate width stays
+    *    ≤ maxAggWidth everywhere; the pair explosion still happens on
+    *    1-row aggregates, never on data. ~(k/m)²/2 passes total — the
+    *    standard wide-correlation trade: narrow scans over one
+    *    unbuildable mega-aggregate.
+    * Equivalence of the two shapes is pinned in ApproxSpec. */
+  def correlationMatrix(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      maxAggWidth: Int = 200): org.apache.spark.sql.DataFrame = {
+    import graft.core.Det
+    import org.apache.spark.sql.{Column, DataFrame}
+    require(cols.size >= 2, "correlation panel needs at least 2 columns")
+    require(cols.distinct.size == cols.size, "panel columns must be distinct")
+    val k = cols.size
+
+    def rStruct(a: String, b: String): Column = {
+      val n = col("n").cast(DoubleType)
+      val cov = n * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val vx = n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val vy = n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      struct(lit(a).as("c1"), lit(b).as("c2"),
+        col("n").as("n"), (cov / (sqrt(vx) * sqrt(vy))).as("r"))
+    }
+    def explodePairs(oneRow: DataFrame, ps: Seq[(String, String)]): DataFrame =
+      oneRow.select(explode(array(ps.map { case (a, b) => rStruct(a, b) }: _*))
+        .as("p")).select(col("p.*"))
+
+    val allPairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    if (1 + 2 * k + allPairs.size <= maxAggWidth) {
+      // fused single-aggregate shape (the gated x08 plan)
+      val sums = df.agg(
+        count(lit(1)).as("n"),
+        (cols.map(c => Det.dsum(col(c)).as(s"s_$c")) ++
+          cols.map(c => Det.dsum(col(c) * col(c)).as(s"ss_$c")) ++
+          allPairs.map { case (a, b) =>
+            Det.dsum(col(a) * col(b)).as(s"sp_${a}_$b") }): _*)
+      explodePairs(sums, allPairs)
+    } else {
+      // base moments in ≤ maxAggWidth-wide chunks, 1-row frames
+      // crossJoin(broadcast)-combined (n travels in the first chunk)
+      val base = cols.grouped(math.max(1, maxAggWidth / 2)).toSeq
+        .zipWithIndex.map { case (g, gi) =>
+          val moments = g.flatMap(c => Seq(
+            Det.dsum(col(c)).as(s"s_$c"),
+            Det.dsum(col(c) * col(c)).as(s"ss_$c")))
+          if (gi == 0) df.agg(count(lit(1)).as("n"), moments: _*)
+          else df.agg(moments.head, moments.tail: _*)
+        }.reduce((a, b) => a.crossJoin(broadcast(b)))
+      // block-pair cross moments: block size m ⇒ ≤ m² agg columns and
+      // ≤ 2m scanned columns per pass
+      val m = math.max(1, math.sqrt(maxAggWidth.toDouble).toInt)
+      val pos = cols.zipWithIndex.toMap
+      val blocks = cols.grouped(m).toSeq
+      val parts = for {
+        i <- blocks.indices
+        j <- i until blocks.size
+        ps = for { a <- blocks(i); b <- blocks(j) if pos(a) < pos(b) }
+          yield (a, b)
+        if ps.nonEmpty
+      } yield {
+        val sp = df.agg(
+          Det.dsum(col(ps.head._1) * col(ps.head._2))
+            .as(s"sp_${ps.head._1}_${ps.head._2}"),
+          ps.tail.map { case (a, b) =>
+            Det.dsum(col(a) * col(b)).as(s"sp_${a}_$b") }: _*)
+        explodePairs(sp.crossJoin(broadcast(base)), ps)
+      }
+      parts.reduce(_.unionByName(_))
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // HLL++ distinct counts, rsd = 2%; gate: |approx−exact| ≤ 3·rsd·exact
@@ -218,36 +304,16 @@ object ApproxQueries {
              |true AS p50_ok
              |FROM documents GROUP BY lang""".stripMargin)),
 
-    // Pairwise Pearson correlation over lineitem's numeric columns in
-    // ONE aggregate pass. Every moment (Σx, Σx², Σxy) flows through
-    // Det decimal, so the five sums are EXACT on any partitioning;
-    // r is then a fixed dag of correctly-rounded IEEE ops over
-    // identical doubles on both engines — deterministic without a
-    // tolerance. Scale: a single map-side-combined agg producing
-    // k + k(k-1)/2 scalars; the pair explosion happens on the 1-row
-    // aggregate, never on data.
+    // Pairwise Pearson correlation over lineitem's numeric columns —
+    // [[correlationMatrix]] with a 4-column panel, which takes the
+    // fused ONE-aggregate shape (k + k(k-1)/2 scalars, map-side
+    // combined; the pair explosion happens on the 1-row aggregate,
+    // never on data). Wide panels switch to the chunked block-pair
+    // shape — equivalence pinned in ApproxSpec, probed at k=32 in
+    // SCALE_r7.
     Q("x08_correlation",
-      (s, dir) => {
-        import graft.core.Det
-        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val li = Tables(s, dir, "lineitem")
-        val sums = li.agg(
-          count(lit(1)).as("n"),
-          (cols.map(c => Det.dsum(col(c)).as(s"s_$c")) ++
-            cols.map(c => Det.dsum(col(c) * col(c)).as(s"ss_$c")) ++
-            cols.combinations(2).map { case Seq(a, b) =>
-              Det.dsum(col(a) * col(b)).as(s"sp_${a}_$b")
-            }.toSeq): _*)
-        val pairs = cols.combinations(2).map { case Seq(a, b) =>
-          val n = col("n").cast(DoubleType)
-          val cov = n * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
-          val vx = n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
-          val vy = n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
-          struct(lit(a).as("c1"), lit(b).as("c2"),
-            col("n").as("n"), (cov / (sqrt(vx) * sqrt(vy))).as("r"))
-        }.toSeq
-        sums.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
-      },
+      (s, dir) => correlationMatrix(Tables(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
       Some {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         def ds(x: String) = s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"

@@ -330,21 +330,30 @@ object EventQueries {
     // session merge — state is O(open sessions), never O(history).
     Q("e14_session_window",
       (s, dir) => sessionWindows(Tables(s, dir, "events")),
-      Some("""WITH marks AS (SELECT user_id, ts, event_id, value,
-             |  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-             |       - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
-             |         OVER (PARTITION BY user_id ORDER BY ts)
-             |       >= 1800 * 1000000 THEN 1 ELSE 0 END AS brk
-             | FROM events),
-             |sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
-             |  ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |  AS sid FROM marks)
-             |SELECT user_id,
-             |  CAST(min(ts) AS TIMESTAMP) AS s_start,
-             |  CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS s_end,
-             |  CAST(count(event_id) AS DOUBLE) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-             |FROM sess GROUP BY user_id, sid""".stripMargin)),
+      Some(sessionWindowOracle)),
+
+    // e14's STREAMING twin as a first-class correctness gate (the
+    // round-6 verdict's #4): the identical session_window expression
+    // runs under Structured Streaming (readStream + watermark, one
+    // AvailableNow pass into a memory sink — complete mode, because a
+    // single batch never advances the watermark past an open session)
+    // and the EMITTED TABLE is hash-gated against the SAME DuckDB
+    // oracle as e14. StreamingSpec pins stream ≡ batch in-process;
+    // this row makes the parity driver-visible in CORRECTNESS_r{N}.
+    Q("e16_session_stream",
+      (s, dir) => {
+        val sink = "graft_e16_sink_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val q = graft.streaming.StreamingOps.sessionCounts(
+            graft.streaming.StreamingOps.readEvents(s, dir))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        s.table(sink)
+      },
+      Some(sessionWindowOracle)),
 
     // Inter-arrival cadence profile: per-event-type gap statistics
     // over each user's timeline (gap attributed to the LATER event's
@@ -383,6 +392,26 @@ object EventQueries {
         max(col("gap_us")).as("max_gap_us"),
         Det.davg(col("gap_us")).as("avg_gap_us"))
   }
+
+  /** e14's oracle — shared with e16, the streaming twin gated against
+    * the identical SQL (stream ≡ batch, driver-visible). Lazy: `all`
+    * is declared first and evaluates its Some(...) eagerly. */
+  lazy val sessionWindowOracle: String =
+    """WITH marks AS (SELECT user_id, ts, event_id, value,
+      |  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |       - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+      |         OVER (PARTITION BY user_id ORDER BY ts)
+      |       >= 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+      | FROM events),
+      |sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+      |  ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |  AS sid FROM marks)
+      |SELECT user_id,
+      |  CAST(min(ts) AS TIMESTAMP) AS s_start,
+      |  CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS s_end,
+      |  CAST(count(event_id) AS DOUBLE) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin
 
   /** e14's builder — batch form; the same expression composes under
     * readStream + watermark (graft.streaming.StreamingOps). */

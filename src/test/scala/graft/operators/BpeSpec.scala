@@ -59,18 +59,39 @@ class BpeSpec extends SparkSpec {
 
   test("batched rounds ≡ sequential rounds, in fewer driver trips") {
     val docs = corpus.toDF("text")
-    val (seqM, seqRounds) = Bpe.trainWithStats(docs, "text", 12, maxBatch = 1)
-    val (batM, batRounds) = Bpe.trainWithStats(docs, "text", 12, maxBatch = 8)
+    val (seqM, seqRounds) =
+      Bpe.trainWithStats(docs, "text", 12, maxBatch = 1, localVocabThreshold = 0)
+    val (batM, batRounds) =
+      Bpe.trainWithStats(docs, "text", 12, maxBatch = 8, localVocabThreshold = 0)
     assert(batM === seqM, "batched training must reproduce the sequential merge list")
     assert(seqRounds >= 12, s"sequential should pay one trip per merge, got $seqRounds")
     assert(batRounds < seqRounds,
       s"batching should cut driver round-trips: $batRounds vs $seqRounds")
     // real-corpus equivalence too (100 docs, 20 merges, minFreq 1)
     val real = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
-    val (sm, sr) = Bpe.trainWithStats(real, "text", 20, minFreq = 1L, maxBatch = 1)
-    val (bm, br) = Bpe.trainWithStats(real, "text", 20, minFreq = 1L, maxBatch = 8)
+    val (sm, sr) = Bpe.trainWithStats(real, "text", 20, minFreq = 1L,
+      maxBatch = 1, localVocabThreshold = 0)
+    val (bm, br) = Bpe.trainWithStats(real, "text", 20, minFreq = 1L,
+      maxBatch = 8, localVocabThreshold = 0)
     assert(bm === sm)
     assert(br < sr, s"expected fewer rounds on the real corpus: $br vs $sr")
+  }
+
+  test("in-memory fast path ≡ distributed rounds, in ONE cluster job") {
+    val docs = corpus.toDF("text")
+    val (distM, _) =
+      Bpe.trainWithStats(docs, "text", 12, maxBatch = 1, localVocabThreshold = 0)
+    val (locM, locRounds) = Bpe.trainWithStats(docs, "text", 12)
+    assert(locM === distM,
+      "the collected-vocab trainer must reproduce the distributed merge list")
+    assert(locRounds == 1, s"local path should cost one job, got $locRounds")
+    // real corpus, deeper merge list (where incremental index updates
+    // and the TreeSet tie-break actually get exercised)
+    val real = spark.read.parquet(s"$sf0001/documents.parquet").limit(200)
+    val (dm, _) = Bpe.trainWithStats(real, "text", 60, minFreq = 1L,
+      maxBatch = 1, localVocabThreshold = 0)
+    val (lm, _) = Bpe.trainWithStats(real, "text", 60, minFreq = 1L)
+    assert(lm === dm)
   }
 
   test("greedy left-to-right on repeated symbols: 'a a a' merges once") {

@@ -19,4 +19,19 @@ class ApproxSpec extends SparkSpec {
     assert(r.getAs[Boolean]("p50_ok"), s"p50 out of bounds: $r")
     assert(r.getAs[Boolean]("p99_ok"), s"p99 out of bounds: $r")
   }
+
+  test("correlationMatrix: chunked block-pair shape ≡ fused single-agg shape") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val panel = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def collectR(maxWidth: Int): Map[(String, String), (Long, Double)] =
+      ApproxQueries.correlationMatrix(li, panel, maxWidth).collect()
+        .map(r => (r.getAs[String]("c1"), r.getAs[String]("c2")) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("r"))).toMap
+    val fused = collectR(maxWidth = 1000) // 1+16+28 = 45 ≤ 1000 ⇒ one agg
+    val chunked = collectR(maxWidth = 10) // forces m=3 block pairs + base chunks
+    assert(fused.size == panel.size * (panel.size - 1) / 2)
+    // Det decimal moments make both shapes EXACTLY equal, bit for bit
+    assert(chunked === fused)
+  }
 }
