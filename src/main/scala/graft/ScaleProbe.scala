@@ -85,7 +85,137 @@ object ScaleProbe {
     else if (args.headOption.contains("r6fix")) r6Fix(args.drop(1))
     else if (args.headOption.contains("r6new")) r6New(args.drop(1))
     else if (args.headOption.contains("r7ops")) r7Ops(args.drop(1))
+    else if (args.headOption.contains("skewjoin")) skewJoin(args.drop(1))
+    else if (args.headOption.contains("p05x")) p05Composition(args.drop(1))
     else standard(args)
+
+  /** p05_pretrain_build composition probe (round-6 verdict #6): the
+    * end-to-end corpus build is gated at sf0.01 — this runs the SAME
+    * composed plan at copies× by writing a scaled documents fixture
+    * dir and pointing the gated builders at it. Records (a) each
+    * stage standalone (t27 vetoes, t02 quality, d01 dedup keepers,
+    * t09 decontam, the n_tok+cumsum tail), (b) the full composition,
+    * and (c) the composed EXECUTED plan's parquet-scan and
+    * ReusedExchange counts — evidence that Catalyst still shares the
+    * corpus scan work across the five consumers in composition, so
+    * composed wall ≪ Σ(standalone stages). */
+  def p05Composition(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(100)
+    val outJson = args.lift(1)
+    val spark = session()
+    val tmp = "/tmp/graft_p05x_fixture"
+    scaled(spark, "documents", Seq("doc_id"), copies)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val q = graft.queries.Registry.queries
+    def leg(label: String, name: String): Unit =
+      time(label) {
+        q(name)(spark, tmp).write.format("noop").mode("overwrite").save()
+      }
+    // composed FIRST (cold page cache is shared fairly: the fixture
+    // was just written), then each stage standalone. The BUILD is
+    // inside the timer: globalCumsum's partition-offset pass executes
+    // the whole upstream composition eagerly at build, so the heavy
+    // work (scan → four filter joins → survivor exchange) happens
+    // there, and the returned frame is a projection over the
+    // materialized boundary.
+    time("p05_composed") {
+      val n = q("p05_pretrain_build")(spark, tmp).collect().length
+      println(s"p05 survivors at ${copies}x: $n")
+    }
+    leg("stage_t27_c4", "t27_c4_filters")
+    leg("stage_t02_quality", "t02_quality")
+    leg("stage_d01_dedup", "d01_dedup_exact")
+    leg("stage_t09_decontam", "t09_decontam")
+    leg("stage_t11_pack", "t11_seq_pack")
+    results("stages_sum") = math.rint(results.collect {
+      case (k, v) if k.startsWith("stage_") => v }.sum * 100) / 100
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Deliberately-skewed fact-fact join A/B (the q16 shape under a hot
+    * orderkey): 30% of lineitem rows are remapped to ONE orderkey,
+    * then the lineitem⋈orders join + revenue agg runs (a) with AQE
+    * skew-join handling DISABLED — the hot key funnels through one
+    * sort-merge task, the straggler — and (b) with it ENABLED
+    * (thresholds sized to the probe data) — AQE re-splits the skewed
+    * partition and replicates the matching orders rows. The JSON
+    * records wall time AND the per-leg MAX task duration (the
+    * straggler witness): the skew-handled plan must hold task-time
+    * balance where the naive one cannot. A third pair pins WHY the
+    * aggregation after the join is immune either way: sum/count
+    * partials combine map-side, so even a hot GROUP key reaches the
+    * final agg as ≤ #partitions partial rows (q29's Salting covers
+    * the shapes where that isn't true). Legs interleave over two
+    * rounds so box drift can't masquerade as a result. */
+  def skewJoin(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) {
+          var cur = maxTaskMs.get
+          while (te.taskInfo.duration > cur &&
+            !maxTaskMs.compareAndSet(cur, te.taskInfo.duration))
+            cur = maxTaskMs.get
+        }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stageCount.incrementAndGet()
+        taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+      }
+    })
+    // AQE skew thresholds sized to probe partitions (defaults target
+    // 256 MB cluster partitions and would never fire here)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    val hot = 1L // orderkey 1 exists in the unshifted copy of orders
+    val li = scaled(spark, "lineitem", Seq("l_orderkey"), copies)
+      .withColumn("l_orderkey",
+        when(pmod(col("l_orderkey"), lit(10)) < 3, lit(hot))
+          .otherwise(col("l_orderkey")))
+    val o = scaled(spark, "orders", Seq("o_orderkey"), copies)
+    println(s"copies=$copies lineitem=${li.count()} orders=${o.count()}")
+
+    def joinLeg(label: String, skewHandling: Boolean): Unit = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewHandling.toString)
+      maxTaskMs.set(0)
+      time(label) {
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      results(label + "_maxtasksec") =
+        math.rint(maxTaskMs.get / 10.0) / 100.0
+    }
+    def aggLeg(label: String, salted: Boolean): Unit = {
+      maxTaskMs.set(0)
+      time(label) {
+        val out =
+          if (salted) graft.core.Salting.saltedSum(li, Seq(col("l_orderkey")),
+            col("l_linenumber"), col("l_quantity"), buckets = 32, "q")
+          else li.groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+        out.write.format("noop").mode("overwrite").save()
+      }
+      results(label + "_maxtasksec") =
+        math.rint(maxTaskMs.get / 10.0) / 100.0
+    }
+    joinLeg("warm_naive", skewHandling = false)
+    for (round <- 1 to 2) {
+      joinLeg(s"join_naive_$round", skewHandling = false)
+      joinLeg(s"join_aqeskew_$round", skewHandling = true)
+    }
+    aggLeg("agg_plain", salted = false)
+    aggLeg("agg_salted", salted = true)
+    writeJson(outJson, copies)
+    spark.stop()
+  }
 
   /** Round-7 probes. (a) Wide correlation panels: k=32 forces
     * correlationMatrix's chunked block-pair shape (m=14 blocks ⇒ 6

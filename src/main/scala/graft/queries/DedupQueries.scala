@@ -148,6 +148,36 @@ object DedupQueries {
        |$candidatePairsSql
        |SELECT doc_a, doc_b FROM cand""".stripMargin
 
+  /** d04's verification stage over any (doc_id, text) frame: exact
+    * n-gram Jaccard computed ONLY on the LSH candidate pairs (joins
+    * keyed on doc_id — hash joins on a bounded set, never all-pairs).
+    * Shared by the gated d04 and the dialect `dedup near ... threshold`
+    * lowering. */
+  def jaccardOf(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), array_distinct(tokenHashes(col("text"))).as("th"))
+    val inter = size(array_intersect(col("la"), col("rb")))
+    val union = size(col("la")) + size(col("rb")) - inter
+    candidatePairsOf(sigOf(docs))
+      .join(d.select(col("doc_id").as("doc_a"), col("th").as("la")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("th").as("rb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast(DoubleType) / union.cast(DoubleType)).as("jac"))
+  }
+
+  /** d04's oracle — shared with the thresholded dialect gate (s25):
+    * the threshold comparison runs on bit-identical doubles (one IEEE
+    * division on both engines), so the kept pair set matches exactly. */
+  val jaccardOracle: String =
+    s"""WITH sig AS ($sigSql),
+       |$candidatePairsSql,
+       |d AS (SELECT doc_id, list_distinct(${O.tokenHashes("text")}) AS th FROM documents)
+       |SELECT doc_a, doc_b,
+       |CAST(len(list_filter(l.th, iv -> list_contains(r.th, iv))) AS DOUBLE)
+       |  / CAST(len(l.th) + len(r.th)
+       |         - len(list_filter(l.th, uv -> list_contains(r.th, uv))) AS DOUBLE) AS jac
+       |FROM cand JOIN d l ON doc_a = l.doc_id JOIN d r ON doc_b = r.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("d01_dedup_exact",
@@ -169,25 +199,8 @@ object DedupQueries {
     // doc_id — hash joins on a bounded set), never all-pairs within a
     // key. A skewed `source` (one dominant crawl) cannot blow this up.
     Q("d04_ngram_jaccard",
-      (s, dir) => {
-        val d = Tables(s, dir, "documents")
-          .select(col("doc_id"), array_distinct(tokenHashes(col("text"))).as("th"))
-        val inter = size(array_intersect(col("la"), col("rb")))
-        val union = size(col("la")) + size(col("rb")) - inter
-        candidatePairs(s, dir)
-          .join(d.select(col("doc_id").as("doc_a"), col("th").as("la")), "doc_a")
-          .join(d.select(col("doc_id").as("doc_b"), col("th").as("rb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            (inter.cast(DoubleType) / union.cast(DoubleType)).as("jac"))
-      },
-      Some(s"""WITH sig AS ($sigSql),
-              |$candidatePairsSql,
-              |d AS (SELECT doc_id, list_distinct(${O.tokenHashes("text")}) AS th FROM documents)
-              |SELECT doc_a, doc_b,
-              |CAST(len(list_filter(l.th, iv -> list_contains(r.th, iv))) AS DOUBLE)
-              |  / CAST(len(l.th) + len(r.th)
-              |         - len(list_filter(l.th, uv -> list_contains(r.th, uv))) AS DOUBLE) AS jac
-              |FROM cand JOIN d l ON doc_a = l.doc_id JOIN d r ON doc_b = r.doc_id""".stripMargin)),
+      (s, dir) => jaccardOf(Tables(s, dir, "documents")),
+      Some(jaccardOracle)),
 
     Q("d05_simhash",
       (s, dir) => Tables(s, dir, "documents")

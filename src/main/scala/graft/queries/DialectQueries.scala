@@ -338,6 +338,17 @@ object DialectQueries {
 
     Q("s24_dialect_dedup_exact",
       sql("dedup exact doc_id, text from documents"),
-      Some(DedupQueries.exactDedupOracle))
+      Some(DedupQueries.exactDedupOracle)),
+
+    // `threshold t` continues the statement into d04's verification
+    // stage (exact n-gram Jaccard on the LSH candidates only) and
+    // keeps jac ≥ t — the full MinHash→LSH→verify pipeline as ONE
+    // dialect statement. The comparison runs on bit-identical doubles
+    // (a single IEEE division on each engine), so the kept set
+    // hash-matches d04's oracle filtered the same way.
+    Q("s25_dialect_dedup_threshold",
+      sql("dedup near doc_id, text from documents threshold 0.5"),
+      Some(s"""SELECT * FROM (${DedupQueries.jaccardOracle})
+              |WHERE jac >= 0.5""".stripMargin))
   )
 }

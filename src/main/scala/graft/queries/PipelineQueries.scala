@@ -111,21 +111,29 @@ object PipelineQueries {
     // build to this engine" user runs end-to-end.
     Q("p05_pretrain_build",
       (s, dir) => {
-        val pageOk = q("t27_c4_filters").build(s, dir)
-          .filter(!col("has_lorem") && !col("has_brace")).select(col("doc_id"))
-        val quality = q("t02_quality").build(s, dir)
-          .filter(col("quality") > 0.5).select(col("doc_id"))
+        // The per-ROW signals (t27's lorem/brace vetoes + t02's
+        // quality) fuse into ONE scan/projection — predicates, not
+        // doc_id joins. The round-7 composition probe caught the
+        // join-per-signal shape costing 2× the sum of its stages at
+        // 100× (each join re-scanned the text column, and the c4
+        // builder dragged its per-line explode+groupBy along for two
+        // flags): at 100 TB, per-row signals NEVER justify a join.
+        // Only the genuinely shuffling stages remain joins: d01's
+        // md5 groupBy (keepers) and t09's shingle pipeline
+        // (decontamination). Same rows, same oracle — the gate hashes
+        // the composition unchanged.
         val keepers = q("d01_dedup_exact").build(s, dir)
           .select(col("keep_id").as("doc_id"))
         val contaminated = q("t09_decontam").build(s, dir)
           .filter(col("n_overlap") > 0).select(col("doc_id"))
         val survivors = Tables(s, dir, "documents")
-          .select(col("doc_id"),
-            graft.functions.TextProfileExprs.text_profile(col("text"))
-              .getField("n_tok").as("n_tok"))
-          .filter(col("doc_id") >= 5)
-          .join(pageOk, "doc_id")
-          .join(quality, "doc_id")
+          .select(col("doc_id"), col("text"),
+            graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+          .filter(col("doc_id") >= 5 &&
+            !contains(lower(col("text")), lit("lorem ipsum")) &&
+            !contains(col("text"), lit("{")) &&
+            TextQueries.qualityCol(col("text"), col("p")) > 0.5)
+          .select(col("doc_id"), col("p.n_tok").as("n_tok"))
           .join(keepers, "doc_id")
           .join(contaminated, Seq("doc_id"), "left_anti")
         graft.core.RowNumbers

@@ -49,21 +49,10 @@ object TextQueries {
               |FROM ($docToks)""".stripMargin)),
 
     Q("t02_quality",
-      (s, dir) => {
-        val enIdx = graft.functions.TextProfileOps.langs.indexOf("en")
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text"),
-            graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
-          .select(col("doc_id"), {
-            val nTok = col("p.n_tok").cast(DoubleType)
-            val ratioEn = element_at(col("p.sw_hits"), enIdx + 1).cast(DoubleType) /
-              greatest(col("p.n_tok"), lit(1L)).cast(DoubleType)
-            val lenScore = least(nTok / lit(20.0), lit(1.0))
-            val punctScore = lit(1.0) - least(punctRatio(col("text")) * lit(4.0), lit(1.0))
-            val swScore = least(ratioEn * lit(5.0), lit(1.0))
-            ((lenScore + punctScore + swScore) / lit(3.0)).as("quality")
-          })
-      },
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+        .select(col("doc_id"), qualityCol(col("text"), col("p")).as("quality")),
       Some(s"""SELECT doc_id,
               |(least(CAST(len(tk) AS DOUBLE) / 20.0, 1.0)
               | + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
@@ -1128,6 +1117,21 @@ object TextQueries {
   /** t29's builder over an arbitrary documents frame — shared with
     * ScaleProbe so the probe times exactly the gated plan. */
   /** t30's builder — shared with ScaleProbe. */
+  /** t02's quality score as a COLUMN over (text, text_profile(text)) —
+    * shared by the t02 gate and fused compositions (p05's single-scan
+    * row branch): per-row signals compose in one projection instead of
+    * per-signal doc_id joins that each re-scan the corpus. */
+  def qualityCol(text: Column, p: Column): Column = {
+    val enIdx = graft.functions.TextProfileOps.langs.indexOf("en")
+    val nTok = p.getField("n_tok").cast(DoubleType)
+    val ratioEn = element_at(p.getField("sw_hits"), enIdx + 1).cast(DoubleType) /
+      greatest(p.getField("n_tok"), lit(1L)).cast(DoubleType)
+    val lenScore = least(nTok / lit(20.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    val swScore = least(ratioEn * lit(5.0), lit(1.0))
+    (lenScore + punctScore + swScore) / lit(3.0)
+  }
+
   def lexicalDiversity(docs: DataFrame): DataFrame = {
     val tk = docs.select(col("doc_id"),
       explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))

@@ -40,6 +40,7 @@ object Console {
       |  <button onclick="histGo(-1)" title="previous query">&#9664;</button>
       |  <button onclick="histGo(1)" title="next query">&#9654;</button>
       |  <button onclick="run()">run</button>
+      |  <button onclick="plan()" title="show the physical query plan without running">plan</button>
       |  <button onclick="fetch('/stop/',{method:'POST'})">stop</button>
       |  <button onclick="toggleHelp()" title="query language help">?</button>
       |  save to <input id="save" size="28" placeholder="(optional) /path/out.csv">
@@ -54,8 +55,10 @@ object Console {
       |  <b>Predicates</b>: <code>= != &lt;&gt; &lt; &lt;= &gt; &gt;=</code>, <code>like</code> (case-insensitive), <code>in (...)</code>, <code>between a and b</code>, combined with <code>and or xor not</code> and parentheses.<br><br>
       |  <b>Aggregates</b>: <code>sum avg min max count stdev stdevp</code>, each with optional <code>distinct</code>; bare columns next to aggregates take the group's last value in scan order.<br><br>
       |  <b>Functions</b>: <code>year month week day dayname monthname dayofyear dayofmonth hour</code> on dates; <code>abs coalesce inc([step]) format encrypt(x,pass) decrypt(x,pass)</code>;
-      |  pipeline extras <code>session(ts, '30 minutes', user)</code> (per-key session number), <code>token_count(text)</code>, <code>compress_ratio(text)</code>.
+      |  pipeline extras <code>session(ts, '30 minutes', user)</code> (per-key session number), <code>token_count(text)</code>, <code>compress_ratio(text)</code>, <code>minhash_sig(text)</code> (MinHash signature string).
       |  Dates add durations: <code>birthdate + '3 weeks'</code>; <code>case</code> expressions (searched and simple) work as in SQL.<br><br>
+      |  <b>Dedup</b>: <code>dedup near id, text from file</code> emits MinHash-LSH candidate pairs (doc_a, doc_b); add <code>threshold 0.5</code> to verify candidates with exact n-gram Jaccard and keep jac &ge; t; <code>dedup exact id, text from file</code> groups exact copies (md5) with the kept id and copy count.<br><br>
+      |  <b>Plan</b>: the plan button shows each statement's physical query plan (pushed filters, broadcasts, shuffles) without running it.<br><br>
       |  <b>Joins</b>: <code>join / left join file alias on a.col = alias.col</code> chains across files; <code>sjoin</code> forces a broadcast (small file), <code>bjoin</code> a sort-merge (both big).<br><br>
       |  <b>Saving</b>: fill the save box before running to also write each statement's FULL result as csv (the grid stays clipped); multiple statements get numbered suffixes.
       |  Click a column header to sort the grid.
@@ -146,6 +149,24 @@ object Console {
       |    entries=d.Entries;sortState={};render();
       |  }).catch(e=>{if(timer){clearInterval(timer);timer=null}
       |    document.getElementById('status').textContent='error: '+e})}
+      |// query-plan view: POST /explain/ compiles the statements and
+      |// returns Catalyst's formatted physical plan WITHOUT executing —
+      |// pushed filters, broadcast sides and exchanges are inspectable
+      |// before a query touches real data
+      |function plan(){
+      |  const q=document.getElementById('q').value;
+      |  saveHist(q);
+      |  document.getElementById('status').textContent='planning…';
+      |  fetch('/explain/',{method:'POST',body:JSON.stringify({query:q})})
+      |  .then(r=>r.json()).then(d=>{
+      |    document.getElementById('status').textContent=d.Status;
+      |    if(d.Status!=='ok'){document.getElementById('out').innerHTML=
+      |      '<div class="err">'+esc(d.Status)+'</div>';return}
+      |    document.getElementById('out').innerHTML=d.Plans.map(p=>
+      |      '<div><b>'+esc(p.Query)+'</b><pre style="white-space:pre-wrap;'+
+      |      'border:1px solid #ccc;padding:6px;font-size:11px">'+
+      |      esc(p.Plan)+'</pre></div>').join('');
+      |  }).catch(e=>{document.getElementById('status').textContent='error: '+e})}
       |function ls(dir){
       |  fetch('/files/?dir='+encodeURIComponent(dir||'')).then(r=>r.json()).then(d=>{
       |    if(d.Status!=='ok')return;

@@ -129,6 +129,7 @@ final class QueryServer(graft: GraftSession, port: Int,
       else new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", (ex: HttpExchange) => handleRoot(ex))
     server.createContext("/query/", (ex: HttpExchange) => handleQuery(ex))
+    server.createContext("/explain/", (ex: HttpExchange) => handleExplain(ex))
     server.createContext("/stop/", (ex: HttpExchange) => handleStop(ex))
     server.createContext("/progress/", (ex: HttpExchange) => handleProgress(ex))
     server.createContext("/files/", (ex: HttpExchange) => handleFiles(ex))
@@ -255,6 +256,32 @@ final class QueryServer(graft: GraftSession, port: Int,
         (jsons, savedPaths)
       } finally inflight.decrementAndGet()
     JsonResult.bundle(results, "ok", saved)
+  }
+
+  /** Query-plan view (no reference analog — the GUI companion of the
+    * scale story): POST /explain/ {"query":"..."} compiles each
+    * `;`-separated statement and returns Catalyst's FORMATTED physical
+    * plan WITHOUT executing anything — the console's "plan" button
+    * renders it so pushed filters, broadcast sides, and exchanges are
+    * inspectable before a query runs on real data. */
+  private def handleExplain(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val response =
+      try {
+        val query = extractField(body, "query")
+          .getOrElse(throw new IllegalArgumentException("missing 'query' field"))
+        val session = graft.fork(extractField(body, "password"))
+        val plans = Parser.splitStatements(query).map { stmt =>
+          val plan = session.sql(stmt).queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode)
+          s"""{"Query":"${JsonResult.esc(stmt)}","Plan":"${JsonResult.esc(plan)}"}"""
+        }
+        s"""{"Status":"ok","Plans":[${plans.mkString(",")}]}"""
+      } catch {
+        case e: Throwable =>
+          s"""{"Status":"error: ${JsonResult.esc(String.valueOf(e.getMessage))}"}"""
+      }
+    respond(ex, 200, response)
   }
 
   /** File browser (reference files.go:183-220): GET /files/?dir=…

@@ -60,14 +60,17 @@ object Ast {
     * (beyond-reference surface, SURVEY §2.11 spirit). */
   sealed trait Stmt
 
-  /** `dedup near|exact <idCol>[,] <textCol> from <table>` — the
-    * MinHash-LSH dedup pipeline on the SQL surface. `near` lowers to
-    * the d02/d03 builders (signature → banded LSH candidate pairs,
-    * BucketGuard-bounded); `exact` lowers to the d01 hash-groupBy.
+  /** `dedup near|exact <idCol>[,] <textCol> from <table>
+    * [threshold <t>]` — the MinHash-LSH dedup pipeline on the SQL
+    * surface. `near` lowers to the d02/d03 builders (signature →
+    * banded LSH candidate pairs, BucketGuard-bounded); with a
+    * `threshold` it continues into d04's verification stage (exact
+    * n-gram Jaccard on the candidates only) and keeps pairs with
+    * jac ≥ t. `exact` lowers to the d01 hash-groupBy (no threshold).
     * Single table only (the FROM reuses the select grammar's table
     * resolution: registered name, basename, path, nh). */
   final case class DedupStmt(near: Boolean, idCol: String, textCol: String,
-      from: FromClause) extends Stmt
+      from: FromClause, threshold: Option[Double] = None) extends Stmt
 
   // ── query structure ─────────────────────────────────────────────────
   final case class SelectItem(expr: Expr, alias: Option[String])

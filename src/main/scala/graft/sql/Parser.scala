@@ -64,12 +64,32 @@ final class Parser(toks: Vector[Tok]) {
     val idCol = colName()
     accept(",") // commas optional, dialect-wide
     val textCol = colName()
-    val from = parseFrom()
-    if (from.joins.nonEmpty)
+    // single-table FROM, parsed directly (parseFrom would swallow the
+    // `threshold` keyword as a table alias): table ref + optional nh —
+    // no aliases, no joins on the dedup surface
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    if (matches(peek, "join") || matches(peek, "inner") ||
+        matches(peek, "left") || matches(peek, "outer") ||
+        matches(peek, "sjoin") || matches(peek, "bjoin"))
       throw ParseError("dedup takes a single table (no joins)")
+    val from = FromClause(table, None, noHeader, intColumns = false, Nil)
+    val threshold =
+      if (accept("threshold")) {
+        if (!near) throw ParseError("threshold only applies to dedup near")
+        val t = peek match {
+          case Num(x) => advance(); x.toDouble
+          case t0 => throw ParseError(s"expected number after threshold, found '${t0.text}'")
+        }
+        if (t < 0.0 || t > 1.0)
+          throw ParseError(s"threshold must be in [0, 1], got $t")
+        Some(t)
+      } else None
     if (!peek.eq(EOF) && peekText != ";")
       throw ParseError(s"unexpected trailing token '${peek.text}'")
-    DedupStmt(near, idCol, textCol, from)
+    DedupStmt(near, idCol, textCol, from, threshold)
   }
 
   def parseQuery(): Query = {

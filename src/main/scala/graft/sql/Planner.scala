@@ -97,10 +97,16 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
                      else base.col(actual).as(target))
       .getOrElse(throw PlanError(s"column not found: $want"))
     val docs = base.select(named(d.idCol, "doc_id"), named(d.textCol, "text"))
-    if (d.near)
-      graft.queries.DedupQueries.candidatePairsOf(
-        graft.queries.DedupQueries.sigOf(docs))
-    else graft.queries.DedupQueries.exactDedup(docs)
+    (d.near, d.threshold) match {
+      case (true, None) =>
+        graft.queries.DedupQueries.candidatePairsOf(
+          graft.queries.DedupQueries.sigOf(docs))
+      case (true, Some(t)) =>
+        // d04's verification stage: exact Jaccard on the LSH
+        // candidates only, thresholded — (doc_a, doc_b, jac)
+        graft.queries.DedupQueries.jaccardOf(docs).filter(col("jac") >= lit(t))
+      case (false, _) => graft.queries.DedupQueries.exactDedup(docs)
+    }
   }
 
   def plan(q: Query): DataFrame = {

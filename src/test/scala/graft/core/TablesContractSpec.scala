@@ -41,4 +41,53 @@ class TablesContractSpec extends SparkSpec {
       assert(docs.fieldNames.contains(c), s"documents missing $c")
     }
   }
+
+  // Full post-normalization contract for EVERY fixture table (round-6
+  // verdict #8): the exact (column, Spark type) list each gated query
+  // family assumes. A driver-side parquet-writer change that the
+  // Tables normalization doesn't absorb turns exactly one named row
+  // red here, instead of reddening downstream oracle gates.
+  private val contract: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      // the tpch date columns read NTZ and every gate normalizes in
+      // its own expressions (UTC session tz ⇒ values agree); events.ts
+      // alone is pre-normalized to TimestampType by Tables (streaming
+      // needs a watermarkable column)
+      "l_shipdate" -> "timestamp_ntz"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string",
+      "value" -> "double", "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+      "label" -> "int"))
+
+  contract.toSeq.sortBy(_._1).foreach { case (table, want) =>
+    test(s"$table fixture schema matches the post-normalization contract") {
+      fixtureDirs.foreach { dir =>
+        val got = Tables(spark, dir, table).schema
+          .map(f => f.name -> f.dataType.simpleString)
+        assert(got == want,
+          s"$dir/$table.parquet drifted:\n  got  $got\n  want $want")
+      }
+    }
+  }
 }

@@ -29,6 +29,29 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("POST /explain/ returns the formatted physical plan without executing") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/explain/"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      val body = post(
+        """{"query":"select n_name from nation where n_nationkey > 5; select count(r_name) as n from region"}""")
+      assert(body.contains(""""Status":"ok""""), body)
+      // two plans for two statements, each a FORMATTED physical plan
+      assert(body.split("\"Plan\":").length == 3, body)
+      assert(body.contains("Physical Plan"), body)
+      // the scale story is inspectable: the filter reaches the scan
+      assert(body.contains("PushedFilters"), body)
+      // errors surface as status, not a crash
+      val bad = post("""{"query":"select nope from nowhere"}""")
+      assert(bad.contains(""""Status":"error"""), bad)
+    } finally server.stop()
+  }
+
   // ── websocket push channel (reference /socket/, server.go:19-88) ──
 
   private def wsConnect(port: Int,
@@ -415,6 +438,8 @@ class QueryServerSpec extends SparkSpec {
       "history persisted via /info/ session state")
     assert(h.contains("histGo"), "history arrows")
     assert(h.contains("toggleHelp"), "dialect help panel")
+    assert(h.contains("fetch('/explain/'") && h.contains(">plan</button>"),
+      "plan button wired to the explain endpoint")
     assert(h.contains("if(!ws)timer=setInterval(poll,400)"),
       "polling only as the no-socket fallback")
   }

@@ -111,6 +111,17 @@ class ParserSpec extends AnyFunSuite {
     val e = Parser.parseStmt("dedup exact id body from t")
       .asInstanceOf[Ast.DedupStmt]
     assert(!e.near && e.idCol == "id" && e.textCol == "body")
+    // threshold clause: near-only, numeric, in [0, 1]
+    val t = Parser.parseStmt("dedup near a b from t threshold 0.7")
+      .asInstanceOf[Ast.DedupStmt]
+    assert(t.threshold.contains(0.7))
+    assert(d.threshold.isEmpty)
+    assertThrows[Exception](
+      Parser.parseStmt("dedup exact a, b from t threshold 0.7"))
+    assertThrows[Exception](
+      Parser.parseStmt("dedup near a, b from t threshold 1.5"))
+    assertThrows[Exception](
+      Parser.parseStmt("dedup near a, b from t threshold x"))
     // mode is mandatory
     assertThrows[Exception](Parser.parseStmt("dedup doc_id, text from t"))
     // joins rejected

@@ -422,6 +422,12 @@ class PlannerSpec extends SparkSpec {
     assert(renamed.count() == exact.count())
     assertThrows[Exception](
       g.sql("dedup near no_such_col, text from documents").collect())
+    // threshold → the d04 verification stage on the candidates only
+    val verified = g.sql("dedup near doc_id, text from documents threshold 0.5")
+    assert(verified.columns.toSeq == Seq("doc_a", "doc_b", "jac"))
+    assert(verified.count() <= pairs.count(),
+      "thresholded pairs must be a subset of the candidates")
+    assert(verified.filter("jac < 0.5").count() == 0)
   }
 
   test("nested session() gets a dedicated error, not 'not allowed here'") {
