@@ -102,13 +102,13 @@ object PipelineQueries {
     // min-doc_id-per-md5; p01 uses the near-dup clusters, this is the
     // cheaper first-pass rung) → benchmark decontamination (t09) →
     // GPT-style sequence packing of the SURVIVORS (t11's two-phase
-    // distributed cumsum — never a single-partition window). ONE
-    // composed plan: every stage is a lazy builder, so Catalyst shares
-    // the corpus scan across the filters and only the survivor set
-    // reaches the packing exchange. The oracle chains the same stage
-    // SQL as CTEs and re-runs the cumsum over the survivor CTE, so the
-    // gate hashes the COMPOSITION — exactly what a "switch the corpus
-    // build to this engine" user runs end-to-end.
+    // distributed cumsum — never a single-partition window). The
+    // per-row signals compute in ONE scan (see the builder note);
+    // only the survivor set reaches the packing exchange. The oracle
+    // chains the same stage SQL as CTEs and re-runs the cumsum over
+    // the survivor CTE, so the gate hashes the COMPOSITION — exactly
+    // what a "switch the corpus build to this engine" user runs
+    // end-to-end.
     Q("p05_pretrain_build",
       (s, dir) => {
         // The per-ROW signals (t27's lorem/brace vetoes + t02's

@@ -94,6 +94,21 @@ class MetamorphicSpec extends SparkSpec {
       "10m vs 2h should differ for at least one user on this fixture")
   }
 
+  test("dedup near threshold is antitone: higher t keeps a subset of pairs") {
+    def pairsAt(t: Double): Set[(Long, Long)] =
+      g.sql(s"dedup near doc_id, text from documents threshold $t")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = g.sql("dedup near doc_id, text from documents")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lo = pairsAt(0.2)
+    val mid = pairsAt(0.5)
+    val hi = pairsAt(0.9)
+    assert(lo.subsetOf(candidates), "verified pairs must come from the candidates")
+    assert(mid.subsetOf(lo), "raising the threshold must only drop pairs")
+    assert(hi.subsetOf(mid), "raising the threshold must only drop pairs")
+    assert(lo.nonEmpty, "fixture should have near-dups at jac >= 0.2")
+  }
+
   test("order by never changes the row count; distinct never exceeds it") {
     samples(pred, 8).foreach { p =>
       val rp = rows(p)
