@@ -349,6 +349,15 @@ object DialectQueries {
     Q("s25_dialect_dedup_threshold",
       sql("dedup near doc_id, text from documents threshold 0.5"),
       Some(s"""SELECT * FROM (${DedupQueries.jaccardOracle})
-              |WHERE jac >= 0.5""".stripMargin))
+              |WHERE jac >= 0.5""".stripMargin)),
+
+    // Whole-corpus ANN on the dialect surface: `similar` lowers
+    // VERBATIM to v03's builder (banded LSH candidates under the
+    // BucketGuard cap, cosine verification on candidates only,
+    // per-query top-k) and is gated against v03's exact oracle —
+    // plan identity pinned in PlanSpec alongside s23 ≡ d03.
+    Q("s26_dialect_similar",
+      sql("similar vec_id, embedding from embeddings top 5"),
+      Some(VectorQueries.annTopkOracle(5)))
   )
 }

@@ -116,6 +116,42 @@ object VectorQueries {
       maxBucket = maxBucket, directed = true)
   }
 
+  /** v03's whole-corpus ANN top-k over any (vec_id, embedding) frame:
+    * banded LSH candidates (BucketGuard-bounded, never n²) → cosine
+    * verification on the candidates only → per-query top-k via
+    * row_number (WindowGroupLimit prunes rank > k before the final
+    * sort). Shared by the v03 gate and the dialect `similar`
+    * statement. */
+  def annTopk(e: DataFrame, k: Int): DataFrame = {
+    val sims = bandedCandidates(e)
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), "n_id")
+      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB mirror of [[annTopk]] over the embeddings table — shared
+    * by v03 and the s26 dialect gate. */
+  def annTopkOracle(k: Int): String = {
+    val bandsSel = (0 until BANDS).map(b =>
+      s"SELECT vec_id, $b AS band, ${lshBucketSql("embedding", PLANES, b * PLANES)} AS bkey FROM e")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |bands AS ($bandsSel),
+       |cand AS (SELECT DISTINCT l.vec_id AS q_id, r.vec_id AS n_id
+       |         FROM bands l JOIN bands r
+       |         ON l.band = r.band AND l.bkey = r.bkey AND l.vec_id != r.vec_id),
+       |sims AS (SELECT q_id, n_id, ${cosineSql("a.embedding", "b.embedding")} AS sim
+       |         FROM cand JOIN e a ON q_id = a.vec_id JOIN e b ON n_id = b.vec_id)
+       |SELECT q_id, n_id, sim, rank FROM
+       |(SELECT q_id, n_id, sim, CAST(row_number() OVER
+       |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+       | FROM sims) WHERE rank <= $k""".stripMargin
+  }
+
   // ── IVF coarse quantizer ─────────────────────────────────────────────
   /** Per-label per-dimension centroid components `(label, pos, c)` —
     * the IVF cell table in scalar-row form. Decimal sums (Det) keep
@@ -489,40 +525,18 @@ object VectorQueries {
       Some(s"""SELECT vec_id, ${lshBucketSql("embedding")} AS bucket
               |FROM embeddings""".stripMargin)),
 
+    // Scale path: banded OR-amplified LSH — BANDS keys of PLANES
+    // sign bits each; a pair is a candidate if ANY band collides.
+    // Shuffles are keyed by (band, bkey) and candidate pairs are
+    // deduped as bare id pairs BEFORE the cosine (so a pair
+    // colliding in several bands is verified once, and the dedup
+    // shuffle carries ids, not embeddings). Never an n² cross join.
+    // The builder [[annTopk]] is shared with the dialect `similar`
+    // statement (s26 — plan identity pinned in PlanSpec).
     Q("v03_ann_bucketed",
-      (s, dir) => {
-        // Scale path: banded OR-amplified LSH — BANDS keys of PLANES
-        // sign bits each; a pair is a candidate if ANY band collides.
-        // Shuffles are keyed by (band, bkey) and candidate pairs are
-        // deduped as bare id pairs BEFORE the cosine (so a pair
-        // colliding in several bands is verified once, and the dedup
-        // shuffle carries ids, not embeddings). Never an n² cross join.
-        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val sims = bandedCandidates(e)
-          .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
-          .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), "n_id")
-          .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("n_id").asc)
-        sims.withColumn("rank", row_number().over(w).cast(LongType))
-          .filter(col("rank") <= 5)
-      },
-      Some {
-        val bandsSel = (0 until BANDS).map(b =>
-          s"SELECT vec_id, $b AS band, ${lshBucketSql("embedding", PLANES, b * PLANES)} AS bkey FROM e")
-          .mkString("\nUNION ALL\n")
-        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-           |bands AS ($bandsSel),
-           |cand AS (SELECT DISTINCT l.vec_id AS q_id, r.vec_id AS n_id
-           |         FROM bands l JOIN bands r
-           |         ON l.band = r.band AND l.bkey = r.bkey AND l.vec_id != r.vec_id),
-           |sims AS (SELECT q_id, n_id, ${cosineSql("a.embedding", "b.embedding")} AS sim
-           |         FROM cand JOIN e a ON q_id = a.vec_id JOIN e b ON n_id = b.vec_id)
-           |SELECT q_id, n_id, sim, rank FROM
-           |(SELECT q_id, n_id, sim, CAST(row_number() OVER
-           |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
-           | FROM sims) WHERE rank <= 5""".stripMargin
-      }),
+      (s, dir) => annTopk(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")), 5),
+      Some(annTopkOracle(5))),
 
     // IVF coarse quantizer: the data-derived cell table (vs v02/v03's
     // data-independent hyperplanes). At 100 TB the centroid pass is a

@@ -72,6 +72,15 @@ object Ast {
   final case class DedupStmt(near: Boolean, idCol: String, textCol: String,
       from: FromClause, threshold: Option[Double] = None) extends Stmt
 
+  /** `similar <idCol>[,] <vecCol> from <table> [top <k>]` — whole-
+    * corpus approximate-nearest-neighbor top-k on the SQL surface,
+    * lowering to the v03 builder (banded random-hyperplane LSH
+    * candidates, BucketGuard-bounded, cosine verification on the
+    * candidates only — never n²). Emits (q_id, n_id, sim, rank),
+    * rank ≤ k (default 5). */
+  final case class SimilarStmt(idCol: String, vecCol: String,
+      from: FromClause, k: Long = 5L) extends Stmt
+
   // ── query structure ─────────────────────────────────────────────────
   final case class SelectItem(expr: Expr, alias: Option[String])
 

@@ -120,15 +120,17 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
     slash.replaceAll("(?i)\\.(csv|parquet|json|orc|xml)$", "")
   }
 
-  /** Compile + plan one dialect statement (`select ...` or the
-    * pipeline statement `dedup near|exact id, text from t`). `_fN`
-    * keys index files in first-use order within this statement. */
+  /** Compile + plan one dialect statement (`select ...` or a pipeline
+    * statement: `dedup near|exact id, text from t [threshold t]`,
+    * `similar id, vec from t [top k]`). `_fN` keys index files in
+    * first-use order within this statement. */
   def sql(query: String): DataFrame = {
     resetFileKeys()
     val planner = new Planner((n, nh) => table(n, nh), password)
     Parser.parseStmt(query) match {
       case q: Ast.Query => planner.plan(q)
       case d: Ast.DedupStmt => planner.planDedup(d)
+      case s: Ast.SimilarStmt => planner.planSimilar(s)
     }
   }
 

@@ -45,10 +45,33 @@ final class Parser(toks: Vector[Tok]) {
     "noheader", "null")
 
   // ── entry ───────────────────────────────────────────────────────────
-  /** One statement: `select ...` or a pipeline statement (`dedup ...`). */
+  /** One statement: `select ...` or a pipeline statement
+    * (`dedup ...` / `similar ...`). */
   def parseStatement(): Stmt =
     if (matches(peek, "dedup")) { advance(); parseDedup() }
+    else if (matches(peek, "similar")) { advance(); parseSimilar() }
     else parseQuery()
+
+  /** `similar <idCol>[,] <vecCol> from <table> [nh] [top <k>]`. */
+  private def parseSimilar(): SimilarStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val vecCol = colName()
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val k = if (accept("top")) parseNumber() else 5L
+    if (k < 1) throw ParseError(s"top must be at least 1, got $k")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    SimilarStmt(idCol, vecCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), k)
+  }
 
   /** `dedup near|exact <idCol>[,] <textCol> from <table> [nh]` —
     * the MinHash-LSH pipeline as a first-class statement. */

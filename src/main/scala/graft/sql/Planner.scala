@@ -78,6 +78,30 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
   private var sessionCols: Map[FnCall, String] = Map.empty
 
   // ── planning ────────────────────────────────────────────────────────
+  /** Case-insensitive column pick, aliased to the builder's expected
+    * name ONLY when the source name differs — a redundant `x AS x`
+    * would survive as an extra Project and break the plan-identity
+    * pins vs the gated builders (PlanSpec sameResult). */
+  private def named(base: DataFrame, want: String, target: String): Column =
+    base.columns
+      .find(_.equalsIgnoreCase(want))
+      .map(actual => if (actual == target) base.col(actual)
+                     else base.col(actual).as(target))
+      .getOrElse(throw PlanError(s"column not found: $want"))
+
+  /** `similar id, vec from t [top k]` — whole-corpus ANN top-k,
+    * lowered VERBATIM to the v03 builder (banded LSH candidates with
+    * the BucketGuard cap → cosine on candidates only → per-query
+    * top-k). Emits (q_id, n_id, sim, rank). */
+  def planSimilar(st: SimilarStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val e = base.select(named(base, st.idCol, "vec_id"),
+      named(base, st.vecCol, "embedding"))
+    if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
+      throw PlanError(s"similar: ${st.vecCol} must be an array (vector) column")
+    graft.queries.VectorQueries.annTopk(e, st.k.toInt)
+  }
+
   /** `dedup near|exact id, text from t` — lowers VERBATIM to the gated
     * dedup builders (DedupQueries): `near` is the d02→d03 pipeline
     * (fused native MinHash signature → banded LSH self-join with the
@@ -88,15 +112,8 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     * shuffles only, never a cartesian. */
   def planDedup(d: DedupStmt): DataFrame = {
     val base = resolve(d.from.table, d.from.noHeader)
-    // alias only when the source name differs from the builder's
-    // expected name — a redundant `x AS x` would survive as an extra
-    // Project and break the plan-identity pin vs the d03 builder
-    def named(want: String, target: String): Column = base.columns
-      .find(_.equalsIgnoreCase(want))
-      .map(actual => if (actual == target) base.col(actual)
-                     else base.col(actual).as(target))
-      .getOrElse(throw PlanError(s"column not found: $want"))
-    val docs = base.select(named(d.idCol, "doc_id"), named(d.textCol, "text"))
+    val docs = base.select(named(base, d.idCol, "doc_id"),
+      named(base, d.textCol, "text"))
     (d.near, d.threshold) match {
       case (true, None) =>
         graft.queries.DedupQueries.candidatePairsOf(

@@ -424,6 +424,19 @@ class PlanSpec extends SparkSpec {
       "dialect dedup near plan diverged from the d03 builder plan")
   }
 
+  test("dialect similar (s26) lowers to v03's exact banded-LSH plan") {
+    val dialect = Registry.queries("s26_dialect_similar")(spark, sf0001)
+    val builder = Registry.queries("v03_ann_bucketed")(spark, sf0001)
+    val p = dialect.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"similar must stay band-keyed:\n${p.take(800)}")
+    assert(dialect.queryExecution.optimizedPlan
+      .sameResult(builder.queryExecution.optimizedPlan),
+      "dialect similar plan diverged from the v03 builder plan")
+  }
+
   test("ANN recall eval (v19) broadcasts query panels, never cartesian") {
     val p = plan("v19_ann_recall")
     assert(!p.contains("CartesianProduct"), p.take(800))

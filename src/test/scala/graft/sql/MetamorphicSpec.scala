@@ -109,6 +109,16 @@ class MetamorphicSpec extends SparkSpec {
     assert(lo.nonEmpty, "fixture should have near-dups at jac >= 0.2")
   }
 
+  test("similar top k is monotone: top-3 neighbor pairs ⊆ top-5 pairs") {
+    def pairsAt(k: Int): Set[(Long, Long)] =
+      g.sql(s"similar vec_id, embedding from embeddings top $k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p3 = pairsAt(3)
+    val p5 = pairsAt(5)
+    assert(p3.nonEmpty, "fixture buckets should produce candidates")
+    assert(p3.subsetOf(p5), "shrinking k must only drop neighbors")
+  }
+
   test("order by never changes the row count; distinct never exceeds it") {
     samples(pred, 8).foreach { p =>
       val rp = rows(p)

@@ -132,6 +132,18 @@ class ParserSpec extends AnyFunSuite {
       Parser.parseStmt("dedup near a, b from t where a > 1"))
   }
 
+  test("similar statement grammar: columns, optional top k") {
+    val s = Parser.parseStmt("similar vec_id, embedding from embeddings top 3")
+      .asInstanceOf[Ast.SimilarStmt]
+    assert(s.idCol == "vec_id" && s.vecCol == "embedding" && s.k == 3L)
+    assert(s.from.table == "embeddings")
+    val d = Parser.parseStmt("similar id v from t").asInstanceOf[Ast.SimilarStmt]
+    assert(d.k == 5L, "k defaults to 5")
+    assertThrows[Exception](Parser.parseStmt("similar id v from t top 0"))
+    assertThrows[Exception](Parser.parseStmt("similar id from t"))
+    assertThrows[Exception](Parser.parseStmt("similar id v from t extra"))
+  }
+
   test("parseStmt still parses plain selects; parse rejects dedup") {
     val q = Parser.parseStmt("select a from t").asInstanceOf[Ast.Query]
     assert(q.items.size == 1)

@@ -430,6 +430,18 @@ class PlannerSpec extends SparkSpec {
     assert(verified.filter("jac < 0.5").count() == 0)
   }
 
+  test("similar statement executes: per-query ANN top-k with ranks") {
+    val knn = g.sql("similar vec_id, embedding from embeddings top 3")
+    assert(knn.columns.toSeq == Seq("q_id", "n_id", "sim", "rank"))
+    val perQuery = knn.groupBy("q_id").count().collect()
+    assert(perQuery.nonEmpty)
+    assert(perQuery.forall(_.getLong(1) <= 3L), "no query may exceed top k")
+    assert(knn.filter("rank < 1 or rank > 3").count() == 0)
+    // a non-vector column is rejected with a planner error
+    assertThrows[Exception](
+      g.sql("similar vec_id, label from embeddings").collect())
+  }
+
   test("nested session() gets a dedicated error, not 'not allowed here'") {
     val e = intercept[Exception] {
       g.sql("select session(ts, '30 minutes', session(ts, '1 hours', user_id)) from events")
