@@ -254,16 +254,28 @@ object ScaleProbe {
     println(s"docs=${docs.count()}")
     var seqRounds = 0
     var batRounds = 0
+    var locRounds = 0
     time("bpe_train50_seq") {
       seqRounds = graft.operators.Bpe
-        .trainWithStats(docs, "text", 50, maxBatch = 1)._2
+        .trainWithStats(docs, "text", 50, maxBatch = 1,
+          localVocabThreshold = 0)._2
     }
     time("bpe_train50_batch16") {
       batRounds = graft.operators.Bpe
-        .trainWithStats(docs, "text", 50, maxBatch = 16)._2
+        .trainWithStats(docs, "text", 50, maxBatch = 16,
+          localVocabThreshold = 0)._2
+    }
+    // the production path: ONE vocab aggregation + in-memory training
+    // (the vocab is Heaps-bounded however big the corpus gets); at a
+    // production 50k-merge vocabulary the gap vs per-merge cluster
+    // rounds is 50k jobs vs 1
+    time("bpe_train50_local") {
+      locRounds = graft.operators.Bpe
+        .trainWithStats(docs, "text", 50)._2
     }
     results("bpe_rounds_seq") = seqRounds.toDouble
     results("bpe_rounds_batch16") = batRounds.toDouble
+    results("bpe_rounds_local") = locRounds.toDouble
     writeJson(outJson, copies)
     spark.stop()
   }

@@ -29,6 +29,25 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("pipeline statements (dedup/similar) run over HTTP like any query") {
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(q: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+          .POST(HttpRequest.BodyPublishers.ofString(s"""{"query":"$q"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      val dedup = post("dedup exact doc_id, text from documents")
+      assert(dedup.contains(""""Status":"ok""""), dedup)
+      assert(dedup.contains("text_md5") && dedup.contains("keep_id"), dedup)
+      val sim = post("similar vec_id, embedding from embeddings top 2")
+      assert(sim.contains(""""Status":"ok""""), sim)
+      assert(sim.contains("q_id") && sim.contains("rank"), sim)
+    } finally server.stop()
+  }
+
   test("POST /explain/ returns the formatted physical plan without executing") {
     val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
     val port = server.start()
