@@ -191,6 +191,36 @@ object TextFunctions {
 
   def langId(text: Column): Column = langIdFromToks(tokens(text))
 
+  /** [[langId]] on the native text_profile pass (one codegen'd
+    * traversal computes every language's stopword-hit count — the
+    * t03 shape). Same argmax + 'und' contract as [[langIdFromToks]];
+    * the repeated `p` references collapse via codegen subexpression
+    * elimination, so the profile is computed once per row. */
+  def langIdNative(text: Column): Column = {
+    import TextProfileOps.langs
+    val p = TextProfileExprs.text_profile(text)
+    val n = greatest(p.getField("n_tok"), lit(1L)).cast(DoubleType)
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      struct((element_at(p.getField("sw_hits"), i + 1).cast(DoubleType) / n).as("s"),
+        lit(l).as("l"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  // ── PII patterns ────────────────────────────────────────────────────
+  /** Email / IPv4 patterns shared by the t16 redaction pass, the
+    * dialect `pii_redact` scalar, and their DuckDB oracle mirrors.
+    * Every construct here ([A-Za-z...], \b, \d, {m,n}) parses and
+    * matches identically in Java regex and RE2 — same cross-engine
+    * discipline as [[Ws]]. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails then IPv4s — the t16 pass as one scalar. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), IpRe, "<IP>")
+
   // ── quality scoring ─────────────────────────────────────────────────
   /** Mean token length over a token-array column. */
   def meanTokenLenT(toks: Column): Column =

@@ -206,15 +206,8 @@ object DedupQueries {
       (s, dir) => Tables(s, dir, "documents")
         .select(col("doc_id"), tokenHashes(col("text")).as("th"))
         .select(col("doc_id"), simhash(col("th"), bits = 24).as("sh")),
-      Some {
-        val terms = (0 until 24).map { j =>
-          s"""(CASE WHEN 2 * ${O.lsum(s"list_transform(th, sv -> (sv >> $j) % 2)")}
-             | > CAST(len(th) AS BIGINT)
-             | THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)""".stripMargin
-        }.mkString(" + ")
-        s"""SELECT doc_id, $terms AS sh
-           |FROM (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents)""".stripMargin
-      }),
+      Some(s"""SELECT doc_id, ${O.simhashBits(24)} AS sh
+              |FROM (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents)""".stripMargin)),
 
     // Embedding near-dup via the vector-LSH scale path: the banded
     // OR-amplified candidate generator (shared with v03 — ~97% recall

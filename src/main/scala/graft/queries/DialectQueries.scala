@@ -358,6 +358,53 @@ object DialectQueries {
     // plan identity pinned in PlanSpec alongside s23 ≡ d03.
     Q("s26_dialect_similar",
       sql("similar vec_id, embedding from embeddings top 5"),
-      Some(VectorQueries.annTopkOracle(5)))
+      Some(VectorQueries.annTopkOracle(5))),
+
+    // Content signatures on the dialect surface: d05's 24-bit SimHash
+    // and t04's rolling-hash fingerprint as scalars — both computed
+    // from one native tokenize→hash pass per row (the oracle computes
+    // both from the same th subquery, mirroring the shared scan).
+    Q("s27_dialect_content_sig",
+      sql("""select doc_id, simhash(text) as sh, fingerprint(text) as fp
+            |from documents""".stripMargin),
+      Some(s"""SELECT doc_id, ${graft.queries.OracleSql.simhashBits(24)} AS sh,
+              |  ${graft.queries.OracleSql.foldHash("th")} AS fp
+              |FROM (SELECT doc_id, ${graft.queries.OracleSql.tokenHashes("text")} AS th
+              |      FROM documents)""".stripMargin)),
+
+    // t03's stopword-argmax language ID as a dialect scalar (native
+    // one-pass text_profile underneath; 'und' when no stopword hits,
+    // lexicographically-greatest tie-break — the oracle mirrors the
+    // argmax as a descending >= CASE chain, same as the t03 gate).
+    Q("s28_dialect_langid",
+      sql("select doc_id, lang_id(text) as lang_pred from documents"),
+      Some {
+        val rs = Seq("de", "en", "es", "fr", "zh")
+          .map(l => s"${graft.queries.OracleSql.stopwordRatio("tk", l)} AS s_$l")
+          .mkString(",\n")
+        s"""SELECT doc_id, CASE WHEN
+           |  greatest(s_de, s_en, s_es, s_fr, s_zh) > 0.0 THEN
+           |  CASE
+           |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+           |    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+           |    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+           |    WHEN s_en >= s_de THEN 'en'
+           |    ELSE 'de' END
+           |  ELSE 'und' END AS lang_pred
+           |FROM (SELECT doc_id,
+           |  $rs
+           |FROM (SELECT doc_id, ${graft.queries.OracleSql.toks("text")} AS tk
+           |      FROM documents))""".stripMargin
+      }),
+
+    // t16's PII redaction pass as a dialect scalar — emails then IPv4s
+    // replaced on the raw text (the regex pair is the shared
+    // TextFunctions.EmailRe/IpRe, pinned cross-engine by the t16 gate).
+    Q("s29_dialect_pii",
+      sql("select doc_id, pii_redact(text) as redacted from documents"),
+      Some("""SELECT doc_id, regexp_replace(regexp_replace(text,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+             |FROM documents""".stripMargin))
   )
 }

@@ -21,9 +21,7 @@ object EventQueries {
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(Det.cnt(col("event_id")).as("n"), Det.dsum(col("value")).as("sum_value"))
         .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value")),
-      Some(s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
-              |${Det.sql.cnt("event_id")} AS n, ${Det.sql.dsum("value")} AS sum_value
-              |FROM events GROUP BY 1, 2""".stripMargin),
+      Some(hourlyOracle),
       bench = true),
 
     Q("e02_sessions",
@@ -355,6 +353,53 @@ object EventQueries {
       },
       Some(sessionWindowOracle)),
 
+    // Streaming hourly window agg as a DRIVER-VISIBLE gate (e16's
+    // pattern applied to e01): run StreamingOps.hourlyCounts — e01's
+    // exact Det aggregation under incremental execution with a
+    // watermark — into a memory sink and hash-check the emitted table
+    // against e01's own oracle. One AvailableNow batch in complete
+    // mode emits every window (the watermark never passes any of
+    // them), so stream ≡ batch is checked end-to-end by the driver,
+    // not just by StreamingSpec.
+    Q("e17_window_stream",
+      (s, dir) => {
+        val sink = "graft_e17_sink_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val q = graft.streaming.StreamingOps.hourlyCounts(
+            graft.streaming.StreamingOps.readEvents(s, dir))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        s.table(sink)
+      },
+      Some(hourlyOracle)),
+
+    // Streaming exact dedup as a driver-visible gate: first-seen
+    // filtering via dropDuplicatesWithinWatermark (state bounded by
+    // the horizon — the online form of d01 for a continuously
+    // arriving stream). WHICH row of a key arrives first depends on
+    // task order, so the gate projects the KEY COLUMNS ONLY — that
+    // emitted key set is deterministic and equals DISTINCT over the
+    // batch (no row is watermark-late within one AvailableNow batch).
+    Q("e18_dedup_stream",
+      (s, dir) => {
+        val sink = "graft_e18_sink_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val q = graft.streaming.StreamingOps.dedupFirstSeen(
+            graft.streaming.StreamingOps.readEvents(s, dir),
+            "ts", "2 hours", Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        s.table(sink)
+      },
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
     // Inter-arrival cadence profile: per-event-type gap statistics
     // over each user's timeline (gap attributed to the LATER event's
     // type) — the bursty-bot-vs-human signal. Exact integer min/max;
@@ -392,6 +437,13 @@ object EventQueries {
         max(col("gap_us")).as("max_gap_us"),
         Det.davg(col("gap_us")).as("avg_gap_us"))
   }
+
+  /** e01's oracle — shared with e17, the streaming twin gated against
+    * the identical SQL (stream ≡ batch, driver-visible). */
+  lazy val hourlyOracle: String =
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+       |${Det.sql.cnt("event_id")} AS n, ${Det.sql.dsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** e14's oracle — shared with e16, the streaming twin gated against
     * the identical SQL (stream ≡ batch, driver-visible). Lazy: `all`

@@ -52,6 +52,17 @@ object OracleSql {
     s"""list_transform(range(0, CAST(greatest(len(th) - ${n - 1}, 0) AS BIGINT)),
        |  si -> ${foldHash(s"list_slice(th, si + 1, si + $n)")})""".stripMargin
 
+  /** SimHash fingerprint over a BIGINT token-hash list named `th` in
+    * scope, `bits` wide — mirror of TextFunctions.simhash (bit j set
+    * iff more than half the hashes have bit j set). Shared by the d05
+    * gate and the dialect `simhash` scalar's gate. */
+  def simhashBits(bits: Int): String =
+    (0 until bits).map { j =>
+      s"""(CASE WHEN 2 * ${lsum(s"list_transform(th, sv -> (sv >> $j) % 2)")}
+         | > CAST(len(th) AS BIGINT)
+         | THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" + ")
+
   /** Sum of a BIGINT list (empty → 0), as BIGINT. */
   def lsum(listExpr: String): String =
     s"CAST(coalesce(list_sum($listExpr), 0) AS BIGINT)"

@@ -472,6 +472,74 @@ object TextQueries {
               |    AS BIGINT) AS n_digit
               |FROM documents""".stripMargin)),
 
+    // Globally-shuffled training-shard layout: every doc gets a
+    // (shard, pos) address — shard by deterministic multiplicative
+    // hash (same family as t05: mod-1e6 first so ANSI mode can't
+    // overflow 64-bit ids), position by md5 order WITHIN the shard.
+    // Readers streaming shard files in pos order see a global
+    // permutation that is hash-random yet bit-reproducible on any
+    // cluster — the "shuffle once, train many epochs" corpus layout.
+    // One hash exchange on shard + sort within partitions; no global
+    // sort anywhere, so the plan is flat at any corpus size. The
+    // physical writer for this layout is Sinks.saveShards.
+    Q("t32_shard_layout",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val shard = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(16L)
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), shard.as("shard"),
+            md5(col("doc_id").cast(StringType)).as("h"))
+          .select(col("doc_id"), col("shard"),
+            (row_number().over(w) - 1).cast(LongType).as("pos"))
+      },
+      Some("""SELECT doc_id, ((doc_id % 1000000) * 2654435761) % 16 AS shard,
+             |  CAST(ROW_NUMBER() OVER (
+             |    PARTITION BY ((doc_id % 1000000) * 2654435761) % 16
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+             |    AS BIGINT) AS pos
+             |FROM documents""".stripMargin)),
+
+    // Deterministic source interleave: the round-robin mixing order a
+    // training loader wants ("one doc from each source in turn",
+    // hash-shuffled within source). rank = pos_in_source * n_sources
+    // + source_index gives the strict global interleave WITHOUT a
+    // global sort: one window per source partition plus a broadcast
+    // join against the (tiny, bounded-cardinality) source index. The
+    // n_sources-row window in `srcs` is a deliberate driver-scale
+    // single partition — #sources is a catalog constant, not data.
+    Q("t33_source_interleave",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val srcs = docs.select(col("source")).distinct()
+          .withColumn("sidx", (row_number().over(
+            Window.orderBy(col("source"))) - 1).cast(LongType))
+        val nSrc = srcs.groupBy().agg(count(col("source")).as("n_src"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))
+        docs.select(col("doc_id"), col("source"),
+            md5(col("doc_id").cast(StringType)).as("h"))
+          .select(col("doc_id"), col("source"),
+            (row_number().over(w) - 1).cast(LongType).as("pos"))
+          .join(broadcast(srcs), "source")
+          .crossJoin(broadcast(nSrc))
+          .select(col("doc_id"), col("source"), col("pos"),
+            (col("pos") * col("n_src") + col("sidx")).as("rank"))
+      },
+      Some("""WITH s AS (SELECT source,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+             |  FROM (SELECT DISTINCT source FROM documents)),
+             |d AS (SELECT doc_id, source,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+             |      AS BIGINT) AS pos
+             |  FROM documents)
+             |SELECT d.doc_id, d.source, d.pos,
+             |  d.pos * (SELECT count(*) FROM s) + s.sidx AS rank
+             |FROM d JOIN s ON d.source = s.source""".stripMargin)),
+
     // Sequence packing (GPT-style concat-then-chunk): tokens of the
     // whole corpus are conceptually concatenated in doc_id order and
     // cut into fixed L-token training sequences; each doc reports its
@@ -619,8 +687,8 @@ object TextQueries {
     // Narrow single pass; regexp_replace is codegen'd.
     Q("t16_pii_redact",
       (s, dir) => {
-        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val emailRe = graft.functions.TextFunctions.EmailRe
+        val ipRe = graft.functions.TextFunctions.IpRe
         val full = concat(
           lit("contact user"), col("doc_id").cast(StringType),
           lit("@"), col("source"), lit(".com"),

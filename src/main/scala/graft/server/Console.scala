@@ -55,7 +55,7 @@ object Console {
       |  <b>Predicates</b>: <code>= != &lt;&gt; &lt; &lt;= &gt; &gt;=</code>, <code>like</code> (case-insensitive), <code>in (...)</code>, <code>between a and b</code>, combined with <code>and or xor not</code> and parentheses.<br><br>
       |  <b>Aggregates</b>: <code>sum avg min max count stdev stdevp</code>, each with optional <code>distinct</code>; bare columns next to aggregates take the group's last value in scan order.<br><br>
       |  <b>Functions</b>: <code>year month week day dayname monthname dayofyear dayofmonth hour</code> on dates; <code>abs coalesce inc([step]) format encrypt(x,pass) decrypt(x,pass)</code>;
-      |  pipeline extras <code>session(ts, '30 minutes', user)</code> (per-key session number), <code>token_count(text)</code>, <code>compress_ratio(text)</code>, <code>minhash_sig(text)</code> (MinHash signature string).
+      |  pipeline extras <code>session(ts, '30 minutes', user)</code> (per-key session number), <code>token_count(text)</code>, <code>compress_ratio(text)</code>, <code>minhash_sig(text)</code> (MinHash signature string), <code>simhash(text)</code>, <code>fingerprint(text)</code>, <code>lang_id(text)</code>, <code>pii_redact(text)</code>.
       |  Dates add durations: <code>birthdate + '3 weeks'</code>; <code>case</code> expressions (searched and simple) work as in SQL.<br><br>
       |  <b>Dedup</b>: <code>dedup near id, text from file</code> emits MinHash-LSH candidate pairs (doc_a, doc_b); add <code>threshold 0.5</code> to verify candidates with exact n-gram Jaccard and keep jac &ge; t; <code>dedup exact id, text from file</code> groups exact copies (md5) with the kept id and copy count.<br><br>
       |  <b>Similarity</b>: <code>similar id, vec from file top 5</code> — approximate-nearest-neighbor top-k over a vector column (banded LSH + cosine verification), emitting (q_id, n_id, sim, rank).<br><br>

@@ -123,6 +123,27 @@ object Sinks {
     path
   }
 
+  /** Globally-shuffled training-shard writer: materializes the
+    * t32_shard_layout addressing — shard by deterministic
+    * multiplicative hash of `idCol`, position within shard by md5
+    * order — as `shard=K/` parquet directories whose rows are stored
+    * in `pos` order (repartition on shard + sortWithinPartitions, so
+    * each shard's rows land in one sorted task; no global sort). A
+    * training loader streaming shard files in order replays the same
+    * hash-random global permutation on any cluster, every epoch. */
+  def saveShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String): String = {
+    import org.apache.spark.sql.functions._
+    val shard = ((col(idCol) % lit(1000000L)) * lit(2654435761L)) % lit(nShards.toLong)
+    df.withColumn("shard", shard)
+      .withColumn("pos_key", md5(col(idCol).cast(org.apache.spark.sql.types.StringType)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos_key"), col(idCol))
+      .drop("pos_key")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    path
+  }
+
   /** Realtime single-file CSV save (reference files.go:85-156 streams
     * rows to the save file DURING execution, primed before the query
     * runs, main.go:124-131): header lands immediately, then rows are

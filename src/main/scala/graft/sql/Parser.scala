@@ -37,7 +37,8 @@ final class Parser(toks: Vector[Tok]) {
   private val fnNames = Set("year", "month", "week", "day", "dayofweek", "dayofyear",
     "dayofmonth", "hour", "monthname", "dayname", "abs", "coalesce",
     "encrypt", "decrypt", "inc", "format", "session",
-    "token_count", "compress_ratio", "minhash_sig")
+    "token_count", "compress_ratio", "minhash_sig",
+    "simhash", "fingerprint", "lang_id", "pii_redact")
   private val clauseKw = Set("from", "where", "group", "having", "order", "limit",
     "and", "or", "xor", "when", "then", "else", "end", "as", "asc",
     "join", "inner", "left", "outer", "sjoin", "bjoin", "on", "top",

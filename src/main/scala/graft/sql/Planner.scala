@@ -847,6 +847,22 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         // surface (same fused native expression pass as the d02/d03
         // builders; see DedupQueries.minhashSigStr)
         (graft.queries.DedupQueries.minhashSigStr(one), TStr)
+      case "simhash" =>
+        // d05's 24-bit SimHash fingerprint as a dialect scalar — the
+        // near-dup signature on the SQL surface (same native
+        // tokenize→hash→simhash pass as the d05 gate)
+        (graft.functions.TextFunctions.simhash(
+          graft.functions.TextFunctions.tokenHashes(one), bits = 24), TInt)
+      case "fingerprint" =>
+        // t04's order-sensitive rolling-hash document fingerprint
+        (graft.functions.TextFunctions.docFingerprint(one), TInt)
+      case "lang_id" =>
+        // t03's stopword-argmax language ID on the one-pass native
+        // text_profile expression ('und' when no stopword hits)
+        (graft.functions.TextFunctions.langIdNative(one), TStr)
+      case "pii_redact" =>
+        // t16's email→<EMAIL> / IPv4→<IP> redaction pass
+        (graft.functions.TextFunctions.piiRedact(one), TStr)
       case "session" =>
         // hoisted by plan() into a hidden window column — here it is a
         // plain column reference (see hoistSessions)

@@ -48,7 +48,8 @@ object StreamingOps {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(col("event_id")).as("n"), sum(col("value")).as("sum_value"))
+      .agg(graft.core.Det.cnt(col("event_id")).as("n"),
+        graft.core.Det.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("sum_value"))
 

@@ -134,4 +134,32 @@ class SinksSpec extends SparkSpec {
       assert(Durations.parse(Durations.format(d)).contains(d), Durations.format(d))
     }
   }
+
+  test("saveShards writes hash-addressed shard dirs in md5 row order") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val n = 8
+    val path = Sinks.saveShards(docs, "doc_id", n, "/tmp/graft_sink_shards")
+
+    // every shard dir exists and the union round-trips the corpus
+    val back = spark.read.parquet(path)
+    assert(back.count() == docs.count())
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.length == n, dirs.mkString(","))
+
+    // shard assignment matches the t32 formula for every row
+    val misplaced = back.filter(
+      ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(n.toLong)
+        =!= col("shard")).count()
+    assert(misplaced == 0)
+
+    // within one shard file, stored row order IS the md5 order a
+    // sequential reader replays (one task wrote it sorted)
+    val s0 = spark.read.parquet(s"$path/shard=0").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = s0.sortBy(id =>
+      (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString), id))
+    assert(s0 == want, "shard 0 rows must be stored in md5(doc_id) order")
+  }
 }

@@ -411,6 +411,31 @@ class PlannerSpec extends SparkSpec {
     assert(first.split(":").length == 8, first)
   }
 
+  test("content scalars simhash/fingerprint/lang_id/pii_redact compile and agree with their builders") {
+    import graft.functions.TextFunctions
+    val got = g.sql(
+      """select doc_id, simhash(text) as sh, fingerprint(text) as fp,
+        |lang_id(text) as lp, pii_redact(text) as red from documents""".stripMargin)
+    assert(got.columns.toSeq == Seq("doc_id", "sh", "fp", "lp", "red"))
+    val want = spark.read.parquet(s"$sf0001/documents.parquet").select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      TextFunctions.simhash(TextFunctions.tokenHashes(
+        org.apache.spark.sql.functions.col("text")), 24).as("sh"),
+      TextFunctions.docFingerprint(
+        org.apache.spark.sql.functions.col("text")).as("fp"),
+      TextFunctions.langIdNative(
+        org.apache.spark.sql.functions.col("text")).as("lp"),
+      TextFunctions.piiRedact(
+        org.apache.spark.sql.functions.col("text")).as("red"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // langIdNative ≡ the HOF langId mirror on the same corpus
+    val hof = spark.read.parquet(s"$sf0001/documents.parquet").select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      TextFunctions.langId(org.apache.spark.sql.functions.col("text")).as("lp"))
+    assert(got.select("doc_id", "lp").exceptAll(hof).isEmpty)
+    assertThrows[Exception](g.sql("select simhash(text, doc_id) from documents").collect())
+  }
+
   test("dedup statements execute and match their builder shapes") {
     val pairs = g.sql("dedup near doc_id, text from documents")
     assert(pairs.columns.toSeq == Seq("doc_a", "doc_b"))
