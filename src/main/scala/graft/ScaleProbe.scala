@@ -85,6 +85,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r6fix")) r6Fix(args.drop(1))
     else if (args.headOption.contains("r6new")) r6New(args.drop(1))
     else if (args.headOption.contains("r7ops")) r7Ops(args.drop(1))
+    else if (args.headOption.contains("r7layout")) r7Layout(args.drop(1))
     else if (args.headOption.contains("skewjoin")) skewJoin(args.drop(1))
     else if (args.headOption.contains("p05x")) p05Composition(args.drop(1))
     else standard(args)
@@ -224,6 +225,39 @@ object ScaleProbe {
     * alongside as the reference point. (b) Batched BPE training: same
     * 50 merges, maxBatch 1 vs 16 — the JSON records wall time AND the
     * driver round-trip counts, the thing batching actually buys. */
+  /** Probes for the round-7 corpus-layout ops at `copies`×: the
+    * shard addressing (t32) at 16 and 256 shards (shard count must
+    * not change the plan shape — one hash exchange either way), the
+    * source interleave (t33), and the physical saveShards write.
+    * All are one-exchange window shapes, so sec/copy should hold
+    * flat as copies grows. */
+  def r7Layout(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("source"))
+    println(s"copies=$copies docs=${docs.count()}")
+    time("t32_shard16") {
+      graft.queries.TextQueries.shardLayout(docs, 16)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("t32_shard256") {
+      graft.queries.TextQueries.shardLayout(docs, 256)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("t33_interleave") {
+      graft.queries.TextQueries.sourceInterleave(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("saveShards_write") {
+      graft.sources.Sinks.saveShards(docs, "doc_id", 64,
+        "/tmp/graft_probe_shards")
+    }
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
   def r7Ops(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val outJson = args.lift(1)

@@ -483,17 +483,7 @@ object TextQueries {
     // sort anywhere, so the plan is flat at any corpus size. The
     // physical writer for this layout is Sinks.saveShards.
     Q("t32_shard_layout",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val shard = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(16L)
-        val w = Window.partitionBy(col("shard"))
-          .orderBy(col("h"), col("doc_id"))
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), shard.as("shard"),
-            md5(col("doc_id").cast(StringType)).as("h"))
-          .select(col("doc_id"), col("shard"),
-            (row_number().over(w) - 1).cast(LongType).as("pos"))
-      },
+      (s, dir) => shardLayout(Tables(s, dir, "documents"), 16),
       Some("""SELECT doc_id, ((doc_id % 1000000) * 2654435761) % 16 AS shard,
              |  CAST(ROW_NUMBER() OVER (
              |    PARTITION BY ((doc_id % 1000000) * 2654435761) % 16
@@ -510,24 +500,7 @@ object TextQueries {
     // n_sources-row window in `srcs` is a deliberate driver-scale
     // single partition — #sources is a catalog constant, not data.
     Q("t33_source_interleave",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = Tables(s, dir, "documents")
-        val srcs = docs.select(col("source")).distinct()
-          .withColumn("sidx", (row_number().over(
-            Window.orderBy(col("source"))) - 1).cast(LongType))
-        val nSrc = srcs.groupBy().agg(count(col("source")).as("n_src"))
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("h"), col("doc_id"))
-        docs.select(col("doc_id"), col("source"),
-            md5(col("doc_id").cast(StringType)).as("h"))
-          .select(col("doc_id"), col("source"),
-            (row_number().over(w) - 1).cast(LongType).as("pos"))
-          .join(broadcast(srcs), "source")
-          .crossJoin(broadcast(nSrc))
-          .select(col("doc_id"), col("source"), col("pos"),
-            (col("pos") * col("n_src") + col("sidx")).as("rank"))
-      },
+      (s, dir) => sourceInterleave(Tables(s, dir, "documents")),
       Some("""WITH s AS (SELECT source,
              |    CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
              |  FROM (SELECT DISTINCT source FROM documents)),
@@ -1029,6 +1002,39 @@ object TextQueries {
        |        h -> wql[CAST(h % $nf AS INT) + 1])),
        |      (a, b) -> a + b) AS margin_n
        |  FROM documents, wv WHERE doc_id % 2 = 1)""".stripMargin
+  }
+
+  /** t32's builder on an arbitrary frame with an integer id column —
+    * shared with ScaleProbe and Sinks.saveShards' addressing. One
+    * hash exchange on shard + per-shard window sort; no global sort. */
+  def shardLayout(docs: DataFrame, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(nShards.toLong)
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), shard.as("shard"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+      .select(col("doc_id"), col("shard"),
+        (row_number().over(w) - 1).cast(LongType).as("pos"))
+  }
+
+  /** t33's builder on an arbitrary (doc_id, source) frame — shared
+    * with ScaleProbe. One per-source window over the data; the source
+    * index and count sides are bounded-cardinality broadcasts. */
+  def sourceInterleave(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcs = docsIn.select(col("source")).distinct()
+      .withColumn("sidx", (row_number().over(
+        Window.orderBy(col("source"))) - 1).cast(LongType))
+    val nSrc = srcs.groupBy().agg(count(col("source")).as("n_src"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docsIn.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+      .select(col("doc_id"), col("source"),
+        (row_number().over(w) - 1).cast(LongType).as("pos"))
+      .join(broadcast(srcs), "source")
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"), col("pos"),
+        (col("pos") * col("n_src") + col("sidx")).as("rank"))
   }
 
   /** t20's builder on an arbitrary (doc_id, lang, text) frame — shared

@@ -443,4 +443,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "query panel sides should broadcast")
   }
+
+  test("shard layout (t32) is one shard-key exchange, never single-partition") {
+    val p = plan("t32_shard_layout")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a global-sort shard layout would funnel the corpus:\n${p.take(800)}")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange (hash by shard), got $exchanges")
+  }
+
+  test("source interleave (t33) shuffles data once; source index sides broadcast") {
+    val p = plan("t33_source_interleave")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the docs-side window is the only data-cardinality exchange; the
+    // source-index and n_src sides join via broadcast (the tiny
+    // SinglePartition window runs on the bounded distinct-source set,
+    // never on documents)
+    assert(p.contains("BroadcastHashJoin"), "source index must broadcast")
+    val dataExchanges = """\(\d+\) Exchange hashpartitioning\(source""".r
+      .findAllIn(p).size
+    assert(dataExchanges <= 2,
+      s"documents may shuffle on source at most twice (window + join key), got:\n${p.take(1200)}")
+  }
 }
