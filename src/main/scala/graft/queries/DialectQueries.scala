@@ -405,6 +405,19 @@ object DialectQueries {
       Some("""SELECT doc_id, regexp_replace(regexp_replace(text,
              |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Corpus-layout statements on the dialect surface: `shard` and
+    // `interleave` lower VERBATIM to the t32/t33 builders (plan
+    // identity pinned in PlanSpec) and are gated against the
+    // builders' exact oracles — the full shuffle-once-train-many
+    // layout reachable from SQL.
+    Q("s30_dialect_shard",
+      sql("shard doc_id from documents into 16"),
+      Some(TextQueries.shardLayoutOracle)),
+
+    Q("s31_dialect_interleave",
+      sql("interleave doc_id, source from documents"),
+      Some(TextQueries.sourceInterleaveOracle))
   )
 }

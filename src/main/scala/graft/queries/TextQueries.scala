@@ -484,12 +484,7 @@ object TextQueries {
     // physical writer for this layout is Sinks.saveShards.
     Q("t32_shard_layout",
       (s, dir) => shardLayout(Tables(s, dir, "documents"), 16),
-      Some("""SELECT doc_id, ((doc_id % 1000000) * 2654435761) % 16 AS shard,
-             |  CAST(ROW_NUMBER() OVER (
-             |    PARTITION BY ((doc_id % 1000000) * 2654435761) % 16
-             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
-             |    AS BIGINT) AS pos
-             |FROM documents""".stripMargin)),
+      Some(shardLayoutOracle)),
 
     // Deterministic source interleave: the round-robin mixing order a
     // training loader wants ("one doc from each source in turn",
@@ -501,17 +496,7 @@ object TextQueries {
     // single partition — #sources is a catalog constant, not data.
     Q("t33_source_interleave",
       (s, dir) => sourceInterleave(Tables(s, dir, "documents")),
-      Some("""WITH s AS (SELECT source,
-             |    CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
-             |  FROM (SELECT DISTINCT source FROM documents)),
-             |d AS (SELECT doc_id, source,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY source
-             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
-             |      AS BIGINT) AS pos
-             |  FROM documents)
-             |SELECT d.doc_id, d.source, d.pos,
-             |  d.pos * (SELECT count(*) FROM s) + s.sidx AS rank
-             |FROM d JOIN s ON d.source = s.source""".stripMargin)),
+      Some(sourceInterleaveOracle)),
 
     // Sequence packing (GPT-style concat-then-chunk): tokens of the
     // whole corpus are conceptually concatenated in doc_id order and
@@ -1003,6 +988,31 @@ object TextQueries {
        |      (a, b) -> a + b) AS margin_n
        |  FROM documents, wv WHERE doc_id % 2 = 1)""".stripMargin
   }
+
+  /** t32's oracle — shared with s30, the dialect `shard` statement
+    * gated against the identical SQL. Lazy: `all` is declared first. */
+  lazy val shardLayoutOracle: String =
+    """SELECT doc_id, ((doc_id % 1000000) * 2654435761) % 16 AS shard,
+      |  CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY ((doc_id % 1000000) * 2654435761) % 16
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+      |    AS BIGINT) AS pos
+      |FROM documents""".stripMargin
+
+  /** t33's oracle — shared with s31, the dialect `interleave`
+    * statement gated against the identical SQL. */
+  lazy val sourceInterleaveOracle: String =
+    """WITH s AS (SELECT source,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |d AS (SELECT doc_id, source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+      |      AS BIGINT) AS pos
+      |  FROM documents)
+      |SELECT d.doc_id, d.source, d.pos,
+      |  d.pos * (SELECT count(*) FROM s) + s.sidx AS rank
+      |FROM d JOIN s ON d.source = s.source""".stripMargin
 
   /** t32's builder on an arbitrary frame with an integer id column —
     * shared with ScaleProbe and Sinks.saveShards' addressing. One

@@ -59,6 +59,7 @@ object Console {
       |  Dates add durations: <code>birthdate + '3 weeks'</code>; <code>case</code> expressions (searched and simple) work as in SQL.<br><br>
       |  <b>Dedup</b>: <code>dedup near id, text from file</code> emits MinHash-LSH candidate pairs (doc_a, doc_b); add <code>threshold 0.5</code> to verify candidates with exact n-gram Jaccard and keep jac &ge; t; <code>dedup exact id, text from file</code> groups exact copies (md5) with the kept id and copy count.<br><br>
       |  <b>Similarity</b>: <code>similar id, vec from file top 5</code> — approximate-nearest-neighbor top-k over a vector column (banded LSH + cosine verification), emitting (q_id, n_id, sim, rank).<br><br>
+      |  <b>Layout</b>: <code>shard id from file into 16</code> — deterministic training-shard addressing (doc_id, shard, pos); <code>interleave id, src from file</code> — round-robin source mixing order (doc_id, source, pos, rank).<br><br>
       |  <b>Plan</b>: the plan button shows each statement's physical query plan (pushed filters, broadcasts, shuffles) without running it.<br><br>
       |  <b>Joins</b>: <code>join / left join file alias on a.col = alias.col</code> chains across files; <code>sjoin</code> forces a broadcast (small file), <code>bjoin</code> a sort-merge (both big).<br><br>
       |  <b>Saving</b>: fill the save box before running to also write each statement's FULL result as csv (the grid stays clipped); multiple statements get numbered suffixes.

@@ -81,6 +81,21 @@ object Ast {
   final case class SimilarStmt(idCol: String, vecCol: String,
       from: FromClause, k: Long = 5L) extends Stmt
 
+  /** `shard <idCol> from <table> [into <n>]` — the t32 training-shard
+    * addressing on the SQL surface: every row gets a deterministic
+    * (shard, pos) address (multiplicative-hash shard, md5-order
+    * position within shard; one hash exchange, no global sort).
+    * Default 16 shards. */
+  final case class ShardStmt(idCol: String, from: FromClause,
+      n: Long = 16L) extends Stmt
+
+  /** `interleave <idCol>[,] <srcCol> from <table>` — the t33
+    * deterministic round-robin source interleave on the SQL surface:
+    * emits (doc_id, source, pos, rank) with rank the strict global
+    * mixing order, computed without a global sort. */
+  final case class InterleaveStmt(idCol: String, srcCol: String,
+      from: FromClause) extends Stmt
+
   // ── query structure ─────────────────────────────────────────────────
   final case class SelectItem(expr: Expr, alias: Option[String])
 

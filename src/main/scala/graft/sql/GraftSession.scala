@@ -131,6 +131,8 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
       case q: Ast.Query => planner.plan(q)
       case d: Ast.DedupStmt => planner.planDedup(d)
       case s: Ast.SimilarStmt => planner.planSimilar(s)
+      case s: Ast.ShardStmt => planner.planShard(s)
+      case s: Ast.InterleaveStmt => planner.planInterleave(s)
     }
   }
 

@@ -51,7 +51,45 @@ final class Parser(toks: Vector[Tok]) {
   def parseStatement(): Stmt =
     if (matches(peek, "dedup")) { advance(); parseDedup() }
     else if (matches(peek, "similar")) { advance(); parseSimilar() }
+    else if (matches(peek, "shard")) { advance(); parseShard() }
+    else if (matches(peek, "interleave")) { advance(); parseInterleave() }
     else parseQuery()
+
+  /** `shard <idCol> from <table> [nh] [into <n>]`. */
+  private def parseShard(): ShardStmt = {
+    val idCol = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val n = if (accept("into")) parseNumber() else 16L
+    if (n < 1) throw ParseError(s"shard count must be at least 1, got $n")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    ShardStmt(idCol, FromClause(table, None, noHeader, intColumns = false, Nil), n)
+  }
+
+  /** `interleave <idCol>[,] <srcCol> from <table> [nh]`. */
+  private def parseInterleave(): InterleaveStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val srcCol = colName()
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    InterleaveStmt(idCol, srcCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil))
+  }
 
   /** `similar <idCol>[,] <vecCol> from <table> [nh] [top <k>]`. */
   private def parseSimilar(): SimilarStmt = {

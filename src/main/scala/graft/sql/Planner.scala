@@ -126,6 +126,31 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     }
   }
 
+  /** `shard id from t [into n]` — lowers VERBATIM to the t32 builder
+    * (TextQueries.shardLayout): deterministic (shard, pos) addressing,
+    * one hash exchange, no global sort. Requires an integral id (the
+    * multiplicative hash is integer arithmetic). */
+  def planShard(st: ShardStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val docs = base.select(named(base, st.idCol, "doc_id"))
+    docs.schema("doc_id").dataType match {
+      case _: LongType | _: IntegerType | _: ShortType | _: ByteType => ()
+      case other => throw PlanError(
+        s"shard: ${st.idCol} must be an integer id column, found $other")
+    }
+    graft.queries.TextQueries.shardLayout(docs, st.n.toInt)
+  }
+
+  /** `interleave id, src from t` — lowers VERBATIM to the t33 builder
+    * (TextQueries.sourceInterleave): strict round-robin global mixing
+    * order without a global sort. */
+  def planInterleave(st: InterleaveStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    graft.queries.TextQueries.sourceInterleave(
+      base.select(named(base, st.idCol, "doc_id"),
+        named(base, st.srcCol, "source")))
+  }
+
   def plan(q: Query): DataFrame = {
     checkValidity(q)
     intColumns = q.from.intColumns

@@ -444,6 +444,19 @@ class PlanSpec extends SparkSpec {
       "query panel sides should broadcast")
   }
 
+  test("dialect shard/interleave lower to the exact t32/t33 builder plans") {
+    val shard = Registry.queries("s30_dialect_shard")(spark, sf0001)
+    val t32 = Registry.queries("t32_shard_layout")(spark, sf0001)
+    assert(shard.queryExecution.optimizedPlan
+      .sameResult(t32.queryExecution.optimizedPlan),
+      "dialect shard plan diverged from the t32 builder plan")
+    val il = Registry.queries("s31_dialect_interleave")(spark, sf0001)
+    val t33 = Registry.queries("t33_source_interleave")(spark, sf0001)
+    assert(il.queryExecution.optimizedPlan
+      .sameResult(t33.queryExecution.optimizedPlan),
+      "dialect interleave plan diverged from the t33 builder plan")
+  }
+
   test("shard layout (t32) is one shard-key exchange, never single-partition") {
     val p = plan("t32_shard_layout")
     assert(!p.contains("Exchange SinglePartition"),

@@ -455,6 +455,18 @@ class PlannerSpec extends SparkSpec {
     assert(verified.filter("jac < 0.5").count() == 0)
   }
 
+  test("shard and interleave statements execute with the builder shapes") {
+    val sh = g.sql("shard doc_id from documents into 4")
+    assert(sh.columns.toSeq == Seq("doc_id", "shard", "pos"))
+    assert(sh.filter("shard < 0 or shard >= 4").count() == 0)
+    assert(sh.count() == g.sql("select doc_id from documents").count())
+    val il = g.sql("interleave doc_id, source from documents")
+    assert(il.columns.toSeq == Seq("doc_id", "source", "pos", "rank"))
+    // id must be integral (the multiplicative hash is integer math)
+    assertThrows[Exception](g.sql("shard text from documents"))
+    assertThrows[Exception](g.sql("shard doc_id from documents into 0"))
+  }
+
   test("similar statement executes: per-query ANN top-k with ranks") {
     val knn = g.sql("similar vec_id, embedding from embeddings top 3")
     assert(knn.columns.toSeq == Seq("q_id", "n_id", "sim", "rank"))
