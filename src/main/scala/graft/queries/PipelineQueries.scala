@@ -110,62 +110,88 @@ object PipelineQueries {
     // what a "switch the corpus build to this engine" user runs
     // end-to-end.
     Q("p05_pretrain_build",
-      (s, dir) => {
-        // The per-ROW signals (t27's lorem/brace vetoes + t02's
-        // quality) fuse into ONE scan/projection — predicates, not
-        // doc_id joins. The round-7 composition probe caught the
-        // join-per-signal shape costing 2× the sum of its stages at
-        // 100× (each join re-scanned the text column, and the c4
-        // builder dragged its per-line explode+groupBy along for two
-        // flags): at 100 TB, per-row signals NEVER justify a join.
-        // Only the genuinely shuffling stages remain joins: d01's
-        // md5 groupBy (keepers) and t09's shingle pipeline
-        // (decontamination). Same rows, same oracle — the gate hashes
-        // the composition unchanged.
-        val keepers = q("d01_dedup_exact").build(s, dir)
-          .select(col("keep_id").as("doc_id"))
-        val contaminated = q("t09_decontam").build(s, dir)
-          .filter(col("n_overlap") > 0).select(col("doc_id"))
-        val survivors = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text"),
-            graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
-          .filter(col("doc_id") >= 5 &&
-            !contains(lower(col("text")), lit("lorem ipsum")) &&
-            !contains(col("text"), lit("{")) &&
-            TextQueries.qualityCol(col("text"), col("p")) > 0.5)
-          .select(col("doc_id"), col("p.n_tok").as("n_tok"))
-          .join(keepers, "doc_id")
-          .join(contaminated, Seq("doc_id"), "left_anti")
+      (s, dir) =>
         graft.core.RowNumbers
-          .globalCumsum(survivors, Seq(col("doc_id")), "n_tok", "cum")
+          .globalCumsum(pretrainSurvivors(s, dir), Seq(col("doc_id")), "n_tok", "cum")
           .select(col("doc_id"), col("n_tok"),
             (col("cum") - col("n_tok")).as("tok_start"),
             expr("(cum - n_tok) div 512").as("first_bin"),
-            expr("(cum - 1) div 512").as("last_bin"))
-      },
-      Some {
-        def cte(name: String): String = q(name).oracle.get
-        s"""WITH c4 AS (${cte("t27_c4_filters")}),
-           |qual AS (${cte("t02_quality")}),
-           |keep AS (${cte("d01_dedup_exact")}),
-           |cont AS (${cte("t09_decontam")}),
-           |n AS (SELECT doc_id,
-           |  CAST(len(${OracleSql.toks("text")}) AS BIGINT) AS n_tok FROM documents),
-           |surv AS (SELECT n.doc_id, n.n_tok FROM n
-           |  JOIN c4 ON n.doc_id = c4.doc_id
-           |    AND NOT c4.has_lorem AND NOT c4.has_brace
-           |  JOIN qual ON n.doc_id = qual.doc_id AND qual.quality > 0.5
-           |  JOIN keep k ON n.doc_id = k.keep_id
-           |  WHERE n.doc_id >= 5 AND n.doc_id NOT IN
-           |    (SELECT doc_id FROM cont WHERE n_overlap > 0)),
+            expr("(cum - 1) div 512").as("last_bin")),
+      Some(
+        s"""$pretrainSurvWith,
            |c AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER
            |  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |  AS BIGINT) AS cum FROM surv)
            |SELECT doc_id, n_tok, cum - n_tok AS tok_start,
            |  (cum - n_tok) // 512 AS first_bin,
-           |  (cum - 1) // 512 AS last_bin FROM c""".stripMargin
-      })
+           |  (cum - 1) // 512 AS last_bin FROM c""".stripMargin)),
+
+    // Curated corpus → training-shard layout, ONE composed plan: the
+    // p05 survivor set (page vetoes + quality + canonical dedup +
+    // decontam) flows straight into t32's deterministic (shard, pos)
+    // addressing — the last step of a corpus build before the
+    // saveShards write. The survivor stage's joins are the only
+    // corpus-shaped shuffles; the addressing adds ONE hash exchange.
+    Q("p08_curated_shards",
+      (s, dir) => TextQueries.shardLayoutAll(pretrainSurvivors(s, dir), 8),
+      Some(
+        s"""$pretrainSurvWith
+           |SELECT doc_id, n_tok,
+           |  ((doc_id % 1000000) * 2654435761) % 8 AS shard,
+           |  CAST(ROW_NUMBER() OVER (
+           |    PARTITION BY ((doc_id % 1000000) * 2654435761) % 8
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           |    AS BIGINT) AS pos
+           |FROM surv""".stripMargin))
   )
+
+  /** p05's survivor set (doc_id, n_tok) — the per-ROW signals (t27's
+    * lorem/brace vetoes + t02's quality) fuse into ONE
+    * scan/projection — predicates, not doc_id joins. The round-7
+    * composition probe caught the join-per-signal shape costing 2×
+    * the sum of its stages at 100× (each join re-scanned the text
+    * column, and the c4 builder dragged its per-line explode+groupBy
+    * along for two flags): at 100 TB, per-row signals NEVER justify
+    * a join. Only the genuinely shuffling stages remain joins: d01's
+    * md5 groupBy (keepers) and t09's shingle pipeline
+    * (decontamination). Shared by p05 (→ sequence packing) and p08
+    * (→ shard layout). */
+  def pretrainSurvivors(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val keepers = q("d01_dedup_exact").build(s, dir)
+      .select(col("keep_id").as("doc_id"))
+    val contaminated = q("t09_decontam").build(s, dir)
+      .filter(col("n_overlap") > 0).select(col("doc_id"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+      .filter(col("doc_id") >= 5 &&
+        !contains(lower(col("text")), lit("lorem ipsum")) &&
+        !contains(col("text"), lit("{")) &&
+        TextQueries.qualityCol(col("text"), col("p")) > 0.5)
+      .select(col("doc_id"), col("p.n_tok").as("n_tok"))
+      .join(keepers, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** The WITH-chain computing p05's survivor CTE `surv` (doc_id,
+    * n_tok) — shared by the p05 and p08 oracles. */
+  private lazy val pretrainSurvWith: String = {
+    def cte(name: String): String = q(name).oracle.get
+    s"""WITH c4 AS (${cte("t27_c4_filters")}),
+       |qual AS (${cte("t02_quality")}),
+       |keep AS (${cte("d01_dedup_exact")}),
+       |cont AS (${cte("t09_decontam")}),
+       |n AS (SELECT doc_id,
+       |  CAST(len(${OracleSql.toks("text")}) AS BIGINT) AS n_tok FROM documents),
+       |surv AS (SELECT n.doc_id, n.n_tok FROM n
+       |  JOIN c4 ON n.doc_id = c4.doc_id
+       |    AND NOT c4.has_lorem AND NOT c4.has_brace
+       |  JOIN qual ON n.doc_id = qual.doc_id AND qual.quality > 0.5
+       |  JOIN keep k ON n.doc_id = k.keep_id
+       |  WHERE n.doc_id >= 5 AND n.doc_id NOT IN
+       |    (SELECT doc_id FROM cont WHERE n_overlap > 0))""".stripMargin
+  }
 
 
   /** Per-source corpus health report — the dashboard every ingest runs

@@ -1017,14 +1017,20 @@ object TextQueries {
   /** t32's builder on an arbitrary frame with an integer id column —
     * shared with ScaleProbe and Sinks.saveShards' addressing. One
     * hash exchange on shard + per-shard window sort; no global sort. */
-  def shardLayout(docs: DataFrame, nShards: Int): DataFrame = {
+  def shardLayout(docs: DataFrame, nShards: Int): DataFrame =
+    shardLayoutAll(docs.select(col("doc_id")), nShards)
+
+  /** [[shardLayout]] keeping every input column alongside the
+    * (shard, pos) address — the composition form (p08 addresses the
+    * curated survivor set with its token counts riding along). */
+  def shardLayoutAll(docs: DataFrame, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shard = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(nShards.toLong)
-    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    docs.select(col("doc_id"), shard.as("shard"),
-        md5(col("doc_id").cast(StringType)).as("h"))
-      .select(col("doc_id"), col("shard"),
-        (row_number().over(w) - 1).cast(LongType).as("pos"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    docs.withColumn("shard", shard)
+      .withColumn("__h", md5(col("doc_id").cast(StringType)))
+      .withColumn("pos", (row_number().over(w) - 1).cast(LongType))
+      .drop("__h")
   }
 
   /** t33's builder on an arbitrary (doc_id, source) frame — shared

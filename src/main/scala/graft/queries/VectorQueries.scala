@@ -493,6 +493,51 @@ object VectorQueries {
       .filter(col("rank") <= 5)
   }
 
+  /** v21's builder: assign a new hash-split batch (vec_id % 7 == 3)
+    * to the nearest centroid of the index built from the REST of the
+    * corpus — the incremental-ingest path. Emits (vec_id, cell, csim)
+    * with the v05 tie-break (csim DESC, cell ASC). */
+  def ivfUpsert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val existing = e.filter(col("vec_id") % 7 =!= 3)
+    val batch = e.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"), col("embedding"))
+    val cents = existing
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos").cast(LongType).as("pos"), col("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg(Det.davg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    val scored = batch.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        cosineHof(col("centroid"), col("embedding")).as("csim"))
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("label").asc)
+    scored.withColumn("rk", row_number().over(wa))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label").as("cell"), col("csim"))
+  }
+
+  /** DuckDB mirror of [[ivfUpsert]] (same via-DOUBLE decimal cast
+    * discipline as centroidRowsSql). */
+  def ivfUpsertSql: String =
+    s"""WITH cr AS (SELECT label, pos, ${Det.sql.davg("CAST(x AS DOUBLE)")} AS c FROM (
+       |    SELECT label, unnest(embedding) AS x,
+       |           unnest(range(len(embedding))) AS pos
+       |    FROM embeddings WHERE vec_id % 7 != 3)
+       |  GROUP BY label, pos),
+       |cents AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cr GROUP BY label),
+       |scored AS (SELECT b.vec_id, c.label,
+       |  ${cosineSql("c.centroid", "b.embedding")} AS csim
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 3) b
+       |  CROSS JOIN cents c)
+       |SELECT vec_id, label AS cell, csim FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, label ASC) AS rk FROM scored)
+       |WHERE rk = 1""".stripMargin
+
   /** DuckDB mirror of [[ivfSearch]]. */
   def ivfSearchSql: String =
     s"""WITH cents AS ($centroidsSql),
@@ -595,6 +640,20 @@ object VectorQueries {
     Q("v20_pq_distortion",
       (s, dir) => pqDistortion(s, dir),
       Some(pqDistortionSql())),
+
+    // Incremental index maintenance: the UPSERT path of the quality
+    // loop (build v05 → recall v19 → distortion v20). A batch of new
+    // vectors (hash-split vec_id % 7 == 3 — deterministic, replayable)
+    // arrives against the FROZEN index built from the rest of the
+    // corpus: centroids aggregate over the indexed side only, then
+    // batch vectors score against the broadcast centroid table and
+    // take their argmax cell. At 100 TB the indexed corpus is never
+    // reshuffled — one (label, pos)-keyed agg builds k·d doubles, the
+    // batch-side pass is scan × broadcast — so daily ingest costs
+    // O(batch), not O(corpus).
+    Q("v21_ivf_upsert",
+      (s, dir) => ivfUpsert(s, dir),
+      Some(ivfUpsertSql)),
 
     // Multi-probe IVF: queries probe their top-2 nearest cells instead
     // of one. A query near a cell boundary has near-neighbors on the
