@@ -418,6 +418,33 @@ object DialectQueries {
 
     Q("s31_dialect_interleave",
       sql("interleave doc_id, source from documents"),
-      Some(TextQueries.sourceInterleaveOracle))
+      Some(TextQueries.sourceInterleaveOracle)),
+
+    // BM25 retrieval on the dialect surface: `search` lowers VERBATIM
+    // to the t21 builder (one tokenize pass → per-doc agg shared by
+    // corpus stats and postings via ReusedExchange, global top-k) and
+    // is gated against the parameterized t21 oracle — same terms,
+    // non-default k, so the statement's term plumbing and top-k are
+    // both exercised. Plan identity pinned in PlanSpec.
+    Q("s32_dialect_search",
+      sql("search doc_id, text from documents for 'spark window join' top 10"),
+      Some(TextQueries.bm25Oracle(Seq("spark", "window", "join"), 10))),
+
+    // Reproducible train/val/test assignment on the dialect surface:
+    // `split` lowers VERBATIM to the t06 builder (deterministic hash
+    // buckets — never RNG) with non-default percentages, gated against
+    // the parameterized t06 oracle.
+    Q("s33_dialect_split",
+      sql("split doc_id from documents into 90 5 5"),
+      Some(TextQueries.trainSplitOracle(90L, 5L))),
+
+    // Deterministic Lloyd k-means on the dialect surface: `cluster`
+    // lowers VERBATIM to the v06 machinery (fit collects k·d doubles,
+    // re-broadcasts them as literals; the corpus sees one narrow
+    // codegen'd assignment pass) and is gated against the unrolled
+    // Lloyd loop's final assignment CTE in DuckDB.
+    Q("s34_dialect_cluster",
+      sql("cluster vec_id, embedding from embeddings into 4"),
+      Some(VectorQueries.kmeansCellsOracle(4)))
   )
 }

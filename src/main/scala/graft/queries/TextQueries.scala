@@ -115,18 +115,9 @@ object TextQueries {
              |WHERE ((doc_id % 1000000) * 2654435761) % 1000 < 100""".stripMargin)),
 
     Q("t06_train_split",
-      (s, dir) => {
-        val bucket = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(100)
-        Tables(s, dir, "documents").select(
-          col("doc_id"),
-          when(bucket < 80, "train").when(bucket < 90, "val")
-            .otherwise("test").as("split"))
-      },
-      Some("""SELECT doc_id,
-             |CASE WHEN ((doc_id % 1000000) * 2654435761) % 100 < 80 THEN 'train'
-             |WHEN ((doc_id % 1000000) * 2654435761) % 100 < 90 THEN 'val'
-             |ELSE 'test' END AS split
-             |FROM documents""".stripMargin)),
+      (s, dir) => trainSplit(
+        Tables(s, dir, "documents").select(col("doc_id")), 80L, 10L),
+      Some(trainSplitOracle(80L, 10L))),
 
     Q("t04_fingerprint",
       (s, dir) => Tables(s, dir, "documents").select(
@@ -814,26 +805,7 @@ object TextQueries {
     Q("t21_bm25",
       (s, dir) => bm25(Tables(s, dir, "documents"),
         Seq("spark", "window", "join")),
-      Some(s"""WITH docs AS (SELECT doc_id, ${O.toks("text")} AS tk FROM documents),
-              |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM docs),
-              |nd AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-              |post AS (SELECT doc_id, term, count(*) AS tf FROM
-              |         (SELECT doc_id, unnest(tk) AS term FROM docs)
-              |         WHERE term IN ('spark', 'window', 'join')
-              |         GROUP BY doc_id, term),
-              |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term)
-              |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-              |  CAST(SUM(CAST(
-              |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-              |             / (CAST(df.df AS DOUBLE) + 0.5))
-              |    * CAST(tf AS DOUBLE) * 2.2
-              |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
-              |       0.75 * CAST(l.dl AS DOUBLE)
-              |       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-              |  AS DECIMAL(38,6))) AS DOUBLE) AS bm25
-              |FROM post p JOIN df USING (term) JOIN dl l ON p.doc_id = l.doc_id, nd
-              |GROUP BY p.doc_id
-              |ORDER BY bm25 DESC, p.doc_id ASC LIMIT 20""".stripMargin)),
+      Some(bm25Oracle(Seq("spark", "window", "join")))),
 
     // EXACT global decile bucketing (length balancing / curriculum
     // binning by corpus-wide quantile). A naive ntile() needs a total
@@ -1149,7 +1121,7 @@ object TextQueries {
     * separate subplans and tokenized the corpus four times — 9.4×
     * slower at the 10× probe (SCALE_r4f). */
   def bm25(docsIn: org.apache.spark.sql.DataFrame,
-      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+      terms: Seq[String], k: Int = 20): org.apache.spark.sql.DataFrame = {
     // one pass: dl + per-term tf in a single per-doc agg
     // (explode_outer keeps token-less docs in the corpus stats;
     // tokenization is the SHARED TextFunctions.tokens ≡ OracleSql.toks)
@@ -1188,8 +1160,58 @@ object TextQueries {
       .agg(count(lit(1)).as("n_terms"),
         sum(score.cast(graft.core.Det.dec)).cast(DoubleType).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
-      .limit(20)
+      .limit(k)
   }
+
+  /** DuckDB mirror of [[bm25]], parameterized on terms and k — shared
+    * by the t21 gate and the `search` dialect statement's s32 gate. */
+  def bm25Oracle(terms: Seq[String], k: Int = 20): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, ${O.toks("text")} AS tk FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM docs),
+       |nd AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |post AS (SELECT doc_id, term, count(*) AS tf FROM
+       |         (SELECT doc_id, unnest(tk) AS term FROM docs)
+       |         WHERE term IN ($inList)
+       |         GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term)
+       |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(SUM(CAST(
+       |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+       |             / (CAST(df.df AS DOUBLE) + 0.5))
+       |    * CAST(tf AS DOUBLE) * 2.2
+       |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
+       |       0.75 * CAST(l.dl AS DOUBLE)
+       |       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+       |  AS DECIMAL(38,6))) AS DOUBLE) AS bm25
+       |FROM post p JOIN df USING (term) JOIN dl l ON p.doc_id = l.doc_id, nd
+       |GROUP BY p.doc_id
+       |ORDER BY bm25 DESC, p.doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** t06's builder on an arbitrary (doc_id) frame — reproducible
+    * hash-bucket train/val/test assignment (never RNG: the same rows
+    * land in the same split on any cluster size, any run, and the
+    * DuckDB oracle replays it exactly). train takes buckets
+    * [0, p1), val [p1, p1+p2), test the rest of [0, 100). The id is
+    * reduced mod 1e6 BEFORE the multiply: ids can be 64-bit at scale
+    * and ANSI mode turns a Long overflow into a crash. */
+  def trainSplit(docs: org.apache.spark.sql.DataFrame,
+      p1: Long, p2: Long): org.apache.spark.sql.DataFrame = {
+    val bucket = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(100)
+    docs.select(col("doc_id"),
+      when(bucket < p1, "train").when(bucket < p1 + p2, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** DuckDB mirror of [[trainSplit]] — shared by the t06 gate and the
+    * `split` dialect statement's s33 gate. */
+  def trainSplitOracle(p1: Long, p2: Long): String =
+    s"""SELECT doc_id,
+       |CASE WHEN ((doc_id % 1000000) * 2654435761) % 100 < $p1 THEN 'train'
+       |WHEN ((doc_id % 1000000) * 2654435761) % 100 < ${p1 + p2} THEN 'val'
+       |ELSE 'test' END AS split
+       |FROM documents""".stripMargin
 
   /** t27's builder on an arbitrary documents frame — shared with
     * ScaleProbe so the probe times exactly the gated plan. One explode

@@ -314,6 +314,20 @@ object VectorQueries {
   def kmeansCentroidRowsSql(k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): String =
     s"WITH ${kmeansCtesSql(k, iters)}\nSELECT cell, pos, c FROM rows$iters"
 
+  /** Final cluster assignment (vec_id, cell) after the full Lloyd fit
+    * — the `cluster` dialect statement's builder (d08's assignment
+    * stage without the dedup pruning): fit collects k·d doubles on the
+    * driver and re-broadcasts them as literals; the corpus itself sees
+    * only one narrow codegen'd assignment pass, never a shuffle. */
+  def kmeansCells(e: DataFrame, k: Int = KMEANS_K): DataFrame =
+    kmeansAssign(e, kmeansFit(e, k, KMEANS_ITERS - 1))
+      .select(col("vec_id"), col("cell"))
+
+  /** DuckDB mirror of [[kmeansCells]] — the unrolled Lloyd loop's
+    * final assignment CTE. */
+  def kmeansCellsOracle(k: Int = KMEANS_K): String =
+    s"WITH ${kmeansCtesSql(k, KMEANS_ITERS)}\nSELECT vec_id, cell FROM assign$KMEANS_ITERS"
+
   // ── product quantization ─────────────────────────────────────────────
   // The ANN memory path at 100 TB: dim split into M subspaces, an
   // independent k-cell codebook per subspace, each vector stored as M

@@ -96,6 +96,32 @@ object Ast {
   final case class InterleaveStmt(idCol: String, srcCol: String,
       from: FromClause) extends Stmt
 
+  /** `search <idCol>[,] <textCol> from <table> for '<terms>'
+    * [top <k>]` — BM25 keyword retrieval on the SQL surface, lowering
+    * to the t21 builder (one tokenize pass → per-doc agg shared by
+    * corpus stats and postings via ReusedExchange, global top-k).
+    * Terms are the whitespace-split words of the quoted string,
+    * lowercased; emits (doc_id, n_terms, bm25), k rows (default 20). */
+  final case class SearchStmt(idCol: String, textCol: String,
+      from: FromClause, terms: Seq[String], k: Long = 20L) extends Stmt
+
+  /** `split <idCol> from <table> [into <p1> <p2> <p3>]` — the t06
+    * reproducible train/val/test assignment on the SQL surface:
+    * deterministic hash buckets (never RNG), percentages must be
+    * positive integers summing to 100 (default 80 10 10). Emits
+    * (doc_id, split). */
+  final case class SplitStmt(idCol: String, from: FromClause,
+      pcts: Seq[Long] = Seq(80L, 10L, 10L)) extends Stmt
+
+  /** `cluster <idCol>[,] <vecCol> from <table> [into <k>]` — the v06
+    * deterministic Lloyd k-means on the SQL surface: fit on the
+    * corpus (centers collected as k·d doubles, re-broadcast as
+    * literals each round — the corpus is never shuffled by center),
+    * then one narrow assignment pass. Emits (vec_id, cell), k cells
+    * (default 4). */
+  final case class ClusterStmt(idCol: String, vecCol: String,
+      from: FromClause, k: Long = 4L) extends Stmt
+
   // ── query structure ─────────────────────────────────────────────────
   final case class SelectItem(expr: Expr, alias: Option[String])
 

@@ -133,6 +133,9 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
       case s: Ast.SimilarStmt => planner.planSimilar(s)
       case s: Ast.ShardStmt => planner.planShard(s)
       case s: Ast.InterleaveStmt => planner.planInterleave(s)
+      case s: Ast.SearchStmt => planner.planSearch(s)
+      case s: Ast.SplitStmt => planner.planSplit(s)
+      case s: Ast.ClusterStmt => planner.planCluster(s)
     }
   }
 

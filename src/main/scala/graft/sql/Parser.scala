@@ -53,7 +53,92 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "similar")) { advance(); parseSimilar() }
     else if (matches(peek, "shard")) { advance(); parseShard() }
     else if (matches(peek, "interleave")) { advance(); parseInterleave() }
+    else if (matches(peek, "search")) { advance(); parseSearch() }
+    else if (matches(peek, "split")) { advance(); parseSplit() }
+    else if (matches(peek, "cluster")) { advance(); parseCluster() }
     else parseQuery()
+
+  /** `search <idCol>[,] <textCol> from <table> [nh] for '<terms>'
+    * [top <k>]`. */
+  private def parseSearch(): SearchStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val textCol = colName()
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    expect("for")
+    val termsRaw = peek match {
+      case Str(s) => advance(); s
+      case t => throw ParseError(s"expected quoted search terms after 'for', found '${t.text}'")
+    }
+    // whitespace-split, lowercased, order-preserving dedup — the same
+    // token alphabet the corpus tokenizer emits
+    val terms = termsRaw.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    if (terms.isEmpty) throw ParseError("search terms must contain at least one word")
+    val k = if (accept("top")) parseNumber() else 20L
+    if (k < 1) throw ParseError(s"top must be at least 1, got $k")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    SearchStmt(idCol, textCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), terms, k)
+  }
+
+  /** `split <idCol> from <table> [nh] [into <p1> <p2> <p3>]`. */
+  private def parseSplit(): SplitStmt = {
+    val idCol = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val pcts =
+      if (accept("into")) {
+        val ps = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ps += parseNumber()
+        while (accept(",") || (peek match { case _: Num => true; case _ => false }))
+          ps += parseNumber()
+        ps.toSeq
+      } else Seq(80L, 10L, 10L)
+    if (pcts.size != 3)
+      throw ParseError(s"split takes exactly 3 percentages (train val test), got ${pcts.size}")
+    if (pcts.exists(_ < 1))
+      throw ParseError("split percentages must be positive")
+    if (pcts.sum != 100L)
+      throw ParseError(s"split percentages must sum to 100, got ${pcts.sum}")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    SplitStmt(idCol, FromClause(table, None, noHeader, intColumns = false, Nil), pcts)
+  }
+
+  /** `cluster <idCol>[,] <vecCol> from <table> [nh] [into <k>]`. */
+  private def parseCluster(): ClusterStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val vecCol = colName()
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val k = if (accept("into")) parseNumber() else 4L
+    if (k < 2) throw ParseError(s"cluster count must be at least 2, got $k")
+    if (k > 256) throw ParseError(s"cluster count must be at most 256, got $k")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    ClusterStmt(idCol, vecCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), k)
+  }
 
   /** `shard <idCol> from <table> [nh] [into <n>]`. */
   private def parseShard(): ShardStmt = {

@@ -151,6 +151,55 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         named(base, st.srcCol, "source")))
   }
 
+  /** `search id, text from t for 'terms' [top k]` — lowers VERBATIM to
+    * the t21 BM25 builder (one tokenize pass, per-doc agg shared by
+    * corpus stats and postings via ReusedExchange, global top-k). The
+    * terms were lowercased and whitespace-split by the parser; they
+    * must be plain tokens (the tokenizer's alphabet) because each term
+    * becomes a per-term tf/df column in the one-pass agg. */
+  def planSearch(st: SearchStmt): DataFrame = {
+    st.terms.foreach { t =>
+      if (!t.matches("[a-z0-9]+"))
+        throw PlanError(s"search term '$t' is not a plain token (letters/digits only)")
+    }
+    val base = resolve(st.from.table, st.from.noHeader)
+    graft.queries.TextQueries.bm25(
+      base.select(named(base, st.idCol, "doc_id"),
+        named(base, st.textCol, "text")),
+      st.terms, st.k.toInt)
+  }
+
+  /** `split id from t [into p1 p2 p3]` — lowers VERBATIM to the t06
+    * builder (TextQueries.trainSplit): deterministic hash-bucket
+    * train/val/test assignment; the parser already enforced three
+    * positive percentages summing to 100. Requires an integral id
+    * (the bucket hash is integer arithmetic). */
+  def planSplit(st: SplitStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val docs = base.select(named(base, st.idCol, "doc_id"))
+    docs.schema("doc_id").dataType match {
+      case _: LongType | _: IntegerType | _: ShortType | _: ByteType => ()
+      case other => throw PlanError(
+        s"split: ${st.idCol} must be an integer id column, found $other")
+    }
+    graft.queries.TextQueries.trainSplit(docs, st.pcts(0), st.pcts(1))
+  }
+
+  /** `cluster id, vec from t [into k]` — lowers VERBATIM to the v06
+    * k-means machinery (VectorQueries.kmeansCells): deterministic
+    * Lloyd fit (centers driver-collected and re-broadcast as literals
+    * — the corpus is never shuffled by center) plus one narrow
+    * codegen'd assignment pass. NOTE: fit is EAGER (it runs the Lloyd
+    * iterations when the statement is planned), like any k-means. */
+  def planCluster(st: ClusterStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val e = base.select(named(base, st.idCol, "vec_id"),
+      named(base, st.vecCol, "embedding"))
+    if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
+      throw PlanError(s"cluster: ${st.vecCol} must be an array (vector) column")
+    graft.queries.VectorQueries.kmeansCells(e, st.k.toInt)
+  }
+
   def plan(q: Query): DataFrame = {
     checkValidity(q)
     intColumns = q.from.intColumns

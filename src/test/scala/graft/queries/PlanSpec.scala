@@ -457,6 +457,47 @@ class PlanSpec extends SparkSpec {
       "dialect interleave plan diverged from the t33 builder plan")
   }
 
+  test("dialect search (s32) lowers to t21's exact one-pass BM25 plan") {
+    val dialect = Registry.queries("s32_dialect_search")(spark, sf0001)
+    val builder = graft.queries.TextQueries.bm25(
+      graft.core.Tables(spark, sf0001, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+      Seq("spark", "window", "join"), 10)
+    assert(dialect.queryExecution.optimizedPlan
+      .sameResult(builder.queryExecution.optimizedPlan),
+      "dialect search plan diverged from the t21 builder plan")
+    // the one-pass property survives the statement surface: the
+    // executed plan reuses the per-doc agg exchange
+    dialect.collect()
+    val executed = dialect.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"search must share the per-doc agg exchange:\n${executed.take(800)}")
+  }
+
+  test("dialect split (s33) lowers to the exact t06 builder plan; zero exchanges") {
+    val dialect = Registry.queries("s33_dialect_split")(spark, sf0001)
+    val builder = graft.queries.TextQueries.trainSplit(
+      graft.core.Tables(spark, sf0001, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id")), 90L, 5L)
+    assert(dialect.queryExecution.optimizedPlan
+      .sameResult(builder.queryExecution.optimizedPlan),
+      "dialect split plan diverged from the t06 builder plan")
+    val p = dialect.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"split is per-row hash arithmetic — no exchange belongs in its plan:\n${p.take(800)}")
+  }
+
+  test("dialect cluster (s34) assignment is one narrow pass, no corpus shuffle") {
+    val dialect = Registry.queries("s34_dialect_cluster")(spark, sf0001)
+    val p = dialect.queryExecution.executedPlan.toString
+    // centers are literal arrays inside the codegen'd assignment
+    // expression; the corpus is scanned once with no exchange
+    assert(!p.contains("Exchange"),
+      s"cluster assignment must not shuffle the corpus:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("shard layout (t32) is one shard-key exchange, never single-partition") {
     val p = plan("t32_shard_layout")
     assert(!p.contains("Exchange SinglePartition"),

@@ -144,6 +144,50 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("similar id v from t extra"))
   }
 
+  test("search statement grammar: terms split/lowercased/deduped, optional top k") {
+    val s = Parser.parseStmt("search doc_id, text from documents for 'Spark WINDOW join spark' top 10")
+      .asInstanceOf[Ast.SearchStmt]
+    assert(s.idCol == "doc_id" && s.textCol == "text" && s.k == 10L)
+    assert(s.terms == Seq("spark", "window", "join"),
+      "terms must be lowercased, whitespace-split, order-preserving deduped")
+    val d = Parser.parseStmt("search id body from t for 'x'")
+      .asInstanceOf[Ast.SearchStmt]
+    assert(d.k == 20L, "k defaults to 20")
+    assertThrows[Exception](Parser.parseStmt("search id body from t for ''"))
+    assertThrows[Exception](Parser.parseStmt("search id body from t for '  '"))
+    assertThrows[Exception](Parser.parseStmt("search id body from t"))
+    assertThrows[Exception](Parser.parseStmt("search id body from t for terms"))
+    assertThrows[Exception](Parser.parseStmt("search id body from t for 'x' top 0"))
+    assertThrows[Exception](Parser.parseStmt("search id body from t for 'x' extra"))
+  }
+
+  test("split statement grammar: three positive percentages summing to 100") {
+    val s = Parser.parseStmt("split doc_id from documents into 90 5 5")
+      .asInstanceOf[Ast.SplitStmt]
+    assert(s.idCol == "doc_id" && s.pcts == Seq(90L, 5L, 5L))
+    val c = Parser.parseStmt("split id from t into 70, 20, 10")
+      .asInstanceOf[Ast.SplitStmt]
+    assert(c.pcts == Seq(70L, 20L, 10L), "commas optional between percentages")
+    val d = Parser.parseStmt("split id from t").asInstanceOf[Ast.SplitStmt]
+    assert(d.pcts == Seq(80L, 10L, 10L), "defaults to 80/10/10")
+    assertThrows[Exception](Parser.parseStmt("split id from t into 90 10"))
+    assertThrows[Exception](Parser.parseStmt("split id from t into 50 30 30"))
+    assertThrows[Exception](Parser.parseStmt("split id from t into 100 0 0"))
+    assertThrows[Exception](Parser.parseStmt("split id from t into 90 5 5 extra"))
+  }
+
+  test("cluster statement grammar: columns, optional into k in [2, 256]") {
+    val s = Parser.parseStmt("cluster vec_id, embedding from embeddings into 8")
+      .asInstanceOf[Ast.ClusterStmt]
+    assert(s.idCol == "vec_id" && s.vecCol == "embedding" && s.k == 8L)
+    val d = Parser.parseStmt("cluster id v from t").asInstanceOf[Ast.ClusterStmt]
+    assert(d.k == 4L, "k defaults to 4")
+    assertThrows[Exception](Parser.parseStmt("cluster id v from t into 1"))
+    assertThrows[Exception](Parser.parseStmt("cluster id v from t into 1000"))
+    assertThrows[Exception](Parser.parseStmt("cluster id from t"))
+    assertThrows[Exception](Parser.parseStmt("cluster id v from t extra"))
+  }
+
   test("parseStmt still parses plain selects; parse rejects dedup") {
     val q = Parser.parseStmt("select a from t").asInstanceOf[Ast.Query]
     assert(q.items.size == 1)

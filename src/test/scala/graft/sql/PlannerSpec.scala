@@ -479,6 +479,38 @@ class PlannerSpec extends SparkSpec {
       g.sql("similar vec_id, label from embeddings").collect())
   }
 
+  test("search statement executes: BM25 top-k over matching docs") {
+    val hits = g.sql("search doc_id, text from documents for 'the and' top 5")
+    assert(hits.columns.toSeq == Seq("doc_id", "n_terms", "bm25"))
+    assert(hits.count() <= 5)
+    assert(hits.filter("n_terms < 1").count() == 0)
+    // non-token terms rejected at plan time
+    assertThrows[Exception](
+      g.sql("search doc_id, text from documents for 'a;b'"))
+  }
+
+  test("split statement executes: every doc labeled, buckets deterministic") {
+    val sp = g.sql("split doc_id from documents into 90 5 5")
+    assert(sp.columns.toSeq == Seq("doc_id", "split"))
+    assert(sp.count() == g.sql("select doc_id from documents").count())
+    assert(sp.filter("split not in ('train', 'val', 'test')").count() == 0)
+    // deterministic: two plans agree row-for-row
+    val again = g.sql("split doc_id from documents into 90 5 5")
+    assert(sp.exceptAll(again).count() == 0)
+    // id must be integral (the bucket hash is integer math)
+    assertThrows[Exception](g.sql("split text from documents"))
+  }
+
+  test("cluster statement executes: every vector assigned to one of k cells") {
+    val cl = g.sql("cluster vec_id, embedding from embeddings into 4")
+    assert(cl.columns.toSeq == Seq("vec_id", "cell"))
+    assert(cl.count() == g.sql("select vec_id from embeddings").count())
+    assert(cl.filter("cell < 0 or cell >= 4").count() == 0)
+    // a non-vector column is rejected with a planner error
+    assertThrows[Exception](
+      g.sql("cluster vec_id, label from embeddings").collect())
+  }
+
   test("nested session() gets a dedicated error, not 'not allowed here'") {
     val e = intercept[Exception] {
       g.sql("select session(ts, '30 minutes', session(ts, '1 hours', user_id)) from events")
