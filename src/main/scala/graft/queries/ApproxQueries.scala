@@ -151,6 +151,58 @@ object ApproxQueries {
   // it). Means run through Det decimal so the gate hash-matches.
   private def profCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** Generic per-column profile of ANY frame — x03's one-pass shape
+    * lifted to arbitrary schemas for the `profile` dialect statement:
+    * row count, nulls, exact distinct per column, min/max/mean (as
+    * DOUBLE, numeric columns only — non-numerics profile counts and
+    * get NULL stats). ONE aggregation pass; the multi-distinct Expand
+    * is the only amplification and is bounded by the column count (a
+    * catalog constant), never the data. */
+  def columnProfile(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val numeric: Set[String] = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSet
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      val base = Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+      if (numeric(c)) base ++ Seq(
+        min(col(c)).cast(DoubleType).as(s"__min_$c"),
+        max(col(c)).cast(DoubleType).as(s"__max_$c"),
+        graft.core.Det.davg(col(c)).as(s"__mean_$c"))
+      else base
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def statOrNull(c: String, stat: String) =
+      if (numeric(c)) col(s"__${stat}_$c") else lit(null).cast(DoubleType)
+    one.select(explode(array(cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("__n").as("n"),
+        (col("__n") - col(s"__cnt_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        statOrNull(c, "min").as("min_v"),
+        statOrNull(c, "max").as("max_v"),
+        statOrNull(c, "mean").as("mean_v"))
+    }: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** DuckDB mirror of [[columnProfile]]: one UNION ALL branch per
+    * column; `cols` carries (name, isNumeric). */
+  def columnProfileOracle(table: String, cols: Seq[(String, Boolean)]): String =
+    cols.map { case (c, num) =>
+      val stats =
+        if (num)
+          s"""CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+             |${graft.core.Det.sql.davg(c)} AS mean_v""".stripMargin
+        else
+          """CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+            |CAST(NULL AS DOUBLE) AS mean_v""".stripMargin
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+         |CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |$stats FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   private def profile: Seq[Q] = {
     import org.apache.spark.sql.functions._
     Seq(Q("x03_column_profile",
@@ -330,6 +382,26 @@ object ApproxQueries {
              |FROM sums""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"WITH sums AS (SELECT $aggs FROM lineitem)\n$branches"
-      }))
+      }),
+
+    // Grouped approximate distinct — x01's HLL scale path PER KEY
+    // (distinct users per event type; distinct URLs per domain at
+    // crawl scale). The sketch state is w registers per group —
+    // map-side partial merge collapses rows before the exchange, so
+    // the shuffle is #groups-sized where an exact count-distinct
+    // expands to (group, user) pairs. Gate: exact per-group distinct
+    // hash-checked, the sketch pinned inside 3·rsd of it (x01's
+    // bound, per group).
+    Q("x09_grouped_approx_distinct",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(col("event_type")).agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("ap"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("ap") - col("exact_users")).cast(DoubleType) <=
+            lit(3 * 0.02) * col("exact_users").cast(DoubleType)).as("users_ok")),
+      Some("""SELECT event_type,
+             |CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |true AS users_ok FROM events GROUP BY event_type""".stripMargin)))
   }
 }

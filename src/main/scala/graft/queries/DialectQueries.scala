@@ -445,6 +445,18 @@ object DialectQueries {
     // Lloyd loop's final assignment CTE in DuckDB.
     Q("s34_dialect_cluster",
       sql("cluster vec_id, embedding from embeddings into 4"),
-      Some(VectorQueries.kmeansCellsOracle(4)))
+      Some(VectorQueries.kmeansCellsOracle(4))),
+
+    // Generic table profiling on the dialect surface: `profile t` is
+    // the SUMMARIZE every ingest pipeline runs on a new data drop —
+    // per-column nulls/distinct/min/max/mean in ONE aggregation pass,
+    // for ANY schema (numeric stats as DOUBLE, NULL for the ts/string
+    // columns). Gated on events, the most type-diverse fixture
+    // (bigint, timestamp, string, double).
+    Q("s35_dialect_profile",
+      sql("profile events"),
+      Some(ApproxQueries.columnProfileOracle("events", Seq(
+        "event_id" -> true, "ts" -> false, "user_id" -> true,
+        "event_type" -> false, "value" -> true, "props" -> false))))
   )
 }

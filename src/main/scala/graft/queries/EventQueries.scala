@@ -415,8 +415,42 @@ object EventQueries {
               |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
               |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
               |  ${Det.sql.davg("gap_us")} AS avg_gap_us
-              |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""".stripMargin))
+              |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""".stripMargin)),
+
+    // SLIDING windows (2-hour duration, 1-hour slide) — the smoothed
+    // rate/trend view a tumbling agg can't give (every event counts in
+    // exactly TWO windows; a spike shows in both its hours' 2-hour
+    // frames). Spark's native `window(ts, dur, slide)` expands each
+    // row to its dur/slide windows BEFORE the hash agg, so map-side
+    // partials still collapse per (window, type) — one exchange sized
+    // by windows×types, never by events; the same expression runs
+    // under Structured Streaming with a watermark (StreamingOps).
+    // The oracle mirrors the expansion: each event unnests to its two
+    // hourly window starts.
+    Q("e19_sliding_window",
+      (s, dir) => slidingCounts(Tables(s, dir, "events")),
+      Some(slidingOracle))
   )
+
+  /** e19's builder: 2h/1h sliding-window counts + Det value sums per
+    * event type. Shared with the streaming form (StreamingSpec pins
+    * stream ≡ batch on the same expression). */
+  def slidingCounts(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(Det.cnt(col("event_id")).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** e19's oracle: a 2h-duration, 1h-slide window containing ts starts
+    * at date_trunc('hour', ts) and at one hour before it. */
+  lazy val slidingOracle: String =
+    s"""SELECT ws, event_type, ${Det.sql.cnt("event_id")} AS n,
+       |  ${Det.sql.dsum("value")} AS sum_value
+       |FROM (SELECT event_id, event_type, value,
+       |        unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+       |                CAST(date_trunc('hour', ts) AS TIMESTAMP)
+       |                  - INTERVAL 1 HOUR]) AS ws
+       |      FROM events)
+       |GROUP BY ws, event_type""".stripMargin
 
   /** e15's builder: inter-arrival gap statistics per event type —
     * the latency/cadence profile (bursty crawlers vs humans, bot

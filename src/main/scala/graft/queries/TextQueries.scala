@@ -489,6 +489,18 @@ object TextQueries {
       (s, dir) => sourceInterleave(Tables(s, dir, "documents")),
       Some(sourceInterleaveOracle)),
 
+    // Overlapping document chunking (the RAG-ingest / context-window
+    // prep op t11's PACKING deliberately isn't): each doc is cut into
+    // 64-token windows with 16-token overlap (stride 48); the final
+    // chunk keeps the tail even when short. Pure per-row explode —
+    // zero exchanges, chunk count is per-doc arithmetic (no windows,
+    // no cumsum), so the plan is flat at any corpus size. Token-less
+    // docs emit no chunks on both engines.
+    Q("t34_chunking",
+      (s, dir) => docChunks(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
+      Some(docChunksOracle)),
+
     // Sequence packing (GPT-style concat-then-chunk): tokens of the
     // whole corpus are conceptually concatenated in doc_id order and
     // cut into fixed L-token training sequences; each doc reports its
@@ -1203,6 +1215,46 @@ object TextQueries {
       when(bucket < p1, "train").when(bucket < p1 + p2, "val")
         .otherwise("test").as("split"))
   }
+
+  /** t34's builder: overlapping fixed-size token chunks of each doc —
+    * chunk c covers tokens [c·stride, c·stride + size), the last chunk
+    * keeps the tail. chunks(n) = 1 + ⌈max(n − size, 0) / stride⌉,
+    * computed per row; the whole op is tokenize → explode → slice,
+    * no exchange anywhere. */
+  def docChunks(docs: org.apache.spark.sql.DataFrame,
+      size: Int = 64, overlap: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(overlap < size, "overlap must be smaller than the chunk size")
+    val stride = size - overlap
+    val withToks = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("tk")).cast(LongType))
+      .filter(col("n") > 0L)
+    val lastChunk = floor((greatest(col("n") - lit(size.toLong), lit(0L)) +
+      lit(stride.toLong - 1L)) / lit(stride.toLong)).cast(LongType)
+    val chunkToks = org.apache.spark.sql.functions.slice(col("tk"),
+      (col("chunk_id") * lit(stride.toLong) + lit(1L)).cast(IntegerType), lit(size))
+    withToks
+      .withColumn("chunk_id", explode(sequence(lit(0L), lastChunk)))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", chunkToks).as("chunk_text"),
+        org.apache.spark.sql.functions.size(chunkToks).cast(LongType)
+          .as("n_chunk_tokens"))
+  }
+
+  /** DuckDB mirror of [[docChunks]] at the gate's size/overlap. */
+  lazy val docChunksOracle: String =
+    s"""WITH tk AS (SELECT doc_id, ${O.toks("text")} AS tk FROM documents),
+       |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM tk
+       |      WHERE len(tk) > 0),
+       |c AS (SELECT doc_id, tk,
+       |        unnest(range(0, 1 + (greatest(n - 64, 0) + 47) // 48)) AS chunk_id
+       |      FROM n)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  array_to_string(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+       |    AS chunk_text,
+       |  CAST(len(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)
+       |    AS n_chunk_tokens
+       |FROM c""".stripMargin
 
   /** DuckDB mirror of [[trainSplit]] — shared by the t06 gate and the
     * `split` dialect statement's s33 gate. */

@@ -328,6 +328,41 @@ object VectorQueries {
   def kmeansCellsOracle(k: Int = KMEANS_K): String =
     s"WITH ${kmeansCtesSql(k, KMEANS_ITERS)}\nSELECT vec_id, cell FROM assign$KMEANS_ITERS"
 
+  /** v22's builder: per-cell size + within-cluster SSE (inertia) of
+    * the final Lloyd assignment, measured against the centers the
+    * assignment used. The distance to the ASSIGNED center is a
+    * cell-keyed CASE over the k broadcast-literal folds — evaluated
+    * per row with no join; the only aggregation is one k-row agg. */
+  def kmeansInertia(e: DataFrame, k: Int = KMEANS_K): DataFrame = {
+    val centers = kmeansFit(e, k, KMEANS_ITERS - 1)
+    val assigned = kmeansAssign(e, centers)
+    val distToAssigned = centers.tail.foldLeft(
+      when(col("cell") === centers.head._1.toLong,
+        sqDistHof(col("embedding"), centers.head._2))) {
+      case (w, (cell, c)) =>
+        w.when(col("cell") === cell.toLong, sqDistHof(col("embedding"), c))
+    }
+    assigned
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        Det.dsum(distToAssigned).as("inertia"))
+  }
+
+  /** DuckDB mirror of [[kmeansInertia]]: the final assignment CTE
+    * joined back to the centers it was computed against
+    * (cent$(iters-1)), same fold, same Det decimal sum. */
+  def kmeansInertiaSql(k: Int = KMEANS_K): String = {
+    val last = KMEANS_ITERS
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    val dist = O.dfold(
+      s"list_transform(a.embedding, (kx, ki) -> (${d("kx")} - c.cent[ki]) * (${d("kx")} - c.cent[ki]))")
+    s"""WITH ${kmeansCtesSql(k, last)}
+       |SELECT a.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  ${Det.sql.dsum(s"($dist)")} AS inertia
+       |FROM assign$last a JOIN cent${last - 1} c ON a.cell = c.cell
+       |GROUP BY a.cell""".stripMargin
+  }
+
   // ── product quantization ─────────────────────────────────────────────
   // The ANN memory path at 100 TB: dim split into M subspaces, an
   // independent k-cell codebook per subspace, each vector stored as M
@@ -668,6 +703,19 @@ object VectorQueries {
     Q("v21_ivf_upsert",
       (s, dir) => ivfUpsert(s, dir),
       Some(ivfUpsertSql)),
+
+    // Clustering-quality eval — the k-means twin of v19 (ANN recall)
+    // and v20 (PQ distortion), closing the cluster lifecycle: per-cell
+    // member count + within-cluster SSE (inertia) against the centers
+    // the assignment actually used. Per-row distance to the assigned
+    // broadcast-literal center (a cell-keyed CASE over k codegen'd
+    // folds — no join, no extra pass), then ONE k-row aggregate; the
+    // per-row doubles land in the Det decimal sum, so the gate is
+    // partition-count independent and hash-exact cross-engine.
+    Q("v22_kmeans_inertia",
+      (s, dir) => kmeansInertia(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
+      Some(kmeansInertiaSql())),
 
     // Multi-probe IVF: queries probe their top-2 nearest cells instead
     // of one. A query near a cell boundary has near-neighbors on the

@@ -122,6 +122,13 @@ object Ast {
   final case class ClusterStmt(idCol: String, vecCol: String,
       from: FromClause, k: Long = 4L) extends Stmt
 
+  /** `profile <table>` — the x03-shape per-column profile on the SQL
+    * surface, generalized to ANY schema: one aggregation pass emits
+    * (col_name, n, n_null, n_distinct, min_v, max_v, mean_v) per
+    * column, numeric stats as DOUBLE (NULL for non-numerics). The
+    * SUMMARIZE every ingest pipeline runs before trusting new data. */
+  final case class ProfileStmt(from: FromClause) extends Stmt
+
   // ── query structure ─────────────────────────────────────────────────
   final case class SelectItem(expr: Expr, alias: Option[String])
 

@@ -136,6 +136,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
       case s: Ast.SearchStmt => planner.planSearch(s)
       case s: Ast.SplitStmt => planner.planSplit(s)
       case s: Ast.ClusterStmt => planner.planCluster(s)
+      case s: Ast.ProfileStmt => planner.planProfile(s)
     }
   }
 

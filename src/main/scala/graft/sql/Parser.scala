@@ -56,7 +56,18 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "search")) { advance(); parseSearch() }
     else if (matches(peek, "split")) { advance(); parseSplit() }
     else if (matches(peek, "cluster")) { advance(); parseCluster() }
+    else if (matches(peek, "profile")) { advance(); parseProfile() }
     else parseQuery()
+
+  /** `profile <table> [nh]`. */
+  private def parseProfile(): ProfileStmt = {
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    ProfileStmt(FromClause(table, None, noHeader, intColumns = false, Nil))
+  }
 
   /** `search <idCol>[,] <textCol> from <table> [nh] for '<terms>'
     * [top <k>]`. */

@@ -200,6 +200,13 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     graft.queries.VectorQueries.kmeansCells(e, st.k.toInt)
   }
 
+  /** `profile t` — lowers VERBATIM to the generic x03-shape builder
+    * (ApproxQueries.columnProfile): one aggregation pass over the
+    * whole table, per-column stats rows out. */
+  def planProfile(st: ProfileStmt): DataFrame =
+    graft.queries.ApproxQueries.columnProfile(
+      resolve(st.from.table, st.from.noHeader))
+
   def plan(q: Query): DataFrame = {
     checkValidity(q)
     intColumns = q.from.intColumns

@@ -53,6 +53,20 @@ object StreamingOps {
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** e19's streaming twin: 2h/1h SLIDING windows under a watermark —
+    * each event enters exactly two open windows; state is bounded by
+    * windows-in-horizon × types, independent of event volume. Same
+    * Det aggregation as the batch builder (EventQueries.slidingCounts),
+    * so stream ≡ batch is exact, not approximate. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(graft.core.Det.cnt(col("event_id")).as("n"),
+        graft.core.Det.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Realtime CSV export (the reference's saver goroutine writes rows
     * as the query produces them, files.go:85-156): a streaming
     * pass-through to a CSV sink — rows land on disk per micro-batch,

@@ -498,6 +498,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("chunking (t34) is a pure per-row explode - zero exchanges") {
+    val p = plan("t34_chunking")
+    assert(!p.contains("Exchange"),
+      s"chunking must not shuffle - chunk ids are per-doc arithmetic:\n${p.take(800)}")
+  }
+
+  test("sliding windows (e19) expand per row then hash-agg - one exchange, no sort-agg") {
+    val p = plan("e19_sliding_window")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange (hash by window+type), got $exchanges:\n${p.take(800)}")
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("kmeans inertia (v22) aggregates in one pass - no join back to centers") {
+    val p = plan("v22_kmeans_inertia")
+    assert(!p.contains("Join"),
+      s"centers are broadcast literals inside the per-row CASE - no join belongs here:\n${p.take(800)}")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"one k-row agg exchange at most, got $exchanges")
+  }
+
+  test("dialect profile (s35) lowers to the generic-profile builder") {
+    // sameResult is too strict here: RewriteDistinctAggregates assigns
+    // the Expand's gid constants in a compilation-dependent order, so
+    // two plans of the IDENTICAL query differ in gid numbering. Pin
+    // the shape (one Expand + aggregate, no join, no extra exchange)
+    // and exact row equality against the builder instead.
+    val dialect = Registry.queries("s35_dialect_profile")(spark, sf0001)
+    val builder = graft.queries.ApproxQueries.columnProfile(
+      graft.core.Tables(spark, sf0001, "events"))
+    val p = dialect.queryExecution.executedPlan.toString
+    assert(p.contains("Expand") && p.contains("HashAggregate"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    assert(dialect.exceptAll(builder).count() == 0 &&
+      builder.exceptAll(dialect).count() == 0,
+      "dialect profile rows diverged from the columnProfile builder")
+  }
+
   test("shard layout (t32) is one shard-key exchange, never single-partition") {
     val p = plan("t32_shard_layout")
     assert(!p.contains("Exchange SinglePartition"),

@@ -188,6 +188,14 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("cluster id v from t extra"))
   }
 
+  test("profile statement grammar: bare table, nh, trailing garbage rejected") {
+    val p = Parser.parseStmt("profile events").asInstanceOf[Ast.ProfileStmt]
+    assert(p.from.table == "events" && !p.from.noHeader)
+    val n = Parser.parseStmt("profile data.csv nh").asInstanceOf[Ast.ProfileStmt]
+    assert(n.from.table == "data.csv" && n.from.noHeader)
+    assertThrows[Exception](Parser.parseStmt("profile events extra"))
+  }
+
   test("parseStmt still parses plain selects; parse rejects dedup") {
     val q = Parser.parseStmt("select a from t").asInstanceOf[Ast.Query]
     assert(q.items.size == 1)

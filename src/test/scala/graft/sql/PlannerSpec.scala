@@ -511,6 +511,19 @@ class PlannerSpec extends SparkSpec {
       g.sql("cluster vec_id, label from embeddings").collect())
   }
 
+  test("profile statement executes: one row per column, stats typed by numericness") {
+    val pr = g.sql("profile documents")
+    assert(pr.columns.toSeq ==
+      Seq("col_name", "n", "n_null", "n_distinct", "min_v", "max_v", "mean_v"))
+    val rows = pr.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    // numeric columns carry stats; strings get NULLs but still count
+    assert(!rows("doc_id").isNullAt(4) && !rows("n_chars").isNullAt(6))
+    assert(rows("text").isNullAt(4) && rows("text").isNullAt(6))
+    assert(rows.values.forall(_.getLong(1) == rows("doc_id").getLong(1)),
+      "every column reports the same row count")
+  }
+
   test("nested session() gets a dedicated error, not 'not allowed here'") {
     val e = intercept[Exception] {
       g.sql("select session(ts, '30 minutes', session(ts, '1 hours', user_id)) from events")

@@ -30,6 +30,27 @@ class StreamingSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("watermarked sliding windows match the batch sliding plan") {
+    val stream = StreamingOps.readEvents(spark, sf0001)
+    val q = StreamingOps.slidingCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sliding")
+    val batch = graft.queries.EventQueries.slidingCounts(
+        Tables(spark, sf0001, "events"))
+      .withColumnRenamed("n", "n_b").withColumnRenamed("sum_value", "sv_b")
+    val joined = streamed.join(batch, Seq("ws", "event_type"), "inner")
+    assert(streamed.count() > 0)
+    assert(joined.count() == streamed.count())
+    assert(joined.count() == batch.count(),
+      "stream must emit every sliding window the batch plan produces")
+    assert(joined.filter("CAST(n AS DOUBLE) != n_b").count() == 0)
+    assert(joined.filter("CAST(sum_value AS DOUBLE) != sv_b").count() == 0)
+  }
+
   test("streaming session windows match the batch session_window plan") {
     val stream = StreamingOps.readEvents(spark, sf0001)
     // complete mode for the same reason as the hourly test: one
