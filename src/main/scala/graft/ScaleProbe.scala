@@ -85,6 +85,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r6fix")) r6Fix(args.drop(1))
     else if (args.headOption.contains("r6new")) r6New(args.drop(1))
     else if (args.headOption.contains("r7ops")) r7Ops(args.drop(1))
+    else if (args.headOption.contains("r7new")) r7New(args.drop(1))
     else if (args.headOption.contains("r7layout")) r7Layout(args.drop(1))
     else if (args.headOption.contains("skewjoin")) skewJoin(args.drop(1))
     else if (args.headOption.contains("p05x")) p05Composition(args.drop(1))
@@ -253,6 +254,48 @@ object ScaleProbe {
     time("saveShards_write") {
       graft.sources.Sinks.saveShards(docs, "doc_id", 64,
         "/tmp/graft_probe_shards")
+    }
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-7 continuation probe: the newest operators at copies× —
+    * t34 chunking (per-row explode, expect linear), e19 sliding
+    * windows (2× row expansion into a hash agg, expect linear), the
+    * x09 exact-vs-HLL grouped distinct A/B (the sketch's shuffle is
+    * #groups-sized; the exact path expands (group, user) pairs — the
+    * gap is the 100 TB argument for x09), and v22 k-means inertia
+    * (fit + one narrow pass; centers are k·d driver doubles). */
+  def r7New(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("text"))
+    println(s"docs=${docs.count()}")
+    time("t34_chunking") {
+      graft.queries.TextQueries.docChunks(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val ev = scaled(spark, "events", Seq("event_id", "user_id"), copies)
+    println(s"events=${ev.count()}")
+    time("e19_sliding") {
+      graft.queries.EventQueries.slidingCounts(ev)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("x09_exact_distinct") {
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("nd")).collect()
+    }
+    time("x09_hll_distinct") {
+      ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd")).collect()
+    }
+    val emb = scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+    println(s"embeddings=${emb.count()}")
+    time("v22_inertia") {
+      graft.queries.VectorQueries.kmeansInertia(emb).collect()
     }
     writeJson(outJson, copies)
     spark.stop()

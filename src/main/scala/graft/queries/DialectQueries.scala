@@ -457,6 +457,15 @@ object DialectQueries {
       sql("profile events"),
       Some(ApproxQueries.columnProfileOracle("events", Seq(
         "event_id" -> true, "ts" -> false, "user_id" -> true,
-        "event_type" -> false, "value" -> true, "props" -> false))))
+        "event_type" -> false, "value" -> true, "props" -> false)))),
+
+    // Overlapping chunking on the dialect surface: `chunk` lowers
+    // VERBATIM to the t34 builder; the gate runs NON-default 32/8
+    // windows so the statement's size/overlap plumbing is exercised
+    // against the parameterized oracle. Plan identity pinned in
+    // PlanSpec (and the zero-exchange property with it).
+    Q("s36_dialect_chunk",
+      sql("chunk doc_id, text from documents size 32 overlap 8"),
+      Some(TextQueries.docChunksOracleFor(32, 8)))
   )
 }

@@ -429,6 +429,27 @@ object EventQueries {
     // hourly window starts.
     Q("e19_sliding_window",
       (s, dir) => slidingCounts(Tables(s, dir, "events")),
+      Some(slidingOracle)),
+
+    // e19's STREAMING twin as a driver-visible gate (the e16/e17
+    // pattern): StreamingOps.slidingCounts — the identical Det
+    // aggregation over 2h/1h sliding windows under a watermark — into
+    // a memory sink, hash-checked against e19's own oracle. Complete
+    // mode: one AvailableNow batch never advances the watermark past
+    // any window, so every window is emitted.
+    Q("e20_sliding_stream",
+      (s, dir) => {
+        val sink = "graft_e20_sink_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val q = graft.streaming.StreamingOps.slidingCounts(
+            graft.streaming.StreamingOps.readEvents(s, dir))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        s.table(sink)
+      },
       Some(slidingOracle))
   )
 

@@ -142,7 +142,27 @@ object PipelineQueries {
            |    PARTITION BY ((doc_id % 1000000) * 2654435761) % 8
            |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
            |    AS BIGINT) AS pos
-           |FROM surv""".stripMargin))
+           |FROM surv""".stripMargin)),
+
+    // Curated corpus → RAG chunks: p05's survivor set flowing into
+    // t34's overlapping chunking — the ingest-side twin of p08's
+    // training-shard composition (same curated keep-set, chunk
+    // windows instead of shard addresses). The survivor stage is the
+    // semi-join filter; the text gather is ONE doc_id join back to
+    // documents (the curated set is much smaller than the corpus, so
+    // the gather join is the cheap side); chunking itself adds zero
+    // exchanges on top.
+    Q("p09_curated_chunks",
+      (s, dir) => TextQueries.docChunks(
+        Tables(s, dir, "documents")
+          .join(pretrainSurvivors(s, dir).select(col("doc_id")), "doc_id")
+          .select(col("doc_id"), col("text"))),
+      Some(
+        s"""$pretrainSurvWith,
+           |${TextQueries.docChunksOracleFor(64, 16,
+                src = "(SELECT d.doc_id, d.text FROM documents d " +
+                  "JOIN surv ON d.doc_id = surv.doc_id)",
+                lead = "")}""".stripMargin))
   )
 
   /** p05's survivor set (doc_id, n_tok) — the per-ROW signals (t27's

@@ -1241,20 +1241,32 @@ object TextQueries {
           .as("n_chunk_tokens"))
   }
 
-  /** DuckDB mirror of [[docChunks]] at the gate's size/overlap. */
-  lazy val docChunksOracle: String =
-    s"""WITH tk AS (SELECT doc_id, ${O.toks("text")} AS tk FROM documents),
-       |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM tk
+  /** DuckDB mirror of [[docChunks]], parameterized on size/overlap —
+    * shared by the t34 gate, the `chunk` statement's s36 gate, and
+    * (via `src`/`lead`) the p09 curated-chunks composition, which
+    * splices these CTEs after its survivor WITH-chain. */
+  def docChunksOracleFor(size: Int, overlap: Int,
+      src: String = "documents", lead: String = "WITH ",
+      p: String = "ck"): String = {
+    // `p` namespaces the CTEs so a composing oracle (p09) can splice
+    // them after its own WITH-chain without name collisions
+    val stride = size - overlap
+    s"""${lead}${p}tk AS (SELECT doc_id, ${O.toks("text")} AS tk FROM $src),
+       |${p}n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM ${p}tk
        |      WHERE len(tk) > 0),
-       |c AS (SELECT doc_id, tk,
-       |        unnest(range(0, 1 + (greatest(n - 64, 0) + 47) // 48)) AS chunk_id
-       |      FROM n)
+       |${p}c AS (SELECT doc_id, tk,
+       |        unnest(range(0, 1 + (greatest(n - $size, 0) + ${stride - 1}) // $stride)) AS chunk_id
+       |      FROM ${p}n)
        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       |  array_to_string(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+       |  array_to_string(list_slice(tk, chunk_id * $stride + 1, chunk_id * $stride + $size), ' ')
        |    AS chunk_text,
-       |  CAST(len(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)
+       |  CAST(len(list_slice(tk, chunk_id * $stride + 1, chunk_id * $stride + $size)) AS BIGINT)
        |    AS n_chunk_tokens
-       |FROM c""".stripMargin
+       |FROM ${p}c""".stripMargin
+  }
+
+  /** The t34 gate's oracle (size 64, overlap 16). */
+  lazy val docChunksOracle: String = docChunksOracleFor(64, 16)
 
   /** DuckDB mirror of [[trainSplit]] — shared by the t06 gate and the
     * `split` dialect statement's s33 gate. */

@@ -122,6 +122,16 @@ object Ast {
   final case class ClusterStmt(idCol: String, vecCol: String,
       from: FromClause, k: Long = 4L) extends Stmt
 
+  /** `chunk <idCol>[,] <textCol> from <table> [size <n>]
+    * [overlap <m>]` — the t34 overlapping-window chunking on the SQL
+    * surface (RAG-ingest prep): each doc is cut into `size`-token
+    * windows advancing by `size − overlap` tokens (defaults 64/16;
+    * overlap must be smaller than size). Emits
+    * (doc_id, chunk_id, chunk_text, n_chunk_tokens); token-less docs
+    * emit nothing. Pure per-row explode — zero exchanges. */
+  final case class ChunkStmt(idCol: String, textCol: String,
+      from: FromClause, size: Long = 64L, overlap: Long = 16L) extends Stmt
+
   /** `profile <table>` — the x03-shape per-column profile on the SQL
     * surface, generalized to ANY schema: one aggregation pass emits
     * (col_name, n, n_null, n_distinct, min_v, max_v, mean_v) per

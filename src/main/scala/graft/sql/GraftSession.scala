@@ -137,6 +137,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
       case s: Ast.SplitStmt => planner.planSplit(s)
       case s: Ast.ClusterStmt => planner.planCluster(s)
       case s: Ast.ProfileStmt => planner.planProfile(s)
+      case s: Ast.ChunkStmt => planner.planChunk(s)
     }
   }
 

@@ -57,7 +57,33 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "split")) { advance(); parseSplit() }
     else if (matches(peek, "cluster")) { advance(); parseCluster() }
     else if (matches(peek, "profile")) { advance(); parseProfile() }
+    else if (matches(peek, "chunk")) { advance(); parseChunk() }
     else parseQuery()
+
+  /** `chunk <idCol>[,] <textCol> from <table> [nh] [size <n>]
+    * [overlap <m>]`. */
+  private def parseChunk(): ChunkStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val textCol = colName()
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val size = if (accept("size")) parseNumber() else 64L
+    val overlap = if (accept("overlap")) parseNumber() else 16L
+    if (size < 1) throw ParseError(s"chunk size must be at least 1, got $size")
+    if (overlap < 0 || overlap >= size)
+      throw ParseError(s"chunk overlap must be in [0, size), got $overlap for size $size")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    ChunkStmt(idCol, textCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), size, overlap)
+  }
 
   /** `profile <table> [nh]`. */
   private def parseProfile(): ProfileStmt = {

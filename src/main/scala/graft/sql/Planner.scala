@@ -200,6 +200,17 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     graft.queries.VectorQueries.kmeansCells(e, st.k.toInt)
   }
 
+  /** `chunk id, text from t [size n] [overlap m]` — lowers VERBATIM to
+    * the t34 builder (TextQueries.docChunks): overlapping token-window
+    * chunking as a pure per-row explode, zero exchanges. */
+  def planChunk(st: ChunkStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    graft.queries.TextQueries.docChunks(
+      base.select(named(base, st.idCol, "doc_id"),
+        named(base, st.textCol, "text")),
+      st.size.toInt, st.overlap.toInt)
+  }
+
   /** `profile t` — lowers VERBATIM to the generic x03-shape builder
     * (ApproxQueries.columnProfile): one aggregation pass over the
     * whole table, per-column stats rows out. */

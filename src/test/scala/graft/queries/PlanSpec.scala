@@ -504,6 +504,18 @@ class PlanSpec extends SparkSpec {
       s"chunking must not shuffle - chunk ids are per-doc arithmetic:\n${p.take(800)}")
   }
 
+  test("dialect chunk (s36) lowers to the exact t34 builder plan") {
+    val dialect = Registry.queries("s36_dialect_chunk")(spark, sf0001)
+    val builder = graft.queries.TextQueries.docChunks(
+      graft.core.Tables(spark, sf0001, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")), 32, 8)
+    assert(dialect.queryExecution.optimizedPlan
+      .sameResult(builder.queryExecution.optimizedPlan),
+      "dialect chunk plan diverged from the t34 builder plan")
+    assert(!dialect.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("sliding windows (e19) expand per row then hash-agg - one exchange, no sort-agg") {
     val p = plan("e19_sliding_window")
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size

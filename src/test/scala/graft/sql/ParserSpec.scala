@@ -188,6 +188,20 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("cluster id v from t extra"))
   }
 
+  test("chunk statement grammar: optional size/overlap with bounds") {
+    val c = Parser.parseStmt("chunk doc_id, text from documents size 32 overlap 8")
+      .asInstanceOf[Ast.ChunkStmt]
+    assert(c.idCol == "doc_id" && c.textCol == "text")
+    assert(c.size == 32L && c.overlap == 8L)
+    val d = Parser.parseStmt("chunk id body from t").asInstanceOf[Ast.ChunkStmt]
+    assert(d.size == 64L && d.overlap == 16L, "defaults to 64/16")
+    assertThrows[Exception](Parser.parseStmt("chunk id body from t size 0"))
+    assertThrows[Exception](Parser.parseStmt("chunk id body from t size 8 overlap 8"))
+    assertThrows[Exception](Parser.parseStmt("chunk id body from t size 8"))
+    assertThrows[Exception](Parser.parseStmt("chunk id from t"))
+    assertThrows[Exception](Parser.parseStmt("chunk id body from t extra"))
+  }
+
   test("profile statement grammar: bare table, nh, trailing garbage rejected") {
     val p = Parser.parseStmt("profile events").asInstanceOf[Ast.ProfileStmt]
     assert(p.from.table == "events" && !p.from.noHeader)

@@ -511,6 +511,20 @@ class PlannerSpec extends SparkSpec {
       g.sql("cluster vec_id, label from embeddings").collect())
   }
 
+  test("chunk statement executes: overlapping windows cover every token") {
+    val ch = g.sql("chunk doc_id, text from documents size 32 overlap 8")
+    assert(ch.columns.toSeq ==
+      Seq("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"))
+    assert(ch.filter("n_chunk_tokens < 1 or n_chunk_tokens > 32").count() == 0)
+    // chunk 0 exists for every chunked doc; ids are dense from 0
+    val perDoc = ch.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.min("chunk_id").as("mn"),
+        org.apache.spark.sql.functions.max("chunk_id").as("mx"),
+        org.apache.spark.sql.functions.count("*").as("c"))
+    assert(perDoc.filter("mn != 0 or mx != c - 1").count() == 0,
+      "chunk ids must be dense per doc")
+  }
+
   test("profile statement executes: one row per column, stats typed by numericness") {
     val pr = g.sql("profile documents")
     assert(pr.columns.toSeq ==
