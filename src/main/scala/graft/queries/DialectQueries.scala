@@ -466,6 +466,22 @@ object DialectQueries {
     // PlanSpec (and the zero-exchange property with it).
     Q("s36_dialect_chunk",
       sql("chunk doc_id, text from documents size 32 overlap 8"),
-      Some(TextQueries.docChunksOracleFor(32, 8)))
+      Some(TextQueries.docChunksOracleFor(32, 8))),
+
+    // Reproducible hash sampling on the dialect surface: `sample`
+    // lowers VERBATIM to the t05 builder over 100 buckets (the gate
+    // runs a non-default pct); the filter is per-row integer
+    // arithmetic pushed at the scan — zero exchanges, pinned.
+    Q("s37_dialect_sample",
+      sql("sample doc_id from documents pct 25"),
+      Some(TextQueries.hashSampleOracle("doc_id", 25L, 100L))),
+
+    // Sequence packing on the dialect surface: `pack` lowers VERBATIM
+    // to the t11 builder (distributed global cumsum — the no-single-
+    // partition-window property rides along, pinned); non-default
+    // sequence length exercises the size plumbing.
+    Q("s38_dialect_pack",
+      sql("pack doc_id, text from documents size 256"),
+      Some(TextQueries.seqPackOracle(256L)))
   )
 }

@@ -108,11 +108,10 @@ object TextQueries {
     // The id is reduced mod 1e6 BEFORE the multiply: ids can be 64-bit
     // at scale and ANSI mode turns a Long overflow into a crash.
     Q("t05_hash_sample",
-      (s, dir) => Tables(s, dir, "documents")
-        .filter(((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(1000) < 100)
-        .select(col("doc_id"), col("source")),
-      Some("""SELECT doc_id, source FROM documents
-             |WHERE ((doc_id % 1000000) * 2654435761) % 1000 < 100""".stripMargin)),
+      (s, dir) => hashSample(
+        Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+        100L, 1000L),
+      Some(hashSampleOracle("doc_id, source", 100L, 1000L))),
 
     Q("t06_train_split",
       (s, dir) => trainSplit(
@@ -511,25 +510,9 @@ object TextQueries {
     // through one `Exchange SinglePartition` task. Integer `div`
     // (not double floor) so bin ids stay exact past 2^53 tokens.
     Q("t11_seq_pack",
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents").select(col("doc_id"),
-          graft.functions.TextProfileExprs.text_profile(col("text"))
-            .getField("n_tok").as("n_tok"))
-        graft.core.RowNumbers
-          .globalCumsum(docs, Seq(col("doc_id")), "n_tok", "cum")
-          .select(col("doc_id"), col("n_tok"),
-            (col("cum") - col("n_tok")).as("tok_start"),
-            expr("(cum - n_tok) div 512").as("first_bin"),
-            expr("(cum - 1) div 512").as("last_bin"))
-      },
-      Some(s"""WITH n AS (SELECT doc_id,
-              |  CAST(len(${O.toks("text")}) AS BIGINT) AS n_tok FROM documents),
-              |c AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER
-              |  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              |  AS BIGINT) AS cum FROM n)
-              |SELECT doc_id, n_tok, cum - n_tok AS tok_start,
-              |  (cum - n_tok) // 512 AS first_bin,
-              |  (cum - 1) // 512 AS last_bin FROM c""".stripMargin)),
+      (s, dir) => seqPack(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")), 512L),
+      Some(seqPackOracle(512L))),
 
     // Temperature-balanced multilingual resampling (the XLM-R /
     // mC4-style corpus rebalance): keep fraction f_l = (n_min/n_l)^α
@@ -1215,6 +1198,56 @@ object TextQueries {
       when(bucket < p1, "train").when(bucket < p1 + p2, "val")
         .otherwise("test").as("split"))
   }
+
+  /** t11's builder on a (doc_id, text) frame: GPT-style sequence
+    * packing — corpus tokens conceptually concatenated in doc_id order
+    * and cut into L-token training sequences; each doc reports its
+    * global token offset and the first/last sequence it lands in. The
+    * global running sum is RowNumbers.globalCumsum (range partition +
+    * per-partition sums + broadcast offsets), NOT a `sum() OVER
+    * (ORDER BY …)` window, which would funnel 100 TB through one
+    * `Exchange SinglePartition` task. Integer `div` (not double
+    * floor) so bin ids stay exact past 2^53 tokens. */
+  def seqPack(docs: org.apache.spark.sql.DataFrame,
+      l: Long): org.apache.spark.sql.DataFrame = {
+    val n = docs.select(col("doc_id"),
+      graft.functions.TextProfileExprs.text_profile(col("text"))
+        .getField("n_tok").as("n_tok"))
+    graft.core.RowNumbers
+      .globalCumsum(n, Seq(col("doc_id")), "n_tok", "cum")
+      .select(col("doc_id"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("tok_start"),
+        expr(s"(cum - n_tok) div $l").as("first_bin"),
+        expr(s"(cum - 1) div $l").as("last_bin"))
+  }
+
+  /** DuckDB mirror of [[seqPack]] — shared by the t11 gate and the
+    * `pack` statement's s38 gate. */
+  def seqPackOracle(l: Long): String =
+    s"""WITH n AS (SELECT doc_id,
+       |  CAST(len(${O.toks("text")}) AS BIGINT) AS n_tok FROM documents),
+       |c AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER
+       |  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |  AS BIGINT) AS cum FROM n)
+       |SELECT doc_id, n_tok, cum - n_tok AS tok_start,
+       |  (cum - n_tok) // $l AS first_bin,
+       |  (cum - 1) // $l AS last_bin FROM c""".stripMargin
+
+  /** t05's builder on any frame carrying a `doc_id` column:
+    * reproducible hash-bucket sampling — keep rows whose bucket (out
+    * of `mod`) falls below `keep`; never RNG, so the same rows are
+    * selected on any cluster size, any run, both engines. The id is
+    * reduced mod 1e6 BEFORE the multiply (64-bit ids + ANSI mode). */
+  def hashSample(docs: org.apache.spark.sql.DataFrame,
+      keep: Long, mod: Long): org.apache.spark.sql.DataFrame =
+    docs.filter(((col("doc_id") % lit(1000000L)) * lit(2654435761L)) %
+      lit(mod) < keep)
+
+  /** DuckDB mirror of [[hashSample]] — shared by the t05 gate and the
+    * `sample` statement's s37 gate. */
+  def hashSampleOracle(selectList: String, keep: Long, mod: Long): String =
+    s"""SELECT $selectList FROM documents
+       |WHERE ((doc_id % 1000000) * 2654435761) % $mod < $keep""".stripMargin
 
   /** t34's builder: overlapping fixed-size token chunks of each doc —
     * chunk c covers tokens [c·stride, c·stride + size), the last chunk

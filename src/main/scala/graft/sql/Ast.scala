@@ -122,6 +122,24 @@ object Ast {
   final case class ClusterStmt(idCol: String, vecCol: String,
       from: FromClause, k: Long = 4L) extends Stmt
 
+  /** `sample <idCol> from <table> [pct <n>]` — t05's reproducible
+    * hash-bucket sampling on the SQL surface (never RNG: the same
+    * rows are selected on any cluster size or run, so downstream
+    * joins and reruns are stable). Keeps `pct`% (integer 1-99,
+    * default 10) by deterministic bucket of the id. Emits the id
+    * column only. */
+  final case class SampleStmt(idCol: String, from: FromClause,
+      pct: Long = 10L) extends Stmt
+
+  /** `pack <idCol>[,] <textCol> from <table> [size <l>]` — t11's
+    * GPT-style sequence packing on the SQL surface: corpus tokens
+    * concatenated in id order, cut into `l`-token training sequences
+    * (default 512). Emits (doc_id, n_tok, tok_start, first_bin,
+    * last_bin). Distributed cumsum — never a single-partition
+    * window. */
+  final case class PackStmt(idCol: String, textCol: String,
+      from: FromClause, l: Long = 512L) extends Stmt
+
   /** `chunk <idCol>[,] <textCol> from <table> [size <n>]
     * [overlap <m>]` — the t34 overlapping-window chunking on the SQL
     * surface (RAG-ingest prep): each doc is cut into `size`-token

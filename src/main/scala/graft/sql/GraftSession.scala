@@ -138,6 +138,8 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
       case s: Ast.ClusterStmt => planner.planCluster(s)
       case s: Ast.ProfileStmt => planner.planProfile(s)
       case s: Ast.ChunkStmt => planner.planChunk(s)
+      case s: Ast.SampleStmt => planner.planSample(s)
+      case s: Ast.PackStmt => planner.planPack(s)
     }
   }
 

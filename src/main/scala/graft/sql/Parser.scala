@@ -58,7 +58,48 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "cluster")) { advance(); parseCluster() }
     else if (matches(peek, "profile")) { advance(); parseProfile() }
     else if (matches(peek, "chunk")) { advance(); parseChunk() }
+    else if (matches(peek, "sample")) { advance(); parseSample() }
+    else if (matches(peek, "pack")) { advance(); parsePack() }
     else parseQuery()
+
+  /** `sample <idCol> from <table> [nh] [pct <n>]`. */
+  private def parseSample(): SampleStmt = {
+    val idCol = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val pct = if (accept("pct")) parseNumber() else 10L
+    if (pct < 1 || pct > 99)
+      throw ParseError(s"sample pct must be in [1, 99], got $pct")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    SampleStmt(idCol, FromClause(table, None, noHeader, intColumns = false, Nil), pct)
+  }
+
+  /** `pack <idCol>[,] <textCol> from <table> [nh] [size <l>]`. */
+  private def parsePack(): PackStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val textCol = colName()
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val l = if (accept("size")) parseNumber() else 512L
+    if (l < 1) throw ParseError(s"pack size must be at least 1, got $l")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    PackStmt(idCol, textCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), l)
+  }
 
   /** `chunk <idCol>[,] <textCol> from <table> [nh] [size <n>]
     * [overlap <m>]`. */

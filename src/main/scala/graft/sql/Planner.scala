@@ -200,6 +200,31 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     graft.queries.VectorQueries.kmeansCells(e, st.k.toInt)
   }
 
+  /** `sample id from t [pct n]` — lowers VERBATIM to the t05 builder
+    * (TextQueries.hashSample over 100 buckets): deterministic
+    * hash-bucket sampling, a per-row integer filter pushed into the
+    * scan. Requires an integral id. */
+  def planSample(st: SampleStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val docs = base.select(named(base, st.idCol, "doc_id"))
+    docs.schema("doc_id").dataType match {
+      case _: LongType | _: IntegerType | _: ShortType | _: ByteType => ()
+      case other => throw PlanError(
+        s"sample: ${st.idCol} must be an integer id column, found $other")
+    }
+    graft.queries.TextQueries.hashSample(docs, st.pct, 100L)
+  }
+
+  /** `pack id, text from t [size l]` — lowers VERBATIM to the t11
+    * builder (TextQueries.seqPack): distributed global cumsum via
+    * RowNumbers.globalCumsum, never a single-partition window. */
+  def planPack(st: PackStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    graft.queries.TextQueries.seqPack(
+      base.select(named(base, st.idCol, "doc_id"),
+        named(base, st.textCol, "text")), st.l)
+  }
+
   /** `chunk id, text from t [size n] [overlap m]` — lowers VERBATIM to
     * the t34 builder (TextQueries.docChunks): overlapping token-window
     * chunking as a pure per-row explode, zero exchanges. */

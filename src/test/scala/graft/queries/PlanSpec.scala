@@ -504,6 +504,37 @@ class PlanSpec extends SparkSpec {
       s"chunking must not shuffle - chunk ids are per-doc arithmetic:\n${p.take(800)}")
   }
 
+  test("dialect sample (s37) lowers to the exact t05 builder plan; zero exchanges") {
+    val dialect = Registry.queries("s37_dialect_sample")(spark, sf0001)
+    val builder = graft.queries.TextQueries.hashSample(
+      graft.core.Tables(spark, sf0001, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id")), 25L, 100L)
+    assert(dialect.queryExecution.optimizedPlan
+      .sameResult(builder.queryExecution.optimizedPlan),
+      "dialect sample plan diverged from the t05 builder plan")
+    assert(!dialect.queryExecution.executedPlan.toString.contains("Exchange"),
+      "hash sampling is a pushed per-row filter - no exchange belongs here")
+  }
+
+  test("dialect pack (s38) lowers to the t11 builder; no single-partition exchange") {
+    // sameResult is ill-posed here: globalCumsum materializes its
+    // partition-offset side eagerly per build, so two builds of the
+    // IDENTICAL query carry distinct offset relations. Pin exact row
+    // equality against the builder plus the distributed-cumsum
+    // property instead.
+    val dialect = Registry.queries("s38_dialect_pack")(spark, sf0001)
+    val builder = graft.queries.TextQueries.seqPack(
+      graft.core.Tables(spark, sf0001, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")), 256L)
+    assert(dialect.exceptAll(builder).count() == 0 &&
+      builder.exceptAll(dialect).count() == 0,
+      "dialect pack rows diverged from the t11 builder")
+    assert(!dialect.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"),
+      "the global cumsum must stay distributed on the statement surface")
+  }
+
   test("dialect chunk (s36) lowers to the exact t34 builder plan") {
     val dialect = Registry.queries("s36_dialect_chunk")(spark, sf0001)
     val builder = graft.queries.TextQueries.docChunks(

@@ -202,6 +202,28 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("chunk id body from t extra"))
   }
 
+  test("sample statement grammar: optional pct in [1, 99]") {
+    val s = Parser.parseStmt("sample doc_id from documents pct 25")
+      .asInstanceOf[Ast.SampleStmt]
+    assert(s.idCol == "doc_id" && s.pct == 25L)
+    val d = Parser.parseStmt("sample id from t").asInstanceOf[Ast.SampleStmt]
+    assert(d.pct == 10L, "pct defaults to 10")
+    assertThrows[Exception](Parser.parseStmt("sample id from t pct 0"))
+    assertThrows[Exception](Parser.parseStmt("sample id from t pct 100"))
+    assertThrows[Exception](Parser.parseStmt("sample id from t extra"))
+  }
+
+  test("pack statement grammar: optional size") {
+    val p = Parser.parseStmt("pack doc_id, text from documents size 256")
+      .asInstanceOf[Ast.PackStmt]
+    assert(p.idCol == "doc_id" && p.textCol == "text" && p.l == 256L)
+    val d = Parser.parseStmt("pack id body from t").asInstanceOf[Ast.PackStmt]
+    assert(d.l == 512L, "size defaults to 512")
+    assertThrows[Exception](Parser.parseStmt("pack id body from t size 0"))
+    assertThrows[Exception](Parser.parseStmt("pack id from t"))
+    assertThrows[Exception](Parser.parseStmt("pack id body from t extra"))
+  }
+
   test("profile statement grammar: bare table, nh, trailing garbage rejected") {
     val p = Parser.parseStmt("profile events").asInstanceOf[Ast.ProfileStmt]
     assert(p.from.table == "events" && !p.from.noHeader)

@@ -525,6 +525,33 @@ class PlannerSpec extends SparkSpec {
       "chunk ids must be dense per doc")
   }
 
+  test("sample statement executes: deterministic strict subset") {
+    val s10 = g.sql("sample doc_id from documents pct 10")
+    val s25 = g.sql("sample doc_id from documents pct 25")
+    val all = g.sql("select doc_id from documents").count()
+    assert(s10.columns.toSeq == Seq("doc_id"))
+    assert(s10.count() > 0 && s10.count() < s25.count() && s25.count() < all,
+      "larger pct keeps strictly more rows, both strict subsets")
+    // monotone: pct 10's rows are a subset of pct 25's
+    assert(s10.exceptAll(s25).count() == 0)
+    assertThrows[Exception](g.sql("sample text from documents"))
+  }
+
+  test("pack statement executes: contiguous global token layout") {
+    val pk = g.sql("pack doc_id, text from documents size 256")
+    assert(pk.columns.toSeq ==
+      Seq("doc_id", "n_tok", "tok_start", "first_bin", "last_bin"))
+    // offsets tile the concatenated corpus exactly: sum of lengths =
+    // max(tok_start + n_tok), and bins are consistent with offsets
+    val agg = pk.agg(
+      org.apache.spark.sql.functions.sum("n_tok"),
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("tok_start") +
+          org.apache.spark.sql.functions.col("n_tok"))).collect()(0)
+    assert(agg.getLong(0) == agg.getLong(1))
+    assert(pk.filter("first_bin != tok_start div 256").count() == 0)
+  }
+
   test("profile statement executes: one row per column, stats typed by numericness") {
     val pr = g.sql("profile documents")
     assert(pr.columns.toSeq ==
