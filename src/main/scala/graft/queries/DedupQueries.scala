@@ -623,7 +623,31 @@ object DedupQueries {
               |FROM pairs
               |JOIN sizes sa ON doc_a = sa.doc_id
               |JOIN sizes sb ON doc_b = sb.doc_id
-              |WHERE 2 * inter >= least(sa.sz, sb.sz)""".stripMargin))
+              |WHERE 2 * inter >= least(sa.sz, sb.sz)""".stripMargin)),
+
+    // Duplicate-graph degree: how many LSH candidate partners each doc
+    // has. A doc with dozens of near-dup partners is template spam (a
+    // boilerplate page stamped across a crawl) — degree is the cheap
+    // hub signal d07's clusters don't expose directly. One unionAll
+    // over the (already bounded) candidate pairs + a doc-keyed count +
+    // global top-20 (TakeOrderedAndProject) — nothing here ever
+    // touches the corpus again.
+    Q("d16_dup_degree",
+      (s, dir) => {
+        val pairs = candidatePairs(s, dir)
+        pairs.select(col("doc_a").as("doc_id"))
+          .unionAll(pairs.select(col("doc_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+          .orderBy(col("degree").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some(s"""WITH pr AS ($lshPairsOracle),
+              |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+              |  (SELECT doc_a AS doc_id FROM pr
+              |   UNION ALL SELECT doc_b AS doc_id FROM pr)
+              |  GROUP BY doc_id)
+              |SELECT doc_id, degree FROM deg
+              |ORDER BY degree DESC, doc_id ASC LIMIT 20""".stripMargin))
   )
 
   /** d15's builder on an arbitrary documents frame — shared with

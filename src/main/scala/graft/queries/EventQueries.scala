@@ -437,6 +437,29 @@ object EventQueries {
     // a memory sink, hash-checked against e19's own oracle. Complete
     // mode: one AvailableNow batch never advances the watermark past
     // any window, so every window is emitted.
+    // Trending per sliding window: the top-3 event types of every
+    // 2-hour frame — e19's sliding agg composed with e03's
+    // top-k-per-group ranking. The window function runs over the
+    // ALREADY-AGGREGATED (windows × types)-sized frame, never the
+    // events; Spark's WindowGroupLimit caps each ws group before the
+    // rank exchange. n is Det-deterministic so the (n desc, type asc)
+    // order is bit-stable cross-engine.
+    Q("e21_trending",
+      (s, dir) => {
+        val w = Window.partitionBy(col("ws"))
+          .orderBy(col("n").desc, col("event_type").asc)
+        slidingCounts(Tables(s, dir, "events"))
+          .select(col("ws"), col("event_type"), col("n"))
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 3L)
+      },
+      Some(s"""WITH s AS ($slidingOracle)
+              |SELECT ws, event_type, n, CAST(rk AS BIGINT) AS rk FROM
+              |  (SELECT ws, event_type, n, row_number() OVER
+              |     (PARTITION BY ws ORDER BY n DESC, event_type ASC) AS rk
+              |   FROM s)
+              |WHERE rk <= 3""".stripMargin)),
+
     Q("e20_sliding_stream",
       (s, dir) => {
         val sink = "graft_e20_sink_" +
