@@ -31,6 +31,17 @@ object StreamingOps {
         .parquet(dir))
   }
 
+  /** Streaming read of the documents table in a fixture directory —
+    * the online-ingest source for the stateless text ops (chunking,
+    * per-row quality/signature scalars): new document files landing in
+    * the directory flow straight through, no state, no watermark. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(raw)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
   /** Watermarked streaming SESSION windows — e14's exact
     * session_window expression under incremental execution
     * (EventQueries.sessionWindows is the batch twin; StreamingSpec

@@ -45,6 +45,17 @@ class QueryServerSpec extends SparkSpec {
       val sim = post("similar vec_id, embedding from embeddings top 2")
       assert(sim.contains(""""Status":"ok""""), sim)
       assert(sim.contains("q_id") && sim.contains("rank"), sim)
+      // the round-7 statement family responds on the same surface
+      val prof = post("profile documents")
+      assert(prof.contains(""""Status":"ok"""") && prof.contains("n_distinct"), prof)
+      val chunk = post("chunk doc_id, text from documents size 32 overlap 8")
+      assert(chunk.contains(""""Status":"ok"""") && chunk.contains("chunk_text"), chunk)
+      val samp = post("sample doc_id from documents pct 25")
+      assert(samp.contains(""""Status":"ok""""), samp)
+      val search = post("search doc_id, text from documents for 'the' top 3")
+      assert(search.contains(""""Status":"ok"""") && search.contains("bm25"), search)
+      val bad = post("sample doc_id from documents pct 0")
+      assert(bad.contains(""""Status":"error: sample pct"""), bad)
     } finally server.stop()
   }
 

@@ -51,6 +51,31 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter("CAST(sum_value AS DOUBLE) != sv_b").count() == 0)
   }
 
+  test("chunking streams statelessly: per-micro-batch chunks equal the batch chunks") {
+    // docChunks is pure per-row algebra (tokenize → explode → slice),
+    // so it runs under Structured Streaming with NO state and NO
+    // watermark — the online RAG-ingest path. Append mode emits every
+    // chunk of every arriving doc exactly once.
+    val q = graft.queries.TextQueries.docChunks(
+        StreamingOps.readDocuments(spark, sf0001)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunks_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("chunks_stream")
+    val batch = graft.queries.TextQueries.docChunks(
+      Tables(spark, sf0001, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed chunks must equal the batch chunks exactly")
+  }
+
   test("streaming session windows match the batch session_window plan") {
     val stream = StreamingOps.readEvents(spark, sf0001)
     // complete mode for the same reason as the hourly test: one
