@@ -525,6 +525,16 @@ class PlannerSpec extends SparkSpec {
       "chunk ids must be dense per doc")
   }
 
+  test("pipeline statements compose in a multi-statement script") {
+    val rs = g.sqlAll(
+      "sample doc_id from documents pct 25; profile documents; chunk doc_id, text from documents size 32 overlap 8")
+    assert(rs.size == 3)
+    assert(rs(0).columns.toSeq == Seq("doc_id"))
+    assert(rs(1).columns.head == "col_name")
+    assert(rs(2).columns.contains("chunk_text"))
+    assert(rs.forall(_.count() > 0))
+  }
+
   test("sample statement executes: deterministic strict subset") {
     val s10 = g.sql("sample doc_id from documents pct 10")
     val s25 = g.sql("sample doc_id from documents pct 25")
