@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Registry-wide physical-plan lint: builds EVERY gated query's plan
+  * at the given fixture and flags the scale anti-patterns —
+  * CartesianProduct and `Exchange SinglePartition` — that would
+  * funnel a 100 TB input through one task. Emits one JSON object per
+  * run with per-query flags and the offender lists, so the evidence
+  * file shows the absence of scale-killers across the whole registry,
+  * not just the hand-pinned PlanSpec queries.
+  *
+  * A SinglePartition exchange is legitimate only over a frame bounded
+  * by CONSTRUCTION (a distinct-value histogram, a catalog-sized
+  * source list, a k-row aggregate) — those queries are listed in
+  * `boundedSinglePartition` with the bounding argument, and the lint
+  * fails (exit 1) on any flag outside that list.
+  *
+  * Usage: runMain graft.tools.PlanLint [sfDir] [out.json]
+  */
+object PlanLint {
+
+  /** Queries whose single-partition window/exchange runs over a frame
+    * bounded by construction, with the bound. */
+  val boundedSinglePartition: Map[String, String] = Map(
+    "t22_decile_bucketing" ->
+      "window over the distinct n_chars VALUE DOMAIN (hundreds of rows), never the corpus",
+    "t33_source_interleave" ->
+      "window over the SOURCE CATALOG (n_sources rows, a catalog constant)",
+    "s31_dialect_interleave" ->
+      "same plan as t33 (verbatim lowering)")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outJson = args.lift(1)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // A SinglePartition exchange whose CHILD is an aggregate is the
+    // universal global-agg shape: the exchange moves one PARTIAL row
+    // per upstream partition (bounded at #partitions), never the data.
+    // Only a single-partition exchange over a non-aggregate child —
+    // a global sort/window funneling raw rows — is a scale-killer.
+    def unboundedSinglePartition(plan: String): Boolean = {
+      val lines = plan.linesIterator.toVector
+      lines.zipWithIndex.exists { case (l, i) =>
+        l.contains("Exchange SinglePartition") && {
+          val child = lines.drop(i + 1).find(_.trim.nonEmpty)
+          !child.exists(c => c.contains("HashAggregate") ||
+            c.contains("ObjectHashAggregate") || c.contains("SortAggregate"))
+        }
+      }
+    }
+
+    var cartesian = List.empty[String]
+    var singlePart = List.empty[String]
+    var errors = List.empty[String]
+    var checked = 0
+    graft.queries.Registry.all.foreach { q =>
+      try {
+        val p = q.build(spark, sfDir).queryExecution.executedPlan.toString
+        checked += 1
+        if (p.contains("CartesianProduct")) cartesian ::= q.name
+        if (unboundedSinglePartition(p) &&
+            !boundedSinglePartition.contains(q.name)) singlePart ::= q.name
+      } catch {
+        case e: Exception => errors ::= s"${q.name}: ${e.getMessage.take(120)}"
+      }
+    }
+    val ok = cartesian.isEmpty && singlePart.isEmpty && errors.isEmpty
+    def arr(xs: List[String]) = xs.sorted.map(s => "\"" + s + "\"").mkString("[", ", ", "]")
+    val json =
+      s"""{"checked": $checked, "ok": $ok,
+         |"cartesian": ${arr(cartesian)},
+         |"unbounded_single_partition": ${arr(singlePart)},
+         |"bounded_single_partition_allowlist": ${arr(boundedSinglePartition.keys.toList)},
+         |"errors": ${arr(errors)}}""".stripMargin.replace("\n", " ")
+    println(json)
+    outJson.foreach(p => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p), json + "\n"))
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
