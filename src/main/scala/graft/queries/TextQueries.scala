@@ -488,6 +488,46 @@ object TextQueries {
       (s, dir) => sourceInterleave(Tables(s, dir, "documents")),
       Some(sourceInterleaveOracle)),
 
+    // Code-corpus structural signals (The Stack / StarCoder ingest
+    // rules): max line length (minified/generated-file veto), line
+    // count, alphanumeric char count (binary-blob / art veto), plus
+    // the composed keep rule — max_line ≤ 400, mean line < 100 chars,
+    // alnum fraction > ¼ — expressed in INTEGER comparisons only
+    // (n_chars < 100·n_lines, 4·n_alnum > n_chars) so the gate is
+    // ulp-proof. Pure per-row column algebra, zero exchanges; n_lines
+    // counts non-blank lines (t26's convention, which also sidesteps
+    // the engines' trailing-empty split semantics).
+    Q("t35_code_signals",
+      (s, dir) => {
+        val lines = split(col("text"), "\n")
+        val nLines = org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(lines,
+            l => length(trim(l)) > 0)).cast(LongType)
+        val maxLine = array_max(transform(lines, l => length(l))).cast(LongType)
+        val nChars = length(col("text")).cast(LongType)
+        val nAlnum = length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+          .cast(LongType)
+        Tables(s, dir, "documents").select(col("doc_id"),
+          nLines.as("n_lines"), maxLine.as("max_line_len"),
+          nChars.as("n_chars"), nAlnum.as("n_alnum"),
+          when(maxLine <= 400L &&
+              nChars < lit(100L) * greatest(nLines, lit(1L)) &&
+              lit(4L) * nAlnum > nChars, 1L).otherwise(0L).as("keep"))
+      },
+      Some("""SELECT doc_id, n_lines, max_line_len, n_chars, n_alnum,
+             |  CAST(CASE WHEN max_line_len <= 400
+             |    AND n_chars < 100 * greatest(n_lines, 1)
+             |    AND 4 * n_alnum > n_chars THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM (SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, chr(10)),
+             |    l -> len(trim(l)) > 0)) AS BIGINT) AS n_lines,
+             |  CAST(list_max(list_transform(string_split(text, chr(10)),
+             |    l -> len(l))) AS BIGINT) AS max_line_len,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)
+             |    AS n_alnum
+             |FROM documents)""".stripMargin)),
+
     // Overlapping document chunking (the RAG-ingest / context-window
     // prep op t11's PACKING deliberately isn't): each doc is cut into
     // 64-token windows with 16-token overlap (stride 48); the final

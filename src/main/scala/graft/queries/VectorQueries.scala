@@ -328,6 +328,36 @@ object VectorQueries {
   def kmeansCellsOracle(k: Int = KMEANS_K): String =
     s"WITH ${kmeansCtesSql(k, KMEANS_ITERS)}\nSELECT vec_id, cell FROM assign$KMEANS_ITERS"
 
+  /** v23's builder: per-cell quota sampling at the minimum cell size.
+    * Rank within each cell by the deterministic multiplicative-hash
+    * order (the t05/seed family — both engines replicate it exactly),
+    * broadcast the 1-row min-cell-count, keep rank ≤ quota. */
+  def balancedSample(e: DataFrame, k: Int = KMEANS_K): DataFrame = {
+    val cells = kmeansCells(e, k)
+    val quota = cells.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("quota"))
+    val w = Window.partitionBy(col("cell")).orderBy(
+      ((col("vec_id") % lit(1000000L)) * lit(2654435761L) % lit(1000003L)).asc,
+      col("vec_id").asc)
+    cells.withColumn("rk", row_number().over(w).cast(LongType))
+      .crossJoin(broadcast(quota))
+      .filter(col("rk") <= col("quota"))
+      .select(col("vec_id"), col("cell"), col("rk"))
+  }
+
+  /** DuckDB mirror of [[balancedSample]]. */
+  def balancedSampleSql(k: Int = KMEANS_K): String =
+    s"""WITH ${kmeansCtesSql(k, KMEANS_ITERS)},
+       |cells AS (SELECT vec_id, cell FROM assign$KMEANS_ITERS),
+       |q AS (SELECT min(c) AS quota FROM
+       |      (SELECT cell, count(*) AS c FROM cells GROUP BY cell)),
+       |rk AS (SELECT vec_id, cell, CAST(row_number() OVER
+       |         (PARTITION BY cell
+       |          ORDER BY (vec_id % 1000000) * 2654435761 % 1000003 ASC,
+       |            vec_id ASC) AS BIGINT) AS rk
+       |       FROM cells)
+       |SELECT vec_id, cell, rk FROM rk, q WHERE rk <= quota""".stripMargin
+
   /** v22's builder: per-cell size + within-cluster SSE (inertia) of
     * the final Lloyd assignment, measured against the centers the
     * assignment used. The distance to the ASSIGNED center is a
@@ -716,6 +746,19 @@ object VectorQueries {
       (s, dir) => kmeansInertia(
         Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
       Some(kmeansInertiaSql())),
+
+    // Cluster-balanced panel sampling: the same number of vectors
+    // from EVERY k-means cell (the smallest cell's size), selected by
+    // the deterministic hash order — the semantic-diversity sampler a
+    // curated eval panel or a balanced fine-tune set wants (uniform
+    // sampling over-draws the dominant mode; per-cell quotas flatten
+    // it). One cell exchange for the per-cell ranking window, the
+    // quota rides in on a broadcast 1-row min; never RNG, so the
+    // panel is bit-reproducible on any cluster.
+    Q("v23_balanced_sample",
+      (s, dir) => balancedSample(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
+      Some(balancedSampleSql())),
 
     // Multi-probe IVF: queries probe their top-2 nearest cells instead
     // of one. A query near a cell boundary has near-neighbors on the
