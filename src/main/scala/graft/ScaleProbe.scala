@@ -291,11 +291,19 @@ object ScaleProbe {
       ev.groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd")).collect()
     }
+    time("t35_code_signals") {
+      graft.queries.TextQueries.codeSignals(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
     val emb = scaled(spark, "embeddings", Seq("vec_id"), copies)
       .select(col("vec_id"), col("embedding"))
     println(s"embeddings=${emb.count()}")
     time("v22_inertia") {
       graft.queries.VectorQueries.kmeansInertia(emb).collect()
+    }
+    time("v23_balanced") {
+      graft.queries.VectorQueries.balancedSample(emb)
+        .write.format("noop").mode("overwrite").save()
     }
     writeJson(outJson, copies)
     spark.stop()

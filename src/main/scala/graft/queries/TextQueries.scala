@@ -498,22 +498,8 @@ object TextQueries {
     // counts non-blank lines (t26's convention, which also sidesteps
     // the engines' trailing-empty split semantics).
     Q("t35_code_signals",
-      (s, dir) => {
-        val lines = split(col("text"), "\n")
-        val nLines = org.apache.spark.sql.functions.size(
-          org.apache.spark.sql.functions.filter(lines,
-            l => length(trim(l)) > 0)).cast(LongType)
-        val maxLine = array_max(transform(lines, l => length(l))).cast(LongType)
-        val nChars = length(col("text")).cast(LongType)
-        val nAlnum = length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
-          .cast(LongType)
-        Tables(s, dir, "documents").select(col("doc_id"),
-          nLines.as("n_lines"), maxLine.as("max_line_len"),
-          nChars.as("n_chars"), nAlnum.as("n_alnum"),
-          when(maxLine <= 400L &&
-              nChars < lit(100L) * greatest(nLines, lit(1L)) &&
-              lit(4L) * nAlnum > nChars, 1L).otherwise(0L).as("keep"))
-      },
+      (s, dir) => codeSignals(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
       Some("""SELECT doc_id, n_lines, max_line_len, n_chars, n_alnum,
              |  CAST(CASE WHEN max_line_len <= 400
              |    AND n_chars < 100 * greatest(n_lines, 1)
@@ -1288,6 +1274,25 @@ object TextQueries {
   def hashSampleOracle(selectList: String, keep: Long, mod: Long): String =
     s"""SELECT $selectList FROM documents
        |WHERE ((doc_id % 1000000) * 2654435761) % $mod < $keep""".stripMargin
+
+  /** t35's builder — shared with ScaleProbe so the probe times
+    * exactly the gated plan. */
+  def codeSignals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lines = split(col("text"), "\n")
+    val nLines = org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.filter(lines,
+        l => length(trim(l)) > 0)).cast(LongType)
+    val maxLine = array_max(transform(lines, l => length(l))).cast(LongType)
+    val nChars = length(col("text")).cast(LongType)
+    val nAlnum = length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+      .cast(LongType)
+    docs.select(col("doc_id"),
+      nLines.as("n_lines"), maxLine.as("max_line_len"),
+      nChars.as("n_chars"), nAlnum.as("n_alnum"),
+      when(maxLine <= 400L &&
+          nChars < lit(100L) * greatest(nLines, lit(1L)) &&
+          lit(4L) * nAlnum > nChars, 1L).otherwise(0L).as("keep"))
+  }
 
   /** t34's builder: overlapping fixed-size token chunks of each doc —
     * chunk c covers tokens [c·stride, c·stride + size), the last chunk

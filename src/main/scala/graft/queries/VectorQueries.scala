@@ -473,8 +473,15 @@ object VectorQueries {
     * per-row errors flow through Det decimal so the per-subspace SSE
     * is exact on any partitioning. Output: (sub, n, sse). */
   def pqDistortion(s: SparkSession, dir: String, dim: Int = 64,
+      m: Int = PQ_M, k: Int = PQ_K, iters: Int = KMEANS_ITERS): DataFrame =
+    pqDistortionOf(
+      Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      dim, m, k, iters)
+
+  /** [[pqDistortion]] on an arbitrary (vec_id, embedding) frame —
+    * shared with the rotated variant v24. */
+  def pqDistortionOf(e: DataFrame, dim: Int = 64,
       m: Int = PQ_M, k: Int = PQ_K, iters: Int = KMEANS_ITERS): DataFrame = {
-    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val dSub = dim / m
     val rows = (0 until m).map { sub =>
       val subEmb = slice(col("embedding"), sub * dSub + 1, dSub)
@@ -495,26 +502,54 @@ object VectorQueries {
       .agg(count(lit(1)).as("n"), Det.dsum(col("err")).as("sse"))
   }
 
-  /** DuckDB mirror of [[pqDistortion]]. */
+  /** DuckDB mirror of [[pqDistortion]]; `table`/`leadingCtes` let the
+    * rotated variant (v24) feed a transformed-embedding CTE. */
   def pqDistortionSql(dim: Int = 64, m: Int = PQ_M, k: Int = PQ_K,
-      iters: Int = KMEANS_ITERS): String = {
+      iters: Int = KMEANS_ITERS, table: String = "embeddings",
+      leadingCtes: String = ""): String = {
     val dSub = dim / m
     def d(e: String) = s"CAST($e AS DOUBLE)"
     def distSql(cent: String) = O.dfold(
       s"list_transform(embedding, (kx, ki) -> (${d("kx")} - $cent[ki]) * (${d("kx")} - $cent[ki]))")
     val ctes = (0 until m).map { s =>
       kmeansCtesSql(k, iters, prefix = s"s${s}_",
-        src = s"SELECT vec_id, embedding[${s * dSub + 1}:${(s + 1) * dSub}] AS embedding FROM embeddings")
+        src = s"SELECT vec_id, embedding[${s * dSub + 1}:${(s + 1) * dSub}] AS embedding FROM $table")
     }
+    val lead = if (leadingCtes.isEmpty) "" else leadingCtes + ",\n"
     val unions = (0 until m).map { s =>
       s"""SELECT CAST($s AS BIGINT) AS sub, ${distSql("c.cent")} AS err
          |FROM s${s}_assign$iters a JOIN s${s}_cent${iters - 1} c ON a.cell = c.cell""".stripMargin
     }
-    s"""WITH ${ctes.mkString(",\n")},
+    s"""WITH $lead${ctes.mkString(",\n")},
        |errs AS (${unions.mkString("\nUNION ALL\n")})
        |SELECT sub, CAST(count(*) AS BIGINT) AS n, ${Det.sql.dsum("err")} AS sse
        |FROM errs GROUP BY sub""".stripMargin
   }
+
+  // ── deterministic random rotation (the PQ-paper balancing trick) ──
+  // R = P·D: a fixed coprime-stride permutation composed with a
+  // deterministic ±1 diagonal (the v17 sign family). Orthogonal by
+  // construction, replayed exactly by both engines — the cheap stand-
+  // in for OPQ's learned rotation: it decorrelates which ORIGINAL
+  // dims land in each PQ subspace, balancing subspace variance.
+  val ROT_STRIDE = 37 // coprime with dim 64 ⇒ j → (j·37) mod 64 is a permutation
+
+  /** y[j] = sign(π(j)) · x[π(j)], π(j) = (j·g) mod dim (0-based). */
+  def rotateExpr(emb: Column, dim: Int = 64, g: Int = ROT_STRIDE): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j => {
+      val p = pmod(j * lit(g), lit(dim))
+      val x = element_at(emb, (p + lit(1)).cast(org.apache.spark.sql.types.IntegerType))
+      when(pmod(p.cast(org.apache.spark.sql.types.LongType) * lit(2654435761L),
+        lit(1000003L)) % lit(2L) === 0L, x).otherwise(-x)
+    })
+
+  /** DuckDB mirror of [[rotateExpr]]. */
+  def rotateSql(emb: String = "embedding", dim: Int = 64,
+      g: Int = ROT_STRIDE): String =
+    s"""list_transform(range(0, $dim), j ->
+       |  CASE WHEN ((((j * $g) % $dim) * 2654435761) % 1000003) % 2 = 0
+       |    THEN $emb[((j * $g) % $dim) + 1]
+       |    ELSE -$emb[((j * $g) % $dim) + 1] END)""".stripMargin
 
   /** v01's builder: brute-force cosine top-k for the sampled query
     * panel (vec_id < 5). The tiny QUERY side is broadcast — the
@@ -746,6 +781,21 @@ object VectorQueries {
       (s, dir) => kmeansInertia(
         Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
       Some(kmeansInertiaSql())),
+
+    // Rotation-balanced PQ distortion (the OPQ-motivation variant of
+    // v20): a fixed orthogonal rotation — coprime-stride permutation
+    // × deterministic ±1 diagonal, the PQ paper's random-rotation
+    // balancing trick — is applied per row (narrow, zero exchanges)
+    // BEFORE the per-subspace Lloyd fit, decorrelating which original
+    // dims share a PQ subspace. Same gate shape as v20 ((sub, n,
+    // sse)); comparing the two SSE columns is the codebook-balance
+    // eval an index rollout runs when choosing a transform.
+    Q("v24_pq_rotated",
+      (s, dir) => pqDistortionOf(
+        Tables(s, dir, "embeddings").select(col("vec_id"),
+          rotateExpr(col("embedding")).as("embedding"))),
+      Some(pqDistortionSql(table = "rot",
+        leadingCtes = s"rot AS (SELECT vec_id, ${rotateSql()} AS embedding FROM embeddings)"))),
 
     // Cluster-balanced panel sampling: the same number of vectors
     // from EVERY k-means cell (the smallest cell's size), selected by
