@@ -1236,9 +1236,12 @@ object TextQueries {
     * floor) so bin ids stay exact past 2^53 tokens. */
   def seqPack(docs: org.apache.spark.sql.DataFrame,
       l: Long): org.apache.spark.sql.DataFrame = {
+    // null text = zero tokens: without the coalesce the distributed
+    // cumsum reads a null n_tok and throws on the first null-text row
+    // (NullSafetySpec) — fixtures carry no nulls, user CSVs do
     val n = docs.select(col("doc_id"),
-      graft.functions.TextProfileExprs.text_profile(col("text"))
-        .getField("n_tok").as("n_tok"))
+      coalesce(graft.functions.TextProfileExprs.text_profile(col("text"))
+        .getField("n_tok"), lit(0L)).as("n_tok"))
     graft.core.RowNumbers
       .globalCumsum(n, Seq(col("doc_id")), "n_tok", "cum")
       .select(col("doc_id"), col("n_tok"),

@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Null/degenerate-text behavior of the per-row text operators. The
+  * parquet fixtures carry no null text, but the dialect reads user
+  * CSVs where empty fields ARE null — a chunker or profiler that
+  * throws on the first null row is unusable on real data. Contract:
+  * null-text rows never crash a builder; they either drop out (row
+  * generators like chunking) or carry null/zero stats. */
+class NullSafetySpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String]),
+      (3L, ""), (4L, "   "), (5L, "solo"))
+      .toDF("doc_id", "text")
+  }
+
+  test("docChunks drops null/empty/blank docs and keeps the rest") {
+    val out = TextQueries.docChunks(docs, 4, 1).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 5L),
+      "only docs with at least one token may emit chunks")
+  }
+
+  test("codeSignals emits a row per doc without throwing on null text") {
+    val out = TextQueries.codeSignals(docs).collect()
+    assert(out.length == 5)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // null text: stats null, keep must resolve (not throw, not null)
+    assert(byId(2L).isNullAt(3) && !byId(2L).isNullAt(5))
+    assert(byId(2L).getLong(5) == 0L, "null text must not be kept")
+    assert(byId(1L).getLong(5) == 1L, "normal prose passes the keep rule")
+  }
+
+  test("seqPack treats null/empty text as zero tokens, not a crash") {
+    val out = TextQueries.seqPack(docs, 4L).collect()
+    assert(out.length == 5)
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(2L) == 0L && byId(3L) == 0L && byId(4L) == 0L)
+    assert(byId(1L) == 3L && byId(5L) == 1L)
+  }
+
+  test("hashSample and trainSplit ignore the text column entirely") {
+    assert(TextQueries.hashSample(docs, 100L, 100L).count() == 5)
+    val sp = TextQueries.trainSplit(docs.select(col("doc_id")), 80L, 10L)
+    assert(sp.filter("split is null").count() == 0)
+  }
+}
