@@ -42,6 +42,18 @@ class NullSafetySpec extends SparkSpec {
     assert(byId(1L) == 3L && byId(5L) == 1L)
   }
 
+  test("content-signature expressions never throw on null text") {
+    import graft.functions.TextFunctions._
+    val out = docs.select(col("doc_id"),
+      tokens(col("text")).as("tk"),
+      docFingerprint(col("text")).as("fp"),
+      simhash(tokenHashes(col("text"))).as("sh"),
+      langIdNative(col("text")).as("lang"))
+      .collect()
+    assert(out.length == 5, "every row must survive, null text included")
+    // null in → null (or a defined neutral) out; no exceptions is the contract
+  }
+
   test("hashSample and trainSplit ignore the text column entirely") {
     assert(TextQueries.hashSample(docs, 100L, 100L).count() == 5)
     val sp = TextQueries.trainSplit(docs.select(col("doc_id")), 80L, 10L)
