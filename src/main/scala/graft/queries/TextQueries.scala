@@ -514,6 +514,36 @@ object TextQueries {
              |    AS n_alnum
              |FROM documents)""".stripMargin)),
 
+    // Sentence-level structure stats — the readability/segmentation
+    // rung under t02's char-level quality: sentence count (split on
+    // terminal punctuation runs, the explicit cross-engine class
+    // [.!?]+), token count, and the longest sentence in characters
+    // (a run-on / missing-punctuation signal). Integer-only gate,
+    // pure per-row algebra, zero exchanges.
+    Q("t36_sentence_stats",
+      (s, dir) => {
+        val sents = org.apache.spark.sql.functions.filter(
+          transform(split(col("text"), "[.!?]+"), x => trim(x)),
+          x => length(x) > 0)
+        Tables(s, dir, "documents").select(col("doc_id"),
+          org.apache.spark.sql.functions.size(sents).cast(LongType)
+            .as("n_sents"),
+          org.apache.spark.sql.functions
+            .size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast(LongType).as("n_tok"),
+          coalesce(array_max(transform(sents, x => length(x))), lit(0))
+            .cast(LongType).as("max_sent_chars"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len(sents) AS BIGINT) AS n_sents,
+              |  CAST(len(${O.toks("text")}) AS BIGINT) AS n_tok,
+              |  CAST(coalesce(list_max(list_transform(sents, x -> len(x))), 0)
+              |    AS BIGINT) AS max_sent_chars
+              |FROM (SELECT doc_id, text,
+              |  list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+              |    x -> trim(x)), x -> len(x) > 0) AS sents
+              |FROM documents)""".stripMargin)),
+
     // Overlapping document chunking (the RAG-ingest / context-window
     // prep op t11's PACKING deliberately isn't): each doc is cut into
     // 64-token windows with 16-token overlap (stride 48); the final
