@@ -9,7 +9,7 @@ import graft.sources.Sinks
   * CSV/parquet tables and print/save CSV results.
   *
   * Usage:
-  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH] [--password PW]
+  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH | --save-shards PATH] [--password PW]
   *   echo "select ..." | sbt 'runMain graft.Cli [--dir DIR]'
   *     (plain sbt or direct java/spark-submit — sbt's -batch mode
   *     consumes stdin for its own command stream)
@@ -46,6 +46,7 @@ object Cli {
     var dir: Option[String] = None
     var save: Option[String] = None
     var saveDir: Option[String] = None
+    var saveShards: Option[String] = None
     var password: Option[String] = None
     var i = 0
     def value(flag: String): String = {
@@ -62,6 +63,7 @@ object Cli {
         case "--dir" => dir = Some(value("--dir"))
         case "--save" => save = Some(value("--save"))
         case "--save-dir" => saveDir = Some(value("--save-dir"))
+        case "--save-shards" => saveShards = Some(value("--save-shards"))
         case "--password" => password = Some(value("--password"))
         case other => sys.error(s"unknown argument: $other")
       }
@@ -100,9 +102,18 @@ object Cli {
       val session = new GraftSession(spark, dir, pw)
       statements.map(session.sql)
     }
-    if (save.isDefined && saveDir.isDefined)
-      sys.error("--save and --save-dir are mutually exclusive")
+    if (Seq(save, saveDir, saveShards).count(_.isDefined) > 1)
+      sys.error("--save, --save-dir and --save-shards are mutually exclusive")
     (save, saveDir) match {
+      case _ if saveShards.isDefined =>
+        // physical training-shard layout: requires the `shard`
+        // statement's (doc_id, shard, pos) output; lands sorted
+        // shard=K/ parquet dirs (Sinks.saveShardedResult)
+        val base = saveShards.get
+        Sinks.savePaths(base, results.size).map(_.stripSuffix(".csv"))
+          .zip(results).foreach { case (p, df) =>
+            Sinks.saveShardedResult(df, p); System.err.println(s"saved $p/")
+          }
       case (Some(base), _) =>
         // streaming form: rows reach the file as the query runs, like
         // the reference's realtime save (files.go:85-156)

@@ -144,6 +144,23 @@ object Sinks {
     path
   }
 
+  /** Physical writer for a `shard` STATEMENT's result (doc_id, shard,
+    * pos): land `shard=K/` parquet dirs whose rows are stored in pos
+    * order — same layout contract as [[saveShards]], but consuming the
+    * already-addressed frame instead of recomputing the addressing
+    * (the CLI's `--save-shards` path). One shard-key repartition +
+    * in-partition sort; no global sort. */
+  def saveShardedResult(df: DataFrame, path: String): String = {
+    import org.apache.spark.sql.functions.col
+    val cols = df.columns.map(_.toLowerCase).toSet
+    require(cols.contains("shard") && cols.contains("pos"),
+      "--save-shards needs a result with shard and pos columns (the `shard` statement's output)")
+    df.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    path
+  }
+
   /** Realtime single-file CSV save (reference files.go:85-156 streams
     * rows to the save file DURING execution, primed before the query
     * runs, main.go:124-131): header lands immediately, then rows are

@@ -162,4 +162,23 @@ class SinksSpec extends SparkSpec {
       (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString), id))
     assert(s0 == want, "shard 0 rows must be stored in md5(doc_id) order")
   }
+
+  test("saveShardedResult lands the `shard` statement's output in pos order") {
+    val layout = graft.sql.GraftSession(spark, sf0001)
+      .sql("shard doc_id from documents into 4")
+    val path = Sinks.saveShardedResult(layout, "/tmp/graft_sink_shardstmt")
+    val back = spark.read.parquet(path)
+    assert(back.count() == layout.count())
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.length == 4, dirs.mkString(","))
+    // stored row order within a shard IS pos order (one sorted task)
+    val s0 = spark.read.parquet(s"$path/shard=0").select(col("pos"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(s0 == s0.sorted, "shard 0 rows must be stored in pos order")
+    // a result without shard/pos is rejected loudly
+    assertThrows[IllegalArgumentException](
+      Sinks.saveShardedResult(
+        spark.read.parquet(s"$sf0001/documents.parquet"), "/tmp/graft_sink_bad"))
+  }
 }
