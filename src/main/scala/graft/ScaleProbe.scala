@@ -295,6 +295,16 @@ object ScaleProbe {
       graft.queries.TextQueries.codeSignals(docs)
         .write.format("noop").mode("overwrite").save()
     }
+    time("t36_sentence_stats") {
+      val sents = org.apache.spark.sql.functions.filter(
+        transform(split(col("text"), "[.!?]+"), x => trim(x)),
+        x => length(x) > 0)
+      docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(sents).cast("long").as("n_sents"),
+        coalesce(array_max(transform(sents, x => length(x))), lit(0))
+          .cast("long").as("max_sent_chars"))
+        .write.format("noop").mode("overwrite").save()
+    }
     val emb = scaled(spark, "embeddings", Seq("vec_id"), copies)
       .select(col("vec_id"), col("embedding"))
     println(s"embeddings=${emb.count()}")

@@ -79,6 +79,12 @@ class QueryServerSpec extends SparkSpec {
       // errors surface as status, not a crash
       val bad = post("""{"query":"select nope from nowhere"}""")
       assert(bad.contains(""""Status":"error"""), bad)
+      // pipeline statements explain too — the scale plan (band-keyed
+      // joins, no cartesian) is inspectable before running anything
+      val stmt = post("""{"query":"dedup near doc_id, text from documents"}""")
+      assert(stmt.contains(""""Status":"ok"""") &&
+        stmt.contains("Physical Plan"), stmt)
+      assert(!stmt.contains("CartesianProduct"), stmt)
     } finally server.stop()
   }
 
