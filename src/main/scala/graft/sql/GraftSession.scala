@@ -95,6 +95,14 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
           // bucketing and shuffle both sides every query.
           defaultDir.flatMap(d => scala.util.Try(Tables(spark, d, key)).toOption) match {
             case Some(df) => register(key, df); df
+            case None if new java.io.File(resolvePath(name)).isDirectory =>
+              // an extensionless DIRECTORY path is a written dataset —
+              // e.g. `--save-shards` output or any partitioned parquet
+              // dir: read with partition discovery, so `from <dir>`
+              // immediately queries what a statement just wrote
+              // (partition columns like shard= come back as columns)
+              val df = Tables.load(spark, resolvePath(name))
+              register(basename(key), df); df
             case None if spark.catalog.tableExists(key) =>
               val df = spark.table(key)
               register(key, df); df

@@ -180,5 +180,14 @@ class SinksSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Sinks.saveShardedResult(
         spark.read.parquet(s"$sf0001/documents.parquet"), "/tmp/graft_sink_bad"))
+
+    // ROUND-TRIP: the sharded layout reads back through the dialect
+    // FROM (partition discovery recovers the shard column), so the
+    // written corpus is immediately queryable — e.g. per-shard counts
+    val g = graft.sql.GraftSession(spark, sf0001)
+    val counts = g.sql(s"select shard, count(doc_id) as n from $path group by shard")
+    assert(counts.count() == 4)
+    assert(counts.agg(org.apache.spark.sql.functions.sum(col("n")))
+      .collect()(0).getDouble(0) == layout.count().toDouble)
   }
 }
