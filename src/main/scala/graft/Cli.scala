@@ -9,7 +9,7 @@ import graft.sources.Sinks
   * CSV/parquet tables and print/save CSV results.
   *
   * Usage:
-  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH | --save-shards PATH] [--password PW]
+  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH | --save-shards PATH | --save-parquet PATH] [--password PW]
   *   echo "select ..." | sbt 'runMain graft.Cli [--dir DIR]'
   *     (plain sbt or direct java/spark-submit — sbt's -batch mode
   *     consumes stdin for its own command stream)
@@ -47,6 +47,7 @@ object Cli {
     var save: Option[String] = None
     var saveDir: Option[String] = None
     var saveShards: Option[String] = None
+    var saveParquet: Option[String] = None
     var password: Option[String] = None
     var i = 0
     def value(flag: String): String = {
@@ -64,6 +65,7 @@ object Cli {
         case "--save" => save = Some(value("--save"))
         case "--save-dir" => saveDir = Some(value("--save-dir"))
         case "--save-shards" => saveShards = Some(value("--save-shards"))
+        case "--save-parquet" => saveParquet = Some(value("--save-parquet"))
         case "--password" => password = Some(value("--password"))
         case other => sys.error(s"unknown argument: $other")
       }
@@ -102,9 +104,18 @@ object Cli {
       val session = new GraftSession(spark, dir, pw)
       statements.map(session.sql)
     }
-    if (Seq(save, saveDir, saveShards).count(_.isDefined) > 1)
-      sys.error("--save, --save-dir and --save-shards are mutually exclusive")
+    if (Seq(save, saveDir, saveShards, saveParquet).count(_.isDefined) > 1)
+      sys.error("--save, --save-dir, --save-shards and --save-parquet are mutually exclusive")
     (save, saveDir) match {
+      case _ if saveParquet.isDefined =>
+        // parquet dataset per statement — the format a downstream
+        // Spark/training loader actually reads; partitioned parallel write
+        val base = saveParquet.get
+        Sinks.savePaths(base, results.size).map(_.stripSuffix(".csv"))
+          .zip(results).foreach { case (p, df) =>
+            df.write.mode("overwrite").parquet(p)
+            System.err.println(s"saved $p/")
+          }
       case _ if saveShards.isDefined =>
         // physical training-shard layout: requires the `shard`
         // statement's (doc_id, shard, pos) output; lands sorted

@@ -76,6 +76,26 @@ class StreamingSpec extends SparkSpec {
       "streamed chunks must equal the batch chunks exactly")
   }
 
+  test("code signals stream statelessly like chunking") {
+    val q = graft.queries.TextQueries.codeSignals(
+        StreamingOps.readDocuments(spark, sf0001)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("signals_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("signals_stream")
+    val batch = graft.queries.TextQueries.codeSignals(
+      Tables(spark, sf0001, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming session windows match the batch session_window plan") {
     val stream = StreamingOps.readEvents(spark, sf0001)
     // complete mode for the same reason as the hourly test: one
