@@ -445,20 +445,8 @@ object EventQueries {
     // rank exchange. n is Det-deterministic so the (n desc, type asc)
     // order is bit-stable cross-engine.
     Q("e21_trending",
-      (s, dir) => {
-        val w = Window.partitionBy(col("ws"))
-          .orderBy(col("n").desc, col("event_type").asc)
-        slidingCounts(Tables(s, dir, "events"))
-          .select(col("ws"), col("event_type"), col("n"))
-          .withColumn("rk", row_number().over(w).cast(LongType))
-          .filter(col("rk") <= 3L)
-      },
-      Some(s"""WITH s AS ($slidingOracle)
-              |SELECT ws, event_type, n, CAST(rk AS BIGINT) AS rk FROM
-              |  (SELECT ws, event_type, n, row_number() OVER
-              |     (PARTITION BY ws ORDER BY n DESC, event_type ASC) AS rk
-              |   FROM s)
-              |WHERE rk <= 3""".stripMargin)),
+      (s, dir) => trending(Tables(s, dir, "events"), 3),
+      Some(trendingOracle(3))),
 
     Q("e20_sliding_stream",
       (s, dir) => {
@@ -483,6 +471,28 @@ object EventQueries {
     ev.groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
       .agg(Det.cnt(col("event_id")).as("n"), Det.dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** e21's builder — shared with the `trend` statement: top-k event
+    * types of every 2h/1h sliding frame. The ranking window runs over
+    * the ALREADY-AGGREGATED (windows × types)-sized frame, never the
+    * events; WindowGroupLimit caps each ws group pre-exchange. */
+  def trending(ev: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("ws"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    slidingCounts(ev)
+      .select(col("ws"), col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k.toLong)
+  }
+
+  /** DuckDB mirror of [[trending]] — shared by e21 and s39. */
+  def trendingOracle(k: Int): String =
+    s"""WITH s AS ($slidingOracle)
+       |SELECT ws, event_type, n, CAST(rk AS BIGINT) AS rk FROM
+       |  (SELECT ws, event_type, n, row_number() OVER
+       |     (PARTITION BY ws ORDER BY n DESC, event_type ASC) AS rk
+       |   FROM s)
+       |WHERE rk <= $k""".stripMargin
 
   /** e19's oracle: a 2h-duration, 1h-slide window containing ts starts
     * at date_trunc('hour', ts) and at one hour before it. */
