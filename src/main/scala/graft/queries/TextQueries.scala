@@ -1309,8 +1309,28 @@ object TextQueries {
        |WHERE ((doc_id % 1000000) * 2654435761) % $mod < $keep""".stripMargin
 
   /** t35's builder — shared with ScaleProbe so the probe times
-    * exactly the gated plan. */
+    * exactly the gated plan. The four metrics come from ONE native
+    * code-point pass (CodeSignalsExpr); the four-traversal HOF form
+    * is kept as [[codeSignalsHof]] with bit-parity pinned in
+    * TextFunctionsSpec. */
   def codeSignals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sig = graft.functions.CodeSignalsExprs.code_signals(col("text"))
+    docs.select(col("doc_id"), sig.as("__sig"))
+      .select(col("doc_id"),
+        col("__sig.n_lines").as("n_lines"),
+        col("__sig.max_line_len").as("max_line_len"),
+        col("__sig.n_chars").as("n_chars"),
+        col("__sig.n_alnum").as("n_alnum"),
+        when(col("__sig.max_line_len") <= 400L &&
+            col("__sig.n_chars") <
+              lit(100L) * greatest(col("__sig.n_lines"), lit(1L)) &&
+            lit(4L) * col("__sig.n_alnum") > col("__sig.n_chars"), 1L)
+          .otherwise(0L).as("keep"))
+  }
+
+  /** The interpreted HOF mirror of [[codeSignals]] — the reference
+    * semantics the native expression is pinned against. */
+  def codeSignalsHof(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val lines = split(col("text"), "\n")
     val nLines = org.apache.spark.sql.functions.size(
       org.apache.spark.sql.functions.filter(lines,

@@ -171,4 +171,17 @@ class TextFunctionsSpec extends SparkSpec {
     // alpha(2) beta(1) gamma!(2) = 5 ceil(len/4) units
     assert(r.getLong(1) == 5L)
   }
+
+  test("fused code_signals ≡ four-pass HOF mirror on documents and line edges") {
+    val docs = graft.core.Tables(spark, sf0001, "documents")
+      .select(lit(0L).as("doc_id"), col("text"))
+      .unionAll(Seq("", "   ", "\n\n", "a\nb\nc", "trailing\n",
+        "\t\n x", "  \r\n mixed", "long " + ("y" * 500),
+        "汉字 CJK 行\n第二行").zipWithIndex
+        .map { case (t, i) => (i + 1000L, t) }.toDF("doc_id", "text"))
+    val a = graft.queries.TextQueries.codeSignals(docs)
+    val b = graft.queries.TextQueries.codeSignalsHof(docs)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "native code_signals diverged from the HOF mirror")
+  }
 }
