@@ -365,17 +365,16 @@ object VectorQueries {
     * per row with no join; the only aggregation is one k-row agg. */
   def kmeansInertia(e: DataFrame, k: Int = KMEANS_K): DataFrame = {
     val centers = kmeansFit(e, k, KMEANS_ITERS - 1)
-    val assigned = kmeansAssign(e, centers)
-    val distToAssigned = centers.tail.foldLeft(
-      when(col("cell") === centers.head._1.toLong,
-        sqDistHof(col("embedding"), centers.head._2))) {
-      case (w, (cell, c)) =>
-        w.when(col("cell") === cell.toLong, sqDistHof(col("embedding"), c))
-    }
-    assigned
+    val dim = centers.head._2.length
+    // the distance to the ASSIGNED center is the native codegen'd
+    // lookup (VectorExprs.centroid_dist) — the cell-keyed CASE over
+    // interpreted HOF folds it replaces dragged the whole projection
+    // off codegen
+    kmeansAssign(e, centers)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"),
-        Det.dsum(distToAssigned).as("inertia"))
+        Det.dsum(graft.functions.VectorExprs.centroid_dist(
+          col("embedding"), col("cell"), centers, dim)).as("inertia"))
   }
 
   /** DuckDB mirror of [[kmeansInertia]]: the final assignment CTE
@@ -489,11 +488,12 @@ object VectorQueries {
         e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1)
       val code = graft.functions.VectorExprs.nearest_centroid(
         col("embedding"), centers, dSub, sub * dSub)
-      val err = centers.tail.foldLeft(
-        when(code === lit(centers.head._1.toLong),
-          sqDistHof(subEmb, centers.head._2))) {
-        case (w, (j, c)) => w.when(code === lit(j.toLong), sqDistHof(subEmb, c))
-      }.otherwise(lit(null))
+      // assignment AND its quantization error in two native codegen'd
+      // calls over the same subspace window (offset arithmetic, no
+      // per-row slices) — the CASE-of-HOF-folds first cut was
+      // interpreted per element
+      val err = graft.functions.VectorExprs.centroid_dist(
+        col("embedding"), code, centers, dSub, sub * dSub)
       struct(lit(sub.toLong).as("sub"), err.as("err"))
     }
     e.select(explode(array(rows: _*)).as("p"))
