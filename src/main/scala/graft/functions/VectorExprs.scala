@@ -22,14 +22,23 @@ object VectorOps {
     * null, the fold's acc+null nulls the whole dot) and the DuckDB
     * oracle — a truncated embedding must not emit a similarity the
     * oracle drops. */
-  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double =
+    cosineMixed(a, b, aDouble = false, bDouble = false)
+
+  /** [[cosine]] over float OR double element arrays on either side —
+    * the centroid-probing shape pairs a float corpus vector with the
+    * double centroid array the Det-decimal mean produced. Each
+    * accumulator is its own ascending sum, so the result is
+    * bit-identical to the three separate HOF folds it replaces. */
+  def cosineMixed(a: ArrayData, b: ArrayData,
+      aDouble: Boolean, bDouble: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -189,21 +198,30 @@ case class CentroidDistExpr(left: Expression, right: Expression,
 
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(s"cosine needs two array<float>, got $other")
+  private def elem(dt: DataType): Option[Boolean] = dt match {
+    case ArrayType(FloatType, _) => Some(false)
+    case ArrayType(DoubleType, _) => Some(true)
+    case _ => None
   }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elem(left.dataType).isDefined && elem(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine needs two array<float|double>, got (${left.dataType}, ${right.dataType})")
+  private lazy val aDouble: Boolean = elem(left.dataType).get
+  private lazy val bDouble: Boolean = elem(right.dataType).get
 
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorOps.cosineMixed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      aDouble, bDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = VectorOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |java.lang.Double cosr = $cls.cosine($a, $b);
+         |java.lang.Double cosr = $cls.cosineMixed($a, $b, $aDouble, $bDouble);
          |if (cosr == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = cosr.doubleValue(); }
        """.stripMargin)

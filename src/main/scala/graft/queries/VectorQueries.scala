@@ -588,7 +588,7 @@ object VectorQueries {
     val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val scored = e.crossJoin(broadcast(centroids(s, dir)))
       .select(col("vec_id"), col("embedding"), col("label"),
-        cosineHof(col("centroid"), col("embedding")).as("csim"))
+        cosine(col("centroid"), col("embedding")).as("csim"))
     val wa = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("label").asc)
     val assigned = scored.withColumn("rk", row_number().over(wa))
@@ -626,7 +626,7 @@ object VectorQueries {
         x => x.getField("c")).as("centroid"))
     val scored = batch.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"),
-        cosineHof(col("centroid"), col("embedding")).as("csim"))
+        cosine(col("centroid"), col("embedding")).as("csim"))
     val wa = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("label").asc)
     scored.withColumn("rk", row_number().over(wa))
@@ -822,7 +822,7 @@ object VectorQueries {
         val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         val scored = e.crossJoin(broadcast(centroids(s, dir)))
           .select(col("vec_id"), col("embedding"), col("label"),
-            cosineHof(col("centroid"), col("embedding")).as("csim"))
+            cosine(col("centroid"), col("embedding")).as("csim"))
         val wa = Window.partitionBy(col("vec_id"))
           .orderBy(col("csim").desc, col("label").asc)
         val ranked = scored.withColumn("rk", row_number().over(wa))
