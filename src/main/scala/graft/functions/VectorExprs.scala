@@ -45,6 +45,24 @@ object VectorOps {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Ascending-fold inner product — bit-identical to
+    * fold(zip_with(a, b, x·y)); null on length mismatch like
+    * [[cosineMixed]]. */
+  def dotMixed(a: ArrayData, b: ArrayData,
+      aDouble: Boolean, bDouble: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      dot += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
   /** Sign-bit LSH bucket under `planes` deterministic hyperplanes
     * starting at global plane index `offset` — same integer plane
     * family as VectorQueries.planeVal. */
@@ -231,6 +249,41 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def elem(dt: DataType): Option[Boolean] = dt match {
+    case ArrayType(FloatType, _) => Some(false)
+    case ArrayType(DoubleType, _) => Some(true)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elem(left.dataType).isDefined && elem(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot needs two array<float|double>, got (${left.dataType}, ${right.dataType})")
+  private lazy val aDouble: Boolean = elem(left.dataType).get
+  private lazy val bDouble: Boolean = elem(right.dataType).get
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotMixed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      aDouble, bDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = VectorOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |java.lang.Double dotr = $cls.dotMixed($a, $b, $aDouble, $bDouble);
+         |if (dotr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = dotr.doubleValue(); }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
+    copy(left = l, right = r)
+}
+
 case class LshBucketExpr(child: Expression, planes: Int, offset: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -275,6 +328,8 @@ object VectorExprs {
 
   def cosine_native(a: Column, b: Column): Column =
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+  def dot_native(a: Column, b: Column): Column =
+    Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
   def lsh_bucket(v: Column, planes: Int, offset: Int): Column =
     Bridge.column(LshBucketExpr(Bridge.expression(v), planes, offset))
   def random_project(v: Column, outDims: Int): Column =

@@ -1231,10 +1231,13 @@ object VectorQueries {
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    // the native ascending-fold dot (bit-equal to the HOF
+    // fold(zip_with) it replaces, VectorExprsSpec) keeps the
+    // per-(query × candidate) scan inside codegen
     val scores = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        fold(zip_with(col("q_emb"), col("n_emb"),
-          (x, y) => x.cast(DoubleType) * y.cast(DoubleType))).as("ip"))
+        graft.functions.VectorExprs.dot_native(
+          col("q_emb"), col("n_emb")).as("ip"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("ip").desc, col("n_id").asc)
     scores.withColumn("rank", row_number().over(w).cast(LongType))

@@ -22,6 +22,22 @@ class VectorExprsSpec extends SparkSpec {
     assert(diff == 0, s"$diff pairs differ between native and HOF cosine")
   }
 
+  test("native dot ≡ HOF fold(zip_with) bit-exactly, incl. a double side") {
+    val e = Tables(spark, sf0001, "embeddings").limit(50)
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id")).limit(500)
+      .withColumn("bd", transform(col("b"), x => x.cast("double")))
+    val diff = pairs.select(
+      graft.functions.VectorExprs.dot_native(col("a"), col("b")).as("n"),
+      graft.functions.VectorExprs.dot_native(col("a"), col("bd")).as("nd"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("h"))
+      .filter(col("n") =!= col("h") || col("nd") =!= col("h")).count()
+    assert(diff == 0, s"$diff pairs differ between native and HOF dot")
+  }
+
   test("ragged vector pairs are null in both native and HOF cosine") {
     import spark.implicits._
     val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
