@@ -579,6 +579,26 @@ class PlanSpec extends SparkSpec {
       "dialect profile rows diverged from the columnProfile builder")
   }
 
+  test("dialect WHERE prunes partitions of a partitioned dataset dir") {
+    // the 100 TB layout: big tables land partitioned (by date/type);
+    // a dialect filter on the partition column must become a
+    // PARTITION filter (directories never listed), not a row filter
+    val tmp = "/tmp/graft_part_events"
+    graft.core.Tables(spark, sf0001, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val g = graft.sql.GraftSession(spark, sf0001)
+    val df = g.sql(s"select event_id from $tmp where event_type = 'click'")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"),
+      s"partition filter missing from the scan:\n${scan.take(900)}")
+    // and it actually prunes: only the click partition's rows surface
+    val clicks = graft.core.Tables(spark, sf0001, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click").count()
+    assert(df.count() == clicks)
+  }
+
   test("shard layout (t32) is one shard-key exchange, never single-partition") {
     val p = plan("t32_shard_layout")
     assert(!p.contains("Exchange SinglePartition"),
