@@ -9,7 +9,7 @@ import graft.sources.Sinks
   * CSV/parquet tables and print/save CSV results.
   *
   * Usage:
-  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH | --save-shards PATH | --save-parquet PATH] [--password PW]
+  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH | --save-shards PATH | --save-parquet PATH [--partition-by cols]] [--password PW]
   *   echo "select ..." | sbt 'runMain graft.Cli [--dir DIR]'
   *     (plain sbt or direct java/spark-submit — sbt's -batch mode
   *     consumes stdin for its own command stream)
@@ -48,6 +48,7 @@ object Cli {
     var saveDir: Option[String] = None
     var saveShards: Option[String] = None
     var saveParquet: Option[String] = None
+    var partitionBy: Option[String] = None
     var password: Option[String] = None
     var i = 0
     def value(flag: String): String = {
@@ -66,6 +67,7 @@ object Cli {
         case "--save-dir" => saveDir = Some(value("--save-dir"))
         case "--save-shards" => saveShards = Some(value("--save-shards"))
         case "--save-parquet" => saveParquet = Some(value("--save-parquet"))
+        case "--partition-by" => partitionBy = Some(value("--partition-by"))
         case "--password" => password = Some(value("--password"))
         case other => sys.error(s"unknown argument: $other")
       }
@@ -106,14 +108,21 @@ object Cli {
     }
     if (Seq(save, saveDir, saveShards, saveParquet).count(_.isDefined) > 1)
       sys.error("--save, --save-dir, --save-shards and --save-parquet are mutually exclusive")
+    if (partitionBy.isDefined && saveParquet.isEmpty)
+      sys.error("--partition-by requires --save-parquet")
     (save, saveDir) match {
       case _ if saveParquet.isDefined =>
         // parquet dataset per statement — the format a downstream
-        // Spark/training loader actually reads; partitioned parallel write
+        // Spark/training loader actually reads; parallel write.
+        // --partition-by lands hive-style <col>=v/ dirs so downstream
+        // dialect filters on that column become PARTITION filters
+        // (pruned listings, never a full scan — pinned in PlanSpec)
         val base = saveParquet.get
         Sinks.savePaths(base, results.size).map(_.stripSuffix(".csv"))
           .zip(results).foreach { case (p, df) =>
-            df.write.mode("overwrite").parquet(p)
+            val w = df.write.mode("overwrite")
+            partitionBy.fold(w)(c => w.partitionBy(c.split(",").toIndexedSeq: _*))
+              .parquet(p)
             System.err.println(s"saved $p/")
           }
       case _ if saveShards.isDefined =>
