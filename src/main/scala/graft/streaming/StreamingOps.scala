@@ -78,6 +78,32 @@ object StreamingOps {
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Continuous corpus landing: arriving documents are hash-addressed
+    * to their training shard (t32's multiplicative-hash formula — the
+    * SAME shard a batch layout would assign) and appended as
+    * `shard=K/` parquet partitions, exactly-once via the checkpoint.
+    * The within-shard md5 ORDER is a batch-finalization property
+    * (position needs ranking); the streaming path lands the rows in
+    * the right shard dirs as they arrive, and a final batch
+    * `shard`-statement pass (or Sinks.saveShards) seals positions
+    * when the corpus freezes — the standard lambda split for a
+    * continuously-ingested training set. */
+  def streamShards(docs: DataFrame, idCol: String, nShards: Int,
+      path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    docs
+      .withColumn("shard",
+        ((col(idCol) % lit(1000000L)) * lit(2654435761L)) % lit(nShards.toLong))
+      .writeStream
+      .partitionBy("shard")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** Realtime CSV export (the reference's saver goroutine writes rows
     * as the query produces them, files.go:85-156): a streaming
     * pass-through to a CSV sink — rows land on disk per micro-batch,

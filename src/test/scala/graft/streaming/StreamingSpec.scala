@@ -96,6 +96,35 @@ class StreamingSpec extends SparkSpec {
       batch.exceptAll(streamed).count() == 0)
   }
 
+  test("continuous shard landing assigns every doc its batch shard") {
+    val out = "/tmp/graft_stream_shards"
+    val ckpt = "/tmp/graft_stream_shards_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val q = StreamingOps.streamShards(
+      StreamingOps.readDocuments(spark, sf0001)
+        .select(org.apache.spark.sql.functions.col("doc_id")),
+      "doc_id", 4, out, ckpt)
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(out)
+    val docs = Tables(spark, sf0001, "documents")
+    assert(back.count() == docs.count())
+    // every row landed in the shard the batch layout assigns
+    import org.apache.spark.sql.functions._
+    assert(back.filter(
+      ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(4L)
+        =!= col("shard")).count() == 0)
+    // exactly-once: a second AvailableNow pass over the same source
+    // appends nothing (the checkpoint remembers the processed files)
+    val q2 = StreamingOps.streamShards(
+      StreamingOps.readDocuments(spark, sf0001)
+        .select(org.apache.spark.sql.functions.col("doc_id")),
+      "doc_id", 4, out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(out).count() == docs.count(),
+      "replaying the same source must not duplicate rows")
+  }
+
   test("streaming session windows match the batch session_window plan") {
     val stream = StreamingOps.readEvents(spark, sf0001)
     // complete mode for the same reason as the hourly test: one
