@@ -20,16 +20,28 @@ object Lexer {
 
   /** Keywords after which a table path may appear — path tokens (words
     * continuing through '/' and '.') are only lexed in that context;
-    * anywhere else '/' is division and '.' is member access. */
-  private val tableContext = Set("from", "join", "sjoin", "bjoin")
+    * anywhere else '/' is division and '.' is member access.
+    * `profile` is the one statement whose table follows the keyword
+    * directly (no `from`). */
+  private val tableContext = Set("from", "join", "sjoin", "bjoin", "profile")
   private def pathChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_' || c == '-' || c == '/' || c == '.' || c == '~'
 
   def tokenize(input: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var last: Tok = EOF
-    def emit(t: Tok): Unit = { out += t; last = t }
+    // `profile` enables path mode only when it IS the statement's
+    // first token (the statement form) — a COLUMN named profile
+    // followed by '/' must stay arithmetic
+    var prevText: String = ";" // virtual statement start
+    var lastIsStmtInitial = false
+    def emit(t: Tok): Unit = {
+      lastIsStmtInitial = prevText == ";"
+      prevText = t.text
+      out += t; last = t
+    }
     def inTableCtx: Boolean = last match {
+      case Word(w) if w.equalsIgnoreCase("profile") => lastIsStmtInitial
       case Word(w) => tableContext(w.toLowerCase)
       case _ => false
     }

@@ -34,4 +34,18 @@ class LexerSpec extends AnyFunSuite {
     assert(rel.collect { case Word(w) if w.contains("/") || w.contains(".") => w } ==
       Vector("data/file.csv", "other.csv"))
   }
+
+  test("statement-initial profile takes a path; a profile COLUMN divides") {
+    val stmt = tokenize("profile /tmp/x.csv")
+    assert(stmt.collect { case Word(w) if w.startsWith("/") => w } ==
+      Vector("/tmp/x.csv"))
+    // second statement after ';' is statement-initial too
+    val multi = tokenize("select a from t; profile data/docs.parquet")
+    assert(multi.collect { case Word(w) if w.contains("/") => w } ==
+      Vector("data/docs.parquet"))
+    // a column named profile followed by '/' stays arithmetic
+    val div = tokenize("select profile / 2 from t")
+    assert(div.contains(Op("/")))
+    assert(!div.exists { case Word(w) => w.contains("/"); case _ => false })
+  }
 }

@@ -525,6 +525,27 @@ class PlannerSpec extends SparkSpec {
       "chunk ids must be dense per doc")
   }
 
+  test("pipeline statements run on inferred-schema CSV sources") {
+    val p = "/tmp/graft_stmt_docs.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      """id,body
+        |1,alpha beta gamma delta
+        |2,alpha beta gamma delta
+        |3,epsilon zeta
+        |""".stripMargin)
+    // the CSV lattice infers id as int — good enough for the id-hash
+    // statements; column names are matched case-insensitively and
+    // renamed to the builders' contract internally
+    val ch = g.sql(s"chunk id, body from $p size 2 overlap 0")
+    assert(ch.count() == 5, "2+2+1 chunks over the three docs")
+    val de = g.sql(s"dedup exact id, body from $p")
+    assert(de.count() == 2 && de.filter("n_copies = 2").count() == 1)
+    val sp = g.sql(s"split id from $p into 80 10 10")
+    assert(sp.count() == 3)
+    val pr = g.sql(s"profile $p")
+    assert(pr.count() == 2, "one profile row per CSV column")
+  }
+
   test("pipeline statements compose in a multi-statement script") {
     val rs = g.sqlAll(
       "sample doc_id from documents pct 25; profile documents; chunk doc_id, text from documents size 32 overlap 8")
