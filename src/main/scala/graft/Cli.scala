@@ -49,6 +49,7 @@ object Cli {
     var saveShards: Option[String] = None
     var saveParquet: Option[String] = None
     var partitionBy: Option[String] = None
+    var coalesceN: Option[Int] = None
     var password: Option[String] = None
     var i = 0
     def value(flag: String): String = {
@@ -68,6 +69,7 @@ object Cli {
         case "--save-shards" => saveShards = Some(value("--save-shards"))
         case "--save-parquet" => saveParquet = Some(value("--save-parquet"))
         case "--partition-by" => partitionBy = Some(value("--partition-by"))
+        case "--coalesce" => coalesceN = Some(value("--coalesce").toInt)
         case "--password" => password = Some(value("--password"))
         case other => sys.error(s"unknown argument: $other")
       }
@@ -110,6 +112,9 @@ object Cli {
       sys.error("--save, --save-dir, --save-shards and --save-parquet are mutually exclusive")
     if (partitionBy.isDefined && saveParquet.isEmpty)
       sys.error("--partition-by requires --save-parquet")
+    if (coalesceN.isDefined && saveParquet.isEmpty && saveDir.isEmpty)
+      sys.error("--coalesce requires --save-parquet or --save-dir")
+    if (coalesceN.exists(_ < 1)) sys.error("--coalesce must be at least 1")
     (save, saveDir) match {
       case _ if saveParquet.isDefined =>
         // parquet dataset per statement — the format a downstream
@@ -120,7 +125,12 @@ object Cli {
         val base = saveParquet.get
         Sinks.savePaths(base, results.size).map(_.stripSuffix(".csv"))
           .zip(results).foreach { case (p, df) =>
-            val w = df.write.mode("overwrite")
+            // --coalesce N caps output files — the small-files
+            // compaction primitive: `-c "select * from <dir>"
+            // --save-parquet <dest> --coalesce 8` rewrites a
+            // fragmented dataset into N files without a shuffle
+            val dfn = coalesceN.fold(df)(df.coalesce)
+            val w = dfn.write.mode("overwrite")
             partitionBy.fold(w)(c => w.partitionBy(c.split(",").toIndexedSeq: _*))
               .parquet(p)
             System.err.println(s"saved $p/")
@@ -144,7 +154,8 @@ object Cli {
         // parallel mode: each partition writes its own part file
         Sinks.savePaths(base, results.size).map(_.stripSuffix(".csv"))
           .zip(results).foreach { case (p, df) =>
-            Sinks.saveCsvDir(df, p); System.err.println(s"saved $p/")
+            Sinks.saveCsvDir(coalesceN.fold(df)(df.coalesce), p)
+            System.err.println(s"saved $p/")
           }
       case _ =>
         results.foreach(Sinks.printCsv(_))
