@@ -9,7 +9,7 @@ import graft.sources.Sinks
   * CSV/parquet tables and print/save CSV results.
   *
   * Usage:
-  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH | --save-shards PATH | --save-parquet PATH [--partition-by cols]] [--password PW]
+  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH | --save-shards PATH | --save-parquet PATH [--partition-by cols]] [--coalesce N] [--password PW]
   *   echo "select ..." | sbt 'runMain graft.Cli [--dir DIR]'
   *     (plain sbt or direct java/spark-submit — sbt's -batch mode
   *     consumes stdin for its own command stream)

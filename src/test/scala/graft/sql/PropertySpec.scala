@@ -14,6 +14,31 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
     Iterator.continually(g.sample).flatten.take(n).toSeq
 
+  test("trainSplit bucket arithmetic: splits partition every id, monotone in pct") {
+    // pure integer replay of the builder's formula — both engines run
+    // this exact arithmetic, so the property proves the CONTRACT the
+    // oracle mirror relies on, not an implementation detail
+    def bucket(id: Long): Long = ((id % 1000000L) * 2654435761L) % 100L
+    val pcts = samples(for {
+      a <- Gen.choose(1L, 98L)
+      b <- Gen.choose(1L, 99L - a)
+    } yield (a, b), 100)
+    val ids = (0L until 3000L) ++ Seq(999999L, 1000000L, Long.MaxValue / 2654435761L)
+    pcts.foreach { case (p1, p2) =>
+      ids.foreach { id =>
+        val b = bucket(id)
+        val splits = Seq(b < p1, b >= p1 && b < p1 + p2, b >= p1 + p2)
+        assert(splits.count(identity) == 1,
+          s"id $id (bucket $b) must land in exactly one split for ($p1, $p2)")
+      }
+      // monotone: growing the train share never ejects a train row
+      if (p1 < 98) {
+        val grew = ids.filter(id => bucket(id) < p1)
+        assert(grew.forall(id => bucket(id) < p1 + 1))
+      }
+    }
+  }
+
   test("duration parse/format round-trips whole-second durations") {
     samples(Gen.choose(1L, 1000000L)).foreach { secs =>
       val d = java.time.Duration.ofSeconds(secs)
