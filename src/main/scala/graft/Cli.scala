@@ -9,7 +9,7 @@ import graft.sources.Sinks
   * CSV/parquet tables and print/save CSV results.
   *
   * Usage:
-  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH | --save-shards PATH | --save-parquet PATH [--partition-by cols]] [--coalesce N] [--password PW]
+  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH | --save-shards PATH | --save-parquet PATH [--partition-by cols]] [--coalesce N] [--explain] [--password PW]
   *   echo "select ..." | sbt 'runMain graft.Cli [--dir DIR]'
   *     (plain sbt or direct java/spark-submit — sbt's -batch mode
   *     consumes stdin for its own command stream)
@@ -50,6 +50,7 @@ object Cli {
     var saveParquet: Option[String] = None
     var partitionBy: Option[String] = None
     var coalesceN: Option[Int] = None
+    var explainOnly: Boolean = false
     var password: Option[String] = None
     var i = 0
     def value(flag: String): String = {
@@ -70,6 +71,7 @@ object Cli {
         case "--save-parquet" => saveParquet = Some(value("--save-parquet"))
         case "--partition-by" => partitionBy = Some(value("--partition-by"))
         case "--coalesce" => coalesceN = Some(value("--coalesce").toInt)
+        case "--explain" => explainOnly = true; i += 1
         case "--password" => password = Some(value("--password"))
         case other => sys.error(s"unknown argument: $other")
       }
@@ -107,6 +109,17 @@ object Cli {
         .map(new String(_))) { pw =>
       val session = new GraftSession(spark, dir, pw)
       statements.map(session.sql)
+    }
+    if (explainOnly) {
+      // plan inspection without execution — the CLI twin of the web
+      // console's POST /explain/: formatted physical plans show
+      // PushedFilters/PartitionFilters/broadcasts before any job runs
+      results.zipWithIndex.foreach { case (df, i) =>
+        println(s"-- statement ${i + 1} --")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+      spark.stop(); return
     }
     if (Seq(save, saveDir, saveShards, saveParquet).count(_.isDefined) > 1)
       sys.error("--save, --save-dir, --save-shards and --save-parquet are mutually exclusive")
