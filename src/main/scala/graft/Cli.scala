@@ -9,7 +9,7 @@ import graft.sources.Sinks
   * CSV/parquet tables and print/save CSV results.
   *
   * Usage:
-  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH | --save-shards PATH | --save-parquet PATH [--partition-by cols]] [--coalesce N] [--explain] [--password PW]
+  *   runMain graft.Cli -c "select ..." [--dir DIR] [--save PATH | --save-dir PATH | --save-shards PATH | --save-parquet PATH [--partition-by cols] | --save-jsonl PATH] [--coalesce N] [--explain] [--password PW]
   *   echo "select ..." | sbt 'runMain graft.Cli [--dir DIR]'
   *     (plain sbt or direct java/spark-submit — sbt's -batch mode
   *     consumes stdin for its own command stream)
@@ -48,6 +48,7 @@ object Cli {
     var saveDir: Option[String] = None
     var saveShards: Option[String] = None
     var saveParquet: Option[String] = None
+    var saveJsonl: Option[String] = None
     var partitionBy: Option[String] = None
     var coalesceN: Option[Int] = None
     var explainOnly: Boolean = false
@@ -69,6 +70,7 @@ object Cli {
         case "--save-dir" => saveDir = Some(value("--save-dir"))
         case "--save-shards" => saveShards = Some(value("--save-shards"))
         case "--save-parquet" => saveParquet = Some(value("--save-parquet"))
+        case "--save-jsonl" => saveJsonl = Some(value("--save-jsonl"))
         case "--partition-by" => partitionBy = Some(value("--partition-by"))
         case "--coalesce" => coalesceN = Some(value("--coalesce").toInt)
         case "--explain" => explainOnly = true; i += 1
@@ -121,12 +123,13 @@ object Cli {
       }
       spark.stop(); return
     }
-    if (Seq(save, saveDir, saveShards, saveParquet).count(_.isDefined) > 1)
-      sys.error("--save, --save-dir, --save-shards and --save-parquet are mutually exclusive")
+    if (Seq(save, saveDir, saveShards, saveParquet, saveJsonl).count(_.isDefined) > 1)
+      sys.error("--save, --save-dir, --save-shards, --save-parquet and --save-jsonl are mutually exclusive")
     if (partitionBy.isDefined && saveParquet.isEmpty)
       sys.error("--partition-by requires --save-parquet")
-    if (coalesceN.isDefined && saveParquet.isEmpty && saveDir.isEmpty)
-      sys.error("--coalesce requires --save-parquet or --save-dir")
+    if (coalesceN.isDefined && saveParquet.isEmpty && saveDir.isEmpty &&
+        saveJsonl.isEmpty)
+      sys.error("--coalesce requires --save-parquet, --save-jsonl or --save-dir")
     if (coalesceN.exists(_ < 1)) sys.error("--coalesce must be at least 1")
     (save, saveDir) match {
       case _ if saveParquet.isDefined =>
@@ -146,6 +149,15 @@ object Cli {
             val w = dfn.write.mode("overwrite")
             partitionBy.fold(w)(c => w.partitionBy(c.split(",").toIndexedSeq: _*))
               .parquet(p)
+            System.err.println(s"saved $p/")
+          }
+      case _ if saveJsonl.isDefined =>
+        // JSON-lines dataset per statement — the interchange format of
+        // most open text-corpus releases; parallel partitioned write
+        val base = saveJsonl.get
+        Sinks.savePaths(base, results.size).map(_.stripSuffix(".csv"))
+          .zip(results).foreach { case (p, df) =>
+            coalesceN.fold(df)(df.coalesce).write.mode("overwrite").json(p)
             System.err.println(s"saved $p/")
           }
       case _ if saveShards.isDefined =>
