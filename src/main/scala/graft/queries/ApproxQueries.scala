@@ -402,6 +402,34 @@ object ApproxQueries {
             lit(3 * 0.02) * col("exact_users").cast(DoubleType)).as("users_ok")),
       Some("""SELECT event_type,
              |CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-             |true AS users_ok FROM events GROUP BY event_type""".stripMargin)))
+             |true AS users_ok FROM events GROUP BY event_type""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES): each doc gets key = ln(u)/w with u a DETERMINISTIC
+    // hash-uniform in (0,1] and w = n_chars; the global top-100 keys
+    // ARE an exact weighted sample — reproducible on any cluster size
+    // (never RNG, the t05/t06 discipline applied to weighted draws).
+    // The key is per-row arithmetic; the only global step is a
+    // LIMIT-bounded TakeOrderedAndProject, so 100 TB streams through
+    // one narrow pass and ships 100 rows. The ln(u) libm call feeds a
+    // DECIMAL(38,6) rounding that absorbs sub-1e-6 engine deltas
+    // BEFORE the ordering (t24's rounded-ordering-key pattern);
+    // doc_id breaks the remaining exact ties.
+    Q("x10_weighted_sample",
+      (s, dir) => {
+        val u = ((col("doc_id") * lit(2654435761L)) % lit(1000003L) + lit(1L))
+          .cast(DoubleType) / lit(1000004.0)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            (log(u) / greatest(col("n_chars"), lit(1L)).cast(DoubleType))
+              .cast(graft.core.Det.dec).as("wkey"))
+          .orderBy(col("wkey").desc, col("doc_id").asc)
+          .limit(100)
+      },
+      Some("""SELECT doc_id, n_chars,
+             |  CAST(ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+             |    / CAST(greatest(n_chars, 1) AS DOUBLE) AS DECIMAL(38,6)) AS wkey
+             |FROM documents
+             |ORDER BY wkey DESC, doc_id ASC LIMIT 100""".stripMargin)))
   }
 }

@@ -461,7 +461,56 @@ object EventQueries {
         q.processAllAvailable(); q.stop()
         s.table(sink)
       },
-      Some(slidingOracle))
+      Some(slidingOracle)),
+
+    // Rolling anomaly detection — e11's burst rule made drift-adaptive:
+    // each hourly (type, hour) count is scored against the TRAILING 24
+    // buckets' mean/stdev (ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING —
+    // the current bucket never contaminates its own baseline), so a
+    // diurnal corpus flags local spikes where e11's global mean+2σ
+    // misses them. One hourly agg, then a type-keyed window over the
+    // (types × hours)-sized FRAME, never events; the trailing moments
+    // come from Det decimal sums, so mean/sd/z are bit-identical on
+    // any partitioning. Buckets with <12 trailing baselines emit
+    // is_anomaly = false (warm-up; both engines).
+    Q("e22_rolling_anomaly",
+      (s, dir) => {
+        val hourly = Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("ws"), col("event_type"), col("n"))
+        val fr = Window.partitionBy(col("event_type")).orderBy(col("ws").asc)
+          .rowsBetween(-24, -1)
+        val dec = Det.dec
+        val np = count(col("n")).over(fr).cast(DoubleType)
+        val sx = sum(col("n").cast(dec)).over(fr).cast(DoubleType)
+        val sq = sum((col("n") * col("n")).cast(dec)).over(fr).cast(DoubleType)
+        val mu = sx / np
+        val sd = sqrt((sq - sx * sx / np) / (np - lit(1.0)))
+        // the CASE guard keeps the divisions off the warm-up frames
+        // (np < 12), where ANSI mode would reject the 0 divisor
+        hourly
+          .withColumn("n_prev", np.cast(LongType))
+          .select(col("ws"), col("event_type"), col("n"), col("n_prev"),
+            when(col("n_prev") >= 12,
+              sd > 0.0 && col("n").cast(DoubleType) > mu + lit(2.0) * sd)
+              .otherwise(lit(false)).as("is_anomaly"))
+      },
+      Some("""WITH hourly AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+             |  event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT ws, event_type, n,
+             |  CAST(count(n) OVER fr AS DOUBLE) AS np,
+             |  CAST(SUM(CAST(n AS DECIMAL(38,6))) OVER fr AS DOUBLE) AS sx,
+             |  CAST(SUM(CAST(n * n AS DECIMAL(38,6))) OVER fr AS DOUBLE) AS sq
+             |  FROM hourly
+             |  WINDOW fr AS (PARTITION BY event_type ORDER BY ws ASC
+             |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT ws, event_type, n, CAST(np AS BIGINT) AS n_prev,
+             |  (np >= 12 AND sqrt((sq - sx * sx / np) / (np - 1.0)) > 0.0
+             |   AND CAST(n AS DOUBLE) > sx / np
+             |     + 2.0 * sqrt((sq - sx * sx / np) / (np - 1.0))) AS is_anomaly
+             |FROM r""".stripMargin))
   )
 
   /** e19's builder: 2h/1h sliding-window counts + Det value sums per

@@ -991,7 +991,121 @@ object TextQueries {
           .select(col("doc_id"), col("margin_n"),
             (col("margin_n") >= 0).as("keep"))
       },
-      Some(t25OracleSql))
+      Some(t25OracleSql)),
+
+    // Shingle novelty in doc_id order — "how much of this doc has the
+    // corpus already seen?", the signal a dataset builder reads when
+    // deciding whether a crawl snapshot still adds information (and
+    // the per-doc form of the dedup families' corpus-level counts):
+    // fraction of a doc's DISTINCT word 3-shingles whose first
+    // appearance (min doc_id) is an earlier doc. d09's exact shape —
+    // gram-keyed count + gram-keyed join back through one explicitly
+    // repartitioned explode (ReusedExchange), never doc pairs; docs
+    // with <3 tokens have no shingles and emit nothing (both engines).
+    Q("t37_shingle_novelty",
+      (s, dir) => {
+        val sh = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(
+            shinglesFromHashes(tokenHashes(col("text")), 3))).as("g"))
+          .repartition(col("g"))
+        val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        sh.join(first, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(col("g")).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            (col("n_novel").cast(DoubleType) /
+              col("n_shingles").cast(DoubleType)).as("novelty"))
+      },
+      Some(s"""WITH th AS (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents),
+              |sh AS (SELECT doc_id, unnest(list_distinct(${O.shingles(3)})) AS g FROM th),
+              |fst AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+              |j AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+              |      CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+              |      FROM sh JOIN fst USING (g) GROUP BY doc_id)
+              |SELECT doc_id, n_shingles, n_novel,
+              |  CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+              |FROM j""".stripMargin)),
+
+    // Per-doc unigram (word) entropy — the information-density twin of
+    // t30's type/token diversity: H = Σ (c/n)·ln(n/c) over the doc's
+    // token counts. Formulated so NO trailing libm call touches the
+    // output (t24's lesson): the per-(doc,word) term c·ln(n/c) — ln of
+    // a correctly-rounded ratio of exact integers — feeds the
+    // DECIMAL(38,6) Det sum (absorbing sub-1e-6 libm deltas), and the
+    // final division by n is plain IEEE. Shape: one (doc,word)-keyed
+    // agg with map-side partials, a doc-keyed window for n, one
+    // doc-keyed agg — all linear, no corpus-wide state.
+    Q("t38_token_entropy",
+      (s, dir) => {
+        val c = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        c.withColumn("n", sum(col("c")).over(wd))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_tok"),
+            count(lit(1)).as("n_types"),
+            (sum((col("c").cast(DoubleType) *
+              log(col("n").cast(DoubleType) / col("c").cast(DoubleType)))
+              .cast(graft.core.Det.dec)).cast(DoubleType) /
+              max(col("n")).cast(DoubleType)).as("entropy"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, unnest(${O.toks("text")}) AS word FROM documents),
+              |c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+              |cn AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM c)
+              |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tok,
+              |  CAST(count(*) AS BIGINT) AS n_types,
+              |  CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+              |    AS DECIMAL(38,6))) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS entropy
+              |FROM cn GROUP BY doc_id""".stripMargin)),
+
+    // Corpus Zipf slope — the one-number vocabulary-health check (a
+    // natural corpus fits ln f ≈ a − s·ln r with s ≈ 1; template spam
+    // flattens it, deduped boilerplate steepens it): OLS slope of
+    // ln(freq) on ln(rank) over the top-1000 vocabulary. The corpus
+    // pass is the word-keyed count (map-side partials soak the Zipf
+    // skew); everything after runs on ≤1000 rows — the global sort is
+    // a LIMIT-bounded TakeOrdered, the rank window rides a frame
+    // bounded by that LIMIT, and the moment sums land in Det decimals
+    // so the 1-row answer is bit-identical on any partitioning.
+    Q("t39_zipf_slope",
+      (s, dir) => {
+        val voc = Tables(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("word").asc).limit(1000)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("word").asc)
+        val xy = voc.withColumn("r", row_number().over(w))
+          .select(log(col("r").cast(DoubleType)).as("x"),
+            log(col("c").cast(DoubleType)).as("y"))
+        val dec = graft.core.Det.dec
+        def ds(e: Column) = sum(e.cast(dec)).cast(DoubleType)
+        xy.agg(count(lit(1)).as("n_vocab"),
+            ds(col("x")).as("sx"), ds(col("y")).as("sy"),
+            ds(col("x") * col("y")).as("sxy"), ds(col("x") * col("x")).as("sxx"))
+          .select(col("n_vocab"),
+            ((col("n_vocab").cast(DoubleType) * col("sxy") - col("sx") * col("sy")) /
+              (col("n_vocab").cast(DoubleType) * col("sxx") - col("sx") * col("sx")))
+              .as("slope"))
+      },
+      Some(s"""WITH voc AS (SELECT word, count(*) AS c
+              |  FROM (SELECT unnest(${O.toks("text")}) AS word FROM documents) w
+              |  GROUP BY word ORDER BY c DESC, word ASC LIMIT 1000),
+              |xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, word ASC) AS DOUBLE)) AS x,
+              |       ln(CAST(c AS DOUBLE)) AS y FROM voc),
+              |m AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+              |  CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+              |  CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+              |  CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+              |  CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+              |  FROM xy)
+              |SELECT n_vocab,
+              |  (CAST(n_vocab AS DOUBLE) * sxy - sx * sy)
+              |    / (CAST(n_vocab AS DOUBLE) * sxx - sx * sx) AS slope
+              |FROM m""".stripMargin))
   )
 
   /** t25's oracle: exact integer margin with the frozen nano-weights

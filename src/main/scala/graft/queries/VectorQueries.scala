@@ -1221,8 +1221,126 @@ object VectorQueries {
            |(SELECT q_id, n_id, ip, CAST(row_number() OVER
            |   (PARTITION BY q_id ORDER BY ip DESC, n_id ASC) AS BIGINT) AS rank
            | FROM scores) WHERE rank <= 10""".stripMargin
-      })
+      }),
+
+    // Binary (sign-bit) quantization — the 1-bit-per-dim rung below
+    // SQ's 8 bits (v14) and PQ's ~4 (v09): code bit i = sign of dim i,
+    // packed as two 32-dim halves folded MSB-first into BIGINTs (a
+    // 64-dim vector becomes 8 bytes — 32× smaller than the float32
+    // row). Pure per-row fold, zero exchanges; the halves keep every
+    // value < 2^32 so neither engine touches the BIGINT sign bit.
+    Q("v25_binary_codes",
+      (s, dir) => Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          binaryCode(col("embedding"), 0, 32).as("code_lo"),
+          binaryCode(col("embedding"), 32, 32).as("code_hi")),
+      Some(s"""SELECT vec_id, ${binaryCodeSql(0, 32)} AS code_lo,
+              |${binaryCodeSql(32, 32)} AS code_hi
+              |FROM embeddings""".stripMargin)),
+
+    // Hamming-distance top-k over the v25 codes — the CODES-ONLY
+    // search pass of binary quantization: the corpus side scans 16
+    // bytes per vector (two BIGINTs), distance is two XOR+popcount
+    // instructions, and the query panel broadcasts exactly like v01.
+    // Integer distances make the gate ulp-proof; ties (Hamming is
+    // coarse: 0..64) break on n_id, the same total order both
+    // engines replay. WindowGroupLimit prunes to k per query
+    // pre-shuffle, as in v01/v18.
+    Q("v26_hamming_topk",
+      (s, dir) => {
+        val codes = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            binaryCode(col("embedding"), 0, 32).as("lo"),
+            binaryCode(col("embedding"), 32, 32).as("hi"))
+        val q = codes.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+        val sims = codes
+          .select(col("vec_id").as("n_id"), col("lo"), col("hi"))
+          .join(broadcast(q), col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+              bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("hamming").asc, col("n_id").asc)
+        sims.withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 10)
+      },
+      Some(s"""WITH codes AS (SELECT vec_id, ${binaryCodeSql(0, 32)} AS lo,
+              |  ${binaryCodeSql(32, 32)} AS hi FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi
+              |      FROM codes WHERE vec_id < 5),
+              |sims AS (SELECT q_id, vec_id AS n_id,
+              |  CAST(bit_count(xor(lo, q_lo)) + bit_count(xor(hi, q_hi)) AS BIGINT) AS hamming
+              |  FROM codes JOIN q ON q_id != vec_id)
+              |SELECT q_id, n_id, hamming, rank FROM
+              |(SELECT q_id, n_id, hamming, CAST(row_number() OVER
+              |   (PARTITION BY q_id ORDER BY hamming ASC, n_id ASC) AS BIGINT) AS rank
+              | FROM sims) WHERE rank <= 10""".stripMargin)),
+
+    // Matryoshka truncation eval — recall@5 of PREFIX-dim cosine
+    // search (first 16 of 64 dims, the matryoshka-embedding deploy
+    // trick: truncate, don't retrain) against the full-dim exact
+    // truth. v19's gate shape (integer hits/k per panel query); the
+    // truncated side reads a 4× narrower vector but runs the same
+    // broadcast-panel scan, so the eval costs one corpus pass.
+    Q("v27_matryoshka_recall",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val truth = bruteKnn(s, dir, 5).select(col("q_id"), col("n_id"))
+        val qt = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), slice(col("embedding"), 1, 16).as("q_emb"))
+        val ct = e.select(col("vec_id").as("n_id"), slice(col("embedding"), 1, 16).as("n_emb"))
+        val sims = ct.join(broadcast(qt), col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            cosine(col("q_emb"), col("n_emb")).as("sim"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id").asc)
+        val trunc = sims.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5).select(col("q_id"), col("n_id"))
+        val hits = truth.join(trunc, Seq("q_id", "n_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+        truth.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+            col("k"))
+      },
+      Some(s"""WITH truth AS (SELECT q_id, n_id FROM (${bruteKnnSql(5)})),
+              |qt AS (SELECT vec_id AS q_id, embedding[1:16] AS q_emb
+              |       FROM embeddings WHERE vec_id < 5),
+              |ct AS (SELECT vec_id AS n_id, embedding[1:16] AS n_emb FROM embeddings),
+              |sims AS (SELECT q_id, n_id, ${cosineSql("q_emb", "n_emb")} AS sim
+              |         FROM ct JOIN qt ON q_id != n_id),
+              |trunc AS (SELECT q_id, n_id FROM
+              |  (SELECT q_id, n_id, row_number() OVER
+              |     (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+              |   FROM sims) WHERE rank <= 5),
+              |h AS (SELECT truth.q_id, count(*) AS hits
+              |      FROM truth JOIN trunc ON truth.q_id = trunc.q_id
+              |                           AND truth.n_id = trunc.n_id
+              |      GROUP BY truth.q_id)
+              |SELECT t.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+              |  CAST(count(*) AS BIGINT) AS k
+              |FROM truth t LEFT JOIN h ON t.q_id = h.q_id
+              |GROUP BY t.q_id, h.hits""".stripMargin))
   )
+
+  /** Sign-bit code of dims [from, from+n): MSB-first fold acc*2+bit,
+    * bit = (dim > 0). Mirrored verbatim by [[binaryCodeSql]]. */
+  def binaryCode(emb: Column, from: Int, n: Int): Column =
+    aggregate(
+      transform(sequence(lit(from), lit(from + n - 1)),
+        i => when(element_at(emb,
+          (i + 1).cast(org.apache.spark.sql.types.IntegerType)) > 0f,
+          lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc * lit(2L) + b)
+
+  /** DuckDB mirror of [[binaryCode]] (1-based list indexing). */
+  def binaryCodeSql(from: Int, n: Int, emb: String = "embedding"): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range($from, ${from + n}), bi ->
+       |    CASE WHEN $emb[bi + 1] > 0 THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END)),
+       |  (ba, bb) -> ba * 2 + bb)""".stripMargin
 
   /** v18's builder on an arbitrary (vec_id, embedding) frame — shared
     * with ScaleProbe; queries stay the 5 base-copy ids, so the probe
