@@ -416,20 +416,34 @@ object ApproxQueries {
     // BEFORE the ordering (t24's rounded-ordering-key pattern);
     // doc_id breaks the remaining exact ties.
     Q("x10_weighted_sample",
-      (s, dir) => {
-        val u = ((col("doc_id") * lit(2654435761L)) % lit(1000003L) + lit(1L))
-          .cast(DoubleType) / lit(1000004.0)
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), col("n_chars"),
-            (log(u) / greatest(col("n_chars"), lit(1L)).cast(DoubleType))
-              .cast(graft.core.Det.dec).as("wkey"))
-          .orderBy(col("wkey").desc, col("doc_id").asc)
-          .limit(100)
-      },
-      Some("""SELECT doc_id, n_chars,
-             |  CAST(ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
-             |    / CAST(greatest(n_chars, 1) AS DOUBLE) AS DECIMAL(38,6)) AS wkey
-             |FROM documents
-             |ORDER BY wkey DESC, doc_id ASC LIMIT 100""".stripMargin)))
+      (s, dir) => weightedSample(
+        Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", 100),
+      Some(weightedSampleOracle("n_chars", 100))))
   }
+
+  /** x10's builder on an arbitrary (doc_id, weight) frame — shared
+    * with the dialect `sample … top n by w` statement. Key = ln(u)/w
+    * with u the deterministic doc_id hash-uniform, rounded through
+    * DECIMAL(38,6) before ordering so both engines replay the same
+    * total order; the global step is a LIMIT-bounded TakeOrdered. */
+  def weightedSample(docs: org.apache.spark.sql.DataFrame, wCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(1000003L) + lit(1L))
+      .cast(DoubleType) / lit(1000004.0)
+    docs
+      .select(col("doc_id"), col(wCol),
+        (log(u) / greatest(col(wCol), lit(1L)).cast(DoubleType))
+          .cast(graft.core.Det.dec).as("wkey"))
+      .orderBy(col("wkey").desc, col("doc_id").asc)
+      .limit(n)
+  }
+
+  /** DuckDB mirror of [[weightedSample]] over `documents`. */
+  def weightedSampleOracle(wCol: String, n: Int): String =
+    s"""SELECT doc_id, $wCol,
+       |  CAST(ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+       |    / CAST(greatest($wCol, 1) AS DOUBLE) AS DECIMAL(38,6)) AS wkey
+       |FROM documents
+       |ORDER BY wkey DESC, doc_id ASC LIMIT $n""".stripMargin
 }

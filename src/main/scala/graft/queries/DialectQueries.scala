@@ -482,6 +482,21 @@ object DialectQueries {
     // sequence length exercises the size plumbing.
     Q("s38_dialect_pack",
       sql("pack doc_id, text from documents size 256"),
-      Some(TextQueries.seqPackOracle(256L)))
+      Some(TextQueries.seqPackOracle(256L))),
+
+    // Weighted sampling on the dialect surface: `sample … top n by w`
+    // lowers VERBATIM to the x10 builder (Efraimidis–Spirakis-keyed
+    // deterministic draw, LIMIT-bounded TakeOrdered — pinned in
+    // PlanSpec); a non-default n exercises the top plumbing.
+    Q("s39_dialect_weighted_sample",
+      sql("sample doc_id from documents top 50 by n_chars"),
+      Some(ApproxQueries.weightedSampleOracle("n_chars", 50))),
+
+    // Binary quantization on the dialect surface: `quantize` lowers
+    // VERBATIM to the v25 builder (two packed sign-bit BIGINT halves,
+    // zero exchanges — pinned in PlanSpec).
+    Q("s40_dialect_quantize",
+      sql("quantize vec_id, embedding from embeddings"),
+      Some(VectorQueries.binaryCodesOracle))
   )
 }

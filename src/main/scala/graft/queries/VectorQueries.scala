@@ -613,18 +613,9 @@ object VectorQueries {
     * with the v05 tie-break (csim DESC, cell ASC). */
   def ivfUpsert(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    val existing = e.filter(col("vec_id") % 7 =!= 3)
     val batch = e.filter(col("vec_id") % 7 === 3)
       .select(col("vec_id"), col("embedding"))
-    val cents = existing
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("label"), col("pos").cast(LongType).as("pos"), col("x"))
-      .groupBy(col("label"), col("pos"))
-      .agg(Det.davg(col("x")).as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("centroid"))
-    val scored = batch.crossJoin(broadcast(cents))
+    val scored = batch.crossJoin(broadcast(upsertCentroidTable(s, dir)))
       .select(col("vec_id"), col("label"),
         cosine(col("centroid"), col("embedding")).as("csim"))
     val wa = Window.partitionBy(col("vec_id"))
@@ -633,6 +624,30 @@ object VectorQueries {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label").as("cell"), col("csim"))
   }
+
+  /** The FROZEN index side of [[ivfUpsert]]: per-label mean centroids
+    * over the existing corpus (vec_id % 7 != 3) — (label, centroid)
+    * rows, k of them. Shared by the batch upsert and the streaming
+    * ingest twin (StreamingOps.ivfAssign collects these k·d doubles
+    * and re-broadcasts them as literals, preserving every bit). */
+  def upsertCentroidTable(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") % 7 =!= 3)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos").cast(LongType).as("pos"), col("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg(Det.davg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  /** [[upsertCentroidTable]] collected to driver values: (label,
+    * centroid) pairs, k·d doubles — the "frozen index" a streaming
+    * ingest job ships to executors as literals. */
+  def collectUpsertCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    upsertCentroidTable(s, dir).collect().toSeq
+      .map(r => (r.getAs[Int]("label"), r.getSeq[Double](1)))
+      .sortBy(_._1)
 
   /** DuckDB mirror of [[ivfUpsert]] (same via-DOUBLE decimal cast
     * discipline as centroidRowsSql). */
@@ -1230,13 +1245,9 @@ object VectorQueries {
     // row). Pure per-row fold, zero exchanges; the halves keep every
     // value < 2^32 so neither engine touches the BIGINT sign bit.
     Q("v25_binary_codes",
-      (s, dir) => Tables(s, dir, "embeddings")
-        .select(col("vec_id"),
-          binaryCode(col("embedding"), 0, 32).as("code_lo"),
-          binaryCode(col("embedding"), 32, 32).as("code_hi")),
-      Some(s"""SELECT vec_id, ${binaryCodeSql(0, 32)} AS code_lo,
-              |${binaryCodeSql(32, 32)} AS code_hi
-              |FROM embeddings""".stripMargin)),
+      (s, dir) => binaryCodes(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
+      Some(binaryCodesOracle)),
 
     // Hamming-distance top-k over the v25 codes — the CODES-ONLY
     // search pass of binary quantization: the corpus side scans 16
@@ -1321,8 +1332,50 @@ object VectorQueries {
               |SELECT t.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
               |  CAST(count(*) AS BIGINT) AS k
               |FROM truth t LEFT JOIN h ON t.q_id = h.q_id
-              |GROUP BY t.q_id, h.hits""".stripMargin))
+              |GROUP BY t.q_id, h.hits""".stripMargin)),
+
+    // v21's STREAMING twin as a driver-visible gate (the e16 pattern
+    // applied to vector ingest): the frozen index's centroids are
+    // collected once (k·d doubles), the embeddings table arrives as a
+    // stream, and each batch vector takes its argmax cell in a
+    // STATELESS per-row pass (StreamingOps.ivfAssign) — append mode,
+    // no state, no watermark. The emitted table is hash-gated against
+    // v21's own DuckDB oracle, proving continuous ingest ≡ batch
+    // upsert bit-for-bit (cosine doubles included).
+    Q("v28_ivf_stream",
+      (s, dir) => {
+        val cents = collectUpsertCentroids(s, dir)
+        val sink = "graft_v28_sink_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val q = graft.streaming.StreamingOps.ivfAssign(
+            graft.streaming.StreamingOps.readEmbeddings(s, dir)
+              .filter(col("vec_id") % 7 === 3)
+              .select(col("vec_id"), col("embedding")), cents)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        s.table(sink)
+      },
+      Some(ivfUpsertSql))
   )
+
+  /** v25's builder on an arbitrary (vec_id, embedding) frame — shared
+    * with the dialect `quantize` statement: the two packed sign-bit
+    * halves of the first 64 dims. Pure per-row fold, zero exchanges;
+    * vectors shorter than 64 dims error at runtime (ANSI element_at). */
+  def binaryCodes(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      binaryCode(col("embedding"), 0, 32).as("code_lo"),
+      binaryCode(col("embedding"), 32, 32).as("code_hi"))
+
+  /** DuckDB mirror of [[binaryCodes]] over `embeddings` (a def, not a
+    * val — `all` above interpolates it at object init). */
+  def binaryCodesOracle: String =
+    s"""SELECT vec_id, ${binaryCodeSql(0, 32)} AS code_lo,
+       |${binaryCodeSql(32, 32)} AS code_hi
+       |FROM embeddings""".stripMargin
 
   /** Sign-bit code of dims [from, from+n): MSB-first fold acc*2+bit,
     * bit = (dim > 0). Mirrored verbatim by [[binaryCodeSql]]. */

@@ -129,7 +129,16 @@ object Ast {
     * default 10) by deterministic bucket of the id. Emits the id
     * column only. */
   final case class SampleStmt(idCol: String, from: FromClause,
-      pct: Long = 10L) extends Stmt
+      pct: Long = 10L, topN: Option[Long] = None,
+      weightCol: Option[String] = None) extends Stmt
+
+  /** `quantize <idCol>[,] <vecCol> from <table>` — v25's binary
+    * (sign-bit) quantization on the SQL surface: the first 64 dims
+    * packed as two BIGINT halves (code_lo dims 0-31, code_hi 32-63) —
+    * 8 bytes per vector, Hamming-searchable with XOR+popcount. Emits
+    * (vec_id, code_lo, code_hi); pure per-row fold, zero exchanges. */
+  final case class QuantizeStmt(idCol: String, vecCol: String,
+      from: FromClause) extends Stmt
 
   /** `pack <idCol>[,] <textCol> from <table> [size <l>]` — t11's
     * GPT-style sequence packing on the SQL surface: corpus tokens

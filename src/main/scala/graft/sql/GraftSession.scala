@@ -148,6 +148,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
       case s: Ast.ChunkStmt => planner.planChunk(s)
       case s: Ast.SampleStmt => planner.planSample(s)
       case s: Ast.PackStmt => planner.planPack(s)
+      case s: Ast.QuantizeStmt => planner.planQuantize(s)
     }
   }
 

@@ -60,9 +60,12 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "chunk")) { advance(); parseChunk() }
     else if (matches(peek, "sample")) { advance(); parseSample() }
     else if (matches(peek, "pack")) { advance(); parsePack() }
+    else if (matches(peek, "quantize")) { advance(); parseQuantize() }
     else parseQuery()
 
-  /** `sample <idCol> from <table> [nh] [pct <n>]`. */
+  /** `sample <idCol> from <table> [nh] [pct <n> | top <n> by <w>]` —
+    * the `top … by` form is the weighted draw (Efraimidis–Spirakis,
+    * x10): the n rows selected by deterministic weighted keys. */
   private def parseSample(): SampleStmt = {
     val idCol = peek match {
       case _: Word => advance().text
@@ -72,12 +75,45 @@ final class Parser(toks: Vector[Tok]) {
     val table = parseTableRef()
     var noHeader = prefixNh
     while (accept("nh") || accept("noheader")) noHeader = true
-    val pct = if (accept("pct")) parseNumber() else 10L
-    if (pct < 1 || pct > 99)
-      throw ParseError(s"sample pct must be in [1, 99], got $pct")
+    val from = FromClause(table, None, noHeader, intColumns = false, Nil)
+    if (accept("top")) {
+      val n = parseNumber()
+      if (n < 1) throw ParseError(s"sample top must be at least 1, got $n")
+      expect("by")
+      val w = peek match {
+        case _: Word => advance().text
+        case t => throw ParseError(s"expected weight column, found '${t.text}'")
+      }
+      if (!peek.eq(EOF) && peekText != ";")
+        throw ParseError(s"unexpected trailing token '${peek.text}'")
+      SampleStmt(idCol, from, 10L, Some(n), Some(w))
+    } else {
+      val pct = if (accept("pct")) parseNumber() else 10L
+      if (pct < 1 || pct > 99)
+        throw ParseError(s"sample pct must be in [1, 99], got $pct")
+      if (!peek.eq(EOF) && peekText != ";")
+        throw ParseError(s"unexpected trailing token '${peek.text}'")
+      SampleStmt(idCol, from, pct)
+    }
+  }
+
+  /** `quantize <idCol>[,] <vecCol> from <table> [nh]`. */
+  private def parseQuantize(): QuantizeStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val vecCol = colName()
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
     if (!peek.eq(EOF) && peekText != ";")
       throw ParseError(s"unexpected trailing token '${peek.text}'")
-    SampleStmt(idCol, FromClause(table, None, noHeader, intColumns = false, Nil), pct)
+    QuantizeStmt(idCol, vecCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil))
   }
 
   /** `pack <idCol>[,] <textCol> from <table> [nh] [size <l>]`. */

@@ -206,13 +206,43 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     * scan. Requires an integral id. */
   def planSample(st: SampleStmt): DataFrame = {
     val base = resolve(st.from.table, st.from.noHeader)
-    val docs = base.select(named(base, st.idCol, "doc_id"))
-    docs.schema("doc_id").dataType match {
-      case _: LongType | _: IntegerType | _: ShortType | _: ByteType => ()
-      case other => throw PlanError(
-        s"sample: ${st.idCol} must be an integer id column, found $other")
+    def requireIntegralId(df: DataFrame): Unit =
+      df.schema("doc_id").dataType match {
+        case _: LongType | _: IntegerType | _: ShortType | _: ByteType => ()
+        case other => throw PlanError(
+          s"sample: ${st.idCol} must be an integer id column, found $other")
+      }
+    (st.topN, st.weightCol) match {
+      case (Some(n), Some(w)) =>
+        // weighted draw — lowers VERBATIM to the x10 builder
+        // (ApproxQueries.weightedSample): deterministic E-S keys +
+        // a LIMIT-bounded TakeOrdered, never RNG, never a full sort
+        val docs = base.select(named(base, st.idCol, "doc_id"),
+          named(base, w, w))
+        requireIntegralId(docs)
+        docs.schema(w).dataType match {
+          case _: NumericType => ()
+          case other => throw PlanError(
+            s"sample: weight ${w} must be a numeric column, found $other")
+        }
+        graft.queries.ApproxQueries.weightedSample(docs, w, n.toInt)
+      case _ =>
+        val docs = base.select(named(base, st.idCol, "doc_id"))
+        requireIntegralId(docs)
+        graft.queries.TextQueries.hashSample(docs, st.pct, 100L)
     }
-    graft.queries.TextQueries.hashSample(docs, st.pct, 100L)
+  }
+
+  /** `quantize id, vec from t` — lowers VERBATIM to the v25 builder
+    * (VectorQueries.binaryCodes): two packed sign-bit BIGINT halves
+    * per vector, a pure per-row fold with zero exchanges. */
+  def planQuantize(st: QuantizeStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val e = base.select(named(base, st.idCol, "vec_id"),
+      named(base, st.vecCol, "embedding"))
+    if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
+      throw PlanError(s"quantize: ${st.vecCol} must be an array (vector) column")
+    graft.queries.VectorQueries.binaryCodes(e)
   }
 
   /** `pack id, text from t [size l]` — lowers VERBATIM to the t11

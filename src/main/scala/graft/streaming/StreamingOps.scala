@@ -42,6 +42,42 @@ object StreamingOps {
       .parquet(dir)
   }
 
+  /** Streaming read of the embeddings table in a fixture directory —
+    * the online-ingest source for continuous vector indexing: new
+    * embedding files landing in the directory flow straight through
+    * the stateless assignment pass ([[ivfAssign]]). */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(raw)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
+
+  /** Continuous IVF ingest — v21's batch upsert as a STATELESS stream:
+    * each arriving vector scores against the FROZEN index's centroids
+    * (k·d doubles shipped as literals — the collected
+    * VectorQueries.upsertCentroidTable rows, bit-preserved) and takes
+    * its argmax cell with v21's exact tie-break (csim DESC, label
+    * ASC), folded per row instead of windowed (window functions don't
+    * exist on streams; the fold replays the same total order). No
+    * state, no watermark — ingest cost is O(batch), the indexed
+    * corpus is never touched, and stream ≡ batch is exact
+    * (StreamingSpec + the v28 driver gate). */
+  def ivfAssign(vecs: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "frozen index has no centroids")
+    // argmax via array_min over (-csim, label) sort-key structs —
+    // struct ordering IS the v21 tie-break (csim DESC, label ASC),
+    // and the array form keeps the expression linear in k (a pairwise
+    // CASE fold would re-embed the accumulated tree per step)
+    val scored = cents.map { case (label, c) =>
+      val csim = graft.queries.VectorQueries.cosine(typedLit(c), col("embedding"))
+      struct((-csim).as("neg"), lit(label).as("label"), csim.as("csim"))
+    }
+    vecs.select(col("vec_id"), array_min(array(scored: _*)).as("best"))
+      .select(col("vec_id"), col("best.label").as("cell"),
+        col("best.csim").as("csim"))
+  }
+
   /** Watermarked streaming SESSION windows — e14's exact
     * session_window expression under incremental execution
     * (EventQueries.sessionWindows is the batch twin; StreamingSpec

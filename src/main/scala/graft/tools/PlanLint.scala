@@ -28,7 +28,9 @@ object PlanLint {
     "t33_source_interleave" ->
       "window over the SOURCE CATALOG (n_sources rows, a catalog constant)",
     "s31_dialect_interleave" ->
-      "same plan as t33 (verbatim lowering)")
+      "same plan as t33 (verbatim lowering)",
+    "t39_zipf_slope" ->
+      "rank window over the LIMIT-1000 vocabulary head (TakeOrdered), never the corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -620,4 +620,80 @@ class PlanSpec extends SparkSpec {
     assert(dataExchanges <= 2,
       s"documents may shuffle on source at most twice (window + join key), got:\n${p.take(1200)}")
   }
+
+  test("binary codes (v25) are a pure per-row fold - zero exchanges") {
+    val p = plan("v25_binary_codes")
+    assert(!p.contains("Exchange"),
+      s"sign-bit packing must not shuffle:\n${p.take(800)}")
+  }
+
+  test("hamming top-k (v26) broadcasts the query panel, never cartesian") {
+    val p = plan("v26_hamming_topk")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query-code panel should broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k should prune pre-shuffle via WindowGroupLimit")
+  }
+
+  test("weighted sample (x10) is a LIMIT-bounded TakeOrdered, never a global sort") {
+    val p = plan("x10_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-n by key must plan as TakeOrderedAndProject:\n${p.take(800)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a range-partitioned global sort does not belong here:\n${p.take(800)}")
+  }
+
+  test("dialect weighted sample (s39) lowers to the exact x10 builder plan") {
+    val dialect = Registry.queries("s39_dialect_weighted_sample")(spark, sf0001)
+    val builder = graft.queries.ApproxQueries.weightedSample(
+      graft.core.Tables(spark, sf0001, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("n_chars")), "n_chars", 50)
+    assert(dialect.queryExecution.optimizedPlan
+      .sameResult(builder.queryExecution.optimizedPlan),
+      "dialect weighted sample plan diverged from the x10 builder plan")
+    assert(dialect.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "weighted sample must stay a LIMIT-bounded TakeOrdered")
+  }
+
+  test("dialect quantize (s40) lowers to the exact v25 builder plan; zero exchanges") {
+    val dialect = Registry.queries("s40_dialect_quantize")(spark, sf0001)
+    val builder = graft.queries.VectorQueries.binaryCodes(
+      graft.core.Tables(spark, sf0001, "embeddings")
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding")))
+    assert(dialect.queryExecution.optimizedPlan
+      .sameResult(builder.queryExecution.optimizedPlan),
+      "dialect quantize plan diverged from the v25 builder plan")
+    assert(!dialect.queryExecution.executedPlan.toString.contains("Exchange"),
+      "quantize is per-row - no exchange belongs in its plan")
+  }
+
+  test("shingle novelty (t37) reuses the exploded-gram exchange; no doc pairs") {
+    val q = Registry.queries("t37_shingle_novelty")(spark, sf0001)
+    q.collect()
+    val executed = q.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"gram explode must feed count + join through one exchange:\n${executed.take(800)}")
+    assert(!executed.contains("CartesianProduct"))
+  }
+
+  test("zipf slope (t39): the only corpus-shaped work is the vocab agg; " +
+    "the single-partition window rides the LIMIT-1000 head") {
+    val p = plan("t39_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-1000 vocab head must be a bounded TakeOrdered:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("rolling anomaly (e22) windows over the hourly frame, never events") {
+    val p = plan("e22_rolling_anomaly")
+    // one hash exchange for the hourly agg, one for the type-keyed
+    // window over (types x hours) rows - no single-partition funnel
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
+  }
 }

@@ -213,6 +213,28 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("sample id from t extra"))
   }
 
+  test("weighted sample grammar: top n by w") {
+    val s = Parser.parseStmt("sample doc_id from documents top 50 by n_chars")
+      .asInstanceOf[Ast.SampleStmt]
+    assert(s.idCol == "doc_id" && s.topN.contains(50L) &&
+      s.weightCol.contains("n_chars"))
+    assertThrows[Exception](Parser.parseStmt("sample id from t top 0 by w"))
+    assertThrows[Exception](Parser.parseStmt("sample id from t top 5"))
+    assertThrows[Exception](Parser.parseStmt("sample id from t top 5 by w extra"))
+  }
+
+  test("quantize statement grammar") {
+    val q = Parser.parseStmt("quantize vec_id, embedding from embeddings")
+      .asInstanceOf[Ast.QuantizeStmt]
+    assert(q.idCol == "vec_id" && q.vecCol == "embedding")
+    // comma between columns is optional, as everywhere in the dialect
+    val q2 = Parser.parseStmt("quantize id vec from t")
+      .asInstanceOf[Ast.QuantizeStmt]
+    assert(q2.idCol == "id" && q2.vecCol == "vec")
+    assertThrows[Exception](Parser.parseStmt("quantize id from t"))
+    assertThrows[Exception](Parser.parseStmt("quantize id, vec from t extra"))
+  }
+
   test("pack statement grammar: optional size") {
     val p = Parser.parseStmt("pack doc_id, text from documents size 256")
       .asInstanceOf[Ast.PackStmt]

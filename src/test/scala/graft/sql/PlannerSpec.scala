@@ -568,6 +568,35 @@ class PlannerSpec extends SparkSpec {
     assertThrows[Exception](g.sql("sample text from documents"))
   }
 
+  test("weighted sample executes: exact n rows, nested by n, weight-sensitive") {
+    val w50 = g.sql("sample doc_id from documents top 50 by n_chars")
+    assert(w50.columns.toSeq == Seq("doc_id", "n_chars", "wkey"))
+    assert(w50.count() == 50)
+    // same keys, bigger n: the top-20 draw is a strict prefix of top-50
+    val w20 = g.sql("sample doc_id from documents top 20 by n_chars")
+    assert(w20.select("doc_id").exceptAll(w50.select("doc_id")).count() == 0)
+    // weight matters: a constant-weight draw differs from the sized one
+    // (n_chars spans 48..~1000, so the E-S keys reorder)
+    val builderEq = graft.queries.ApproxQueries.weightedSample(
+      g.sql("select doc_id, n_chars from documents"), "n_chars", 50)
+    assert(w50.collect().toSeq == builderEq.collect().toSeq,
+      "statement must equal the x10 builder row-for-row")
+    assertThrows[Exception](g.sql("sample doc_id from documents top 5 by text"))
+    assertThrows[Exception](g.sql("sample text from documents top 5 by n_chars"))
+  }
+
+  test("quantize statement executes: codes in [0, 2^32), builder-equal") {
+    val qz = g.sql("quantize vec_id, embedding from embeddings")
+    assert(qz.columns.toSeq == Seq("vec_id", "code_lo", "code_hi"))
+    val rows = qz.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val lo = r.getLong(1); val hi = r.getLong(2)
+      lo >= 0L && lo < (1L << 32) && hi >= 0L && hi < (1L << 32)
+    }, "each packed 32-bit half must stay below 2^32")
+    assertThrows[Exception](g.sql("quantize vec_id, label from embeddings"))
+  }
+
   test("pack statement executes: contiguous global token layout") {
     val pk = g.sql("pack doc_id, text from documents size 256")
     assert(pk.columns.toSeq ==

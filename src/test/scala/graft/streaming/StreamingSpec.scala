@@ -125,6 +125,29 @@ class StreamingSpec extends SparkSpec {
       "replaying the same source must not duplicate rows")
   }
 
+  test("streaming IVF assignment is bit-identical to the batch upsert (v21)") {
+    import org.apache.spark.sql.functions._
+    val cents = graft.queries.VectorQueries.collectUpsertCentroids(spark, sf0001)
+    val sink = "graft_ivf_stream_spec"
+    val q = StreamingOps.ivfAssign(
+        StreamingOps.readEmbeddings(spark, sf0001)
+          .filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id"), col("embedding")), cents)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    val batch = graft.queries.VectorQueries.ivfUpsert(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(streamed.nonEmpty)
+    // cell AND cosine double, bit-for-bit — the literal-centroid fold
+    // replays the windowed argmax exactly
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming session windows match the batch session_window plan") {
     val stream = StreamingOps.readEvents(spark, sf0001)
     // complete mode for the same reason as the hourly test: one
