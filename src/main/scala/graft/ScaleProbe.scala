@@ -85,6 +85,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r6fix")) r6Fix(args.drop(1))
     else if (args.headOption.contains("r6new")) r6New(args.drop(1))
     else if (args.headOption.contains("r7ops")) r7Ops(args.drop(1))
+    else if (args.headOption.contains("r8new")) r8New(args.drop(1))
     else if (args.headOption.contains("r7new")) r7New(args.drop(1))
     else if (args.headOption.contains("r7layout")) r7Layout(args.drop(1))
     else if (args.headOption.contains("skewjoin")) skewJoin(args.drop(1))
@@ -266,6 +267,103 @@ object ScaleProbe {
     * #groups-sized; the exact path expands (group, user) pairs — the
     * gap is the 100 TB argument for x09), and v22 k-means inertia
     * (fit + one narrow pass; centers are k·d driver doubles). */
+  /** Round-8 operator probe: the new ops on copies× of sf0.1 —
+    * binary quantization (v25), Hamming top-k (v26, fixed 5-query
+    * panel vs a scaling corpus), the IVF streaming-assign pass (v28's
+    * per-row fold on a batch frame), shingle novelty (t37), token
+    * entropy (t38), Zipf slope (t39), rolling anomaly (e22), and the
+    * weighted draw (x10). */
+  def r8New(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    // materialize the scaled frames (the p05Composition approach):
+    // self-joining builders over an in-memory union trip Catalyst's
+    // union-constraint rewrite, and a written fixture is the realistic
+    // shape anyway
+    val tmp = "/tmp/graft_r8new_fixture"
+    scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
+    println(s"embeddings=${emb.count()}")
+    time("v25_binary_codes") {
+      graft.queries.VectorQueries.binaryCodes(emb)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("v26_hamming_topk") {
+      graft.queries.VectorQueries.hammingTopk(emb, 10).collect()
+    }
+    val cents = graft.queries.VectorQueries.collectUpsertCentroids(spark, dir)
+    time("v28_ivf_assign") {
+      graft.streaming.StreamingOps.ivfAssign(
+        emb.filter(col("vec_id") % 7 === 3), cents)
+        .write.format("noop").mode("overwrite").save()
+    }
+    scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+    println(s"docs=${docs.count()}")
+    time("t37_shingle_novelty") {
+      graft.queries.TextQueries.shingleNovelty(docs.select(col("doc_id"), col("text")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("t38_token_entropy") {
+      graft.queries.TextQueries.tokenEntropy(docs.select(col("doc_id"), col("text")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("t39_zipf_slope") {
+      graft.queries.TextQueries.zipfSlope(docs.select(col("doc_id"), col("text"))).collect()
+    }
+    time("x10_weighted_sample") {
+      graft.queries.ApproxQueries.weightedSample(
+        docs.select(col("doc_id"), col("n_chars")), "n_chars", 100).collect()
+    }
+    time("t40_word_dispersion") {
+      val d = docs.select(col("doc_id"), col("text"))
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val c = d.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
+      c.groupBy(col("word"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+          sum(col("c") * col("c")).as("cf2"))
+        .filter(col("df") >= 5)
+        .crossJoin(broadcast(nDocs))
+        .select(col("word"),
+          (col("cf2").cast("double") / col("cf").cast("double") -
+            col("cf").cast("double") / col("n_docs").cast("double")).as("vmr"))
+        .orderBy(col("vmr").desc, col("word").asc).limit(30).collect()
+    }
+    time("v29_kpp_seeds") {
+      graft.queries.VectorQueries.kmeansppSeeds(emb, 4)
+    }
+    val ev = scaled(spark, "events", Seq("event_id", "user_id"), copies)
+    println(s"events=${ev.count()}")
+    time("e22_rolling_anomaly") {
+      graft.queries.EventQueries.rollingAnomaly(ev)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // e23's as-of composition on a constant-user, scaling-event frame
+    // (the skew-critical shape: per-user groups grow with copies)
+    val ev23 = scaled(spark, "events", Seq("event_id"), copies)
+    time("e23_bounded_funnel") {
+      val views = ev23.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"))
+      val clicks = ev23.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val qc = graft.operators.AsofJoin
+        .backward(clicks, views, "user_id", "ts", Seq("ts"), prefix = "v_")
+        .filter(col("v_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("v_ts")) <= 3600L * 1000000L)
+      qc.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
   def r7New(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val outJson = args.lift(1)

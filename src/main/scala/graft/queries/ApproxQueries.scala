@@ -419,7 +419,35 @@ object ApproxQueries {
       (s, dir) => weightedSample(
         Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "n_chars", 100),
-      Some(weightedSampleOracle("n_chars", 100))))
+      Some(weightedSampleOracle("n_chars", 100))),
+
+    // Exponentially-decayed event counts (half-life 1 day against the
+    // stream head) — the freshness-weighted popularity score feeds and
+    // trending rankers use, where yesterday's click counts half. Pure
+    // per-row weight 2^(Δdays) against a broadcast 1-row max-ts; the
+    // per-row pow() libm call feeds the Det decimal sum (t24's
+    // pattern), so the per-type scores are hash-exact cross-engine.
+    // One map-side-combined agg — at 100 TB this is a scan, a
+    // k-type-row aggregate, nothing else.
+    Q("x11_decayed_counts",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val ref = ev.agg(max(col("ts")).as("t_ref"))
+        ev.crossJoin(broadcast(ref))
+          .select(col("event_type"),
+            pow(lit(2.0),
+              (unix_micros(col("ts")) - unix_micros(col("t_ref")))
+                .cast(DoubleType) / lit(86400e6)).as("wt"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("wt").cast(graft.core.Det.dec)).cast(DoubleType).as("decayed"))
+      },
+      Some(s"""WITH r AS (SELECT max(ts) AS t_ref FROM events)
+              |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              |  ${graft.core.Det.sql.dsum(
+                   "pow(2.0, CAST(epoch_us(ts) - epoch_us(t_ref) AS DOUBLE) / 86400000000.0)")}
+              |    AS decayed
+              |FROM events, r GROUP BY event_type""".stripMargin)))
   }
 
   /** x10's builder on an arbitrary (doc_id, weight) frame — shared

@@ -647,7 +647,58 @@ object DedupQueries {
               |   UNION ALL SELECT doc_b AS doc_id FROM pr)
               |  GROUP BY doc_id)
               |SELECT doc_id, degree FROM deg
-              |ORDER BY degree DESC, doc_id ASC LIMIT 20""".stripMargin))
+              |ORDER BY degree DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // LSH band-parameter sweep — the tuning table behind the (BANDS,
+    // rows) choice d13 evaluates at one point: for every banding of
+    // the K=8 signature (1×8, 2×4, 4×2, 8×1), the number of hot
+    // buckets and the candidate-pair WORK Σ n·(n−1)/2 over bucket
+    // sizes (band-level slots, with cross-band multiplicity — the
+    // join cost driver; the OR-deduped pair set needs
+    // materialization, which is d03's job at the chosen setting).
+    // Never materializes a pair: two keyed aggregations over bucket
+    // SIZES, so the sweep costs one signature pass however skewed the
+    // buckets — more bands ⇒ shorter keys ⇒ more candidates (recall),
+    // fewer ⇒ stricter (precision), and this emits that curve.
+    Q("d17_lsh_band_sweep",
+      (s, dir) => {
+        val sig = sigDF(s, dir)
+        val keyed = Seq(1, 2, 4, 8).map { b =>
+          val r = K / b
+          sig.select(
+            lit(b.toLong).as("bands"),
+            explode(array((0 until b).map { j =>
+              val key = (j * r until (j + 1) * r).map(i => col(s"mh$i"))
+                .reduceLeft((acc, m) => (acc * lit(31L) + m) % lit(P))
+              struct(lit(j.toLong).as("band"), key.as("bkey"))
+            }: _*)).as("bb"))
+            .select(col("bands"), col("bb.band").as("band"),
+              col("bb.bkey").as("bkey"))
+        }.reduce(_ unionAll _)
+        keyed.groupBy(col("bands"), col("band"), col("bkey"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("bands"))
+          .agg(sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_hot_buckets"),
+            shiftright(sum(col("n") * (col("n") - lit(1L))), 1).as("cand_pairs"))
+      },
+      Some {
+        val bandSelects = Seq(1, 2, 4, 8).flatMap { b =>
+          val r = K / b
+          (0 until b).map { j =>
+            val key = (j * r until (j + 1) * r).map(i => s"mh$i")
+              .reduceLeft((acc, m) => s"(($acc) * 31 + $m) % $P")
+            s"SELECT CAST($b AS BIGINT) AS bands, $j AS band, $key AS bkey FROM sig"
+          }
+        }.mkString("\nUNION ALL\n")
+        s"""WITH sig AS ($sigSql),
+           |keyed AS ($bandSelects),
+           |bk AS (SELECT bands, band, bkey, count(*) AS n FROM keyed
+           |       GROUP BY bands, band, bkey)
+           |SELECT bands,
+           |  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
+           |  CAST(sum(n * (n - 1)) // 2 AS BIGINT) AS cand_pairs
+           |FROM bk GROUP BY bands""".stripMargin
+      })
   )
 
   /** d15's builder on an arbitrary documents frame — shared with

@@ -497,6 +497,14 @@ object DialectQueries {
     // zero exchanges — pinned in PlanSpec).
     Q("s40_dialect_quantize",
       sql("quantize vec_id, embedding from embeddings"),
-      Some(VectorQueries.binaryCodesOracle))
+      Some(VectorQueries.binaryCodesOracle)),
+
+    // Sliding-window trending on the dialect surface: `trend` lowers
+    // to the e21 builder over (ts, key) with a synthesized row id —
+    // the oracle is e21's own (counts match because event_id is
+    // never null in the fixture, and the unused sum column is pruned).
+    Q("s41_dialect_trend",
+      sql("trend ts, event_type from events top 3"),
+      Some(EventQueries.trendingOracle(3)))
   )
 }

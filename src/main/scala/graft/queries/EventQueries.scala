@@ -474,28 +474,7 @@ object EventQueries {
     // any partitioning. Buckets with <12 trailing baselines emit
     // is_anomaly = false (warm-up; both engines).
     Q("e22_rolling_anomaly",
-      (s, dir) => {
-        val hourly = Tables(s, dir, "events")
-          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("w.start").as("ws"), col("event_type"), col("n"))
-        val fr = Window.partitionBy(col("event_type")).orderBy(col("ws").asc)
-          .rowsBetween(-24, -1)
-        val dec = Det.dec
-        val np = count(col("n")).over(fr).cast(DoubleType)
-        val sx = sum(col("n").cast(dec)).over(fr).cast(DoubleType)
-        val sq = sum((col("n") * col("n")).cast(dec)).over(fr).cast(DoubleType)
-        val mu = sx / np
-        val sd = sqrt((sq - sx * sx / np) / (np - lit(1.0)))
-        // the CASE guard keeps the divisions off the warm-up frames
-        // (np < 12), where ANSI mode would reject the 0 divisor
-        hourly
-          .withColumn("n_prev", np.cast(LongType))
-          .select(col("ws"), col("event_type"), col("n"), col("n_prev"),
-            when(col("n_prev") >= 12,
-              sd > 0.0 && col("n").cast(DoubleType) > mu + lit(2.0) * sd)
-              .otherwise(lit(false)).as("is_anomaly"))
-      },
+      (s, dir) => rollingAnomaly(Tables(s, dir, "events")),
       Some("""WITH hourly AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
              |  event_type, CAST(count(*) AS BIGINT) AS n
              |  FROM events GROUP BY 1, 2),
@@ -510,7 +489,63 @@ object EventQueries {
              |  (np >= 12 AND sqrt((sq - sx * sx / np) / (np - 1.0)) > 0.0
              |   AND CAST(n AS DOUBLE) > sx / np
              |     + 2.0 * sqrt((sq - sx * sx / np) / (np - 1.0))) AS is_anomaly
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // Time-BOUNDED funnel — e07's ordered funnel with deadlines (the
+    // attribution rule real conversion metrics use): a click counts
+    // only within 1h of the user's latest prior view, a purchase only
+    // within 24h of the latest QUALIFIED click. Both stages are the
+    // as-of operator (e04's union-scan AsofJoin — one keyed exchange,
+    // linear per group, never the quadratic range join), composed;
+    // the rollup is three keyed counts left-joined per user. The
+    // DuckDB oracle mirrors with native ASOF LEFT JOINs, so the
+    // operator-vs-SQL-builtin parity is hash-gated across a two-stage
+    // composition.
+    Q("e23_bounded_funnel",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val qc = graft.operators.AsofJoin
+          .backward(clicks, views, "user_id", "ts", Seq("ts"), prefix = "v_")
+          .filter(col("v_ts").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("v_ts")) <= 3600L * 1000000L)
+          .select(col("user_id"), col("ts"))
+        val qb = graft.operators.AsofJoin
+          .backward(buys, qc, "user_id", "ts", Seq("ts"), prefix = "c_")
+          .filter(col("c_ts").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("c_ts")) <= 86400L * 1000000L)
+        val nv = views.groupBy(col("user_id")).agg(count(lit(1)).as("n_view"))
+        val nc = qc.groupBy(col("user_id")).agg(count(lit(1)).as("n_click_1h"))
+        val nb = qb.groupBy(col("user_id")).agg(count(lit(1)).as("n_buy_24h"))
+        nv.join(nc, Seq("user_id"), "left").join(nb, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_view"),
+            coalesce(col("n_click_1h"), lit(0L)).as("n_click_1h"),
+            coalesce(col("n_buy_24h"), lit(0L)).as("n_buy_24h"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+             |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |b AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |qc AS (SELECT c.user_id, c.ts
+             |       FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+             |       WHERE v.ts IS NOT NULL
+             |         AND epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000),
+             |qb AS (SELECT b.event_id, b.user_id
+             |       FROM b ASOF LEFT JOIN qc q
+             |         ON b.user_id = q.user_id AND b.ts >= q.ts
+             |       WHERE q.ts IS NOT NULL
+             |         AND epoch_us(b.ts) - epoch_us(q.ts) <= 86400000000),
+             |nv AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_view FROM v GROUP BY user_id),
+             |nc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM qc GROUP BY user_id),
+             |nb AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM qb GROUP BY user_id)
+             |SELECT nv.user_id, nv.n_view,
+             |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_click_1h,
+             |  CAST(coalesce(nb.n, 0) AS BIGINT) AS n_buy_24h
+             |FROM nv LEFT JOIN nc USING (user_id) LEFT JOIN nb USING (user_id)""".stripMargin))
   )
 
   /** e19's builder: 2h/1h sliding-window counts + Det value sums per
@@ -534,7 +569,34 @@ object EventQueries {
       .filter(col("rk") <= k.toLong)
   }
 
-  /** DuckDB mirror of [[trending]] — shared by e21 and s39. */
+  /** e22's builder on an arbitrary events frame — shared with
+    * ScaleProbe: hourly (type, hour) counts scored against the
+    * TRAILING 24 buckets' mean/stdev; windows run over the
+    * (types × hours) frame, never events. */
+  def rollingAnomaly(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hourly = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+    val fr = Window.partitionBy(col("event_type")).orderBy(col("ws").asc)
+      .rowsBetween(-24, -1)
+    val dec = Det.dec
+    val np = count(col("n")).over(fr).cast(DoubleType)
+    val sx = sum(col("n").cast(dec)).over(fr).cast(DoubleType)
+    val sq = sum((col("n") * col("n")).cast(dec)).over(fr).cast(DoubleType)
+    val mu = sx / np
+    val sd = sqrt((sq - sx * sx / np) / (np - lit(1.0)))
+    // the CASE guard keeps the divisions off the warm-up frames
+    // (np < 12), where ANSI mode would reject the 0 divisor
+    hourly
+      .withColumn("n_prev", np.cast(LongType))
+      .select(col("ws"), col("event_type"), col("n"), col("n_prev"),
+        when(col("n_prev") >= 12,
+          sd > 0.0 && col("n").cast(DoubleType) > mu + lit(2.0) * sd)
+          .otherwise(lit(false)).as("is_anomaly"))
+  }
+
+  /** DuckDB mirror of [[trending]]. */
   def trendingOracle(k: Int): String =
     s"""WITH s AS ($slidingOracle)
        |SELECT ws, event_type, n, CAST(rk AS BIGINT) AS rk FROM

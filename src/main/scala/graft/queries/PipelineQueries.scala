@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Det, Tables}
 
 /** The curation pipeline as ONE composed DataFrame program — the
   * point of having every stage be a lazy query builder: quality
@@ -162,7 +162,76 @@ object PipelineQueries {
            |${TextQueries.docChunksOracleFor(64, 16,
                 src = "(SELECT d.doc_id, d.text FROM documents d " +
                   "JOIN surv ON d.doc_id = surv.doc_id)",
-                lead = "")}""".stripMargin))
+                lead = "")}""".stripMargin)),
+
+    // Curriculum-ordered shards — the last layout decision before
+    // training: t32's shard addressing composed with t02's quality
+    // score into a per-shard curriculum rank (phase 1 = the
+    // cleanest-on-average shard first, the quality-curriculum
+    // schedule). The corpus pass is the per-row shard hash + the
+    // fused quality profile; the rollup is ONE 16-row aggregation
+    // with Det-decimal mean quality, and the phase rank runs over
+    // those 16 rows (bounded by the shard count, a config constant).
+    Q("p10_curriculum_shards",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val quality = q("t02_quality").build(s, dir)
+        val shard = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(16L)
+        val perShard = quality.withColumn("shard", shard)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), Det.davg(col("quality")).as("mean_q"))
+        perShard.withColumn("phase",
+          row_number().over(Window.orderBy(col("mean_q").desc, col("shard").asc))
+            .cast(org.apache.spark.sql.types.LongType))
+      },
+      Some {
+        def cte(name: String): String = q(name).oracle.get
+        s"""WITH qual AS (${cte("t02_quality")}),
+           |ps AS (SELECT ((doc_id % 1000000) * 2654435761) % 16 AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  ${Det.sql.davg("quality")} AS mean_q
+           |  FROM qual GROUP BY 1)
+           |SELECT shard, n_docs, mean_q,
+           |  CAST(row_number() OVER (ORDER BY mean_q DESC, shard ASC) AS BIGINT) AS phase
+           |FROM ps""".stripMargin
+      }),
+
+    // Dataset card — the one-row datasheet a corpus release ships
+    // with (docs, tokens, source/language spread, exact-dup count,
+    // mean quality): three bounded aggregates (a doc-level rollup, the
+    // md5 dup histogram's rollup, the Det-decimal quality mean)
+    // cross-joined as 1-row frames. Every number is exact and
+    // hash-gated; at 100 TB the cost is two corpus scans (stats +
+    // dup hash) with map-side partials.
+    Q("p11_dataset_card",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast(org.apache.spark.sql.types.LongType)).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"))
+        val dups = docs.select(md5(col("text")).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("n"))
+          .agg(sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_docs"))
+        val meanQ = q("t02_quality").build(s, dir)
+          .agg(Det.davg(col("quality")).as("mean_quality"))
+        base.crossJoin(broadcast(dups)).crossJoin(broadcast(meanQ))
+      },
+      Some {
+        def cte(name: String): String = q(name).oracle.get
+        s"""WITH qual AS (${cte("t02_quality")}),
+           |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(coalesce(sum(len(${OracleSql.toks("text")})), 0) AS BIGINT) AS n_tokens,
+           |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents),
+           |d AS (SELECT CAST(coalesce(sum(CASE WHEN n >= 2 THEN n ELSE 0 END), 0) AS BIGINT)
+           |        AS dup_docs
+           |      FROM (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)),
+           |mq AS (SELECT ${Det.sql.davg("quality")} AS mean_quality FROM qual)
+           |SELECT * FROM base, d, mq""".stripMargin
+      })
   )
 
   /** p05's survivor set (doc_id, n_tok) — the per-ROW signals (t27's

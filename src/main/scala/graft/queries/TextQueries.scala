@@ -1003,21 +1003,8 @@ object TextQueries {
     // repartitioned explode (ReusedExchange), never doc pairs; docs
     // with <3 tokens have no shingles and emit nothing (both engines).
     Q("t37_shingle_novelty",
-      (s, dir) => {
-        val sh = Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(array_distinct(
-            shinglesFromHashes(tokenHashes(col("text")), 3))).as("g"))
-          .repartition(col("g"))
-        val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-        sh.join(first, "g")
-          .groupBy(col("doc_id"))
-          .agg(count(col("g")).as("n_shingles"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-              .as("n_novel"))
-          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-            (col("n_novel").cast(DoubleType) /
-              col("n_shingles").cast(DoubleType)).as("novelty"))
-      },
+      (s, dir) => shingleNovelty(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
       Some(s"""WITH th AS (SELECT doc_id, ${O.tokenHashes("text")} AS th FROM documents),
               |sh AS (SELECT doc_id, unnest(list_distinct(${O.shingles(3)})) AS g FROM th),
               |fst AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
@@ -1038,20 +1025,8 @@ object TextQueries {
     // agg with map-side partials, a doc-keyed window for n, one
     // doc-keyed agg — all linear, no corpus-wide state.
     Q("t38_token_entropy",
-      (s, dir) => {
-        val c = Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-        val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-        c.withColumn("n", sum(col("c")).over(wd))
-          .groupBy(col("doc_id"))
-          .agg(max(col("n")).as("n_tok"),
-            count(lit(1)).as("n_types"),
-            (sum((col("c").cast(DoubleType) *
-              log(col("n").cast(DoubleType) / col("c").cast(DoubleType)))
-              .cast(graft.core.Det.dec)).cast(DoubleType) /
-              max(col("n")).cast(DoubleType)).as("entropy"))
-      },
+      (s, dir) => tokenEntropy(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
       Some(s"""WITH w AS (SELECT doc_id, unnest(${O.toks("text")}) AS word FROM documents),
               |c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
               |cn AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM c)
@@ -1070,27 +1045,46 @@ object TextQueries {
     // a LIMIT-bounded TakeOrdered, the rank window rides a frame
     // bounded by that LIMIT, and the moment sums land in Det decimals
     // so the 1-row answer is bit-identical on any partitioning.
-    Q("t39_zipf_slope",
+    // Word dispersion (burstiness) — the template-word detector: a
+    // word's variance-to-mean ratio of per-doc counts ACROSS the
+    // corpus (zeros included, via the moment identity
+    // vmr = cf2/cf − cf/N over exact integer moments). Content words
+    // cluster in few docs (bursty, high VMR); a high-VMR high-df word
+    // is boilerplate vocabulary worth a cleaning rule. Two keyed aggs
+    // with map-side partials + a broadcast 1-row N; output bounded at
+    // the top-30 TakeOrdered. The VMR doubles are two correctly-
+    // rounded divisions of exact BIGINTs — bit-identical cross-engine,
+    // safe as an ordering key.
+    Q("t40_word_dispersion",
       (s, dir) => {
-        val voc = Tables(s, dir, "documents")
-          .select(explode(tokens(col("text"))).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("word").asc).limit(1000)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("c").desc, col("word").asc)
-        val xy = voc.withColumn("r", row_number().over(w))
-          .select(log(col("r").cast(DoubleType)).as("x"),
-            log(col("c").cast(DoubleType)).as("y"))
-        val dec = graft.core.Det.dec
-        def ds(e: Column) = sum(e.cast(dec)).cast(DoubleType)
-        xy.agg(count(lit(1)).as("n_vocab"),
-            ds(col("x")).as("sx"), ds(col("y")).as("sy"),
-            ds(col("x") * col("y")).as("sxy"), ds(col("x") * col("x")).as("sxx"))
-          .select(col("n_vocab"),
-            ((col("n_vocab").cast(DoubleType) * col("sxy") - col("sx") * col("sy")) /
-              (col("n_vocab").cast(DoubleType) * col("sxx") - col("sx") * col("sx")))
-              .as("slope"))
+        val docs = Tables(s, dir, "documents")
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val c = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
+        c.groupBy(col("word"))
+          .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+            sum(col("c") * col("c")).as("cf2"))
+          .filter(col("df") >= 5)
+          .crossJoin(broadcast(nDocs))
+          .select(col("word"), col("df"), col("cf"),
+            (col("cf2").cast(DoubleType) / col("cf").cast(DoubleType) -
+              col("cf").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("vmr"))
+          .orderBy(col("vmr").desc, col("word").asc).limit(30)
       },
+      Some(s"""WITH w AS (SELECT doc_id, unnest(${O.toks("text")}) AS word FROM documents),
+              |c AS (SELECT word, doc_id, count(*) AS c FROM w GROUP BY word, doc_id),
+              |n AS (SELECT count(*) AS nd FROM documents),
+              |v AS (SELECT word, CAST(count(*) AS BIGINT) AS df,
+              |        CAST(sum(c) AS BIGINT) AS cf, CAST(sum(c * c) AS BIGINT) AS cf2
+              |      FROM c GROUP BY word HAVING count(*) >= 5)
+              |SELECT word, df, cf,
+              |  CAST(cf2 AS DOUBLE) / CAST(cf AS DOUBLE)
+              |    - CAST(cf AS DOUBLE) / CAST(nd AS DOUBLE) AS vmr
+              |FROM v, n ORDER BY vmr DESC, word ASC LIMIT 30""".stripMargin)),
+
+    Q("t39_zipf_slope",
+      (s, dir) => zipfSlope(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
       Some(s"""WITH voc AS (SELECT word, count(*) AS c
               |  FROM (SELECT unnest(${O.toks("text")}) AS word FROM documents) w
               |  GROUP BY word ORDER BY c DESC, word ASC LIMIT 1000),
@@ -1667,5 +1661,65 @@ object TextQueries {
         contains(col("text"), lit("{")).as("has_brace"))
       .withColumn("keep",
         col("n_kept_lines") >= 3 && !col("has_lorem") && !col("has_brace"))
+  }
+
+  /** t37's builder on an arbitrary (doc_id, text) frame — shared with
+    * ScaleProbe. Gram-keyed count + join back through one explicitly
+    * repartitioned explode (ReusedExchange, pinned); never doc pairs. */
+  def shingleNovelty(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(array_distinct(
+        shinglesFromHashes(tokenHashes(col("text")), 3))).as("g"))
+      .repartition(col("g"))
+    val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(col("g")).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType)).as("novelty"))
+  }
+
+  /** t38's builder — per-doc unigram entropy with the no-trailing-libm
+    * formulation (see the t38 gate comment). */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    c.withColumn("n", sum(col("c")).over(wd))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        (sum((col("c").cast(DoubleType) *
+          log(col("n").cast(DoubleType) / col("c").cast(DoubleType)))
+          .cast(graft.core.Det.dec)).cast(DoubleType) /
+          max(col("n")).cast(DoubleType)).as("entropy"))
+  }
+
+  /** t39's builder — corpus Zipf slope over the top-1000 vocabulary;
+    * corpus work is one word-keyed count, the rest runs on the
+    * LIMIT-bounded head. */
+  def zipfSlope(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val voc = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc).limit(1000)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("word").asc)
+    val xy = voc.withColumn("r", row_number().over(w))
+      .select(log(col("r").cast(DoubleType)).as("x"),
+        log(col("c").cast(DoubleType)).as("y"))
+    val dec = graft.core.Det.dec
+    def ds(e: Column) = sum(e.cast(dec)).cast(DoubleType)
+    xy.agg(count(lit(1)).as("n_vocab"),
+        ds(col("x")).as("sx"), ds(col("y")).as("sy"),
+        ds(col("x") * col("y")).as("sxy"), ds(col("x") * col("x")).as("sxx"))
+      .select(col("n_vocab"),
+        ((col("n_vocab").cast(DoubleType) * col("sxy") - col("sx") * col("sy")) /
+          (col("n_vocab").cast(DoubleType) * col("sxx") - col("sx") * col("sx")))
+          .as("slope"))
   }
 }

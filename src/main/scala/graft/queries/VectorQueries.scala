@@ -248,13 +248,42 @@ object VectorQueries {
   /** Cluster centers after `iters` Lloyd iterations, as (cell, center)
     * pairs; a cell that loses all members drops out (both engines
     * reproduce the same drop deterministically). */
-  def kmeansFit(e: DataFrame, k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): Seq[(Int, Array[Double])] = {
-    var centers = kmeansSeeds(e, k)
+  def kmeansFit(e: DataFrame, k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): Seq[(Int, Array[Double])] =
+    kmeansFitFrom(e, kmeansSeeds(e, k), iters)
+
+  /** The Lloyd loop from an EXPLICIT initial center set — shared by
+    * [[kmeansFit]] (hash-order seeds) and the k-means++ path (v29). */
+  def kmeansFitFrom(e: DataFrame, init: Seq[(Int, Array[Double])],
+      iters: Int): Seq[(Int, Array[Double])] = {
+    var centers = init
     for (_ <- 1 to iters)
       centers = cellRows(kmeansAssign(e, centers)).collect()
         .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
         .map { case (cell, rs) =>
           (cell.toInt, rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray) }
+    centers
+  }
+
+  /** Deterministic k-means++ (farthest-point / maxmin) seeds: center 0
+    * is the minimum-vec_id vector; each next center is the vector
+    * maximizing its distance to the NEAREST chosen center (ties →
+    * smaller vec_id). The classic spread-out init — never RNG (the
+    * usual D² sampling is randomized; maxmin is its deterministic
+    * variant), so any cluster reproduces the same seeds. Each step is
+    * one corpus scan + a 1-row TakeOrdered; k·d doubles on the
+    * driver. */
+  def kmeansppSeeds(e: DataFrame, k: Int): Seq[(Int, Array[Double])] = {
+    def embOf(df: DataFrame): Array[Double] =
+      df.select(col("embedding")).collect().head
+        .getSeq[Float](0).map(_.toDouble).toArray
+    var centers = Seq(0 -> embOf(e.orderBy(col("vec_id").asc).limit(1)))
+    while (centers.size < k) {
+      val dmin = centers.map { case (_, c) => sqDist(col("embedding"), c) }
+        .reduce(least(_, _))
+      centers = centers :+ (centers.size -> embOf(
+        e.select(col("vec_id"), col("embedding"), dmin.as("d"))
+          .orderBy(col("d").desc, col("vec_id").asc).limit(1)))
+    }
     centers
   }
 
@@ -279,22 +308,26 @@ object VectorQueries {
     * oracle (reads `assign$iters`). */
   def kmeansCtesSql(k: Int = KMEANS_K, iters: Int = KMEANS_ITERS,
       prefix: String = "",
-      src: String = "SELECT vec_id, embedding FROM embeddings"): String = {
+      src: String = "SELECT vec_id, embedding FROM embeddings",
+      cent0Override: Option[String] = None): String = {
     // `prefix` namespaces every CTE so several unrolled loops can share
     // one WITH clause (the PQ oracle runs one loop per subspace);
-    // `src` picks the (vec_id, embedding) input — e.g. a list slice.
+    // `src` picks the (vec_id, embedding) input — e.g. a list slice;
+    // `cent0Override` replaces the hash-order seed CTEs with a custom
+    // chain ending in `${p}cent0 (cell, cent)` (the k-means++ path).
     val p = prefix
     def d(e: String) = s"CAST($e AS DOUBLE)"
     // DuckDB lambda index ki is 1-based, matching element ki of cent
     def distSql(cent: String) = O.dfold(
       s"list_transform(embedding, (kx, ki) -> (${d("kx")} - $cent[ki]) * (${d("kx")} - $cent[ki]))")
     val sb = new StringBuilder
-    sb ++= s"""${p}e AS ($src),
-              |${p}seeds AS (SELECT cell, embedding FROM
-              |  (SELECT embedding, CAST(row_number() OVER
-              |     (ORDER BY (vec_id * 2654435761) % 1000003 ASC, vec_id ASC) - 1 AS BIGINT) AS cell
-              |   FROM ${p}e) WHERE cell < $k),
-              |${p}cent0 AS (SELECT cell, list_transform(embedding, sx -> ${d("sx")}) AS cent FROM ${p}seeds)""".stripMargin
+    sb ++= s"${p}e AS ($src),\n"
+    sb ++= cent0Override.getOrElse(
+      s"""${p}seeds AS (SELECT cell, embedding FROM
+         |  (SELECT embedding, CAST(row_number() OVER
+         |     (ORDER BY (vec_id * 2654435761) % 1000003 ASC, vec_id ASC) - 1 AS BIGINT) AS cell
+         |   FROM ${p}e) WHERE cell < $k),
+         |${p}cent0 AS (SELECT cell, list_transform(embedding, sx -> ${d("sx")}) AS cent FROM ${p}seeds)""".stripMargin)
     for (i <- 1 to iters) {
       sb ++= s""",
                 |${p}assign$i AS (SELECT vec_id, embedding, cell FROM
@@ -363,8 +396,12 @@ object VectorQueries {
     * assignment used. The distance to the ASSIGNED center is a
     * cell-keyed CASE over the k broadcast-literal folds — evaluated
     * per row with no join; the only aggregation is one k-row agg. */
-  def kmeansInertia(e: DataFrame, k: Int = KMEANS_K): DataFrame = {
-    val centers = kmeansFit(e, k, KMEANS_ITERS - 1)
+  def kmeansInertia(e: DataFrame, k: Int = KMEANS_K): DataFrame =
+    kmeansInertiaOf(e, kmeansFit(e, k, KMEANS_ITERS - 1))
+
+  /** Inertia rows (cell, n_vecs, sse) against an EXPLICIT center set —
+    * shared by v22 (hash-seeded fit) and v29 (k-means++ fit). */
+  def kmeansInertiaOf(e: DataFrame, centers: Seq[(Int, Array[Double])]): DataFrame = {
     val dim = centers.head._2.length
     // the distance to the ASSIGNED center is the native codegen'd
     // lookup (VectorExprs.centroid_dist) — the cell-keyed CASE over
@@ -386,6 +423,48 @@ object VectorQueries {
     val dist = O.dfold(
       s"list_transform(a.embedding, (kx, ki) -> (${d("kx")} - c.cent[ki]) * (${d("kx")} - c.cent[ki]))")
     s"""WITH ${kmeansCtesSql(k, last)}
+       |SELECT a.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  ${Det.sql.dsum(s"($dist)")} AS inertia
+       |FROM assign$last a JOIN cent${last - 1} c ON a.cell = c.cell
+       |GROUP BY a.cell""".stripMargin
+  }
+
+  /** DuckDB mirror of [[kmeansppSeeds]]: a CTE chain ending in
+    * `${p}cent0 (cell, cent)` — center 0 is the min-vec_id vector,
+    * each next the farthest-from-nearest-chosen (vec_id tiebreak),
+    * plugged into [[kmeansCtesSql]] via `cent0Override`. */
+  def kppCent0Sql(k: Int, p: String = ""): String = {
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    def distTo(cent: String) = O.dfold(
+      s"list_transform(embedding, (kx, ki) -> (${d("kx")} - $cent[ki]) * (${d("kx")} - $cent[ki]))")
+    val sb = new StringBuilder
+    sb ++= s"""${p}kpp0 AS (SELECT list_transform(embedding, sx -> ${d("sx")}) AS cent
+              |  FROM ${p}e WHERE vec_id = (SELECT min(vec_id) FROM ${p}e))""".stripMargin
+    for (j <- 1 until k) {
+      val dists = (0 until j).map(i => s"(${distTo(s"${p}kpp$i.cent")})")
+      val dmin = if (dists.size == 1) dists.head
+        else dists.mkString("least(", ", ", ")")
+      val joins = (0 until j).map(i => s"CROSS JOIN ${p}kpp$i").mkString(" ")
+      sb ++= s""",
+                |${p}kpp$j AS (SELECT list_transform(embedding, sx -> ${d("sx")}) AS cent FROM (
+                |  SELECT embedding FROM ${p}e $joins
+                |  ORDER BY $dmin DESC, vec_id ASC LIMIT 1))""".stripMargin
+    }
+    val union = (0 until k)
+      .map(j => s"SELECT CAST($j AS BIGINT) AS cell, cent FROM ${p}kpp$j")
+      .mkString("\nUNION ALL\n")
+    sb ++= s""",
+              |${p}cent0 AS ($union)""".stripMargin
+    sb.toString
+  }
+
+  /** v29's oracle: [[kmeansInertiaSql]] with the k-means++ cent0. */
+  def kppInertiaSql(k: Int = KMEANS_K): String = {
+    val last = KMEANS_ITERS
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    val dist = O.dfold(
+      s"list_transform(a.embedding, (kx, ki) -> (${d("kx")} - c.cent[ki]) * (${d("kx")} - c.cent[ki]))")
+    s"""WITH ${kmeansCtesSql(k, last, cent0Override = Some(kppCent0Sql(k)))}
        |SELECT a.cell, CAST(count(*) AS BIGINT) AS n_vecs,
        |  ${Det.sql.dsum(s"($dist)")} AS inertia
        |FROM assign$last a JOIN cent${last - 1} c ON a.cell = c.cell
@@ -1258,24 +1337,8 @@ object VectorQueries {
     // engines replay. WindowGroupLimit prunes to k per query
     // pre-shuffle, as in v01/v18.
     Q("v26_hamming_topk",
-      (s, dir) => {
-        val codes = Tables(s, dir, "embeddings")
-          .select(col("vec_id"),
-            binaryCode(col("embedding"), 0, 32).as("lo"),
-            binaryCode(col("embedding"), 32, 32).as("hi"))
-        val q = codes.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
-        val sims = codes
-          .select(col("vec_id").as("n_id"), col("lo"), col("hi"))
-          .join(broadcast(q), col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"),
-            (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
-              bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("hamming").asc, col("n_id").asc)
-        sims.withColumn("rank", row_number().over(w).cast(LongType))
-          .filter(col("rank") <= 10)
-      },
+      (s, dir) => hammingTopk(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")), 10),
       Some(s"""WITH codes AS (SELECT vec_id, ${binaryCodeSql(0, 32)} AS lo,
               |  ${binaryCodeSql(32, 32)} AS hi FROM embeddings),
               |q AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi
@@ -1334,6 +1397,24 @@ object VectorQueries {
               |FROM truth t LEFT JOIN h ON t.q_id = h.q_id
               |GROUP BY t.q_id, h.hits""".stripMargin)),
 
+    // K-means++ init quality eval — v22's inertia gate re-run from the
+    // DETERMINISTIC k-means++ (farthest-point) seeds instead of the
+    // hash-order seeds, closing the init-choice question the
+    // clustering lifecycle (v06 fit → v22 inertia) leaves open:
+    // compare the two gates' sse columns to pick an init. Seeding is
+    // k extra corpus scans (each a 1-row TakeOrdered — linear, never
+    // pairwise); Lloyd + inertia reuse the v06/v22 machinery; the
+    // oracle unrolls the maxmin chain as k CTEs feeding the same
+    // Lloyd loop via cent0Override.
+    Q("v29_kmeanspp_inertia",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        kmeansInertiaOf(e,
+          kmeansFitFrom(e, kmeansppSeeds(e, KMEANS_K), KMEANS_ITERS - 1))
+      },
+      Some(kppInertiaSql())),
+
     // v21's STREAMING twin as a driver-visible gate (the e16 pattern
     // applied to vector ingest): the frozen index's centroids are
     // collected once (k·d doubles), the embeddings table arrives as a
@@ -1360,6 +1441,29 @@ object VectorQueries {
       },
       Some(ivfUpsertSql))
   )
+
+  /** v26's builder on an arbitrary (vec_id, embedding) frame — shared
+    * with ScaleProbe: Hamming top-k over the packed sign-bit codes
+    * for the vec_id < 5 query panel. The corpus side scans 16 bytes
+    * per vector; distance is two XOR+popcount ops; WindowGroupLimit
+    * prunes to k per query pre-shuffle. */
+  def hammingTopk(e: DataFrame, k: Int): DataFrame = {
+    val codes = e.select(col("vec_id"),
+      binaryCode(col("embedding"), 0, 32).as("lo"),
+      binaryCode(col("embedding"), 32, 32).as("hi"))
+    val q = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val sims = codes
+      .select(col("vec_id").as("n_id"), col("lo"), col("hi"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
 
   /** v25's builder on an arbitrary (vec_id, embedding) frame — shared
     * with the dialect `quantize` statement: the two packed sign-bit

@@ -132,6 +132,15 @@ object Ast {
       pct: Long = 10L, topN: Option[Long] = None,
       weightCol: Option[String] = None) extends Stmt
 
+  /** `trend <tsCol>[,] <keyCol> from <table> [top <k>]` — e21's
+    * trending on the SQL surface: the top-k key values of every
+    * 2h/1h sliding window by event count. Emits
+    * (ws, event_type, n, rk) with `rk <= k` per window (k defaults
+    * to 3); the ranking window runs over the already-aggregated
+    * (windows × keys)-sized frame, never the rows. */
+  final case class TrendStmt(tsCol: String, keyCol: String,
+      from: FromClause, k: Long = 3L) extends Stmt
+
   /** `quantize <idCol>[,] <vecCol> from <table>` — v25's binary
     * (sign-bit) quantization on the SQL surface: the first 64 dims
     * packed as two BIGINT halves (code_lo dims 0-31, code_hi 32-63) —

@@ -61,7 +61,29 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "sample")) { advance(); parseSample() }
     else if (matches(peek, "pack")) { advance(); parsePack() }
     else if (matches(peek, "quantize")) { advance(); parseQuantize() }
+    else if (matches(peek, "trend")) { advance(); parseTrend() }
     else parseQuery()
+
+  /** `trend <tsCol>[,] <keyCol> from <table> [nh] [top <k>]`. */
+  private def parseTrend(): TrendStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val tsCol = colName()
+    accept(",")
+    val keyCol = colName()
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val k = if (accept("top")) parseNumber() else 3L
+    if (k < 1) throw ParseError(s"trend top must be at least 1, got $k")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    TrendStmt(tsCol, keyCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), k)
+  }
 
   /** `sample <idCol> from <table> [nh] [pct <n> | top <n> by <w>]` —
     * the `top … by` form is the weighted draw (Efraimidis–Spirakis,

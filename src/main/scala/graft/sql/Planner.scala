@@ -233,6 +233,22 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     }
   }
 
+  /** `trend ts, key from t [top k]` — lowers to the e21 builder
+    * (EventQueries.trending) with a synthesized non-null row id and
+    * zero value column (Catalyst prunes the unused sum): top-k key
+    * values per 2h/1h sliding window. The ranking window runs over
+    * the already-aggregated (windows × keys) frame, never the rows. */
+  def planTrend(st: TrendStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val e = base.select(named(base, st.tsCol, "ts"),
+      named(base, st.keyCol, "event_type"))
+    if (!e.schema("ts").dataType.isInstanceOf[TimestampType])
+      throw PlanError(s"trend: ${st.tsCol} must be a timestamp column")
+    graft.queries.EventQueries.trending(
+      e.withColumn("event_id", lit(1L)).withColumn("value", lit(0.0)),
+      st.k.toInt)
+  }
+
   /** `quantize id, vec from t` — lowers VERBATIM to the v25 builder
     * (VectorQueries.binaryCodes): two packed sign-bit BIGINT halves
     * per vector, a pure per-row fold with zero exchanges. */

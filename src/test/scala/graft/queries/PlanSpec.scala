@@ -688,6 +688,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("bounded funnel (e23) stays on the as-of union scan - no range join") {
+    val p = plan("e23_bounded_funnel")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the deadline predicates must post-filter the as-of scan, not become a range join:\n${p.take(800)}")
+  }
+
+  test("word dispersion (t40) is bounded by the top-30 TakeOrdered") {
+    val p = plan("t40_word_dispersion")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort belongs here:\n${p.take(800)}")
+  }
+
+  test("k-means++ inertia (v29) assignment is one narrow pass, no join") {
+    val q = Registry.queries("v29_kmeanspp_inertia")(spark, sf0001)
+    val p = q.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // centers are literals inside the codegen'd assignment+distance;
+    // the lazy plan is scan -> project -> one k-row aggregate
+    assert(!p.contains("Join"), s"no join belongs in the inertia pass:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("curriculum shards (p10) aggregate to a shard-count frame before ranking") {
+    val p = plan("p10_curriculum_shards")
+    // the phase window's single partition holds 16 aggregated rows,
+    // bounded by the shard-count constant - the corpus never funnels
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    val dataExchanges = """\(\d+\) Exchange hashpartitioning\(shard""".r
+      .findAllIn(p).size
+    assert(dataExchanges <= 1,
+      s"one shard-keyed exchange feeds the rollup:\n${p.take(1200)}")
+  }
+
   test("rolling anomaly (e22) windows over the hourly frame, never events") {
     val p = plan("e22_rolling_anomaly")
     // one hash exchange for the hourly agg, one for the type-keyed

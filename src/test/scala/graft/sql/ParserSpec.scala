@@ -223,6 +223,17 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("sample id from t top 5 by w extra"))
   }
 
+  test("trend statement grammar: optional top") {
+    val t = Parser.parseStmt("trend ts, event_type from events top 5")
+      .asInstanceOf[Ast.TrendStmt]
+    assert(t.tsCol == "ts" && t.keyCol == "event_type" && t.k == 5L)
+    val d = Parser.parseStmt("trend ts kind from ev").asInstanceOf[Ast.TrendStmt]
+    assert(d.k == 3L, "top defaults to 3")
+    assertThrows[Exception](Parser.parseStmt("trend ts from ev"))
+    assertThrows[Exception](Parser.parseStmt("trend ts, kind from ev top 0"))
+    assertThrows[Exception](Parser.parseStmt("trend ts, kind from ev extra"))
+  }
+
   test("quantize statement grammar") {
     val q = Parser.parseStmt("quantize vec_id, embedding from embeddings")
       .asInstanceOf[Ast.QuantizeStmt]

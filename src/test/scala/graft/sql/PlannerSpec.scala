@@ -585,6 +585,22 @@ class PlannerSpec extends SparkSpec {
     assertThrows[Exception](g.sql("sample text from documents top 5 by n_chars"))
   }
 
+  test("trend statement executes: k rows max per window, count ranking") {
+    val tr = g.sql("trend ts, event_type from events top 2")
+    assert(tr.columns.toSeq == Seq("ws", "event_type", "n", "rk"))
+    val rows = tr.collect()
+    assert(rows.nonEmpty)
+    val perWindow = rows.groupBy(_.getTimestamp(0))
+    assert(perWindow.values.forall(_.length <= 2), "at most k rows per window")
+    // rank 1 is the max-count type of its window
+    perWindow.values.foreach { ws =>
+      val byRk = ws.sortBy(_.getLong(3))
+      assert(byRk.head.getDouble(2) >= byRk.last.getDouble(2))
+    }
+    // ts must be a timestamp column
+    assertThrows[Exception](g.sql("trend user_id, event_type from events"))
+  }
+
   test("quantize statement executes: codes in [0, 2^32), builder-equal") {
     val qz = g.sql("quantize vec_id, embedding from embeddings")
     assert(qz.columns.toSeq == Seq("vec_id", "code_lo", "code_hi"))
