@@ -442,13 +442,43 @@ object ApproxQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("wt").cast(graft.core.Det.dec)).cast(DoubleType).as("decayed"))
       },
-      Some(s"""WITH r AS (SELECT max(ts) AS t_ref FROM events)
-              |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-              |  ${graft.core.Det.sql.dsum(
-                   "pow(2.0, CAST(epoch_us(ts) - epoch_us(t_ref) AS DOUBLE) / 86400000000.0)")}
-              |    AS decayed
-              |FROM events, r GROUP BY event_type""".stripMargin)))
+      Some(decayedOracle)),
+
+    // x11's STREAMING twin as a driver-visible gate: the decay
+    // reference is frozen batch-side (one max-ts lookup — a feed
+    // ranker refreshes it per rollout, not per event), then the
+    // stream's per-row 2^Δdays weights flow into the same Det decimal
+    // sum as an UNWINDOWED complete-mode aggregation — state is k
+    // type rows, however long the stream runs. Hash-gated against
+    // x11's own oracle: continuous popularity scoring ≡ batch
+    // bit-for-bit.
+    Q("x12_decayed_stream",
+      (s, dir) => {
+        val refMicros = Tables(s, dir, "events")
+          .agg(unix_micros(max(col("ts"))).as("m")).collect().head.getLong(0)
+        val sink = "graft_x12_sink_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val q = graft.streaming.StreamingOps.decayedCounts(
+            graft.streaming.StreamingOps.readEvents(s, dir), refMicros)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        s.table(sink)
+      },
+      Some(decayedOracle)))
   }
+
+  /** DuckDB mirror of the x11 decayed-count aggregation — shared by
+    * the batch gate and its streaming twin (x12). */
+  def decayedOracle: String =
+    s"""WITH r AS (SELECT max(ts) AS t_ref FROM events)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.core.Det.sql.dsum(
+            "pow(2.0, CAST(epoch_us(ts) - epoch_us(t_ref) AS DOUBLE) / 86400000000.0)")}
+       |    AS decayed
+       |FROM events, r GROUP BY event_type""".stripMargin
 
   /** x10's builder on an arbitrary (doc_id, weight) frame — shared
     * with the dialect `sample … top n by w` statement. Key = ln(u)/w

@@ -505,6 +505,24 @@ object DialectQueries {
     // never null in the fixture, and the unused sum column is pruned).
     Q("s41_dialect_trend",
       sql("trend ts, event_type from events top 3"),
-      Some(EventQueries.trendingOracle(3)))
+      Some(EventQueries.trendingOracle(3))),
+
+    // Dataset card on the dialect surface: `card` lowers VERBATIM to
+    // the p11 core (text-only columns, so it works on any table with
+    // an id and a text column).
+    Q("s42_dialect_card",
+      sql("card doc_id, text from documents"),
+      Some {
+        val t02 = TextQueries.all.find(_.name == "t02_quality").get.oracle.get
+        s"""WITH qual AS ($t02),
+           |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(coalesce(sum(len(${OracleSql.toks("text")})), 0) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |d AS (SELECT CAST(coalesce(sum(CASE WHEN n >= 2 THEN n ELSE 0 END), 0) AS BIGINT)
+           |        AS dup_docs
+           |      FROM (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)),
+           |mq AS (SELECT ${graft.core.Det.sql.davg("quality")} AS mean_quality FROM qual)
+           |SELECT * FROM base, d, mq""".stripMargin
+      })
   )
 }

@@ -263,6 +263,27 @@ object PipelineQueries {
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** p11's core on an arbitrary (doc_id, text) frame — the `card`
+    * statement's builder: docs, whitespace tokens, exact-duplicate
+    * docs (md5), Det-mean quality. Three bounded aggregates
+    * cross-joined as 1-row frames; two corpus scans with map-side
+    * partials. */
+  def datasetCard(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast(org.apache.spark.sql.types.LongType)).as("n_tokens"))
+    val dups = docs.select(md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_docs"))
+    val meanQ = docs
+      .select(col("text"),
+        graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+      .select(TextQueries.qualityCol(col("text"), col("p")).as("quality"))
+      .agg(Det.davg(col("quality")).as("mean_quality"))
+    base.crossJoin(broadcast(dups)).crossJoin(broadcast(meanQ))
+  }
+
   /** The WITH-chain computing p05's survivor CTE `surv` (doc_id,
     * n_tok) — shared by the p05 and p08 oracles. */
   private lazy val pretrainSurvWith: String = {

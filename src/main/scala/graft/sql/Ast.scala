@@ -132,6 +132,13 @@ object Ast {
       pct: Long = 10L, topN: Option[Long] = None,
       weightCol: Option[String] = None) extends Stmt
 
+  /** `card <idCol>[,] <textCol> from <table>` — the one-row dataset
+    * datasheet on the SQL surface (p11's text-only core): doc count,
+    * whitespace-token count, exact-duplicate doc count (md5), and
+    * Det-mean quality. Three bounded aggregates; two corpus scans. */
+  final case class CardStmt(idCol: String, textCol: String,
+      from: FromClause) extends Stmt
+
   /** `trend <tsCol>[,] <keyCol> from <table> [top <k>]` — e21's
     * trending on the SQL surface: the top-k key values of every
     * 2h/1h sliding window by event count. Emits

@@ -150,6 +150,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
       case s: Ast.PackStmt => planner.planPack(s)
       case s: Ast.QuantizeStmt => planner.planQuantize(s)
       case s: Ast.TrendStmt => planner.planTrend(s)
+      case s: Ast.CardStmt => planner.planCard(s)
     }
   }
 

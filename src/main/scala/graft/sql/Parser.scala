@@ -62,7 +62,27 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "pack")) { advance(); parsePack() }
     else if (matches(peek, "quantize")) { advance(); parseQuantize() }
     else if (matches(peek, "trend")) { advance(); parseTrend() }
+    else if (matches(peek, "card")) { advance(); parseCard() }
     else parseQuery()
+
+  /** `card <idCol>[,] <textCol> from <table> [nh]`. */
+  private def parseCard(): CardStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val textCol = colName()
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    CardStmt(idCol, textCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil))
+  }
 
   /** `trend <tsCol>[,] <keyCol> from <table> [nh] [top <k>]`. */
   private def parseTrend(): TrendStmt = {

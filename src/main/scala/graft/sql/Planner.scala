@@ -249,6 +249,19 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       st.k.toInt)
   }
 
+  /** `card id, text from t` — lowers VERBATIM to the p11 core
+    * (PipelineQueries.datasetCard): the one-row release datasheet
+    * (n_docs, n_tokens, dup_docs, mean_quality) from three bounded
+    * aggregates. */
+  def planCard(st: CardStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val docs = base.select(named(base, st.idCol, "doc_id"),
+      named(base, st.textCol, "text"))
+    if (!docs.schema("text").dataType.isInstanceOf[StringType])
+      throw PlanError(s"card: ${st.textCol} must be a text column")
+    graft.queries.PipelineQueries.datasetCard(docs)
+  }
+
   /** `quantize id, vec from t` — lowers VERBATIM to the v25 builder
     * (VectorQueries.binaryCodes): two packed sign-bit BIGINT halves
     * per vector, a pure per-row fold with zero exchanges. */

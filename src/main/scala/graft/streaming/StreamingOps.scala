@@ -78,6 +78,22 @@ object StreamingOps {
         col("best.csim").as("csim"))
   }
 
+  /** x11's streaming twin: exponentially-decayed per-type event
+    * counts against a FROZEN reference time (micros since epoch) —
+    * per-row 2^Δdays weights into an unwindowed complete-mode Det
+    * decimal aggregation; state is one row per event type. The batch
+    * query derives the reference from max(ts); a live ranker freezes
+    * it per rollout, which is what the parameter models. */
+  def decayedCounts(events: DataFrame, refMicros: Long): DataFrame =
+    events
+      .select(col("event_type"),
+        pow(lit(2.0),
+          (unix_micros(col("ts")) - lit(refMicros))
+            .cast(DoubleType) / lit(86400e6)).as("wt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("wt").cast(graft.core.Det.dec)).cast(DoubleType).as("decayed"))
+
   /** Watermarked streaming SESSION windows — e14's exact
     * session_window expression under incremental execution
     * (EventQueries.sessionWindows is the batch twin; StreamingSpec

@@ -234,6 +234,14 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("trend ts, kind from ev extra"))
   }
 
+  test("card statement grammar") {
+    val c = Parser.parseStmt("card doc_id, text from documents")
+      .asInstanceOf[Ast.CardStmt]
+    assert(c.idCol == "doc_id" && c.textCol == "text")
+    assertThrows[Exception](Parser.parseStmt("card doc_id from documents"))
+    assertThrows[Exception](Parser.parseStmt("card id, text from t extra"))
+  }
+
   test("quantize statement grammar") {
     val q = Parser.parseStmt("quantize vec_id, embedding from embeddings")
       .asInstanceOf[Ast.QuantizeStmt]

@@ -601,6 +601,18 @@ class PlannerSpec extends SparkSpec {
     assertThrows[Exception](g.sql("trend user_id, event_type from events"))
   }
 
+  test("card statement executes: one consistent datasheet row") {
+    val c = g.sql("card doc_id, text from documents")
+    assert(c.columns.toSeq ==
+      Seq("n_docs", "n_tokens", "dup_docs", "mean_quality"))
+    val r = c.collect().head
+    val nDocs = g.sql("select doc_id from documents").count()
+    assert(r.getLong(0) == nDocs && r.getLong(1) > 0)
+    assert(r.getLong(2) >= 0 && r.getLong(2) <= nDocs)
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    assertThrows[Exception](g.sql("card doc_id, n_chars from documents"))
+  }
+
   test("quantize statement executes: codes in [0, 2^32), builder-equal") {
     val qz = g.sql("quantize vec_id, embedding from embeddings")
     assert(qz.columns.toSeq == Seq("vec_id", "code_lo", "code_hi"))
