@@ -33,14 +33,18 @@ object Det {
   private def q(c: Column): Column = sum((c * c).cast(dec)).cast(DoubleType)
 
   /** Deterministic sample stddev: exact decimal sums of x and x*x, then
-    * a fixed double formula sqrt((q - s*s/n)/(n-1)) mirrored verbatim in
-    * the oracle SQL (same IEEE ops in the same order on both engines). */
+    * a fixed double formula sqrt(greatest(q - s*s/n, 0)/(n-1)) mirrored
+    * verbatim in the oracle SQL (same IEEE ops in the same order on
+    * both engines). The greatest(,0) floor: the sums are exact, but
+    * s*s/n rounds in doubles — a variance-0 group could land a hair
+    * below zero at extreme magnitudes, which Spark sqrt()s into NaN
+    * while DuckDB REJECTS; flooring keeps both engines on 0. */
   def stdevSamp(c: Column): Column =
-    sqrt((q(c) - s(c) * s(c) / n(c)) / (n(c) - lit(1.0)))
+    sqrt(greatest(q(c) - s(c) * s(c) / n(c), lit(0.0)) / (n(c) - lit(1.0)))
 
   /** Population stddev, same construction. */
   def stdevPop(c: Column): Column =
-    sqrt((q(c) - s(c) * s(c) / n(c)) / n(c))
+    sqrt(greatest(q(c) - s(c) * s(c) / n(c), lit(0.0)) / n(c))
 
   /** Oracle-side SQL fragments mirroring the helpers above. */
   object sql {
@@ -53,8 +57,8 @@ object Det {
       s"CAST(SUM(CAST((($x) * ($x)) AS DECIMAL(38,6))) AS DOUBLE)"
     private def nn(x: String): String = s"CAST(COUNT($x) AS DOUBLE)"
     def stdevSamp(x: String): String =
-      s"sqrt((${qq(x)} - ${dsum(x)} * ${dsum(x)} / ${nn(x)}) / (${nn(x)} - 1.0))"
+      s"sqrt(greatest(${qq(x)} - ${dsum(x)} * ${dsum(x)} / ${nn(x)}, 0.0) / (${nn(x)} - 1.0))"
     def stdevPop(x: String): String =
-      s"sqrt((${qq(x)} - ${dsum(x)} * ${dsum(x)} / ${nn(x)}) / ${nn(x)})"
+      s"sqrt(greatest(${qq(x)} - ${dsum(x)} * ${dsum(x)} / ${nn(x)}, 0.0) / ${nn(x)})"
   }
 }

@@ -486,9 +486,9 @@ object EventQueries {
              |  WINDOW fr AS (PARTITION BY event_type ORDER BY ws ASC
              |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
              |SELECT ws, event_type, n, CAST(np AS BIGINT) AS n_prev,
-             |  (np >= 12 AND sqrt((sq - sx * sx / np) / (np - 1.0)) > 0.0
+             |  (np >= 12 AND sqrt(greatest(sq - sx * sx / np, 0.0) / (np - 1.0)) > 0.0
              |   AND CAST(n AS DOUBLE) > sx / np
-             |     + 2.0 * sqrt((sq - sx * sx / np) / (np - 1.0))) AS is_anomaly
+             |     + 2.0 * sqrt(greatest(sq - sx * sx / np, 0.0) / (np - 1.0))) AS is_anomaly
              |FROM r""".stripMargin)),
 
     // Time-BOUNDED funnel — e07's ordered funnel with deadlines (the
@@ -585,7 +585,11 @@ object EventQueries {
     val sx = sum(col("n").cast(dec)).over(fr).cast(DoubleType)
     val sq = sum((col("n") * col("n")).cast(dec)).over(fr).cast(DoubleType)
     val mu = sx / np
-    val sd = sqrt((sq - sx * sx / np) / (np - lit(1.0)))
+    // greatest(,0): the decimal moments are exact, but sx*sx/np rounds
+    // in doubles — a variance-0 frame could land a hair below zero at
+    // extreme magnitudes, which Spark sqrt()s into NaN and DuckDB
+    // REJECTS; flooring keeps both engines on sd = 0 → no flag
+    val sd = sqrt(greatest(sq - sx * sx / np, lit(0.0)) / (np - lit(1.0)))
     // the CASE guard keeps the divisions off the warm-up frames
     // (np < 12), where ANSI mode would reject the 0 divisor
     hourly

@@ -1397,6 +1397,45 @@ object VectorQueries {
               |FROM truth t LEFT JOIN h ON t.q_id = h.q_id
               |GROUP BY t.q_id, h.hits""".stripMargin)),
 
+    // Binary-quantization recall eval — recall@5 of the Hamming
+    // search (v26) against the exact cosine truth, closing the
+    // 1-bit index's quality loop exactly as v19 does for IVF and
+    // v27 for truncation: build codes (v25) → search (v26) →
+    // measure (v30). Same integer hits/k gate shape.
+    Q("v30_hamming_recall",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val truth = bruteKnn(s, dir, 5).select(col("q_id"), col("n_id"))
+        val ham = hammingTopk(e, 5).select(col("q_id"), col("n_id"))
+        val hits = truth.join(ham, Seq("q_id", "n_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+        truth.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+            col("k"))
+      },
+      Some(s"""WITH truth AS (SELECT q_id, n_id FROM (${bruteKnnSql(5)})),
+              |codes AS (SELECT vec_id, ${binaryCodeSql(0, 32)} AS lo,
+              |  ${binaryCodeSql(32, 32)} AS hi FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi
+              |      FROM codes WHERE vec_id < 5),
+              |sims AS (SELECT q_id, vec_id AS n_id,
+              |  CAST(bit_count(xor(lo, q_lo)) + bit_count(xor(hi, q_hi)) AS BIGINT) AS hamming
+              |  FROM codes JOIN q ON q_id != vec_id),
+              |ham AS (SELECT q_id, n_id FROM
+              |  (SELECT q_id, n_id, row_number() OVER
+              |     (PARTITION BY q_id ORDER BY hamming ASC, n_id ASC) AS rank
+              |   FROM sims) WHERE rank <= 5),
+              |h AS (SELECT truth.q_id, count(*) AS hits
+              |      FROM truth JOIN ham ON truth.q_id = ham.q_id
+              |                         AND truth.n_id = ham.n_id
+              |      GROUP BY truth.q_id)
+              |SELECT t.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+              |  CAST(count(*) AS BIGINT) AS k
+              |FROM truth t LEFT JOIN h ON t.q_id = h.q_id
+              |GROUP BY t.q_id, h.hits""".stripMargin)),
+
     // K-means++ init quality eval — v22's inertia gate re-run from the
     // DETERMINISTIC k-means++ (farthest-point) seeds instead of the
     // hash-order seeds, closing the init-choice question the

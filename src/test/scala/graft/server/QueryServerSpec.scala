@@ -56,6 +56,15 @@ class QueryServerSpec extends SparkSpec {
       assert(search.contains(""""Status":"ok"""") && search.contains("bm25"), search)
       val bad = post("sample doc_id from documents pct 0")
       assert(bad.contains(""""Status":"error: sample pct"""), bad)
+      // the round-8 statement family responds on the same surface
+      val ws = post("sample doc_id from documents top 5 by n_chars")
+      assert(ws.contains(""""Status":"ok"""") && ws.contains("wkey"), ws)
+      val qz = post("quantize vec_id, embedding from embeddings")
+      assert(qz.contains(""""Status":"ok"""") && qz.contains("code_lo"), qz)
+      val tr = post("trend ts, event_type from events top 2")
+      assert(tr.contains(""""Status":"ok"""") && tr.contains("rk"), tr)
+      val card = post("card doc_id, text from documents")
+      assert(card.contains(""""Status":"ok"""") && card.contains("mean_quality"), card)
     } finally server.stop()
   }
 
