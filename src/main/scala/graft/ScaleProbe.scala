@@ -321,58 +321,21 @@ object ScaleProbe {
         docs.select(col("doc_id"), col("n_chars")), "n_chars", 100).collect()
     }
     time("t40_word_dispersion") {
-      val d = docs.select(col("doc_id"), col("text"))
-      val nDocs = d.agg(count(lit(1)).as("n_docs"))
-      val c = d.select(col("doc_id"),
-          explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-        .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
-      c.groupBy(col("word"))
-        .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
-          sum(col("c") * col("c")).as("cf2"))
-        .filter(col("df") >= 5)
-        .crossJoin(broadcast(nDocs))
-        .select(col("word"),
-          (col("cf2").cast("double") / col("cf").cast("double") -
-            col("cf").cast("double") / col("n_docs").cast("double")).as("vmr"))
-        .orderBy(col("vmr").desc, col("word").asc).limit(30).collect()
+      graft.queries.TextQueries.wordDispersion(
+        docs.select(col("doc_id"), col("text"))).collect()
     }
     time("v29_kpp_seeds") {
       graft.queries.VectorQueries.kmeansppSeeds(emb, 4)
     }
     time("d17_band_sweep") {
-      val sig = graft.queries.DedupQueries.sigOf(
-        docs.select(col("doc_id"), col("text")))
-      // the same two-level bucket-size aggregation as the gate, over
-      // all four bandings of the K=8 signature
-      val P = graft.functions.TextFunctions.P
-      val keyed = Seq(1, 2, 4, 8).map { b =>
-        val r = 8 / b
-        sig.select(lit(b.toLong).as("bands"),
-          explode(array((0 until b).map { j =>
-            val key = (j * r until (j + 1) * r).map(i => col(s"mh$i"))
-              .reduceLeft((acc, m) => (acc * lit(31L) + m) % lit(P))
-            struct(lit(j.toLong).as("band"), key.as("bkey"))
-          }: _*)).as("bb"))
-          .select(col("bands"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      }.reduce(_ unionAll _)
-      keyed.groupBy(col("bands"), col("band"), col("bkey"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy(col("bands"))
-        .agg(shiftright(sum(col("n") * (col("n") - lit(1L))), 1).as("cand_pairs"))
-        .collect()
+      graft.queries.DedupQueries.bandSweepOf(
+        graft.queries.DedupQueries.sigOf(
+          docs.select(col("doc_id"), col("text")))).collect()
     }
     val ev = scaled(spark, "events", Seq("event_id", "user_id"), copies)
     println(s"events=${ev.count()}")
     time("x11_decayed_counts") {
-      val ref = ev.agg(max(col("ts")).as("t_ref"))
-      ev.crossJoin(broadcast(ref))
-        .select(col("event_type"),
-          pow(lit(2.0), (unix_micros(col("ts")) - unix_micros(col("t_ref")))
-            .cast("double") / lit(86400e6)).as("wt"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("wt").cast(graft.core.Det.dec)).cast("double").as("decayed"))
-        .collect()
+      graft.queries.ApproxQueries.decayedCountsBatch(ev).collect()
     }
     time("e22_rolling_anomaly") {
       graft.queries.EventQueries.rollingAnomaly(ev)

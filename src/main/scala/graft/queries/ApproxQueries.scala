@@ -430,18 +430,7 @@ object ApproxQueries {
     // One map-side-combined agg — at 100 TB this is a scan, a
     // k-type-row aggregate, nothing else.
     Q("x11_decayed_counts",
-      (s, dir) => {
-        val ev = Tables(s, dir, "events")
-        val ref = ev.agg(max(col("ts")).as("t_ref"))
-        ev.crossJoin(broadcast(ref))
-          .select(col("event_type"),
-            pow(lit(2.0),
-              (unix_micros(col("ts")) - unix_micros(col("t_ref")))
-                .cast(DoubleType) / lit(86400e6)).as("wt"))
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("wt").cast(graft.core.Det.dec)).cast(DoubleType).as("decayed"))
-      },
+      (s, dir) => decayedCountsBatch(Tables(s, dir, "events")),
       Some(decayedOracle)),
 
     // x11's STREAMING twin as a driver-visible gate: the decay
@@ -456,18 +445,29 @@ object ApproxQueries {
       (s, dir) => {
         val refMicros = Tables(s, dir, "events")
           .agg(unix_micros(max(col("ts"))).as("m")).collect().head.getLong(0)
-        val sink = "graft_x12_sink_" +
-          java.util.UUID.randomUUID().toString.take(8)
-        val q = graft.streaming.StreamingOps.decayedCounts(
-            graft.streaming.StreamingOps.readEvents(s, dir), refMicros)
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(sink)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.processAllAvailable(); q.stop()
-        s.table(sink)
+        graft.streaming.StreamingOps.runToTable(s,
+          graft.streaming.StreamingOps.decayedCounts(
+            graft.streaming.StreamingOps.readEvents(s, dir), refMicros),
+          "complete", "graft_x12_sink_")
       },
       Some(decayedOracle)))
+  }
+
+  /** x11's builder on an arbitrary events frame — shared with
+    * ScaleProbe: per-type 2^Δdays decayed counts against the frame's
+    * own max-ts (broadcast 1-row), pow absorbed by the Det decimal
+    * sum. The streaming twin (StreamingOps.decayedCounts) is the same
+    * aggregation against a FROZEN reference. */
+  def decayedCountsBatch(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ref = ev.agg(max(col("ts")).as("t_ref"))
+    ev.crossJoin(broadcast(ref))
+      .select(col("event_type"),
+        pow(lit(2.0),
+          (unix_micros(col("ts")) - unix_micros(col("t_ref")))
+            .cast(DoubleType) / lit(86400e6)).as("wt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("wt").cast(graft.core.Det.dec)).cast(DoubleType).as("decayed"))
   }
 
   /** DuckDB mirror of the x11 decayed-count aggregation — shared by
@@ -487,7 +487,10 @@ object ApproxQueries {
     * total order; the global step is a LIMIT-bounded TakeOrdered. */
   def weightedSample(docs: org.apache.spark.sql.DataFrame, wCol: String,
       n: Int): org.apache.spark.sql.DataFrame = {
-    val u = ((col("doc_id") * lit(2654435761L)) % lit(1000003L) + lit(1L))
+    // id reduced mod 1e6 BEFORE the multiply — the t05/t06 discipline:
+    // ids can be 64-bit at scale and ANSI mode turns a Long overflow
+    // into a crash
+    val u = (((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(1000003L) + lit(1L))
       .cast(DoubleType) / lit(1000004.0)
     docs
       .select(col("doc_id"), col(wCol),
@@ -500,7 +503,7 @@ object ApproxQueries {
   /** DuckDB mirror of [[weightedSample]] over `documents`. */
   def weightedSampleOracle(wCol: String, n: Int): String =
     s"""SELECT doc_id, $wCol,
-       |  CAST(ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+       |  CAST(ln(CAST(((doc_id % 1000000) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
        |    / CAST(greatest($wCol, 1) AS DOUBLE) AS DECIMAL(38,6)) AS wkey
        |FROM documents
        |ORDER BY wkey DESC, doc_id ASC LIMIT $n""".stripMargin

@@ -79,6 +79,30 @@ object DedupQueries {
       maxBucket = maxBucket, directed = false)
   }
 
+  /** d17's builder over a signature frame (doc_id + mh0..mh{K-1}) —
+    * shared with ScaleProbe so the probe times exactly the gated
+    * sweep: for every banding of the K-perm signature, hot buckets
+    * and candidate-pair work from bucket SIZES, never pairs. */
+  def bandSweepOf(sig: DataFrame): DataFrame = {
+    val keyed = Seq(1, 2, 4, 8).map { b =>
+      val r = K / b
+      sig.select(
+        lit(b.toLong).as("bands"),
+        explode(array((0 until b).map { j =>
+          val key = (j * r until (j + 1) * r).map(i => col(s"mh$i"))
+            .reduceLeft((acc, m) => (acc * lit(31L) + m) % lit(P))
+          struct(lit(j.toLong).as("band"), key.as("bkey"))
+        }: _*)).as("bb"))
+        .select(col("bands"), col("bb.band").as("band"),
+          col("bb.bkey").as("bkey"))
+    }.reduce(_ unionAll _)
+    keyed.groupBy(col("bands"), col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("bands"))
+      .agg(sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_hot_buckets"),
+        shiftright(sum(col("n") * (col("n") - lit(1L))), 1).as("cand_pairs"))
+  }
+
   /** Signature frame for an arbitrary documents frame — the fixture
     * path for hot-bucket tests. */
   def sigOf(docs: DataFrame): DataFrame = {
@@ -661,26 +685,7 @@ object DedupQueries {
     // buckets — more bands ⇒ shorter keys ⇒ more candidates (recall),
     // fewer ⇒ stricter (precision), and this emits that curve.
     Q("d17_lsh_band_sweep",
-      (s, dir) => {
-        val sig = sigDF(s, dir)
-        val keyed = Seq(1, 2, 4, 8).map { b =>
-          val r = K / b
-          sig.select(
-            lit(b.toLong).as("bands"),
-            explode(array((0 until b).map { j =>
-              val key = (j * r until (j + 1) * r).map(i => col(s"mh$i"))
-                .reduceLeft((acc, m) => (acc * lit(31L) + m) % lit(P))
-              struct(lit(j.toLong).as("band"), key.as("bkey"))
-            }: _*)).as("bb"))
-            .select(col("bands"), col("bb.band").as("band"),
-              col("bb.bkey").as("bkey"))
-        }.reduce(_ unionAll _)
-        keyed.groupBy(col("bands"), col("band"), col("bkey"))
-          .agg(count(lit(1)).as("n"))
-          .groupBy(col("bands"))
-          .agg(sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_hot_buckets"),
-            shiftright(sum(col("n") * (col("n") - lit(1L))), 1).as("cand_pairs"))
-      },
+      (s, dir) => bandSweepOf(sigDF(s, dir)),
       Some {
         val bandSelects = Seq(1, 2, 4, 8).flatMap { b =>
           val r = K / b

@@ -339,18 +339,10 @@ object EventQueries {
     // oracle as e14. StreamingSpec pins stream ≡ batch in-process;
     // this row makes the parity driver-visible in CORRECTNESS_r{N}.
     Q("e16_session_stream",
-      (s, dir) => {
-        val sink = "graft_e16_sink_" +
-          java.util.UUID.randomUUID().toString.take(8)
-        val q = graft.streaming.StreamingOps.sessionCounts(
-            graft.streaming.StreamingOps.readEvents(s, dir))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(sink)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.processAllAvailable(); q.stop()
-        s.table(sink)
-      },
+      (s, dir) => graft.streaming.StreamingOps.runToTable(s,
+        graft.streaming.StreamingOps.sessionCounts(
+          graft.streaming.StreamingOps.readEvents(s, dir)),
+        "complete", "graft_e16_sink_"),
       Some(sessionWindowOracle)),
 
     // Streaming hourly window agg as a DRIVER-VISIBLE gate (e16's
@@ -362,18 +354,10 @@ object EventQueries {
     // them), so stream ≡ batch is checked end-to-end by the driver,
     // not just by StreamingSpec.
     Q("e17_window_stream",
-      (s, dir) => {
-        val sink = "graft_e17_sink_" +
-          java.util.UUID.randomUUID().toString.take(8)
-        val q = graft.streaming.StreamingOps.hourlyCounts(
-            graft.streaming.StreamingOps.readEvents(s, dir))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(sink)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.processAllAvailable(); q.stop()
-        s.table(sink)
-      },
+      (s, dir) => graft.streaming.StreamingOps.runToTable(s,
+        graft.streaming.StreamingOps.hourlyCounts(
+          graft.streaming.StreamingOps.readEvents(s, dir)),
+        "complete", "graft_e17_sink_"),
       Some(hourlyOracle)),
 
     // Streaming exact dedup as a driver-visible gate: first-seen
@@ -384,20 +368,12 @@ object EventQueries {
     // emitted key set is deterministic and equals DISTINCT over the
     // batch (no row is watermark-late within one AvailableNow batch).
     Q("e18_dedup_stream",
-      (s, dir) => {
-        val sink = "graft_e18_sink_" +
-          java.util.UUID.randomUUID().toString.take(8)
-        val q = graft.streaming.StreamingOps.dedupFirstSeen(
+      (s, dir) => graft.streaming.StreamingOps.runToTable(s,
+        graft.streaming.StreamingOps.dedupFirstSeen(
             graft.streaming.StreamingOps.readEvents(s, dir),
             "ts", "2 hours", Seq("user_id", "event_type"))
-          .select(col("user_id"), col("event_type"))
-          .writeStream.outputMode("append")
-          .format("memory").queryName(sink)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.processAllAvailable(); q.stop()
-        s.table(sink)
-      },
+          .select(col("user_id"), col("event_type")),
+        "append", "graft_e18_sink_"),
       Some("SELECT DISTINCT user_id, event_type FROM events")),
 
     // Inter-arrival cadence profile: per-event-type gap statistics
@@ -449,18 +425,10 @@ object EventQueries {
       Some(trendingOracle(3))),
 
     Q("e20_sliding_stream",
-      (s, dir) => {
-        val sink = "graft_e20_sink_" +
-          java.util.UUID.randomUUID().toString.take(8)
-        val q = graft.streaming.StreamingOps.slidingCounts(
-            graft.streaming.StreamingOps.readEvents(s, dir))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(sink)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.processAllAvailable(); q.stop()
-        s.table(sink)
-      },
+      (s, dir) => graft.streaming.StreamingOps.runToTable(s,
+        graft.streaming.StreamingOps.slidingCounts(
+          graft.streaming.StreamingOps.readEvents(s, dir)),
+        "complete", "graft_e20_sink_"),
       Some(slidingOracle)),
 
     // Rolling anomaly detection — e11's burst rule made drift-adaptive:

@@ -1056,21 +1056,8 @@ object TextQueries {
     // rounded divisions of exact BIGINTs — bit-identical cross-engine,
     // safe as an ordering key.
     Q("t40_word_dispersion",
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-        val c = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-          .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
-        c.groupBy(col("word"))
-          .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
-            sum(col("c") * col("c")).as("cf2"))
-          .filter(col("df") >= 5)
-          .crossJoin(broadcast(nDocs))
-          .select(col("word"), col("df"), col("cf"),
-            (col("cf2").cast(DoubleType) / col("cf").cast(DoubleType) -
-              col("cf").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("vmr"))
-          .orderBy(col("vmr").desc, col("word").asc).limit(30)
-      },
+      (s, dir) => wordDispersion(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
       Some(s"""WITH w AS (SELECT doc_id, unnest(${O.toks("text")}) AS word FROM documents),
               |c AS (SELECT word, doc_id, count(*) AS c FROM w GROUP BY word, doc_id),
               |n AS (SELECT count(*) AS nd FROM documents),
@@ -1697,6 +1684,24 @@ object TextQueries {
           log(col("n").cast(DoubleType) / col("c").cast(DoubleType)))
           .cast(graft.core.Det.dec)).cast(DoubleType) /
           max(col("n")).cast(DoubleType)).as("entropy"))
+  }
+
+  /** t40's builder on an arbitrary (doc_id, text) frame — shared with
+    * ScaleProbe: per-word VMR of per-doc counts (zeros via the exact
+    * moment identity), df ≥ 5, top-30 TakeOrdered. */
+  def wordDispersion(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val c = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
+    c.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+        sum(col("c") * col("c")).as("cf2"))
+      .filter(col("df") >= 5)
+      .crossJoin(broadcast(nDocs))
+      .select(col("word"), col("df"), col("cf"),
+        (col("cf2").cast(DoubleType) / col("cf").cast(DoubleType) -
+          col("cf").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("vmr"))
+      .orderBy(col("vmr").desc, col("word").asc).limit(30)
   }
 
   /** t39's builder — corpus Zipf slope over the top-1000 vocabulary;

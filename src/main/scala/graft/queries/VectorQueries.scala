@@ -1463,21 +1463,13 @@ object VectorQueries {
     // v21's own DuckDB oracle, proving continuous ingest ≡ batch
     // upsert bit-for-bit (cosine doubles included).
     Q("v28_ivf_stream",
-      (s, dir) => {
-        val cents = collectUpsertCentroids(s, dir)
-        val sink = "graft_v28_sink_" +
-          java.util.UUID.randomUUID().toString.take(8)
-        val q = graft.streaming.StreamingOps.ivfAssign(
-            graft.streaming.StreamingOps.readEmbeddings(s, dir)
-              .filter(col("vec_id") % 7 === 3)
-              .select(col("vec_id"), col("embedding")), cents)
-          .writeStream.outputMode("append")
-          .format("memory").queryName(sink)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.processAllAvailable(); q.stop()
-        s.table(sink)
-      },
+      (s, dir) => graft.streaming.StreamingOps.runToTable(s,
+        graft.streaming.StreamingOps.ivfAssign(
+          graft.streaming.StreamingOps.readEmbeddings(s, dir)
+            .filter(col("vec_id") % 7 === 3)
+            .select(col("vec_id"), col("embedding")),
+          collectUpsertCentroids(s, dir)),
+        "append", "graft_v28_sink_"),
       Some(ivfUpsertSql))
   )
 

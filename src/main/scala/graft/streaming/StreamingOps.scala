@@ -23,35 +23,53 @@ object StreamingOps {
     * file source needs a directory — filter to the events file). The
     * raw footer schema feeds readStream; Tables.normalizeNanoTs then
     * yields a proper TimestampType `ts` whatever the writer encoded. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet").schema
-    graft.core.Tables.normalizeNanoTs(
-      spark.readStream.schema(raw)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+  /** Streaming read of one fixture table: footer-derived schema +
+    * a glob pinned to that table's file — the shared scaffold of the
+    * per-table readers below. */
+  private def readTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$table.parquet").schema
+    spark.readStream.schema(raw)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(dir)
+  }
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.normalizeNanoTs(readTable(spark, dir, "events"))
+
+  /** Run a streaming frame to completion (one AvailableNow pass) into
+    * a uniquely-named memory sink and return its rows as a local
+    * DataFrame — the shared scaffold of every driver-visible streaming
+    * gate (e16-e20, v28, x12). Gate outputs are aggregate-sized, so
+    * collecting them out lets the sink's temp view be dropped instead
+    * of leaking one per gate build. */
+  def runToTable(spark: SparkSession, df: DataFrame, mode: String,
+      prefix: String): DataFrame = {
+    val sink = prefix + java.util.UUID.randomUUID().toString.take(8)
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table(sink)
+    val rows = out.collect()
+    val schema = out.schema
+    spark.catalog.dropTempView(sink)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Streaming read of the documents table in a fixture directory —
     * the online-ingest source for the stateless text ops (chunking,
     * per-row quality/signature scalars): new document files landing in
     * the directory flow straight through, no state, no watermark. */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/documents.parquet").schema
-    spark.readStream.schema(raw)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-  }
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    readTable(spark, dir, "documents")
 
   /** Streaming read of the embeddings table in a fixture directory —
     * the online-ingest source for continuous vector indexing: new
     * embedding files landing in the directory flow straight through
     * the stateless assignment pass ([[ivfAssign]]). */
-  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    spark.readStream.schema(raw)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
-  }
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    readTable(spark, dir, "embeddings")
 
   /** Continuous IVF ingest — v21's batch upsert as a STATELESS stream:
     * each arriving vector scores against the FROZEN index's centroids

@@ -60,13 +60,42 @@ object PlanLint {
       }
     }
 
+    // The driver-visible streaming gates (e16-e20, v28, x12) execute a
+    // streaming job at build time and return a memory-sink read, so
+    // the plan the registry exposes is a trivial LocalTableScan — and
+    // linting "without running" would run the heaviest jobs in the
+    // registry. Lint their UNDERLYING transformation on a batch frame
+    // instead: same operators, so the cartesian / single-partition
+    // properties carry over to the incremental plan.
+    import org.apache.spark.sql.{DataFrame, SparkSession => SS}
+    import org.apache.spark.sql.functions.col
+    def t(s: SS, d: String, n: String): DataFrame = graft.core.Tables(s, d, n)
+    val streamingTwins: Map[String, (SS, String) => DataFrame] = Map(
+      "e16_session_stream" -> ((s, d) =>
+        graft.queries.EventQueries.sessionWindows(t(s, d, "events"))),
+      "e17_window_stream" -> ((s, d) =>
+        graft.queries.Registry.queries("e01_window_hourly")(s, d)),
+      "e18_dedup_stream" -> ((s, d) =>
+        t(s, d, "events").select(col("user_id"), col("event_type")).distinct()),
+      "e20_sliding_stream" -> ((s, d) =>
+        graft.queries.Registry.queries("e19_sliding_window")(s, d)),
+      "v28_ivf_stream" -> ((s, d) =>
+        graft.streaming.StreamingOps.ivfAssign(
+          t(s, d, "embeddings").filter(col("vec_id") % 7 === 3)
+            .select(col("vec_id"), col("embedding")),
+          graft.queries.VectorQueries.collectUpsertCentroids(s, d))),
+      "x12_decayed_stream" -> ((s, d) =>
+        graft.streaming.StreamingOps.decayedCounts(t(s, d, "events"), 0L)))
+
     var cartesian = List.empty[String]
     var singlePart = List.empty[String]
     var errors = List.empty[String]
     var checked = 0
     graft.queries.Registry.all.foreach { q =>
       try {
-        val p = q.build(spark, sfDir).queryExecution.executedPlan.toString
+        val df = streamingTwins.get(q.name)
+          .map(f => f(spark, sfDir)).getOrElse(q.build(spark, sfDir))
+        val p = df.queryExecution.executedPlan.toString
         checked += 1
         if (p.contains("CartesianProduct")) cartesian ::= q.name
         if (unboundedSinglePartition(p) &&
