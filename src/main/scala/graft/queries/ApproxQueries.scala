@@ -421,6 +421,18 @@ object ApproxQueries {
         "n_chars", 100),
       Some(weightedSampleOracle("n_chars", 100))),
 
+    // Stratified weighted sampling — x10's draw run independently
+    // inside every source (per-source quotas × weight-proportional
+    // selection, the balanced fine-tune mix builder). Group-keyed
+    // rank window ⇒ WindowGroupLimit prunes each group pre-shuffle
+    // (pinned); never a global sort, never RNG.
+    Q("x13_grouped_weighted_sample",
+      (s, dir) => groupedWeightedSample(
+        Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "n_chars", 10),
+      Some(groupedWeightedSampleOracle("source", "n_chars", 10))),
+
     // Exponentially-decayed event counts (half-life 1 day against the
     // stream head) — the freshness-weighted popularity score feeds and
     // trending rankers use, where yesterday's click counts half. Pure
@@ -499,6 +511,42 @@ object ApproxQueries {
       .orderBy(col("wkey").desc, col("doc_id").asc)
       .limit(n)
   }
+
+  /** x13's builder — the per-GROUP form of [[weightedSample]]: an
+    * independent Efraimidis–Spirakis draw of `n` rows inside every
+    * `gCol` group (the stratified weighted sampler a balanced
+    * fine-tune mix wants: per-source quotas, heavier docs
+    * proportionally likelier). Same deterministic keys; the cap is a
+    * group-keyed rank window, so WindowGroupLimit prunes each group
+    * to n pre-shuffle — one exchange on the group key, never a
+    * global sort. */
+  def groupedWeightedSample(docs: org.apache.spark.sql.DataFrame,
+      gCol: String, wCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(1000003L) + lit(1L))
+      .cast(DoubleType) / lit(1000004.0)
+    val w = Window.partitionBy(col(gCol))
+      .orderBy(col("wkey").desc, col("doc_id").asc)
+    docs
+      .select(col(gCol), col("doc_id"), col(wCol),
+        (log(u) / greatest(col(wCol), lit(1L)).cast(DoubleType))
+          .cast(graft.core.Det.dec).as("wkey"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= n)
+  }
+
+  /** DuckDB mirror of [[groupedWeightedSample]] over `documents`. */
+  def groupedWeightedSampleOracle(gCol: String, wCol: String, n: Int): String =
+    s"""SELECT $gCol, doc_id, $wCol, wkey, rk FROM (
+       |  SELECT $gCol, doc_id, $wCol,
+       |    CAST(ln(CAST(((doc_id % 1000000) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+       |      / CAST(greatest($wCol, 1) AS DOUBLE) AS DECIMAL(38,6)) AS wkey,
+       |    CAST(row_number() OVER (PARTITION BY $gCol
+       |      ORDER BY CAST(ln(CAST(((doc_id % 1000000) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+       |        / CAST(greatest($wCol, 1) AS DOUBLE) AS DECIMAL(38,6)) DESC, doc_id ASC)
+       |      AS BIGINT) AS rk
+       |  FROM documents)
+       |WHERE rk <= $n""".stripMargin
 
   /** DuckDB mirror of [[weightedSample]] over `documents`. */
   def weightedSampleOracle(wCol: String, n: Int): String =

@@ -507,6 +507,13 @@ object DialectQueries {
       sql("trend ts, event_type from events top 3"),
       Some(EventQueries.trendingOracle(3))),
 
+    // Stratified weighted sampling on the dialect surface: the `per`
+    // suffix routes `sample … top n by w` into the x13 builder
+    // (independent per-group draws, WindowGroupLimit-pinned).
+    Q("s43_dialect_stratified_sample",
+      sql("sample doc_id from documents top 5 by n_chars per source"),
+      Some(ApproxQueries.groupedWeightedSampleOracle("source", "n_chars", 5))),
+
     // Dataset card on the dialect surface: `card` lowers VERBATIM to
     // the p11 core (text-only columns, so it works on any table with
     // an id and a text column).

@@ -130,7 +130,8 @@ object Ast {
     * column only. */
   final case class SampleStmt(idCol: String, from: FromClause,
       pct: Long = 10L, topN: Option[Long] = None,
-      weightCol: Option[String] = None) extends Stmt
+      weightCol: Option[String] = None,
+      perCol: Option[String] = None) extends Stmt
 
   /** `card <idCol>[,] <textCol> from <table>` — the one-row dataset
     * datasheet on the SQL surface (p11's text-only core): doc count,

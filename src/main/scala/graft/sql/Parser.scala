@@ -126,9 +126,13 @@ final class Parser(toks: Vector[Tok]) {
         case _: Word => advance().text
         case t => throw ParseError(s"expected weight column, found '${t.text}'")
       }
+      val per = if (accept("per")) Some(peek match {
+        case _: Word => advance().text
+        case t => throw ParseError(s"expected group column, found '${t.text}'")
+      }) else None
       if (!peek.eq(EOF) && peekText != ";")
         throw ParseError(s"unexpected trailing token '${peek.text}'")
-      SampleStmt(idCol, from, 10L, Some(n), Some(w))
+      SampleStmt(idCol, from, 10L, Some(n), Some(w), per)
     } else {
       val pct = if (accept("pct")) parseNumber() else 10L
       if (pct < 1 || pct > 99)

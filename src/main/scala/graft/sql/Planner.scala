@@ -212,20 +212,30 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         case other => throw PlanError(
           s"sample: ${st.idCol} must be an integer id column, found $other")
       }
-    (st.topN, st.weightCol) match {
-      case (Some(n), Some(w)) =>
+    def requireNumericWeight(df: DataFrame, w: String): Unit =
+      df.schema(w).dataType match {
+        case _: NumericType => ()
+        case other => throw PlanError(
+          s"sample: weight ${w} must be a numeric column, found $other")
+      }
+    (st.topN, st.weightCol, st.perCol) match {
+      case (Some(n), Some(w), None) =>
         // weighted draw — lowers VERBATIM to the x10 builder
         // (ApproxQueries.weightedSample): deterministic E-S keys +
         // a LIMIT-bounded TakeOrdered, never RNG, never a full sort
         val docs = base.select(named(base, st.idCol, "doc_id"),
           named(base, w, w))
         requireIntegralId(docs)
-        docs.schema(w).dataType match {
-          case _: NumericType => ()
-          case other => throw PlanError(
-            s"sample: weight ${w} must be a numeric column, found $other")
-        }
+        requireNumericWeight(docs, w)
         graft.queries.ApproxQueries.weightedSample(docs, w, n.toInt)
+      case (Some(n), Some(w), Some(g)) =>
+        // stratified weighted draw — the x13 builder: an independent
+        // per-group E-S draw, WindowGroupLimit-capped per group
+        val docs = base.select(named(base, g, g),
+          named(base, st.idCol, "doc_id"), named(base, w, w))
+        requireIntegralId(docs)
+        requireNumericWeight(docs, w)
+        graft.queries.ApproxQueries.groupedWeightedSample(docs, g, w, n.toInt)
       case _ =>
         val docs = base.select(named(base, st.idCol, "doc_id"))
         requireIntegralId(docs)

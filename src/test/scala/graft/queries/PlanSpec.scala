@@ -644,6 +644,14 @@ class PlanSpec extends SparkSpec {
       s"a range-partitioned global sort does not belong here:\n${p.take(800)}")
   }
 
+  test("stratified weighted sample (x13) caps each group via WindowGroupLimit") {
+    val p = plan("x13_grouped_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-group rank cap must prune pre-shuffle:\n${p.take(800)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort belongs here:\n${p.take(800)}")
+  }
+
   test("dialect weighted sample (s39) lowers to the exact x10 builder plan") {
     val dialect = Registry.queries("s39_dialect_weighted_sample")(spark, sf0001)
     val builder = graft.queries.ApproxQueries.weightedSample(

@@ -221,6 +221,10 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("sample id from t top 0 by w"))
     assertThrows[Exception](Parser.parseStmt("sample id from t top 5"))
     assertThrows[Exception](Parser.parseStmt("sample id from t top 5 by w extra"))
+    val p = Parser.parseStmt("sample id from t top 5 by w per src")
+      .asInstanceOf[Ast.SampleStmt]
+    assert(p.perCol.contains("src"))
+    assertThrows[Exception](Parser.parseStmt("sample id from t top 5 by w per"))
   }
 
   test("trend statement grammar: optional top") {

@@ -585,6 +585,19 @@ class PlannerSpec extends SparkSpec {
     assertThrows[Exception](g.sql("sample text from documents top 5 by n_chars"))
   }
 
+  test("stratified weighted sample executes: n rows per group, builder-equal") {
+    val st = g.sql("sample doc_id from documents top 3 by n_chars per source")
+    assert(st.columns.toSeq == Seq("source", "doc_id", "n_chars", "wkey", "rk"))
+    val perSrc = st.collect().groupBy(_.getString(0))
+    assert(perSrc.nonEmpty && perSrc.values.forall(_.length <= 3))
+    val builderEq = graft.queries.ApproxQueries.groupedWeightedSample(
+      g.sql("select source, doc_id, n_chars from documents"),
+      "source", "n_chars", 3)
+    assert(st.collect().sortBy(_.getLong(1)).toSeq ==
+      builderEq.collect().sortBy(_.getLong(1)).toSeq,
+      "statement must equal the x13 builder row-for-row")
+  }
+
   test("trend statement executes: k rows max per window, count ranking") {
     val tr = g.sql("trend ts, event_type from events top 2")
     assert(tr.columns.toSeq == Seq("ws", "event_type", "n", "rk"))
