@@ -62,45 +62,26 @@ object TextQueries {
       bench = true),
 
     Q("t03_langid",
-      (s, dir) => {
-        import graft.functions.TextProfileOps.langs
-        val enIdx = langs.indexOf("en")
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
-          .select(col("doc_id"), col("lang").as("lang_label"), {
-            val n = greatest(col("p.n_tok"), lit(1L)).cast(DoubleType)
-            val scored = langs.zipWithIndex.map { case (l, i) =>
-              struct((element_at(col("p.sw_hits"), i + 1).cast(DoubleType) / n).as("s"),
-                lit(l).as("l"))
-            }
-            val best = array_max(array(scored: _*))
-            when(best.getField("s") > 0.0, best.getField("l"))
-              .otherwise(lit("und")).as("lang_pred")
-          }, {
-            val n = greatest(col("p.n_tok"), lit(1L)).cast(DoubleType)
-            (element_at(col("p.sw_hits"), enIdx + 1).cast(DoubleType) / n).as("ratio_en")
-          })
-      },
-      Some {
-        // argmax over (ratio, lang) with lexicographically-greatest
-        // tie-break — mirrored as a descending >= CASE chain.
-        val rs = Seq("de", "en", "es", "fr", "zh")
-          .map(l => s"${O.stopwordRatio("tk", l)} AS s_$l").mkString(",\n")
-        s"""SELECT doc_id, lang_label, CASE WHEN
-           |  greatest(s_de, s_en, s_es, s_fr, s_zh) > 0.0 THEN
-           |  CASE
-           |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
-           |    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-           |    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-           |    WHEN s_en >= s_de THEN 'en'
-           |    ELSE 'de' END
-           |  ELSE 'und' END AS lang_pred,
-           |s_en AS ratio_en
-           |FROM (SELECT doc_id, lang AS lang_label,
-           |$rs
-           |FROM ($docToks))""".stripMargin
-      }),
+      (s, dir) => langPred(Tables(s, dir, "documents")),
+      Some(langPredOracle)),
+
+    // Language-ID agreement report — the eval loop closed over t03
+    // (d13/v19's "measure the heuristic against truth" pattern applied
+    // to the labeler): per RECORDED language, how often the stopword
+    // argmax agrees with the label. Integer (n, n_agree) per lang —
+    // ulp-proof; one per-row prediction pass + a lang-keyed agg.
+    Q("t41_langid_agreement",
+      (s, dir) => langPred(Tables(s, dir, "documents"))
+        .groupBy(col("lang_label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang_pred") === col("lang_label"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .select(col("lang_label").as("lang"), col("n"), col("n_agree")),
+      Some(s"""WITH pred AS ($langPredOracle)
+              |SELECT lang_label AS lang, CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(CASE WHEN lang_pred = lang_label THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_agree
+              |FROM pred GROUP BY lang_label""".stripMargin)),
 
     // Reproducible sampling — the training-data way: hash buckets, not
     // RNG (same rows selected on any cluster size, any run, both
@@ -1648,6 +1629,52 @@ object TextQueries {
         contains(col("text"), lit("{")).as("has_brace"))
       .withColumn("keep",
         col("n_kept_lines") >= 3 && !col("has_lorem") && !col("has_brace"))
+  }
+
+  /** t03's builder on a documents frame (doc_id, lang, text): stopword
+    * argmax language prediction from ONE fused text-profile pass —
+    * (doc_id, lang_label, lang_pred, ratio_en). Shared by t03 and the
+    * t41 agreement eval. */
+  def langPred(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextProfileOps.langs
+    val enIdx = langs.indexOf("en")
+    docs
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+      .select(col("doc_id"), col("lang").as("lang_label"), {
+        val n = greatest(col("p.n_tok"), lit(1L)).cast(DoubleType)
+        val scored = langs.zipWithIndex.map { case (l, i) =>
+          struct((element_at(col("p.sw_hits"), i + 1).cast(DoubleType) / n).as("s"),
+            lit(l).as("l"))
+        }
+        val best = array_max(array(scored: _*))
+        when(best.getField("s") > 0.0, best.getField("l"))
+          .otherwise(lit("und")).as("lang_pred")
+      }, {
+        val n = greatest(col("p.n_tok"), lit(1L)).cast(DoubleType)
+        (element_at(col("p.sw_hits"), enIdx + 1).cast(DoubleType) / n).as("ratio_en")
+      })
+  }
+
+  /** DuckDB mirror of [[langPred]] — argmax over (ratio, lang) with
+    * lexicographically-greatest tie-break, mirrored as a descending
+    * >= CASE chain. Shared by the t03 and t41 oracles. */
+  def langPredOracle: String = {
+    val rs = Seq("de", "en", "es", "fr", "zh")
+      .map(l => s"${O.stopwordRatio("tk", l)} AS s_$l").mkString(",\n")
+    s"""SELECT doc_id, lang_label, CASE WHEN
+       |  greatest(s_de, s_en, s_es, s_fr, s_zh) > 0.0 THEN
+       |  CASE
+       |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+       |    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       |    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       |    WHEN s_en >= s_de THEN 'en'
+       |    ELSE 'de' END
+       |  ELSE 'und' END AS lang_pred,
+       |s_en AS ratio_en
+       |FROM (SELECT doc_id, lang AS lang_label,
+       |$rs
+       |FROM ($docToks))""".stripMargin
   }
 
   /** t37's builder on an arbitrary (doc_id, text) frame — shared with

@@ -1397,6 +1397,22 @@ object VectorQueries {
               |FROM truth t LEFT JOIN h ON t.q_id = h.q_id
               |GROUP BY t.q_id, h.hits""".stripMargin)),
 
+    // Two-stage binary search — the deployment shape for 1-bit codes
+    // (v11's exact re-rank applied to the Hamming index): a wide
+    // Hamming shortlist (top-20, codes-only 16-byte scan) gathers the
+    // float vectors ONLY for the ~20·q shortlist rows and re-scores
+    // them with exact cosine to the final top-5. At 100 TB the full
+    // float corpus is touched only by the shortlist gather join —
+    // the scan side stays 32× smaller. R8OpsSpec asserts the recall
+    // dominance over the raw Hamming top-5 (guaranteed: the re-rank
+    // keeps every truth member the shortlist caught).
+    Q("v31_hamming_rerank",
+      (s, dir) => hammingRerank(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        shortlist = 20, k = 5),
+      Some(hammingRerankSql(shortlist = 20, k = 5)),
+    ),
+
     // Binary-quantization recall eval — recall@5 of the Hamming
     // search (v26) against the exact cosine truth, closing the
     // 1-bit index's quality loop exactly as v19 does for IVF and
@@ -1495,6 +1511,47 @@ object VectorQueries {
     sims.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
   }
+
+  /** v31's builder: Hamming shortlist → exact-cosine re-rank. The
+    * shortlist join gathers float vectors only for shortlist rows. */
+  def hammingRerank(e: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    val short = hammingTopk(e, shortlist).select(col("q_id"), col("n_id"))
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = short
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), "n_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB mirror of [[hammingRerank]]. */
+  def hammingRerankSql(shortlist: Int, k: Int): String =
+    s"""WITH codes AS (SELECT vec_id, ${binaryCodeSql(0, 32)} AS lo,
+       |  ${binaryCodeSql(32, 32)} AS hi FROM embeddings),
+       |hq AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi
+       |       FROM codes WHERE vec_id < 5),
+       |hsims AS (SELECT q_id, vec_id AS n_id,
+       |  CAST(bit_count(xor(lo, q_lo)) + bit_count(xor(hi, q_hi)) AS BIGINT) AS hamming
+       |  FROM codes JOIN hq ON q_id != vec_id),
+       |short AS (SELECT q_id, n_id FROM
+       |  (SELECT q_id, n_id, row_number() OVER
+       |     (PARTITION BY q_id ORDER BY hamming ASC, n_id ASC) AS rank
+       |   FROM hsims) WHERE rank <= $shortlist),
+       |qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id < 5),
+       |scored AS (SELECT s.q_id, s.n_id,
+       |  ${cosineSql("qv.q_emb", "n.embedding")} AS sim
+       |  FROM short s JOIN embeddings n ON s.n_id = n.vec_id
+       |  JOIN qv ON s.q_id = qv.q_id)
+       |SELECT q_id, n_id, sim, rank FROM
+       |(SELECT q_id, n_id, sim, CAST(row_number() OVER
+       |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+       | FROM scored) WHERE rank <= $k""".stripMargin
 
   /** v25's builder on an arbitrary (vec_id, embedding) frame — shared
     * with the dialect `quantize` statement: the two packed sign-bit

@@ -44,6 +44,40 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("hamming re-rank recall dominates the raw hamming top-k") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(VectorQueries.bruteKnn(spark, sf0001, 5))
+    val raw = pairs(VectorQueries.hammingTopk(emb, 5))
+    val rr = pairs(Registry.queries("v31_hamming_rerank")(spark, sf0001))
+    assert(rr.size == raw.size)
+    assert((rr intersect truth).size >= (raw intersect truth).size,
+      s"re-rank must never lose recall: rerank=${(rr intersect truth).size} raw=${(raw intersect truth).size}")
+  }
+
+  test("langid agreement: per-lang counts roll up to the corpus") {
+    val rows = Registry.queries("t41_langid_agreement")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.core.Tables(spark, sf0001, "documents").count())
+  }
+
+  test("stratified weighted sample: exactly min(n, group size) per group") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val r = ApproxQueries.groupedWeightedSample(docs, "source", "n_chars", 10)
+      .collect()
+    val sizes = docs.groupBy(col("source")).count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val got = r.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    sizes.foreach { case (s0, n) =>
+      assert(got.getOrElse(s0, 0) == math.min(10L, n),
+        s"group $s0 expected ${math.min(10L, n)} rows, got ${got.getOrElse(s0, 0)}")
+    }
+  }
+
   test("token entropy is bounded: 0 <= H <= ln(n_types)") {
     val rows = TextQueries.tokenEntropy(docs).collect()
     assert(rows.nonEmpty)
