@@ -79,6 +79,61 @@ object DedupQueries {
       maxBucket = maxBucket, directed = false)
   }
 
+  /** d18's builder: PageRank over the UNDIRECTED duplicate graph (the
+    * d03 candidate pairs) — the authority score inside near-dup
+    * families (d16's degree ranks hubs; PageRank also credits docs
+    * linked to by hubs, the canonical-version signal template farms
+    * obscure from raw degree). `iters` unrolled rounds of keyed
+    * join + Det-decimal aggregation over the BOUNDED pair set — cost
+    * is O(iters · |candidate edges|), never touching non-duplicate
+    * docs; damping 0.15/0.85, r0 = 1. */
+  def dupPagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val pairs = candidatePairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+    var r = deg.select(col("doc_a").as("id"), lit(1.0).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(r, edges("doc_a") === r("id"))
+        .join(deg, "doc_a")
+        .select(col("doc_b").as("id"),
+          (col("r") / col("deg").cast(DoubleType)).as("c"))
+      r = contrib.groupBy(col("id"))
+        .agg((lit(0.15) + lit(0.85) *
+          sum(col("c").cast(graft.core.Det.dec)).cast(DoubleType)).as("r"))
+    }
+    deg.select(col("doc_a").as("doc_id"), col("deg"))
+      .join(r.withColumnRenamed("id", "doc_id"), "doc_id")
+      .select(col("doc_id"), col("deg"), col("r").as("pagerank"))
+  }
+
+  /** DuckDB mirror of [[dupPagerank]] — the same `iters` rounds as
+    * chained CTEs over the shared candidate-pair SQL. */
+  def dupPagerankOracle(iters: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH pr AS ($lshPairsOracle),
+              |e AS (SELECT doc_a, doc_b FROM pr
+              |      UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pr),
+              |deg AS (SELECT doc_a AS id, count(*) AS deg FROM e GROUP BY doc_a),
+              |r0 AS (SELECT id, 1.0 AS r FROM deg)""".stripMargin
+    for (i <- 1 to iters) {
+      val prev = s"r${i - 1}"
+      sb ++= s""",
+                |r$i AS (SELECT e.doc_b AS id,
+                |  0.15 + 0.85 * ${graft.core.Det.sql.dsum(
+                     s"$prev.r / CAST(deg.deg AS DOUBLE)")} AS r
+                |  FROM e JOIN $prev ON e.doc_a = $prev.id
+                |         JOIN deg ON e.doc_a = deg.id
+                |  GROUP BY e.doc_b)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT deg.id AS doc_id, CAST(deg.deg AS BIGINT) AS deg,
+              |  r$iters.r AS pagerank
+              |FROM deg JOIN r$iters ON deg.id = r$iters.id""".stripMargin
+    sb.toString
+  }
+
   /** d17's builder over a signature frame (doc_id + mh0..mh{K-1}) —
     * shared with ScaleProbe so the probe times exactly the gated
     * sweep: for every banding of the K-perm signature, hot buckets
@@ -684,6 +739,11 @@ object DedupQueries {
     // SIZES, so the sweep costs one signature pass however skewed the
     // buckets — more bands ⇒ shorter keys ⇒ more candidates (recall),
     // fewer ⇒ stricter (precision), and this emits that curve.
+    // PageRank over the duplicate graph — see [[dupPagerank]].
+    Q("d18_dup_pagerank",
+      (s, dir) => dupPagerank(s, dir),
+      Some(dupPagerankOracle())),
+
     Q("d17_lsh_band_sweep",
       (s, dir) => bandSweepOf(sigDF(s, dir)),
       Some {
