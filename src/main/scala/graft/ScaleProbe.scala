@@ -332,6 +332,13 @@ object ScaleProbe {
         graft.queries.DedupQueries.sigOf(
           docs.select(col("doc_id"), col("text")))).collect()
     }
+    time("d18_dup_pagerank") {
+      graft.queries.DedupQueries.dupPagerankOf(
+        graft.queries.DedupQueries.candidatePairsOf(
+          graft.queries.DedupQueries.sigOf(
+            docs.select(col("doc_id"), col("text")))))
+        .write.format("noop").mode("overwrite").save()
+    }
     val ev = scaled(spark, "events", Seq("event_id", "user_id"), copies)
     println(s"events=${ev.count()}")
     time("x11_decayed_counts") {

@@ -87,8 +87,13 @@ object DedupQueries {
     * join + Det-decimal aggregation over the BOUNDED pair set — cost
     * is O(iters · |candidate edges|), never touching non-duplicate
     * docs; damping 0.15/0.85, r0 = 1. */
-  def dupPagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val pairs = candidatePairs(s, dir).select(col("doc_a"), col("doc_b"))
+  def dupPagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    dupPagerankOf(candidatePairs(s, dir), iters)
+
+  /** [[dupPagerank]] over an explicit candidate-pair frame — shared
+    * with ScaleProbe. */
+  def dupPagerankOf(pairsIn: DataFrame, iters: Int = 3): DataFrame = {
+    val pairs = pairsIn.select(col("doc_a"), col("doc_b"))
     val edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
