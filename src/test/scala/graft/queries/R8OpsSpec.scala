@@ -56,6 +56,22 @@ class R8OpsSpec extends SparkSpec {
       s"re-rank must never lose recall: rerank=${(rr intersect truth).size} raw=${(raw intersect truth).size}")
   }
 
+  test("dup-graph pagerank conserves mass and respects the damping floor") {
+    val rows = Registry.queries("d18_dup_pagerank")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // closed undirected graph, no dangling nodes: every round
+    // redistributes all mass, so Σ pagerank = n exactly (up to the
+    // decimal rounding each round absorbs)
+    val n = rows.length
+    assert(math.abs(rows.map(_._3).sum - n) < 1e-3 * n,
+      s"mass not conserved: sum=${rows.map(_._3).sum} n=$n")
+    rows.foreach { case (id, deg, pr) =>
+      assert(pr >= 0.15 - 1e-9, s"below damping floor: $id -> $pr")
+      assert(deg >= 1)
+    }
+  }
+
   test("langid agreement: per-lang counts roll up to the corpus") {
     val rows = Registry.queries("t41_langid_agreement")(spark, sf0001).collect()
     assert(rows.nonEmpty)
