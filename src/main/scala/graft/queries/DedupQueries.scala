@@ -744,11 +744,6 @@ object DedupQueries {
     // SIZES, so the sweep costs one signature pass however skewed the
     // buckets — more bands ⇒ shorter keys ⇒ more candidates (recall),
     // fewer ⇒ stricter (precision), and this emits that curve.
-    // PageRank over the duplicate graph — see [[dupPagerank]].
-    Q("d18_dup_pagerank",
-      (s, dir) => dupPagerank(s, dir),
-      Some(dupPagerankOracle())),
-
     Q("d17_lsh_band_sweep",
       (s, dir) => bandSweepOf(sigDF(s, dir)),
       Some {
@@ -768,7 +763,12 @@ object DedupQueries {
            |  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
            |  CAST(sum(n * (n - 1)) // 2 AS BIGINT) AS cand_pairs
            |FROM bk GROUP BY bands""".stripMargin
-      })
+      }),
+
+    // PageRank over the duplicate graph — see [[dupPagerank]].
+    Q("d18_dup_pagerank",
+      (s, dir) => dupPagerank(s, dir),
+      Some(dupPagerankOracle()))
   )
 
   /** d15's builder on an arbitrary documents frame — shared with

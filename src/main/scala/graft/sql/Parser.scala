@@ -105,9 +105,11 @@ final class Parser(toks: Vector[Tok]) {
       FromClause(table, None, noHeader, intColumns = false, Nil), k)
   }
 
-  /** `sample <idCol> from <table> [nh] [pct <n> | top <n> by <w>]` —
+  /** `sample <idCol> from <table> [nh]
+    *   [pct <n> | top <n> by <w> [per <g>]]` —
     * the `top … by` form is the weighted draw (Efraimidis–Spirakis,
-    * x10): the n rows selected by deterministic weighted keys. */
+    * x10): the n rows selected by deterministic weighted keys;
+    * `per <g>` makes it an independent per-group draw (x13). */
   private def parseSample(): SampleStmt = {
     val idCol = peek match {
       case _: Word => advance().text

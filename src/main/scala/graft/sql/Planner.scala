@@ -230,12 +230,22 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         graft.queries.ApproxQueries.weightedSample(docs, w, n.toInt)
       case (Some(n), Some(w), Some(g)) =>
         // stratified weighted draw — the x13 builder: an independent
-        // per-group E-S draw, WindowGroupLimit-capped per group
+        // per-group E-S draw, WindowGroupLimit-capped per group. The
+        // group column must be distinct from the id/weight columns
+        // (case-insensitively, Spark's resolution rule) or the
+        // projection below would carry ambiguous duplicates.
+        if (g.equalsIgnoreCase(st.idCol) || g.equalsIgnoreCase(w))
+          throw PlanError(
+            s"sample: per-group column $g must differ from the id and weight columns")
         val docs = base.select(named(base, g, g),
           named(base, st.idCol, "doc_id"), named(base, w, w))
         requireIntegralId(docs)
         requireNumericWeight(docs, w)
         graft.queries.ApproxQueries.groupedWeightedSample(docs, g, w, n.toInt)
+      case (None, None, Some(_)) =>
+        // unreachable from the grammar, but SampleStmt is public AST:
+        // never silently drop a requested stratification
+        throw PlanError("sample: per requires the weighted form top <n> by <w>")
       case _ =>
         val docs = base.select(named(base, st.idCol, "doc_id"))
         requireIntegralId(docs)

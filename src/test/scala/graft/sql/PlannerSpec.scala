@@ -596,6 +596,12 @@ class PlannerSpec extends SparkSpec {
     assert(st.collect().sortBy(_.getLong(1)).toSeq ==
       builderEq.collect().sortBy(_.getLong(1)).toSeq,
       "statement must equal the x13 builder row-for-row")
+    // the group column must differ from id/weight (clean PlanError,
+    // not a Catalyst ambiguity or a silent singleton-group degenerate)
+    assertThrows[Exception](
+      g.sql("sample doc_id from documents top 5 by n_chars per doc_id"))
+    assertThrows[Exception](
+      g.sql("sample doc_id from documents top 5 by n_chars per DOC_ID"))
   }
 
   test("trend statement executes: k rows max per window, count ranking") {
