@@ -1397,6 +1397,58 @@ object VectorQueries {
               |FROM truth t LEFT JOIN h ON t.q_id = h.q_id
               |GROUP BY t.q_id, h.hits""".stripMargin)),
 
+    // Two-stage matryoshka search — v31's deployment shape applied to
+    // truncation (v27's eval twin): a prefix-16-dim cosine shortlist
+    // (top-20 — the scan side reads a 4× narrower vector) gathers the
+    // full 64-dim vectors only for the shortlist and re-ranks with
+    // exact cosine to the final top-5. The same recall-dominance
+    // guarantee as v31 holds vs the raw truncated top-5.
+    Q("v32_matryoshka_rerank",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val qt = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), slice(col("embedding"), 1, 16).as("q_emb"))
+        val ct = e.select(col("vec_id").as("n_id"), slice(col("embedding"), 1, 16).as("n_emb"))
+        val tsims = ct.join(broadcast(qt), col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            cosine(col("q_emb"), col("n_emb")).as("sim"))
+        val wt = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id").asc)
+        val short = tsims.withColumn("rank", row_number().over(wt))
+          .filter(col("rank") <= 20).select(col("q_id"), col("n_id"))
+        val qv = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val scored = short
+          .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), "n_id")
+          .join(broadcast(qv), "q_id")
+          .select(col("q_id"), col("n_id"),
+            cosine(col("q_emb"), col("n_emb")).as("sim"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id").asc)
+        scored.withColumn("rank", row_number().over(wr).cast(LongType))
+          .filter(col("rank") <= 5)
+      },
+      Some(s"""WITH qt AS (SELECT vec_id AS q_id, embedding[1:16] AS q_emb
+              |       FROM embeddings WHERE vec_id < 5),
+              |ct AS (SELECT vec_id AS n_id, embedding[1:16] AS n_emb FROM embeddings),
+              |tsims AS (SELECT q_id, n_id, ${cosineSql("q_emb", "n_emb")} AS sim
+              |          FROM ct JOIN qt ON q_id != n_id),
+              |short AS (SELECT q_id, n_id FROM
+              |  (SELECT q_id, n_id, row_number() OVER
+              |     (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+              |   FROM tsims) WHERE rank <= 20),
+              |qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+              |       FROM embeddings WHERE vec_id < 5),
+              |scored AS (SELECT s.q_id, s.n_id,
+              |  ${cosineSql("qv.q_emb", "n.embedding")} AS sim
+              |  FROM short s JOIN embeddings n ON s.n_id = n.vec_id
+              |  JOIN qv ON s.q_id = qv.q_id)
+              |SELECT q_id, n_id, sim, rank FROM
+              |(SELECT q_id, n_id, sim, CAST(row_number() OVER
+              |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+              | FROM scored) WHERE rank <= 5""".stripMargin)),
+
     // Two-stage binary search — the deployment shape for 1-bit codes
     // (v11's exact re-rank applied to the Hamming index): a wide
     // Hamming shortlist (top-20, codes-only 16-byte scan) gathers the
