@@ -68,7 +68,16 @@ object Bench {
     val mads = results.map { case (k, _, mad) => "\"" + k + "\":" + mad }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$mads,"runs":$Runs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$mads,"runs":$Runs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's stdout parser can lose the line to sbt log
+    // prefixes (BENCH_r08 recorded "parsed": null) — mirror it to a
+    // file so the metric survives whatever wraps stdout
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out"))
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -86,6 +86,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r6new")) r6New(args.drop(1))
     else if (args.headOption.contains("r7ops")) r7Ops(args.drop(1))
     else if (args.headOption.contains("r8new")) r8New(args.drop(1))
+    else if (args.headOption.contains("r9new")) r9New(args.drop(1))
     else if (args.headOption.contains("r7new")) r7New(args.drop(1))
     else if (args.headOption.contains("r7layout")) r7Layout(args.drop(1))
     else if (args.headOption.contains("skewjoin")) skewJoin(args.drop(1))
@@ -362,6 +363,69 @@ object ScaleProbe {
           unix_micros(col("ts")) - unix_micros(col("v_ts")) <= 3600L * 1000000L)
       qc.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
         .write.format("noop").mode("overwrite").save()
+    }
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-9 probe. Two questions:
+    *
+    * 1. CLEAN-fixture PageRank (VERDICT r8 Next #5): the r8New probe's
+    *    15× super-linearity at 100× was the copies-fixture's quadratic
+    *    EDGE growth (every doc gains ~copies near-identical twins), not
+    *    the operator. Here each copy's minhash columns are salted with
+    *    a copy-specific XOR, so LSH bands never collide ACROSS copies —
+    *    duplication density stays the base fixture's, the corpus grows
+    *    copies×, candidate edges grow ~linearly, and the probe isolates
+    *    dupPagerank's own O(iters·edges) scaling.
+    * 2. The broadcast-gather re-rank family at scale (the r9 fix):
+    *    v31 Hamming re-rank and v33 IVF-PQ re-rank on a copies× corpus
+    *    — the shortlist gather must stay a broadcast join, so cost
+    *    tracks the codes scan, not a corpus shuffle.
+    */
+  def r9New(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val sigBase = graft.queries.DedupQueries.sigOf(base)
+    val mhCols = sigBase.columns.filter(_.startsWith("mh"))
+    val salted = (0 until copies).map { i =>
+      mhCols.foldLeft(
+        sigBase.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))(
+        (df, c) => df.withColumn(c,
+          col(c).bitwiseXOR(lit(i.toLong * 0x9E3779B97F4AL))))
+    }.reduce(_ unionAll _)
+    val tmp = "/tmp/graft_r9new_fixture"
+    salted.write.mode("overwrite").parquet(s"$tmp/sig.parquet")
+    val sig = spark.read.parquet(s"$tmp/sig.parquet")
+    println(s"sig rows=${sig.count()}")
+    val pairs = graft.queries.DedupQueries.candidatePairsOf(sig)
+    pairs.write.mode("overwrite").parquet(s"$tmp/pairs.parquet")
+    val edges = spark.read.parquet(s"$tmp/pairs.parquet")
+    val nEdges = edges.count()
+    println(s"candidate edges=$nEdges (expect ~copies x base)")
+    results("d18_edges") = nEdges.toDouble
+    time("d18_pagerank_clean") {
+      graft.queries.DedupQueries.dupPagerankOf(edges)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // deeper-than-gated iteration count exercises the cutEvery lineage
+    // discipline on a real scaled edge set
+    time("d18_pagerank_clean_it8") {
+      graft.queries.DedupQueries.dupPagerankOf(edges, iters = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
+    println(s"embeddings=${emb.count()}")
+    time("v31_hamming_rerank") {
+      graft.queries.VectorQueries.hammingRerank(emb, 20, 5).collect()
+    }
+    time("v33_ivfpq_rerank") {
+      graft.queries.VectorQueries.ivfPqRerank(emb, 20, 5).collect()
     }
     writeJson(outJson, copies)
     spark.stop()

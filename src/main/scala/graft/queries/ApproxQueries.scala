@@ -510,6 +510,10 @@ object ApproxQueries {
           .cast(graft.core.Det.dec).as("wkey"))
       .orderBy(col("wkey").desc, col("doc_id").asc)
       .limit(n)
+      // DECIMAL(38,6) is the ORDERING device only; the output follows
+      // the registry-wide decimal-inside/double-out discipline (t24)
+      // so the gate hash canonicalizes identically in both engines.
+      .withColumn("wkey", col("wkey").cast(DoubleType))
   }
 
   /** x13's builder — the per-GROUP form of [[weightedSample]]: an
@@ -533,11 +537,15 @@ object ApproxQueries {
           .cast(graft.core.Det.dec).as("wkey"))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= n)
+      // Same decimal-inside/double-out discipline as [[weightedSample]].
+      .withColumn("wkey", col("wkey").cast(DoubleType))
   }
 
-  /** DuckDB mirror of [[groupedWeightedSample]] over `documents`. */
+  /** DuckDB mirror of [[groupedWeightedSample]] over `documents`.
+    * Ranks on the DECIMAL(38,6) key, emits it as DOUBLE (the builders'
+    * decimal-inside/double-out discipline). */
   def groupedWeightedSampleOracle(gCol: String, wCol: String, n: Int): String =
-    s"""SELECT $gCol, doc_id, $wCol, wkey, rk FROM (
+    s"""SELECT $gCol, doc_id, $wCol, CAST(wkey AS DOUBLE) AS wkey, rk FROM (
        |  SELECT $gCol, doc_id, $wCol,
        |    CAST(ln(CAST(((doc_id % 1000000) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
        |      / CAST(greatest($wCol, 1) AS DOUBLE) AS DECIMAL(38,6)) AS wkey,
@@ -548,11 +556,15 @@ object ApproxQueries {
        |  FROM documents)
        |WHERE rk <= $n""".stripMargin
 
-  /** DuckDB mirror of [[weightedSample]] over `documents`. */
+  /** DuckDB mirror of [[weightedSample]] over `documents`. Orders on
+    * the DECIMAL(38,6) key, emits it as DOUBLE (the builders'
+    * decimal-inside/double-out discipline). */
   def weightedSampleOracle(wCol: String, n: Int): String =
-    s"""SELECT doc_id, $wCol,
-       |  CAST(ln(CAST(((doc_id % 1000000) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
-       |    / CAST(greatest($wCol, 1) AS DOUBLE) AS DECIMAL(38,6)) AS wkey
-       |FROM documents
-       |ORDER BY wkey DESC, doc_id ASC LIMIT $n""".stripMargin
+    s"""SELECT doc_id, $wCol, CAST(wkey AS DOUBLE) AS wkey FROM (
+       |  SELECT doc_id, $wCol,
+       |    CAST(ln(CAST(((doc_id % 1000000) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+       |      / CAST(greatest($wCol, 1) AS DOUBLE) AS DECIMAL(38,6)) AS wkey
+       |  FROM documents
+       |  ORDER BY wkey DESC, doc_id ASC LIMIT $n)
+       |ORDER BY wkey DESC, doc_id ASC""".stripMargin
 }

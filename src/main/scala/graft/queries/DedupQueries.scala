@@ -91,14 +91,22 @@ object DedupQueries {
     dupPagerankOf(candidatePairs(s, dir), iters)
 
   /** [[dupPagerank]] over an explicit candidate-pair frame — shared
-    * with ScaleProbe. */
-  def dupPagerankOf(pairsIn: DataFrame, iters: Int = 3): DataFrame = {
+    * with ScaleProbe. `cutEvery` is the Bpe.scala lineage discipline:
+    * past the gated iters=3 the per-round plan nesting would bloat
+    * analysis long before the data hurts, so every `cutEvery`-th rank
+    * frame is truncated to a materialized leaf (Lineage.cut) and the
+    * previous leaf released. The default leaves the 3-round gated
+    * plan fully lazy (unchanged plan shape) and cuts from round 4 on;
+    * DedupSpec pins cut ≡ uncut results. */
+  def dupPagerankOf(pairsIn: DataFrame, iters: Int = 3,
+      cutEvery: Int = 4): DataFrame = {
     val pairs = pairsIn.select(col("doc_a"), col("doc_b"))
     val edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
     var r = deg.select(col("doc_a").as("id"), lit(1.0).as("r"))
-    for (_ <- 1 to iters) {
+    var lastCut: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(r, edges("doc_a") === r("id"))
         .join(deg, "doc_a")
@@ -107,6 +115,12 @@ object DedupQueries {
       r = contrib.groupBy(col("id"))
         .agg((lit(0.15) + lit(0.85) *
           sum(col("c").cast(graft.core.Det.dec)).cast(DoubleType)).as("r"))
+      if (i % cutEvery == 0 && i < iters) {
+        val cut = graft.core.Lineage.cut(r)
+        lastCut.foreach(graft.core.Lineage.release)
+        lastCut = Some(cut)
+        r = cut
+      }
     }
     deg.select(col("doc_a").as("doc_id"), col("deg"))
       .join(r.withColumnRenamed("id", "doc_id"), "doc_id")

@@ -1084,92 +1084,47 @@ object VectorQueries {
     // ADC) with every stage hash-gated.
     Q("v13_ivfpq_search",
       (s, dir) => {
-        val dim = 64; val m = PQ_M; val dSub = dim / m
-        val iters = KMEANS_ITERS
-        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val coarse = kmeansFit(e, KMEANS_K, iters - 1)
-        val resid = residuals(kmeansAssign(e, coarse), coarse).cache()
-        val codebooks = (0 until m).map { ss =>
-          val subEmb = slice(col("embedding"), ss * dSub + 1, dSub)
-          kmeansFit(resid.select(col("vec_id"), subEmb.as("embedding")),
-            PQ_K, iters - 1)
-        }
-        // the eager fit loops above were the multi-read consumer; drop
-        // the cache now so a long-lived session doesn't accumulate one
-        // resident copy per run (the plan below recomputes the narrow
-        // residual pass once at execution)
-        resid.unpersist(blocking = false)
-        val codeCols = (0 until m).map(ss =>
-          graft.functions.VectorExprs.nearest_centroid(
-            col("embedding"), codebooks(ss), dSub, ss * dSub).as(s"c$ss"))
-        val db = resid.filter(col("vec_id") >= 5)
-          .select(col("vec_id").as("n_id") +: col("cell").as("n_cell") +: codeCols: _*)
-        // query side: top-2 coarse cells by (dist, cell), then the
-        // residual against each probed centroid — tiny, broadcast
-        val cellStructs = coarse.map { case (j, c) =>
-          struct(sqDistHof(col("embedding"), c).as("d"), lit(j.toLong).as("cl"))
-        }
-        val probes = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            explode(slice(array_sort(array(cellStructs: _*)), 1, 2))
-              .as("p"))
-          .select(col("q_id"), col("q_emb"), col("p.cl").as("pcell"))
-        val qres = coarse.tail.foldLeft(
-          when(col("pcell") === coarse.head._1.toLong,
-            residExprOn(col("q_emb"), coarse.head._2))) {
-          case (w, (j, c)) => w.when(col("pcell") === j.toLong,
-            residExprOn(col("q_emb"), c))
-        }
-        val qSide = probes.select(col("q_id"), col("pcell"), qres.as("q_res"))
-        val adc = (0 until m).map { ss =>
-          graft.functions.VectorExprs.centroid_dist(
-            col("q_res"), col(s"c$ss"), codebooks(ss), dSub, ss * dSub)
-        }.reduce(_ + _)
-        val scored = db.join(broadcast(qSide), col("n_cell") === col("pcell"))
-          .select(col("q_id"), col("n_id"), adc.as("adc"))
+        val scored = ivfPqAdcScores(Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("adc").asc, col("n_id").asc)
         scored.withColumn("rank", row_number().over(w).cast(LongType))
           .filter(col("rank") <= 10)
       },
-      Some {
-        val dim = 64; val m = PQ_M; val dSub = dim / m
-        val iters = KMEANS_ITERS
-        val base = ivfPqCodesSql(dim)
-        // reuse v12's CTE chain up to `codes`, then add the search legs
-        val upToCodes = base.substring(0, base.indexOf("\nSELECT codes.vec_id"))
-        def cdist(cent: String) = O.dfold(
-          s"list_transform(embedding, (kx, ki) -> (CAST(kx AS DOUBLE) - $cent[ki]) * (CAST(kx AS DOUBLE) - $cent[ki]))")
-        val dists = (0 until m).map { ss =>
-          O.dfold(s"""list_transform(q.q_res[${ss * dSub + 1}:${(ss + 1) * dSub}],
-             | (kx, ki) -> (CAST(kx AS DOUBLE) - t$ss.cent[ki]) * (CAST(kx AS DOUBLE) - t$ss.cent[ki]))""".stripMargin)
-        }.mkString(" + ")
-        val centJoins = (0 until m).map(ss =>
-          s"JOIN s${ss}_cent${iters - 1} t$ss ON t$ss.cell = dbw.c$ss").mkString("\n")
-        s"""$upToCodes,
-           |dbw AS (SELECT r.vec_id AS n_id, r.cell AS n_cell,
-           |        ${(0 until m).map(ss => s"a$ss.cell AS c$ss").mkString(", ")}
-           |        FROM resid r ${(0 until m).map(ss =>
-                      s"JOIN s${ss}_assign$iters a$ss ON r.vec_id = a$ss.vec_id").mkString(" ")}
-           |        WHERE r.vec_id >= 5),
-           |probes AS (SELECT q_id, q_emb, pcell FROM
-           |  (SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell AS pcell,
-           |     row_number() OVER (PARTITION BY e.vec_id
-           |       ORDER BY ${cdist("c.cent")} ASC, c.cell ASC) AS rk
-           |   FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) e
-           |   CROSS JOIN cent${iters - 1} c) WHERE rk <= 2),
-           |q AS (SELECT p.q_id, p.pcell,
-           |  list_transform(p.q_emb, (rx, ri) ->
-           |    CAST(CAST(rx AS DOUBLE) - c.cent[ri] AS FLOAT)) AS q_res
-           |  FROM probes p JOIN cent${iters - 1} c ON p.pcell = c.cell),
-           |sc AS (SELECT q.q_id, dbw.n_id, $dists AS adc
-           |       FROM dbw JOIN q ON dbw.n_cell = q.pcell
-           |$centJoins)
-           |SELECT q_id, n_id, adc, rank FROM
-           |(SELECT q_id, n_id, adc, CAST(row_number() OVER
-           |   (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rank
-           | FROM sc) WHERE rank <= 10""".stripMargin
-      }),
+      Some(s"""WITH ${ivfPqSearchCtes()}
+              |SELECT q_id, n_id, adc, rank FROM
+              |(SELECT q_id, n_id, adc, CAST(row_number() OVER
+              |   (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rank
+              | FROM sc) WHERE rank <= 10""".stripMargin)),
+
+    // IVF-PQ two-stage search — the rerank pattern (v11/v31/v32)
+    // composed over the FULL billion-scale index (v13): route →
+    // residual-ADC shortlist (top-20 from codes in the probed cells
+    // only) → gather raw vectors for the ~20·q shortlist rows
+    // (broadcast — the r9 discipline from day one) → exact-cosine
+    // re-rank to the final top-5. This is the complete production
+    // serving path: the corpus is resident as cell+codes (≈17 bytes a
+    // vector), raw floats are touched only by the bounded gather.
+    // R9OpsSpec pins recall dominance over raw v13 cut to 5.
+    Q("v33_ivfpq_rerank",
+      (s, dir) => ivfPqRerank(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        shortlist = 20, k = 5),
+      Some(s"""WITH ${ivfPqSearchCtes()},
+              |short AS (SELECT q_id, n_id FROM
+              |  (SELECT q_id, n_id, row_number() OVER
+              |     (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS srk FROM sc)
+              |  WHERE srk <= 20),
+              |qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+              |       FROM embeddings WHERE vec_id < 5),
+              |rr AS (SELECT s.q_id, s.n_id,
+              |  ${cosineSql("qv.q_emb", "n.embedding")} AS sim
+              |  FROM short s JOIN embeddings n ON s.n_id = n.vec_id
+              |  JOIN qv ON s.q_id = qv.q_id)
+              |SELECT q_id, n_id, sim, rank FROM
+              |(SELECT q_id, n_id, sim, CAST(row_number() OVER
+              |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+              | FROM rr) WHERE rank <= 5""".stripMargin)),
 
     // Int8 scalar quantization (SQ) — the simplest 4× vector
     // compression: per-DIMENSION min/max over the corpus define 256
@@ -1419,8 +1374,11 @@ object VectorQueries {
           .filter(col("rank") <= 20).select(col("q_id"), col("n_id"))
         val qv = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val scored = short
-          .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), "n_id")
+        // broadcast(short): same rationale as hammingRerank — the
+        // window-derived shortlist's static size estimate is the full
+        // scan's, so the gather would otherwise SMJ-shuffle the corpus.
+        val scored = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+          .join(broadcast(short), "n_id")
           .join(broadcast(qv), "q_id")
           .select(col("q_id"), col("n_id"),
             cosine(col("q_emb"), col("n_emb")).as("sim"))
@@ -1570,8 +1528,13 @@ object VectorQueries {
     val short = hammingTopk(e, shortlist).select(col("q_id"), col("n_id"))
     val qv = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = short
-      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), "n_id")
+    // The shortlist (≤ shortlist·q rows) is broadcast explicitly:
+    // Catalyst's static size estimate for a window-derived frame is
+    // the child SCAN's, so without the hint this plans as a
+    // sort-merge join that shuffle-writes the full float corpus —
+    // exactly the cost the two-stage shape exists to avoid.
+    val scored = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(short), "n_id")
       .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
@@ -1608,7 +1571,10 @@ object VectorQueries {
   /** v25's builder on an arbitrary (vec_id, embedding) frame — shared
     * with the dialect `quantize` statement: the two packed sign-bit
     * halves of the first 64 dims. Pure per-row fold, zero exchanges;
-    * vectors shorter than 64 dims error at runtime (ANSI element_at). */
+    * dims past a short vector's end contribute 0-bits (the `get`
+    * null-dispatch below — same contract as the DuckDB mirror's
+    * out-of-bounds NULL → CASE → 0, so arbitrary user tables behave
+    * identically in both engines instead of ANSI-erroring in one). */
   def binaryCodes(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       binaryCode(col("embedding"), 0, 32).as("code_lo"),
@@ -1622,12 +1588,15 @@ object VectorQueries {
        |FROM embeddings""".stripMargin
 
   /** Sign-bit code of dims [from, from+n): MSB-first fold acc*2+bit,
-    * bit = (dim > 0). Mirrored verbatim by [[binaryCodeSql]]. */
+    * bit = (dim > 0). Mirrored verbatim by [[binaryCodeSql]]. `get`
+    * (0-based, NULL out of bounds) rather than ANSI element_at so a
+    * <64-dim vector yields 0-bits exactly like the oracle's
+    * out-of-bounds NULL, instead of a runtime error only on Spark. */
   def binaryCode(emb: Column, from: Int, n: Int): Column =
     aggregate(
       transform(sequence(lit(from), lit(from + n - 1)),
-        i => when(element_at(emb,
-          (i + 1).cast(org.apache.spark.sql.types.IntegerType)) > 0f,
+        i => when(get(emb,
+          i.cast(org.apache.spark.sql.types.IntegerType)) > 0f,
           lit(1L)).otherwise(lit(0L))),
       lit(0L), (acc, b) => acc * lit(2L) + b)
 
@@ -1862,6 +1831,118 @@ object VectorQueries {
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
        |sc AS (SELECT q.q_id, db.n_id, $dists AS adc
        |       FROM db CROSS JOIN q
+       |$centJoins)""".stripMargin
+  }
+
+  /** Full IVF-PQ search scores (q_id, n_id, adc) — the shared core of
+    * v13 and its two-stage twin v33: queries probe their top-2 coarse
+    * cells (multi-probe), the query RESIDUAL against each probed
+    * centroid is formed once per probe, and ADC runs against only the
+    * codes stored in those cells — the scan side touches codes, never
+    * raw vectors, and only ~nprobe/K of them. */
+  def ivfPqAdcScores(e: DataFrame): DataFrame = {
+    val dim = 64; val m = PQ_M; val dSub = dim / m
+    val iters = KMEANS_ITERS
+    val coarse = kmeansFit(e, KMEANS_K, iters - 1)
+    val resid = residuals(kmeansAssign(e, coarse), coarse).cache()
+    val codebooks = (0 until m).map { ss =>
+      val subEmb = slice(col("embedding"), ss * dSub + 1, dSub)
+      kmeansFit(resid.select(col("vec_id"), subEmb.as("embedding")),
+        PQ_K, iters - 1)
+    }
+    // the eager fit loops above were the multi-read consumer; drop
+    // the cache now so a long-lived session doesn't accumulate one
+    // resident copy per run (the plan below recomputes the narrow
+    // residual pass once at execution)
+    resid.unpersist(blocking = false)
+    val codeCols = (0 until m).map(ss =>
+      graft.functions.VectorExprs.nearest_centroid(
+        col("embedding"), codebooks(ss), dSub, ss * dSub).as(s"c$ss"))
+    val db = resid.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("n_id") +: col("cell").as("n_cell") +: codeCols: _*)
+    // query side: top-2 coarse cells by (dist, cell), then the
+    // residual against each probed centroid — tiny, broadcast
+    val cellStructs = coarse.map { case (j, c) =>
+      struct(sqDistHof(col("embedding"), c).as("d"), lit(j.toLong).as("cl"))
+    }
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(slice(array_sort(array(cellStructs: _*)), 1, 2))
+          .as("p"))
+      .select(col("q_id"), col("q_emb"), col("p.cl").as("pcell"))
+    val qres = coarse.tail.foldLeft(
+      when(col("pcell") === coarse.head._1.toLong,
+        residExprOn(col("q_emb"), coarse.head._2))) {
+      case (w, (j, c)) => w.when(col("pcell") === j.toLong,
+        residExprOn(col("q_emb"), c))
+    }
+    val qSide = probes.select(col("q_id"), col("pcell"), qres.as("q_res"))
+    val adc = (0 until m).map { ss =>
+      graft.functions.VectorExprs.centroid_dist(
+        col("q_res"), col(s"c$ss"), codebooks(ss), dSub, ss * dSub)
+    }.reduce(_ + _)
+    db.join(broadcast(qSide), col("n_cell") === col("pcell"))
+      .select(col("q_id"), col("n_id"), adc.as("adc"))
+  }
+
+  /** v33's builder: residual-ADC shortlist over [[ivfPqAdcScores]] →
+    * broadcast gather of raw floats for the ~shortlist·q rows →
+    * exact-cosine re-rank to top-k. Shared with ScaleProbe. */
+  def ivfPqRerank(e: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("n_id").asc)
+    val short = ivfPqAdcScores(e)
+      .withColumn("srk", row_number().over(ws)).filter(col("srk") <= shortlist)
+      .select(col("q_id"), col("n_id"))
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(short), "n_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /** WITH-clause body ending in `sc` (q_id, n_id, adc) — the DuckDB
+    * mirror of [[ivfPqAdcScores]]: v12's CTE chain up to `codes`, then
+    * the search legs (probes → query residuals → per-cell ADC). No
+    * leading WITH — callers interpolate into their own. */
+  def ivfPqSearchCtes(): String = {
+    val dim = 64; val m = PQ_M; val dSub = dim / m
+    val iters = KMEANS_ITERS
+    val base = ivfPqCodesSql(dim)
+    val upToCodes = base.substring(0, base.indexOf("\nSELECT codes.vec_id"))
+      .stripPrefix("WITH ")
+    def cdist(cent: String) = O.dfold(
+      s"list_transform(embedding, (kx, ki) -> (CAST(kx AS DOUBLE) - $cent[ki]) * (CAST(kx AS DOUBLE) - $cent[ki]))")
+    val dists = (0 until m).map { ss =>
+      O.dfold(s"""list_transform(q.q_res[${ss * dSub + 1}:${(ss + 1) * dSub}],
+         | (kx, ki) -> (CAST(kx AS DOUBLE) - t$ss.cent[ki]) * (CAST(kx AS DOUBLE) - t$ss.cent[ki]))""".stripMargin)
+    }.mkString(" + ")
+    val centJoins = (0 until m).map(ss =>
+      s"JOIN s${ss}_cent${iters - 1} t$ss ON t$ss.cell = dbw.c$ss").mkString("\n")
+    s"""$upToCodes,
+       |dbw AS (SELECT r.vec_id AS n_id, r.cell AS n_cell,
+       |        ${(0 until m).map(ss => s"a$ss.cell AS c$ss").mkString(", ")}
+       |        FROM resid r ${(0 until m).map(ss =>
+                  s"JOIN s${ss}_assign$iters a$ss ON r.vec_id = a$ss.vec_id").mkString(" ")}
+       |        WHERE r.vec_id >= 5),
+       |probes AS (SELECT q_id, q_emb, pcell FROM
+       |  (SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell AS pcell,
+       |     row_number() OVER (PARTITION BY e.vec_id
+       |       ORDER BY ${cdist("c.cent")} ASC, c.cell ASC) AS rk
+       |   FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) e
+       |   CROSS JOIN cent${iters - 1} c) WHERE rk <= 2),
+       |q AS (SELECT p.q_id, p.pcell,
+       |  list_transform(p.q_emb, (rx, ri) ->
+       |    CAST(CAST(rx AS DOUBLE) - c.cent[ri] AS FLOAT)) AS q_res
+       |  FROM probes p JOIN cent${iters - 1} c ON p.pcell = c.cell),
+       |sc AS (SELECT q.q_id, dbw.n_id, $dists AS adc
+       |       FROM dbw JOIN q ON dbw.n_cell = q.pcell
        |$centJoins)""".stripMargin
   }
 }

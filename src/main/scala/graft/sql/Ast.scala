@@ -122,12 +122,14 @@ object Ast {
   final case class ClusterStmt(idCol: String, vecCol: String,
       from: FromClause, k: Long = 4L) extends Stmt
 
-  /** `sample <idCol> from <table> [pct <n>]` — t05's reproducible
-    * hash-bucket sampling on the SQL surface (never RNG: the same
+  /** `sample <idCol> from <table> [pct <n> | top <n> by <w> [per <g>]]`
+    * — reproducible sampling on the SQL surface, never RNG (the same
     * rows are selected on any cluster size or run, so downstream
-    * joins and reruns are stable). Keeps `pct`% (integer 1-99,
-    * default 10) by deterministic bucket of the id. Emits the id
-    * column only. */
+    * joins and reruns are stable). The pct form is t05's hash-bucket
+    * filter (integer 1-99, default 10; emits the id column only).
+    * `top <n> by <w>` is the x10 deterministic weighted draw (emits
+    * id, weight, wkey); with `per <g>` it is the x13 stratified
+    * per-group form (adds the group column and rank). */
   final case class SampleStmt(idCol: String, from: FromClause,
       pct: Long = 10L, topN: Option[Long] = None,
       weightCol: Option[String] = None,

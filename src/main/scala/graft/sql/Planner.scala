@@ -218,6 +218,12 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         case other => throw PlanError(
           s"sample: weight ${w} must be a numeric column, found $other")
       }
+    // the weighted builders take an Int limit: a parsed n beyond
+    // Int.MaxValue would wrap negative at .toInt and surface as a
+    // confusing runtime failure — reject it at plan time instead
+    st.topN.filter(_ > Int.MaxValue).foreach { n =>
+      throw PlanError(s"sample: top $n exceeds the maximum ${Int.MaxValue}")
+    }
     (st.topN, st.weightCol, st.perCol) match {
       case (Some(n), Some(w), None) =>
         // weighted draw — lowers VERBATIM to the x10 builder

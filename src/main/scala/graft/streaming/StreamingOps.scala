@@ -42,8 +42,15 @@ object StreamingOps {
     * gate (e16-e20, v28, x12). Gate outputs are aggregate-sized, so
     * collecting them out lets the sink's temp view be dropped instead
     * of leaking one per gate build. */
+  /** Hard cap on rows a streaming gate may collect through
+    * [[runToTable]] — every gate's sink is aggregate-sized (sessions,
+    * windows, k types, k cells); a future gate whose sink scales with
+    * the stream must use a file sink instead of this scaffold, and
+    * this cap makes that contract fail LOUDLY instead of OOMing. */
+  val RunToTableMaxRows: Long = 100000L
+
   def runToTable(spark: SparkSession, df: DataFrame, mode: String,
-      prefix: String): DataFrame = {
+      prefix: String, maxRows: Long = RunToTableMaxRows): DataFrame = {
     val sink = prefix + java.util.UUID.randomUUID().toString.take(8)
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(sink)
@@ -51,6 +58,11 @@ object StreamingOps {
       .start()
     q.processAllAvailable(); q.stop()
     val out = spark.table(sink)
+    val n = out.count()
+    require(n <= maxRows,
+      s"streaming gate sink $sink has $n rows (cap $maxRows): " +
+        "gate outputs must be aggregate-sized; use a file sink for " +
+        "row-scaled streams")
     val rows = out.collect()
     val schema = out.schema
     spark.catalog.dropTempView(sink)
@@ -89,7 +101,13 @@ object StreamingOps {
     // CASE fold would re-embed the accumulated tree per step)
     val scored = cents.map { case (label, c) =>
       val csim = graft.queries.VectorQueries.cosine(typedLit(c), col("embedding"))
-      struct((-csim).as("neg"), lit(label).as("label"), csim.as("csim"))
+      // nanvl: the batch window's (csim DESC) ranks NaN FIRST (Spark
+      // orders NaN largest), but -NaN is still NaN and array_min would
+      // rank it LAST — mapping NaN to -inf on the negated key replays
+      // the batch total order even for zero-norm degenerate vectors,
+      // keeping the bit-for-bit stream ≡ batch claim unconditional
+      struct(nanvl(-csim, lit(Double.NegativeInfinity)).as("neg"),
+        lit(label).as("label"), csim.as("csim"))
     }
     vecs.select(col("vec_id"), array_min(array(scored: _*)).as("best"))
       .select(col("vec_id"), col("best.label").as("cell"),

@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Registry-wide physical-plan lint: builds EVERY gated query's plan
   * at the given fixture and flags the scale anti-patterns —
-  * CartesianProduct and `Exchange SinglePartition` — that would
-  * funnel a 100 TB input through one task. Emits one JSON object per
+  * CartesianProduct, `Exchange SinglePartition`, and sort-merge joins
+  * with a rank-window-limited input (a top-k shortlist that should be
+  * the broadcast side of its gather) — that would funnel or shuffle a
+  * 100 TB input needlessly. Emits one JSON object per
   * run with per-query flags and the offender lists, so the evidence
   * file shows the absence of scale-killers across the whole registry,
   * not just the hand-pinned PlanSpec queries.
@@ -87,30 +89,53 @@ object PlanLint {
       "x12_decayed_stream" -> ((s, d) =>
         graft.streaming.StreamingOps.decayedCounts(t(s, d, "events"), 0L)))
 
+    // An SMJ with a rank-window-limited (top-k per group) input is the
+    // unhinted-gather anti-pattern (the r8 v31/v32 finding): the
+    // shortlist side is ~k·groups rows but Catalyst's static estimate
+    // is the child scan's, so the FULL other side gets shuffle-written.
+    // Such a side should be broadcast — flag every occurrence.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    def smjWithRankLimitedSide(plan: SparkPlan): Boolean = {
+      def hasRankLimit(p: SparkPlan): Boolean =
+        p.exists { case _: WindowGroupLimitExec => true; case _ => false }
+      plan.exists {
+        case j: SortMergeJoinExec =>
+          hasRankLimit(j.left) || hasRankLimit(j.right)
+        case _ => false
+      }
+    }
+
     var cartesian = List.empty[String]
     var singlePart = List.empty[String]
+    var smjRankSide = List.empty[String]
     var errors = List.empty[String]
     var checked = 0
     graft.queries.Registry.all.foreach { q =>
       try {
         val df = streamingTwins.get(q.name)
           .map(f => f(spark, sfDir)).getOrElse(q.build(spark, sfDir))
-        val p = df.queryExecution.executedPlan.toString
+        val exec = df.queryExecution.executedPlan
+        val p = exec.toString
         checked += 1
         if (p.contains("CartesianProduct")) cartesian ::= q.name
         if (unboundedSinglePartition(p) &&
             !boundedSinglePartition.contains(q.name)) singlePart ::= q.name
+        if (smjWithRankLimitedSide(exec)) smjRankSide ::= q.name
       } catch {
         case e: Exception => errors ::= s"${q.name}: ${e.getMessage.take(120)}"
       }
     }
-    val ok = cartesian.isEmpty && singlePart.isEmpty && errors.isEmpty
+    val ok = cartesian.isEmpty && singlePart.isEmpty &&
+      smjRankSide.isEmpty && errors.isEmpty
     def arr(xs: List[String]) = xs.sorted.map(s => "\"" + s + "\"").mkString("[", ", ", "]")
     val json =
       s"""{"checked": $checked, "ok": $ok,
          |"cartesian": ${arr(cartesian)},
          |"unbounded_single_partition": ${arr(singlePart)},
          |"bounded_single_partition_allowlist": ${arr(boundedSinglePartition.keys.toList)},
+         |"smj_rank_limited_side": ${arr(smjRankSide)},
          |"errors": ${arr(errors)}}""".stripMargin.replace("\n", " ")
     println(json)
     outJson.foreach(p => java.nio.file.Files.writeString(

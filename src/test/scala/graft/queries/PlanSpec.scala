@@ -739,4 +739,21 @@ class PlanSpec extends SparkSpec {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
   }
+
+  test("hamming re-rank (v31) broadcasts the shortlist gather - corpus never sort-merges") {
+    val p = plan("v31_hamming_rerank")
+    // the ~shortlist*q-row rank-limited shortlist must be the
+    // broadcast side of the float-vector gather; an SMJ here would
+    // shuffle-write the full float corpus at scale
+    assert(!p.contains("SortMergeJoin"),
+      s"shortlist gather must not sort-merge the corpus:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("matryoshka re-rank (v32) broadcasts the shortlist gather - corpus never sort-merges") {
+    val p = plan("v32_matryoshka_rerank")
+    assert(!p.contains("SortMergeJoin"),
+      s"shortlist gather must not sort-merge the corpus:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }

@@ -29,6 +29,22 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("no gate output schema contains DecimalType (decimal-inside, double-out)") {
+    // Det-decimal is the internal determinism device (t24 pattern);
+    // a raw decimal OUTPUT column is the one surface where the
+    // driver's hash canonicalization diverges from exact row equality
+    // (the r8 s39/s43/x10/x13 reds). Enforce the discipline registry-
+    // wide so that failure class cannot recur.
+    val offenders = Registry.all.flatMap { q =>
+      val bad = q.build(spark, sf0001).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+          f.name
+      }
+      if (bad.isEmpty) None else Some(s"${q.name}(${bad.mkString(",")})")
+    }
+    assert(offenders.isEmpty, s"decimal-typed output columns: $offenders")
+  }
+
   test("flagship entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
