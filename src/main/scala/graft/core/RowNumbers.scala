@@ -146,4 +146,62 @@ object RowNumbers {
     }
     spark.createDataFrame(out, schema)
   }
+
+  /** Per-KEY inclusive running sum of LongType column `value`
+    * (`sum(value) OVER (PARTITION BY key ORDER BY order ROWS UNBOUNDED
+    * PRECEDING)`) with [[grouped]]'s two-phase shape: range-partition
+    * on (key, order) so a hot key spreads over consecutive partitions,
+    * per-partition per-key run SUMS (one streaming pass), driver-side
+    * prefix offsets per key, broadcast, parallel assignment. Built for
+    * the same low/moderate-cardinality keys as [[grouped]] — budget
+    * cutoffs per source/language/domain — where a window would funnel
+    * each key through one reducer. */
+  def groupedCumsum(df: DataFrame, key: Seq[String], order: Seq[Column],
+      value: String, name: String = "cum",
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val sortCols = key.map(org.apache.spark.sql.functions.col) ++ order
+    val keyed = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val kIdx = key.map(keyed.schema.fieldIndex)
+    val vIdx = keyed.schema.fieldIndex(value)
+    val rdd = keyed.rdd
+    val runs: Array[(Int, Seq[(Seq[Any], Long)])] =
+      rdd.mapPartitionsWithIndex { (i, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+        var cur: Seq[Any] = null
+        var s = 0L
+        it.foreach { r =>
+          val k = kIdx.map(r.get)
+          if (k == cur) s += r.getLong(vIdx)
+          else { if (cur != null) buf += ((cur, s)); cur = k; s = r.getLong(vIdx) }
+        }
+        if (cur != null) buf += ((cur, s))
+        Iterator((i, buf.toSeq))
+      }.collect()
+    val seen = scala.collection.mutable.Map.empty[Seq[Any], Long]
+    val offsets = runs.sortBy(_._1).flatMap { case (i, ks) =>
+      ks.map { case (k, s) =>
+        val start = seen.getOrElse(k, 0L)
+        seen(k) = start + s
+        ((i, k), start)
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(keyed.schema.fields :+
+      StructField(name, LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cur: Seq[Any] = null
+      var s = 0L
+      it.map { r =>
+        val k = kIdx.map(r.get)
+        if (k != cur) { cur = k; s = bc.value.getOrElse((i, k), 0L) }
+        s += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ s)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
 }

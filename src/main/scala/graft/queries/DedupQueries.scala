@@ -782,7 +782,60 @@ object DedupQueries {
     // PageRank over the duplicate graph — see [[dupPagerank]].
     Q("d18_dup_pagerank",
       (s, dir) => dupPagerank(s, dir),
-      Some(dupPagerankOracle()))
+      Some(dupPagerankOracle())),
+
+    // Quality-canonical dedup plan — d07 keeps each cluster's LONGEST
+    // doc; the training-mix question is "which twin do we train on",
+    // and length is a crude proxy when the twins differ in boilerplate
+    // or truncation. This variant keeps the HIGHEST-QUALITY doc (t02's
+    // gated score; bit-identical doubles in both engines, so even the
+    // argmax hash-matches), ties to the lowest doc_id. Same CC labels,
+    // one per-row quality pass, one cluster-keyed rank window
+    // (clusters are near-cliques — group size is the dup family's,
+    // never the corpus; WindowGroupLimit prunes to the keeper count
+    // pre-shuffle).
+    Q("d19_canonical_pick",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val cc = graft.core.ConnectedComponents.run(
+          candidatePairs(s, dir), "doc_a", "doc_b")
+        val q = docs
+          .select(col("doc_id"), col("text"),
+            graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+          .select(col("doc_id"),
+            TextQueries.qualityCol(col("text"), col("p")).as("quality"))
+        val labeled = q
+          .join(cc.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lbl"), col("doc_id")).as("cluster_id"), col("quality"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        labeled.withColumn("rk", row_number().over(w))
+          .select(col("doc_id"), col("cluster_id"), col("quality"),
+            when(col("rk") === 1, lit(1L)).otherwise(lit(0L)).as("keep"))
+      },
+      Some {
+        val t02 = TextQueries.all.find(_.name == "t02_quality").get.oracle.get
+        s"""WITH RECURSIVE sig AS ($sigSql),
+           |$candidatePairsSql,
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+           |          UNION SELECT doc_b, doc_a FROM cand),
+           |walk(u, lbl) AS (
+           |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) t
+           |  UNION
+           |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u),
+           |cc AS (SELECT u AS doc_id, min(lbl) AS lbl FROM walk GROUP BY u),
+           |qual AS ($t02),
+           |labeled AS (SELECT q.doc_id, COALESCE(c.lbl, q.doc_id) AS cluster_id,
+           |                   q.quality
+           |            FROM qual q LEFT JOIN cc c ON q.doc_id = c.doc_id)
+           |SELECT doc_id, cluster_id, quality,
+           |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM (SELECT doc_id, cluster_id, quality, row_number() OVER
+           |        (PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rk
+           |      FROM labeled)""".stripMargin
+      })
   )
 
   /** d15's builder on an arbitrary documents frame — shared with

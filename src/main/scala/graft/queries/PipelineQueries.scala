@@ -231,8 +231,57 @@ object PipelineQueries {
            |      FROM (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)),
            |mq AS (SELECT ${Det.sql.davg("quality")} AS mean_quality FROM qual)
            |SELECT * FROM base, d, mq""".stripMargin
-      })
+      }),
+
+    // Token-budget mixture sampling — the epoch-mix builder: each
+    // source contributes docs in a DETERMINISTIC hash order until its
+    // token budget is exhausted (a doc is admitted iff the budget is
+    // not yet spent when it starts, so every source overshoots by at
+    // most one doc — the standard mixing contract). Never RNG: the
+    // same docs are selected on any cluster size, and a larger budget
+    // admits a superset. The per-source running sum is
+    // RowNumbers.groupedCumsum — the two-phase range-partition shape,
+    // so a 100 TB source never funnels through one reducer the way a
+    // plain window would. All-integer output: ulp-proof gate.
+    Q("p12_token_budget_mix",
+      (s, dir) => tokenBudgetMix(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")),
+        // fixture sources carry ~1.3k tokens each at sf0.01 — 800
+        // makes the budget BIND, so the gate exercises both branches
+        budget = 800L),
+      Some(tokenBudgetMixOracle(800L)))
   )
+
+  /** p12's builder on an arbitrary (doc_id, source, text) frame —
+    * shared with ScaleProbe. Order key = the x10 multiplicative id
+    * hash (exact integer arithmetic, mod-1e6 first so 64-bit ids
+    * can't overflow ANSI), ties to doc_id. */
+  def tokenBudgetMix(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val okey = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(1000003L)
+    val sized = docs.select(col("source"), col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast(org.apache.spark.sql.types.LongType).as("n_tok"),
+      okey.as("okey"))
+    graft.core.RowNumbers.groupedCumsum(sized, Seq("source"),
+      Seq(col("okey").asc, col("doc_id").asc), "n_tok", "cum_tok")
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"),
+        when(col("cum_tok") - col("n_tok") < lit(budget), lit(1L))
+          .otherwise(lit(0L)).as("keep"))
+  }
+
+  /** DuckDB mirror of [[tokenBudgetMix]] over `documents`. */
+  def tokenBudgetMixOracle(budget: Long): String =
+    s"""SELECT source, doc_id, n_tok, cum_tok,
+       |  CAST(CASE WHEN cum_tok - n_tok < $budget THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM (SELECT source, doc_id, n_tok,
+       |  CAST(sum(n_tok) OVER (PARTITION BY source
+       |    ORDER BY okey ASC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM (SELECT source, doc_id,
+       |    CAST(len(${OracleSql.toks("text")}) AS BIGINT) AS n_tok,
+       |    ((doc_id % 1000000) * 2654435761) % 1000003 AS okey
+       |  FROM documents))""".stripMargin
 
   /** p05's survivor set (doc_id, n_tok) — the per-ROW signals (t27's
     * lorem/brace vetoes + t02's quality) fuse into ONE

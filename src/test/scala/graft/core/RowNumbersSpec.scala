@@ -60,4 +60,21 @@ class RowNumbersSpec extends SparkSpec {
     assert(got.size == want.size)
     got.foreach { case (k, n) => assert(want(k) == n, s"$k: $n vs ${want(k)}") }
   }
+
+  test("groupedCumsum matches the per-key window running sum") {
+    val df = Tables(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        (col("c_custkey") % 7).as("v"))
+    val got = RowNumbers.groupedCumsum(df, Seq("c_nationkey"),
+      Seq(col("c_custkey")), "v", "cum", numPartitions = Some(7))
+      .select(col("c_nationkey"), col("c_custkey"), col("cum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df.withColumn("cum", sum(col("v")).over(w)).collect()
+      .map(r => (r.getLong(1), r.getLong(0)) -> r.getLong(3)).toMap
+    assert(got.size == want.size)
+    got.foreach { case (k, n) => assert(want(k) == n, s"$k: $n vs ${want(k)}") }
+  }
 }
