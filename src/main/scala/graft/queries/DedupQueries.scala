@@ -795,26 +795,8 @@ object DedupQueries {
     // never the corpus; WindowGroupLimit prunes to the keeper count
     // pre-shuffle).
     Q("d19_canonical_pick",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-        val cc = graft.core.ConnectedComponents.run(
-          candidatePairs(s, dir), "doc_a", "doc_b")
-        val q = docs
-          .select(col("doc_id"), col("text"),
-            graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
-          .select(col("doc_id"),
-            TextQueries.qualityCol(col("text"), col("p")).as("quality"))
-        val labeled = q
-          .join(cc.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("lbl"), col("doc_id")).as("cluster_id"), col("quality"))
-        val w = Window.partitionBy(col("cluster_id"))
-          .orderBy(col("quality").desc, col("doc_id").asc)
-        labeled.withColumn("rk", row_number().over(w))
-          .select(col("doc_id"), col("cluster_id"), col("quality"),
-            when(col("rk") === 1, lit(1L)).otherwise(lit(0L)).as("keep"))
-      },
+      (s, dir) => canonicalPickOf(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
       Some {
         val t02 = TextQueries.all.find(_.name == "t02_quality").get.oracle.get
         s"""WITH RECURSIVE sig AS ($sigSql),
@@ -837,6 +819,30 @@ object DedupQueries {
            |      FROM labeled)""".stripMargin
       })
   )
+
+  /** d19's builder on an arbitrary (doc_id, text) frame — shared with
+    * the dialect `dedup best` statement: CC labels over the LSH
+    * candidate pairs, per-doc t02 quality, one cluster-keyed rank
+    * window keeping the highest-quality doc (ties to lowest doc_id). */
+  def canonicalPickOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = graft.core.ConnectedComponents.run(
+      candidatePairsOf(sigOf(docs)), "doc_a", "doc_b")
+    val q = docs
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+      .select(col("doc_id"),
+        TextQueries.qualityCol(col("text"), col("p")).as("quality"))
+    val labeled = q
+      .join(cc.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    labeled.withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        when(col("rk") === 1, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
 
   /** d15's builder on an arbitrary documents frame — shared with
     * ScaleProbe so the probe times exactly the gated plan. */

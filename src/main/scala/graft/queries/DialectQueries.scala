@@ -530,6 +530,21 @@ object DialectQueries {
            |      FROM (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)),
            |mq AS (SELECT ${graft.core.Det.sql.davg("quality")} AS mean_quality FROM qual)
            |SELECT * FROM base, d, mq""".stripMargin
-      })
+      }),
+
+    // Quality-canonical dedup on the dialect surface: `dedup best`
+    // lowers VERBATIM to the d19 builder (CC clusters over the LSH
+    // pairs, keep the highest-quality doc per cluster) — d19's own
+    // oracle gates the lowering.
+    Q("s44_dialect_dedup_best",
+      sql("dedup best doc_id, text from documents"),
+      DedupQueries.all.find(_.name == "d19_canonical_pick").get.oracle),
+
+    // Token-budget mixing on the dialect surface: `mix … budget n per
+    // src` lowers VERBATIM to the p12 builder; a non-default budget
+    // exercises the budget plumbing.
+    Q("s45_dialect_mix",
+      sql("mix doc_id, text from documents budget 500 per source"),
+      Some(PipelineQueries.tokenBudgetMixOracle(500L)))
   )
 }

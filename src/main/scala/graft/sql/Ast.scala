@@ -60,17 +60,32 @@ object Ast {
     * (beyond-reference surface, SURVEY §2.11 spirit). */
   sealed trait Stmt
 
-  /** `dedup near|exact <idCol>[,] <textCol> from <table>
+  /** `dedup near|exact|best <idCol>[,] <textCol> from <table>
     * [threshold <t>]` — the MinHash-LSH dedup pipeline on the SQL
     * surface. `near` lowers to the d02/d03 builders (signature →
     * banded LSH candidate pairs, BucketGuard-bounded); with a
     * `threshold` it continues into d04's verification stage (exact
     * n-gram Jaccard on the candidates only) and keeps pairs with
-    * jac ≥ t. `exact` lowers to the d01 hash-groupBy (no threshold).
+    * jac ≥ t. `exact` lowers to the d01 hash-groupBy. `best` lowers
+    * to the d19 canonical pick (CC clusters over the LSH pairs, keep
+    * the highest-quality doc per cluster). Threshold is near-only.
     * Single table only (the FROM reuses the select grammar's table
     * resolution: registered name, basename, path, nh). */
-  final case class DedupStmt(near: Boolean, idCol: String, textCol: String,
-      from: FromClause, threshold: Option[Double] = None) extends Stmt
+  final case class DedupStmt(mode: String, idCol: String, textCol: String,
+      from: FromClause, threshold: Option[Double] = None) extends Stmt {
+    def near: Boolean = mode == "near"
+  }
+
+  /** `mix <idCol>[,] <textCol> from <table> [budget <n>] [per <srcCol>]`
+    * — p12's token-budget mixture sampling on the SQL surface: each
+    * `srcCol` group (default `source`) contributes docs in
+    * DETERMINISTIC id-hash order until its token budget (default 800
+    * whitespace tokens) is spent; a doc is admitted iff the budget is
+    * not yet exhausted when it starts. Never RNG; a larger budget
+    * admits a superset. Emits (source, id, n_tok, cum_tok, keep). */
+  final case class MixStmt(idCol: String, textCol: String,
+      from: FromClause, budget: Long = 800L,
+      srcCol: String = "source") extends Stmt
 
   /** `similar <idCol>[,] <vecCol> from <table> [top <k>]` — whole-
     * corpus approximate-nearest-neighbor top-k on the SQL surface,

@@ -63,7 +63,31 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "quantize")) { advance(); parseQuantize() }
     else if (matches(peek, "trend")) { advance(); parseTrend() }
     else if (matches(peek, "card")) { advance(); parseCard() }
+    else if (matches(peek, "mix")) { advance(); parseMix() }
     else parseQuery()
+
+  /** `mix <idCol>[,] <textCol> from <table> [nh] [budget <n>]
+    * [per <srcCol>]`. */
+  private def parseMix(): MixStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val textCol = colName()
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val budget = if (accept("budget")) parseNumber() else 800L
+    if (budget < 1) throw ParseError(s"mix budget must be at least 1, got $budget")
+    val src = if (accept("per")) colName() else "source"
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    MixStmt(idCol, textCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), budget, src)
+  }
 
   /** `card <idCol>[,] <textCol> from <table> [nh]`. */
   private def parseCard(): CardStmt = {
@@ -359,13 +383,14 @@ final class Parser(toks: Vector[Tok]) {
       FromClause(table, None, noHeader, intColumns = false, Nil), k)
   }
 
-  /** `dedup near|exact <idCol>[,] <textCol> from <table> [nh]` —
+  /** `dedup near|exact|best <idCol>[,] <textCol> from <table> [nh]` —
     * the MinHash-LSH pipeline as a first-class statement. */
   private def parseDedup(): DedupStmt = {
-    val near =
-      if (accept("near")) true
-      else if (accept("exact")) false
-      else throw ParseError("expected 'near' or 'exact' after dedup")
+    val mode =
+      if (accept("near")) "near"
+      else if (accept("exact")) "exact"
+      else if (accept("best")) "best"
+      else throw ParseError("expected 'near', 'exact' or 'best' after dedup")
     def colName(): String = peek match {
       case _: Word => advance().text
       case t => throw ParseError(s"expected column name, found '${t.text}'")
@@ -387,7 +412,7 @@ final class Parser(toks: Vector[Tok]) {
     val from = FromClause(table, None, noHeader, intColumns = false, Nil)
     val threshold =
       if (accept("threshold")) {
-        if (!near) throw ParseError("threshold only applies to dedup near")
+        if (mode != "near") throw ParseError("threshold only applies to dedup near")
         val t = peek match {
           case Num(x) => advance(); x.toDouble
           case t0 => throw ParseError(s"expected number after threshold, found '${t0.text}'")
@@ -398,7 +423,7 @@ final class Parser(toks: Vector[Tok]) {
       } else None
     if (!peek.eq(EOF) && peekText != ";")
       throw ParseError(s"unexpected trailing token '${peek.text}'")
-    DedupStmt(near, idCol, textCol, from, threshold)
+    DedupStmt(mode, idCol, textCol, from, threshold)
   }
 
   def parseQuery(): Query = {

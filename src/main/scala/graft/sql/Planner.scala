@@ -114,16 +114,46 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     val base = resolve(d.from.table, d.from.noHeader)
     val docs = base.select(named(base, d.idCol, "doc_id"),
       named(base, d.textCol, "text"))
-    (d.near, d.threshold) match {
-      case (true, None) =>
+    (d.mode, d.threshold) match {
+      case ("near", None) =>
         graft.queries.DedupQueries.candidatePairsOf(
           graft.queries.DedupQueries.sigOf(docs))
-      case (true, Some(t)) =>
+      case ("near", Some(t)) =>
         // d04's verification stage: exact Jaccard on the LSH
         // candidates only, thresholded — (doc_a, doc_b, jac)
         graft.queries.DedupQueries.jaccardOf(docs).filter(col("jac") >= lit(t))
-      case (false, _) => graft.queries.DedupQueries.exactDedup(docs)
+      case ("best", _) =>
+        // d19: CC clusters over the LSH pairs, keep the highest-
+        // quality doc per cluster (ties to lowest doc_id)
+        graft.queries.DedupQueries.canonicalPickOf(docs)
+      case _ => graft.queries.DedupQueries.exactDedup(docs)
     }
+  }
+
+  /** `mix id[,] text from t [budget n] [per src]` — lowers VERBATIM to
+    * the p12 builder (PipelineQueries.tokenBudgetMix): deterministic
+    * per-source token-budget admission via the two-phase grouped
+    * cumsum, never a per-source window funnel. Requires an integral
+    * id (the hash order key is integer arithmetic) and a text column;
+    * the three columns must be distinct (Spark's case-insensitive
+    * resolution rule — a collision would project ambiguous
+    * duplicates). */
+  def planMix(st: MixStmt): DataFrame = {
+    if (st.srcCol.equalsIgnoreCase(st.idCol) ||
+        st.srcCol.equalsIgnoreCase(st.textCol) ||
+        st.idCol.equalsIgnoreCase(st.textCol))
+      throw PlanError("mix: id, text and per columns must be distinct")
+    val base = resolve(st.from.table, st.from.noHeader)
+    val docs = base.select(named(base, st.idCol, "doc_id"),
+      named(base, st.srcCol, "source"), named(base, st.textCol, "text"))
+    docs.schema("doc_id").dataType match {
+      case _: LongType | _: IntegerType | _: ShortType | _: ByteType => ()
+      case other => throw PlanError(
+        s"mix: ${st.idCol} must be an integer id column, found $other")
+    }
+    if (!docs.schema("text").dataType.isInstanceOf[StringType])
+      throw PlanError(s"mix: ${st.textCol} must be a text column")
+    graft.queries.PipelineQueries.tokenBudgetMix(docs, st.budget)
   }
 
   /** `shard id from t [into n]` — lowers VERBATIM to the t32 builder

@@ -65,6 +65,11 @@ class QueryServerSpec extends SparkSpec {
       assert(tr.contains(""""Status":"ok"""") && tr.contains("rk"), tr)
       val card = post("card doc_id, text from documents")
       assert(card.contains(""""Status":"ok"""") && card.contains("mean_quality"), card)
+      // the round-9 statement family responds on the same surface
+      val mix = post("mix doc_id, text from documents budget 500 per source")
+      assert(mix.contains(""""Status":"ok"""") && mix.contains("cum_tok"), mix)
+      val best = post("dedup best doc_id, text from documents")
+      assert(best.contains(""""Status":"ok"""") && best.contains("cluster_id"), best)
     } finally server.stop()
   }
 

@@ -116,6 +116,11 @@ class ParserSpec extends AnyFunSuite {
       .asInstanceOf[Ast.DedupStmt]
     assert(t.threshold.contains(0.7))
     assert(d.threshold.isEmpty)
+    val b = Parser.parseStmt("dedup best doc_id, text from documents")
+      .asInstanceOf[Ast.DedupStmt]
+    assert(b.mode == "best" && !b.near)
+    assertThrows[Exception](
+      Parser.parseStmt("dedup best a, b from t threshold 0.7"))
     assertThrows[Exception](
       Parser.parseStmt("dedup exact a, b from t threshold 0.7"))
     assertThrows[Exception](
@@ -244,6 +249,18 @@ class ParserSpec extends AnyFunSuite {
     assert(c.idCol == "doc_id" && c.textCol == "text")
     assertThrows[Exception](Parser.parseStmt("card doc_id from documents"))
     assertThrows[Exception](Parser.parseStmt("card id, text from t extra"))
+  }
+
+  test("mix statement grammar: optional budget and per") {
+    val m = Parser.parseStmt("mix doc_id, text from documents budget 500 per source")
+      .asInstanceOf[Ast.MixStmt]
+    assert(m.idCol == "doc_id" && m.textCol == "text")
+    assert(m.budget == 500L && m.srcCol == "source")
+    val d = Parser.parseStmt("mix id body from t").asInstanceOf[Ast.MixStmt]
+    assert(d.budget == 800L && d.srcCol == "source")
+    assertThrows[Exception](Parser.parseStmt("mix doc_id from documents"))
+    assertThrows[Exception](Parser.parseStmt("mix id, text from t budget 0"))
+    assertThrows[Exception](Parser.parseStmt("mix id, text from t extra"))
   }
 
   test("quantize statement grammar") {

@@ -604,6 +604,44 @@ class PlannerSpec extends SparkSpec {
       g.sql("sample doc_id from documents top 5 by n_chars per DOC_ID"))
   }
 
+  test("mix statement executes: budget binds per source, builder-equal") {
+    val m = g.sql("mix doc_id, text from documents budget 500 per source")
+    assert(m.columns.toSeq == Seq("source", "doc_id", "n_tok", "cum_tok", "keep"))
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    // admission rule: keep=1 iff the budget wasn't spent at doc start
+    rows.foreach { r =>
+      val starts = r.getLong(3) - r.getLong(2)
+      assert((r.getLong(4) == 1L) == (starts < 500L))
+    }
+    val builderEq = graft.queries.PipelineQueries.tokenBudgetMix(
+      g.sql("select doc_id, source, text from documents"), 500L)
+    assert(rows.sortBy(_.getLong(1)).toSeq ==
+      builderEq.collect().sortBy(_.getLong(1)).toSeq,
+      "statement must equal the p12 builder row-for-row")
+    // clean PlanErrors: column collisions, non-integral id, non-text
+    assertThrows[Exception](
+      g.sql("mix doc_id, text from documents per DOC_ID"))
+    assertThrows[Exception](g.sql("mix text, text from documents"))
+    assertThrows[Exception](g.sql("mix text, lang from documents"))
+  }
+
+  test("dedup best executes: one keeper per cluster, builder-equal") {
+    val b = g.sql("dedup best doc_id, text from documents")
+    assert(b.columns.toSeq == Seq("doc_id", "cluster_id", "quality", "keep"))
+    val rows = b.collect()
+    assert(rows.nonEmpty)
+    val perCluster = rows.groupBy(_.getLong(1))
+    assert(perCluster.values.forall(_.count(_.getLong(3) == 1L) == 1),
+      "exactly one keeper per cluster")
+    // the keeper is the cluster's max-quality doc (ties to lowest id)
+    perCluster.values.foreach { cs =>
+      val keeper = cs.find(_.getLong(3) == 1L).get
+      val best = cs.minBy(r => (-r.getDouble(2), r.getLong(0)))
+      assert(keeper.getLong(0) == best.getLong(0))
+    }
+  }
+
   test("trend statement executes: k rows max per window, count ranking") {
     val tr = g.sql("trend ts, event_type from events top 2")
     assert(tr.columns.toSeq == Seq("ws", "event_type", "n", "rk"))
