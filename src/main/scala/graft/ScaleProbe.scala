@@ -427,6 +427,14 @@ object ScaleProbe {
     time("v33_ivfpq_rerank") {
       graft.queries.VectorQueries.ivfPqRerank(emb, 20, 5).collect()
     }
+    // p12's grouped cumsum: driver state is O(sources × partitions)
+    // offsets — constant here while the per-source doc count scales
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("source"), col("text"))
+    time("p12_token_budget_mix") {
+      graft.queries.PipelineQueries.tokenBudgetMix(docs, 800L)
+        .write.format("noop").mode("overwrite").save()
+    }
     writeJson(outJson, copies)
     spark.stop()
   }

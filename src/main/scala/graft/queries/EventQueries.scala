@@ -513,7 +513,44 @@ object EventQueries {
              |SELECT nv.user_id, nv.n_view,
              |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_click_1h,
              |  CAST(coalesce(nb.n, 0) AS BIGINT) AS n_buy_24h
-             |FROM nv LEFT JOIN nc USING (user_id) LEFT JOIN nb USING (user_id)""".stripMargin))
+             |FROM nv LEFT JOIN nc USING (user_id) LEFT JOIN nb USING (user_id)""".stripMargin)),
+
+    // Retention cohorts — the product-analytics staple: users grouped
+    // by FIRST-ACTIVE week (the cohort), activity counted per
+    // subsequent week, week_idx = whole weeks since the cohort week
+    // (UTC session, Monday-truncated in both engines, so the
+    // difference is an exact multiple of 7 days and the index is
+    // exact integer arithmetic). Shape: one (user, week) distinct,
+    // one user-keyed min, one user-keyed join, one (cohort, week)
+    // rollup — all keyed exchanges over frames that only SHRINK
+    // (events → user-weeks → users); output is weeks² rows. Weeks are
+    // DATE-typed on both engines (Spark date_trunc yields timestamp,
+    // DuckDB yields date — cast closes the gap) so week_idx is exact
+    // day arithmetic.
+    Q("e24_retention_cohorts",
+      (s, dir) => {
+        val wks = Tables(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast(DateType).as("wk"))
+          .distinct()
+        val first = wks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+        wks.join(first, "user_id")
+          .groupBy(col("cohort"), col("wk"))
+          .agg(count(lit(1)).as("n_active"))
+          .select(col("cohort"), col("wk"),
+            (datediff(col("wk"), col("cohort")) / lit(7))
+              .cast(LongType).as("week_idx"),
+            col("n_active"))
+      },
+      Some("""WITH wks AS (SELECT DISTINCT user_id,
+             |              CAST(date_trunc('week', ts) AS DATE) AS wk
+             |            FROM events),
+             |fw AS (SELECT user_id, min(wk) AS cohort FROM wks GROUP BY user_id)
+             |SELECT cohort, wk,
+             |  CAST((wk - cohort) // 7 AS BIGINT) AS week_idx,
+             |  CAST(count(*) AS BIGINT) AS n_active
+             |FROM wks JOIN fw USING (user_id)
+             |GROUP BY cohort, wk""".stripMargin))
   )
 
   /** e19's builder: 2h/1h sliding-window counts + Det value sums per

@@ -83,6 +83,62 @@ object TextQueries {
               |    AS n_agree
               |FROM pred GROUP BY lang_label""".stripMargin)),
 
+    // Per-source quality calibration — raw quality scores are NOT
+    // comparable across sources (a news site's median beats a forum's
+    // p90), so mixing on a global threshold silently empties the
+    // clean sources; the standard fix is each doc's PERCENTILE WITHIN
+    // ITS SOURCE. Computed the 100 TB way: snap quality through
+    // DECIMAL(38,6) into one of 101 integer buckets, aggregate a
+    // per-(source, bucket) histogram (map-side combined, ≤ 101·sources
+    // rows), run the CDF windows on that TINY frame, then broadcast
+    // it back onto the corpus — two scans, zero corpus-sized windows,
+    // so one 10 TB source never funnels through a single window
+    // reducer the way the naive percent_rank-per-source would. The
+    // keep flag (top 70% of each source) compares in INTEGER space
+    // (10·cum ≥ 3·n ⇔ pctile ≥ 0.3) — no float threshold at the cut.
+    Q("t42_source_quality_calibration",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val b = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+          .select(col("doc_id"), col("source"),
+            floor(qualityCol(col("text"), col("p"))
+              .cast(graft.core.Det.dec) * lit(100)).cast(LongType).as("bucket"))
+        val h = b.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+        val cdf = h.select(col("source"), col("bucket"),
+          sum(col("c")).over(
+            w.partitionBy(col("source")).orderBy(col("bucket"))).as("cum"),
+          sum(col("c")).over(w.partitionBy(col("source"))).as("n_src"))
+        b.join(broadcast(cdf), Seq("source", "bucket"))
+          .select(col("doc_id"), col("source"), col("bucket"),
+            (col("cum").cast(DoubleType) / col("n_src").cast(DoubleType))
+              .as("pctile"),
+            when(col("cum") * 10 >= col("n_src") * 3, 1L).otherwise(0L)
+              .as("keep"))
+      },
+      Some(s"""WITH ql AS (SELECT doc_id, source,
+              |  (least(CAST(len(tk) AS DOUBLE) / 20.0, 1.0)
+              |   + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+              |       / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 1.0))
+              |   + least(${O.stopwordRatio("tk", "en")} * 5.0, 1.0)) / 3.0 AS q
+              |  FROM (SELECT doc_id, source, text, ${O.toks("text")} AS tk
+              |        FROM documents)),
+              |b AS (SELECT doc_id, source,
+              |  CAST(floor(CAST(q AS DECIMAL(38,6)) * 100) AS BIGINT) AS bucket
+              |  FROM ql),
+              |h AS (SELECT source, bucket, count(*) AS c FROM b
+              |      GROUP BY source, bucket),
+              |cdf AS (SELECT source, bucket,
+              |  CAST(sum(c) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
+              |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_src
+              |  FROM h)
+              |SELECT b.doc_id, b.source, b.bucket,
+              |  CAST(cum AS DOUBLE) / CAST(n_src AS DOUBLE) AS pctile,
+              |  CAST(CASE WHEN cum * 10 >= n_src * 3 THEN 1 ELSE 0 END AS BIGINT)
+              |    AS keep
+              |FROM b JOIN cdf USING (source, bucket)""".stripMargin)),
+
     // Reproducible sampling — the training-data way: hash buckets, not
     // RNG (same rows selected on any cluster size, any run, both
     // engines; rand()-based sampling can never be oracle-gated).

@@ -1423,6 +1423,87 @@ object VectorQueries {
       Some(hammingRerankSql(shortlist = 20, k = 5)),
     ),
 
+    // Re-rank depth sweep — the d17 tuning-curve pattern applied to
+    // the two-stage search: recall@5 of the Hamming re-rank at
+    // shortlist depths 5/10/20 in ONE gated answer, so "how deep must
+    // the shortlist be" is measured, not guessed (deeper ⇒ recall
+    // non-decreasing, pinned in R9OpsSpec; the marginal gain per
+    // depth is the serving-cost knob). The codes scan and Hamming
+    // distances are shared across depths — each depth adds only its
+    // own rank windows over the 16-byte-code frame.
+    Q("v34_rerank_depth_sweep",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val truth = bruteKnn(s, dir, 5).select(col("q_id"), col("n_id"))
+        val tk = truth.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+        Seq(5, 10, 20).map { d =>
+          val rr = hammingRerank(e, d, 5).select(col("q_id"), col("n_id"))
+          val hits = truth.join(rr, Seq("q_id", "n_id"))
+            .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+          tk.join(hits, Seq("q_id"), "left")
+            .select(lit(d.toLong).as("depth"), col("q_id"),
+              coalesce(col("hits"), lit(0L)).as("hits"), col("k"))
+        }.reduce(_ unionAll _)
+      },
+      Some {
+        val depths = Seq(5, 10, 20)
+        val blocks = depths.map { d =>
+          s"""short$d AS (SELECT q_id, n_id FROM
+             |  (SELECT q_id, n_id, row_number() OVER
+             |     (PARTITION BY q_id ORDER BY hamming ASC, n_id ASC) AS rank
+             |   FROM hsims) WHERE rank <= $d),
+             |sc$d AS (SELECT s.q_id, s.n_id,
+             |  ${cosineSql("qv.q_emb", "n.embedding")} AS sim
+             |  FROM short$d s JOIN embeddings n ON s.n_id = n.vec_id
+             |  JOIN qv ON s.q_id = qv.q_id),
+             |rr$d AS (SELECT q_id, n_id FROM
+             |  (SELECT q_id, n_id, row_number() OVER
+             |     (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+             |   FROM sc$d) WHERE rank <= 5),
+             |h$d AS (SELECT truth.q_id, count(*) AS hits
+             |        FROM truth JOIN rr$d ON truth.q_id = rr$d.q_id
+             |                           AND truth.n_id = rr$d.n_id
+             |        GROUP BY truth.q_id)""".stripMargin
+        }.mkString(",\n")
+        val selects = depths.map { d =>
+          s"""SELECT CAST($d AS BIGINT) AS depth, tk.q_id,
+             |  CAST(coalesce(h$d.hits, 0) AS BIGINT) AS hits, tk.k
+             |FROM tk LEFT JOIN h$d ON tk.q_id = h$d.q_id""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH truth AS (SELECT q_id, n_id FROM (${bruteKnnSql(5)})),
+           |tk AS (SELECT q_id, CAST(count(*) AS BIGINT) AS k
+           |       FROM truth GROUP BY q_id),
+           |codes AS (SELECT vec_id, ${binaryCodeSql(0, 32)} AS lo,
+           |  ${binaryCodeSql(32, 32)} AS hi FROM embeddings),
+           |hq AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi
+           |       FROM codes WHERE vec_id < 5),
+           |hsims AS (SELECT q_id, vec_id AS n_id,
+           |  CAST(bit_count(xor(lo, q_lo)) + bit_count(xor(hi, q_hi)) AS BIGINT) AS hamming
+           |  FROM codes JOIN hq ON q_id != vec_id),
+           |qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+           |       FROM embeddings WHERE vec_id < 5),
+           |$blocks
+           |$selects""".stripMargin
+      }),
+
+    // Filtered vector search — the metadata-predicate serving shape
+    // every production vector store needs (RAG over one tenant,
+    // similar docs within a language): v31's two-stage Hamming
+    // re-rank run with the corpus PRE-FILTERED on label = 1. The
+    // predicate restricts the 16-byte codes scan BEFORE any distance
+    // math (pushed to the parquet reader — PlanSpec pins
+    // PushedFilters on the codes-side scan), so filtered search costs
+    // O(selectivity · corpus), never post-filtering a full top-k
+    // (which silently under-fills k when the filter is selective —
+    // the classic filtered-ANN bug this shape avoids by construction).
+    Q("v36_filtered_rerank",
+      (s, dir) => filteredHammingRerank(
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label")),
+        shortlist = 20, k = 5),
+      Some(filteredHammingRerankSql(shortlist = 20, k = 5))),
+
     // Binary-quantization recall eval — recall@5 of the Hamming
     // search (v26) against the exact cosine truth, closing the
     // 1-bit index's quality loop exactly as v19 does for IVF and
@@ -1543,6 +1624,68 @@ object VectorQueries {
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
   }
+
+  /** v36's builder: [[hammingRerank]] with the corpus side restricted
+    * to label = 1 BEFORE the codes join — the filter lands on the
+    * 16-byte codes scan (parquet-pushed), so a selective predicate
+    * shrinks every downstream stage instead of starving the final
+    * top-k. Queries stay the unfiltered vec_id < 5 panel; the float
+    * gather inherits the restriction through the shortlist ids. */
+  def filteredHammingRerank(e: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    val codes = e.select(col("vec_id"), col("label"),
+      binaryCode(col("embedding"), 0, 32).as("lo"),
+      binaryCode(col("embedding"), 32, 32).as("hi"))
+    val q = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val sims = codes.filter(col("label") === 1)
+      .select(col("vec_id").as("n_id"), col("lo"), col("hi"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    val short = sims.withColumn("rank", row_number().over(ws).cast(LongType))
+      .filter(col("rank") <= shortlist).select(col("q_id"), col("n_id"))
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // Same explicit broadcasts as [[hammingRerank]] — the shortlist is
+    // window-derived, so Catalyst's static estimate would SMJ it.
+    val scored = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(short), "n_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(wr).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB mirror of [[filteredHammingRerank]]. */
+  def filteredHammingRerankSql(shortlist: Int, k: Int): String =
+    s"""WITH codes AS (SELECT vec_id, label, ${binaryCodeSql(0, 32)} AS lo,
+       |  ${binaryCodeSql(32, 32)} AS hi FROM embeddings),
+       |hq AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi
+       |       FROM codes WHERE vec_id < 5),
+       |hsims AS (SELECT q_id, vec_id AS n_id,
+       |  CAST(bit_count(xor(lo, q_lo)) + bit_count(xor(hi, q_hi)) AS BIGINT) AS hamming
+       |  FROM codes JOIN hq ON q_id != vec_id
+       |  WHERE label = 1),
+       |short AS (SELECT q_id, n_id FROM
+       |  (SELECT q_id, n_id, row_number() OVER
+       |     (PARTITION BY q_id ORDER BY hamming ASC, n_id ASC) AS rank
+       |   FROM hsims) WHERE rank <= $shortlist),
+       |qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id < 5),
+       |scored AS (SELECT s.q_id, s.n_id,
+       |  ${cosineSql("qv.q_emb", "n.embedding")} AS sim
+       |  FROM short s JOIN embeddings n ON s.n_id = n.vec_id
+       |  JOIN qv ON s.q_id = qv.q_id)
+       |SELECT q_id, n_id, sim, rank FROM
+       |(SELECT q_id, n_id, sim, CAST(row_number() OVER
+       |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+       | FROM scored) WHERE rank <= $k""".stripMargin
 
   /** DuckDB mirror of [[hammingRerank]]. */
   def hammingRerankSql(shortlist: Int, k: Int): String =

@@ -756,4 +756,16 @@ class PlanSpec extends SparkSpec {
       s"shortlist gather must not sort-merge the corpus:\n${p.take(1200)}")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("filtered search (v36): label predicate reaches the parquet scan, gather broadcasts") {
+    val p = plan("v36_filtered_rerank")
+    // the metadata filter must restrict the codes scan BEFORE any
+    // distance math - post-filtering a full top-k both overpays and
+    // under-fills k on selective predicates
+    assert(p.contains("EqualTo(label,1)"),
+      s"label filter should reach the scan:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"shortlist gather must not sort-merge the corpus:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }

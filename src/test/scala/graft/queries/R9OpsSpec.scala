@@ -68,6 +68,72 @@ class R9OpsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L)))
   }
 
+  test("rerank depth sweep (v34): deeper shortlists never lose recall") {
+    val rows = Registry.queries("v34_rerank_depth_sweep")(spark, sf0001)
+      .groupBy(col("depth"))
+      .agg(sum(col("hits")).as("hits"), sum(col("k")).as("k"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble / r.getLong(2))
+      .toMap
+    // the depth-d shortlist is a prefix of the depth-d' shortlist for
+    // d < d' (same Hamming ranking), so recall is non-decreasing
+    assert(rows(5L) <= rows(10L) && rows(10L) <= rows(20L),
+      s"recall must be monotone in depth: $rows")
+    // 1-bit codes on the 60-vector sf0.001 corpus measure 0.48 at
+    // depth 20 — the floor guards against collapse (a broken code or
+    // ranking lands near k/corpus ≈ 0.08), not against quantization
+    // loss, which the sweep exists to measure
+    assert(rows(20L) >= 0.3, s"depth-20 recall collapsed: ${rows(20L)}")
+  }
+
+  test("retention cohorts (e24): week_idx 0 row equals cohort size") {
+    val df = Registry.queries("e24_retention_cohorts")(spark, sf0001).cache()
+    try {
+      // every user is active in their own first week, so the
+      // week_idx=0 row of each cohort counts the whole cohort, and
+      // every other row can only be <= it; indices are never negative
+      assert(df.filter(col("week_idx") < 0).isEmpty)
+      val w0 = df.filter(col("week_idx") === 0)
+        .select(col("cohort"), col("n_active").as("size"))
+      val bad = df.join(w0, "cohort")
+        .filter(col("n_active") > col("size"))
+      assert(bad.isEmpty, "a later week outgrew its cohort")
+      // cohort sizes sum to the distinct-user count (partition proof)
+      val users = Tables(spark, sf0001, "events")
+        .select(col("user_id")).distinct().count()
+      val total = w0.agg(sum(col("size"))).collect()(0).getLong(0)
+      assert(total == users, s"cohorts sum $total != users $users")
+    } finally df.unpersist()
+  }
+
+  test("filtered search (v36): every neighbor satisfies the predicate, k stays filled") {
+    val out = Registry.queries("v36_filtered_rerank")(spark, sf0001)
+    val labels = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("n_id"), col("label"))
+    // pre-filtering the corpus guarantees both properties at once;
+    // post-filtering a top-k would break the second on selective preds
+    assert(out.join(labels, "n_id").filter(col("label") =!= 1).isEmpty,
+      "a neighbor escaped the label predicate")
+    val counts = out.groupBy(col("q_id")).count().collect()
+    assert(counts.length == 5 && counts.forall(_.getLong(1) == 5L),
+      "each query must return exactly k=5 filtered neighbors")
+  }
+
+  test("quality calibration (t42): every source keeps at least its top 70%") {
+    val out = Registry.queries("t42_source_quality_calibration")(spark, sf0001)
+    val frac = out.groupBy(col("source"))
+      .agg((sum(col("keep")).cast("double") / count(lit(1))).as("f"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // keep = pctile >= 0.3 cuts at a BUCKET boundary, so each source
+    // retains >= 70% (bucket granularity can only round the cut up)
+    frac.foreach { case (src, f) =>
+      assert(f >= 0.7, s"$src keeps only $f")
+      assert(f <= 1.0)
+    }
+    // and the cut actually bites somewhere (not a degenerate keep-all)
+    assert(frac.values.exists(_ < 1.0), "threshold never engaged")
+  }
+
   test("weighted-sampling gates emit wkey as DOUBLE (decimal stays internal)") {
     Seq("x10_weighted_sample", "x13_grouped_weighted_sample",
       "s39_dialect_weighted_sample", "s43_dialect_stratified_sample")
