@@ -545,6 +545,13 @@ object DialectQueries {
     // exercises the budget plumbing.
     Q("s45_dialect_mix",
       sql("mix doc_id, text from documents budget 500 per source"),
-      Some(PipelineQueries.tokenBudgetMixOracle(500L)))
+      Some(PipelineQueries.tokenBudgetMixOracle(500L))),
+
+    // Per-source quality calibration on the dialect surface:
+    // `calibrate` lowers VERBATIM to the t42 builder, so the
+    // histogram-CDF-broadcast plan shape arrives with the statement.
+    Q("s46_dialect_calibrate",
+      sql("calibrate doc_id, source, text from documents"),
+      Some(TextQueries.calibrationOracle))
   )
 }

@@ -97,47 +97,32 @@ object TextQueries {
     // keep flag (top 70% of each source) compares in INTEGER space
     // (10·cum ≥ 3·n ⇔ pctile ≥ 0.3) — no float threshold at the cut.
     Q("t42_source_quality_calibration",
+      (s, dir) => sourceQualityCalibration(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))),
+      Some(calibrationOracle)),
+
+    // t42's STREAMING twin (the v28/x12 pattern applied to quality
+    // filtering): the per-source CDF is frozen batch-side (a pipeline
+    // recalibrates per corpus snapshot, not per document), then each
+    // arriving doc takes its bucket in a stateless per-row pass and
+    // its pctile/keep from a stream-static broadcast join against the
+    // tiny frozen frame — no state, no watermark, ingest cost O(batch).
+    // Hash-gated against t42's own oracle: continuous quality
+    // filtering ≡ batch bit-for-bit.
+    Q("t43_calibration_stream",
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-        val b = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("source"), col("text"),
-            graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
-          .select(col("doc_id"), col("source"),
-            floor(qualityCol(col("text"), col("p"))
-              .cast(graft.core.Det.dec) * lit(100)).cast(LongType).as("bucket"))
-        val h = b.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
-        val cdf = h.select(col("source"), col("bucket"),
-          sum(col("c")).over(
-            w.partitionBy(col("source")).orderBy(col("bucket"))).as("cum"),
-          sum(col("c")).over(w.partitionBy(col("source"))).as("n_src"))
-        b.join(broadcast(cdf), Seq("source", "bucket"))
-          .select(col("doc_id"), col("source"), col("bucket"),
-            (col("cum").cast(DoubleType) / col("n_src").cast(DoubleType))
-              .as("pctile"),
-            when(col("cum") * 10 >= col("n_src") * 3, 1L).otherwise(0L)
-              .as("keep"))
+        val frozen = sourceCdfOf(qualityBuckets(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text"))))
+        graft.streaming.StreamingOps.runToTable(s,
+          calibrationAssign(
+            graft.streaming.StreamingOps.readDocuments(s, dir)
+              .select(col("doc_id"), col("source"), col("text")),
+            broadcast(frozen)),
+          "append", "graft_t43_sink_")
       },
-      Some(s"""WITH ql AS (SELECT doc_id, source,
-              |  (least(CAST(len(tk) AS DOUBLE) / 20.0, 1.0)
-              |   + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-              |       / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 1.0))
-              |   + least(${O.stopwordRatio("tk", "en")} * 5.0, 1.0)) / 3.0 AS q
-              |  FROM (SELECT doc_id, source, text, ${O.toks("text")} AS tk
-              |        FROM documents)),
-              |b AS (SELECT doc_id, source,
-              |  CAST(floor(CAST(q AS DECIMAL(38,6)) * 100) AS BIGINT) AS bucket
-              |  FROM ql),
-              |h AS (SELECT source, bucket, count(*) AS c FROM b
-              |      GROUP BY source, bucket),
-              |cdf AS (SELECT source, bucket,
-              |  CAST(sum(c) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
-              |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_src
-              |  FROM h)
-              |SELECT b.doc_id, b.source, b.bucket,
-              |  CAST(cum AS DOUBLE) / CAST(n_src AS DOUBLE) AS pctile,
-              |  CAST(CASE WHEN cum * 10 >= n_src * 3 THEN 1 ELSE 0 END AS BIGINT)
-              |    AS keep
-              |FROM b JOIN cdf USING (source, bucket)""".stripMargin)),
+      Some(calibrationOracle)),
 
     // Reproducible sampling — the training-data way: hash buckets, not
     // RNG (same rows selected on any cluster size, any run, both
@@ -1570,6 +1555,74 @@ object TextQueries {
     val swScore = least(ratioEn * lit(5.0), lit(1.0))
     (lenScore + punctScore + swScore) / lit(3.0)
   }
+
+  /** Per-row DECIMAL-snapped quality bucket (0..100) over a
+    * (doc_id, source, text) frame — the per-row half of t42, shared
+    * with the streaming twin (stateless, so it runs unchanged on a
+    * stream). */
+  def qualityBuckets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), col("text"),
+        graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+      .select(col("doc_id"), col("source"),
+        floor(qualityCol(col("text"), col("p"))
+          .cast(graft.core.Det.dec) * lit(100)).cast(LongType).as("bucket"))
+
+  /** Per-source CDF over the bucket histogram — ≤ 101·sources rows,
+    * so the windows run on a TINY aggregated frame, never the corpus. */
+  def sourceCdfOf(buckets: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    buckets.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+      .select(col("source"), col("bucket"),
+        sum(col("c")).over(
+          w.partitionBy(col("source")).orderBy(col("bucket"))).as("cum"),
+        sum(col("c")).over(w.partitionBy(col("source"))).as("n_src"))
+  }
+
+  /** Join a (possibly streaming) docs frame onto a frozen per-source
+    * CDF: pctile = cum/n_src at the doc's bucket, keep = top 70% of
+    * the source, cut compared in INTEGER space (10·cum ≥ 3·n ⇔
+    * pctile ≥ 0.3) so no float threshold sits at the boundary. */
+  def calibrationAssign(docs: DataFrame, cdf: DataFrame): DataFrame =
+    qualityBuckets(docs).join(cdf, Seq("source", "bucket"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        (col("cum").cast(DoubleType) / col("n_src").cast(DoubleType))
+          .as("pctile"),
+        when(col("cum") * 10 >= col("n_src") * 3, 1L).otherwise(0L)
+          .as("keep"))
+
+  /** t42's builder: histogram → CDF on the tiny frame → broadcast
+    * back onto the corpus. Two scans, zero corpus-sized windows — one
+    * 10 TB source never funnels through a single window reducer the
+    * way naive percent_rank-per-source would. */
+  def sourceQualityCalibration(docs: DataFrame): DataFrame =
+    calibrationAssign(docs, broadcast(sourceCdfOf(qualityBuckets(docs))))
+
+  /** DuckDB mirror of [[sourceQualityCalibration]] — shared by t42 and
+    * its streaming twin t43 (stream ≡ batch, so one oracle serves
+    * both). */
+  def calibrationOracle: String =
+    s"""WITH ql AS (SELECT doc_id, source,
+       |  (least(CAST(len(tk) AS DOUBLE) / 20.0, 1.0)
+       |   + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |       / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 1.0))
+       |   + least(${O.stopwordRatio("tk", "en")} * 5.0, 1.0)) / 3.0 AS q
+       |  FROM (SELECT doc_id, source, text, ${O.toks("text")} AS tk
+       |        FROM documents)),
+       |b AS (SELECT doc_id, source,
+       |  CAST(floor(CAST(q AS DECIMAL(38,6)) * 100) AS BIGINT) AS bucket
+       |  FROM ql),
+       |h AS (SELECT source, bucket, count(*) AS c FROM b
+       |      GROUP BY source, bucket),
+       |cdf AS (SELECT source, bucket,
+       |  CAST(sum(c) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
+       |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_src
+       |  FROM h)
+       |SELECT b.doc_id, b.source, b.bucket,
+       |  CAST(cum AS DOUBLE) / CAST(n_src AS DOUBLE) AS pctile,
+       |  CAST(CASE WHEN cum * 10 >= n_src * 3 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS keep
+       |FROM b JOIN cdf USING (source, bucket)""".stripMargin
 
   def lexicalDiversity(docs: DataFrame): DataFrame = {
     val tk = docs.select(col("doc_id"),

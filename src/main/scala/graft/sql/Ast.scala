@@ -157,6 +157,14 @@ object Ast {
   final case class CardStmt(idCol: String, textCol: String,
       from: FromClause) extends Stmt
 
+  /** `calibrate <idCol>[,] <srcCol>[,] <textCol> from <table>` —
+    * per-source quality percentiles on the SQL surface (t42): each
+    * doc's quality percentile WITHIN ITS SOURCE plus a keep-top-70%
+    * flag, via the histogram-CDF-broadcast shape (zero corpus-sized
+    * windows). */
+  final case class CalibrateStmt(idCol: String, srcCol: String,
+      textCol: String, from: FromClause) extends Stmt
+
   /** `trend <tsCol>[,] <keyCol> from <table> [top <k>]` — e21's
     * trending on the SQL surface: the top-k key values of every
     * 2h/1h sliding window by event count. Emits

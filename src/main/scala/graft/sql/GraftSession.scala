@@ -151,6 +151,7 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
       case s: Ast.QuantizeStmt => planner.planQuantize(s)
       case s: Ast.TrendStmt => planner.planTrend(s)
       case s: Ast.CardStmt => planner.planCard(s)
+      case s: Ast.CalibrateStmt => planner.planCalibrate(s)
       case s: Ast.MixStmt => planner.planMix(s)
     }
   }

@@ -64,6 +64,7 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "trend")) { advance(); parseTrend() }
     else if (matches(peek, "card")) { advance(); parseCard() }
     else if (matches(peek, "mix")) { advance(); parseMix() }
+    else if (matches(peek, "calibrate")) { advance(); parseCalibrate() }
     else parseQuery()
 
   /** `mix <idCol>[,] <textCol> from <table> [nh] [budget <n>]
@@ -105,6 +106,29 @@ final class Parser(toks: Vector[Tok]) {
     if (!peek.eq(EOF) && peekText != ";")
       throw ParseError(s"unexpected trailing token '${peek.text}'")
     CardStmt(idCol, textCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil))
+  }
+
+  /** `calibrate <idCol>[,] <srcCol>[,] <textCol> from <table> [nh]`. */
+  private def parseCalibrate(): CalibrateStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val srcCol = colName()
+    accept(",")
+    val textCol = colName()
+    if (Seq(idCol, srcCol, textCol).distinct.size != 3)
+      throw ParseError("calibrate: id, source and text columns must be distinct")
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    CalibrateStmt(idCol, srcCol, textCol,
       FromClause(table, None, noHeader, intColumns = false, Nil))
   }
 

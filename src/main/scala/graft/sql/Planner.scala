@@ -318,6 +318,20 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     graft.queries.PipelineQueries.datasetCard(docs)
   }
 
+  /** `calibrate id, src, text from t` — lowers VERBATIM to the t42
+    * builder (TextQueries.sourceQualityCalibration): per-source
+    * quality percentile + keep-top-70% flag via the tiny
+    * histogram-CDF broadcast, never a corpus-sized window. */
+  def planCalibrate(st: CalibrateStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val docs = base.select(named(base, st.idCol, "doc_id"),
+      named(base, st.srcCol, "source"),
+      named(base, st.textCol, "text"))
+    if (!docs.schema("text").dataType.isInstanceOf[StringType])
+      throw PlanError(s"calibrate: ${st.textCol} must be a text column")
+    graft.queries.TextQueries.sourceQualityCalibration(docs)
+  }
+
   /** `quantize id, vec from t` — lowers VERBATIM to the v25 builder
     * (VectorQueries.binaryCodes): two packed sign-bit BIGINT halves
     * per vector, a pure per-row fold with zero exchanges. */

@@ -251,6 +251,19 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("card id, text from t extra"))
   }
 
+  test("calibrate statement grammar") {
+    val c = Parser.parseStmt("calibrate doc_id, source, text from documents")
+      .asInstanceOf[Ast.CalibrateStmt]
+    assert(c.idCol == "doc_id" && c.srcCol == "source" && c.textCol == "text")
+    // commas optional, dialect-wide
+    val d = Parser.parseStmt("calibrate id src body from t")
+      .asInstanceOf[Ast.CalibrateStmt]
+    assert(d.idCol == "id" && d.srcCol == "src" && d.textCol == "body")
+    assertThrows[Exception](Parser.parseStmt("calibrate doc_id, text from documents"))
+    assertThrows[Exception](Parser.parseStmt("calibrate a, a, text from t"))
+    assertThrows[Exception](Parser.parseStmt("calibrate a, b, c from t extra"))
+  }
+
   test("mix statement grammar: optional budget and per") {
     val m = Parser.parseStmt("mix doc_id, text from documents budget 500 per source")
       .asInstanceOf[Ast.MixStmt]

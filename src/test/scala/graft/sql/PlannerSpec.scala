@@ -626,6 +626,22 @@ class PlannerSpec extends SparkSpec {
     assertThrows[Exception](g.sql("mix text, lang from documents"))
   }
 
+  test("calibrate statement executes: builder-equal, clean errors") {
+    val c = g.sql("calibrate doc_id, source, text from documents")
+    assert(c.columns.toSeq ==
+      Seq("doc_id", "source", "bucket", "pctile", "keep"))
+    val rows = c.collect().sortBy(_.getLong(0)).toSeq
+    assert(rows.nonEmpty)
+    val builderEq = graft.queries.TextQueries.sourceQualityCalibration(
+      g.sql("select doc_id, source, text from documents"))
+      .collect().sortBy(_.getLong(0)).toSeq
+    assert(rows == builderEq,
+      "statement must equal the t42 builder row-for-row")
+    // non-text text column -> clean PlanError
+    assertThrows[Exception](
+      g.sql("calibrate doc_id, source, n_chars from documents"))
+  }
+
   test("dedup best executes: one keeper per cluster, builder-equal") {
     val b = g.sql("dedup best doc_id, text from documents")
     assert(b.columns.toSeq == Seq("doc_id", "cluster_id", "quality", "keep"))

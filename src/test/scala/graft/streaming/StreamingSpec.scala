@@ -372,6 +372,32 @@ class StreamingSpec extends SparkSpec {
     assert(est0 >= 63L && est0 <= 70L, s"est0 = $est0") // exact 29+34=63
   }
 
+  test("streaming quality calibration matches the batch operator row-for-row") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    val batch = asMap(graft.queries.TextQueries.sourceQualityCalibration(docs))
+    // the same frozen-CDF assignment the t43 gate streams — here the
+    // batch plan over the same rows; the gate proves the streaming
+    // execution, this pins builder-level stream ≡ batch equality
+    val frozen = graft.queries.TextQueries.sourceCdfOf(
+      graft.queries.TextQueries.qualityBuckets(docs))
+    val assigned = asMap(graft.queries.TextQueries.calibrationAssign(
+      docs, broadcast(frozen)))
+    assert(batch == assigned)
+    val streamed = asMap(StreamingOps.runToTable(spark,
+      graft.queries.TextQueries.calibrationAssign(
+        StreamingOps.readDocuments(spark, sf0001)
+          .select(col("doc_id"), col("source"), col("text")),
+        broadcast(frozen)),
+      "append", "graft_t43spec_sink_"))
+    assert(streamed == batch,
+      s"stream diverged on ${streamed.keySet.diff(batch.keySet).take(3)}...")
+  }
+
   test("stateful sessionization emits per-user session counts") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val batchEvents = Tables(spark, sf0001, "events")
