@@ -429,10 +429,46 @@ object ScaleProbe {
     }
     // p12's grouped cumsum: driver state is O(sources × partitions)
     // offsets — constant here while the per-source doc count scales
-    val docs = scaled(spark, "documents", Seq("doc_id"), copies)
+    // (docs materialized to parquet so each consumer scans a real
+    // file, not the copies-way union plan)
+    scaled(spark, "documents", Seq("doc_id"), copies)
       .select(col("doc_id"), col("source"), col("text"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
     time("p12_token_budget_mix") {
       graft.queries.PipelineQueries.tokenBudgetMix(docs, 800L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // t42: the histogram/CDF stays ≤ 101·sources rows at every copies
+    // level — wall should track the two corpus scans, nothing else
+    time("t42_quality_calibration") {
+      graft.queries.TextQueries.sourceQualityCalibration(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // v36: the label predicate shrinks the codes scan ~10× before any
+    // distance math — filtered wall should sit well UNDER v31's
+    // (materialized to parquet first, same footing as the v31 fixture,
+    // so the probe times the operator, not the 100-way union scan)
+    scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings_l.parquet")
+    val embL = spark.read.parquet(s"$tmp/embeddings_l.parquet")
+    time("v36_filtered_rerank") {
+      graft.queries.VectorQueries.filteredHammingRerank(embL, 20, 5).collect()
+    }
+    // p13: the composed curation chain (calibrate ∩ canonical → mix);
+    // the costly stage is d19's LSH+CC over the scaled docs — the
+    // calibration and mix stages ride the same two corpus scans
+    time("p13_calibrated_mix") {
+      graft.queries.PipelineQueries.calibratedMix(docs, 500L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // e24: every exchange is keyed on a frame that only shrinks
+    // (events → user-weeks → users); user_id scales with copies so
+    // the user-week frame grows linearly, not degenerately
+    val ev = scaled(spark, "events", Seq("event_id", "user_id"), copies)
+    time("e24_retention_cohorts") {
+      graft.queries.EventQueries.retentionCohortsOf(ev)
         .write.format("noop").mode("overwrite").save()
     }
     writeJson(outJson, copies)

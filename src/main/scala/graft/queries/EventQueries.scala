@@ -528,20 +528,7 @@ object EventQueries {
     // DuckDB yields date — cast closes the gap) so week_idx is exact
     // day arithmetic.
     Q("e24_retention_cohorts",
-      (s, dir) => {
-        val wks = Tables(s, dir, "events")
-          .select(col("user_id"),
-            date_trunc("week", col("ts")).cast(DateType).as("wk"))
-          .distinct()
-        val first = wks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
-        wks.join(first, "user_id")
-          .groupBy(col("cohort"), col("wk"))
-          .agg(count(lit(1)).as("n_active"))
-          .select(col("cohort"), col("wk"),
-            (datediff(col("wk"), col("cohort")) / lit(7))
-              .cast(LongType).as("week_idx"),
-            col("n_active"))
-      },
+      (s, dir) => retentionCohortsOf(Tables(s, dir, "events")),
       Some("""WITH wks AS (SELECT DISTINCT user_id,
              |              CAST(date_trunc('week', ts) AS DATE) AS wk
              |            FROM events),
@@ -552,6 +539,25 @@ object EventQueries {
              |FROM wks JOIN fw USING (user_id)
              |GROUP BY cohort, wk""".stripMargin))
   )
+
+  /** e24's builder on an arbitrary events frame — shared with
+    * ScaleProbe: (user, week) distinct → user-keyed first-week min →
+    * user-keyed join → (cohort, week) rollup, every exchange over a
+    * frame that only SHRINKS. */
+  def retentionCohortsOf(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wks = ev
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast(DateType).as("wk"))
+      .distinct()
+    val first = wks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    wks.join(first, "user_id")
+      .groupBy(col("cohort"), col("wk"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(col("cohort"), col("wk"),
+        (datediff(col("wk"), col("cohort")) / lit(7))
+          .cast(LongType).as("week_idx"),
+        col("n_active"))
+  }
 
   /** e19's builder: 2h/1h sliding-window counts + Det value sums per
     * event type. Shared with the streaming form (StreamingSpec pins

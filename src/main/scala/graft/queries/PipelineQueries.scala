@@ -250,8 +250,58 @@ object PipelineQueries {
         // fixture sources carry ~1.3k tokens each at sf0.01 — 800
         // makes the budget BIND, so the gate exercises both branches
         budget = 800L),
-      Some(tokenBudgetMixOracle(800L)))
+      Some(tokenBudgetMixOracle(800L))),
+
+    // The round-9 curation chain as ONE declarative program: per-source
+    // quality calibration (t42, keep the top 70% of each source) ∩
+    // best-twin near-dup canonicals (d19) → token-budget mixture
+    // sampling (p12) over the survivors. Composition discipline per
+    // the p05 lesson: the calibration keep is a per-row bucket
+    // expression + a broadcast join against the tiny CDF — fused into
+    // the survivor scan, never a doc_id self-join — so only d19's
+    // genuinely shuffling canonical set arrives as a join. The oracle
+    // chains the same stage SQL as CTEs and runs the mix over the
+    // survivor CTE, so the whole composition is hash-gated.
+    Q("p13_calibrated_mix",
+      (s, dir) => calibratedMix(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")),
+        budget = 500L),
+      Some {
+        def cte(name: String): String = q(name).oracle.get
+        s"""WITH cal AS (${TextQueries.calibrationOracle}),
+           |canon AS (${cte("d19_canonical_pick")}),
+           |surv AS (SELECT d.doc_id, d.source, d.text FROM documents d
+           |  JOIN cal ON d.doc_id = cal.doc_id AND cal.keep = 1
+           |  JOIN canon ON d.doc_id = canon.doc_id AND canon.keep = 1)
+           |${tokenBudgetMixOracle(500L, from = "surv")}""".stripMargin
+      })
   )
+
+  /** p13's builder on an arbitrary (doc_id, source, text) frame —
+    * shared with ScaleProbe: calibration keep fused into the survivor
+    * scan as a per-row bucket + broadcast-CDF join (never a doc_id
+    * self-join), d19's canonical set as the one genuinely shuffling
+    * join, then the budget mix over the survivors. */
+  def calibratedMix(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val cdf = broadcast(TextQueries.sourceCdfOf(
+      TextQueries.qualityBuckets(docs)))
+    val canon = DedupQueries.canonicalPickOf(
+        docs.select(col("doc_id"), col("text")))
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val surv = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        floor(TextQueries.qualityCol(col("text"),
+          graft.functions.TextProfileExprs.text_profile(col("text")))
+          .cast(graft.core.Det.dec) * lit(100))
+          .cast(org.apache.spark.sql.types.LongType).as("bucket"))
+      .join(cdf, Seq("source", "bucket"))
+      .filter(col("cum") * 10 >= col("n_src") * 3)
+      .join(canon, "doc_id")
+      .select(col("doc_id"), col("source"), col("text"))
+    tokenBudgetMix(surv, budget)
+  }
 
   /** p12's builder on an arbitrary (doc_id, source, text) frame —
     * shared with ScaleProbe. Order key = the x10 multiplicative id
@@ -271,8 +321,9 @@ object PipelineQueries {
           .otherwise(lit(0L)).as("keep"))
   }
 
-  /** DuckDB mirror of [[tokenBudgetMix]] over `documents`. */
-  def tokenBudgetMixOracle(budget: Long): String =
+  /** DuckDB mirror of [[tokenBudgetMix]] over `from` (default the
+    * documents table; p13 points it at its survivor CTE). */
+  def tokenBudgetMixOracle(budget: Long, from: String = "documents"): String =
     s"""SELECT source, doc_id, n_tok, cum_tok,
        |  CAST(CASE WHEN cum_tok - n_tok < $budget THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM (SELECT source, doc_id, n_tok,
@@ -281,7 +332,7 @@ object PipelineQueries {
        |  FROM (SELECT source, doc_id,
        |    CAST(len(${OracleSql.toks("text")}) AS BIGINT) AS n_tok,
        |    ((doc_id % 1000000) * 2654435761) % 1000003 AS okey
-       |  FROM documents))""".stripMargin
+       |  FROM $from))""".stripMargin
 
   /** p05's survivor set (doc_id, n_tok) — the per-ROW signals (t27's
     * lorem/brace vetoes + t02's quality) fuse into ONE
