@@ -463,6 +463,15 @@ object ScaleProbe {
       graft.queries.PipelineQueries.calibratedMix(docs, 500L)
         .write.format("noop").mode("overwrite").save()
     }
+    // same composition with the SALTED-signature pairs injected (edge
+    // growth linear in copies by construction — the d18 pattern):
+    // isolates the chain's own scaling from the copies-fixture's
+    // quadratic LSH-pair artifact inside d19
+    time("p13_calibrated_mix_cleanpairs") {
+      graft.queries.PipelineQueries.calibratedMix(docs, 500L,
+          pairsOpt = Some(edges))
+        .write.format("noop").mode("overwrite").save()
+    }
     // e24: every exchange is keyed on a frame that only shrinks
     // (events → user-weeks → users); user_id scales with copies so
     // the user-week frame grows linearly, not degenerately

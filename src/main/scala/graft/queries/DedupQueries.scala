@@ -824,10 +824,17 @@ object DedupQueries {
     * the dialect `dedup best` statement: CC labels over the LSH
     * candidate pairs, per-doc t02 quality, one cluster-keyed rank
     * window keeping the highest-quality doc (ties to lowest doc_id). */
-  def canonicalPickOf(docs: DataFrame): DataFrame = {
+  def canonicalPickOf(docs: DataFrame): DataFrame =
+    canonicalPickFromPairs(docs, candidatePairsOf(sigOf(docs)))
+
+  /** [[canonicalPickOf]] with the candidate pairs injected — the
+    * d18-probe pattern: ScaleProbe feeds SALTED-signature pairs (edge
+    * growth linear in copies by construction) so the pick's own
+    * scaling is measured without the duplication-fixture's quadratic
+    * pair artifact. */
+  def canonicalPickFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cc = graft.core.ConnectedComponents.run(
-      candidatePairsOf(sigOf(docs)), "doc_a", "doc_b")
+    val cc = graft.core.ConnectedComponents.run(pairs, "doc_a", "doc_b")
     val q = docs
       .select(col("doc_id"), col("text"),
         graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))

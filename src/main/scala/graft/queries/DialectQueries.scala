@@ -552,6 +552,13 @@ object DialectQueries {
     // histogram-CDF-broadcast plan shape arrives with the statement.
     Q("s46_dialect_calibrate",
       sql("calibrate doc_id, source, text from documents"),
-      Some(TextQueries.calibrationOracle))
+      Some(TextQueries.calibrationOracle)),
+
+    // Hard-negative mining on the dialect surface: `negatives` lowers
+    // VERBATIM to the v37 builder (shortlist = 4·k), gated by the same
+    // oracle.
+    Q("s47_dialect_negatives",
+      sql("negatives vec_id, embedding, label from embeddings top 5"),
+      Some(VectorQueries.hardNegativesSql(shortlist = 20, k = 5)))
   )
 }

@@ -283,12 +283,15 @@ object PipelineQueries {
     * scan as a per-row bucket + broadcast-CDF join (never a doc_id
     * self-join), d19's canonical set as the one genuinely shuffling
     * join, then the budget mix over the survivors. */
-  def calibratedMix(docs: org.apache.spark.sql.DataFrame,
-      budget: Long): org.apache.spark.sql.DataFrame = {
+  def calibratedMix(docs: org.apache.spark.sql.DataFrame, budget: Long,
+      pairsOpt: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val cdf = broadcast(TextQueries.sourceCdfOf(
       TextQueries.qualityBuckets(docs)))
-    val canon = DedupQueries.canonicalPickOf(
-        docs.select(col("doc_id"), col("text")))
+    val docsIdText = docs.select(col("doc_id"), col("text"))
+    val canon = pairsOpt
+      .map(p => DedupQueries.canonicalPickFromPairs(docsIdText, p))
+      .getOrElse(DedupQueries.canonicalPickOf(docsIdText))
       .filter(col("keep") === 1).select(col("doc_id"))
     val surv = docs
       .select(col("doc_id"), col("source"), col("text"),

@@ -1504,6 +1504,73 @@ object VectorQueries {
         shortlist = 20, k = 5),
       Some(filteredHammingRerankSql(shortlist = 20, k = 5))),
 
+    // Hard-negative mining — the contrastive-training staple: for each
+    // query, the most-similar vectors of a DIFFERENT label (the
+    // near-misses an embedding model must learn to push apart). v36's
+    // static predicate becomes PER-QUERY (label ≠ q_label, a pair
+    // predicate riding the same broadcast codes join — still never a
+    // cartesian), then the usual two-stage shape: Hamming shortlist
+    // over 16-byte codes → broadcast float gather → exact-cosine
+    // re-rank, so the hardest negatives surface by TRUE similarity,
+    // not quantized similarity.
+    Q("v37_hard_negatives",
+      (s, dir) => hardNegatives(
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label")),
+        shortlist = 20, k = 5),
+      Some(hardNegativesSql(shortlist = 20, k = 5))),
+
+    // Filtered-search recall eval — closes v36's quality loop exactly
+    // as v30 does for the unfiltered index: recall@5 of the
+    // pre-filtered Hamming re-rank against the exact cosine truth
+    // computed OVER THE FILTERED CORPUS (the correct referent —
+    // post-filter evals against unfiltered truth understate filtered
+    // recall by construction). Integer hits/k gate shape.
+    Q("v38_filtered_recall",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val c = e.filter(col("label") === 1)
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        val sims = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            cosine(col("q_emb"), col("n_emb")).as("sim"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id").asc)
+        val truth = sims.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5).select(col("q_id"), col("n_id"))
+        val got = filteredHammingRerank(e, 20, 5)
+          .select(col("q_id"), col("n_id"))
+        val hits = truth.join(got, Seq("q_id", "n_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+        truth.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+            col("k"))
+      },
+      Some(s"""WITH fq AS (SELECT vec_id AS q_id, embedding AS q_emb
+              |           FROM embeddings WHERE vec_id < 5),
+              |fc AS (SELECT vec_id AS n_id, embedding AS n_emb
+              |       FROM embeddings WHERE label = 1),
+              |fsims AS (SELECT q_id, n_id, ${cosineSql("q_emb", "n_emb")} AS sim
+              |          FROM fq JOIN fc ON q_id != n_id),
+              |truth AS (SELECT q_id, n_id FROM
+              |  (SELECT q_id, n_id, row_number() OVER
+              |     (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+              |   FROM fsims) WHERE rank <= 5),
+              |got AS (SELECT q_id, n_id FROM
+              |  (${filteredHammingRerankSql(20, 5)})),
+              |h AS (SELECT truth.q_id, count(*) AS hits
+              |      FROM truth JOIN got ON truth.q_id = got.q_id
+              |                         AND truth.n_id = got.n_id
+              |      GROUP BY truth.q_id)
+              |SELECT t.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+              |  CAST(count(*) AS BIGINT) AS k
+              |FROM truth t LEFT JOIN h ON t.q_id = h.q_id
+              |GROUP BY t.q_id, h.hits""".stripMargin)),
+
     // Binary-quantization recall eval — recall@5 of the Hamming
     // search (v26) against the exact cosine truth, closing the
     // 1-bit index's quality loop exactly as v19 does for IVF and
@@ -1661,6 +1728,67 @@ object VectorQueries {
     scored.withColumn("rank", row_number().over(wr).cast(LongType))
       .filter(col("rank") <= k)
   }
+
+  /** v37's builder: the two-stage shape with a PER-QUERY label
+    * predicate (neighbor label ≠ query label) — hard-negative mining.
+    * The predicate rides the broadcast codes join as a pair condition
+    * (each corpus row still meets only the 5-row query panel, never a
+    * cartesian); the float gather stays shortlist-bounded. */
+  def hardNegatives(e: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    val codes = e.select(col("vec_id"), col("label"),
+      binaryCode(col("embedding"), 0, 32).as("lo"),
+      binaryCode(col("embedding"), 32, 32).as("hi"))
+    val q = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val sims = codes
+      .select(col("vec_id").as("n_id"), col("label"), col("lo"), col("hi"))
+      .join(broadcast(q),
+        col("q_id") =!= col("n_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("n_id"),
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    val short = sims.withColumn("rank", row_number().over(ws).cast(LongType))
+      .filter(col("rank") <= shortlist).select(col("q_id"), col("n_id"))
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(short), "n_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(wr).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB mirror of [[hardNegatives]]. */
+  def hardNegativesSql(shortlist: Int, k: Int): String =
+    s"""WITH codes AS (SELECT vec_id, label, ${binaryCodeSql(0, 32)} AS lo,
+       |  ${binaryCodeSql(32, 32)} AS hi FROM embeddings),
+       |hq AS (SELECT vec_id AS q_id, label AS q_label,
+       |              lo AS q_lo, hi AS q_hi
+       |       FROM codes WHERE vec_id < 5),
+       |hsims AS (SELECT q_id, vec_id AS n_id,
+       |  CAST(bit_count(xor(lo, q_lo)) + bit_count(xor(hi, q_hi)) AS BIGINT) AS hamming
+       |  FROM codes JOIN hq ON q_id != vec_id AND label != q_label),
+       |short AS (SELECT q_id, n_id FROM
+       |  (SELECT q_id, n_id, row_number() OVER
+       |     (PARTITION BY q_id ORDER BY hamming ASC, n_id ASC) AS rank
+       |   FROM hsims) WHERE rank <= $shortlist),
+       |qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id < 5),
+       |scored AS (SELECT s.q_id, s.n_id,
+       |  ${cosineSql("qv.q_emb", "n.embedding")} AS sim
+       |  FROM short s JOIN embeddings n ON s.n_id = n.vec_id
+       |  JOIN qv ON s.q_id = qv.q_id)
+       |SELECT q_id, n_id, sim, rank FROM
+       |(SELECT q_id, n_id, sim, CAST(row_number() OVER
+       |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+       | FROM scored) WHERE rank <= $k""".stripMargin
 
   /** DuckDB mirror of [[filteredHammingRerank]]. */
   def filteredHammingRerankSql(shortlist: Int, k: Int): String =

@@ -165,6 +165,13 @@ object Ast {
   final case class CalibrateStmt(idCol: String, srcCol: String,
       textCol: String, from: FromClause) extends Stmt
 
+  /** `negatives <idCol>[,] <vecCol>[,] <labelCol> from <table>
+    * [top <k>]` — hard-negative mining on the SQL surface (v37): per
+    * query, the most-similar vectors of a DIFFERENT label via the
+    * two-stage Hamming-shortlist → exact-cosine re-rank. */
+  final case class NegativesStmt(idCol: String, vecCol: String,
+      labelCol: String, from: FromClause, k: Long) extends Stmt
+
   /** `trend <tsCol>[,] <keyCol> from <table> [top <k>]` — e21's
     * trending on the SQL surface: the top-k key values of every
     * 2h/1h sliding window by event count. Emits

@@ -65,6 +65,7 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "card")) { advance(); parseCard() }
     else if (matches(peek, "mix")) { advance(); parseMix() }
     else if (matches(peek, "calibrate")) { advance(); parseCalibrate() }
+    else if (matches(peek, "negatives")) { advance(); parseNegatives() }
     else parseQuery()
 
   /** `mix <idCol>[,] <textCol> from <table> [nh] [budget <n>]
@@ -130,6 +131,33 @@ final class Parser(toks: Vector[Tok]) {
       throw ParseError(s"unexpected trailing token '${peek.text}'")
     CalibrateStmt(idCol, srcCol, textCol,
       FromClause(table, None, noHeader, intColumns = false, Nil))
+  }
+
+  /** `negatives <idCol>[,] <vecCol>[,] <labelCol> from <table> [nh]
+    * [top <k>]`. */
+  private def parseNegatives(): NegativesStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val vecCol = colName()
+    accept(",")
+    val labelCol = colName()
+    if (Seq(idCol, vecCol, labelCol).distinct.size != 3)
+      throw ParseError("negatives: id, vector and label columns must be distinct")
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val k = if (accept("top")) parseNumber() else 5L
+    if (k < 1) throw ParseError(s"top must be at least 1, got $k")
+    if (k > 1000000) throw ParseError(s"top must be at most 1e6, got $k")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    NegativesStmt(idCol, vecCol, labelCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), k)
   }
 
   /** `trend <tsCol>[,] <keyCol> from <table> [nh] [top <k>]`. */

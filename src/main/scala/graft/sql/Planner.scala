@@ -332,6 +332,22 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     graft.queries.TextQueries.sourceQualityCalibration(docs)
   }
 
+  /** `negatives id, vec, label from t [top k]` — lowers VERBATIM to
+    * the v37 builder (VectorQueries.hardNegatives): per-query
+    * different-label top-k via the two-stage Hamming shortlist
+    * (4·k deep) → broadcast gather → exact-cosine re-rank. */
+  def planNegatives(st: NegativesStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val e = base.select(named(base, st.idCol, "vec_id"),
+      named(base, st.vecCol, "embedding"),
+      named(base, st.labelCol, "label"))
+    if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
+      throw PlanError(s"negatives: ${st.vecCol} must be an array (vector) column")
+    if (e.schema("label").dataType.isInstanceOf[ArrayType])
+      throw PlanError(s"negatives: ${st.labelCol} must be a scalar label column")
+    graft.queries.VectorQueries.hardNegatives(e, 4 * st.k.toInt, st.k.toInt)
+  }
+
   /** `quantize id, vec from t` — lowers VERBATIM to the v25 builder
     * (VectorQueries.binaryCodes): two packed sign-bit BIGINT halves
     * per vector, a pure per-row fold with zero exchanges. */

@@ -119,6 +119,19 @@ class R9OpsSpec extends SparkSpec {
       "each query must return exactly k=5 filtered neighbors")
   }
 
+  test("hard negatives (v37): every mined pair crosses labels, k stays filled") {
+    val out = Registry.queries("v37_hard_negatives")(spark, sf0001)
+    val labels = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val joined = out
+      .join(labels.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+    assert(joined.filter(col("n_label") === col("q_label")).isEmpty,
+      "a same-label pair leaked into the negatives")
+    val counts = out.groupBy(col("q_id")).count().collect()
+    assert(counts.length == 5 && counts.forall(_.getLong(1) == 5L))
+  }
+
   test("quality calibration (t42): every source keeps at least its top 70%") {
     val out = Registry.queries("t42_source_quality_calibration")(spark, sf0001)
     val frac = out.groupBy(col("source"))

@@ -264,6 +264,20 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("calibrate a, b, c from t extra"))
   }
 
+  test("negatives statement grammar") {
+    val n = Parser.parseStmt("negatives vec_id, embedding, label from embeddings top 10")
+      .asInstanceOf[Ast.NegativesStmt]
+    assert(n.idCol == "vec_id" && n.vecCol == "embedding" &&
+      n.labelCol == "label" && n.k == 10L)
+    val d = Parser.parseStmt("negatives id vec lab from t")
+      .asInstanceOf[Ast.NegativesStmt]
+    assert(d.k == 5L, "top defaults to 5")
+    assertThrows[Exception](Parser.parseStmt("negatives id, vec from t"))
+    assertThrows[Exception](Parser.parseStmt("negatives id, id, lab from t"))
+    assertThrows[Exception](Parser.parseStmt("negatives id, vec, lab from t top 0"))
+    assertThrows[Exception](Parser.parseStmt("negatives id, vec, lab from t extra"))
+  }
+
   test("mix statement grammar: optional budget and per") {
     val m = Parser.parseStmt("mix doc_id, text from documents budget 500 per source")
       .asInstanceOf[Ast.MixStmt]

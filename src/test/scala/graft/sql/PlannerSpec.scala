@@ -642,6 +642,21 @@ class PlannerSpec extends SparkSpec {
       g.sql("calibrate doc_id, source, n_chars from documents"))
   }
 
+  test("negatives statement executes: builder-equal, clean errors") {
+    val n = g.sql("negatives vec_id, embedding, label from embeddings top 3")
+    assert(n.columns.toSeq == Seq("q_id", "n_id", "sim", "rank"))
+    val rows = n.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows.nonEmpty)
+    val builderEq = graft.queries.VectorQueries.hardNegatives(
+      g.sql("select vec_id, embedding, label from embeddings"), 12, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows == builderEq,
+      "statement must equal the v37 builder pair-for-pair")
+    // non-vector vec column / array label -> clean PlanErrors
+    assertThrows[Exception](
+      g.sql("negatives vec_id, label, embedding from embeddings"))
+  }
+
   test("dedup best executes: one keeper per cluster, builder-equal") {
     val b = g.sql("dedup best doc_id, text from documents")
     assert(b.columns.toSeq == Seq("doc_id", "cluster_id", "quality", "keep"))
