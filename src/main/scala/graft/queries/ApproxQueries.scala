@@ -462,7 +462,31 @@ object ApproxQueries {
             graft.streaming.StreamingOps.readEvents(s, dir), refMicros),
           "complete", "graft_x12_sink_")
       },
-      Some(decayedOracle)))
+      Some(decayedOracle)),
+
+    // Embedding distribution drift (PSI) — the dataset-shift monitor
+    // a training pipeline runs between corpus snapshots before
+    // retraining on the new one: per-dimension population stability
+    // index between a reference and a current snapshot (here the
+    // deterministic vec_id-parity halves of the fixture — the builder
+    // takes ANY two (embedding) frames). Per-row work is a fixed-edge
+    // bucket CASE over the first 8 dims; each side then collapses to
+    // ONE map-side-combined (dim, bucket) count aggregate (≤ 48 rows
+    // per side regardless of corpus size) and all the PSI math —
+    // Laplace-smoothed proportions, ln ratios, the 0.2 alert
+    // threshold — runs on that tiny frame. The ln() libm terms flow
+    // through the Det decimal sum (t24's pattern) so psi is
+    // hash-exact cross-engine. At 100 TB: two narrow scans, two
+    // 48-row aggregates, nothing else.
+    Q("x14_embedding_drift",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        embeddingDrift(
+          e.filter(col("vec_id") % 2 === 0).select(col("embedding")),
+          e.filter(col("vec_id") % 2 === 1).select(col("embedding")))
+      },
+      Some(embeddingDriftOracle)))
   }
 
   /** x11's builder on an arbitrary events frame — shared with
@@ -567,4 +591,90 @@ object ApproxQueries {
        |  FROM documents
        |  ORDER BY wkey DESC, doc_id ASC LIMIT $n)
        |ORDER BY wkey DESC, doc_id ASC""".stripMargin
+
+  // ── x14: embedding drift (PSI) ─────────────────────────────────────
+  /** Fixed bucket edges for the PSI histogram: 6 buckets cut at
+    * ±0.5, ±0.25, 0 (all exactly representable doubles — the per-row
+    * bucket CASE is pure comparison, no estimation, so both engines
+    * bin identically with no quantile pass over the corpus). */
+  // final-val literal constants (inlined at use sites) — `all` is a
+  // val declared ABOVE this point and interpolates these into the
+  // oracle at object init; plain vals would still read 0 there
+  final val DriftDims = 8
+  final val DriftBuckets = 6
+
+  private def driftBucket(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val xd = x.cast(DoubleType)
+    when(xd < -0.5, 0L).when(xd < -0.25, 1L).when(xd < 0.0, 2L)
+      .when(xd < 0.25, 3L).when(xd < 0.5, 4L).otherwise(5L)
+  }
+
+  /** x14's builder on ANY two (embedding) snapshot frames: per-dim
+    * (first [[DriftDims]] dims) PSI with Laplace smoothing and the
+    * classic 0.2 alert flag. Each side is one narrow scan into one
+    * map-side-combined (dim, bucket) count — bounded at
+    * dims·buckets rows — then every proportion/ln/threshold runs on
+    * the joined tiny frame. The ln terms go through [[Det.dsum]] so
+    * psi hash-matches the oracle exactly. */
+  def embeddingDrift(ref: org.apache.spark.sql.DataFrame,
+      cur: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = ref.sparkSession
+    def binned(df: org.apache.spark.sql.DataFrame, out: String) =
+      df.select(posexplode(slice(col("embedding"), 1, DriftDims)).as(Seq("pos", "x")))
+        .select(col("pos").cast(LongType).as("dim"), driftBucket(col("x")).as("bucket"))
+        .groupBy(col("dim"), col("bucket")).agg(count(lit(1)).as(out))
+    val scaffold = s.range(DriftDims).select(col("id").as("dim"))
+      .crossJoin(s.range(DriftBuckets).select(col("id").as("bucket")))
+    val j = scaffold
+      .join(binned(ref, "nr"), Seq("dim", "bucket"), "left")
+      .join(binned(cur, "nc"), Seq("dim", "bucket"), "left")
+      .select(col("dim"), col("bucket"),
+        coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val wd = Window.partitionBy(col("dim"))
+    val b = lit(DriftBuckets.toDouble)
+    val t = j
+      .withColumn("tr", sum(col("nr")).over(wd))
+      .withColumn("tc", sum(col("nc")).over(wd))
+    val pr = (col("nr") + lit(1.0)) / (col("tr") + b)
+    val pc = (col("nc") + lit(1.0)) / (col("tc") + b)
+    t.select(col("dim"), ((pc - pr) * log(pc / pr)).as("term"))
+      .groupBy(col("dim"))
+      .agg(graft.core.Det.dsum(col("term")).as("psi"))
+      .select(col("dim"), col("psi"), (col("psi") > 0.2).as("shifted"))
+  }
+
+  /** DuckDB mirror of the x14 gate (parity-half snapshots of
+    * `embeddings`): same buckets, same smoothing, same term dag, same
+    * Det decimal sum. */
+  def embeddingDriftOracle: String = {
+    val d = DriftDims; val bk = DriftBuckets
+    val cas = """CASE WHEN CAST(x AS DOUBLE) < -0.5 THEN 0
+                | WHEN CAST(x AS DOUBLE) < -0.25 THEN 1
+                | WHEN CAST(x AS DOUBLE) < 0.0 THEN 2
+                | WHEN CAST(x AS DOUBLE) < 0.25 THEN 3
+                | WHEN CAST(x AS DOUBLE) < 0.5 THEN 4 ELSE 5 END""".stripMargin
+    s"""WITH rx AS (SELECT unnest(embedding[1:$d]) AS x, unnest(range($d)) AS dim
+       |            FROM embeddings WHERE vec_id % 2 = 0),
+       |cx AS (SELECT unnest(embedding[1:$d]) AS x, unnest(range($d)) AS dim
+       |       FROM embeddings WHERE vec_id % 2 = 1),
+       |rb AS (SELECT dim, $cas AS bucket, count(*) AS n FROM rx GROUP BY 1, 2),
+       |cb AS (SELECT dim, $cas AS bucket, count(*) AS n FROM cx GROUP BY 1, 2),
+       |sc AS (SELECT dd.range AS dim, bb.range AS bucket
+       |       FROM range($d) dd CROSS JOIN range($bk) bb),
+       |j AS (SELECT sc.dim, sc.bucket, coalesce(rb.n, 0) AS nr, coalesce(cb.n, 0) AS nc
+       |      FROM sc LEFT JOIN rb ON sc.dim = rb.dim AND sc.bucket = rb.bucket
+       |               LEFT JOIN cb ON sc.dim = cb.dim AND sc.bucket = cb.bucket),
+       |t AS (SELECT dim, bucket, nr, nc,
+       |        sum(nr) OVER (PARTITION BY dim) AS tr,
+       |        sum(nc) OVER (PARTITION BY dim) AS tc FROM j),
+       |terms AS (SELECT dim,
+       |  ((nc + 1.0) / (tc + $bk.0) - (nr + 1.0) / (tr + $bk.0))
+       |    * ln(((nc + 1.0) / (tc + $bk.0)) / ((nr + 1.0) / (tr + $bk.0))) AS term
+       |  FROM t)
+       |SELECT dim, psi, psi > 0.2 AS shifted FROM
+       |  (SELECT dim, ${graft.core.Det.sql.dsum("term")} AS psi
+       |   FROM terms GROUP BY dim)""".stripMargin
+  }
 }

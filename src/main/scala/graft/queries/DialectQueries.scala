@@ -559,6 +559,13 @@ object DialectQueries {
     // oracle.
     Q("s47_dialect_negatives",
       sql("negatives vec_id, embedding, label from embeddings top 5"),
-      Some(VectorQueries.hardNegativesSql(shortlist = 20, k = 5)))
+      Some(VectorQueries.hardNegativesSql(shortlist = 20, k = 5))),
+
+    // Embedding OOD scoring on the dialect surface: `outliers` lowers
+    // VERBATIM to the v39 builder (nearest-centroid distance, top-k
+    // farthest), gated by the same oracle.
+    Q("s48_dialect_outliers",
+      sql("outliers vec_id, embedding from embeddings top 20"),
+      Some(VectorQueries.centroidOutliersSql(topN = 20)))
   )
 }

@@ -429,6 +429,43 @@ object VectorQueries {
        |GROUP BY a.cell""".stripMargin
   }
 
+  /** v39's builder — embedding OOD/outlier scoring on an arbitrary
+    * (vec_id, embedding) frame, shared with the `outliers` dialect
+    * statement and ScaleProbe: squared distance to the NEAREST
+    * k-means centroid (the v06 fit), farthest `topN` vectors. The
+    * fit collects k·d doubles once; the corpus then sees ONE
+    * codegen'd narrow pass (nearest_centroid + centroid_dist, both
+    * broadcast-literal lookups) and the only global step is a
+    * LIMIT-bounded TakeOrderedAndProject — at 100 TB nothing
+    * shuffles, nothing materializes beyond `topN` rows. `dist` is a
+    * fixed-order double fold (no libm), bit-identical cross-engine —
+    * the same equality the Lloyd assignment's rk=1 already rests on. */
+  def centroidOutliersOf(e: DataFrame, k: Int = KMEANS_K,
+      topN: Int = 20): DataFrame = {
+    val centers = kmeansFit(e, k, KMEANS_ITERS - 1)
+    val dim = centers.head._2.length
+    kmeansAssign(e, centers)
+      .select(col("vec_id"), col("cell"),
+        graft.functions.VectorExprs.centroid_dist(
+          col("embedding"), col("cell"), centers, dim).as("dist"))
+      .orderBy(col("dist").desc, col("vec_id").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB mirror of [[centroidOutliersOf]] — the unrolled Lloyd
+    * loop's final assignment joined back to its centers (the v22
+    * shape), ordered by the same fold, LIMIT topN. */
+  def centroidOutliersSql(k: Int = KMEANS_K, topN: Int = 20): String = {
+    val last = KMEANS_ITERS
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    val dist = O.dfold(
+      s"list_transform(a.embedding, (kx, ki) -> (${d("kx")} - c.cent[ki]) * (${d("kx")} - c.cent[ki]))")
+    s"""WITH ${kmeansCtesSql(k, last)}
+       |SELECT a.vec_id, a.cell, ($dist) AS dist
+       |FROM assign$last a JOIN cent${last - 1} c ON a.cell = c.cell
+       |ORDER BY dist DESC, a.vec_id ASC LIMIT $topN""".stripMargin
+  }
+
   /** DuckDB mirror of [[kmeansppSeeds]]: a CTE chain ending in
     * `${p}cent0 (cell, cent)` — center 0 is the min-vec_id vector,
     * each next the farthest-from-nearest-chosen (vec_id tiebreak),
@@ -1644,7 +1681,21 @@ object VectorQueries {
             .select(col("vec_id"), col("embedding")),
           collectUpsertCentroids(s, dir)),
         "append", "graft_v28_sink_"),
-      Some(ivfUpsertSql))
+      Some(ivfUpsertSql)),
+
+    // Embedding outlier detection — the OOD curation gate that
+    // catches corrupt / out-of-domain / mis-encoded vectors before
+    // they poison a training mix or an ANN index: squared distance
+    // to the NEAREST k-means centroid (the v06 fit), top-20 farthest.
+    // Complements v23 (which balances cluster MEMBERSHIP) by scoring
+    // what fits NO cluster. Centers are k·d broadcast literals, the
+    // corpus pass is codegen'd, the global step is a 20-row
+    // TakeOrdered — the 100 TB cost is one narrow scan.
+    Q("v39_centroid_outliers",
+      (s, dir) => centroidOutliersOf(
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))),
+      Some(centroidOutliersSql()))
   )
 
   /** v26's builder on an arbitrary (vec_id, embedding) frame — shared

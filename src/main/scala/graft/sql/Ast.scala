@@ -172,6 +172,12 @@ object Ast {
   final case class NegativesStmt(idCol: String, vecCol: String,
       labelCol: String, from: FromClause, k: Long) extends Stmt
 
+  /** `outliers <idCol>[,] <vecCol> from <table> [top <k>]` —
+    * embedding OOD scoring on the SQL surface (v39): squared distance
+    * to the nearest k-means centroid, the k farthest vectors. */
+  final case class OutliersStmt(idCol: String, vecCol: String,
+      from: FromClause, k: Long) extends Stmt
+
   /** `trend <tsCol>[,] <keyCol> from <table> [top <k>]` — e21's
     * trending on the SQL surface: the top-k key values of every
     * 2h/1h sliding window by event count. Emits

@@ -66,6 +66,7 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "mix")) { advance(); parseMix() }
     else if (matches(peek, "calibrate")) { advance(); parseCalibrate() }
     else if (matches(peek, "negatives")) { advance(); parseNegatives() }
+    else if (matches(peek, "outliers")) { advance(); parseOutliers() }
     else parseQuery()
 
   /** `mix <idCol>[,] <textCol> from <table> [nh] [budget <n>]
@@ -157,6 +158,30 @@ final class Parser(toks: Vector[Tok]) {
     if (!peek.eq(EOF) && peekText != ";")
       throw ParseError(s"unexpected trailing token '${peek.text}'")
     NegativesStmt(idCol, vecCol, labelCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), k)
+  }
+
+  /** `outliers <idCol>[,] <vecCol> from <table> [nh] [top <k>]`. */
+  private def parseOutliers(): OutliersStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val vecCol = colName()
+    if (idCol == vecCol)
+      throw ParseError("outliers: id and vector columns must be distinct")
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val k = if (accept("top")) parseNumber() else 20L
+    if (k < 1) throw ParseError(s"top must be at least 1, got $k")
+    if (k > 1000000) throw ParseError(s"top must be at most 1e6, got $k")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    OutliersStmt(idCol, vecCol,
       FromClause(table, None, noHeader, intColumns = false, Nil), k)
   }
 

@@ -348,6 +348,19 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     graft.queries.VectorQueries.hardNegatives(e, 4 * st.k.toInt, st.k.toInt)
   }
 
+  /** `outliers id, vec from t [top k]` — lowers VERBATIM to the v39
+    * builder (VectorQueries.centroidOutliersOf): nearest-centroid
+    * squared distance against broadcast-literal centers, the k
+    * farthest rows via a LIMIT-bounded TakeOrdered. */
+  def planOutliers(st: OutliersStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val e = base.select(named(base, st.idCol, "vec_id"),
+      named(base, st.vecCol, "embedding"))
+    if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
+      throw PlanError(s"outliers: ${st.vecCol} must be an array (vector) column")
+    graft.queries.VectorQueries.centroidOutliersOf(e, topN = st.k.toInt)
+  }
+
   /** `quantize id, vec from t` — lowers VERBATIM to the v25 builder
     * (VectorQueries.binaryCodes): two packed sign-bit BIGINT halves
     * per vector, a pure per-row fold with zero exchanges. */

@@ -157,4 +157,40 @@ class R9OpsSpec extends SparkSpec {
           s"$name wkey must be double, got ${schema("wkey").dataType}")
       }
   }
+
+  test("centroid outliers (v39): dist is the true min over all centers, sorted desc") {
+    val centers = VectorQueries.kmeansFit(emb, VectorQueries.KMEANS_K,
+      VectorQueries.KMEANS_ITERS - 1)
+    val out = Registry.queries("v39_centroid_outliers")(spark, sf0001).collect()
+    assert(out.length == 20)
+    val dists = out.map(_.getDouble(2))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b },
+      "outliers must arrive farthest-first")
+    // recompute the min-over-centers distance for each returned row
+    val byId = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    out.foreach { r =>
+      val v = byId(r.getLong(0))
+      val best = centers.map { case (_, c) =>
+        v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum }.min
+      assert(math.abs(best - r.getDouble(2)) < 1e-9,
+        s"dist must be the min over all centers for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("embedding drift (x14): self-drift is exactly zero, parity halves gate-shaped") {
+    val self = ApproxQueries.embeddingDrift(
+      emb.select(col("embedding")), emb.select(col("embedding"))).collect()
+    assert(self.length == ApproxQueries.DriftDims)
+    self.foreach { r =>
+      assert(r.getDouble(1) == 0.0, s"self-PSI must be 0, got ${r.getDouble(1)}")
+      assert(!r.getBoolean(2))
+    }
+    val gate = Registry.queries("x14_embedding_drift")(spark, sf0001).collect()
+    assert(gate.map(_.getLong(0)).sorted.toSeq ==
+      (0L until ApproxQueries.DriftDims.toLong).toSeq)
+    gate.foreach(r => assert(r.getDouble(1) >= 0.0,
+      "PSI is a sum of (p-q)ln(p/q) terms, each nonnegative"))
+  }
 }

@@ -278,6 +278,19 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("negatives id, vec, lab from t extra"))
   }
 
+  test("outliers statement grammar") {
+    val o = Parser.parseStmt("outliers vec_id, embedding from embeddings top 10")
+      .asInstanceOf[Ast.OutliersStmt]
+    assert(o.idCol == "vec_id" && o.vecCol == "embedding" && o.k == 10L)
+    val d = Parser.parseStmt("outliers id vec from t")
+      .asInstanceOf[Ast.OutliersStmt]
+    assert(d.k == 20L, "top defaults to 20")
+    assertThrows[Exception](Parser.parseStmt("outliers id from t"))
+    assertThrows[Exception](Parser.parseStmt("outliers id, id from t"))
+    assertThrows[Exception](Parser.parseStmt("outliers id, vec from t top 0"))
+    assertThrows[Exception](Parser.parseStmt("outliers id, vec from t extra"))
+  }
+
   test("mix statement grammar: optional budget and per") {
     val m = Parser.parseStmt("mix doc_id, text from documents budget 500 per source")
       .asInstanceOf[Ast.MixStmt]

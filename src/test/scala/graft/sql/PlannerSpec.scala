@@ -657,6 +657,20 @@ class PlannerSpec extends SparkSpec {
       g.sql("negatives vec_id, label, embedding from embeddings"))
   }
 
+  test("outliers statement executes: builder-equal, clean errors") {
+    val o = g.sql("outliers vec_id, embedding from embeddings top 10")
+    assert(o.columns.toSeq == Seq("vec_id", "cell", "dist"))
+    val rows = o.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(rows.size == 10)
+    val builderEq = graft.queries.VectorQueries.centroidOutliersOf(
+      g.sql("select vec_id, embedding from embeddings"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(rows == builderEq,
+      "statement must equal the v39 builder row-for-row")
+    // non-vector column -> clean PlanError
+    assertThrows[Exception](g.sql("outliers embedding, vec_id from embeddings"))
+  }
+
   test("dedup best executes: one keeper per cluster, builder-equal") {
     val b = g.sql("dedup best doc_id, text from documents")
     assert(b.columns.toSeq == Seq("doc_id", "cluster_id", "quality", "keep"))
