@@ -817,8 +817,72 @@ object DedupQueries {
            |FROM (SELECT doc_id, cluster_id, quality, row_number() OVER
            |        (PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rk
            |      FROM labeled)""".stripMargin
-      })
+      }),
+
+    // Snapshot diff — the dataset-versioning audit every corpus
+    // release needs: what changed between snapshot A and snapshot B,
+    // keyed by CONTENT (the t04 fingerprint), not by doc_id, so a
+    // re-crawled page that kept its text counts as retained and an
+    // id-stable page whose text changed counts as added+removed.
+    // Fixture snapshots are the deterministic doc_id%3 thirds
+    // (overlap by construction); the builder takes ANY two frames.
+    // Per side: one codegen'd fingerprint pass + one fp-keyed
+    // map-side-combined agg; the full outer join runs on the agg
+    // outputs ALREADY hash-partitioned by fp (exchange reuse), then
+    // a 3-row status rollup. All-integer output — nothing to round.
+    Q("d20_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        snapshotDiff(docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 =!= 1))
+      },
+      Some(snapshotDiffOracle))
   )
+
+  /** d20's builder on two arbitrary (text, n_chars) snapshot frames.
+    * Counts for `retained` come from the CURRENT side (the release
+    * being audited); `removed` necessarily reports the old side's. */
+  def snapshotDiff(old: DataFrame, cur: DataFrame): DataFrame = {
+    def sig(df: DataFrame, n: String, ch: String) =
+      df.select(graft.functions.TextFunctions.docFingerprint(col("text")).as("fp"),
+          col("n_chars"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as(n), sum(col("n_chars")).as(ch))
+    sig(old, "n_old", "ch_old")
+      .join(sig(cur, "n_new", "ch_new"), Seq("fp"), "full")
+      .select(
+        when(col("n_old").isNull, "added")
+          .when(col("n_new").isNull, "removed")
+          .otherwise("retained").as("status"),
+        coalesce(col("n_new"), col("n_old")).as("nd"),
+        coalesce(col("ch_new"), col("ch_old")).as("cd"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_fps"), sum(col("nd")).as("n_docs"),
+        sum(col("cd")).as("n_chars"))
+  }
+
+  /** DuckDB mirror of the d20 gate (doc_id%3 third snapshots of
+    * `documents`). */
+  def snapshotDiffOracle: String = {
+    val fp = O.foldHash(O.tokenHashes("text"))
+    s"""WITH olds AS (SELECT text, n_chars FROM documents WHERE doc_id % 3 != 0),
+       |curs AS (SELECT text, n_chars FROM documents WHERE doc_id % 3 != 1),
+       |o AS (SELECT $fp AS fp, count(*) AS n_old, sum(n_chars) AS ch_old
+       |      FROM olds GROUP BY 1),
+       |c AS (SELECT $fp AS fp, count(*) AS n_new, sum(n_chars) AS ch_new
+       |      FROM curs GROUP BY 1),
+       |j AS (SELECT CASE WHEN o.fp IS NULL THEN 'added'
+       |               WHEN c.fp IS NULL THEN 'removed'
+       |               ELSE 'retained' END AS status,
+       |        coalesce(c.n_new, o.n_old) AS nd,
+       |        coalesce(c.ch_new, o.ch_old) AS cd
+       |      FROM o FULL JOIN c ON o.fp = c.fp)
+       |SELECT status, CAST(count(*) AS BIGINT) AS n_fps,
+       |  CAST(sum(nd) AS BIGINT) AS n_docs,
+       |  CAST(sum(cd) AS BIGINT) AS n_chars
+       |FROM j GROUP BY status""".stripMargin
+  }
 
   /** d19's builder on an arbitrary (doc_id, text) frame — shared with
     * the dialect `dedup best` statement: CC labels over the LSH

@@ -275,8 +275,68 @@ object PipelineQueries {
            |  JOIN cal ON d.doc_id = cal.doc_id AND cal.keep = 1
            |  JOIN canon ON d.doc_id = canon.doc_id AND canon.keep = 1)
            |${tokenBudgetMixOracle(500L, from = "surv")}""".stripMargin
-      })
+      }),
+
+    // Epoch plan — the data-recipe table a pretraining run starts
+    // from (the LLaMA-style "how many passes over each source"
+    // decision): per-source token counts → temperature-weighted
+    // target shares (weight ∝ sqrt(tokens), the α=0.5 compromise
+    // between natural and uniform that keeps small high-quality
+    // sources from drowning) → epochs = budget·share/tokens, capped
+    // at 4 passes (the repeat ceiling diminishing-returns studies
+    // justify) → effective token contribution. One corpus-wide
+    // token-count agg (map-side combined, k source rows), then pure
+    // k-row math against a broadcast 1-row Det-decimal total; sqrt
+    // and the divisions are correctly-rounded IEEE ops on exact
+    // integer inputs, so the doubles hash-match with no tolerance.
+    Q("p14_epoch_plan",
+      (s, dir) => epochPlan(
+        Tables(s, dir, "documents").select(col("source"), col("text")),
+        budget = 1000000L),
+      Some(epochPlanOracle(1000000L)))
   )
+
+  /** p14's builder on an arbitrary (source, text) frame. `epochs` is
+    * capped at [[MaxEpochs]]; `eff_tokens = epochs · tokens` is the
+    * source's actual contribution to the run. */
+  def epochPlan(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val per = docs
+      .select(col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast(LongType).as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("wraw", sqrt(col("n_tokens").cast(DoubleType)))
+    val tot = per.agg(
+      sum(col("wraw").cast(Det.dec)).cast(DoubleType).as("wtot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        (col("wraw") / col("wtot")).as("weight"),
+        least(lit(budget.toDouble) * (col("wraw") / col("wtot")) /
+          col("n_tokens").cast(DoubleType), lit(MaxEpochs)).as("epochs"))
+      .withColumn("eff_tokens",
+        col("epochs") * col("n_tokens").cast(org.apache.spark.sql.types.DoubleType))
+  }
+
+  final val MaxEpochs = 4.0
+
+  /** DuckDB mirror of the p14 gate over `documents`. */
+  def epochPlanOracle(budget: Long): String =
+    s"""WITH per AS (SELECT source,
+       |    CAST(sum(CAST(len(${OracleSql.toks("text")}) AS BIGINT)) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, n_tokens,
+       |        sqrt(CAST(n_tokens AS DOUBLE)) AS wraw FROM per),
+       |t AS (SELECT CAST(SUM(CAST(wraw AS DECIMAL(38,6))) AS DOUBLE) AS wtot
+       |      FROM w)
+       |SELECT source, n_tokens, weight, epochs,
+       |  epochs * CAST(n_tokens AS DOUBLE) AS eff_tokens
+       |FROM (SELECT source, n_tokens, wraw / wtot AS weight,
+       |        least(${budget.toDouble} * (wraw / wtot)
+       |          / CAST(n_tokens AS DOUBLE), $MaxEpochs) AS epochs
+       |      FROM w, t)""".stripMargin
 
   /** p13's builder on an arbitrary (doc_id, source, text) frame —
     * shared with ScaleProbe: calibration keep fused into the survivor

@@ -193,4 +193,39 @@ class R9OpsSpec extends SparkSpec {
     gate.foreach(r => assert(r.getDouble(1) >= 0.0,
       "PSI is a sum of (p-q)ln(p/q) terms, each nonnegative"))
   }
+
+  test("snapshot diff (d20): statuses partition both sides' fingerprint sets") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    def fps(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(graft.functions.TextFunctions.docFingerprint(col("text")))
+        .distinct().count()
+    val oldFps = fps(docs.filter(col("doc_id") % 3 =!= 0))
+    val newFps = fps(docs.filter(col("doc_id") % 3 =!= 1))
+    val diff = Registry.queries("d20_snapshot_diff")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def n(s: String) = diff.getOrElse(s, 0L)
+    assert(n("retained") + n("removed") == oldFps,
+      "retained+removed must partition the old snapshot's fingerprints")
+    assert(n("retained") + n("added") == newFps,
+      "retained+added must partition the new snapshot's fingerprints")
+    assert(n("retained") > 0, "the %3 thirds overlap by construction")
+  }
+
+  test("epoch plan (p14): weights sum to 1, caps hold, budget never exceeded") {
+    val budget = 1000000.0
+    val plan = Registry.queries("p14_epoch_plan")(spark, sf0001).collect()
+    assert(plan.nonEmpty)
+    // wtot is Det-decimal-rounded (1e-6 quantum), so the share sum
+    // sits within quantum/wtot of 1 — not within double-ulp of it
+    val wsum = plan.map(_.getDouble(2)).sum
+    assert(math.abs(wsum - 1.0) < 1e-6, s"weights must sum to 1, got $wsum")
+    plan.foreach { r =>
+      val (tok, epochs, eff) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(epochs > 0.0 && epochs <= PipelineQueries.MaxEpochs)
+      assert(math.abs(eff - epochs * tok) < 1e-6)
+    }
+    assert(plan.map(_.getDouble(4)).sum <= budget + 1e-6,
+      "capped plans can only come in UNDER budget")
+  }
 }
