@@ -124,6 +124,33 @@ object TextQueries {
       },
       Some(calibrationOracle)),
 
+    // Tokenizer fertility per language — the multilingual-coverage
+    // report (how many subword pieces a tokenizer spends per word,
+    // and how many chars each piece carries) that decides whether a
+    // language is under-served by the vocab before training starts.
+    // The per-doc numbers come from the ONE fused text_profile pass
+    // t01 already runs; the rest is a single lang-keyed
+    // map-side-combined agg to k language rows, with the ratios
+    // computed as exact-BIGINT → double divisions on that tiny frame.
+    Q("t44_token_fertility",
+      (s, dir) => tokenFertility(
+        Tables(s, dir, "documents").select(col("lang"), col("text"))),
+      Some(tokenFertilityOracle)),
+
+    // Packing-efficiency curve — d17's tuning-curve pattern applied
+    // to t11's sequence packing: for each candidate context length,
+    // how many bins the corpus packs into, how many docs straddle a
+    // bin boundary (truncation/attention-fragmentation candidates),
+    // and the fill rate. ONE two-phase distributed cumsum feeds all
+    // sizes (per-size stats are column pairs of a single 1-row agg,
+    // exploded to size rows) — the sweep costs one corpus pass, not
+    // one per size.
+    Q("t45_pack_efficiency",
+      (s, dir) => packEfficiency(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        Seq(256L, 512L, 1024L)),
+      Some(packEfficiencyOracle(Seq(256L, 512L, 1024L)))),
+
     // Reproducible sampling — the training-data way: hash buckets, not
     // RNG (same rows selected on any cluster size, any run, both
     // engines; rand()-based sampling can never be oracle-gated).
@@ -1408,6 +1435,90 @@ object TextQueries {
        |SELECT doc_id, n_tok, cum - n_tok AS tok_start,
        |  (cum - n_tok) // $l AS first_bin,
        |  (cum - 1) // $l AS last_bin FROM c""".stripMargin
+
+  /** t44's builder on an arbitrary (lang, text) frame: per-language
+    * doc/word/subword volumes plus fertility (subwords per word) and
+    * chars per subword — one fused text_profile pass, one lang-keyed
+    * agg, ratios on the k-language frame. */
+  def tokenFertility(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("lang"),
+        graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+      .select(col("lang"), col("p.n_tok").as("n_tok"),
+        col("p.n_subword").as("n_subword"), col("p.sum_tok_len").as("sum_len"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_words"),
+        sum(col("n_subword")).as("n_subwords"), sum(col("sum_len")).as("sl"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast(DoubleType) /
+          greatest(col("n_words"), lit(1L)).cast(DoubleType)).as("fertility"),
+        (col("sl").cast(DoubleType) /
+          greatest(col("n_subwords"), lit(1L)).cast(DoubleType))
+          .as("chars_per_subword"))
+
+  /** DuckDB mirror of [[tokenFertility]] over `documents`. */
+  def tokenFertilityOracle: String =
+    s"""SELECT lang, n_docs, n_words, n_subwords,
+       |  CAST(n_subwords AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+       |    AS fertility,
+       |  CAST(sl AS DOUBLE) / CAST(greatest(n_subwords, 1) AS DOUBLE)
+       |    AS chars_per_subword
+       |FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CAST(len(tk) AS BIGINT)) AS BIGINT) AS n_words,
+       |  CAST(sum(${O.lsum("list_transform(tk, u -> CAST(ceil(length(u) / 4.0) AS BIGINT))")}) AS BIGINT) AS n_subwords,
+       |  CAST(sum(${O.lsum("list_transform(tk, v -> length(v))")}) AS BIGINT) AS sl
+       |FROM ($docToks) GROUP BY lang)""".stripMargin
+
+  /** t45's builder: packing stats for every candidate context length
+    * from ONE distributed cumsum — per-size bins/straddlers/fill as
+    * column pairs of a single 1-row aggregate, exploded to one row
+    * per size. A 0-token doc can't straddle (the n_tok > 0 guard). */
+  def packEfficiency(docs: org.apache.spark.sql.DataFrame,
+      sizes: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    val n = docs.select(col("doc_id"),
+      coalesce(graft.functions.TextProfileExprs.text_profile(col("text"))
+        .getField("n_tok"), lit(0L)).as("n_tok"))
+    val c = graft.core.RowNumbers
+      .globalCumsum(n, Seq(col("doc_id")), "n_tok", "cum")
+    val aggs = sizes.flatMap { l =>
+      Seq(max(expr(s"(cum - 1) div $l")).as(s"maxbin_$l"),
+        sum(when(col("n_tok") > 0L &&
+            expr(s"(cum - n_tok) div $l") =!= expr(s"(cum - 1) div $l"),
+          lit(1L)).otherwise(lit(0L))).as(s"span_$l"))
+    } :+ sum(col("n_tok")).as("tot")
+    val a = c.agg(aggs.head, aggs.tail: _*)
+    a.select(explode(array(sizes.map { l =>
+        struct(lit(l).as("size"),
+          (col(s"maxbin_$l") + 1L).as("n_bins"),
+          col(s"span_$l").as("spanning_docs"),
+          (col("tot").cast(DoubleType) /
+            ((col(s"maxbin_$l") + 1L) * lit(l)).cast(DoubleType))
+            .as("fill_rate"))
+      }: _*)).as("r"))
+      .select(col("r.size"), col("r.n_bins"), col("r.spanning_docs"),
+        col("r.fill_rate"))
+  }
+
+  /** DuckDB mirror of [[packEfficiency]] over `documents`. */
+  def packEfficiencyOracle(sizes: Seq[Long]): String = {
+    val perSize = sizes.map { l =>
+      s"""SELECT CAST($l AS BIGINT) AS size, m_$l + 1 AS n_bins, s_$l AS spanning_docs,
+         |  CAST(tot AS DOUBLE) / CAST((m_$l + 1) * $l AS DOUBLE) AS fill_rate
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val aggCols = sizes.map { l =>
+      s"""max((cum - 1) // $l) AS m_$l,
+         |  CAST(sum(CASE WHEN n_tok > 0 AND (cum - n_tok) // $l != (cum - 1) // $l
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS s_$l""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT doc_id,
+       |  CAST(len(${O.toks("text")}) AS BIGINT) AS n_tok FROM documents),
+       |c AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER
+       |  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |  AS BIGINT) AS cum FROM n),
+       |a AS (SELECT $aggCols, CAST(sum(n_tok) AS BIGINT) AS tot FROM c)
+       |$perSize""".stripMargin
+  }
 
   /** t05's builder on any frame carrying a `doc_id` column:
     * reproducible hash-bucket sampling — keep rows whose bucket (out

@@ -228,4 +228,37 @@ class R9OpsSpec extends SparkSpec {
     assert(plan.map(_.getDouble(4)).sum <= budget + 1e-6,
       "capped plans can only come in UNDER budget")
   }
+
+  test("token fertility (t44): volumes reconcile with t01, fertility >= 1") {
+    val t01 = Registry.queries("t01_token_stats")(spark, sf0001)
+      .agg(sum(col("n_tok")), sum(col("n_subword"))).collect().head
+    val fert = Registry.queries("t44_token_fertility")(spark, sf0001).collect()
+    assert(fert.map(_.getLong(2)).sum == t01.getLong(0),
+      "per-language words must sum to the corpus t01 total")
+    assert(fert.map(_.getLong(3)).sum == t01.getLong(1),
+      "per-language subwords must sum to the corpus t01 total")
+    fert.foreach { r =>
+      assert(r.getDouble(4) >= 1.0,
+        s"every token is at least one subword piece (${r.getString(0)})")
+      assert(r.getDouble(5) > 0.0)
+    }
+  }
+
+  test("pack efficiency (t45): bins = ceil(total/size), fill in (0,1], bins antitone") {
+    val tot = Registry.queries("t01_token_stats")(spark, sf0001)
+      .agg(sum(col("n_tok"))).collect().head.getLong(0)
+    val rows = Registry.queries("t45_pack_efficiency")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(256L, 512L, 1024L))
+    rows.foreach { case (size, bins, span, fill) =>
+      assert(bins == (tot + size - 1) / size,
+        s"contiguous packing fills bins exactly: size=$size")
+      assert(fill > 0.0 && fill <= 1.0)
+      assert(span >= 0 && span <= bins,
+        "a straddler count can't exceed the boundary count")
+    }
+    assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted.reverse,
+      "doubling the context can only shrink the bin count")
+  }
 }
