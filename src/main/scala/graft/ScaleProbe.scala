@@ -87,6 +87,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r7ops")) r7Ops(args.drop(1))
     else if (args.headOption.contains("r8new")) r8New(args.drop(1))
     else if (args.headOption.contains("r9new")) r9New(args.drop(1))
+    else if (args.headOption.contains("r9late")) r9Late(args.drop(1))
     else if (args.headOption.contains("r7new")) r7New(args.drop(1))
     else if (args.headOption.contains("r7layout")) r7Layout(args.drop(1))
     else if (args.headOption.contains("skewjoin")) skewJoin(args.drop(1))
@@ -479,6 +480,67 @@ object ScaleProbe {
     time("e24_retention_cohorts") {
       graft.queries.EventQueries.retentionCohortsOf(ev)
         .write.format("noop").mode("overwrite").save()
+    }
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Late round-9 additions: outlier scoring (v39), drift PSI (x14),
+    * snapshot diff (d20), epoch plan (p14), fertility (t44), pack
+    * sweep (t45). Fixtures materialized to parquet so each probe
+    * scans a real file, not the copies-way union plan. */
+  def r9Late(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.lift(1)
+    val spark = session()
+    val tmp = "/tmp/graft_r9late_fixture"
+    scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
+    println(s"embeddings=${emb.count()}")
+    // v39: k-means fit (collected k·d centers) + one codegen'd scan +
+    // a 20-row TakeOrdered — wall should track the Lloyd scans
+    time("v39_centroid_outliers") {
+      graft.queries.VectorQueries.centroidOutliersOf(emb).collect()
+    }
+    // x14: two narrow scans into two ≤48-row aggregates; the PSI math
+    // never grows with the corpus
+    time("x14_embedding_drift") {
+      graft.queries.ApproxQueries.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0).select(col("embedding")),
+        emb.filter(col("vec_id") % 2 === 1).select(col("embedding")))
+        .collect()
+    }
+    scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+    println(s"docs=${docs.count()}")
+    // d20: two fingerprint scans + fp-keyed aggs + the fp full join —
+    // the one genuinely shuffling probe here, linear in the corpus
+    time("d20_snapshot_diff") {
+      graft.queries.DedupQueries.snapshotDiff(
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("text"), col("n_chars")),
+        docs.filter(col("doc_id") % 3 =!= 1)
+          .select(col("text"), col("n_chars"))).collect()
+    }
+    // p14/t44: one tokenizing scan each into a k-row keyed agg
+    time("p14_epoch_plan") {
+      graft.queries.PipelineQueries.epochPlan(
+        docs.select(col("source"), col("text")), 1000000L).collect()
+    }
+    time("t44_token_fertility") {
+      graft.queries.TextQueries.tokenFertility(
+        docs.select(col("lang"), col("text"))).collect()
+    }
+    // t45: the whole size sweep on ONE two-phase cumsum
+    time("t45_pack_efficiency") {
+      graft.queries.TextQueries.packEfficiency(
+        docs.select(col("doc_id"), col("text")),
+        Seq(256L, 512L, 1024L)).collect()
     }
     writeJson(outJson, copies)
     spark.stop()
