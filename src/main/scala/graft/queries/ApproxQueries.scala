@@ -486,6 +486,30 @@ object ApproxQueries {
           e.filter(col("vec_id") % 2 === 0).select(col("embedding")),
           e.filter(col("vec_id") % 2 === 1).select(col("embedding")))
       },
+      Some(embeddingDriftOracle)),
+
+    // x14's STREAMING twin (the v28/x12/t43 frozen-reference pattern,
+    // now for drift monitoring): the reference histogram is computed
+    // once batch-side and FROZEN; the current snapshot arrives as a
+    // stream whose only corpus-scale work — per-row binning + the
+    // (dim, bucket) count — runs as ONE complete-mode aggregation
+    // with ≤ 48 rows of state however long the stream runs. The PSI
+    // math then runs on the materialized counters through the SAME
+    // psiFromCounts code path as x14, and the gate hash-matches
+    // x14's own oracle: continuous drift monitoring ≡ the batch
+    // audit bit-for-bit.
+    Q("x15_drift_stream",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val frozen = driftBinned(
+          e.filter(col("vec_id") % 2 === 0).select(col("embedding")))
+        val streamed = graft.streaming.StreamingOps.runToTable(s,
+          driftBinned(graft.streaming.StreamingOps.readEmbeddings(s, dir)
+            .filter(col("vec_id") % 2 === 1).select(col("embedding"))),
+          "complete", "graft_x15_sink_")
+        psiFromCounts(frozen, streamed)
+      },
       Some(embeddingDriftOracle)))
   }
 
@@ -609,6 +633,15 @@ object ApproxQueries {
       .when(xd < 0.25, 3L).when(xd < 0.5, 4L).otherwise(5L)
   }
 
+  /** One snapshot side's (dim, bucket, n) histogram — a narrow scan
+    * into one map-side-combined count, ≤ dims·buckets rows whatever
+    * the corpus size. Works unchanged on a STREAMING frame (one
+    * complete-mode aggregation — the x15 ingest path). */
+  def driftBinned(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(posexplode(slice(col("embedding"), 1, DriftDims)).as(Seq("pos", "x")))
+      .select(col("pos").cast(LongType).as("dim"), driftBucket(col("x")).as("bucket"))
+      .groupBy(col("dim"), col("bucket")).agg(count(lit(1)).as("n"))
+
   /** x14's builder on ANY two (embedding) snapshot frames: per-dim
     * (first [[DriftDims]] dims) PSI with Laplace smoothing and the
     * classic 0.2 alert flag. Each side is one narrow scan into one
@@ -617,18 +650,22 @@ object ApproxQueries {
     * the joined tiny frame. The ln terms go through [[Det.dsum]] so
     * psi hash-matches the oracle exactly. */
   def embeddingDrift(ref: org.apache.spark.sql.DataFrame,
-      cur: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      cur: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    psiFromCounts(driftBinned(ref), driftBinned(cur))
+
+  /** The PSI math on two materialized (dim, bucket, n) count frames —
+    * shared VERBATIM by the batch gate (x14) and its streaming twin
+    * (x15, whose counts arrive from a complete-mode stream agg):
+    * everything below runs on ≤ dims·buckets rows. */
+  def psiFromCounts(refCounts: org.apache.spark.sql.DataFrame,
+      curCounts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = ref.sparkSession
-    def binned(df: org.apache.spark.sql.DataFrame, out: String) =
-      df.select(posexplode(slice(col("embedding"), 1, DriftDims)).as(Seq("pos", "x")))
-        .select(col("pos").cast(LongType).as("dim"), driftBucket(col("x")).as("bucket"))
-        .groupBy(col("dim"), col("bucket")).agg(count(lit(1)).as(out))
+    val s = refCounts.sparkSession
     val scaffold = s.range(DriftDims).select(col("id").as("dim"))
       .crossJoin(s.range(DriftBuckets).select(col("id").as("bucket")))
     val j = scaffold
-      .join(binned(ref, "nr"), Seq("dim", "bucket"), "left")
-      .join(binned(cur, "nc"), Seq("dim", "bucket"), "left")
+      .join(refCounts.withColumnRenamed("n", "nr"), Seq("dim", "bucket"), "left")
+      .join(curCounts.withColumnRenamed("n", "nc"), Seq("dim", "bucket"), "left")
       .select(col("dim"), col("bucket"),
         coalesce(col("nr"), lit(0L)).as("nr"),
         coalesce(col("nc"), lit(0L)).as("nc"))

@@ -87,7 +87,19 @@ object PlanLint {
             .select(col("vec_id"), col("embedding")),
           graft.queries.VectorQueries.collectUpsertCentroids(s, d))),
       "x12_decayed_stream" -> ((s, d) =>
-        graft.streaming.StreamingOps.decayedCounts(t(s, d, "events"), 0L)))
+        graft.streaming.StreamingOps.decayedCounts(t(s, d, "events"), 0L)),
+      "x15_drift_stream" -> ((s, d) =>
+        graft.queries.ApproxQueries.driftBinned(
+          t(s, d, "embeddings").filter(col("vec_id") % 2 === 1)
+            .select(col("embedding")))),
+      "t43_calibration_stream" -> ((s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        graft.queries.TextQueries.calibrationAssign(docs,
+          org.apache.spark.sql.functions.broadcast(
+            graft.queries.TextQueries.sourceCdfOf(
+              graft.queries.TextQueries.qualityBuckets(docs))))
+      }))
 
     // An SMJ with a rank-window-limited (top-k per group) input is the
     // unhinted-gather anti-pattern (the r8 v31/v32 finding): the

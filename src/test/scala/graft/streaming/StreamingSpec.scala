@@ -398,6 +398,27 @@ class StreamingSpec extends SparkSpec {
       s"stream diverged on ${streamed.keySet.diff(batch.keySet).take(3)}...")
   }
 
+  test("streaming drift counters reproduce the batch PSI bit-for-bit (x14/x15)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val batch = asMap(graft.queries.ApproxQueries.embeddingDrift(
+      e.filter(col("vec_id") % 2 === 0).select(col("embedding")),
+      e.filter(col("vec_id") % 2 === 1).select(col("embedding"))))
+    val frozen = graft.queries.ApproxQueries.driftBinned(
+      e.filter(col("vec_id") % 2 === 0).select(col("embedding")))
+    val streamed = asMap(graft.queries.ApproxQueries.psiFromCounts(frozen,
+      StreamingOps.runToTable(spark,
+        graft.queries.ApproxQueries.driftBinned(
+          StreamingOps.readEmbeddings(spark, sf0001)
+            .filter(col("vec_id") % 2 === 1).select(col("embedding"))),
+        "complete", "graft_x15spec_sink_")))
+    assert(streamed == batch,
+      "continuous drift counters must replay the batch audit exactly")
+  }
+
   test("stateful sessionization emits per-user session counts") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val batchEvents = Tables(spark, sf0001, "events")
