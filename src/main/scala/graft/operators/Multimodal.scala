@@ -102,6 +102,45 @@ object Multimodal {
     }
   }
 
+  final case class MediaPhash(
+      doc_id: Long,
+      kind: String,
+      phash: Long)               // simhash over byte 4-grams
+
+  /** Perceptual payload fingerprint: simhash (the d05 strict-majority
+    * vote) over rolling byte-4-gram hashes. A small payload edit
+    * keeps most 4-grams and so usually the same phash — catching the
+    * near-identical re-encodes/re-crawls that m04's exact checksum
+    * can't. Narrow mapPartitions like every decode-stage feature; no
+    * shuffle. Identical payloads always collide (phash is a pure
+    * function of the bytes), so perceptual redundancy ≥ exact
+    * redundancy by construction. */
+  def perceptualHash(media: Dataset[MediaRecord], bits: Int = 24)(
+      implicit spark: SparkSession): Dataset[MediaPhash] = {
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { r =>
+        val bs = r.media
+        val ones = new Array[Long](bits)
+        var n = 0L
+        var i = 0
+        while (i + 3 < bs.length) {
+          var h = 0L
+          var j = 0
+          while (j < 4) { h = (h * 31 + (bs(i + j) & 0xff)) % 1000000007L; j += 1 }
+          var b = 0
+          while (b < bits) { ones(b) += (h >> b) & 1L; b += 1 }
+          n += 1
+          i += 1
+        }
+        var ph = 0L
+        var b = 0
+        while (b < bits) { if (2 * ones(b) > n) ph |= (1L << b); b += 1 }
+        MediaPhash(r.doc_id, r.kind, ph)
+      }
+    }
+  }
+
   final case class FrameFeature(
       doc_id: Long,
       kind: String,

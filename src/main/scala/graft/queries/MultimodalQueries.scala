@@ -117,6 +117,46 @@ object MultimodalQueries {
               |SELECT kind, CAST(sum(n) AS BIGINT) AS n_media,
               |  CAST(count(*) AS BIGINT) AS n_distinct,
               |  CAST(sum(n - 1) AS BIGINT) AS n_redundant
-              |FROM g GROUP BY kind""".stripMargin))
+              |FROM g GROUP BY kind""".stripMargin)),
+
+    // Perceptual media dedup — m04's rollup with the grouping key
+    // lifted from the exact checksum to the byte-4-gram simhash
+    // (Multimodal.perceptualHash): near-identical payloads (the
+    // re-encoded / trivially re-edited assets a crawl accumulates)
+    // collide where the checksum can't, so n_redundant here ≥ m04's
+    // per kind (pinned). Same two-keyed-agg scale shape: the phash
+    // is a narrow decode-stage pass, then (kind, phash) counts and a
+    // per-kind rollup — nothing pairwise, nothing corpus-sized past
+    // the first agg. The DuckDB mirror recomputes the simhash from
+    // the ASCII payload via char-code folds (the m01 contract).
+    Q("m05_media_phash_dedup",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import org.apache.spark.sql.functions._
+        val ph = Multimodal.perceptualHash(
+          Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))).toDF()
+        val groups = ph.groupBy(col("kind"), col("phash"))
+          .agg(count(lit(1)).as("n"))
+        groups.groupBy(col("kind")).agg(
+          sum(col("n")).as("n_media"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("n") - lit(1L)).as("n_redundant"))
+      },
+      Some {
+        val th = "list_transform(range(1, greatest(length(text) - 2, 1)), " +
+          "gi -> ((((ord(text[gi]) * 31 + ord(text[gi+1])) * 31 + " +
+          "ord(text[gi+2])) * 31 + ord(text[gi+3]))) % 1000000007)"
+        s"""WITH f AS (SELECT doc_id,
+           |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+           |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           |  ${O.simhashBits(24)} AS ph
+           |  FROM (SELECT doc_id, $th AS th FROM documents)),
+           |g AS (SELECT kind, ph, count(*) AS n FROM f
+           |      GROUP BY kind, ph)
+           |SELECT kind, CAST(sum(n) AS BIGINT) AS n_media,
+           |  CAST(count(*) AS BIGINT) AS n_distinct,
+           |  CAST(sum(n - 1) AS BIGINT) AS n_redundant
+           |FROM g GROUP BY kind""".stripMargin
+      })
   )
 }

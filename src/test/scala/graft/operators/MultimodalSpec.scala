@@ -7,6 +7,7 @@ import javax.imageio.ImageIO
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal.{Decoder, MediaRecord}
+import graft.queries.Registry
 
 class MultimodalSpec extends graft.SparkSpec {
 
@@ -65,5 +66,36 @@ class MultimodalSpec extends graft.SparkSpec {
     assert(byDoc(2L).head.out_w == 224L && byDoc(2L).head.out_h == 224L)
     // frame hash varies with position
     assert(byDoc(0L).map(_.frame_hash).distinct.length == 4)
+  }
+
+  test("perceptual hash: identical payloads collide, near-identical usually do, " +
+      "perceptual redundancy >= exact (m05 vs m04)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val base = Array.tabulate[Byte](200)(i => ((i * 37 + 11) % 251).toByte)
+    val nearDup = base.clone(); nearDup(100) = (nearDup(100) ^ 0x7).toByte
+    val media = Seq(
+      MediaRecord(0L, base, "image", "t"),
+      MediaRecord(1L, base.clone(), "image", "t"),   // exact dup
+      MediaRecord(2L, nearDup, "image", "t")         // 1-byte edit
+    ).toDS()
+    val ph = Multimodal.perceptualHash(media).collect()
+      .map(p => p.doc_id -> p.phash).toMap
+    assert(ph(0L) == ph(1L), "identical bytes must share the phash")
+    // a 1-byte edit changes only 4 of 197 grams — bits whose vote
+    // isn't knife-edge can't flip, so the codes stay within a couple
+    // of bits (this synthetic payload is near-uniform, the worst case
+    // for vote margins; exact equality holds on skewed real text)
+    assert(java.lang.Long.bitCount(ph(0L) ^ ph(2L)) <= 2,
+      s"1-byte edit moved the phash ${java.lang.Long.bitCount(ph(0L) ^ ph(2L))} bits")
+    // registry-level: every kind's perceptual redundancy >= exact
+    val exact = Registry.queries("m04_media_dedup")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val perc = Registry.queries("m05_media_phash_dedup")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    exact.foreach { case (kind, nRed) =>
+      assert(perc(kind) >= nRed,
+        s"$kind: perceptual dedup can only find MORE redundancy than exact")
+    }
   }
 }
