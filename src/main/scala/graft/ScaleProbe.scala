@@ -542,6 +542,18 @@ object ScaleProbe {
         docs.select(col("doc_id"), col("text")),
         Seq(256L, 512L, 1024L)).collect()
     }
+    // m05: narrow decode-stage mapPartitions + two keyed aggs
+    time("m05_media_phash_dedup") {
+      implicit val sp: SparkSession = spark
+      graft.operators.Multimodal.perceptualHash(
+        graft.operators.Multimodal.mediaFromDocuments(docs)).toDF()
+        .groupBy(col("kind"), col("phash"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .groupBy(col("kind"))
+        .agg(org.apache.spark.sql.functions.sum(col("n")).as("n_media"))
+        .collect()
+    }
     writeJson(outJson, copies)
     spark.stop()
   }
