@@ -566,6 +566,19 @@ object DialectQueries {
     // farthest), gated by the same oracle.
     Q("s48_dialect_outliers",
       sql("outliers vec_id, embedding from embeddings top 20"),
-      Some(VectorQueries.centroidOutliersSql(topN = 20)))
+      Some(VectorQueries.centroidOutliersSql(topN = 20))),
+
+    // Embedding drift on the dialect surface — the first two-table
+    // non-join statement: `drift vec from a against b` lowers
+    // VERBATIM to the x14 builder. The fixture dir carries one
+    // embeddings table, so the gate runs the SELF-drift and pins the
+    // absolute invariant psi ≡ 0 / shifted ≡ false through the whole
+    // statement path (the sketch-family self-gate pattern);
+    // PlannerSpec pins statement ≡ builder on distinct snapshots.
+    Q("s49_dialect_drift",
+      sql("drift embedding from embeddings against embeddings"),
+      Some(s"""SELECT CAST(dd.range AS BIGINT) AS dim,
+              |  CAST(0.0 AS DOUBLE) AS psi, false AS shifted
+              |FROM range(${ApproxQueries.DriftDims}) dd""".stripMargin))
   )
 }

@@ -178,6 +178,13 @@ object Ast {
   final case class OutliersStmt(idCol: String, vecCol: String,
       from: FromClause, k: Long) extends Stmt
 
+  /** `drift <vecCol> from <refTable> against <curTable>` — embedding
+    * distribution drift on the SQL surface (x14): per-dimension PSI
+    * of `cur` against the `ref` snapshot, with the 0.2 alert flag.
+    * Emits (dim, psi, shifted). */
+  final case class DriftStmt(vecCol: String, ref: FromClause,
+      cur: FromClause) extends Stmt
+
   /** `trend <tsCol>[,] <keyCol> from <table> [top <k>]` — e21's
     * trending on the SQL surface: the top-k key values of every
     * 2h/1h sliding window by event count. Emits

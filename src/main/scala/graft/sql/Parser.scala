@@ -67,6 +67,7 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "calibrate")) { advance(); parseCalibrate() }
     else if (matches(peek, "negatives")) { advance(); parseNegatives() }
     else if (matches(peek, "outliers")) { advance(); parseOutliers() }
+    else if (matches(peek, "drift")) { advance(); parseDrift() }
     else parseQuery()
 
   /** `mix <idCol>[,] <textCol> from <table> [nh] [budget <n>]
@@ -183,6 +184,28 @@ final class Parser(toks: Vector[Tok]) {
       throw ParseError(s"unexpected trailing token '${peek.text}'")
     OutliersStmt(idCol, vecCol,
       FromClause(table, None, noHeader, intColumns = false, Nil), k)
+  }
+
+  /** `drift <vecCol> from <refTable> [nh] against <curTable> [nh]` —
+    * the dialect's first two-table non-join statement. */
+  private def parseDrift(): DriftStmt = {
+    val vecCol = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    expect("from")
+    val ref = parseTableRef()
+    var refNh = prefixNh
+    while (accept("nh") || accept("noheader")) refNh = true
+    expect("against")
+    val cur = parseTableRef()
+    var curNh = prefixNh
+    while (accept("nh") || accept("noheader")) curNh = true
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    DriftStmt(vecCol,
+      FromClause(ref, None, refNh, intColumns = false, Nil),
+      FromClause(cur, None, curNh, intColumns = false, Nil))
   }
 
   /** `trend <tsCol>[,] <keyCol> from <table> [nh] [top <k>]`. */

@@ -361,6 +361,24 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     graft.queries.VectorQueries.centroidOutliersOf(e, topN = st.k.toInt)
   }
 
+  /** `drift vec from ref against cur` — lowers VERBATIM to the x14
+    * builder (ApproxQueries.embeddingDrift): per-dim PSI between the
+    * two snapshots' fixed-edge histograms; each side costs one narrow
+    * scan into a ≤48-row count, the math runs on the joined tiny
+    * frame. */
+  def planDrift(st: DriftStmt): DataFrame = {
+    def side(from: FromClause, role: String): DataFrame = {
+      val base = resolve(from.table, from.noHeader)
+      val e = base.select(named(base, st.vecCol, "embedding"))
+      if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
+        throw PlanError(
+          s"drift: ${st.vecCol} must be an array (vector) column in the $role table")
+      e
+    }
+    graft.queries.ApproxQueries.embeddingDrift(
+      side(st.ref, "reference"), side(st.cur, "current"))
+  }
+
   /** `quantize id, vec from t` — lowers VERBATIM to the v25 builder
     * (VectorQueries.binaryCodes): two packed sign-bit BIGINT halves
     * per vector, a pure per-row fold with zero exchanges. */

@@ -291,6 +291,16 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("outliers id, vec from t extra"))
   }
 
+  test("drift statement grammar: two tables via against") {
+    val d = Parser.parseStmt("drift embedding from snap_a against snap_b")
+      .asInstanceOf[Ast.DriftStmt]
+    assert(d.vecCol == "embedding")
+    assert(d.ref.table == "snap_a" && d.cur.table == "snap_b")
+    assertThrows[Exception](Parser.parseStmt("drift embedding from a"))
+    assertThrows[Exception](Parser.parseStmt("drift from a against b"))
+    assertThrows[Exception](Parser.parseStmt("drift v from a against b extra"))
+  }
+
   test("mix statement grammar: optional budget and per") {
     val m = Parser.parseStmt("mix doc_id, text from documents budget 500 per source")
       .asInstanceOf[Ast.MixStmt]

@@ -671,6 +671,26 @@ class PlannerSpec extends SparkSpec {
     assertThrows[Exception](g.sql("outliers embedding, vec_id from embeddings"))
   }
 
+  test("drift statement executes: self-drift is zero, builder-equal, clean errors") {
+    val d = g.sql("drift embedding from embeddings against embeddings")
+    assert(d.columns.toSeq == Seq("dim", "psi", "shifted"))
+    val rows = d.collect()
+    assert(rows.length == graft.queries.ApproxQueries.DriftDims)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == 0.0 && !r.getBoolean(2),
+        "a snapshot can't drift from itself")
+    }
+    // statement ≡ builder on the same two (here identical) frames
+    val builderEq = graft.queries.ApproxQueries.embeddingDrift(
+      g.sql("select embedding from embeddings"),
+      g.sql("select embedding from embeddings")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap == builderEq)
+    // non-vector column -> clean PlanError
+    assertThrows[Exception](
+      g.sql("drift doc_id from documents against documents"))
+  }
+
   test("dedup best executes: one keeper per cluster, builder-equal") {
     val b = g.sql("dedup best doc_id, text from documents")
     assert(b.columns.toSeq == Seq("doc_id", "cluster_id", "quality", "keep"))
