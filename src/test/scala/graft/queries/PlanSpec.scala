@@ -768,4 +768,15 @@ class PlanSpec extends SparkSpec {
       s"shortlist gather must not sort-merge the corpus:\n${p.take(1200)}")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("outlier scoring (v39): one narrow pass + TakeOrdered, zero joins/exchanges") {
+    val p = plan("v39_centroid_outliers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must be a bounded TakeOrdered:\n${p.take(800)}")
+    // centers ride as broadcast-literal codegen'd expressions; the
+    // corpus itself must never shuffle or join for the scoring pass
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("Exchange hashpartitioning"),
+      s"the scoring pass must stay narrow:\n${p.take(1200)}")
+  }
 }
