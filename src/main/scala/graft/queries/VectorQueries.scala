@@ -466,6 +466,82 @@ object VectorQueries {
        |ORDER BY dist DESC, a.vec_id ASC LIMIT $topN""".stripMargin
   }
 
+  /** v40's builder: multiprobe recall at every probe level from ONE
+    * shared candidate frame (see the registry comment). */
+  def nprobeSweep(s: SparkSession, dir: String,
+      probes: Seq[Int] = Seq(1, 2, 3), k: Int = 5): DataFrame = {
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val scored = e.crossJoin(broadcast(centroids(s, dir)))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        cosine(col("centroid"), col("embedding")).as("csim"))
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("label").asc)
+    val ranked = scored.withColumn("rk", row_number().over(wa))
+    val assigned = ranked.filter(col("rk") === 1)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("label").as("cell"))
+    val maxP = probes.max
+    val qs = ranked.filter(col("vec_id") < 5 && col("rk") <= maxP)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("cell"), col("rk").as("qrk"))
+    // a neighbor lives in exactly one cell and qs carries one row per
+    // (query, probed cell), so (q_id, n_id) stays unique at every level
+    val sims = assigned.join(broadcast(qs), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("qrk"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val truth = bruteKnn(s, dir, k).select(col("q_id"), col("n_id"))
+    val tk = truth.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+    probes.map { np =>
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("n_id").asc)
+      val got = sims.filter(col("qrk") <= np)
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k).select(col("q_id"), col("n_id"))
+      val hits = truth.join(got, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      tk.join(hits, Seq("q_id"), "left")
+        .select(lit(np.toLong).as("nprobe"), col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"), col("k"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** DuckDB mirror of [[nprobeSweep]]. */
+  def nprobeSweepSql(probes: Seq[Int] = Seq(1, 2, 3), k: Int = 5): String = {
+    val maxP = probes.max
+    val blocks = probes.map { np =>
+      s"""got$np AS (SELECT q_id, n_id FROM
+         |  (SELECT q_id, n_id, row_number() OVER
+         |     (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+         |   FROM sims WHERE qrk <= $np) WHERE rank <= $k),
+         |h$np AS (SELECT truth.q_id, count(*) AS hits
+         |      FROM truth JOIN got$np ON truth.q_id = got$np.q_id
+         |                           AND truth.n_id = got$np.n_id
+         |      GROUP BY truth.q_id)""".stripMargin
+    }.mkString(",\n")
+    val selects = probes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, tk.q_id,
+         |  CAST(coalesce(h$np.hits, 0) AS BIGINT) AS hits, tk.k
+         |FROM tk LEFT JOIN h$np ON tk.q_id = h$np.q_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cents AS ($centroidsSql),
+       |scored AS (SELECT e.vec_id, e.embedding, c.label,
+       |  ${cosineSql("c.centroid", "e.embedding")} AS csim
+       |  FROM embeddings e CROSS JOIN cents c),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, label ASC) AS rk FROM scored),
+       |assigned AS (SELECT vec_id, embedding, label AS cell FROM ranked WHERE rk = 1),
+       |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS cell, rk AS qrk
+       |       FROM ranked WHERE rk <= $maxP AND vec_id < 5),
+       |sims AS (SELECT q.q_id, n.vec_id AS n_id, q.qrk,
+       |  ${cosineSql("q.q_emb", "n.embedding")} AS sim
+       |  FROM assigned n JOIN qs q ON n.cell = q.cell AND q.q_id != n.vec_id),
+       |truth AS (SELECT q_id, n_id FROM (${bruteKnnSql(k)})),
+       |tk AS (SELECT q_id, CAST(count(*) AS BIGINT) AS k FROM truth GROUP BY q_id),
+       |$blocks
+       |$selects""".stripMargin
+  }
+
   /** DuckDB mirror of [[kmeansppSeeds]]: a CTE chain ending in
     * `${p}cent0 (cell, cent)` — center 0 is the min-vec_id vector,
     * each next the farthest-from-nearest-chosen (vec_id tiebreak),
@@ -1682,6 +1758,20 @@ object VectorQueries {
           collectUpsertCentroids(s, dir)),
         "append", "graft_v28_sink_"),
       Some(ivfUpsertSql)),
+
+    // IVF nprobe sweep — the index's OTHER tuning knob, closing the
+    // loop d17 closes for LSH bandings and v34 for re-rank depths:
+    // recall@5 of the multiprobe search (v07's shape) at nprobe
+    // 1/2/3 in ONE gated answer. The corpus-side work is shared by
+    // construction: cell assignment and the probe-cell cosine sims
+    // are computed ONCE at max nprobe with each query row carrying
+    // its probe rank (qrk); every probe level then costs only a rank
+    // window over the (qrk ≤ nprobe)-filtered candidate frame —
+    // candidates, never the corpus. Recall monotone in nprobe is
+    // pinned in R9OpsSpec.
+    Q("v40_nprobe_sweep",
+      (s, dir) => nprobeSweep(s, dir),
+      Some(nprobeSweepSql())),
 
     // Embedding outlier detection — the OOD curation gate that
     // catches corrupt / out-of-domain / mis-encoded vectors before

@@ -261,4 +261,22 @@ class R9OpsSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted.reverse,
       "doubling the context can only shrink the bin count")
   }
+
+  test("nprobe sweep (v40): recall is monotone in nprobe, per-query and total") {
+    val rows = Registry.queries("v40_nprobe_sweep")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.keySet == Set(1L, 2L, 3L))
+    // per-query: probing MORE cells can only add candidates, so hits
+    // at nprobe p+1 dominate hits at p for every query
+    val hitsAt = byProbe.map { case (np, rs) =>
+      np -> rs.map(r => r._2 -> r._3).toMap }
+    Seq((1L, 2L), (2L, 3L)).foreach { case (lo, hi) =>
+      hitsAt(lo).foreach { case (q, h) =>
+        assert(hitsAt(hi)(q) >= h,
+          s"query $q lost recall going from nprobe=$lo to $hi")
+      }
+    }
+    rows.foreach { case (_, _, hits, kk) => assert(hits >= 0 && hits <= kk) }
+  }
 }
