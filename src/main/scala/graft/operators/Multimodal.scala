@@ -120,7 +120,9 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.map { r =>
-        val bs = r.media
+        // null payload (a null CSV text cast to binary) = empty: no
+        // grams, no votes, phash 0 — never an NPE on user data
+        val bs = if (r.media == null) Array.emptyByteArray else r.media
         val ones = new Array[Long](bits)
         var n = 0L
         var i = 0

@@ -59,4 +59,29 @@ class NullSafetySpec extends SparkSpec {
     val sp = TextQueries.trainSplit(docs.select(col("doc_id")), 80L, 10L)
     assert(sp.filter("split is null").count() == 0)
   }
+
+  test("round-9 builders tolerate null text: fertility, pack sweep, epoch plan, " +
+      "snapshot diff, perceptual hash") {
+    val d = docs.withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
+    // keyed aggregates: null text carries null/zero stats, never throws
+    assert(TextQueries.tokenFertility(d.select(col("lang"), col("text")))
+      .collect().length == 1)
+    assert(TextQueries.packEfficiency(d.select(col("doc_id"), col("text")),
+      Seq(4L)).collect().length == 1)
+    assert(PipelineQueries.epochPlan(d.select(col("source"), col("text")),
+      100L).collect().length == 1)
+    // fp-keyed diff: null fingerprints group like any key
+    assert(DedupQueries.snapshotDiff(
+      d.filter(col("doc_id") % 3 =!= 0).select(col("text"), col("n_chars")),
+      d.filter(col("doc_id") % 3 =!= 1).select(col("text"), col("n_chars")))
+      .collect().nonEmpty)
+    // null payload = empty bytes -> phash 0, no NPE
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val ph = graft.operators.Multimodal.perceptualHash(
+      graft.operators.Multimodal.mediaFromDocuments(d)).collect()
+    assert(ph.length == 5)
+    assert(ph.find(_.doc_id == 2L).get.phash == 0L)
+  }
 }
