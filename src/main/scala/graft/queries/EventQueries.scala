@@ -424,6 +424,22 @@ object EventQueries {
       (s, dir) => trending(Tables(s, dir, "events"), 3),
       Some(trendingOracle(3))),
 
+    // e21's STREAMING twin — the feed-ranker deployment shape: the
+    // corpus-scale work (2h/1h sliding-window counts) runs on the
+    // stream as e20's ONE complete-mode aggregation (state = windows
+    // × types, never events), and the trending rank is counter math
+    // on that materialized frame through the SAME trendingFromCounts
+    // leg as the batch gate. Hash-gated against e21's own oracle:
+    // the continuously-maintained leaderboard ≡ the batch one
+    // bit-for-bit (Det-decimal counts included).
+    Q("e25_trending_stream",
+      (s, dir) => trendingFromCounts(
+        graft.streaming.StreamingOps.runToTable(s,
+          graft.streaming.StreamingOps.slidingCounts(
+            graft.streaming.StreamingOps.readEvents(s, dir)),
+          "complete", "graft_e25_sink_"), 3),
+      Some(trendingOracle(3))),
+
     Q("e20_sliding_stream",
       (s, dir) => graft.streaming.StreamingOps.runToTable(s,
         graft.streaming.StreamingOps.slidingCounts(
@@ -571,10 +587,17 @@ object EventQueries {
     * types of every 2h/1h sliding frame. The ranking window runs over
     * the ALREADY-AGGREGATED (windows × types)-sized frame, never the
     * events; WindowGroupLimit caps each ws group pre-exchange. */
-  def trending(ev: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+  def trending(ev: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    trendingFromCounts(slidingCounts(ev), k)
+
+  /** The e21 rank leg on an ALREADY-AGGREGATED (ws, event_type, n)
+    * frame — shared by the batch gate and the e25 streaming twin
+    * (whose counts arrive from the e20 complete-mode stream agg). */
+  def trendingFromCounts(counts: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("ws"))
       .orderBy(col("n").desc, col("event_type").asc)
-    slidingCounts(ev)
+    counts
       .select(col("ws"), col("event_type"), col("n"))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k.toLong)

@@ -88,6 +88,8 @@ object PlanLint {
           graft.queries.VectorQueries.collectUpsertCentroids(s, d))),
       "x12_decayed_stream" -> ((s, d) =>
         graft.streaming.StreamingOps.decayedCounts(t(s, d, "events"), 0L)),
+      "e25_trending_stream" -> ((s, d) =>
+        graft.queries.Registry.queries("e21_trending")(s, d)),
       "x15_drift_stream" -> ((s, d) =>
         graft.queries.ApproxQueries.driftBinned(
           t(s, d, "embeddings").filter(col("vec_id") % 2 === 1)
