@@ -70,6 +70,14 @@ class QueryServerSpec extends SparkSpec {
       assert(mix.contains(""""Status":"ok"""") && mix.contains("cum_tok"), mix)
       val best = post("dedup best doc_id, text from documents")
       assert(best.contains(""""Status":"ok"""") && best.contains("cluster_id"), best)
+      val outl = post("outliers vec_id, embedding from embeddings top 3")
+      assert(outl.contains(""""Status":"ok"""") && outl.contains("dist"), outl)
+      val drift = post("drift embedding from embeddings against embeddings")
+      assert(drift.contains(""""Status":"ok"""") && drift.contains("psi"), drift)
+      val neg = post("negatives vec_id, embedding, label from embeddings top 2")
+      assert(neg.contains(""""Status":"ok"""") && neg.contains("sim"), neg)
+      val cal = post("calibrate doc_id, source, text from documents")
+      assert(cal.contains(""""Status":"ok"""") && cal.contains("pctile"), cal)
     } finally server.stop()
   }
 
