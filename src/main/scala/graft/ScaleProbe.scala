@@ -542,6 +542,16 @@ object ScaleProbe {
         docs.select(col("doc_id"), col("text")),
         Seq(256L, 512L, 1024L)).collect()
     }
+    // v40: the probe-cell candidate frame grows linearly with the
+    // corpus (cells hold corpus/k vectors); every probe level beyond
+    // the sims is a rank window over candidates only
+    scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings_l.parquet")
+    val embL = spark.read.parquet(s"$tmp/embeddings_l.parquet")
+    time("v40_nprobe_sweep") {
+      graft.queries.VectorQueries.nprobeSweepOf(embL).collect()
+    }
     // m05: narrow decode-stage mapPartitions + two keyed aggs
     time("m05_media_phash_dedup") {
       implicit val sp: SparkSession = spark

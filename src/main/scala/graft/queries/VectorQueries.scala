@@ -159,8 +159,12 @@ object VectorQueries {
     * partial aggregation. At 100 TB this is one (label, dim)-keyed
     * hash aggregation producing k·d rows regardless of corpus size. */
   def centroidRows(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    centroidRowsOf(Tables(s, dir, "embeddings"))
+
+  /** [[centroidRows]] on an arbitrary (label, embedding) frame —
+    * shared with ScaleProbe. */
+  def centroidRowsOf(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       // BIGINT pos: the oracle's unnest(range(...)) is BIGINT-typed
       .select(col("label"), col("pos").cast(LongType).as("pos"), col("x"))
       .groupBy(col("label"), col("pos"))
@@ -169,10 +173,14 @@ object VectorQueries {
   /** [[centroidRows]] reassembled into one ordered array per label —
     * the presentation/broadcast form v05 probes against. */
   def centroids(s: SparkSession, dir: String): DataFrame =
-    centroidRows(s, dir)
+    centroidsOf(Tables(s, dir, "embeddings"))
+
+  /** [[centroids]] on an arbitrary (label, embedding) frame. */
+  def centroidsOf(e: DataFrame): DataFrame =
+    centroidRowsOf(e)
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        e => e.getField("c")).as("centroid"))
+        ce => ce.getField("c")).as("centroid"))
 
   /** DuckDB mirror of [[centroidRows]]. The float element is cast to
     * DOUBLE before the decimal: Spark's float→decimal cast goes
@@ -469,9 +477,17 @@ object VectorQueries {
   /** v40's builder: multiprobe recall at every probe level from ONE
     * shared candidate frame (see the registry comment). */
   def nprobeSweep(s: SparkSession, dir: String,
+      probes: Seq[Int] = Seq(1, 2, 3), k: Int = 5): DataFrame =
+    nprobeSweepOf(Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label")), probes, k)
+
+  /** [[nprobeSweep]] on an arbitrary (vec_id, embedding, label)
+    * frame — shared with ScaleProbe. The exact-truth leg is the
+    * bruteKnn construction inlined on the same frame. */
+  def nprobeSweepOf(el: DataFrame,
       probes: Seq[Int] = Seq(1, 2, 3), k: Int = 5): DataFrame = {
-    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val scored = e.crossJoin(broadcast(centroids(s, dir)))
+    val e = el.select(col("vec_id"), col("embedding"))
+    val scored = e.crossJoin(broadcast(centroidsOf(el)))
       .select(col("vec_id"), col("embedding"), col("label"),
         cosine(col("centroid"), col("embedding")).as("csim"))
     val wa = Window.partitionBy(col("vec_id"))
@@ -490,7 +506,16 @@ object VectorQueries {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("qrk"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val truth = bruteKnn(s, dir, k).select(col("q_id"), col("n_id"))
+    val tq = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val tsims = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(tq), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val wt = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    val truth = tsims.withColumn("rank", row_number().over(wt))
+      .filter(col("rank") <= k).select(col("q_id"), col("n_id"))
     val tk = truth.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
     probes.map { np =>
       val wr = Window.partitionBy(col("q_id"))
