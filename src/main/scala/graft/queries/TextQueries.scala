@@ -151,6 +151,25 @@ object TextQueries {
         Seq(256L, 512L, 1024L)),
       Some(packEfficiencyOracle(Seq(256L, 512L, 1024L)))),
 
+    // Per-source quality drift — x14's PSI monitor pointed at the
+    // TEXT pipeline: for each source, the population stability index
+    // between two snapshots' quality-bucket histograms (t42's
+    // DECIMAL-snapped 101-bucket machinery), flagging the sources
+    // whose quality DISTRIBUTION moved (a crawler change, a spam
+    // wave) before they skew a calibrated mix. Same scale shape as
+    // x14 with the key lifted from dim to source: each side is one
+    // scan into a ≤101·sources map-side-combined count, every PSI
+    // term runs on the joined tiny frame through the Det decimal
+    // sum. Fixture snapshots are the doc_id parity halves.
+    Q("t46_quality_drift",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        qualityDrift(d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1))
+      },
+      Some(qualityDriftOracle)),
+
     // Reproducible sampling — the training-data way: hash buckets, not
     // RNG (same rows selected on any cluster size, any run, both
     // engines; rand()-based sampling can never be oracle-gated).
@@ -1734,6 +1753,75 @@ object TextQueries {
        |  CAST(CASE WHEN cum * 10 >= n_src * 3 THEN 1 ELSE 0 END AS BIGINT)
        |    AS keep
        |FROM b JOIN cdf USING (source, bucket)""".stripMargin
+
+  /** t46's builder on two arbitrary (doc_id, source, text) snapshot
+    * frames: per-source PSI between the t42 quality-bucket
+    * histograms, Laplace-smoothed over the 101-bucket domain, ln
+    * terms through the Det decimal sum, 0.2 alert flag. */
+  def qualityDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = ref.sparkSession
+    val B = 101
+    def binned(df: DataFrame, out: String) =
+      qualityBuckets(df).groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as(out))
+    val sources = ref.select(col("source"))
+      .union(cur.select(col("source"))).distinct()
+    val scaffold = sources
+      .crossJoin(s.range(B).select(col("id").as("bucket")))
+    val j = scaffold
+      .join(binned(ref, "nr"), Seq("source", "bucket"), "left")
+      .join(binned(cur, "nc"), Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"),
+        coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val ws = Window.partitionBy(col("source"))
+    val b = lit(B.toDouble)
+    val t = j
+      .withColumn("tr", sum(col("nr")).over(ws))
+      .withColumn("tc", sum(col("nc")).over(ws))
+    val pr = (col("nr") + lit(1.0)) / (col("tr") + b)
+    val pc = (col("nc") + lit(1.0)) / (col("tc") + b)
+    t.select(col("source"), ((pc - pr) * log(pc / pr)).as("term"))
+      .groupBy(col("source"))
+      .agg(graft.core.Det.dsum(col("term")).as("psi"))
+      .select(col("source"), col("psi"), (col("psi") > 0.2).as("shifted"))
+  }
+
+  /** DuckDB mirror of the t46 gate (parity-half snapshots of
+    * `documents`). */
+  def qualityDriftOracle: String = {
+    def sideCtes(p: String, parity: Int): String =
+      s"""${p}ql AS (SELECT doc_id, source,
+         |  (least(CAST(len(tk) AS DOUBLE) / 20.0, 1.0)
+         |   + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |       / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0, 1.0))
+         |   + least(${O.stopwordRatio("tk", "en")} * 5.0, 1.0)) / 3.0 AS q
+         |  FROM (SELECT doc_id, source, text, ${O.toks("text")} AS tk
+         |        FROM documents WHERE doc_id % 2 = $parity)),
+         |${p}h AS (SELECT source,
+         |  CAST(floor(CAST(q AS DECIMAL(38,6)) * 100) AS BIGINT) AS bucket,
+         |  count(*) AS n FROM ${p}ql GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${sideCtes("r", 0)},
+       |${sideCtes("c", 1)},
+       |sc AS (SELECT s.source, bb.range AS bucket
+       |       FROM (SELECT DISTINCT source FROM documents) s
+       |       CROSS JOIN range(101) bb),
+       |j AS (SELECT sc.source, sc.bucket,
+       |        coalesce(rh.n, 0) AS nr, coalesce(ch.n, 0) AS nc
+       |      FROM sc LEFT JOIN rh ON sc.source = rh.source AND sc.bucket = rh.bucket
+       |               LEFT JOIN ch ON sc.source = ch.source AND sc.bucket = ch.bucket),
+       |t AS (SELECT source, bucket, nr, nc,
+       |        sum(nr) OVER (PARTITION BY source) AS tr,
+       |        sum(nc) OVER (PARTITION BY source) AS tc FROM j),
+       |terms AS (SELECT source,
+       |  ((nc + 1.0) / (tc + 101.0) - (nr + 1.0) / (tr + 101.0))
+       |    * ln(((nc + 1.0) / (tc + 101.0)) / ((nr + 1.0) / (tr + 101.0))) AS term
+       |  FROM t)
+       |SELECT source, psi, psi > 0.2 AS shifted FROM
+       |  (SELECT source, ${graft.core.Det.sql.dsum("term")} AS psi
+       |   FROM terms GROUP BY source)""".stripMargin
+  }
 
   def lexicalDiversity(docs: DataFrame): DataFrame = {
     val tk = docs.select(col("doc_id"),

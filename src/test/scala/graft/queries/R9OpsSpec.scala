@@ -279,4 +279,19 @@ class R9OpsSpec extends SparkSpec {
     }
     rows.foreach { case (_, _, hits, kk) => assert(hits >= 0 && hits <= kk) }
   }
+
+  test("quality drift (t46): self-drift is zero, parity gate covers every source") {
+    val d = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val self = TextQueries.qualityDrift(d, d).collect()
+    self.foreach { r =>
+      assert(r.getDouble(1) == 0.0 && !r.getBoolean(2),
+        s"${r.getString(0)}: a snapshot can't drift from itself")
+    }
+    val gate = Registry.queries("t46_quality_drift")(spark, sf0001).collect()
+    val allSources = d.select(col("source")).distinct().count()
+    assert(gate.length == allSources,
+      "every source must get a drift verdict, including one-sided ones")
+    gate.foreach(r => assert(r.getDouble(1) >= 0.0))
+  }
 }
