@@ -552,6 +552,15 @@ object ScaleProbe {
     time("v40_nprobe_sweep") {
       graft.queries.VectorQueries.nprobeSweepOf(embL).collect()
     }
+    // t46: two t42-shaped histogram passes + PSI math on the
+    // ≤101·sources counter frame
+    time("t46_quality_drift") {
+      graft.queries.TextQueries.qualityDrift(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"), col("text")),
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("source"), col("text"))).collect()
+    }
     // m05: narrow decode-stage mapPartitions + two keyed aggs
     time("m05_media_phash_dedup") {
       implicit val sp: SparkSession = spark
