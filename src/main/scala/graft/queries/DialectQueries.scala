@@ -579,6 +579,12 @@ object DialectQueries {
       sql("drift embedding from embeddings against embeddings"),
       Some(s"""SELECT CAST(dd.range AS BIGINT) AS dim,
               |  CAST(0.0 AS DOUBLE) AS psi, false AS shifted
-              |FROM range(${ApproxQueries.DriftDims}) dd""".stripMargin))
+              |FROM range(${ApproxQueries.DriftDims}) dd""".stripMargin)),
+
+    // Epoch planning on the dialect surface: `epochs` lowers VERBATIM
+    // to the p14 builder, gated by the same oracle.
+    Q("s50_dialect_epochs",
+      sql("epochs source, text from documents budget 1000000"),
+      Some(PipelineQueries.epochPlanOracle(1000000L)))
   )
 }

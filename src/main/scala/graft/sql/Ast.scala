@@ -185,6 +185,13 @@ object Ast {
   final case class DriftStmt(vecCol: String, ref: FromClause,
       cur: FromClause) extends Stmt
 
+  /** `epochs <srcCol>[,] <textCol> from <table> [budget <n>]` — the
+    * p14 temperature-weighted epoch plan on the SQL surface: per
+    * source, token count, target share, capped pass count, and
+    * effective token contribution for a `budget`-token run. */
+  final case class EpochsStmt(srcCol: String, textCol: String,
+      from: FromClause, budget: Long) extends Stmt
+
   /** `trend <tsCol>[,] <keyCol> from <table> [top <k>]` — e21's
     * trending on the SQL surface: the top-k key values of every
     * 2h/1h sliding window by event count. Emits

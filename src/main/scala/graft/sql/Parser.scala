@@ -68,6 +68,7 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "negatives")) { advance(); parseNegatives() }
     else if (matches(peek, "outliers")) { advance(); parseOutliers() }
     else if (matches(peek, "drift")) { advance(); parseDrift() }
+    else if (matches(peek, "epochs")) { advance(); parseEpochs() }
     else parseQuery()
 
   /** `mix <idCol>[,] <textCol> from <table> [nh] [budget <n>]
@@ -206,6 +207,29 @@ final class Parser(toks: Vector[Tok]) {
     DriftStmt(vecCol,
       FromClause(ref, None, refNh, intColumns = false, Nil),
       FromClause(cur, None, curNh, intColumns = false, Nil))
+  }
+
+  /** `epochs <srcCol>[,] <textCol> from <table> [nh] [budget <n>]`. */
+  private def parseEpochs(): EpochsStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val srcCol = colName()
+    accept(",")
+    val textCol = colName()
+    if (srcCol == textCol)
+      throw ParseError("epochs: source and text columns must be distinct")
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val budget = if (accept("budget")) parseNumber() else 1000000L
+    if (budget < 1) throw ParseError(s"budget must be at least 1, got $budget")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    EpochsStmt(srcCol, textCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), budget)
   }
 
   /** `trend <tsCol>[,] <keyCol> from <table> [nh] [top <k>]`. */

@@ -379,6 +379,19 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       side(st.ref, "reference"), side(st.cur, "current"))
   }
 
+  /** `epochs src, text from t [budget n]` — lowers VERBATIM to the
+    * p14 builder (PipelineQueries.epochPlan): one corpus token-count
+    * agg to k source rows, temperature-α=0.5 shares, capped epochs,
+    * effective tokens. */
+  def planEpochs(st: EpochsStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val docs = base.select(named(base, st.srcCol, "source"),
+      named(base, st.textCol, "text"))
+    if (!docs.schema("text").dataType.isInstanceOf[StringType])
+      throw PlanError(s"epochs: ${st.textCol} must be a text column")
+    graft.queries.PipelineQueries.epochPlan(docs, st.budget)
+  }
+
   /** `quantize id, vec from t` — lowers VERBATIM to the v25 builder
     * (VectorQueries.binaryCodes): two packed sign-bit BIGINT halves
     * per vector, a pure per-row fold with zero exchanges. */

@@ -301,6 +301,19 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("drift v from a against b extra"))
   }
 
+  test("epochs statement grammar") {
+    val e = Parser.parseStmt("epochs source, text from documents budget 5000")
+      .asInstanceOf[Ast.EpochsStmt]
+    assert(e.srcCol == "source" && e.textCol == "text" && e.budget == 5000L)
+    val d = Parser.parseStmt("epochs src body from t")
+      .asInstanceOf[Ast.EpochsStmt]
+    assert(d.budget == 1000000L, "budget defaults to 1e6")
+    assertThrows[Exception](Parser.parseStmt("epochs source from t"))
+    assertThrows[Exception](Parser.parseStmt("epochs a, a from t"))
+    assertThrows[Exception](Parser.parseStmt("epochs a, b from t budget 0"))
+    assertThrows[Exception](Parser.parseStmt("epochs a, b from t extra"))
+  }
+
   test("mix statement grammar: optional budget and per") {
     val m = Parser.parseStmt("mix doc_id, text from documents budget 500 per source")
       .asInstanceOf[Ast.MixStmt]

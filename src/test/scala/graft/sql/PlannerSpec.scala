@@ -691,6 +691,20 @@ class PlannerSpec extends SparkSpec {
       g.sql("drift doc_id from documents against documents"))
   }
 
+  test("epochs statement executes: builder-equal, clean errors") {
+    val e = g.sql("epochs source, text from documents budget 5000")
+    assert(e.columns.toSeq ==
+      Seq("source", "n_tokens", "weight", "epochs", "eff_tokens"))
+    val rows = e.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.nonEmpty)
+    val builderEq = graft.queries.PipelineQueries.epochPlan(
+      g.sql("select source, text from documents"), 5000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows == builderEq, "statement must equal the p14 builder")
+    // non-text text column -> clean PlanError
+    assertThrows[Exception](g.sql("epochs source, n_chars from documents"))
+  }
+
   test("dedup best executes: one keeper per cluster, builder-equal") {
     val b = g.sql("dedup best doc_id, text from documents")
     assert(b.columns.toSeq == Seq("doc_id", "cluster_id", "quality", "keep"))
