@@ -78,6 +78,8 @@ class QueryServerSpec extends SparkSpec {
       assert(neg.contains(""""Status":"ok"""") && neg.contains("sim"), neg)
       val cal = post("calibrate doc_id, source, text from documents")
       assert(cal.contains(""""Status":"ok"""") && cal.contains("pctile"), cal)
+      val ep = post("epochs source, text from documents budget 5000")
+      assert(ep.contains(""""Status":"ok"""") && ep.contains("eff_tokens"), ep)
     } finally server.stop()
   }
 
