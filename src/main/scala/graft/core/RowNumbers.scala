@@ -64,7 +64,9 @@ object RowNumbers {
     val idx = df.schema.fieldIndex(value)
     val schema = StructType(df.schema.fields :+
       StructField(name, LongType, nullable = false))
-    val rdd = df.rdd
+    // persist across the two passes (see groupedCumsum for why)
+    val rdd = df.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L; it.foreach(r => s += r.getLong(idx)); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
@@ -108,7 +110,9 @@ object RowNumbers {
     val keyed = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val kIdx = key.map(keyed.schema.fieldIndex)
-    val rdd = keyed.rdd
+    // persist across the two passes (see groupedCumsum for why)
+    val rdd = keyed.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val runs: Array[(Int, Seq[(Seq[Any], Long)])] =
       rdd.mapPartitionsWithIndex { (i, it) =>
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
@@ -167,7 +171,14 @@ object RowNumbers {
       .sortWithinPartitions(sortCols: _*)
     val kIdx = key.map(keyed.schema.fieldIndex)
     val vIdx = keyed.schema.fieldIndex(value)
-    val rdd = keyed.rdd
+    // persist across the two passes: the offset collect and the
+    // assignment must see IDENTICAL rows-per-partition. Without the
+    // cache, an executor loss between the jobs recomputes the
+    // un-persisted shuffle, and a nondeterministic upstream could land
+    // rows in different partitions than the offsets describe. Cached
+    // blocks are freed by the ContextCleaner once the frame is GC'd.
+    val rdd = keyed.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val runs: Array[(Int, Seq[(Seq[Any], Long)])] =
       rdd.mapPartitionsWithIndex { (i, it) =>
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]

@@ -117,6 +117,10 @@ object Multimodal {
     * redundancy by construction. */
   def perceptualHash(media: Dataset[MediaRecord], bits: Int = 24)(
       implicit spark: SparkSession): Dataset[MediaPhash] = {
+    // gram hashes are taken mod 1e9+7 (< 2^30), so bit positions ≥ 30
+    // would always vote 0 — a silent quality degradation, not an error
+    require(bits >= 1 && bits <= 30,
+      s"phash bits must be in [1, 30] (gram hashes carry 30 bits), got $bits")
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.map { r =>

@@ -304,8 +304,12 @@ object PipelineQueries {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val per = docs
       .select(col("source"),
-        size(graft.functions.TextFunctions.tokens(col("text")))
-          .cast(LongType).as("n_tok"))
+        // null text = 0 tokens (the tokenBudgetMix contract) — an
+        // all-null source must aggregate to n_tokens 0, not NULL
+        // (least() SKIPS nulls on both engines, so a NULL would
+        // silently report MaxEpochs)
+        coalesce(size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast(LongType), lit(0L)).as("n_tok"))
       .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
       .withColumn("wraw", sqrt(col("n_tokens").cast(DoubleType)))
     val tot = per.agg(
@@ -313,8 +317,13 @@ object PipelineQueries {
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"),
         (col("wraw") / col("wtot")).as("weight"),
+        // greatest(n_tokens, 1): an all-empty source would otherwise
+        // divide 0/0 = NaN, and least(NaN, MaxEpochs) = NaN sorts
+        // LARGEST on both engines — silently reporting MaxEpochs for
+        // an empty source. With the guard it reports 0 epochs.
         least(lit(budget.toDouble) * (col("wraw") / col("wtot")) /
-          col("n_tokens").cast(DoubleType), lit(MaxEpochs)).as("epochs"))
+          greatest(col("n_tokens"), lit(1L)).cast(DoubleType),
+          lit(MaxEpochs)).as("epochs"))
       .withColumn("eff_tokens",
         col("epochs") * col("n_tokens").cast(org.apache.spark.sql.types.DoubleType))
   }
@@ -324,8 +333,8 @@ object PipelineQueries {
   /** DuckDB mirror of the p14 gate over `documents`. */
   def epochPlanOracle(budget: Long): String =
     s"""WITH per AS (SELECT source,
-       |    CAST(sum(CAST(len(${OracleSql.toks("text")}) AS BIGINT)) AS BIGINT)
-       |      AS n_tokens
+       |    CAST(sum(COALESCE(CAST(len(${OracleSql.toks("text")}) AS BIGINT), 0))
+       |      AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY source),
        |w AS (SELECT source, n_tokens,
        |        sqrt(CAST(n_tokens AS DOUBLE)) AS wraw FROM per),
@@ -335,7 +344,7 @@ object PipelineQueries {
        |  epochs * CAST(n_tokens AS DOUBLE) AS eff_tokens
        |FROM (SELECT source, n_tokens, wraw / wtot AS weight,
        |        least(${budget.toDouble} * (wraw / wtot)
-       |          / CAST(n_tokens AS DOUBLE), $MaxEpochs) AS epochs
+       |          / CAST(greatest(n_tokens, 1) AS DOUBLE), $MaxEpochs) AS epochs
        |      FROM w, t)""".stripMargin
 
   /** p13's builder on an arbitrary (doc_id, source, text) frame —
@@ -373,9 +382,12 @@ object PipelineQueries {
   def tokenBudgetMix(docs: org.apache.spark.sql.DataFrame,
       budget: Long): org.apache.spark.sql.DataFrame = {
     val okey = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(1000003L)
+    // null text → tokens null → size null: coalesce to 0 so the
+    // cumsum's getLong never NPEs on user CSVs with empty cells
+    // (packEfficiency's null contract; the oracle coalesces too)
     val sized = docs.select(col("source"), col("doc_id"),
-      size(graft.functions.TextFunctions.tokens(col("text")))
-        .cast(org.apache.spark.sql.types.LongType).as("n_tok"),
+      coalesce(size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast(org.apache.spark.sql.types.LongType), lit(0L)).as("n_tok"),
       okey.as("okey"))
     graft.core.RowNumbers.groupedCumsum(sized, Seq("source"),
       Seq(col("okey").asc, col("doc_id").asc), "n_tok", "cum_tok")
@@ -393,7 +405,7 @@ object PipelineQueries {
        |  CAST(sum(n_tok) OVER (PARTITION BY source
        |    ORDER BY okey ASC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
        |  FROM (SELECT source, doc_id,
-       |    CAST(len(${OracleSql.toks("text")}) AS BIGINT) AS n_tok,
+       |    COALESCE(CAST(len(${OracleSql.toks("text")}) AS BIGINT), 0) AS n_tok,
        |    ((doc_id % 1000000) * 2654435761) % 1000003 AS okey
        |  FROM $from))""".stripMargin
 

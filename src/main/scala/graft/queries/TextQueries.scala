@@ -1499,8 +1499,12 @@ object TextQueries {
         .getField("n_tok"), lit(0L)).as("n_tok"))
     val c = graft.core.RowNumbers
       .globalCumsum(n, Seq(col("doc_id")), "n_tok", "cum")
+    // greatest(cum - 1, 0): on a degenerate all-zero-token corpus the
+    // global max of cum - 1 is -1, and Spark's `div` truncates toward
+    // zero while DuckDB's `//` floors — 0 vs -1 bins and a /0 fill
+    // rate. Clamping (on both engines) pins n_bins ≥ 1.
     val aggs = sizes.flatMap { l =>
-      Seq(max(expr(s"(cum - 1) div $l")).as(s"maxbin_$l"),
+      Seq(max(expr(s"greatest(cum - 1, 0L) div $l")).as(s"maxbin_$l"),
         sum(when(col("n_tok") > 0L &&
             expr(s"(cum - n_tok) div $l") =!= expr(s"(cum - 1) div $l"),
           lit(1L)).otherwise(lit(0L))).as(s"span_$l"))
@@ -1526,7 +1530,7 @@ object TextQueries {
          |FROM a""".stripMargin
     }.mkString("\nUNION ALL\n")
     val aggCols = sizes.map { l =>
-      s"""max((cum - 1) // $l) AS m_$l,
+      s"""max(greatest(cum - 1, 0) // $l) AS m_$l,
          |  CAST(sum(CASE WHEN n_tok > 0 AND (cum - n_tok) // $l != (cum - 1) // $l
          |    THEN 1 ELSE 0 END) AS BIGINT) AS s_$l""".stripMargin
     }.mkString(",\n")

@@ -84,4 +84,38 @@ class NullSafetySpec extends SparkSpec {
     assert(ph.length == 5)
     assert(ph.find(_.doc_id == 2L).get.phash == 0L)
   }
+
+  test("tokenBudgetMix / calibratedMix treat null text as zero tokens") {
+    val d = docs.withColumn("source", lit("s"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val mix = PipelineQueries.tokenBudgetMix(d, 100L).collect()
+    assert(mix.length == 5, "every row survives, null text included")
+    val byId = mix.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byId(2L) == 0L && byId(3L) == 0L, "null/empty text = 0 tokens")
+    assert(mix.forall(_.getLong(4) == 1L), "tiny corpus fits the budget")
+    // the full p13 composition (calibration + canonical pick + mix)
+    assert(PipelineQueries.calibratedMix(d, 100L).collect()
+      .forall(r => !r.isNullAt(3)))
+  }
+
+  test("epochPlan reports 0 epochs (not NaN→MaxEpochs) for an all-null source") {
+    val d = docs.withColumn("source",
+      when(col("doc_id") === 2L, lit("empty")).otherwise(lit("s")))
+      .filter(col("doc_id") =!= 3L && col("doc_id") =!= 4L)
+    val out = PipelineQueries.epochPlan(
+      d.select(col("source"), col("text")), 100L).collect()
+    val empty = out.find(_.getString(0) == "empty").get
+    assert(empty.getLong(1) == 0L)
+    assert(empty.getDouble(3) == 0.0,
+      "0-token source must plan 0 epochs, not NaN or MaxEpochs")
+  }
+
+  test("perceptualHash rejects bit widths past the 30-bit gram hash") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val m = graft.operators.Multimodal.mediaFromDocuments(
+      docs.withColumn("source", lit("s")))
+    intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.perceptualHash(m, bits = 31)
+    }
+  }
 }
