@@ -16,6 +16,11 @@ run / fork := true
 // without this silently sees EOF and errors "no query given")
 run / connectInput := true
 Compile / runMain / connectInput := true
+// pass the forked JVM's stdout through RAW (default LoggedOutput
+// wraps every line in [info]/[error] log prefixes, which breaks any
+// parser anchored on line starts — e.g. Bench's one-line JSON metric)
+run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

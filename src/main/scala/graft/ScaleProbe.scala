@@ -86,6 +86,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r6new")) r6New(args.drop(1))
     else if (args.headOption.contains("r7ops")) r7Ops(args.drop(1))
     else if (args.headOption.contains("r8new")) r8New(args.drop(1))
+    else if (args.headOption.contains("fitsample")) fitSampleProbe(args.drop(1))
     else if (args.headOption.contains("r9new")) r9New(args.drop(1))
     else if (args.headOption.contains("r9late")) r9Late(args.drop(1))
     else if (args.headOption.contains("r7new")) r7New(args.drop(1))
@@ -93,6 +94,48 @@ object ScaleProbe {
     else if (args.headOption.contains("skewjoin")) skewJoin(args.drop(1))
     else if (args.headOption.contains("p05x")) p05Composition(args.drop(1))
     else standard(args)
+
+  /** Round-10 probe (r9 verdict #1): sample-bounded codebook training.
+    * Every Lloyd fit now trains on a deterministic ≤256·k-row hash
+    * sample, so fit wall-clock must stay ~FLAT as the corpus grows
+    * 10×→100× while the single encode pass grows linearly — run with
+    * copies 10 and 100 and compare `fit_*` (flat) vs `encode_pq_full`
+    * (linear). v33 end-to-end shows the serving path's new floor. */
+  private def fitSampleProbe(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.queries.VectorQueries
+    // materialize the scaled corpus as parquet and read THAT: each
+    // training pass then costs a real scan (the 100 TB shape) instead
+    // of a hot in-memory union, and the corpus count is parquet
+    // metadata — exactly what fitSample's threshold pass costs in
+    // production
+    val tmp = "/tmp/graft_fitsample"
+    scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val e = spark.read.parquet(s"$tmp/embeddings.parquet")
+    println(s"copies=$copies vecs=${e.count()}")
+    time("fit_coarse_k4")(VectorQueries.kmeansFit(e, 4, 2))
+    // A/B: the SAME Lloyd loop driven over the full corpus (the r9
+    // behavior) — the gap is what sample-bounding buys per fit
+    val seeds = VectorQueries.kmeansFit(e, 4, 0) // 0 iters = seeds only
+    time("fit_coarse_k4_fullcorpus")(VectorQueries.kmeansFitFrom(e, seeds, 2))
+    time("fit_pq_8x16") {
+      val n = e.count()
+      (0 until 8).foreach { s =>
+        VectorQueries.kmeansFit(e.select(col("vec_id"),
+          slice(col("embedding"), s * 8 + 1, 8).as("embedding")), 16, 2, n)
+      }
+    }
+    time("encode_pq_full")(VectorQueries.pqCodes(e, 64)
+      .write.format("noop").mode("overwrite").save())
+    time("v33_end_to_end")(VectorQueries.ivfPqRerank(e, 20, 5)
+      .write.format("noop").mode("overwrite").save())
+    writeJson(outJson, copies)
+    spark.stop()
+  }
 
   /** p05_pretrain_build composition probe (round-6 verdict #6): the
     * end-to-end corpus build is gated at sf0.01 — this runs the SAME

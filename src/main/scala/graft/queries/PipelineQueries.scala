@@ -275,7 +275,8 @@ object PipelineQueries {
            |  JOIN cal ON d.doc_id = cal.doc_id AND cal.keep = 1
            |  JOIN canon ON d.doc_id = canon.doc_id AND canon.keep = 1)
            |${tokenBudgetMixOracle(500L, from = "surv")}""".stripMargin
-      }),
+      },
+      bench = true),
 
     // Epoch plan — the data-recipe table a pretraining run starts
     // from (the LLaMA-style "how many passes over each source"

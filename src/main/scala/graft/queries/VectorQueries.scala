@@ -211,6 +211,53 @@ object VectorQueries {
   // centers: broadcast, never a shuffle of the corpus by center).
   val KMEANS_K = 4
   val KMEANS_ITERS = 3
+  // v41: squared-L2 center movement past which a cell is re-assigned
+  // (declared above `all` — gate oracles interpolate it at object
+  // init). 0.0016 splits the fixture's movements (2 dirty, 2 clean at
+  // sf0.01), so the gate pins the SELECTION logic, not just re-assign.
+  final val IVF_REPAIR_THRESH = 0.0016
+
+  // ── sample-bounded codebook training ─────────────────────────────
+  // Lloyd over the FULL corpus is correct but costs iters full passes
+  // per fit — v33's index build was ~36 corpus passes before serving
+  // a query. The scale-safe standard (FAISS max_points_per_centroid)
+  // trains on a bounded sample and encodes the full corpus in ONE
+  // pass. The sample is the deterministic multiplicative-hash family
+  // every other sampler here uses (never RNG), sized to ~256·k
+  // vectors: the threshold is pure integer arithmetic on the corpus
+  // count, so DuckDB replays the exact same sample and the hash gates
+  // stay exact. Below the target size the sample IS the corpus, so
+  // small-frame fits (and every spec fixture) are unchanged.
+  final val FIT_SAMPLE_PER_K = 256L
+  private final val FIT_HASH_MUL = 2654435761L
+  private final val FIT_HASH_MOD = 1000003L
+
+  /** Hash threshold for an expected `target`-row sample out of `n`:
+    * keep rows with (vec_id·MUL) % MOD < th. Floor division — Scala
+    * Long `/` and DuckDB `//` agree on non-negative operands. */
+  def fitThreshold(n: Long, target: Long): Long =
+    if (n <= target) FIT_HASH_MOD
+    else FIT_HASH_MOD * target / n
+
+  /** Deterministic training sample of ~`target` rows (all rows when
+    * the frame is already that small). The hash is the SEED hash, so
+    * the k smallest-hash vectors — the Lloyd seeds — are inside the
+    * sample by construction. `nHint` lets multi-fit builders (PQ's M
+    * sub-fits, IVF-PQ's coarse+residual fits) count the corpus once. */
+  def fitSample(e: DataFrame, target: Long, nHint: Long = -1L): DataFrame = {
+    val n = if (nHint >= 0L) nHint else e.count()
+    val th = fitThreshold(n, target)
+    if (th >= FIT_HASH_MOD) e
+    else e.filter(seedHash(col("vec_id")) < lit(th))
+  }
+
+  /** The seed-family multiplicative hash, overflow-proof: reducing
+    * mod the PRIME first is value-identical ((x·a) mod p ≡
+    * ((x mod p)·a) mod p) but keeps the product under 2^52, so
+    * 64-bit vec_ids can't ANSI-overflow (caught by the 1000× probe —
+    * ids past ~3.5e9 overflowed the unreduced form). */
+  private def seedHash(id: Column): Column =
+    ((id.cast(LongType) % lit(FIT_HASH_MOD)) * lit(FIT_HASH_MUL)) % lit(FIT_HASH_MOD)
 
   /** Squared-L2 distance of a float-vector column to a literal center,
     * as the same order-fixed fold both engines run bit-identically. */
@@ -244,7 +291,7 @@ object VectorQueries {
     * planes — both engines replicate it exactly); cell j = j-th seed
     * in (hash, vec_id) order. */
   private def kmeansSeeds(e: DataFrame, k: Int): Seq[(Int, Array[Double])] =
-    e.withColumn("__h", (col("vec_id").cast(LongType) * lit(2654435761L)) % lit(1000003L))
+    e.withColumn("__h", seedHash(col("vec_id")))
       .orderBy(col("__h").asc, col("vec_id").asc)
       .limit(k)
       .select(col("embedding"))
@@ -255,9 +302,24 @@ object VectorQueries {
 
   /** Cluster centers after `iters` Lloyd iterations, as (cell, center)
     * pairs; a cell that loses all members drops out (both engines
-    * reproduce the same drop deterministically). */
-  def kmeansFit(e: DataFrame, k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): Seq[(Int, Array[Double])] =
-    kmeansFitFrom(e, kmeansSeeds(e, k), iters)
+    * reproduce the same drop deterministically). TRAINS on the
+    * bounded [[fitSample]] (~256·k vectors), not the full corpus —
+    * each Lloyd pass scans the sample, so index-build cost stops
+    * growing with corpus size; only the one ENCODE pass the caller
+    * runs afterwards touches every row. `nHint` forwards a known
+    * corpus count so multi-fit builders don't re-count per subspace. */
+  def kmeansFit(e: DataFrame, k: Int = KMEANS_K, iters: Int = KMEANS_ITERS,
+      nHint: Long = -1L): Seq[(Int, Array[Double])] = {
+    val fs = fitSample(e, FIT_SAMPLE_PER_K * k, nHint)
+    // when a real subsample was cut, cache it for the fit's duration:
+    // the corpus is scanned ONCE to materialize the ≤256·k-row sample,
+    // and every Lloyd pass (and the seed sort) then reads only the
+    // bounded cached rows — fit cost stops growing with corpus size
+    val sampled = fs ne e
+    if (sampled) fs.cache()
+    try kmeansFitFrom(fs, kmeansSeeds(fs, k), iters)
+    finally { if (sampled) fs.unpersist(blocking = false) }
+  }
 
   /** The Lloyd loop from an EXPLICIT initial center set — shared by
     * [[kmeansFit]] (hash-order seeds) and the k-means++ path (v29). */
@@ -330,19 +392,31 @@ object VectorQueries {
       s"list_transform(embedding, (kx, ki) -> (${d("kx")} - $cent[ki]) * (${d("kx")} - $cent[ki]))")
     val sb = new StringBuilder
     sb ++= s"${p}e AS ($src),\n"
+    // bounded training sample (mirrors fitSample/fitThreshold): the
+    // FIT iterations (1..iters-1) and the seeds read ${p}fe; only the
+    // FINAL assignment — the one encode pass over the full corpus —
+    // reads ${p}e. `//` floors like Scala Long division (operands are
+    // non-negative).
+    val target = FIT_SAMPLE_PER_K * k
+    sb ++= s"""${p}fn AS (SELECT CASE WHEN count(*) <= $target THEN CAST(1000003 AS BIGINT)
+              |  ELSE (CAST(1000003 AS BIGINT) * $target) // count(*) END AS th FROM ${p}e),
+              |${p}fe AS (SELECT vec_id, embedding FROM ${p}e, ${p}fn
+              |  WHERE ((vec_id % 1000003) * 2654435761) % 1000003 < th),
+              |""".stripMargin
     sb ++= cent0Override.getOrElse(
       s"""${p}seeds AS (SELECT cell, embedding FROM
          |  (SELECT embedding, CAST(row_number() OVER
-         |     (ORDER BY (vec_id * 2654435761) % 1000003 ASC, vec_id ASC) - 1 AS BIGINT) AS cell
-         |   FROM ${p}e) WHERE cell < $k),
+         |     (ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003 ASC, vec_id ASC) - 1 AS BIGINT) AS cell
+         |   FROM ${p}fe) WHERE cell < $k),
          |${p}cent0 AS (SELECT cell, list_transform(embedding, sx -> ${d("sx")}) AS cent FROM ${p}seeds)""".stripMargin)
     for (i <- 1 to iters) {
+      val in = if (i < iters) s"${p}fe" else s"${p}e"
       sb ++= s""",
                 |${p}assign$i AS (SELECT vec_id, embedding, cell FROM
-                |  (SELECT ${p}e.vec_id, ${p}e.embedding, c.cell,
-                |     row_number() OVER (PARTITION BY ${p}e.vec_id
+                |  (SELECT $in.vec_id, $in.embedding, c.cell,
+                |     row_number() OVER (PARTITION BY $in.vec_id
                 |       ORDER BY ${distSql("c.cent")} ASC, c.cell ASC) AS rk
-                |   FROM ${p}e CROSS JOIN ${p}cent${i - 1} c) WHERE rk = 1),
+                |   FROM $in CROSS JOIN ${p}cent${i - 1} c) WHERE rk = 1),
                 |${p}rows$i AS (SELECT cell, pos, ${Det.sql.davg("CAST(x AS DOUBLE)")} AS c FROM
                 |  (SELECT cell, unnest(embedding) AS x, unnest(range(len(embedding))) AS pos
                 |   FROM ${p}assign$i) GROUP BY cell, pos)""".stripMargin
@@ -435,6 +509,91 @@ object VectorQueries {
        |  ${Det.sql.dsum(s"($dist)")} AS inertia
        |FROM assign$last a JOIN cent${last - 1} c ON a.cell = c.cell
        |GROUP BY a.cell""".stripMargin
+  }
+
+  /** Collected (cell, center) pairs of a (cell, pos, c) centroid-rows
+    * frame — the [[kmeansFitFrom]] collect shape, shared by v41. */
+  private def collectCenterRows(rows: DataFrame): Seq[(Int, Array[Double])] =
+    rows.collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (cell, rs) =>
+        (cell.toInt, rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray) }
+
+  /** Same-order squared L2 between two driver-side centers — the
+    * left fold both engines replay (IEEE ops in pos order). */
+  private def sqDistArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** v41's builder — "repair, don't rebuild": the maintenance pass an
+    * upserted index needs once drift monitoring (x14) fires. `oldC`
+    * is the SERVING center set, `newC` the refreshed one; cells whose
+    * center moved past `thresh` (squared L2, k·d driver doubles —
+    * never a corpus op) are the DIRTY set, and only vectors currently
+    * IN a dirty cell are re-scored — one narrow codegen'd scan
+    * against both broadcast-literal center sets, emitting
+    * (vec_id, cell_old, cell_new) for the rows that actually move.
+    * On a drift-free index the dirty set is empty and the scan prunes
+    * to nothing (R10OpsSpec pins idempotence + moved ⊆ corpus). */
+  def ivfRepairFrom(e: DataFrame, oldC: Seq[(Int, Array[Double])],
+      newC: Seq[(Int, Array[Double])], thresh: Double): DataFrame = {
+    val newByCell = newC.toMap
+    if (sys.env.contains("GRAFT_DEBUG_REPAIR"))
+      oldC.foreach { case (cell, oc) => newByCell.get(cell).foreach(nc =>
+        println(s"[repair] cell=$cell move=${sqDistArr(oc, nc)}")) }
+    val dirty = oldC.collect {
+      case (cell, oc) if newByCell.contains(cell) &&
+        sqDistArr(oc, newByCell(cell)) > thresh => cell.toLong
+    }
+    val dim = oldC.head._2.length
+    val assigned = kmeansAssign(e, oldC)
+    val inDirty =
+      if (dirty.isEmpty) assigned.filter(lit(false))
+      else assigned.filter(col("cell").isin(dirty: _*))
+    inDirty
+      .select(col("vec_id"), col("cell").as("cell_old"),
+        graft.functions.VectorExprs.nearest_centroid(
+          col("embedding"), newC, dim).as("cell_new"))
+      .filter(col("cell_new") =!= col("cell_old"))
+  }
+
+  /** v41 over the standard lifecycle: serving centers = the sample-
+    * bounded fit (cent$(iters-1)); refreshed centers = the full-corpus
+    * mean update of the final assignment (rows$iters) — exactly the
+    * drift a periodic refresh produces. */
+  def ivfRepair(e: DataFrame, k: Int = KMEANS_K,
+      thresh: Double = IVF_REPAIR_THRESH): DataFrame = {
+    val old = kmeansFit(e, k, KMEANS_ITERS - 1)
+    val refreshed = collectCenterRows(cellRows(kmeansAssign(e, old)))
+    ivfRepairFrom(e, old, refreshed, thresh)
+  }
+
+  /** DuckDB mirror of [[ivfRepair]]: centN from rows$iters, dirty
+    * cells by the same fixed-order fold, re-assignment ranked over
+    * centN only for rows whose assign$iters cell is dirty. */
+  def ivfRepairSql(k: Int = KMEANS_K,
+      thresh: Double = IVF_REPAIR_THRESH): String = {
+    val last = KMEANS_ITERS
+    val moveDist = O.dfold(
+      "list_transform(o.cent, (mx, mi) -> (mx - n.cent[mi]) * (mx - n.cent[mi]))")
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val assignDist = O.dfold(
+      s"list_transform(a.embedding, (kx, ki) -> (${d("kx")} - n.cent[ki]) * (${d("kx")} - n.cent[ki]))")
+    s"""WITH ${kmeansCtesSql(k, last)},
+       |centN AS (SELECT cell, list(c ORDER BY pos) AS cent
+       |          FROM rows$last GROUP BY cell),
+       |dirty AS (SELECT o.cell FROM cent${last - 1} o
+       |          JOIN centN n ON o.cell = n.cell
+       |          WHERE ($moveDist) > $thresh),
+       |re AS (SELECT vec_id, cell_old, cell AS cell_new FROM (
+       |  SELECT a.vec_id, a.cell AS cell_old, n.cell,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ($assignDist) ASC, n.cell ASC) AS rk
+       |  FROM assign$last a JOIN dirty dt ON a.cell = dt.cell
+       |  CROSS JOIN centN n) WHERE rk = 1)
+       |SELECT vec_id, cell_old, cell_new FROM re
+       |WHERE cell_new != cell_old""".stripMargin
   }
 
   /** v39's builder — embedding OOD/outlier scoring on an arbitrary
@@ -576,8 +735,9 @@ object VectorQueries {
     def distTo(cent: String) = O.dfold(
       s"list_transform(embedding, (kx, ki) -> (${d("kx")} - $cent[ki]) * (${d("kx")} - $cent[ki]))")
     val sb = new StringBuilder
+    // seeds scan the bounded fit sample (${p}fe), like the Lloyd fit
     sb ++= s"""${p}kpp0 AS (SELECT list_transform(embedding, sx -> ${d("sx")}) AS cent
-              |  FROM ${p}e WHERE vec_id = (SELECT min(vec_id) FROM ${p}e))""".stripMargin
+              |  FROM ${p}fe WHERE vec_id = (SELECT min(vec_id) FROM ${p}fe))""".stripMargin
     for (j <- 1 until k) {
       val dists = (0 until j).map(i => s"(${distTo(s"${p}kpp$i.cent")})")
       val dmin = if (dists.size == 1) dists.head
@@ -585,7 +745,7 @@ object VectorQueries {
       val joins = (0 until j).map(i => s"CROSS JOIN ${p}kpp$i").mkString(" ")
       sb ++= s""",
                 |${p}kpp$j AS (SELECT list_transform(embedding, sx -> ${d("sx")}) AS cent FROM (
-                |  SELECT embedding FROM ${p}e $joins
+                |  SELECT embedding FROM ${p}fe $joins
                 |  ORDER BY $dmin DESC, vec_id ASC LIMIT 1))""".stripMargin
     }
     val union = (0 until k)
@@ -646,34 +806,52 @@ object VectorQueries {
 
   /** PQ codes (vec_id, sub, code): per-subspace Lloyd fit on the
     * sliced vectors, then ONE fused encode pass over the corpus. */
-  def pqCodes(e: DataFrame, dim: Int, m: Int = PQ_M, k: Int = PQ_K,
-      iters: Int = KMEANS_ITERS): DataFrame = {
+  /** Frozen per-subspace PQ codebooks — the sample-bounded Lloyd fits
+    * v09 trains, collected once (m·k·dSub doubles). The artifact a
+    * streaming encoder ships as literals (v42). */
+  def pqCodebooks(e: DataFrame, dim: Int, m: Int = PQ_M, k: Int = PQ_K,
+      iters: Int = KMEANS_ITERS): Seq[Seq[(Int, Array[Double])]] = {
     val dSub = dim / m
-    val codeCols = (0 until m).map { s =>
+    val n = e.count() // shared by the M sub-fits' sample thresholds
+    (0 until m).map { s =>
       val subEmb = slice(col("embedding"), s * dSub + 1, dSub)
-      val centers = kmeansFit(
-        e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1)
-      // native loop with a subspace OFFSET — no per-row slice arrays
-      graft.functions.VectorExprs.nearest_centroid(
-        col("embedding"), centers, dSub, s * dSub).as(s"__code$s")
+      kmeansFit(e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1, n)
     }
-    e.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** The one-pass PQ ENCODE against FROZEN codebooks: a stateless
+    * per-row projection (native codegen'd loops with subspace
+    * OFFSETS — no per-row slice arrays), so it runs identically over
+    * a batch frame and a streaming frame (append mode, no state). */
+  def pqEncode(vecs: DataFrame, codebooks: Seq[Seq[(Int, Array[Double])]],
+      dSub: Int): DataFrame = {
+    val m = codebooks.size
+    val codeCols = (0 until m).map(s =>
+      graft.functions.VectorExprs.nearest_centroid(
+        col("embedding"), codebooks(s), dSub, s * dSub).as(s"__code$s"))
+    vecs.select(col("vec_id") +: codeCols: _*)
       .select(col("vec_id"),
         posexplode(array((0 until m).map(s => col(s"__code$s")): _*))
           .as(Seq("sub", "code")))
       .select(col("vec_id"), col("sub").cast(LongType).as("sub"), col("code"))
   }
 
+  def pqCodes(e: DataFrame, dim: Int, m: Int = PQ_M, k: Int = PQ_K,
+      iters: Int = KMEANS_ITERS): DataFrame =
+    pqEncode(e, pqCodebooks(e, dim, m, k, iters), dim / m)
+
   def pqCodesSql(dim: Int, m: Int = PQ_M, k: Int = PQ_K,
       iters: Int = KMEANS_ITERS, table: String = "embeddings",
-      leadingCtes: String = ""): String = {
+      leadingCtes: String = "", encodeWhere: String = ""): String = {
     val dSub = dim / m
     val ctes = (0 until m).map { s =>
       kmeansCtesSql(k, iters, prefix = s"s${s}_",
         src = s"SELECT vec_id, embedding[${s * dSub + 1}:${(s + 1) * dSub}] AS embedding FROM $table")
     }
+    // encodeWhere restricts the ENCODE output only (v42's streamed
+    // slice) — the codebook fits above always train on the full table
     val unions = (0 until m).map { s =>
-      s"SELECT vec_id, CAST($s AS BIGINT) AS sub, cell AS code FROM s${s}_assign$iters"
+      s"SELECT vec_id, CAST($s AS BIGINT) AS sub, cell AS code FROM s${s}_assign$iters $encodeWhere"
     }
     val lead = if (leadingCtes.isEmpty) "" else leadingCtes + ",\n"
     s"WITH $lead${ctes.mkString(",\n")}\n${unions.mkString("\nUNION ALL\n")}"
@@ -699,10 +877,11 @@ object VectorQueries {
   def pqDistortionOf(e: DataFrame, dim: Int = 64,
       m: Int = PQ_M, k: Int = PQ_K, iters: Int = KMEANS_ITERS): DataFrame = {
     val dSub = dim / m
+    val n = e.count() // shared by the M sub-fits' sample thresholds
     val rows = (0 until m).map { sub =>
       val subEmb = slice(col("embedding"), sub * dSub + 1, dSub)
       val centers = kmeansFit(
-        e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1)
+        e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1, n)
       val code = graft.functions.VectorExprs.nearest_centroid(
         col("embedding"), centers, dSub, sub * dSub)
       // assignment AND its quantization error in two native codegen'd
@@ -1262,7 +1441,8 @@ object VectorQueries {
               |SELECT q_id, n_id, sim, rank FROM
               |(SELECT q_id, n_id, sim, CAST(row_number() OVER
               |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
-              | FROM rr) WHERE rank <= 5""".stripMargin)),
+              | FROM rr) WHERE rank <= 5""".stripMargin),
+      bench = true),
 
     // Int8 scalar quantization (SQ) — the simplest 4× vector
     // compression: per-DIMENSION min/max over the corpus define 256
@@ -1761,8 +1941,15 @@ object VectorQueries {
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
-        kmeansInertiaOf(e,
-          kmeansFitFrom(e, kmeansppSeeds(e, KMEANS_K), KMEANS_ITERS - 1))
+        // seeds AND Lloyd train on the bounded sample; only the
+        // inertia pass below scans the full corpus. Cached: the kpp
+        // maxmin chain alone is k scans of the sample.
+        val fs = fitSample(e, FIT_SAMPLE_PER_K * KMEANS_K)
+        val sampled = fs ne e
+        if (sampled) fs.cache()
+        try kmeansInertiaOf(e,
+          kmeansFitFrom(fs, kmeansppSeeds(fs, KMEANS_K), KMEANS_ITERS - 1))
+        finally { if (sampled) fs.unpersist(blocking = false) }
       },
       Some(kppInertiaSql())),
 
@@ -1810,7 +1997,76 @@ object VectorQueries {
       (s, dir) => centroidOutliersOf(
         Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))),
-      Some(centroidOutliersSql()))
+      Some(centroidOutliersSql())),
+
+    // Training-sample pin — the integer arithmetic every sample-
+    // bounded codebook fit rests on (fitThreshold + the hash
+    // predicate), gated at a target SMALL enough (128) that the
+    // sample is a strict subset even at the driver's 500-row SF.
+    // The production fits (256·k) sample only past that size — this
+    // gate proves both engines select the SAME rows and compute the
+    // SAME threshold wherever the cut lands.
+    Q("v44_fit_sample",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings").select(col("vec_id"))
+        val th = fitThreshold(e.count(), 128L)
+        val h = seedHash(col("vec_id"))
+        e.filter(h < lit(th))
+          .select(col("vec_id"), h.as("h"), lit(th).as("th"))
+      },
+      Some("""WITH fn AS (SELECT CASE WHEN count(*) <= 128
+             |    THEN CAST(1000003 AS BIGINT)
+             |    ELSE (CAST(1000003 AS BIGINT) * 128) // count(*) END AS th
+             |  FROM embeddings)
+             |SELECT vec_id, ((vec_id % 1000003) * 2654435761) % 1000003 AS h, th
+             |FROM embeddings, fn
+             |WHERE ((vec_id % 1000003) * 2654435761) % 1000003 < th""".stripMargin)),
+
+    // IVF maintenance — the "repair, don't rebuild" pass that closes
+    // the index lifecycle: v21/v28 ingest new vectors, x14/x15 watch
+    // drift, and this re-assigns ONLY the vectors of cells whose
+    // refreshed center moved past IVF_REPAIR_THRESH. Center movement
+    // is k·d driver doubles; the corpus sees one narrow scan pruned
+    // to the dirty cells; output is the (vec_id, cell_old, cell_new)
+    // move list an upserted 100 TB index applies in place.
+    Q("v41_ivf_repair",
+      (s, dir) => ivfRepair(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
+      Some(ivfRepairSql())),
+
+    // Streaming PQ encode — v09's ENCODE stage as continuous ingest
+    // (the v28 frozen-reference pattern applied to quantization):
+    // codebooks are FROZEN from the batch fit (m·k·dSub doubles
+    // shipped as literals) and each arriving vector takes its m codes
+    // in one stateless codegen'd projection — append mode, no state,
+    // no watermark, O(batch) per micro-batch. With v28 (IVF assign)
+    // and this, every ANN index artifact is buildable continuously.
+    // Hash-gated against v09's own oracle restricted to the streamed
+    // slice: continuous encode ≡ batch encode bit-for-bit.
+    Q("v42_pq_stream",
+      (s, dir) => {
+        val batch = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val books = pqCodebooks(batch, 64)
+        graft.streaming.StreamingOps.runToTable(s,
+          pqEncode(graft.streaming.StreamingOps.readEmbeddings(s, dir)
+            .filter(col("vec_id") % 7 === 3)
+            .select(col("vec_id"), col("embedding")),
+            books, 64 / PQ_M),
+          "append", "graft_v42_sink_")
+      },
+      Some(pqCodesSql(64, encodeWhere = "WHERE vec_id % 7 = 3"))),
+
+    // Streaming binary encode — v25's sign-bit packing over the same
+    // streamed slice. No training artifact at all (the encode is a
+    // pure fold), so the stream twin is the projection itself.
+    Q("v43_binary_stream",
+      (s, dir) => graft.streaming.StreamingOps.runToTable(s,
+        binaryCodes(graft.streaming.StreamingOps.readEmbeddings(s, dir)
+          .filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id"), col("embedding"))),
+        "append", "graft_v43_sink_"),
+      Some(binaryCodesOracle + "\nWHERE vec_id % 7 = 3"))
   )
 
   /** v26's builder on an arbitrary (vec_id, embedding) frame — shared
@@ -2187,6 +2443,7 @@ object VectorQueries {
     val coarse = kmeansFit(e, coarseK, iters - 1)
     val resid = residuals(kmeansAssign(e, coarse), coarse).cache()
     val codes = pqCodes(resid.select(col("vec_id"), col("embedding")), dim, m, k, iters)
+    // (pqCodes' count() of the 1:1 residual frame hits the cache)
     // the PQ fits inside pqCodes were the multi-read consumer; drop the
     // cache so repeated runs in one JVM don't pile up resident copies
     resid.unpersist(blocking = false)
@@ -2225,9 +2482,10 @@ object VectorQueries {
     val dim = 64; val m = PQ_M; val dSub = dim / m
     val k = PQ_K; val iters = KMEANS_ITERS
     val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = e.count() // shared by the M sub-fits' sample thresholds
     val codebooks = (0 until m).map { ss =>
       val subEmb = slice(col("embedding"), ss * dSub + 1, dSub)
-      kmeansFit(e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1)
+      kmeansFit(e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1, n)
     }
     val codeCols = (0 until m).map(ss =>
       graft.functions.VectorExprs.nearest_centroid(
@@ -2280,12 +2538,13 @@ object VectorQueries {
   def ivfPqAdcScores(e: DataFrame): DataFrame = {
     val dim = 64; val m = PQ_M; val dSub = dim / m
     val iters = KMEANS_ITERS
-    val coarse = kmeansFit(e, KMEANS_K, iters - 1)
+    val n = e.count() // one count shared by every sample threshold
+    val coarse = kmeansFit(e, KMEANS_K, iters - 1, n)
     val resid = residuals(kmeansAssign(e, coarse), coarse).cache()
     val codebooks = (0 until m).map { ss =>
       val subEmb = slice(col("embedding"), ss * dSub + 1, dSub)
       kmeansFit(resid.select(col("vec_id"), subEmb.as("embedding")),
-        PQ_K, iters - 1)
+        PQ_K, iters - 1, n)
     }
     // the eager fit loops above were the multi-read consumer; drop
     // the cache now so a long-lived session doesn't accumulate one
