@@ -585,6 +585,44 @@ object DialectQueries {
     // to the p14 builder, gated by the same oracle.
     Q("s50_dialect_epochs",
       sql("epochs source, text from documents budget 1000000"),
-      Some(PipelineQueries.epochPlanOracle(1000000L)))
+      Some(PipelineQueries.epochPlanOracle(1000000L))),
+
+    // Cohort retention on the dialect surface: `retention user, ts
+    // from t` lowers VERBATIM to the e24 builder, gated by its oracle.
+    Q("s51_dialect_retention",
+      sql("retention user_id, ts from events"),
+      Some(EventQueries.retentionCohortsOracle)),
+
+    // Corpus snapshot diff on the dialect surface — the s49 two-table
+    // self-gate pattern: `diff text from documents against documents`
+    // pins the absolute invariant (every fingerprint 'retained',
+    // volumes = the corpus's own) through the whole statement path;
+    // PlannerSpec pins statement ≡ builder on DISTINCT snapshots.
+    // n_chars = octet_length(text) (byte length — engine-portable
+    // where codepoint counts are not).
+    Q("s52_dialect_diff",
+      sql("diff text from documents against documents"),
+      Some {
+        val fp = OracleSql.foldHash(OracleSql.tokenHashes("text"))
+        s"""WITH s AS (SELECT $fp AS fp, count(*) AS n,
+           |  sum(coalesce(strlen(text), 0)) AS ch FROM documents GROUP BY 1)
+           |SELECT 'retained' AS status, CAST(count(*) AS BIGINT) AS n_fps,
+           |  CAST(sum(n) AS BIGINT) AS n_docs,
+           |  CAST(sum(ch) AS BIGINT) AS n_chars
+           |FROM s""".stripMargin
+      }),
+
+    // Tokenizer fertility on the dialect surface: `fertility lang,
+    // text from t` lowers VERBATIM to the t44 builder.
+    Q("s53_dialect_fertility",
+      sql("fertility lang, text from documents"),
+      Some(TextQueries.tokenFertilityOracle)),
+
+    // Pack-efficiency curve on the dialect surface: `packing id, text
+    // from t sizes …` lowers VERBATIM to the t45 builder; the sizes
+    // list parses into the same one-cumsum multi-size plan.
+    Q("s54_dialect_packing",
+      sql("packing doc_id, text from documents sizes 256, 512, 1024"),
+      Some(TextQueries.packEfficiencyOracle(Seq(256L, 512L, 1024L))))
   )
 }

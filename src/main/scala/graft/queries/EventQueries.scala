@@ -545,16 +545,21 @@ object EventQueries {
     // day arithmetic.
     Q("e24_retention_cohorts",
       (s, dir) => retentionCohortsOf(Tables(s, dir, "events")),
-      Some("""WITH wks AS (SELECT DISTINCT user_id,
-             |              CAST(date_trunc('week', ts) AS DATE) AS wk
-             |            FROM events),
-             |fw AS (SELECT user_id, min(wk) AS cohort FROM wks GROUP BY user_id)
-             |SELECT cohort, wk,
-             |  CAST((wk - cohort) // 7 AS BIGINT) AS week_idx,
-             |  CAST(count(*) AS BIGINT) AS n_active
-             |FROM wks JOIN fw USING (user_id)
-             |GROUP BY cohort, wk""".stripMargin))
+      Some(retentionCohortsOracle))
   )
+
+  /** DuckDB mirror of [[retentionCohortsOf]] over `events` — shared
+    * by the e24 gate and the dialect `retention` statement's s51. */
+  def retentionCohortsOracle: String =
+    """WITH wks AS (SELECT DISTINCT user_id,
+      |              CAST(date_trunc('week', ts) AS DATE) AS wk
+      |            FROM events),
+      |fw AS (SELECT user_id, min(wk) AS cohort FROM wks GROUP BY user_id)
+      |SELECT cohort, wk,
+      |  CAST((wk - cohort) // 7 AS BIGINT) AS week_idx,
+      |  CAST(count(*) AS BIGINT) AS n_active
+      |FROM wks JOIN fw USING (user_id)
+      |GROUP BY cohort, wk""".stripMargin
 
   /** e24's builder on an arbitrary events frame — shared with
     * ScaleProbe: (user, week) distinct → user-keyed first-week min →

@@ -192,6 +192,34 @@ object Ast {
   final case class EpochsStmt(srcCol: String, textCol: String,
       from: FromClause, budget: Long) extends Stmt
 
+  /** `retention <userCol>[,] <tsCol> from <table>` — e24's cohort
+    * retention on the SQL surface: first-active-week cohorts × active
+    * weeks. Emits (cohort, wk, week_idx, n_active). */
+  final case class RetentionStmt(userCol: String, tsCol: String,
+      from: FromClause) extends Stmt
+
+  /** `diff <textCol> from <oldTable> against <newTable>` — d20's
+    * corpus snapshot diff on the SQL surface (the drift two-table
+    * shape): fingerprint-keyed added/removed/retained rollup with doc
+    * and char volumes; n_chars = octet_length(text) per side (byte
+    * length is engine-portable; codepoint counts are not). */
+  final case class DiffStmt(textCol: String, old: FromClause,
+      cur: FromClause) extends Stmt
+
+  /** `fertility <langCol>[,] <textCol> from <table>` — t44's
+    * per-language tokenizer-pressure profile on the SQL surface:
+    * docs/words/subwords, fertility (subwords per word), chars per
+    * subword. */
+  final case class FertilityStmt(langCol: String, textCol: String,
+      from: FromClause) extends Stmt
+
+  /** `packing <idCol>[,] <textCol> from <table> [sizes <n>[, <n>…]]`
+    * — t45's pack-efficiency curve on the SQL surface: bins,
+    * straddlers, and fill rate per candidate context length from ONE
+    * distributed cumsum. */
+  final case class PackingStmt(idCol: String, textCol: String,
+      from: FromClause, sizes: Seq[Long]) extends Stmt
+
   /** `trend <tsCol>[,] <keyCol> from <table> [top <k>]` — e21's
     * trending on the SQL surface: the top-k key values of every
     * 2h/1h sliding window by event count. Emits

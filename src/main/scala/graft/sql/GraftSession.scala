@@ -156,6 +156,10 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
       case s: Ast.OutliersStmt => planner.planOutliers(s)
       case s: Ast.DriftStmt => planner.planDrift(s)
       case s: Ast.EpochsStmt => planner.planEpochs(s)
+      case s: Ast.RetentionStmt => planner.planRetention(s)
+      case s: Ast.DiffStmt => planner.planDiff(s)
+      case s: Ast.FertilityStmt => planner.planFertility(s)
+      case s: Ast.PackingStmt => planner.planPacking(s)
       case s: Ast.MixStmt => planner.planMix(s)
     }
   }

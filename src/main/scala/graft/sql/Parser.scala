@@ -69,6 +69,10 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "outliers")) { advance(); parseOutliers() }
     else if (matches(peek, "drift")) { advance(); parseDrift() }
     else if (matches(peek, "epochs")) { advance(); parseEpochs() }
+    else if (matches(peek, "retention")) { advance(); parseRetention() }
+    else if (matches(peek, "diff")) { advance(); parseDiff() }
+    else if (matches(peek, "fertility")) { advance(); parseFertility() }
+    else if (matches(peek, "packing")) { advance(); parsePacking() }
     else parseQuery()
 
   /** `mix <idCol>[,] <textCol> from <table> [nh] [budget <n>]
@@ -230,6 +234,103 @@ final class Parser(toks: Vector[Tok]) {
       throw ParseError(s"unexpected trailing token '${peek.text}'")
     EpochsStmt(srcCol, textCol,
       FromClause(table, None, noHeader, intColumns = false, Nil), budget)
+  }
+
+  /** `retention <userCol>[,] <tsCol> from <table> [nh]`. */
+  private def parseRetention(): RetentionStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val userCol = colName()
+    accept(",")
+    val tsCol = colName()
+    if (userCol == tsCol)
+      throw ParseError("retention: user and timestamp columns must be distinct")
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    RetentionStmt(userCol, tsCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil))
+  }
+
+  /** `diff <textCol> from <oldTable> [nh] against <newTable> [nh]` —
+    * the drift two-table shape. */
+  private def parseDiff(): DiffStmt = {
+    val textCol = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    expect("from")
+    val old = parseTableRef()
+    var oldNh = prefixNh
+    while (accept("nh") || accept("noheader")) oldNh = true
+    expect("against")
+    val cur = parseTableRef()
+    var curNh = prefixNh
+    while (accept("nh") || accept("noheader")) curNh = true
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    DiffStmt(textCol,
+      FromClause(old, None, oldNh, intColumns = false, Nil),
+      FromClause(cur, None, curNh, intColumns = false, Nil))
+  }
+
+  /** `fertility <langCol>[,] <textCol> from <table> [nh]`. */
+  private def parseFertility(): FertilityStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val langCol = colName()
+    accept(",")
+    val textCol = colName()
+    if (langCol == textCol)
+      throw ParseError("fertility: language and text columns must be distinct")
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    FertilityStmt(langCol, textCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil))
+  }
+
+  /** `packing <idCol>[,] <textCol> from <table> [nh]
+    * [sizes <n>[, <n>…]]` — sizes default to 256, 512, 1024. */
+  private def parsePacking(): PackingStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val textCol = colName()
+    if (idCol == textCol)
+      throw ParseError("packing: id and text columns must be distinct")
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val sizes =
+      if (accept("sizes")) {
+        val buf = scala.collection.mutable.ArrayBuffer(parseNumber())
+        while (accept(",")) buf += parseNumber()
+        buf.toSeq
+      } else Seq(256L, 512L, 1024L)
+    sizes.foreach { l =>
+      if (l < 1) throw ParseError(s"packing size must be at least 1, got $l")
+    }
+    if (sizes.distinct.size != sizes.size)
+      throw ParseError("packing sizes must be distinct")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    PackingStmt(idCol, textCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), sizes)
   }
 
   /** `trend <tsCol>[,] <keyCol> from <table> [nh] [top <k>]`. */

@@ -392,6 +392,64 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     graft.queries.PipelineQueries.epochPlan(docs, st.budget)
   }
 
+  /** `retention user, ts from t` — lowers VERBATIM to the e24 builder
+    * (EventQueries.retentionCohortsOf): first-active-week cohorts ×
+    * active weeks; every exchange is over a frame that only shrinks. */
+  def planRetention(st: RetentionStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val ev = base.select(named(base, st.userCol, "user_id"),
+      named(base, st.tsCol, "ts"))
+    if (!ev.schema("ts").dataType.isInstanceOf[TimestampType])
+      throw PlanError(s"retention: ${st.tsCol} must be a timestamp column")
+    graft.queries.EventQueries.retentionCohortsOf(ev)
+  }
+
+  /** `diff text from old against new` — lowers VERBATIM to the d20
+    * builder (DedupQueries.snapshotDiff): two map-side-combined
+    * fingerprint-keyed aggs + a full outer on the AGG outputs;
+    * n_chars is computed as length(text) per side. */
+  def planDiff(st: DiffStmt): DataFrame = {
+    def side(from: FromClause, role: String): DataFrame = {
+      val base = resolve(from.table, from.noHeader)
+      val t = base.select(named(base, st.textCol, "text"))
+      if (!t.schema("text").dataType.isInstanceOf[StringType])
+        throw PlanError(
+          s"diff: ${st.textCol} must be a text column in the $role table")
+      // octet_length (UTF-8 bytes): Spark length() counts UTF-16
+      // units while DuckDB length() counts codepoints — they diverge
+      // on supplementary characters; byte length is engine-portable
+      t.select(col("text"),
+        coalesce(octet_length(col("text")).cast(LongType), lit(0L)).as("n_chars"))
+    }
+    graft.queries.DedupQueries.snapshotDiff(
+      side(st.old, "old"), side(st.cur, "new"))
+  }
+
+  /** `fertility lang, text from t` — lowers VERBATIM to the t44
+    * builder (TextQueries.tokenFertility): one fused text_profile
+    * pass, one lang-keyed agg, ratios on the k-language frame. */
+  def planFertility(st: FertilityStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val docs = base.select(named(base, st.langCol, "lang"),
+      named(base, st.textCol, "text"))
+    if (!docs.schema("text").dataType.isInstanceOf[StringType])
+      throw PlanError(s"fertility: ${st.textCol} must be a text column")
+    graft.queries.TextQueries.tokenFertility(docs)
+  }
+
+  /** `packing id, text from t [sizes …]` — lowers VERBATIM to the t45
+    * builder (TextQueries.packEfficiency): every candidate context
+    * length priced from ONE distributed cumsum (RowNumbers, never a
+    * single-partition window). */
+  def planPacking(st: PackingStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val docs = base.select(named(base, st.idCol, "doc_id"),
+      named(base, st.textCol, "text"))
+    if (!docs.schema("text").dataType.isInstanceOf[StringType])
+      throw PlanError(s"packing: ${st.textCol} must be a text column")
+    graft.queries.TextQueries.packEfficiency(docs, st.sizes)
+  }
+
   /** `quantize id, vec from t` — lowers VERBATIM to the v25 builder
     * (VectorQueries.binaryCodes): two packed sign-bit BIGINT halves
     * per vector, a pure per-row fold with zero exchanges. */

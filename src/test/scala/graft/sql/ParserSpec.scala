@@ -301,6 +301,50 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("drift v from a against b extra"))
   }
 
+  test("retention statement grammar") {
+    val r = Parser.parseStmt("retention user_id, ts from events")
+      .asInstanceOf[Ast.RetentionStmt]
+    assert(r.userCol == "user_id" && r.tsCol == "ts" && r.from.table == "events")
+    assert(Parser.parseStmt("retention u t from e")
+      .isInstanceOf[Ast.RetentionStmt], "comma is optional")
+    assertThrows[Exception](Parser.parseStmt("retention user_id from events"))
+    assertThrows[Exception](Parser.parseStmt("retention a, a from events"))
+    assertThrows[Exception](Parser.parseStmt("retention a, b from e extra"))
+  }
+
+  test("diff statement grammar: two tables via against") {
+    val d = Parser.parseStmt("diff text from snap_a against snap_b")
+      .asInstanceOf[Ast.DiffStmt]
+    assert(d.textCol == "text")
+    assert(d.old.table == "snap_a" && d.cur.table == "snap_b")
+    assertThrows[Exception](Parser.parseStmt("diff text from a"))
+    assertThrows[Exception](Parser.parseStmt("diff from a against b"))
+    assertThrows[Exception](Parser.parseStmt("diff t from a against b extra"))
+  }
+
+  test("fertility statement grammar") {
+    val f = Parser.parseStmt("fertility lang, text from documents")
+      .asInstanceOf[Ast.FertilityStmt]
+    assert(f.langCol == "lang" && f.textCol == "text")
+    assertThrows[Exception](Parser.parseStmt("fertility lang from t"))
+    assertThrows[Exception](Parser.parseStmt("fertility a, a from t"))
+    assertThrows[Exception](Parser.parseStmt("fertility a, b from t extra"))
+  }
+
+  test("packing statement grammar: sizes list") {
+    val p = Parser.parseStmt("packing doc_id, text from documents sizes 128, 256")
+      .asInstanceOf[Ast.PackingStmt]
+    assert(p.idCol == "doc_id" && p.textCol == "text")
+    assert(p.sizes == Seq(128L, 256L))
+    val d = Parser.parseStmt("packing doc_id, text from documents")
+      .asInstanceOf[Ast.PackingStmt]
+    assert(d.sizes == Seq(256L, 512L, 1024L), "sizes default to 256/512/1024")
+    assertThrows[Exception](Parser.parseStmt("packing a, a from t"))
+    assertThrows[Exception](Parser.parseStmt("packing a, b from t sizes 0"))
+    assertThrows[Exception](Parser.parseStmt("packing a, b from t sizes 4, 4"))
+    assertThrows[Exception](Parser.parseStmt("packing a, b from t extra"))
+  }
+
   test("epochs statement grammar") {
     val e = Parser.parseStmt("epochs source, text from documents budget 5000")
       .asInstanceOf[Ast.EpochsStmt]

@@ -705,6 +705,71 @@ class PlannerSpec extends SparkSpec {
     assertThrows[Exception](g.sql("epochs source, n_chars from documents"))
   }
 
+  test("retention statement executes: builder-equal, clean errors") {
+    val r = g.sql("retention user_id, ts from events")
+    assert(r.columns.toSeq == Seq("cohort", "wk", "week_idx", "n_active"))
+    val rows = r.collect().map(_.toSeq).toSet
+    assert(rows.nonEmpty)
+    val builderEq = graft.queries.EventQueries.retentionCohortsOf(
+      g.sql("select user_id, ts from events")).collect().map(_.toSeq).toSet
+    assert(rows == builderEq, "statement must equal the e24 builder")
+    // non-timestamp ts column -> clean PlanError
+    assertThrows[Exception](g.sql("retention user_id, event_type from events"))
+  }
+
+  test("diff statement executes: self-diff all retained, distinct snapshots builder-equal") {
+    import org.apache.spark.sql.functions._
+    val d = g.sql("diff text from documents against documents")
+    assert(d.columns.toSeq == Seq("status", "n_fps", "n_docs", "n_chars"))
+    val self = d.collect()
+    assert(self.length == 1 && self.head.getString(0) == "retained",
+      "a corpus diffed against itself is all retained")
+    // DISTINCT snapshots through the statement path: register the two
+    // doc_id%3 thirds the d20 gate uses and diff them by table name
+    val docs = g.sql("select doc_id, text from documents")
+    val gm = graft.sql.GraftSession(spark, sf0001)
+      .register("snap_old", docs.filter(col("doc_id") % 3 =!= 0).select(col("text")))
+      .register("snap_new", docs.filter(col("doc_id") % 3 =!= 1).select(col("text")))
+    val viaStmt = gm.sql("diff text from snap_old against snap_new")
+      .collect().map(_.toSeq).toSet
+    def side(df: org.apache.spark.sql.DataFrame) = df.select(col("text"),
+      coalesce(octet_length(col("text")).cast("long"), lit(0L)).as("n_chars"))
+    val builderEq = graft.queries.DedupQueries.snapshotDiff(
+      side(docs.filter(col("doc_id") % 3 =!= 0)),
+      side(docs.filter(col("doc_id") % 3 =!= 1)))
+      .collect().map(_.toSeq).toSet
+    assert(viaStmt == builderEq, "statement must equal the d20 builder")
+    assert(viaStmt.size == 3, "distinct snapshots carry added+removed+retained")
+    // non-text column -> clean PlanError
+    assertThrows[Exception](g.sql("diff doc_id from documents against documents"))
+  }
+
+  test("fertility statement executes: builder-equal, clean errors") {
+    val f = g.sql("fertility lang, text from documents")
+    assert(f.columns.toSeq == Seq("lang", "n_docs", "n_words", "n_subwords",
+      "fertility", "chars_per_subword"))
+    val rows = f.collect().map(_.toSeq).toSet
+    assert(rows.nonEmpty)
+    val builderEq = graft.queries.TextQueries.tokenFertility(
+      g.sql("select lang, text from documents")).collect().map(_.toSeq).toSet
+    assert(rows == builderEq, "statement must equal the t44 builder")
+    assertThrows[Exception](g.sql("fertility lang, doc_id from documents"))
+  }
+
+  test("packing statement executes: builder-equal, sizes honored, clean errors") {
+    val p = g.sql("packing doc_id, text from documents sizes 128")
+    assert(p.columns.toSeq == Seq("size", "n_bins", "spanning_docs", "fill_rate"))
+    val rows = p.collect().map(_.toSeq).toSet
+    assert(rows.size == 1)
+    val builderEq = graft.queries.TextQueries.packEfficiency(
+      g.sql("select doc_id, text from documents"), Seq(128L))
+      .collect().map(_.toSeq).toSet
+    assert(rows == builderEq, "statement must equal the t45 builder")
+    assert(g.sql("packing doc_id, text from documents").collect().length == 3,
+      "default sizes are 256/512/1024")
+    assertThrows[Exception](g.sql("packing doc_id, n_chars from documents"))
+  }
+
   test("dedup best executes: one keeper per cluster, builder-equal") {
     val b = g.sql("dedup best doc_id, text from documents")
     assert(b.columns.toSeq == Seq("doc_id", "cluster_id", "quality", "keep"))
