@@ -127,22 +127,80 @@ object Multimodal {
         // null payload (a null CSV text cast to binary) = empty: no
         // grams, no votes, phash 0 — never an NPE on user data
         val bs = if (r.media == null) Array.emptyByteArray else r.media
-        val ones = new Array[Long](bits)
-        var n = 0L
-        var i = 0
-        while (i + 3 < bs.length) {
-          var h = 0L
-          var j = 0
-          while (j < 4) { h = (h * 31 + (bs(i + j) & 0xff)) % 1000000007L; j += 1 }
-          var b = 0
-          while (b < bits) { ones(b) += (h >> b) & 1L; b += 1 }
-          n += 1
-          i += 1
+        MediaPhash(r.doc_id, r.kind, gramSimhash(bs, 0, bs.length, bits))
+      }
+    }
+  }
+
+  /** Strict-majority simhash (the d05 vote) over rolling byte-4-gram
+    * hashes of bs[from, until) — grams fully inside the range vote.
+    * Shared by [[perceptualHash]] (whole payload) and
+    * [[videoSignatures]] (per-frame span). */
+  private def gramSimhash(bs: Array[Byte], from: Int, until: Int,
+      bits: Int): Long = {
+    val ones = new Array[Long](bits)
+    var n = 0L
+    var i = math.max(from, 0)
+    while (i + 3 < until) {
+      var h = 0L
+      var j = 0
+      while (j < 4) { h = (h * 31 + (bs(i + j) & 0xff)) % 1000000007L; j += 1 }
+      var b = 0
+      while (b < bits) { ones(b) += (h >> b) & 1L; b += 1 }
+      n += 1
+      i += 1
+    }
+    var ph = 0L
+    var b = 0
+    while (b < bits) { if (2 * ones(b) > n) ph |= (1L << b); b += 1 }
+    ph
+  }
+
+  /** Strict-majority simhash over an explicit hash list (the same
+    * vote as [[gramSimhash]], tokens given directly). */
+  private def simhashOver(hs: Seq[Long], bits: Int): Long = {
+    var ph = 0L
+    var b = 0
+    while (b < bits) {
+      var ones = 0L
+      hs.foreach(h => ones += (h >> b) & 1L)
+      if (2 * ones > hs.size) ph |= (1L << b)
+      b += 1
+    }
+    ph
+  }
+
+  final case class VideoSig(
+      doc_id: Long,
+      sig: Long)                 // order-aware per-video signature
+
+  /** m06: per-video perceptual signature — m02's evenly-spaced frame
+    * sampling composed with m05's 4-gram simhash, per FRAME SPAN: the
+    * payload is cut into n_frames equal byte spans (the pseudo-frame
+    * contract), each sampled span gets its gram simhash, and the
+    * (phash·31 + pos) token hashes fold into one order-aware simhash.
+    * A re-encode (small byte edits, different checksum) keeps most
+    * grams in most sampled spans, so the signature usually survives —
+    * the collision m04's exact checksum can never produce. Narrow
+    * mapPartitions like every decode-stage feature; no shuffle. */
+  def videoSignatures(media: Dataset[MediaRecord], maxFrames: Int = 4,
+      bits: Int = 24)(implicit spark: SparkSession): Dataset[VideoSig] = {
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRecord].mapPartitions { batch =>
+      batch.map { r =>
+        val bs = if (r.media == null) Array.emptyByteArray else r.media
+        val len = bs.length.toLong
+        val nf = len % 30 + 1          // Decoder.decode's video n_frames
+        val samples = math.min(nf, maxFrames.toLong).toInt
+        val step = nf / samples
+        val span = math.max(1L, len / nf)
+        val toks = (0 until samples).map { i =>
+          val pos = i.toLong * step
+          val from = math.min(pos * span, len).toInt
+          val until = math.min((pos + 1) * span, len).toInt
+          (gramSimhash(bs, from, until, bits) * 31L + pos) % 1000000007L
         }
-        var ph = 0L
-        var b = 0
-        while (b < bits) { if (2 * ones(b) > n) ph |= (1L << b); b += 1 }
-        MediaPhash(r.doc_id, r.kind, ph)
+        VideoSig(r.doc_id, simhashOver(toks, bits))
       }
     }
   }

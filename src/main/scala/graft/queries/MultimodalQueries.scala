@@ -157,6 +157,60 @@ object MultimodalQueries {
            |  CAST(count(*) AS BIGINT) AS n_distinct,
            |  CAST(sum(n - 1) AS BIGINT) AS n_redundant
            |FROM g GROUP BY kind""".stripMargin
+      }),
+
+    // Video near-dup across re-encodes — m02's frame sampling composed
+    // with m05's perceptual hash: the payload's pseudo-frames (equal
+    // byte spans) are sampled at m02's even spacing, each sampled span
+    // gets its 4-gram simhash, and the (phash·31 + pos) token hashes
+    // fold into ONE order-aware per-video signature. A re-encode
+    // (small byte edits — different m04 checksum) keeps most grams in
+    // most sampled spans, so near-identical videos collide where the
+    // exact checksum can't (MultimodalSpec pins such a collision).
+    // Scale shape: one narrow decode-stage pass, one signature-keyed
+    // agg, a 1-row rollup — nothing pairwise. The DuckDB mirror
+    // replays the span arithmetic over the doc-level gram-hash list
+    // (a frame's grams are a contiguous sublist) and both simhash
+    // votes via the shared strict-majority helper.
+    Q("m06_video_neardup",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import org.apache.spark.sql.functions._
+        val sigs = Multimodal.videoSignatures(
+          Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))).toDF()
+        sigs.groupBy(col("sig")).agg(count(lit(1)).as("n"))
+          .agg(sum(col("n")).as("n_videos"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("n") - lit(1L)).as("n_redundant"))
+      },
+      Some {
+        val gth = "list_transform(range(1, greatest(length(text) - 2, 1)), " +
+          "gi -> ((((ord(text[gi]) * 31 + ord(text[gi+1])) * 31 + " +
+          "ord(text[gi+2])) * 31 + ord(text[gi+3]))) % 1000000007)"
+        s"""WITH v AS (SELECT doc_id, strlen(text) AS len, $gth AS gth
+           |           FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+           |p AS (SELECT doc_id, len, gth, len % 30 + 1 AS nf,
+           |        LEAST(len % 30 + 1, 4) AS samples,
+           |        GREATEST(1, len // (len % 30 + 1)) AS span
+           |      FROM v),
+           |fr AS (SELECT doc_id, u.i AS fi, u.i * (nf // samples) AS pos,
+           |         LEAST(u.i * (nf // samples) * span, len) AS f_from,
+           |         LEAST((u.i * (nf // samples) + 1) * span, len) AS f_until,
+           |         gth
+           |       FROM p, UNNEST(generate_series(0, samples - 1)) AS u(i)),
+           |fp AS (SELECT doc_id, fi, pos, ${O.simhashBits(24)} AS ph FROM
+           |        (SELECT doc_id, fi, pos,
+           |           gth[CAST(f_from + 1 AS BIGINT):CAST(GREATEST(f_until - 3, 0) AS BIGINT)] AS th
+           |         FROM fr)),
+           |tk AS (SELECT doc_id, fi, (ph * 31 + pos) % 1000000007 AS tok FROM fp),
+           |sg AS (SELECT doc_id, ${O.simhashBits(24)} AS sig FROM
+           |        (SELECT doc_id, list(tok ORDER BY fi) AS th FROM tk
+           |         GROUP BY doc_id)),
+           |g AS (SELECT sig, count(*) AS n FROM sg GROUP BY sig)
+           |SELECT CAST(sum(n) AS BIGINT) AS n_videos,
+           |  CAST(count(*) AS BIGINT) AS n_distinct,
+           |  CAST(sum(n - 1) AS BIGINT) AS n_redundant
+           |FROM g""".stripMargin
       })
   )
 }

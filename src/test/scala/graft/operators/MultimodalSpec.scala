@@ -98,4 +98,34 @@ class MultimodalSpec extends graft.SparkSpec {
         s"$kind: perceptual dedup can only find MORE redundancy than exact")
     }
   }
+
+  test("video signature survives a re-encode the exact checksum can't (m06)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    // 320 bytes → n_frames = 320%30+1 = 21, 4 sampled frames at pos
+    // 0/5/10/15, span 320/21 = 15 bytes → sampled byte ranges
+    // [0,15) [75,90) [150,165) [225,240). The "re-encode" flips byte
+    // 50 — OUTSIDE every sampled span — so the signature is equal BY
+    // CONSTRUCTION while the whole-payload checksum must differ.
+    val base = Array.tabulate[Byte](320)(i => ((i * 37 + 11) % 251).toByte)
+    val reenc = base.clone(); reenc(50) = (reenc(50) ^ 0x55).toByte
+    val other = Array.tabulate[Byte](320)(i => ((i * 53 + 7) % 241).toByte)
+    val media = Seq(
+      MediaRecord(0L, base, "video", "t"),
+      MediaRecord(1L, reenc, "video", "t"),
+      MediaRecord(2L, other, "video", "t")).toDS()
+    val sig = Multimodal.videoSignatures(media).collect()
+      .map(v => v.doc_id -> v.sig).toMap
+    val sums = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f.checksum).toMap
+    assert(sums(0L) != sums(1L), "the re-encode must change the checksum")
+    assert(sig(0L) == sig(1L),
+      "the re-encode must keep the perceptual video signature")
+    assert(sig(0L) != sig(2L), "unrelated videos must not collide")
+    // and the m06 rollup is oracle-green at the gate, so the Spark
+    // arithmetic above is also what DuckDB replays byte-for-byte
+    val roll = Registry.queries("m06_video_neardup")(spark, sf0001).collect()
+    assert(roll.length == 1 && roll.head.getLong(0) >= roll.head.getLong(1),
+      "n_videos >= n_distinct")
+  }
 }
