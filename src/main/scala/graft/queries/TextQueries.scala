@@ -1162,13 +1162,26 @@ object TextQueries {
     * list handles token-less docs as margin = bq, matching Spark's
     * aggregate() start value). */
   private def t25OracleSql: String = {
-    val w = graft.operators.QualityWeights.wq.mkString(", ")
-    val bq = graft.operators.QualityWeights.bq
+    // one static oracle, exact at EVERY fixture SF: the frozen
+    // per-SF weight snapshots are selected by the corpus's total
+    // text byte length (sum strlen ≡ Spark sum octet_length), so the
+    // cross-SF sweep carries no t25 exception. An off-fixture corpus
+    // selects NULL weights and fails loudly rather than silently
+    // scoring with the wrong snapshot.
     val nf = graft.operators.QualityClassifier.NumFeatures
-    s"""WITH wv AS (SELECT [$w]::BIGINT[] AS wql)
+    val snaps = graft.operators.QualityWeights.snapshots
+    val wCase = snaps.map(s =>
+      s"WHEN ${s.key} THEN [${s.wq.mkString(", ")}]::BIGINT[]")
+      .mkString("\n    ")
+    val bCase = snaps.map(s =>
+      s"WHEN ${s.key} THEN CAST(${s.bq} AS BIGINT)").mkString(" ")
+    s"""WITH ck AS (SELECT CAST(sum(strlen(text)) AS BIGINT) AS k FROM documents),
+       |wv AS (SELECT CASE k
+       |    $wCase END AS wql,
+       |  CASE k $bCase END AS bqv FROM ck)
        |SELECT doc_id, margin_n, margin_n >= 0 AS keep FROM (
        |  SELECT doc_id,
-       |    list_reduce(list_prepend(CAST($bq AS BIGINT),
+       |    list_reduce(list_prepend(bqv,
        |      list_transform(${O.tokenHashes("text")},
        |        h -> wql[CAST(h % $nf AS INT) + 1])),
        |      (a, b) -> a + b) AS margin_n

@@ -65,21 +65,31 @@ class QualityClassifierSpec extends SparkSpec {
     })
   }
 
-  // The t25 oracle scores with QualityWeights' FROZEN literals while
-  // the gated query scores with a fresh fit — this pin catches any
-  // training drift from the snapshot here, with a readable message,
-  // before it can redden the driver's hash gate. Retrains on the
-  // sf0.01 even half (the gate's training set, 250 docs — cheap).
-  test("retraining on sf0.01 reproduces the frozen nano-weights") {
-    val gateDocs = Tables(spark, "/root/testdata/sf0.01", "documents")
-      .select(col("doc_id"), col("text"))
-    val model = QualityClassifier.train(
-      gateDocs.filter(col("doc_id") % 2 === 0), weak)
-    val (wq, bq) = QualityClassifier.quantize(model)
-    assert(bq == QualityWeights.bq,
-      s"intercept drifted: $bq vs frozen ${QualityWeights.bq} — rerun FreezeQualityWeights")
-    val diff = wq.indices.filter(i => wq(i) != QualityWeights.wq(i))
-    assert(diff.isEmpty,
-      s"${diff.length} weights drifted (first at bucket ${diff.headOption.getOrElse(-1)}) — rerun FreezeQualityWeights")
+  // The t25 oracle scores with QualityWeights' FROZEN per-SF
+  // snapshots while the gated query scores with a fresh fit — this
+  // pin catches any training drift from a snapshot, with a readable
+  // message, before it can redden the driver's hash gate (or the
+  // cross-SF sweep, which since round 10 carries no t25 exception).
+  test("retraining reproduces the frozen nano-weights at every fixture SF") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").foreach { dir =>
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val key = docs.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.octet_length(col("text")).cast("long")))
+        .head.getLong(0)
+      val snap = QualityWeights.snapshots.find(_.key == key)
+        .getOrElse(fail(s"no frozen snapshot for $dir (key=$key) — " +
+          "rerun FreezeQualityWeights over all fixture SFs"))
+      val model = QualityClassifier.train(
+        docs.filter(col("doc_id") % 2 === 0), weak)
+      val (wq, bq) = QualityClassifier.quantize(model)
+      assert(bq == snap.bq,
+        s"$dir: intercept drifted: $bq vs frozen ${snap.bq} — rerun FreezeQualityWeights")
+      val diff = wq.indices.filter(i => wq(i) != snap.wq(i))
+      assert(diff.isEmpty,
+        s"$dir: ${diff.length} weights drifted (first at bucket " +
+          s"${diff.headOption.getOrElse(-1)}) — rerun FreezeQualityWeights")
+    }
   }
 }
