@@ -87,6 +87,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r7ops")) r7Ops(args.drop(1))
     else if (args.headOption.contains("r8new")) r8New(args.drop(1))
     else if (args.headOption.contains("fitsample")) fitSampleProbe(args.drop(1))
+    else if (args.headOption.contains("r10new")) r10New(args.drop(1))
     else if (args.headOption.contains("r9new")) r9New(args.drop(1))
     else if (args.headOption.contains("r9late")) r9Late(args.drop(1))
     else if (args.headOption.contains("r7new")) r7New(args.drop(1))
@@ -133,6 +134,35 @@ object ScaleProbe {
       .write.format("noop").mode("overwrite").save())
     time("v33_end_to_end")(VectorQueries.ivfPqRerank(e, 20, 5)
       .write.format("noop").mode("overwrite").save())
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-10 operator probe: v41 repair and m06 video signatures at
+    * copies× — both must scale as ONE narrow pass + bounded
+    * aggregation (repair additionally prunes to dirty cells). */
+  private def r10New(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.queries.VectorQueries
+    val e = scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding")).cache()
+    println(s"copies=$copies vecs=${e.count()}")
+    time("v41_ivf_repair")(VectorQueries.ivfRepair(e)
+      .write.format("noop").mode("overwrite").save())
+    e.unpersist(blocking = false)
+    implicit val sp: SparkSession = spark
+    val docs = scaled(spark, "documents", Seq("doc_id"), copies).cache()
+    println(s"docs=${docs.count()}")
+    time("m06_video_sigs") {
+      val sigs = graft.operators.Multimodal.videoSignatures(
+        graft.operators.Multimodal.mediaFromDocuments(docs)).toDF()
+      sigs.groupBy(col("sig")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_videos"), count(lit(1)).as("n_distinct"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    docs.unpersist(blocking = false)
     writeJson(outJson, copies)
     spark.stop()
   }

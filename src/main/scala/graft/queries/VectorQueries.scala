@@ -808,15 +808,59 @@ object VectorQueries {
     * sliced vectors, then ONE fused encode pass over the corpus. */
   /** Frozen per-subspace PQ codebooks — the sample-bounded Lloyd fits
     * v09 trains, collected once (m·k·dSub doubles). The artifact a
-    * streaming encoder ships as literals (v42). */
+    * streaming encoder ships as literals (v42).
+    *
+    * All M sub-fits run BATCHED: one seed collect (the k smallest-hash
+    * sample rows are the same ROWS for every subspace — the seed hash
+    * reads only vec_id — so each subspace's seeds are slices of one
+    * collected set) and ONE job per Lloyd round computing every
+    * subspace's (cell, pos) means in a single explode + Det-decimal
+    * agg. Numerically identical to M independent fits (the decimal
+    * means are exact, hence order-insensitive; the offset
+    * nearest_centroid is VectorExprsSpec-pinned equal to the sliced
+    * form) but 1 action per round instead of M — the sequential
+    * battery was ~3·M driver round-trips and dominated v33's wall. */
   def pqCodebooks(e: DataFrame, dim: Int, m: Int = PQ_M, k: Int = PQ_K,
       iters: Int = KMEANS_ITERS): Seq[Seq[(Int, Array[Double])]] = {
     val dSub = dim / m
     val n = e.count() // shared by the M sub-fits' sample thresholds
-    (0 until m).map { s =>
-      val subEmb = slice(col("embedding"), s * dSub + 1, dSub)
-      kmeansFit(e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1, n)
-    }
+    val fs = fitSample(e, FIT_SAMPLE_PER_K * k, n)
+    val sampled = fs ne e
+    if (sampled) fs.cache()
+    try {
+      val seedRows = fs.withColumn("__h", seedHash(col("vec_id")))
+        .orderBy(col("__h").asc, col("vec_id").asc).limit(k)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      var books: Seq[Seq[(Int, Array[Double])]] = (0 until m).map { s =>
+        seedRows.zipWithIndex.map { case (v, j) =>
+          (j, v.slice(s * dSub, (s + 1) * dSub)) }.toSeq
+      }
+      for (_ <- 1 until iters) {
+        val cellCols = (0 until m).map(s =>
+          graft.functions.VectorExprs.nearest_centroid(
+            col("embedding"), books(s), dSub, s * dSub).as(s"__c$s"))
+        val rows = fs
+          .select(col("embedding") +: cellCols: _*)
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")),
+            array((0 until m).map(s => col(s"__c$s")): _*).as("cells"))
+          .select(floor(col("pos") / lit(dSub)).cast(IntegerType).as("s"),
+            element_at(col("cells"),
+              (floor(col("pos") / lit(dSub)) + 1).cast(IntegerType)).as("cell"),
+            col("pos").cast(LongType).as("pos"), col("x"))
+          .groupBy(col("s"), col("cell"), col("pos"))
+          .agg(Det.davg(col("x")).as("c"))
+          .collect()
+        books = (0 until m).map { s =>
+          rows.filter(_.getInt(0) == s)
+            .groupBy(_.getLong(1)).toSeq.sortBy(_._1)
+            .map { case (cell, rs) =>
+              (cell.toInt, rs.sortBy(_.getLong(2))
+                .map(_.getDouble(3)).toArray) }
+        }
+      }
+      books
+    } finally { if (sampled) fs.unpersist(blocking = false) }
   }
 
   /** The one-pass PQ ENCODE against FROZEN codebooks: a stateless
@@ -877,11 +921,9 @@ object VectorQueries {
   def pqDistortionOf(e: DataFrame, dim: Int = 64,
       m: Int = PQ_M, k: Int = PQ_K, iters: Int = KMEANS_ITERS): DataFrame = {
     val dSub = dim / m
-    val n = e.count() // shared by the M sub-fits' sample thresholds
+    val books = pqCodebooks(e, dim, m, k, iters) // batched sub-fits
     val rows = (0 until m).map { sub =>
-      val subEmb = slice(col("embedding"), sub * dSub + 1, dSub)
-      val centers = kmeansFit(
-        e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1, n)
+      val centers = books(sub)
       val code = graft.functions.VectorExprs.nearest_centroid(
         col("embedding"), centers, dSub, sub * dSub)
       // assignment AND its quantization error in two native codegen'd
@@ -2482,11 +2524,7 @@ object VectorQueries {
     val dim = 64; val m = PQ_M; val dSub = dim / m
     val k = PQ_K; val iters = KMEANS_ITERS
     val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val n = e.count() // shared by the M sub-fits' sample thresholds
-    val codebooks = (0 until m).map { ss =>
-      val subEmb = slice(col("embedding"), ss * dSub + 1, dSub)
-      kmeansFit(e.select(col("vec_id"), subEmb.as("embedding")), k, iters - 1, n)
-    }
+    val codebooks = pqCodebooks(e, dim, m, k, iters) // batched sub-fits
     val codeCols = (0 until m).map(ss =>
       graft.functions.VectorExprs.nearest_centroid(
         col("embedding"), codebooks(ss), dSub, ss * dSub).as(s"c$ss"))
@@ -2541,11 +2579,8 @@ object VectorQueries {
     val n = e.count() // one count shared by every sample threshold
     val coarse = kmeansFit(e, KMEANS_K, iters - 1, n)
     val resid = residuals(kmeansAssign(e, coarse), coarse).cache()
-    val codebooks = (0 until m).map { ss =>
-      val subEmb = slice(col("embedding"), ss * dSub + 1, dSub)
-      kmeansFit(resid.select(col("vec_id"), subEmb.as("embedding")),
-        PQ_K, iters - 1, n)
-    }
+    val codebooks = pqCodebooks( // batched sub-fits over the residuals
+      resid.select(col("vec_id"), col("embedding")), dim, m, PQ_K, iters)
     // the eager fit loops above were the multi-read consumer; drop
     // the cache now so a long-lived session doesn't accumulate one
     // resident copy per run (the plan below recomputes the narrow

@@ -779,4 +779,41 @@ class PlanSpec extends SparkSpec {
       !p.contains("Exchange hashpartitioning"),
       s"the scoring pass must stay narrow:\n${p.take(1200)}")
   }
+
+  test("ivf repair (v41): one narrow scan, zero joins/exchanges") {
+    // both center sets are broadcast literals inside codegen'd
+    // expressions; the dirty-cell restriction is a per-row filter —
+    // the whole repair is scan → filter → project, nothing wider
+    val p = plan("v41_ivf_repair")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("Exchange"),
+      s"the repair pass must stay narrow:\n${p.take(1200)}")
+  }
+
+  test("streaming encodes (v42/v43) plan no state and no shuffle") {
+    // stateless per-row encodes: the micro-batch plan must carry no
+    // stateful operator and no exchange — ingest cost is O(batch)
+    Seq("v42_pq_stream", "v43_binary_stream").foreach { name =>
+      val out = Registry.queries(name)(spark, sf0001)
+      assert(out.count() > 0, s"$name emitted nothing")
+    }
+    // plan-shape: the BATCH twin of the same encode is narrow
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val books = VectorQueries.pqCodebooks(e, 64)
+    val p = VectorQueries.pqEncode(e, books, 8).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"the encode projection must stay narrow:\n${p.take(1200)}")
+  }
+
+  test("video near-dup (m06) aggregates signature counts, never pairs") {
+    val p = plan("m06_video_neardup")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"m06 must never join videos pairwise:\n${p.take(1200)}")
+    // two keyed aggs: signature counts then the 1-row rollup
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
 }
