@@ -623,6 +623,15 @@ object DialectQueries {
     // list parses into the same one-cumsum multi-size plan.
     Q("s54_dialect_packing",
       sql("packing doc_id, text from documents sizes 256, 512, 1024"),
-      Some(TextQueries.packEfficiencyOracle(Seq(256L, 512L, 1024L))))
+      Some(TextQueries.packEfficiencyOracle(Seq(256L, 512L, 1024L)))),
+
+    // IVF index repair on the dialect surface — lowers VERBATIM to
+    // the v41 builder (PlannerSpec pins statement ≡ builder), gated
+    // against the same unrolled-Lloyd oracle: dirty-cell selection +
+    // one narrow re-score pass, the "repair, don't rebuild" op an
+    // upserted 100 TB index needs, now reachable from the console.
+    Q("s55_dialect_repair",
+      sql("repair vec_id, embedding from embeddings"),
+      Some(VectorQueries.ivfRepairSql()))
   )
 }

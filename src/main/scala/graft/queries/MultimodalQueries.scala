@@ -184,33 +184,67 @@ object MultimodalQueries {
             sum(col("n") - lit(1L)).as("n_redundant"))
       },
       Some {
-        val gth = "list_transform(range(1, greatest(length(text) - 2, 1)), " +
-          "gi -> ((((ord(text[gi]) * 31 + ord(text[gi+1])) * 31 + " +
-          "ord(text[gi+2])) * 31 + ord(text[gi+3]))) % 1000000007)"
-        s"""WITH v AS (SELECT doc_id, strlen(text) AS len, $gth AS gth
-           |           FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2),
-           |p AS (SELECT doc_id, len, gth, len % 30 + 1 AS nf,
-           |        LEAST(len % 30 + 1, 4) AS samples,
-           |        GREATEST(1, len // (len % 30 + 1)) AS span
-           |      FROM v),
-           |fr AS (SELECT doc_id, u.i AS fi, u.i * (nf // samples) AS pos,
-           |         LEAST(u.i * (nf // samples) * span, len) AS f_from,
-           |         LEAST((u.i * (nf // samples) + 1) * span, len) AS f_until,
-           |         gth
-           |       FROM p, UNNEST(generate_series(0, samples - 1)) AS u(i)),
-           |fp AS (SELECT doc_id, fi, pos, ${O.simhashBits(24)} AS ph FROM
-           |        (SELECT doc_id, fi, pos,
-           |           gth[CAST(f_from + 1 AS BIGINT):CAST(GREATEST(f_until - 3, 0) AS BIGINT)] AS th
-           |         FROM fr)),
-           |tk AS (SELECT doc_id, fi, (ph * 31 + pos) % 1000000007 AS tok FROM fp),
-           |sg AS (SELECT doc_id, ${O.simhashBits(24)} AS sig FROM
-           |        (SELECT doc_id, list(tok ORDER BY fi) AS th FROM tk
-           |         GROUP BY doc_id)),
+        s"""WITH ${videoSigCtesSql()},
            |g AS (SELECT sig, count(*) AS n FROM sg GROUP BY sig)
            |SELECT CAST(sum(n) AS BIGINT) AS n_videos,
            |  CAST(count(*) AS BIGINT) AS n_distinct,
            |  CAST(sum(n - 1) AS BIGINT) AS n_redundant
            |FROM g""".stripMargin
-      })
+      }),
+
+    // Streaming video signatures — m06's per-video perceptual
+    // signature as continuous ingest (the v42/v43 frozen-artifact
+    // pattern on the multimodal surface): each arriving video takes
+    // its frame-sampled order-aware simhash in one stateless
+    // mapPartitions pass — append mode, no state, no watermark,
+    // O(batch) per micro-batch. With this, the media near-dup index
+    // (m05/m06) is buildable continuously like every other index
+    // artifact. Hash-gated against m06's own signature CTEs
+    // restricted to the streamed slice: stream ≡ batch bit-for-bit.
+    Q("m07_video_sig_stream",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import org.apache.spark.sql.functions._
+        graft.streaming.StreamingOps.runToTable(s,
+          Multimodal.videoSignatures(Multimodal.mediaFromDocuments(
+            graft.streaming.StreamingOps.readDocuments(s, dir)
+              .filter(col("doc_id") % 7 === 3))).toDF(),
+          "append", "graft_m07_sink_")
+      },
+      Some(s"""WITH ${videoSigCtesSql(extraWhere = "AND doc_id % 7 = 3")}
+              |SELECT doc_id, sig FROM sg""".stripMargin))
   )
+
+  /** The m06 signature derivation as a reusable DuckDB CTE chain
+    * (ends at `sg(doc_id, sig)`): byte 4-gram hashes replayed over
+    * the text payload, evenly-spaced frame SPANS per the
+    * Decoder.decode n_frames contract, per-span gram simhash, and the
+    * (phash·31 + pos) token fold into one order-aware signature.
+    * `extraWhere` restricts the video population (m07's streamed
+    * slice) INSIDE the kind filter. */
+  private def videoSigCtesSql(extraWhere: String = ""): String = {
+    val gth = "list_transform(range(1, greatest(length(text) - 2, 1)), " +
+      "gi -> ((((ord(text[gi]) * 31 + ord(text[gi+1])) * 31 + " +
+      "ord(text[gi+2])) * 31 + ord(text[gi+3]))) % 1000000007)"
+    s"""v AS (SELECT doc_id, strlen(text) AS len, $gth AS gth
+       |      FROM documents
+       |      WHERE CAST(doc_id % 3 AS INTEGER) = 2 $extraWhere),
+       |p AS (SELECT doc_id, len, gth, len % 30 + 1 AS nf,
+       |        LEAST(len % 30 + 1, 4) AS samples,
+       |        GREATEST(1, len // (len % 30 + 1)) AS span
+       |      FROM v),
+       |fr AS (SELECT doc_id, u.i AS fi, u.i * (nf // samples) AS pos,
+       |         LEAST(u.i * (nf // samples) * span, len) AS f_from,
+       |         LEAST((u.i * (nf // samples) + 1) * span, len) AS f_until,
+       |         gth
+       |       FROM p, UNNEST(generate_series(0, samples - 1)) AS u(i)),
+       |fp AS (SELECT doc_id, fi, pos, ${O.simhashBits(24)} AS ph FROM
+       |        (SELECT doc_id, fi, pos,
+       |           gth[CAST(f_from + 1 AS BIGINT):CAST(GREATEST(f_until - 3, 0) AS BIGINT)] AS th
+       |         FROM fr)),
+       |tk AS (SELECT doc_id, fi, (ph * 31 + pos) % 1000000007 AS tok FROM fp),
+       |sg AS (SELECT doc_id, ${O.simhashBits(24)} AS sig FROM
+       |        (SELECT doc_id, list(tok ORDER BY fi) AS th FROM tk
+       |         GROUP BY doc_id))""".stripMargin
+  }
 }

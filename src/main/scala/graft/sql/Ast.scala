@@ -237,6 +237,16 @@ object Ast {
   final case class QuantizeStmt(idCol: String, vecCol: String,
       from: FromClause) extends Stmt
 
+  /** `repair <idCol>[,] <vecCol> from <table> [threshold <x>]` —
+    * v41's IVF index repair on the SQL surface: cells whose refreshed
+    * centroid moved past `threshold` (squared L2; default
+    * IVF_REPAIR_THRESH) have their vectors — and only theirs —
+    * re-scored against the new centers, emitting the
+    * (vec_id, cell_old, cell_new) move list an upserted index applies
+    * in place instead of rebuilding. */
+  final case class RepairStmt(idCol: String, vecCol: String,
+      from: FromClause, thresh: Double) extends Stmt
+
   /** `pack <idCol>[,] <textCol> from <table> [size <l>]` — t11's
     * GPT-style sequence packing on the SQL surface: corpus tokens
     * concatenated in id order, cut into `l`-token training sequences

@@ -67,6 +67,7 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "calibrate")) { advance(); parseCalibrate() }
     else if (matches(peek, "negatives")) { advance(); parseNegatives() }
     else if (matches(peek, "outliers")) { advance(); parseOutliers() }
+    else if (matches(peek, "repair")) { advance(); parseRepair() }
     else if (matches(peek, "drift")) { advance(); parseDrift() }
     else if (matches(peek, "epochs")) { advance(); parseEpochs() }
     else if (matches(peek, "retention")) { advance(); parseRetention() }
@@ -189,6 +190,33 @@ final class Parser(toks: Vector[Tok]) {
       throw ParseError(s"unexpected trailing token '${peek.text}'")
     OutliersStmt(idCol, vecCol,
       FromClause(table, None, noHeader, intColumns = false, Nil), k)
+  }
+
+  /** `repair <idCol>[,] <vecCol> from <table> [nh] [threshold <x>]`. */
+  private def parseRepair(): RepairStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val vecCol = colName()
+    if (idCol == vecCol)
+      throw ParseError("repair: id and vector columns must be distinct")
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    val thresh = if (accept("threshold")) peek match {
+      case Num(t) => advance(); t.toDouble
+      case t => throw ParseError(s"expected number, found '${t.text}'")
+    } else graft.queries.VectorQueries.IVF_REPAIR_THRESH
+    if (thresh <= 0)
+      throw ParseError(s"threshold must be positive, got $thresh")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    RepairStmt(idCol, vecCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), thresh)
   }
 
   /** `drift <vecCol> from <refTable> [nh] against <curTable> [nh]` —

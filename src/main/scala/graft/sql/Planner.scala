@@ -361,6 +361,20 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     graft.queries.VectorQueries.centroidOutliersOf(e, topN = st.k.toInt)
   }
 
+  /** `repair id, vec from t [threshold x]` — lowers VERBATIM to the
+    * v41 builder (VectorQueries.ivfRepair): dirty-cell selection on
+    * k·d driver doubles, then ONE narrow codegen'd scan re-scoring
+    * only those cells' vectors against broadcast-literal new centers
+    * — no join, no exchange (PlanSpec-pinned). */
+  def planRepair(st: RepairStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val e = base.select(named(base, st.idCol, "vec_id"),
+      named(base, st.vecCol, "embedding"))
+    if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
+      throw PlanError(s"repair: ${st.vecCol} must be an array (vector) column")
+    graft.queries.VectorQueries.ivfRepair(e, thresh = st.thresh)
+  }
+
   /** `drift vec from ref against cur` — lowers VERBATIM to the x14
     * builder (ApproxQueries.embeddingDrift): per-dim PSI between the
     * two snapshots' fixed-edge histograms; each side costs one narrow

@@ -291,6 +291,20 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("outliers id, vec from t extra"))
   }
 
+  test("repair statement grammar") {
+    val r = Parser.parseStmt("repair vec_id, embedding from embeddings")
+      .asInstanceOf[Ast.RepairStmt]
+    assert(r.idCol == "vec_id" && r.vecCol == "embedding" &&
+      r.thresh == graft.queries.VectorQueries.IVF_REPAIR_THRESH)
+    val t = Parser.parseStmt("repair id vec from t threshold 0.5")
+      .asInstanceOf[Ast.RepairStmt]
+    assert(t.thresh == 0.5)
+    assertThrows[Exception](Parser.parseStmt("repair id from t"))
+    assertThrows[Exception](Parser.parseStmt("repair id, id from t"))
+    assertThrows[Exception](Parser.parseStmt("repair id, vec from t threshold 0"))
+    assertThrows[Exception](Parser.parseStmt("repair id, vec from t extra"))
+  }
+
   test("drift statement grammar: two tables via against") {
     val d = Parser.parseStmt("drift embedding from snap_a against snap_b")
       .asInstanceOf[Ast.DriftStmt]

@@ -671,6 +671,21 @@ class PlannerSpec extends SparkSpec {
     assertThrows[Exception](g.sql("outliers embedding, vec_id from embeddings"))
   }
 
+  test("repair statement executes: builder-equal, huge threshold is idempotent") {
+    val r = g.sql("repair vec_id, embedding from embeddings")
+    assert(r.columns.toSeq == Seq("vec_id", "cell_old", "cell_new"))
+    val rows = r.collect().map(_.toSeq).toSet
+    val builderEq = graft.queries.VectorQueries.ivfRepair(
+      g.sql("select vec_id, embedding from embeddings"))
+      .collect().map(_.toSeq).toSet
+    assert(rows == builderEq, "statement must equal the v41 builder")
+    // a threshold no centroid can exceed -> no dirty cells, no moves
+    assert(g.sql(
+      "repair vec_id, embedding from embeddings threshold 999").count() == 0)
+    // non-vector column -> clean PlanError
+    assertThrows[Exception](g.sql("repair embedding, vec_id from embeddings"))
+  }
+
   test("drift statement executes: self-drift is zero, builder-equal, clean errors") {
     val d = g.sql("drift embedding from embeddings against embeddings")
     assert(d.columns.toSeq == Seq("dim", "psi", "shifted"))
