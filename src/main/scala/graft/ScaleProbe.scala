@@ -163,6 +163,56 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     docs.unpersist(blocking = false)
+    // v45's storage story at SERVING geometry (k=64 cells, a 5-query
+    // panel probing only its own cells): persist the index partitioned
+    // by cell, then serve the same top-5 search (a) from the pruned
+    // partitioned layout — the scan reads ONLY probed cells' files —
+    // vs (b) the identical plan over a flat (unpartitioned) copy,
+    // where the cell predicate can only post-filter a full scan. The
+    // gap is pure partition-pruning I/O; it widens with corpus size.
+    val e2 = scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding")).cache()
+    println(s"vecs2=${e2.count()}")
+    val centers = graft.queries.VectorQueries.kmeansFit(e2, 64, 2)
+    val assigned = graft.queries.VectorQueries.kmeansAssign(e2, centers)
+    val partDir = s"/tmp/graft_probe_ivf_part_$copies"
+    val flatDir = s"/tmp/graft_probe_ivf_flat_$copies"
+    // cluster by the partition key before the partitioned write — one
+    // file per cell instead of (tasks × cells) fragments; at 100 TB
+    // this is the standard hive-layout discipline (a partitioned
+    // write without it produces a small-file explosion that costs
+    // more to open than the pruning saves)
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(partDir)
+    assigned.write.mode("overwrite").parquet(flatDir)
+    // queries route OUTSIDE the timed serve (real serving scores the
+    // arriving vector against the k·d center literals on the driver —
+    // no index scan): the timers below measure ONLY the corpus-side
+    // search, pruned layout vs flat
+    val panel = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2))).toSeq
+    val probed = panel.map(_._3).distinct.sorted
+    println(s"probed_cells=${probed.size}/64")
+    e2.unpersist(blocking = false)
+    def serve(idx: org.apache.spark.sql.DataFrame): Unit = {
+      import spark.implicits._
+      val qs = broadcast(panel.toDF("q_id", "q_emb", "cell"))
+      val sims = idx.filter(col("cell").isin(probed: _*))
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("cell"))
+        .join(qs, "cell")
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          graft.queries.VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+      sims.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("v45_serve_flat")(serve(spark.read.parquet(flatDir)))
+    time("v45_serve_pruned")(serve(spark.read.parquet(partDir)))
     writeJson(outJson, copies)
     spark.stop()
   }

@@ -2108,7 +2108,64 @@ object VectorQueries {
           .filter(col("vec_id") % 7 === 3)
           .select(col("vec_id"), col("embedding"))),
         "append", "graft_v43_sink_"),
-      Some(binaryCodesOracle + "\nWHERE vec_id % 7 = 3"))
+      Some(binaryCodesOracle + "\nWHERE vec_id % 7 = 3")),
+
+    // IVF index persisted as a CELL-PARTITIONED parquet layout +
+    // partition-pruned serving — the storage half of the 100 TB ANN
+    // story the in-memory gates can't show: the one encode pass lands
+    // each vector under its cell's directory (hive partitioning, the
+    // s19 pay-the-shuffle-once pattern applied to the vector index),
+    // and a query batch's union of probed cells becomes a STATIC
+    // partition predicate, so the serving scan READS only those
+    // cells' files — `PartitionFilters` in the plan, PlanSpec-pinned
+    // — instead of filtering a full-corpus scan. The probed-cell
+    // collect is ≤ panel-size rows; per-query routing stays exact via
+    // the broadcast panel's own cell key. Values are parquet
+    // round-trip exact (float arrays), so the gate hash-matches the
+    // same search computed from the base table.
+    Q("v45_partitioned_serve",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val centers = kmeansFit(e, KMEANS_K, KMEANS_ITERS - 1)
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val path = s"/tmp/graft_ivf_part_$tag"
+        kmeansAssign(e, centers).write.mode("overwrite")
+          .partitionBy("cell").parquet(path)
+        val idx = s.read.parquet(path)
+        val qs = idx.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("cell"))
+        val probed = qs.select(col("cell")).distinct().collect()
+          .map(_.get(0).asInstanceOf[Number].longValue()).sorted.toSeq
+        val pruned = idx.filter(col("cell").isin(probed: _*))
+        val sims = pruned
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+            col("cell"))
+          .join(broadcast(qs), "cell")
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            cosine(col("q_emb"), col("n_emb")).as("sim"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id").asc)
+        sims.withColumn("rank", row_number().over(wr).cast(LongType))
+          .filter(col("rank") <= 5)
+      },
+      Some {
+        val last = KMEANS_ITERS
+        s"""WITH ${kmeansCtesSql(KMEANS_K, last)},
+           |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell
+           |      FROM assign$last WHERE vec_id < 5)
+           |SELECT q_id, n_id, sim, rank FROM (
+           |  SELECT q.q_id, a.vec_id AS n_id,
+           |    ${cosineSql("q.q_emb", "a.embedding")} AS sim,
+           |    row_number() OVER (PARTITION BY q.q_id
+           |      ORDER BY ${cosineSql("q.q_emb", "a.embedding")} DESC,
+           |               a.vec_id ASC) AS rank
+           |  FROM assign$last a JOIN q ON a.cell = q.cell
+           |                          AND a.vec_id != q.q_id)
+           |WHERE rank <= 5""".stripMargin
+      })
   )
 
   /** v26's builder on an arbitrary (vec_id, embedding) frame — shared

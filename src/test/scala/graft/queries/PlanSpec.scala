@@ -808,6 +808,19 @@ class PlanSpec extends SparkSpec {
       s"the encode projection must stay narrow:\n${p.take(1200)}")
   }
 
+  test("partitioned IVF serving (v45) prunes to probed cells at the scan") {
+    // the union of probed cells is a STATIC predicate on the hive
+    // partition column, so the serving scan must carry a non-empty
+    // PartitionFilters on `cell` — reading only probed cells' files
+    // is the point of persisting the index partitioned by cell
+    val p = plan("v45_partitioned_serve")
+    val scanBlock = p.split("\n").filter(_.contains("PartitionFilters"))
+    assert(scanBlock.exists(l => l.contains("cell") && !l.contains("[]")),
+      s"the index scan must prune on the cell partition column:\n" +
+        p.split("\n").filter(l => l.contains("Scan") ||
+          l.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("video near-dup (m06) aggregates signature counts, never pairs") {
     val p = plan("m06_video_neardup")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
