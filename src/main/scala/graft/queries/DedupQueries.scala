@@ -353,34 +353,9 @@ object DedupQueries {
     // is v06's (centers collected as k·d doubles, re-broadcast as
     // literals each round).
     Q("d08_semantic_dedup",
-      (s, dir) => {
-        import VectorQueries.{KMEANS_K, KMEANS_ITERS}
-        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val centers = VectorQueries.kmeansFit(e, KMEANS_K, KMEANS_ITERS - 1)
-        val assigned = VectorQueries.kmeansAssign(e, centers)
-        val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
-          col("embedding").as("a_emb"))
-        val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
-          col("embedding").as("b_emb"))
-        val dominated = a.join(b,
-            col("cell") === col("cell_b") && col("b_id") < col("a_id"))
-          .filter(VectorQueries.cosine(col("a_emb"), col("b_emb")) > 0.2)
-          .select(col("a_id").as("vec_id")).distinct()
-        assigned.join(dominated.withColumn("__dom", lit(1L)), Seq("vec_id"), "left")
-          .select(col("vec_id"), col("cell"),
-            when(col("__dom").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
-      },
-      Some {
-        import VectorQueries.{cosineSql, kmeansCtesSql, KMEANS_ITERS}
-        s"""WITH ${kmeansCtesSql()},
-           |av AS (SELECT vec_id, embedding, cell FROM assign$KMEANS_ITERS),
-           |dom AS (SELECT DISTINCT x.vec_id FROM av x JOIN av y
-           |        ON x.cell = y.cell AND y.vec_id < x.vec_id
-           |        WHERE ${cosineSql("x.embedding", "y.embedding")} > 0.2)
-           |SELECT v.vec_id, v.cell,
-           |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-           |FROM av v LEFT JOIN dom d ON v.vec_id = d.vec_id""".stripMargin
-      }),
+      (s, dir) => semanticDedup(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
+      Some(semanticDedupSql())),
 
     // Last stage of the dedup pipeline: the LSH candidate pairs form a
     // graph whose connected components are duplicate CLUSTERS (pairwise
@@ -888,6 +863,49 @@ object DedupQueries {
     * the dialect `dedup best` statement: CC labels over the LSH
     * candidate pairs, per-doc t02 quality, one cluster-keyed rank
     * window keeping the highest-quality doc (ties to lowest doc_id). */
+  /** SemDeDup-shape semantic dedup (Abbas et al. 2023) on an
+    * arbitrary (vec_id, embedding) frame — the d08 gate's builder and
+    * the `dedup semantic` statement's: partition the corpus by
+    * k-means cell (assignment against BROADCAST-LITERAL centers from
+    * the sample-bounded fit — a narrow map, never a shuffle by
+    * center), then prune within each cell only: a vector is dropped
+    * when a LOWER-id cell-mate sits above the cosine `thresh`,
+    * keeping one canonical representative per semantic duplicate
+    * set. The pairing join is KEYED on the cell (never cartesian);
+    * at 100 TB per-cell work is bounded by choosing k ∝
+    * corpus/target-cell-size — the paper's own scaling argument.
+    * Emits (vec_id, cell, keep). */
+  def semanticDedup(e: DataFrame, thresh: Double = 0.2): DataFrame = {
+    import VectorQueries.{KMEANS_K, KMEANS_ITERS}
+    val centers = VectorQueries.kmeansFit(e, KMEANS_K, KMEANS_ITERS - 1)
+    val assigned = VectorQueries.kmeansAssign(e, centers)
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val dominated = a.join(b,
+        col("cell") === col("cell_b") && col("b_id") < col("a_id"))
+      .filter(VectorQueries.cosine(col("a_emb"), col("b_emb")) > thresh)
+      .select(col("a_id").as("vec_id")).distinct()
+    assigned.join(dominated.withColumn("__dom", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("__dom").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** [[semanticDedup]]'s DuckDB mirror (the unrolled sample-bounded
+    * Lloyd loop + the within-cell domination join). */
+  def semanticDedupSql(thresh: Double = 0.2): String = {
+    import VectorQueries.{cosineSql, kmeansCtesSql, KMEANS_ITERS}
+    s"""WITH ${kmeansCtesSql()},
+       |av AS (SELECT vec_id, embedding, cell FROM assign$KMEANS_ITERS),
+       |dom AS (SELECT DISTINCT x.vec_id FROM av x JOIN av y
+       |        ON x.cell = y.cell AND y.vec_id < x.vec_id
+       |        WHERE ${cosineSql("x.embedding", "y.embedding")} > $thresh)
+       |SELECT v.vec_id, v.cell,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM av v LEFT JOIN dom d ON v.vec_id = d.vec_id""".stripMargin
+  }
+
   def canonicalPickOf(docs: DataFrame): DataFrame =
     canonicalPickFromPairs(docs, candidatePairsOf(sigOf(docs)))
 

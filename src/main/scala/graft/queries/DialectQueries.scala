@@ -632,6 +632,15 @@ object DialectQueries {
     // upserted 100 TB index needs, now reachable from the console.
     Q("s55_dialect_repair",
       sql("repair vec_id, embedding from embeddings"),
-      Some(VectorQueries.ivfRepairSql()))
+      Some(VectorQueries.ivfRepairSql())),
+
+    // SemDeDup on the dialect surface — the fourth dedup mode:
+    // `dedup semantic` lowers VERBATIM to the d08 builder (k-means
+    // cell partition, within-cell cosine domination, keep-lowest-id),
+    // gated against the same unrolled-Lloyd oracle. threshold is the
+    // cosine bar (default 0.2).
+    Q("s56_dialect_semantic",
+      sql("dedup semantic vec_id, embedding from embeddings"),
+      Some(DedupQueries.semanticDedupSql()))
   )
 }

@@ -643,7 +643,9 @@ final class Parser(toks: Vector[Tok]) {
       if (accept("near")) "near"
       else if (accept("exact")) "exact"
       else if (accept("best")) "best"
-      else throw ParseError("expected 'near', 'exact' or 'best' after dedup")
+      else if (accept("semantic")) "semantic"
+      else throw ParseError(
+        "expected 'near', 'exact', 'best' or 'semantic' after dedup")
     def colName(): String = peek match {
       case _: Word => advance().text
       case t => throw ParseError(s"expected column name, found '${t.text}'")
@@ -665,7 +667,8 @@ final class Parser(toks: Vector[Tok]) {
     val from = FromClause(table, None, noHeader, intColumns = false, Nil)
     val threshold =
       if (accept("threshold")) {
-        if (mode != "near") throw ParseError("threshold only applies to dedup near")
+        if (mode != "near" && mode != "semantic") throw ParseError(
+          "threshold only applies to dedup near (Jaccard) and dedup semantic (cosine)")
         val t = peek match {
           case Num(x) => advance(); x.toDouble
           case t0 => throw ParseError(s"expected number after threshold, found '${t0.text}'")

@@ -126,6 +126,16 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         // d19: CC clusters over the LSH pairs, keep the highest-
         // quality doc per cluster (ties to lowest doc_id)
         graft.queries.DedupQueries.canonicalPickOf(docs)
+      case ("semantic", t) =>
+        // d08 (SemDeDup): k-means cell partition, within-cell cosine
+        // domination — the second column is an EMBEDDING here, not
+        // text (vec_id, cell, keep)
+        val e = base.select(named(base, d.idCol, "vec_id"),
+          named(base, d.textCol, "embedding"))
+        if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
+          throw PlanError(
+            s"dedup semantic: ${d.textCol} must be an array (vector) column")
+        graft.queries.DedupQueries.semanticDedup(e, t.getOrElse(0.2))
       case _ => graft.queries.DedupQueries.exactDedup(docs)
     }
   }

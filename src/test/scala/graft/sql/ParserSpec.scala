@@ -291,6 +291,18 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("outliers id, vec from t extra"))
   }
 
+  test("dedup semantic mode grammar") {
+    val d = Parser.parseStmt("dedup semantic vec_id, embedding from embeddings")
+      .asInstanceOf[Ast.DedupStmt]
+    assert(d.mode == "semantic" && d.threshold.isEmpty)
+    val t = Parser.parseStmt(
+      "dedup semantic id vec from t threshold 0.4").asInstanceOf[Ast.DedupStmt]
+    assert(t.threshold.contains(0.4))
+    // threshold still rejected on the modes it doesn't apply to
+    assertThrows[Exception](
+      Parser.parseStmt("dedup exact id, t from x threshold 0.4"))
+  }
+
   test("repair statement grammar") {
     val r = Parser.parseStmt("repair vec_id, embedding from embeddings")
       .asInstanceOf[Ast.RepairStmt]

@@ -671,6 +671,25 @@ class PlannerSpec extends SparkSpec {
     assertThrows[Exception](g.sql("outliers embedding, vec_id from embeddings"))
   }
 
+  test("dedup semantic executes: builder-equal, threshold honored, clean errors") {
+    val d = g.sql("dedup semantic vec_id, embedding from embeddings")
+    assert(d.columns.toSeq == Seq("vec_id", "cell", "keep"))
+    val rows = d.collect().map(_.toSeq).toSet
+    val builderEq = graft.queries.DedupQueries.semanticDedup(
+      g.sql("select vec_id, embedding from embeddings"))
+      .collect().map(_.toSeq).toSet
+    assert(rows == builderEq, "statement must equal the d08 builder")
+    // a cosine bar of 1.0 dominates nothing on distinct vectors ->
+    // every row kept
+    val strict = g.sql(
+      "dedup semantic vec_id, embedding from embeddings threshold 1.0")
+    assert(strict.filter(
+      org.apache.spark.sql.functions.col("keep") === 0L).count() == 0)
+    // non-vector column -> clean PlanError
+    assertThrows[Exception](
+      g.sql("dedup semantic vec_id, vec_id from embeddings"))
+  }
+
   test("repair statement executes: builder-equal, huge threshold is idempotent") {
     val r = g.sql("repair vec_id, embedding from embeddings")
     assert(r.columns.toSeq == Seq("vec_id", "cell_old", "cell_new"))
