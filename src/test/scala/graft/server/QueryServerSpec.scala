@@ -80,6 +80,18 @@ class QueryServerSpec extends SparkSpec {
       assert(cal.contains(""""Status":"ok"""") && cal.contains("pctile"), cal)
       val ep = post("epochs source, text from documents budget 5000")
       assert(ep.contains(""""Status":"ok"""") && ep.contains("eff_tokens"), ep)
+      val ret = post("retention user_id, ts from events")
+      assert(ret.contains(""""Status":"ok"""") && ret.contains("cohort"), ret)
+      val dif = post("diff text from documents against documents")
+      assert(dif.contains(""""Status":"ok"""") && dif.contains("retained"), dif)
+      val fer = post("fertility lang, text from documents")
+      assert(fer.contains(""""Status":"ok"""") && fer.contains("fertility"), fer)
+      val pkg = post("packing doc_id, text from documents sizes 256, 512")
+      assert(pkg.contains(""""Status":"ok"""") && pkg.contains("fill_rate"), pkg)
+      val rep = post("repair vec_id, embedding from embeddings")
+      assert(rep.contains(""""Status":"ok"""") && rep.contains("cell_new"), rep)
+      val sem = post("dedup semantic vec_id, embedding from embeddings")
+      assert(sem.contains(""""Status":"ok"""") && sem.contains("keep"), sem)
     } finally server.stop()
   }
 
