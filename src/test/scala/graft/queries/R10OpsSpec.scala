@@ -83,4 +83,17 @@ class R10OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
+
+  test("semantic dedup keep-set is monotone in the cosine threshold") {
+    // raising the bar can only dominate FEWER vectors: keep(t_low)
+    // ⊆ keep(t_high), and the cell assignment itself is
+    // threshold-independent
+    def keeps(t: Double) = graft.queries.DedupQueries.semanticDedup(emb, t)
+      .filter(col("keep") === 1L).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val lo = keeps(0.1); val mid = keeps(0.2); val hi = keeps(0.6)
+    assert(lo.subsetOf(mid) && mid.subsetOf(hi),
+      s"keeps must grow with the bar: ${lo.size} / ${mid.size} / ${hi.size}")
+    assert(lo.nonEmpty, "even a low bar keeps one representative per set")
+  }
 }
