@@ -27,6 +27,40 @@ import org.apache.spark.sql.types._
   */
 object RowNumbers {
 
+  /** Release `cached` as soon as the first job that materializes
+    * `out` completes, instead of waiting for the ContextCleaner: a
+    * long-lived session (Console/QueryServer) running repeated large
+    * cumsums would otherwise accumulate corpus-sized resident/spilled
+    * copies until the driver GC notices the dead references. The
+    * listener matches the first job whose lineage contains `out`
+    * (job-start RDDInfos), unpersists on its completion, and removes
+    * itself. Correctness never depends on the cache: a LATER
+    * re-materialization recomputes through the same RDD instance, so
+    * the fixed partitioner and reused shuffle files land identical
+    * rows in identical partitions and the broadcast offsets stay
+    * valid — the cache only shields the window between the offset
+    * collect and the first assignment pass. */
+  private def unpersistAfterFirstUse(spark: org.apache.spark.sql.SparkSession,
+      cached: org.apache.spark.rdd.RDD[_],
+      out: org.apache.spark.rdd.RDD[_]): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+    val sc = spark.sparkContext
+    val outId = out.id
+    val listener = new SparkListener {
+      private val jobId = new java.util.concurrent.atomic.AtomicInteger(-1)
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (jobId.get < 0 &&
+            js.stageInfos.exists(_.rddInfos.exists(_.id == outId)))
+          jobId.compareAndSet(-1, js.jobId)
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        if (je.jobId == jobId.get) {
+          cached.unpersist(blocking = false)
+          sc.removeSparkListener(this)
+        }
+    }
+    sc.addSparkListener(listener)
+  }
+
   /** Attach `name` = step · (1-based row index in natural scan order —
     * (partition, offset) order, matching the reference's single-
     * threaded scan counter). */
@@ -75,6 +109,7 @@ object RowNumbers {
       var s = offsets.value(i)
       it.map { r => s += r.getLong(idx); Row.fromSeq(r.toSeq :+ s) }
     }
+    unpersistAfterFirstUse(spark, rdd, out)
     spark.createDataFrame(out, schema)
   }
 
@@ -148,6 +183,7 @@ object RowNumbers {
         Row.fromSeq(r.toSeq :+ n)
       }
     }
+    unpersistAfterFirstUse(spark, rdd, out)
     spark.createDataFrame(out, schema)
   }
 
@@ -176,7 +212,8 @@ object RowNumbers {
     // cache, an executor loss between the jobs recomputes the
     // un-persisted shuffle, and a nondeterministic upstream could land
     // rows in different partitions than the offsets describe. Cached
-    // blocks are freed by the ContextCleaner once the frame is GC'd.
+    // blocks are released explicitly once the first materialization
+    // completes (unpersistAfterFirstUse), not left to the ContextCleaner.
     val rdd = keyed.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val runs: Array[(Int, Seq[(Seq[Any], Long)])] =
@@ -213,6 +250,7 @@ object RowNumbers {
         Row.fromSeq(r.toSeq :+ s)
       }
     }
+    unpersistAfterFirstUse(spark, rdd, out)
     spark.createDataFrame(out, schema)
   }
 }

@@ -641,6 +641,50 @@ object DialectQueries {
     // cosine bar (default 0.2).
     Q("s56_dialect_semantic",
       sql("dedup semantic vec_id, embedding from embeddings"),
-      Some(DedupQueries.semanticDedupSql()))
+      Some(DedupQueries.semanticDedupSql())),
+
+    // The persisted-index lifecycle on the dialect surface — build,
+    // serve, repair all run from the console against the same
+    // cell-partitioned layout the v45-v47 gates pin. Paths are
+    // SF-tagged so the three fixtures never collide.
+    //
+    // `index … into '<path>'`: cell-partitioned write + per-cell
+    // build report, gated against the unrolled-Lloyd assignment's
+    // GROUP BY cell.
+    Q("s57_dialect_index",
+      (s, dir) => GraftSession(s, dir).sql(
+        s"index vec_id, embedding from embeddings into " +
+          s"'/tmp/graft_s57_${java.lang.Integer.toHexString(dir.hashCode)}'"),
+      Some {
+        val last = graft.queries.VectorQueries.KMEANS_ITERS
+        s"""WITH ${VectorQueries.kmeansCtesSql()}
+           |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+           |FROM assign$last GROUP BY cell""".stripMargin
+      }),
+
+    // `serve … from '<path>' top k`: partition-pruned search off the
+    // layout the preceding `index` statement wrote — the full
+    // build→persist→serve lifecycle through the console, hash-gated
+    // against the same base-table search oracle as v45.
+    Q("s58_dialect_serve",
+      (s, dir) => {
+        val g = GraftSession(s, dir)
+        val p = s"/tmp/graft_s58_${java.lang.Integer.toHexString(dir.hashCode)}"
+        g.sql(s"index vec_id, embedding from embeddings into '$p'")
+        g.sql(s"serve vec_id, embedding from '$p' top 5")
+      },
+      Some(VectorQueries.partitionedServeSql(5))),
+
+    // `repair … using '<path>'`: v46's partition-pruned repair from
+    // the console — membership read off the index, dirty cells as a
+    // static partition predicate, same move-list oracle as v41/v46.
+    Q("s59_dialect_repair_using",
+      (s, dir) => {
+        val g = GraftSession(s, dir)
+        val p = s"/tmp/graft_s59_${java.lang.Integer.toHexString(dir.hashCode)}"
+        g.sql(s"index vec_id, embedding from embeddings into '$p'")
+        g.sql(s"repair vec_id, embedding from embeddings using '$p'")
+      },
+      Some(VectorQueries.ivfRepairSql()))
   )
 }

@@ -221,14 +221,17 @@ object MultimodalQueries {
     * Decoder.decode n_frames contract, per-span gram simhash, and the
     * (phash·31 + pos) token fold into one order-aware signature.
     * `extraWhere` restricts the video population (m07's streamed
-    * slice) INSIDE the kind filter. */
+    * slice) INSIDE the kind filter. NULL payloads coalesce to '' so a
+    * null-text video yields nf=1/samples=1/empty gram list/sig 0 —
+    * the Spark side's null contract (NullSafetySpec) — instead of
+    * NULL propagating through the UNNEST and dropping the doc. */
   private def videoSigCtesSql(extraWhere: String = ""): String = {
     val gth = "list_transform(range(1, greatest(length(text) - 2, 1)), " +
       "gi -> ((((ord(text[gi]) * 31 + ord(text[gi+1])) * 31 + " +
       "ord(text[gi+2])) * 31 + ord(text[gi+3]))) % 1000000007)"
     s"""v AS (SELECT doc_id, strlen(text) AS len, $gth AS gth
-       |      FROM documents
-       |      WHERE CAST(doc_id % 3 AS INTEGER) = 2 $extraWhere),
+       |      FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents
+       |            WHERE CAST(doc_id % 3 AS INTEGER) = 2 $extraWhere)),
        |p AS (SELECT doc_id, len, gth, len % 30 + 1 AS nf,
        |        LEAST(len % 30 + 1, 4) AS samples,
        |        GREATEST(1, len // (len % 30 + 1)) AS span

@@ -213,9 +213,11 @@ object VectorQueries {
   val KMEANS_ITERS = 3
   // v41: squared-L2 center movement past which a cell is re-assigned
   // (declared above `all` — gate oracles interpolate it at object
-  // init). 0.0016 splits the fixture's movements (2 dirty, 2 clean at
-  // sf0.01), so the gate pins the SELECTION logic, not just re-assign.
-  final val IVF_REPAIR_THRESH = 0.0016
+  // init). 0.0014 splits the fixture's movements at EVERY SF under
+  // the 2^30 seed hash (sf0.001 1 dirty/3 clean, sf0.01 1/3,
+  // sf0.1 2/2), so the gates pin the SELECTION logic, not just
+  // re-assign, and the move list is nonempty at all three fixtures.
+  final val IVF_REPAIR_THRESH = 0.0014
 
   // ── sample-bounded codebook training ─────────────────────────────
   // Lloyd over the FULL corpus is correct but costs iters full passes
@@ -229,15 +231,24 @@ object VectorQueries {
   // stay exact. Below the target size the sample IS the corpus, so
   // small-frame fits (and every spec fixture) are unchanged.
   final val FIT_SAMPLE_PER_K = 256L
-  private final val FIT_HASH_MUL = 2654435761L
-  private final val FIT_HASH_MOD = 1000003L
+  // 2^22-3 and 2^30-35, both prime: (MOD-1)·MUL < 2^52, so the
+  // mod-prime-first product can't ANSI-overflow, and the ~2^30 hash
+  // space keeps the sample near `target` (not quantized to ~n/1e6)
+  // out to corpora of ~10^12 rows — the round-10 1e6 modulus started
+  // eroding the flat-fit-cost claim past ~5e8 rows and floored the
+  // threshold to an EMPTY sample past MOD·target rows.
+  private final val FIT_HASH_MUL = 4194301L
+  private final val FIT_HASH_MOD = 1073741789L
 
   /** Hash threshold for an expected `target`-row sample out of `n`:
     * keep rows with (vec_id·MUL) % MOD < th. Floor division — Scala
-    * Long `/` and DuckDB `//` agree on non-negative operands. */
+    * Long `/` and DuckDB `//` agree on non-negative operands. Clamped
+    * to ≥ 1: past n = MOD·target the exact ratio floors to zero and
+    * the "sample" would be empty — a degenerate fit at precisely the
+    * corpus sizes sampling exists for. */
   def fitThreshold(n: Long, target: Long): Long =
     if (n <= target) FIT_HASH_MOD
-    else FIT_HASH_MOD * target / n
+    else math.max(1L, FIT_HASH_MOD * target / n)
 
   /** Deterministic training sample of ~`target` rows (all rows when
     * the frame is already that small). The hash is the SEED hash, so
@@ -255,9 +266,21 @@ object VectorQueries {
     * mod the PRIME first is value-identical ((x·a) mod p ≡
     * ((x mod p)·a) mod p) but keeps the product under 2^52, so
     * 64-bit vec_ids can't ANSI-overflow (caught by the 1000× probe —
-    * ids past ~3.5e9 overflowed the unreduced form). */
+    * ids past ~3.5e9 overflowed the round-10 unreduced form). */
   private def seedHash(id: Column): Column =
     ((id.cast(LongType) % lit(FIT_HASH_MOD)) * lit(FIT_HASH_MUL)) % lit(FIT_HASH_MOD)
+
+  /** DuckDB spelling of [[seedHash]] — interpolated into every fit
+    * oracle so a constant change can never de-sync the engines. */
+  def seedHashSql(id: String): String =
+    s"(($id % $FIT_HASH_MOD) * $FIT_HASH_MUL) % $FIT_HASH_MOD"
+
+  /** DuckDB spelling of [[fitThreshold]] over `SELECT ... FROM src`
+    * (same CASE + clamp; `//` floors like Scala Long division). */
+  def fitThresholdSql(target: Long, src: String): String =
+    s"""SELECT CASE WHEN count(*) <= $target THEN CAST($FIT_HASH_MOD AS BIGINT)
+       |  ELSE GREATEST(1, (CAST($FIT_HASH_MOD AS BIGINT) * $target) // count(*)) END AS th
+       |FROM $src""".stripMargin
 
   /** Squared-L2 distance of a float-vector column to a literal center,
     * as the same order-fixed fold both engines run bit-identically. */
@@ -398,15 +421,14 @@ object VectorQueries {
     // reads ${p}e. `//` floors like Scala Long division (operands are
     // non-negative).
     val target = FIT_SAMPLE_PER_K * k
-    sb ++= s"""${p}fn AS (SELECT CASE WHEN count(*) <= $target THEN CAST(1000003 AS BIGINT)
-              |  ELSE (CAST(1000003 AS BIGINT) * $target) // count(*) END AS th FROM ${p}e),
+    sb ++= s"""${p}fn AS (${fitThresholdSql(target, s"${p}e")}),
               |${p}fe AS (SELECT vec_id, embedding FROM ${p}e, ${p}fn
-              |  WHERE ((vec_id % 1000003) * 2654435761) % 1000003 < th),
+              |  WHERE ${seedHashSql("vec_id")} < th),
               |""".stripMargin
     sb ++= cent0Override.getOrElse(
       s"""${p}seeds AS (SELECT cell, embedding FROM
          |  (SELECT embedding, CAST(row_number() OVER
-         |     (ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003 ASC, vec_id ASC) - 1 AS BIGINT) AS cell
+         |     (ORDER BY ${seedHashSql("vec_id")} ASC, vec_id ASC) - 1 AS BIGINT) AS cell
          |   FROM ${p}fe) WHERE cell < $k),
          |${p}cent0 AS (SELECT cell, list_transform(embedding, sx -> ${d("sx")}) AS cent FROM ${p}seeds)""".stripMargin)
     for (i <- 1 to iters) {
@@ -513,6 +535,13 @@ object VectorQueries {
 
   /** Collected (cell, center) pairs of a (cell, pos, c) centroid-rows
     * frame — the [[kmeansFitFrom]] collect shape, shared by v41. */
+  /** Refreshed center set of an assigned (…, embedding, cell) frame —
+    * the full-corpus mean update a periodic refresh produces, in ONE
+    * scan of the frame (the persisted-index repair path reads it off
+    * the index instead of re-assigning the corpus). */
+  def refreshedCenters(assigned: DataFrame): Seq[(Int, Array[Double])] =
+    collectCenterRows(cellRows(assigned))
+
   private def collectCenterRows(rows: DataFrame): Seq[(Int, Array[Double])] =
     rows.collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
       .map { case (cell, rs) =>
@@ -537,36 +566,101 @@ object VectorQueries {
     * On a drift-free index the dirty set is empty and the scan prunes
     * to nothing (R10OpsSpec pins idempotence + moved ⊆ corpus). */
   def ivfRepairFrom(e: DataFrame, oldC: Seq[(Int, Array[Double])],
-      newC: Seq[(Int, Array[Double])], thresh: Double): DataFrame = {
+      newC: Seq[(Int, Array[Double])], thresh: Double): DataFrame =
+    if (oldC.isEmpty)
+      // no serving centers — nothing is assigned, nothing can move
+      e.select(col("vec_id"), lit(0L).as("cell_old"), lit(0L).as("cell_new"))
+        .filter(lit(false))
+    else ivfRepairAssigned(kmeansAssign(e, oldC), oldC, newC, thresh)
+
+  /** The DIRTY set of a refresh: serving cells whose refreshed center
+    * moved past `thresh` (squared L2 on k·d driver doubles) — plus
+    * cells that VANISHED from the refresh entirely (lost every
+    * member): their vectors point at a center that no longer exists
+    * and must be re-scored wherever it lands. */
+  def dirtyCells(oldC: Seq[(Int, Array[Double])],
+      newC: Seq[(Int, Array[Double])], thresh: Double): Seq[Long] = {
     val newByCell = newC.toMap
     if (sys.env.contains("GRAFT_DEBUG_REPAIR"))
       oldC.foreach { case (cell, oc) => newByCell.get(cell).foreach(nc =>
         println(s"[repair] cell=$cell move=${sqDistArr(oc, nc)}")) }
-    val dirty = oldC.collect {
-      case (cell, oc) if newByCell.contains(cell) &&
+    oldC.collect {
+      case (cell, oc) if !newByCell.contains(cell) ||
         sqDistArr(oc, newByCell(cell)) > thresh => cell.toLong
     }
-    val dim = oldC.head._2.length
-    val assigned = kmeansAssign(e, oldC)
+  }
+
+  /** v41's core over a frame ALREADY carrying its serving-cell
+    * assignment (vec_id, embedding, cell) — the shape both a reused
+    * in-memory assignment ([[ivfRepair]]) and a persisted index read
+    * ([[ivfRepairIndexed]]) provide, so repair never recomputes the
+    * nearest-center pass the index already paid for. Empty or fully
+    * vanished center sets degrade to an empty move list, never a
+    * driver exception. */
+  def ivfRepairAssigned(assigned: DataFrame, oldC: Seq[(Int, Array[Double])],
+      newC: Seq[(Int, Array[Double])], thresh: Double): DataFrame = {
+    val dirty = if (newC.isEmpty) Seq.empty[Long]
+      else dirtyCells(oldC, newC, thresh)
     val inDirty =
       if (dirty.isEmpty) assigned.filter(lit(false))
       else assigned.filter(col("cell").isin(dirty: _*))
-    inDirty
-      .select(col("vec_id"), col("cell").as("cell_old"),
+    val out =
+      if (newC.isEmpty) inDirty.select(col("vec_id"),
+        col("cell").cast(LongType).as("cell_old"),
+        col("cell").cast(LongType).as("cell_new"))
+      else inDirty.select(col("vec_id"),
+        col("cell").cast(LongType).as("cell_old"),
         graft.functions.VectorExprs.nearest_centroid(
-          col("embedding"), newC, dim).as("cell_new"))
-      .filter(col("cell_new") =!= col("cell_old"))
+          col("embedding"), newC, newC.head._2.length).as("cell_new"))
+    out.filter(col("cell_new") =!= col("cell_old"))
   }
 
   /** v41 over the standard lifecycle: serving centers = the sample-
     * bounded fit (cent$(iters-1)); refreshed centers = the full-corpus
     * mean update of the final assignment (rows$iters) — exactly the
-    * drift a periodic refresh produces. */
+    * drift a periodic refresh produces. The assignment is computed
+    * ONCE and persisted across its two consumers (the refresh means
+    * and the dirty-cell re-score) — round 10 paid a second full-corpus
+    * nearest-center pass here; the move list is materialized through
+    * an eager local checkpoint so the cache can be released
+    * deterministically instead of waiting for the ContextCleaner. */
   def ivfRepair(e: DataFrame, k: Int = KMEANS_K,
       thresh: Double = IVF_REPAIR_THRESH): DataFrame = {
     val old = kmeansFit(e, k, KMEANS_ITERS - 1)
-    val refreshed = collectCenterRows(cellRows(kmeansAssign(e, old)))
-    ivfRepairFrom(e, old, refreshed, thresh)
+    val assigned = kmeansAssign(e, old).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val refreshed = collectCenterRows(cellRows(assigned))
+      ivfRepairAssigned(assigned, old, refreshed, thresh)
+        .localCheckpoint(true)
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  /** v41 over a PERSISTED cell-partitioned index (the v45 layout):
+    * membership comes from the index itself — no assignment pass at
+    * all — and the dirty set becomes a STATIC partition predicate, so
+    * repair READS only dirty cells' files (`PartitionFilters` in the
+    * plan, like v45's serve). At 100 TB this is the difference
+    * between a repair that costs O(dirty fraction) of the index and
+    * one that rescans the corpus: a 2-dirty-of-64-cell refresh
+    * touches ~3% of the files. The hive partition key comes back as
+    * INT — cast to the move list's BIGINT contract. */
+  def ivfRepairIndexed(spark: SparkSession, indexPath: String,
+      oldC: Seq[(Int, Array[Double])], newC: Seq[(Int, Array[Double])],
+      thresh: Double): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val dirty = if (newC.isEmpty) Seq.empty[Long]
+      else dirtyCells(oldC, newC, thresh)
+    if (dirty.isEmpty || newC.isEmpty)
+      idx.filter(lit(false)).select(col("vec_id"),
+        col("cell").cast(LongType).as("cell_old"),
+        col("cell").cast(LongType).as("cell_new"))
+    else
+      idx.filter(col("cell").isin(dirty: _*))
+        .select(col("vec_id"), col("cell").cast(LongType).as("cell_old"),
+          graft.functions.VectorExprs.nearest_centroid(
+            col("embedding"), newC, newC.head._2.length).as("cell_new"))
+        .filter(col("cell_new") =!= col("cell_old"))
   }
 
   /** DuckDB mirror of [[ivfRepair]]: centN from rows$iters, dirty
@@ -584,8 +678,8 @@ object VectorQueries {
        |centN AS (SELECT cell, list(c ORDER BY pos) AS cent
        |          FROM rows$last GROUP BY cell),
        |dirty AS (SELECT o.cell FROM cent${last - 1} o
-       |          JOIN centN n ON o.cell = n.cell
-       |          WHERE ($moveDist) > $thresh),
+       |          LEFT JOIN centN n ON o.cell = n.cell
+       |          WHERE n.cell IS NULL OR ($moveDist) > $thresh),
        |re AS (SELECT vec_id, cell_old, cell AS cell_new FROM (
        |  SELECT a.vec_id, a.cell AS cell_old, n.cell,
        |    row_number() OVER (PARTITION BY a.vec_id
@@ -2056,13 +2150,10 @@ object VectorQueries {
         e.filter(h < lit(th))
           .select(col("vec_id"), h.as("h"), lit(th).as("th"))
       },
-      Some("""WITH fn AS (SELECT CASE WHEN count(*) <= 128
-             |    THEN CAST(1000003 AS BIGINT)
-             |    ELSE (CAST(1000003 AS BIGINT) * 128) // count(*) END AS th
-             |  FROM embeddings)
-             |SELECT vec_id, ((vec_id % 1000003) * 2654435761) % 1000003 AS h, th
-             |FROM embeddings, fn
-             |WHERE ((vec_id % 1000003) * 2654435761) % 1000003 < th""".stripMargin)),
+      Some(s"""WITH fn AS (${fitThresholdSql(128L, "embeddings")})
+              |SELECT vec_id, ${seedHashSql("vec_id")} AS h, th
+              |FROM embeddings, fn
+              |WHERE ${seedHashSql("vec_id")} < th""".stripMargin)),
 
     // IVF maintenance — the "repair, don't rebuild" pass that closes
     // the index lifecycle: v21/v28 ingest new vectors, x14/x15 watch
@@ -2127,46 +2218,96 @@ object VectorQueries {
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
-        val centers = kmeansFit(e, KMEANS_K, KMEANS_ITERS - 1)
         val tag = java.lang.Integer.toHexString(dir.hashCode)
         val path = s"/tmp/graft_ivf_part_$tag"
-        kmeansAssign(e, centers).write.mode("overwrite")
-          .partitionBy("cell").parquet(path)
-        val idx = s.read.parquet(path)
+        graft.operators.IvfIndex.build(e, path)
+        val idx = graft.operators.IvfIndex.read(s, path)
         val qs = idx.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
             col("cell"))
-        val probed = qs.select(col("cell")).distinct().collect()
-          .map(_.get(0).asInstanceOf[Number].longValue()).sorted.toSeq
-        val pruned = idx.filter(col("cell").isin(probed: _*))
-        val sims = pruned
-          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-            col("cell"))
-          .join(broadcast(qs), "cell")
-          .filter(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"),
-            cosine(col("q_emb"), col("n_emb")).as("sim"))
-        val wr = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("n_id").asc)
-        sims.withColumn("rank", row_number().over(wr).cast(LongType))
-          .filter(col("rank") <= 5)
+        graft.operators.IvfIndex.serve(idx, qs, 5)
+      },
+      Some(partitionedServeSql(5))),
+
+    // Repair OFF THE PERSISTED INDEX — v41's semantics with the
+    // assignment read from the v45 cell-partitioned layout instead of
+    // recomputed: membership is already on disk, so the dirty set
+    // becomes a STATIC partition predicate and the re-score pass
+    // READS only dirty cells' files (PartitionFilters, PlanSpec-
+    // pinned). Same oracle as v41 — the index IS the final
+    // assignment, parquet float round-trip exact, so the move list
+    // hash-matches the in-memory lifecycle bit-for-bit.
+    Q("v46_indexed_repair",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val path = s"/tmp/graft_ivf_rep_$tag"
+        val old = graft.operators.IvfIndex.build(e, path)
+        val refreshed = refreshedCenters(
+          graft.operators.IvfIndex.read(s, path))
+        ivfRepairIndexed(s, path, old, refreshed, IVF_REPAIR_THRESH)
+      },
+      Some(ivfRepairSql())),
+
+    // Incremental upsert ONTO the persisted layout — v21/v28's ingest
+    // producing index FILES instead of rows: arrivals score against
+    // the frozen centers (one narrow pass over the batch), land in
+    // their cells via dynamic partition overwrite, and only touched
+    // cells' directories rewrite (untouched files byte-identical —
+    // R11OpsSpec pins it). Gated on the read-back index ≡ the
+    // assignment of base ∪ arrivals against the same frozen centers.
+    Q("v47_index_upsert",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val path = s"/tmp/graft_ivf_up_$tag"
+        val centers = graft.operators.IvfIndex.build(e, path)
+        val arrivals = e.filter(col("vec_id") % 7 === 3)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            col("embedding"))
+        graft.operators.IvfIndex.upsert(s, path,
+          kmeansAssign(arrivals, centers))
+        graft.operators.IvfIndex.read(s, path)
+          .select(col("vec_id"), col("cell"))
       },
       Some {
         val last = KMEANS_ITERS
+        def d(x: String) = s"CAST($x AS DOUBLE)"
+        val dist = O.dfold(
+          s"list_transform(u.embedding, (kx, ki) -> (${d("kx")} - c.cent[ki]) * (${d("kx")} - c.cent[ki]))")
         s"""WITH ${kmeansCtesSql(KMEANS_K, last)},
-           |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell
-           |      FROM assign$last WHERE vec_id < 5)
-           |SELECT q_id, n_id, sim, rank FROM (
-           |  SELECT q.q_id, a.vec_id AS n_id,
-           |    ${cosineSql("q.q_emb", "a.embedding")} AS sim,
-           |    row_number() OVER (PARTITION BY q.q_id
-           |      ORDER BY ${cosineSql("q.q_emb", "a.embedding")} DESC,
-           |               a.vec_id ASC) AS rank
-           |  FROM assign$last a JOIN q ON a.cell = q.cell
-           |                          AND a.vec_id != q.q_id)
-           |WHERE rank <= 5""".stripMargin
+           |up AS (SELECT vec_id + 1000000 AS vec_id, embedding
+           |       FROM embeddings WHERE vec_id % 7 = 3),
+           |upa AS (SELECT vec_id, cell FROM (
+           |  SELECT u.vec_id, c.cell,
+           |    row_number() OVER (PARTITION BY u.vec_id
+           |      ORDER BY ($dist) ASC, c.cell ASC) AS rk
+           |  FROM up u CROSS JOIN cent${last - 1} c) WHERE rk = 1)
+           |SELECT vec_id, cell FROM assign$last
+           |UNION ALL SELECT vec_id, cell FROM upa""".stripMargin
       })
   )
+
+  /** The v45 serving oracle at top-`k` — shared with the dialect
+    * `serve` statement's gate (the statement lowers to the same
+    * IvfIndex.serve over the same layout). */
+  def partitionedServeSql(k: Int): String = {
+    val last = KMEANS_ITERS
+    s"""WITH ${kmeansCtesSql(KMEANS_K, last)},
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell
+       |      FROM assign$last WHERE vec_id < 5)
+       |SELECT q_id, n_id, sim, rank FROM (
+       |  SELECT q.q_id, a.vec_id AS n_id,
+       |    ${cosineSql("q.q_emb", "a.embedding")} AS sim,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosineSql("q.q_emb", "a.embedding")} DESC,
+       |               a.vec_id ASC) AS rank
+       |  FROM assign$last a JOIN q ON a.cell = q.cell
+       |                          AND a.vec_id != q.q_id)
+       |WHERE rank <= $k""".stripMargin
+  }
 
   /** v26's builder on an arbitrary (vec_id, embedding) frame — shared
     * with ScaleProbe: Hamming top-k over the packed sign-bit codes

@@ -237,15 +237,38 @@ object Ast {
   final case class QuantizeStmt(idCol: String, vecCol: String,
       from: FromClause) extends Stmt
 
-  /** `repair <idCol>[,] <vecCol> from <table> [threshold <x>]` —
-    * v41's IVF index repair on the SQL surface: cells whose refreshed
-    * centroid moved past `threshold` (squared L2; default
-    * IVF_REPAIR_THRESH) have their vectors — and only theirs —
-    * re-scored against the new centers, emitting the
+  /** `repair <idCol>[,] <vecCol> from <table> [using '<path>']
+    * [threshold <x>]` — v41's IVF index repair on the SQL surface:
+    * cells whose refreshed centroid moved past `threshold` (squared
+    * L2; default IVF_REPAIR_THRESH) have their vectors — and only
+    * theirs — re-scored against the new centers, emitting the
     * (vec_id, cell_old, cell_new) move list an upserted index applies
-    * in place instead of rebuilding. */
+    * in place instead of rebuilding. With `using '<path>'` the
+    * membership comes from the persisted cell-partitioned index at
+    * that path (the `index` statement's layout): the dirty set
+    * becomes a static partition predicate and repair READS only
+    * dirty cells' files. */
   final case class RepairStmt(idCol: String, vecCol: String,
-      from: FromClause, thresh: Double) extends Stmt
+      from: FromClause, thresh: Double,
+      indexPath: Option[String] = None) extends Stmt
+
+  /** `index <idCol>[,] <vecCol> from <table> [nh] into '<path>'` —
+    * build + persist the IVF index as a CELL-PARTITIONED parquet
+    * layout at `path` (the v45 storage shape): sample-bounded k-means
+    * fit, one full assignment pass, hive-partitioned write. Emits the
+    * per-cell build report (cell, n_vecs). EAGER like `cluster` (the
+    * write runs at plan time). */
+  final case class IndexStmt(idCol: String, vecCol: String,
+      from: FromClause, path: String) extends Stmt
+
+  /** `serve <idCol>[,] <vecCol> from '<path>' [top <k>]` —
+    * partition-pruned ANN serving off the persisted index at `path`:
+    * the demo query panel (indexed vectors with id < 5, the v45
+    * contract) routes driver-side, its probed cells become a static
+    * partition predicate, and only those cells' files are read.
+    * Emits (q_id, n_id, sim, rank ≤ k). */
+  final case class ServeStmt(idCol: String, vecCol: String,
+      path: String, k: Long = 5L) extends Stmt
 
   /** `pack <idCol>[,] <textCol> from <table> [size <l>]` — t11's
     * GPT-style sequence packing on the SQL surface: corpus tokens

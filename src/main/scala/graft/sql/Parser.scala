@@ -68,6 +68,8 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "negatives")) { advance(); parseNegatives() }
     else if (matches(peek, "outliers")) { advance(); parseOutliers() }
     else if (matches(peek, "repair")) { advance(); parseRepair() }
+    else if (matches(peek, "index")) { advance(); parseIndex() }
+    else if (matches(peek, "serve")) { advance(); parseServe() }
     else if (matches(peek, "drift")) { advance(); parseDrift() }
     else if (matches(peek, "epochs")) { advance(); parseEpochs() }
     else if (matches(peek, "retention")) { advance(); parseRetention() }
@@ -207,6 +209,7 @@ final class Parser(toks: Vector[Tok]) {
     val table = parseTableRef()
     var noHeader = prefixNh
     while (accept("nh") || accept("noheader")) noHeader = true
+    val indexPath = if (accept("using")) Some(parsePathLit("repair")) else None
     val thresh = if (accept("threshold")) peek match {
       case Num(t) => advance(); t.toDouble
       case t => throw ParseError(s"expected number, found '${t.text}'")
@@ -216,7 +219,63 @@ final class Parser(toks: Vector[Tok]) {
     if (!peek.eq(EOF) && peekText != ";")
       throw ParseError(s"unexpected trailing token '${peek.text}'")
     RepairStmt(idCol, vecCol,
-      FromClause(table, None, noHeader, intColumns = false, Nil), thresh)
+      FromClause(table, None, noHeader, intColumns = false, Nil), thresh,
+      indexPath)
+  }
+
+  /** A QUOTED filesystem path operand (index `into`, serve/repair
+    * `using`/`from`) — quoting is mandatory so a path can never be
+    * mistaken for a table or keyword. */
+  private def parsePathLit(stmt: String): String = peek match {
+    case Str(p) =>
+      advance()
+      if (p.isEmpty) throw ParseError(s"$stmt: path must not be empty")
+      p
+    case t => throw ParseError(s"$stmt: expected quoted path, found '${t.text}'")
+  }
+
+  /** `index <idCol>[,] <vecCol> from <table> [nh] into '<path>'`. */
+  private def parseIndex(): IndexStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val vecCol = colName()
+    if (idCol == vecCol)
+      throw ParseError("index: id and vector columns must be distinct")
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    expect("into")
+    val path = parsePathLit("index")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    IndexStmt(idCol, vecCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), path)
+  }
+
+  /** `serve <idCol>[,] <vecCol> from '<path>' [top <k>]`. */
+  private def parseServe(): ServeStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val vecCol = colName()
+    if (idCol == vecCol)
+      throw ParseError("serve: id and vector columns must be distinct")
+    expect("from")
+    val path = parsePathLit("serve")
+    val k = if (accept("top")) parseNumber() else 5L
+    if (k < 1) throw ParseError(s"serve top must be at least 1, got $k")
+    if (k > 1000) throw ParseError(s"serve top must be at most 1000, got $k")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    ServeStmt(idCol, vecCol, path, k)
   }
 
   /** `drift <vecCol> from <refTable> [nh] against <curTable> [nh]` —

@@ -382,7 +382,61 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       named(base, st.vecCol, "embedding"))
     if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
       throw PlanError(s"repair: ${st.vecCol} must be an array (vector) column")
-    graft.queries.VectorQueries.ivfRepair(e, thresh = st.thresh)
+    st.indexPath match {
+      case None => graft.queries.VectorQueries.ivfRepair(e, thresh = st.thresh)
+      case Some(path) =>
+        // membership off the persisted layout: serving centers = the
+        // same sample-bounded fit the index was built with; refreshed
+        // centers = one scan OF THE INDEX (never a corpus re-assign);
+        // the dirty set prunes the re-score to dirty cells' FILES
+        import graft.queries.VectorQueries._
+        val spark = e.sparkSession
+        val old = kmeansFit(e, KMEANS_K, KMEANS_ITERS - 1)
+        val refreshed = refreshedCenters(
+          graft.operators.IvfIndex.read(spark, path))
+        ivfRepairIndexed(spark, path, old, refreshed, st.thresh)
+    }
+  }
+
+  /** `index id, vec from t into '<path>'` — lowers to the shared
+    * IvfIndex lifecycle (IvfIndex.build): sample-bounded fit, ONE
+    * assignment pass, cell-partitioned hive write (EAGER, like
+    * `cluster`'s fit). Emits the per-cell build report (cell,
+    * n_vecs) — a k-row aggregate over the partition column only. */
+  def planIndex(st: IndexStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val e = base.select(named(base, st.idCol, "vec_id"),
+      named(base, st.vecCol, "embedding"))
+    if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
+      throw PlanError(s"index: ${st.vecCol} must be an array (vector) column")
+    graft.operators.IvfIndex.build(e, st.path)
+    graft.operators.IvfIndex.read(e.sparkSession, st.path)
+      .groupBy(col("cell"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_vecs"))
+  }
+
+  /** `serve id, vec from '<path>' [top k]` — partition-pruned serving
+    * off the persisted index (IvfIndex.serve): the id<5 demo panel
+    * routes driver-side, the probed-cell union becomes a static
+    * partition predicate, only those cells' files are read. */
+  def planServe(st: ServeStmt): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val raw = try spark.read.parquet(st.path) catch {
+      case e: Exception =>
+        throw PlanError(s"serve: cannot read index at '${st.path}': ${e.getMessage}")
+    }
+    if (!raw.columns.contains("cell"))
+      throw PlanError(s"serve: '${st.path}' is not a cell-partitioned index (no `cell` column)")
+    val idx = raw.select(named(raw, st.idCol, "vec_id"),
+      named(raw, st.vecCol, "embedding"),
+      col("cell").cast(LongType).as("cell"))
+    if (!idx.schema("embedding").dataType.isInstanceOf[ArrayType])
+      throw PlanError(s"serve: ${st.vecCol} must be an array (vector) column")
+    val panel = idx.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cell"))
+    graft.operators.IvfIndex.serve(idx, panel, st.k.toInt)
   }
 
   /** `drift vec from ref against cur` — lowers VERBATIM to the x14

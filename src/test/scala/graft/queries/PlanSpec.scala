@@ -783,11 +783,24 @@ class PlanSpec extends SparkSpec {
   test("ivf repair (v41): one narrow scan, zero joins/exchanges") {
     // both center sets are broadcast literals inside codegen'd
     // expressions; the dirty-cell restriction is a per-row filter —
-    // the whole repair is scan → filter → project, nothing wider
-    val p = plan("v41_ivf_repair")
+    // the whole repair is scan → filter → project, nothing wider.
+    // Pin the UNDERLYING re-score plan (the registry's v41 output is
+    // an eager local checkpoint — its plan is a block scan), built
+    // over a live assignment exactly as ivfRepair composes it.
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val old = VectorQueries.kmeansFit(e, 4, 2)
+    val moved = VectorQueries.ivfRepairAssigned(
+      VectorQueries.kmeansAssign(e, old), old,
+      old.map { case (c, a) => (c, a.map(_ + 0.5)) }, 0.0)
+    val p = moved.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
       !p.contains("Exchange"),
       s"the repair pass must stay narrow:\n${p.take(1200)}")
+    // and the registry's checkpointed move list still carries rows
+    assert(plan("v41_ivf_repair").nonEmpty)
   }
 
   test("streaming encodes (v42/v43) plan no state and no shuffle") {
@@ -819,6 +832,25 @@ class PlanSpec extends SparkSpec {
       s"the index scan must prune on the cell partition column:\n" +
         p.split("\n").filter(l => l.contains("Scan") ||
           l.contains("PartitionFilters")).mkString("\n"))
+  }
+
+  test("indexed repair (v46) prunes to dirty cells at the scan") {
+    // the dirty set is a STATIC predicate on the hive partition
+    // column: the re-score must read ONLY dirty cells' files — the
+    // whole point of repairing off the persisted layout instead of
+    // re-assigning the corpus (the round-10 62 s repair-vs-9 s
+    // rebuild finding)
+    val p = plan("v46_indexed_repair")
+    val scanBlock = p.split("\n").filter(_.contains("PartitionFilters"))
+    assert(scanBlock.exists(l => l.contains("cell") && !l.contains("[]")),
+      s"the repair scan must prune on the cell partition column:\n" +
+        p.split("\n").filter(l => l.contains("Scan") ||
+          l.contains("PartitionFilters")).mkString("\n"))
+    // and like v41, the re-score itself stays narrow — no join, no
+    // exchange; the only wide op in the plan is the pruned scan
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("Exchange"),
+      s"indexed repair must stay narrow:\n${p.take(1200)}")
   }
 
   test("video near-dup (m06) aggregates signature counts, never pairs") {

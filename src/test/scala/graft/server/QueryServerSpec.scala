@@ -92,6 +92,12 @@ class QueryServerSpec extends SparkSpec {
       assert(rep.contains(""""Status":"ok"""") && rep.contains("cell_new"), rep)
       val sem = post("dedup semantic vec_id, embedding from embeddings")
       assert(sem.contains(""""Status":"ok"""") && sem.contains("keep"), sem)
+      val idx = post("index vec_id, embedding from embeddings into '/tmp/graft_qs_idx'")
+      assert(idx.contains(""""Status":"ok"""") && idx.contains("n_vecs"), idx)
+      val srv = post("serve vec_id, embedding from '/tmp/graft_qs_idx' top 3")
+      assert(srv.contains(""""Status":"ok"""") && srv.contains("sim"), srv)
+      val rpu = post("repair vec_id, embedding from embeddings using '/tmp/graft_qs_idx'")
+      assert(rpu.contains(""""Status":"ok"""") && rpu.contains("cell_new"), rpu)
     } finally server.stop()
   }
 

@@ -315,6 +315,43 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("repair id, id from t"))
     assertThrows[Exception](Parser.parseStmt("repair id, vec from t threshold 0"))
     assertThrows[Exception](Parser.parseStmt("repair id, vec from t extra"))
+    // using '<path>' pins the persisted-index form; path must be quoted
+    val u = Parser.parseStmt("repair id, vec from t using '/tmp/i' threshold 0.5")
+      .asInstanceOf[Ast.RepairStmt]
+    assert(u.indexPath.contains("/tmp/i") && u.thresh == 0.5)
+    assert(Parser.parseStmt("repair id, vec from t")
+      .asInstanceOf[Ast.RepairStmt].indexPath.isEmpty)
+    assertThrows[Exception](Parser.parseStmt("repair id, vec from t using /tmp/i"))
+    assertThrows[Exception](Parser.parseStmt("repair id, vec from t using ''"))
+  }
+
+  test("index statement grammar") {
+    val i = Parser.parseStmt("index vec_id, embedding from embeddings into '/tmp/idx'")
+      .asInstanceOf[Ast.IndexStmt]
+    assert(i.idCol == "vec_id" && i.vecCol == "embedding" &&
+      i.from.table == "embeddings" && i.path == "/tmp/idx")
+    // comma optional, like every two-column statement
+    assert(Parser.parseStmt("index id vec from t into '/x'")
+      .asInstanceOf[Ast.IndexStmt].path == "/x")
+    assertThrows[Exception](Parser.parseStmt("index id, vec from t")) // no into
+    assertThrows[Exception](Parser.parseStmt("index id, vec from t into /x")) // unquoted
+    assertThrows[Exception](Parser.parseStmt("index id, vec from t into ''"))
+    assertThrows[Exception](Parser.parseStmt("index id, id from t into '/x'"))
+    assertThrows[Exception](Parser.parseStmt("index id, vec from t into '/x' extra"))
+  }
+
+  test("serve statement grammar") {
+    val s = Parser.parseStmt("serve vec_id, embedding from '/tmp/idx'")
+      .asInstanceOf[Ast.ServeStmt]
+    assert(s.idCol == "vec_id" && s.vecCol == "embedding" &&
+      s.path == "/tmp/idx" && s.k == 5L)
+    assert(Parser.parseStmt("serve id vec from '/x' top 20")
+      .asInstanceOf[Ast.ServeStmt].k == 20L)
+    assertThrows[Exception](Parser.parseStmt("serve id, vec from idx")) // unquoted
+    assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' top 0"))
+    assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' top 5000"))
+    assertThrows[Exception](Parser.parseStmt("serve id, id from '/x'"))
+    assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' extra"))
   }
 
   test("drift statement grammar: two tables via against") {

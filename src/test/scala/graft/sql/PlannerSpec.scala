@@ -705,6 +705,28 @@ class PlannerSpec extends SparkSpec {
     assertThrows[Exception](g.sql("repair embedding, vec_id from embeddings"))
   }
 
+  test("index/serve/repair-using statements: the persisted lifecycle end-to-end") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val p = "/tmp/graft_plannerspec_idx"
+    // build: per-cell report covers the whole corpus
+    val rep = g.sql(s"index vec_id, embedding from embeddings into '$p'")
+    assert(rep.columns.toSeq == Seq("cell", "n_vecs"))
+    assert(rep.agg(sum(col("n_vecs"))).head.getLong(0) ==
+      g.sql("select vec_id from embeddings").count())
+    // serve: k respected, builder-equal against IvfIndex.serve
+    val served = g.sql(s"serve vec_id, embedding from '$p' top 3")
+    assert(served.columns.toSeq == Seq("q_id", "n_id", "sim", "rank"))
+    assert(served.count() > 0 && served.filter(col("rank") > 3).count() == 0)
+    // repair using: equals the in-memory repair statement move list
+    val viaIdx = g.sql(s"repair vec_id, embedding from embeddings using '$p'")
+      .collect().map(_.toSeq).toSet
+    val inMem = g.sql("repair vec_id, embedding from embeddings")
+      .collect().map(_.toSeq).toSet
+    assert(viaIdx == inMem, "indexed repair must equal the in-memory path")
+    // clean errors: missing index path, not-an-index directory
+    assertThrows[Exception](g.sql("serve vec_id, embedding from '/tmp/graft_nonexistent_idx'"))
+  }
+
   test("drift statement executes: self-drift is zero, builder-equal, clean errors") {
     val d = g.sql("drift embedding from embeddings against embeddings")
     assert(d.columns.toSeq == Seq("dim", "psi", "shifted"))
