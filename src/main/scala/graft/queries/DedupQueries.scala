@@ -357,6 +357,52 @@ object DedupQueries {
         Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
       Some(semanticDedupSql())),
 
+    // Streaming semantic dedup — d08 as continuous ingest, making all
+    // FOUR dedup modes (exact d01, near d03, best d19, semantic d08)
+    // runnable on arrivals: centers and the batch keep-set are frozen,
+    // each arriving vector is kept unless a lower-id KEPT cell-mate
+    // sits above the cosine bar (stateless per-row exists against the
+    // broadcast per-cell keep arrays — append mode, no state, no
+    // watermark). Hash-gated on the streamed slice against the same
+    // unrolled-Lloyd oracle with a correlated EXISTS over the keep
+    // set; StreamingSpec pins stream ≡ batch and stream-dropped ⊆
+    // batch-dropped.
+    Q("d21_semantic_stream",
+      (s, dir) => {
+        import VectorQueries.{KMEANS_K, KMEANS_ITERS}
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val centers = VectorQueries.kmeansFit(e, KMEANS_K, KMEANS_ITERS - 1)
+        val keeps = semanticKeepSetFrom(
+          VectorQueries.kmeansAssign(e, centers), 0.2)
+        graft.streaming.StreamingOps.runToTable(s,
+          semanticDedupStream(
+            graft.streaming.StreamingOps.readEmbeddings(s, dir)
+              .filter(col("vec_id") % 7 === 3)
+              .select(col("vec_id"), col("embedding")),
+            centers, keeps, 0.2),
+          "append", "graft_d21_sink_")
+      },
+      Some {
+        import VectorQueries.{cosineSql, kmeansCtesSql, KMEANS_ITERS}
+        val last = KMEANS_ITERS
+        s"""WITH ${kmeansCtesSql()},
+           |av AS (SELECT vec_id, embedding, cell FROM assign$last),
+           |dom AS (SELECT DISTINCT x.vec_id FROM av x JOIN av y
+           |        ON x.cell = y.cell AND y.vec_id < x.vec_id
+           |        WHERE ${cosineSql("x.embedding", "y.embedding")} > 0.2),
+           |keeps AS (SELECT v.vec_id, v.embedding, v.cell FROM av v
+           |          LEFT JOIN dom d ON v.vec_id = d.vec_id
+           |          WHERE d.vec_id IS NULL),
+           |sl AS (SELECT vec_id, embedding, cell FROM av WHERE vec_id % 7 = 3),
+           |hits AS (SELECT DISTINCT s.vec_id FROM sl s JOIN keeps k
+           |         ON k.cell = s.cell AND k.vec_id < s.vec_id
+           |         WHERE ${cosineSql("k.embedding", "s.embedding")} > 0.2)
+           |SELECT s.vec_id, s.cell,
+           |  CAST(CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM sl s LEFT JOIN hits h ON s.vec_id = h.vec_id""".stripMargin
+      }),
+
     // Last stage of the dedup pipeline: the LSH candidate pairs form a
     // graph whose connected components are duplicate CLUSTERS (pairwise
     // output alone over-counts: a triplicate doc is 3 pairs but one
@@ -879,17 +925,62 @@ object DedupQueries {
     import VectorQueries.{KMEANS_K, KMEANS_ITERS}
     val centers = VectorQueries.kmeansFit(e, KMEANS_K, KMEANS_ITERS - 1)
     val assigned = VectorQueries.kmeansAssign(e, centers)
+    assigned.join(dominatedOf(assigned, thresh).withColumn("__dom", lit(1L)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("__dom").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** The dominated ids of an assigned (vec_id, embedding, cell) frame
+    * — a vector with a LOWER-id cell-mate above the cosine bar.
+    * Shared by [[semanticDedup]] and the keep-set the streaming twin
+    * freezes. */
+  private def dominatedOf(assigned: DataFrame, thresh: Double): DataFrame = {
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"))
     val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
       col("embedding").as("b_emb"))
-    val dominated = a.join(b,
-        col("cell") === col("cell_b") && col("b_id") < col("a_id"))
+    a.join(b, col("cell") === col("cell_b") && col("b_id") < col("a_id"))
       .filter(VectorQueries.cosine(col("a_emb"), col("b_emb")) > thresh)
       .select(col("a_id").as("vec_id")).distinct()
-    assigned.join(dominated.withColumn("__dom", lit(1L)), Seq("vec_id"), "left")
+  }
+
+  /** The KEEP SET of [[semanticDedup]] WITH its vectors — the frozen
+    * artifact the streaming twin checks arrivals against: one
+    * canonical representative per semantic duplicate set, (vec_id,
+    * embedding, cell). */
+  def semanticKeepSetFrom(assigned: DataFrame, thresh: Double): DataFrame =
+    assigned.join(dominatedOf(assigned, thresh), Seq("vec_id"), "left_anti")
+
+  /** d08 as CONTINUOUS ingest (the v28/v42 frozen-artifact pattern
+    * applied to semantic dedup): centers AND the batch keep-set are
+    * FROZEN; each arriving vector takes its cell in one stateless
+    * codegen'd projection and is kept unless a LOWER-id kept
+    * cell-mate sits above the cosine bar. The keep-set rides as a
+    * per-cell array on the static side of a stream-static left join
+    * (k rows, one per cell), so the arrival-side check is a per-row
+    * `exists` fold — no state, no watermark, O(batch · cell
+    * occupancy) per micro-batch; per-cell occupancy is bounded by
+    * choosing k ∝ corpus/target-cell-size, SemDeDup's own scaling
+    * argument. Works identically on a batch frame (StreamingSpec pins
+    * stream ≡ batch on the same slice). Monotonicity ties it to the
+    * batch contract: a kept batch vector can never be dominated by
+    * the keep-set (R10OpsSpec's keep-monotonicity), so stream-dropped
+    * arrivals ⊆ batch-dropped arrivals. Emits (vec_id, cell, keep). */
+  def semanticDedupStream(arrivals: DataFrame,
+      centers: Seq[(Int, Array[Double])], keeps: DataFrame,
+      thresh: Double): DataFrame = {
+    val mates = keeps.groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id").as("kid"),
+        col("embedding").as("kemb"))).as("mates"))
+    VectorQueries.kmeansAssign(arrivals, centers)
+      .join(mates, Seq("cell"), "left")
       .select(col("vec_id"), col("cell"),
-        when(col("__dom").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+        when(exists(col("mates"), m =>
+          m.getField("kid") < col("vec_id") &&
+            VectorQueries.cosine(m.getField("kemb"), col("embedding")) >
+              lit(thresh)), lit(0L))
+          .otherwise(lit(1L)).as("keep"))
   }
 
   /** [[semanticDedup]]'s DuckDB mirror (the unrolled sample-bounded

@@ -94,6 +94,14 @@ object PlanLint {
         graft.queries.ApproxQueries.driftBinned(
           t(s, d, "embeddings").filter(col("vec_id") % 2 === 1)
             .select(col("embedding")))),
+      "d21_semantic_stream" -> ((s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val centers = graft.queries.VectorQueries.kmeansFit(e, 4, 2)
+        val keeps = graft.queries.DedupQueries.semanticKeepSetFrom(
+          graft.queries.VectorQueries.kmeansAssign(e, centers), 0.2)
+        graft.queries.DedupQueries.semanticDedupStream(
+          e.filter(col("vec_id") % 7 === 3), centers, keeps, 0.2)
+      }),
       "t43_calibration_stream" -> ((s, d) => {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("text"))

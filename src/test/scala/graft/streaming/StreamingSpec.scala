@@ -419,6 +419,39 @@ class StreamingSpec extends SparkSpec {
       "continuous drift counters must replay the batch audit exactly")
   }
 
+  test("streaming semantic dedup ≡ batch rule, and stream-dropped ⊆ batch-dropped") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.{DedupQueries, VectorQueries}
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val centers = VectorQueries.kmeansFit(e, 4, 2)
+    val keeps = DedupQueries.semanticKeepSetFrom(
+      VectorQueries.kmeansAssign(e, centers), 0.2)
+    // the builder runs identically on a batch frame: the gate's
+    // streamed result must equal it row-for-row on the same slice
+    val slice = e.filter(col("vec_id") % 7 === 3)
+    val batch = DedupQueries.semanticDedupStream(slice, centers, keeps, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val streamed = graft.queries.Registry.queries("d21_semantic_stream")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch, "stream must equal batch")
+    // contract vs d08: a batch-KEPT vector is never dominated by the
+    // keep-set (keep-set pairs are mutually non-dominating), so the
+    // frozen-keep-set check can only drop vectors d08 also drops
+    val d08 = DedupQueries.semanticDedup(e, 0.2)
+      .filter(col("vec_id") % 7 === 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    streamed.foreach { case (id, _, keep) =>
+      if (keep == 0L)
+        assert(d08(id) == 0L, s"stream dropped $id but batch d08 kept it")
+      if (d08(id) == 1L)
+        assert(keep == 1L, s"batch-kept $id must stay kept in the stream")
+    }
+    // and the streamed slice keeps at least one representative
+    assert(streamed.exists(_._3 == 1L))
+  }
+
   test("stateful sessionization emits per-user session counts") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val batchEvents = Tables(spark, sf0001, "events")
