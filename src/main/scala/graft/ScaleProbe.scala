@@ -88,6 +88,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r8new")) r8New(args.drop(1))
     else if (args.headOption.contains("fitsample")) fitSampleProbe(args.drop(1))
     else if (args.headOption.contains("r10new")) r10New(args.drop(1))
+    else if (args.headOption.contains("r11new")) r11New(args.drop(1))
     else if (args.headOption.contains("r9new")) r9New(args.drop(1))
     else if (args.headOption.contains("r9late")) r9Late(args.drop(1))
     else if (args.headOption.contains("r7new")) r7New(args.drop(1))
@@ -134,6 +135,96 @@ object ScaleProbe {
       .write.format("noop").mode("overwrite").save())
     time("v33_end_to_end")(VectorQueries.ivfPqRerank(e, 20, 5)
       .write.format("noop").mode("overwrite").save())
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-11 probe (VERDICT r10 #1's done-criteria): the persisted-
+    * index lifecycle at copies×. The corpus is materialized to
+    * parquet and indexed cell-partitioned once; then
+    *  - `index_build` = the REBUILD reference cost (fit + one full
+    *    assignment/write pass);
+    *  - `refresh_means` = one scan OF THE INDEX into k·d doubles;
+    *  - `repair_indexed_dirty{0,1,2,4}` = the partition-pruned
+    *    re-score with a CONTROLLED dirty set (d of k=4 cells
+    *    perturbed past the threshold) — wall must TRACK the dirty
+    *    fraction (d=0 reads nothing, d=4 reads everything) and the
+    *    full-dirty ceiling must beat the r10 in-memory repair;
+    *  - `repair_inmem_lifecycle` = the r10 shape (fit + persisted
+    *    assignment + re-score) for the same corpus, the A/B;
+    *  - `upsert_0p1pct` = landing a ~0.1% arrival batch with dynamic
+    *    partition overwrite — must cost a small fraction of
+    *    `index_build`, since only touched cells rewrite. */
+  private def r11New(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.queries.VectorQueries
+    import graft.operators.IvfIndex
+    val tmp = s"/tmp/graft_r11_probe_$copies"
+    scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
+    val e = spark.read.parquet(s"$tmp/emb.parquet")
+    println(s"copies=$copies vecs=${e.count()}")
+    val idxPath = s"$tmp/idx"
+    // k=64 so the dirty/touched granularity is ~1.6% of the corpus —
+    // the cell count a real deployment sizes (k ∝ corpus/cell-target)
+    val K = 64
+    var centers: Seq[(Int, Array[Double])] = Seq.empty
+    time("index_build") { centers = IvfIndex.build(e, idxPath, K) }
+    var refreshed: Seq[(Int, Array[Double])] = Seq.empty
+    time("refresh_means") {
+      refreshed = VectorQueries.refreshedCenters(IvfIndex.read(spark, idxPath))
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // controlled dirty sweep: d of the k cells pushed past the
+    // threshold (+0.1 per dim ≫ sqrt(thresh/64)), the rest untouched.
+    // Record the dirty-cell OCCUPANCY next to each wall so "tracks
+    // the dirty fraction" is checkable in rows, not cell counts
+    // (k-means cells are not equal-sized).
+    val occupancy = IvfIndex.read(spark, idxPath)
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = occupancy.values.sum
+    for (d <- Seq(0, 1, 8, K)) {
+      val dirtyCells = centers.take(d).map(_._1.toLong)
+      val frac = dirtyCells.map(occupancy.getOrElse(_, 0L)).sum.toDouble / total
+      val newC = centers.zipWithIndex.map { case ((c, arr), i) =>
+        if (i < d) (c, arr.map(_ + 0.1)) else (c, arr) }
+      time(s"repair_indexed_dirty$d")(noop(VectorQueries.ivfRepairIndexed(
+        spark, idxPath, centers, newC, VectorQueries.IVF_REPAIR_THRESH)))
+      results(s"repair_indexed_dirty${d}_rowfrac") = math.rint(frac * 1000) / 1000
+    }
+    // the natural refresh dirt (whatever the means moved) for context
+    time("repair_indexed_natural")(noop(VectorQueries.ivfRepairIndexed(
+      spark, idxPath, centers, refreshed, VectorQueries.IVF_REPAIR_THRESH)))
+    // the r10 in-memory lifecycle A/B at the gate's k=4: fit +
+    // persisted assignment + re-score (no index reuse)
+    time("repair_inmem_lifecycle")(noop(VectorQueries.ivfRepair(e)))
+    // incremental upsert, clustered arrivals: 20 vectors that land in
+    // ONE cell — only that cell's files rewrite (the locality story)
+    val oneCell = centers.head._1.toLong
+    val clustered = IvfIndex.read(spark, idxPath)
+      .filter(col("cell") === oneCell).limit(20)
+      .select((col("vec_id") + lit(900000000000L)).as("vec_id"),
+        col("embedding"))
+      .localCheckpoint(true)
+    time("upsert_20_onecell")(IvfIndex.upsert(spark, idxPath,
+      VectorQueries.kmeansAssign(clustered, centers)))
+    results("upsert_20_onecell_rowfrac") =
+      math.rint(occupancy(oneCell).toDouble / total * 1000) / 1000
+    // and SCATTERED arrivals (~0.1% uniform): they touch most cells,
+    // so the dynamic-overwrite upsert degenerates toward a full
+    // rewrite — recorded honestly; high-rate scattered ingest should
+    // batch by cell (or append) rather than overwrite per batch
+    val scattered = e.filter(pmod(col("vec_id"), lit(1024L)) === 7L)
+      .select((col("vec_id") + lit(950000000000L)).as("vec_id"),
+        col("embedding"))
+    println(s"arrivals_scattered=${scattered.count()}")
+    time("upsert_0p1pct_scattered")(IvfIndex.upsert(spark, idxPath,
+      VectorQueries.kmeansAssign(scattered, centers)))
     writeJson(outJson, copies)
     spark.stop()
   }

@@ -28,15 +28,22 @@ import graft.queries.VectorQueries
 object IvfIndex {
 
   /** Persist an assigned (vec_id, embedding, cell) frame as the
-    * cell-partitioned layout. The explicit repartition on the
-    * partition key pays ONE shuffle so each cell's rows land in one
-    * task (without it every task writes a sliver of every cell —
-    * tasks×cells tiny files make pruning slower than a flat scan). */
-  def write(assigned: DataFrame, path: String): Unit =
+    * cell-partitioned layout. The explicit RANGE repartition on
+    * (cell, vec_id) pays ONE shuffle so each task writes a contiguous
+    * cell slice: ~shuffle-partitions files total, each cell's file
+    * count proportional to its occupancy. (Hash-repartitioning on the
+    * cell alone collapses k cells onto ≤k writer tasks — k huge
+    * single-row-group files that cap READ parallelism at k: the
+    * round-11 probe read the k=4 layout 2× slower than the flat
+    * corpus. No repartition at all is worse still — every task writes
+    * a sliver of every cell, tasks×cells tiny files.) */
+  def write(assigned: DataFrame, path: String): Unit = {
+    val n = assigned.sparkSession.sessionState.conf.numShufflePartitions
     assigned.select(col("vec_id"), col("embedding"),
         col("cell").cast(LongType).as("cell"))
-      .repartition(col("cell"))
+      .repartitionByRange(n, col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
 
   /** Build an index at `path` from a raw (vec_id, embedding) frame:
     * sample-bounded k-means fit (≤256·k training vectors whatever the
@@ -103,7 +110,8 @@ object IvfIndex {
     val merged = existing
       .join(broadcast(arrivals.select(col("vec_id"))), Seq("vec_id"), "left_anti")
       .unionByName(arrivals)
-    merged.repartition(col("cell"))
+    val n = merged.sparkSession.sessionState.conf.numShufflePartitions
+    merged.repartitionByRange(n, col("cell"), col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(path)
