@@ -89,6 +89,8 @@ object ScaleProbe {
     else if (args.headOption.contains("fitsample")) fitSampleProbe(args.drop(1))
     else if (args.headOption.contains("r10new")) r10New(args.drop(1))
     else if (args.headOption.contains("r11new")) r11New(args.drop(1))
+    else if (args.headOption.contains("r11p13")) r11P13(args.drop(1))
+    else if (args.headOption.contains("r11skew")) r11Skew(args.drop(1))
     else if (args.headOption.contains("r9new")) r9New(args.drop(1))
     else if (args.headOption.contains("r9late")) r9Late(args.drop(1))
     else if (args.headOption.contains("r7new")) r7New(args.drop(1))
@@ -225,6 +227,200 @@ object ScaleProbe {
     println(s"arrivals_scattered=${scattered.count()}")
     time("upsert_0p1pct_scattered")(IvfIndex.upsert(spark, idxPath,
       VectorQueries.kmeansAssign(scattered, centers)))
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-11 skew-resilience evidence (VERDICT r10 #7): d18's
+    * edges⋈ranks join — the dedup-graph shape whose hot vertices
+    * BucketGuard can only CAP, not balance — on the duplication-salted
+    * fixture, A/B with AQE skew-join handling off/on. Recorded per
+    * leg: wall, the max task duration (the straggler witness), and
+    * the number of `skew=true` joins in the FINAL adaptive plan — the
+    * direct evidence AQE actually split the skewed partitions rather
+    * than merely being enabled. Legs interleave over two rounds so
+    * box drift can't masquerade as the result. */
+  private def r11Skew(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.queries.DedupQueries
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) {
+          var cur = maxTaskMs.get
+          while (te.taskInfo.duration > cur &&
+            !maxTaskMs.compareAndSet(cur, te.taskInfo.duration))
+            cur = maxTaskMs.get
+        }
+    })
+    // AQE skew thresholds sized to probe partitions (defaults target
+    // 256 MB cluster partitions and would never fire at probe scale)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    val tmp = s"/tmp/graft_r11_skew_$copies"
+    scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("source"), col("text"))
+      .write.mode("overwrite").parquet(s"$tmp/docs.parquet")
+    val docs = spark.read.parquet(s"$tmp/docs.parquet")
+    println(s"copies=$copies docs=${docs.count()}")
+    // the duplication fixture's LSH pairs: every duplicate family is a
+    // (capped) near-clique, so a handful of vertices carry most edges
+    // — exactly the key skew the ranks join inherits
+    // the fixture's own pairs spread ~uniformly over vertices, so the
+    // hub scenario is SALTED in (the r7 fact-join probe's discipline):
+    // 30% of edges remap onto one hot vertex — the boilerplate hub a
+    // template farm produces, whose rank-join partition dwarfs the rest
+    DedupQueries.candidatePairsOf(
+        DedupQueries.sigOf(docs.select(col("doc_id"), col("text"))))
+      .withColumn("doc_a",
+        when(pmod(col("doc_b"), lit(10)) < 3, lit(7L)).otherwise(col("doc_a")))
+      .write.mode("overwrite").parquet(s"$tmp/pairs.parquet")
+    val pairs = spark.read.parquet(s"$tmp/pairs.parquet")
+    println(s"pair_edges=${pairs.count()}")
+    def leg(label: String, skewHandling: Boolean, forceSmj: Boolean): Unit = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewHandling.toString)
+      // the DEFAULT plan broadcasts the vertex frame (ranks/degrees ≪
+      // edges) — skew-immune by shape; forcing SMJ probes the 100 TB
+      // regime where a billion-vertex rank frame can't broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        if (forceSmj) "-1" else "10485760")
+      maxTaskMs.set(0)
+      var skewJoins = 0
+      time(label) {
+        val out = DedupQueries.dupPagerankOf(pairs, iters = 3)
+        // collect, not count: count() wraps a NEW QueryExecution, so
+        // the adaptive plan inspected below would never finalize
+        val n = out.collect().length
+        require(n > 0)
+        skewJoins = "skew=true".r
+          .findAllIn(out.queryExecution.executedPlan.toString).length
+        if (sys.env.contains("GRAFT_DEBUG_SKEW"))
+          println(out.queryExecution.executedPlan.toString.take(4000))
+      }
+      results(label + "_maxtasksec") = math.rint(maxTaskMs.get / 10.0) / 100.0
+      results(label + "_skewjoins") = skewJoins.toDouble
+    }
+    leg("warm_naive", skewHandling = false, forceSmj = true)
+    // the default-plan leg: vertex side broadcasts, nothing to skew
+    leg("bcast_default", skewHandling = true, forceSmj = false)
+    for (round <- 1 to 2) {
+      leg(s"pagerank_smj_naive_$round", skewHandling = false, forceSmj = true)
+      leg(s"pagerank_smj_aqeskew_$round", skewHandling = true, forceSmj = true)
+    }
+    // d04's verification GATHER — every candidate edge pulls its doc's
+    // bytes (the Jaccard-check shape): both join children are PLAIN
+    // shuffles, the shape AQE can actually skew-split. (The pagerank
+    // rounds above can't be: their rank side has an aggregation
+    // between shuffle and join, so splitting would have to recompute
+    // the agg — AQE correctly leaves them alone, and their DEFAULT
+    // plan broadcasts the vertex frame anyway.)
+    val feats = docs.select(col("doc_id"), length(col("text")).as("len"))
+    def gatherLeg(label: String, skewHandling: Boolean): Unit = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewHandling.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      maxTaskMs.set(0)
+      var skewJoins = 0
+      time(label) {
+        // sum(doc_b) keeps the varying edge endpoint in the shuffled
+        // row — a hot partition of one repeated key alone compresses
+        // to almost nothing and byte-based skew detection can't see it
+        val out = pairs.join(feats, pairs("doc_a") === feats("doc_id"))
+          .agg(sum(col("len")).as("bytes"), count(lit(1)).as("n"),
+            sum(col("doc_b")).as("chk"))
+        require(out.collect().head.getLong(1) > 0)
+        skewJoins = "skew=true".r
+          .findAllIn(out.queryExecution.executedPlan.toString).length
+        if (sys.env.contains("GRAFT_DEBUG_SKEW"))
+          println(out.queryExecution.executedPlan.toString.take(4000))
+      }
+      results(label + "_maxtasksec") = math.rint(maxTaskMs.get / 10.0) / 100.0
+      results(label + "_skewjoins") = skewJoins.toDouble
+    }
+    for (round <- 1 to 2) {
+      gatherLeg(s"gather_naive_$round", skewHandling = false)
+      gatherLeg(s"gather_aqeskew_$round", skewHandling = true)
+    }
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-11 p13 A/B (VERDICT r10 #6): the fused one-profile-scan
+    * calibratedMix vs the round-10 shape (quality/profile recomputed
+    * per leg: CDF, canonical ranking, survivor bucket, mix
+    * tokenization). Legs INTERLEAVE over two rounds in one JVM so box
+    * drift can't masquerade as the result. */
+  private def r11P13(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.queries.{DedupQueries, PipelineQueries, TextQueries}
+    val tmp = s"/tmp/graft_r11_p13_$copies"
+    scaled(spark, "documents", Seq("doc_id"), copies)
+      .select(col("doc_id"), col("source"), col("text"))
+      .write.mode("overwrite").parquet(s"$tmp/docs.parquet")
+    val docs = spark.read.parquet(s"$tmp/docs.parquet")
+    println(s"copies=$copies docs=${docs.count()}")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // the round-10 shape, verbatim from the r10 builder: each leg
+    // re-derives its signal from the text column
+    def unfused(): org.apache.spark.sql.DataFrame = {
+      val cdf = broadcast(TextQueries.sourceCdfOf(
+        TextQueries.qualityBuckets(docs)))
+      val docsIdText = docs.select(col("doc_id"), col("text"))
+      val canon = DedupQueries.canonicalPickOf(docsIdText)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val surv = docs
+        .select(col("doc_id"), col("source"), col("text"),
+          floor(TextQueries.qualityCol(col("text"),
+            graft.functions.TextProfileExprs.text_profile(col("text")))
+            .cast(graft.core.Det.dec) * lit(100))
+            .cast(org.apache.spark.sql.types.LongType).as("bucket"))
+        .join(cdf, Seq("source", "bucket"))
+        .filter(col("cum") * 10 >= col("n_src") * 3)
+        .join(canon, "doc_id")
+        .select(col("doc_id"), col("source"), col("text"))
+      PipelineQueries.tokenBudgetMix(surv, 500L)
+    }
+    time("warm")(noop(unfused()))
+    // leg decomposition: what actually dominates the composition
+    time("leg_cdf")(noop(TextQueries.sourceCdfOf(
+      TextQueries.qualityBuckets(docs))))
+    time("leg_pairs_cc_rank")(noop(DedupQueries.canonicalPickOf(
+      docs.select(col("doc_id"), col("text")))))
+    // …and the canon leg's own stages: the round-11 finding is that
+    // CC over the O(bucket²) pair set dominated the composition; the
+    // star contraction (component-equal, O(bucket) edges) halves it
+    val sigCached = DedupQueries.sigOf(docs.select(col("doc_id"), col("text")))
+      .localCheckpoint(true)
+    time("leg_sig_alone") {
+      noop(DedupQueries.sigOf(docs.select(col("doc_id"), col("text"))))
+    }
+    var pairsChk: org.apache.spark.sql.DataFrame = null
+    time("leg_pairs_build") {
+      pairsChk = DedupQueries.candidatePairsOf(sigCached).localCheckpoint(true)
+    }
+    var starsChk: org.apache.spark.sql.DataFrame = null
+    time("leg_stars_build") {
+      starsChk = DedupQueries.candidateStarsOf(sigCached).localCheckpoint(true)
+    }
+    results("leg_pairs_edges") = pairsChk.count().toDouble
+    results("leg_stars_edges") = starsChk.count().toDouble
+    time("leg_cc_over_pairs")(noop(
+      graft.core.ConnectedComponents.run(pairsChk, "doc_a", "doc_b")))
+    time("leg_cc_over_stars")(noop(
+      graft.core.ConnectedComponents.run(starsChk, "doc_a", "doc_b")))
+    time("leg_mix_alone")(noop(PipelineQueries.tokenBudgetMix(
+      docs.select(col("doc_id"), col("source"), col("text")), 500L)))
+    for (round <- 1 to 2) {
+      time(s"p13_unfused_r10_$round")(noop(unfused()))
+      time(s"p13_fused_r11_$round")(noop(
+        PipelineQueries.calibratedMix(docs, 500L)))
+    }
     writeJson(outJson, copies)
     spark.stop()
   }

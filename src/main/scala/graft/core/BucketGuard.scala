@@ -95,6 +95,38 @@ object BucketGuard {
     benign.union(hotPairs).distinct()
   }
 
+  /** Connectivity-preserving STAR contraction of the same buckets
+    * [[boundedPairs]] pairs up: per bucket, one (rep = min id, member)
+    * edge per other member — O(n) edges where the pair form is
+    * O(n·maxBucket). COMPONENT-EQUAL to boundedPairs by construction
+    * (a benign bucket's all-pairs clique and a hot bucket's
+    * chunk-pairs-plus-star both connect exactly the bucket's member
+    * set, and the star alone already does that), so a connected-
+    * components consumer (d19's canonical pick, p13) gets identical
+    * clusters from a far smaller edge list — each label-propagation
+    * round shuffles the edges, so the contraction is paid back every
+    * round. Not a candidate-pair replacement: similarity VERIFIERS
+    * (d03's Jaccard check) still need the actual pairs. */
+  def boundedStars(bands: DataFrame, id: String, outA: String, outB: String,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val ex = bands.repartition(col("band"), col("bkey"))
+    val agg = ex.groupBy(col("band"), col("bkey"))
+      .agg(graft.functions.BucketAggExprs.bounded_bucket(col(id), maxBucket).as("__b"))
+    val benign = agg.filter(col("__b.n") <= maxBucket)
+      .select(col("__b.rep").as("__rep"), explode(col("__b.members")).as("__m"))
+      .filter(col("__m") =!= col("__rep"))
+      .select(col("__rep").as(outA), col("__m").as(outB))
+    // hot buckets: the capped agg's member array is partial, so the
+    // star joins the marker back onto the band rows (same reused
+    // exchange as boundedPairs' hot branch)
+    val markers = agg.filter(col("__b.n") > maxBucket)
+      .select(col("band"), col("bkey"), col("__b.rep").as("__rep"))
+    val hotStars = ex.join(markers, Seq("band", "bkey"))
+      .filter(col(id) =!= col("__rep"))
+      .select(col("__rep").as(outA), col(id).as(outB))
+    benign.union(hotStars).distinct()
+  }
+
   /** Buckets the guard degraded: (band, bkey, n, rep) for every bucket
     * over `maxBucket`. Operational visibility — log/count this next to
     * any guarded run; an empty frame means exact semantics everywhere. */

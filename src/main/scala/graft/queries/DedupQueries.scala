@@ -69,15 +69,29 @@ object DedupQueries {
   /** [[candidatePairs]] over an explicit signature frame (doc_id +
     * mh0..mh{K-1}) with a configurable hot-bucket threshold. */
   def candidatePairsOf(sig: DataFrame,
-      maxBucket: Int = graft.core.BucketGuard.DefaultMaxBucket): DataFrame = {
-    val bands = sig.select(
+      maxBucket: Int = graft.core.BucketGuard.DefaultMaxBucket): DataFrame =
+    graft.core.BucketGuard.boundedPairs(bandedOf(sig), "doc_id",
+      "doc_a", "doc_b", maxBucket = maxBucket, directed = false)
+
+  /** The (doc_id, band, bkey) LSH banding both the pair and the star
+    * candidate builders bucket on. */
+  private def bandedOf(sig: DataFrame): DataFrame =
+    sig.select(
       col("doc_id"),
       explode(array((0 until BANDS).map(j =>
         struct(lit(j).as("band"), bandKey(j).as("bkey"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-    graft.core.BucketGuard.boundedPairs(bands, "doc_id", "doc_a", "doc_b",
-      maxBucket = maxBucket, directed = false)
-  }
+
+  /** Star-contracted candidate EDGES — component-equal to
+    * [[candidatePairsOf]] (BucketGuard.boundedStars) at O(bucket)
+    * instead of O(bucket²) edges: the input a connected-components
+    * consumer wants. d19's clusters (and p13's) are identical by
+    * construction; only pairwise VERIFIERS (d03's Jaccard) need the
+    * actual pairs. */
+  def candidateStarsOf(sig: DataFrame,
+      maxBucket: Int = graft.core.BucketGuard.DefaultMaxBucket): DataFrame =
+    graft.core.BucketGuard.boundedStars(bandedOf(sig), "doc_id",
+      "doc_a", "doc_b", maxBucket = maxBucket)
 
   /** d18's builder: PageRank over the UNDIRECTED duplicate graph (the
     * d03 candidate pairs) — the authority score inside near-dup
@@ -997,22 +1011,32 @@ object DedupQueries {
        |FROM av v LEFT JOIN dom d ON v.vec_id = d.vec_id""".stripMargin
   }
 
+  /** d19's canonical pick — the COMPONENTS consumer, so the candidate
+    * graph is the star-contracted edge set (component-equal to the
+    * pair set at O(bucket) edges; DedupSpec pins the equality). */
   def canonicalPickOf(docs: DataFrame): DataFrame =
-    canonicalPickFromPairs(docs, candidatePairsOf(sigOf(docs)))
+    canonicalPickFromPairs(docs, candidateStarsOf(sigOf(docs)))
 
   /** [[canonicalPickOf]] with the candidate pairs injected — the
     * d18-probe pattern: ScaleProbe feeds SALTED-signature pairs (edge
     * growth linear in copies by construction) so the pick's own
     * scaling is measured without the duplication-fixture's quadratic
     * pair artifact. */
-  def canonicalPickFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def canonicalPickFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    canonicalPickFromQuality(
+      docs
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+        .select(col("doc_id"),
+          TextQueries.qualityCol(col("text"), col("p")).as("quality")),
+      pairs)
+
+  /** [[canonicalPickFromPairs]] with the per-doc quality PRECOMPUTED —
+    * p13's path: its one profile scan already carries the quality
+    * column, so the canonical ranking must not re-scan the text. */
+  def canonicalPickFromQuality(q: DataFrame, pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cc = graft.core.ConnectedComponents.run(pairs, "doc_a", "doc_b")
-    val q = docs
-      .select(col("doc_id"), col("text"),
-        graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
-      .select(col("doc_id"),
-        TextQueries.qualityCol(col("text"), col("p")).as("quality"))
     val labeled = q
       .join(cc.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .select(col("doc_id"),

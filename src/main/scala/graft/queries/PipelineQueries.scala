@@ -356,24 +356,49 @@ object PipelineQueries {
   def calibratedMix(docs: org.apache.spark.sql.DataFrame, budget: Long,
       pairsOpt: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    val cdf = broadcast(TextQueries.sourceCdfOf(
-      TextQueries.qualityBuckets(docs)))
-    val docsIdText = docs.select(col("doc_id"), col("text"))
-    val canon = pairsOpt
-      .map(p => DedupQueries.canonicalPickFromPairs(docsIdText, p))
-      .getOrElse(DedupQueries.canonicalPickOf(docsIdText))
-      .filter(col("keep") === 1).select(col("doc_id"))
-    val surv = docs
+    import org.apache.spark.sql.types.LongType
+    // ONE profile scan carries every per-row signal the composition
+    // needs — quality (the CDF leg AND the canonical ranking AND the
+    // survivor bucket) and the token count (the mix leg) — persisted
+    // across its three consumers so the text column is decoded once,
+    // not three times (round 10's shape re-scanned it per leg; the
+    // round-7 composition probe already showed per-row signals never
+    // justify re-scans). Narrow artifact: (doc_id, source, quality,
+    // n_tok) — no text retained in cache. The only other text pass
+    // left is the minhash signature scan (a different projection).
+    val prof = docs
       .select(col("doc_id"), col("source"), col("text"),
-        floor(TextQueries.qualityCol(col("text"),
-          graft.functions.TextProfileExprs.text_profile(col("text")))
-          .cast(graft.core.Det.dec) * lit(100))
-          .cast(org.apache.spark.sql.types.LongType).as("bucket"))
-      .join(cdf, Seq("source", "bucket"))
-      .filter(col("cum") * 10 >= col("n_src") * 3)
-      .join(canon, "doc_id")
-      .select(col("doc_id"), col("source"), col("text"))
-    tokenBudgetMix(surv, budget)
+        graft.functions.TextProfileExprs.text_profile(col("text")).as("p"))
+      .select(col("doc_id"), col("source"),
+        TextQueries.qualityCol(col("text"), col("p")).as("quality"),
+        col("p").getField("n_tok").as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cdf = broadcast(TextQueries.sourceCdfOf(
+        prof.select(col("doc_id"), col("source"),
+          floor(col("quality").cast(graft.core.Det.dec) * lit(100))
+            .cast(LongType).as("bucket"))))
+      val pairs = pairsOpt.getOrElse(
+        DedupQueries.candidateStarsOf(DedupQueries.sigOf(
+          docs.select(col("doc_id"), col("text")))))
+      val canon = DedupQueries.canonicalPickFromQuality(
+          prof.select(col("doc_id"), col("quality")), pairs)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val surv = prof
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          floor(col("quality").cast(graft.core.Det.dec) * lit(100))
+            .cast(LongType).as("bucket"))
+        .join(cdf, Seq("source", "bucket"))
+        .filter(col("cum") * 10 >= col("n_src") * 3)
+        .join(canon, "doc_id")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_tok").cast(LongType), lit(0L)).as("n_tok"))
+      // tokenBudgetMixSized's grouped cumsum runs its offset pass
+      // EAGERLY, so by the time it returns the keyed RDD cache holds
+      // the survivors and prof can be released synchronously — the
+      // returned frame reads the keyed cache, never prof
+      tokenBudgetMixSized(surv, budget)
+    } finally prof.unpersist(blocking = false)
   }
 
   /** p12's builder on an arbitrary (doc_id, source, text) frame —
@@ -381,16 +406,24 @@ object PipelineQueries {
     * hash (exact integer arithmetic, mod-1e6 first so 64-bit ids
     * can't overflow ANSI), ties to doc_id. */
   def tokenBudgetMix(docs: org.apache.spark.sql.DataFrame,
-      budget: Long): org.apache.spark.sql.DataFrame = {
-    val okey = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(1000003L)
+      budget: Long): org.apache.spark.sql.DataFrame =
     // null text → tokens null → size null: coalesce to 0 so the
     // cumsum's getLong never NPEs on user CSVs with empty cells
     // (packEfficiency's null contract; the oracle coalesces too)
-    val sized = docs.select(col("source"), col("doc_id"),
+    tokenBudgetMixSized(docs.select(col("source"), col("doc_id"),
       coalesce(size(graft.functions.TextFunctions.tokens(col("text")))
-        .cast(org.apache.spark.sql.types.LongType), lit(0L)).as("n_tok"),
+        .cast(org.apache.spark.sql.types.LongType), lit(0L)).as("n_tok")),
+      budget)
+
+  /** [[tokenBudgetMix]] over a frame whose token counts are ALREADY
+    * computed (source, doc_id, n_tok) — p13's path: its one profile
+    * scan carries n_tok, so the mix leg must not re-tokenize. */
+  def tokenBudgetMixSized(sized: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val okey = ((col("doc_id") % lit(1000000L)) * lit(2654435761L)) % lit(1000003L)
+    val keyed = sized.select(col("source"), col("doc_id"), col("n_tok"),
       okey.as("okey"))
-    graft.core.RowNumbers.groupedCumsum(sized, Seq("source"),
+    graft.core.RowNumbers.groupedCumsum(keyed, Seq("source"),
       Seq(col("okey").asc, col("doc_id").asc), "n_tok", "cum_tok")
       .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"),
         when(col("cum_tok") - col("n_tok") < lit(budget), lit(1L))

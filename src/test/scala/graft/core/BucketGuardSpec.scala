@@ -63,6 +63,37 @@ class BucketGuardSpec extends SparkSpec {
     assert(exact.count() > 0)
   }
 
+  test("star contraction is component-equal to the pair set (benign + hot)") {
+    // 5 duplicate families of 8 + one hot 200-doc family under a tiny
+    // maxBucket: components from boundedStars must equal components
+    // from boundedPairs vertex-for-vertex — the contraction only
+    // drops connectivity-redundant edges, never reachability
+    val docs = spark.range(240).select(col("id").as("doc_id"),
+      when(col("id") < 200, lit("hot boilerplate family text"))
+        .otherwise(concat(lit("family "), col("id") % 5,
+          lit(" shared duplicate body"))).as("text"))
+    val sig = DedupQueries.sigOf(docs).cache()
+    def comps(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      ConnectedComponents.run(edges, "doc_a", "doc_b").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromPairs = comps(DedupQueries.candidatePairsOf(sig, maxBucket = 64))
+    val fromStars = comps(DedupQueries.candidateStarsOf(sig, maxBucket = 64))
+    assert(fromPairs.nonEmpty && fromStars == fromPairs)
+    // and the star edge list is the smaller one on the hot family
+    val nPairs = DedupQueries.candidatePairsOf(sig, maxBucket = 64).count()
+    val nStars = DedupQueries.candidateStarsOf(sig, maxBucket = 64).count()
+    assert(nStars < nPairs, s"stars $nStars must undercut pairs $nPairs")
+    // d19 itself: canonical pick over stars ≡ canonical pick over pairs
+    val viaPairs = DedupQueries.canonicalPickFromPairs(docs,
+      DedupQueries.candidatePairsOf(sig, maxBucket = 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    val viaStars = DedupQueries.canonicalPickFromPairs(docs,
+      DedupQueries.candidateStarsOf(sig, maxBucket = 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    assert(viaStars == viaPairs)
+    sig.unpersist()
+  }
+
   test("oversized() reports exactly the degraded buckets") {
     val bands = spark.range(500)
       .select(col("id"), lit(0).as("band"),
