@@ -2272,23 +2272,63 @@ object VectorQueries {
         graft.operators.IvfIndex.read(s, path)
           .select(col("vec_id"), col("cell"))
       },
-      Some {
-        val last = KMEANS_ITERS
-        def d(x: String) = s"CAST($x AS DOUBLE)"
-        val dist = O.dfold(
-          s"list_transform(u.embedding, (kx, ki) -> (${d("kx")} - c.cent[ki]) * (${d("kx")} - c.cent[ki]))")
-        s"""WITH ${kmeansCtesSql(KMEANS_K, last)},
-           |up AS (SELECT vec_id + 1000000 AS vec_id, embedding
-           |       FROM embeddings WHERE vec_id % 7 = 3),
-           |upa AS (SELECT vec_id, cell FROM (
-           |  SELECT u.vec_id, c.cell,
-           |    row_number() OVER (PARTITION BY u.vec_id
-           |      ORDER BY ($dist) ASC, c.cell ASC) AS rk
-           |  FROM up u CROSS JOIN cent${last - 1} c) WHERE rk = 1)
-           |SELECT vec_id, cell FROM assign$last
-           |UNION ALL SELECT vec_id, cell FROM upa""".stripMargin
-      })
+      Some(indexUpsertOracle)),
+
+    // STREAMING index upsert — v28's continuous assignment landing in
+    // index FILES instead of rows, closing the last gap in the
+    // continuous-index story: arrivals take their cell against the
+    // FROZEN centers in one stateless projection, and each micro-batch
+    // lands via foreachBatch → IvfIndex.upsert (partition-pruned read
+    // of touched cells, dynamic partition overwrite of only those).
+    // With v28 (assign), v42/v43 (encodes), d21 (semantic dedup) and
+    // this, every index artifact is not just computable continuously —
+    // it is MAINTAINED on storage continuously. Same oracle as v47:
+    // the read-back index must equal the batch upsert bit-for-bit
+    // (StreamingSpec pins stream ≡ batch at the file-content level).
+    Q("v48_stream_upsert",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val path = s"/tmp/graft_ivf_sup_$tag"
+        val centers = graft.operators.IvfIndex.build(e, path)
+        val assigned = kmeansAssign(
+          graft.streaming.StreamingOps.readEmbeddings(s, dir)
+            .filter(col("vec_id") % 7 === 3)
+            .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+              col("embedding")),
+          centers)
+        val q = assigned.writeStream
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            graft.operators.IvfIndex.upsert(s, path, batch))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        graft.operators.IvfIndex.read(s, path)
+          .select(col("vec_id"), col("cell"))
+      },
+      Some(indexUpsertOracle))
   )
+
+  /** The v47/v48 oracle: the base corpus's final Lloyd assignment
+    * UNION the shifted streamed slice assigned against the same
+    * frozen centers — what the upserted index must read back as. */
+  def indexUpsertOracle: String = {
+    val last = KMEANS_ITERS
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val dist = O.dfold(
+      s"list_transform(u.embedding, (kx, ki) -> (${d("kx")} - c.cent[ki]) * (${d("kx")} - c.cent[ki]))")
+    s"""WITH ${kmeansCtesSql(KMEANS_K, last)},
+       |up AS (SELECT vec_id + 1000000 AS vec_id, embedding
+       |       FROM embeddings WHERE vec_id % 7 = 3),
+       |upa AS (SELECT vec_id, cell FROM (
+       |  SELECT u.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY u.vec_id
+       |      ORDER BY ($dist) ASC, c.cell ASC) AS rk
+       |  FROM up u CROSS JOIN cent${last - 1} c) WHERE rk = 1)
+       |SELECT vec_id, cell FROM assign$last
+       |UNION ALL SELECT vec_id, cell FROM upa""".stripMargin
+  }
 
   /** The v45 serving oracle at top-`k` — shared with the dialect
     * `serve` statement's gate (the statement lowers to the same

@@ -452,6 +452,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._3 == 1L))
   }
 
+  test("streaming index upsert lands the same files content as the batch upsert") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    import graft.queries.VectorQueries
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // batch reference: v47's shape on a fresh layout
+    val bPath = "/tmp/graft_spec_sup_batch"
+    val centers = IvfIndex.build(e, bPath)
+    val arrivals = e.filter(col("vec_id") % 7 === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    IvfIndex.upsert(spark, bPath, VectorQueries.kmeansAssign(arrivals, centers))
+    val batch = IvfIndex.read(spark, bPath).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    // the gate runs the stream (build + foreachBatch upsert) itself
+    val streamed = graft.queries.Registry.queries("v48_stream_upsert")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "continuous upsert must maintain the same index as the batch path")
+    // and the arrivals actually landed (not just the base corpus)
+    assert(streamed.exists(_._1 >= 1000000L))
+  }
+
   test("stateful sessionization emits per-user session counts") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val batchEvents = Tables(spark, sf0001, "events")
