@@ -538,9 +538,19 @@ object VectorQueries {
   /** Refreshed center set of an assigned (…, embedding, cell) frame —
     * the full-corpus mean update a periodic refresh produces, in ONE
     * scan of the frame (the persisted-index repair path reads it off
-    * the index instead of re-assigning the corpus). */
+    * the index instead of re-assigning the corpus). Uses the native
+    * [[graft.functions.VecMeanAgg]] — bit-identical to the
+    * posexplode + Det.davg shape the oracles mirror (VectorAggSpec
+    * pins it) but one row per VECTOR through the aggregation instead
+    * of one per (vector, dim): the refresh scan of a 2M×64-float
+    * index stopped generating 128M exploded rows. */
   def refreshedCenters(assigned: DataFrame): Seq[(Int, Array[Double])] =
-    collectCenterRows(cellRows(assigned))
+    assigned.groupBy(col("cell"))
+      .agg(graft.functions.VecMeanExprs.vec_mean(col("embedding")).as("c"))
+      .filter(col("c").isNotNull) // an all-null-vector cell has no mean
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
 
   private def collectCenterRows(rows: DataFrame): Seq[(Int, Array[Double])] =
     rows.collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
@@ -630,7 +640,7 @@ object VectorQueries {
     val assigned = kmeansAssign(e, old).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val refreshed = collectCenterRows(cellRows(assigned))
+      val refreshed = refreshedCenters(assigned)
       ivfRepairAssigned(assigned, old, refreshed, thresh)
         .localCheckpoint(true)
     } finally assigned.unpersist(blocking = false)
