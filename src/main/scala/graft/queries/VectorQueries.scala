@@ -2258,7 +2258,8 @@ object VectorQueries {
           graft.operators.IvfIndex.read(s, path))
         ivfRepairIndexed(s, path, old, refreshed, IVF_REPAIR_THRESH)
       },
-      Some(ivfRepairSql())),
+      Some(ivfRepairSql()),
+      bench = true),
 
     // Incremental upsert ONTO the persisted layout — v21/v28's ingest
     // producing index FILES instead of rows: arrivals score against
