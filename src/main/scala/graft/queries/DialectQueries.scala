@@ -685,6 +685,31 @@ object DialectQueries {
         g.sql(s"index vec_id, embedding from embeddings into '$p'")
         g.sql(s"repair vec_id, embedding from embeddings using '$p'")
       },
-      Some(VectorQueries.ivfRepairSql()))
+      Some(VectorQueries.ivfRepairSql())),
+
+    // `serve … query '<batch>'`: an EXTERNAL query batch served off
+    // the persisted index — each query routes to its nearest exact
+    // cell MEAN of the index (the repair refresh's decimal means, so
+    // the oracle can replay the routing bit-for-bit from rows$last),
+    // probed cells become the partition predicate, exact cosine
+    // within them. The batch is a parquet file the builder derives
+    // from the fixture (ids shifted out of the index's id space), and
+    // the oracle derives the SAME rows from the embeddings table.
+    Q("s60_dialect_serve_query",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val g = GraftSession(s, dir)
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val ip = s"/tmp/graft_s60_idx_$tag"
+        val qp = s"/tmp/graft_s60_q_$tag"
+        g.sql(s"index vec_id, embedding from embeddings into '$ip'")
+        graft.core.Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 11 === 3)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(qp)
+        g.sql(s"serve vec_id, embedding from '$ip' query '$qp' top 5")
+      },
+      Some(VectorQueries.serveQueryOracle(5)))
   )
 }

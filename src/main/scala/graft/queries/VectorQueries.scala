@@ -2341,6 +2341,37 @@ object VectorQueries {
        |UNION ALL SELECT vec_id, cell FROM upa""".stripMargin
   }
 
+  /** The s60 oracle: an EXTERNAL query batch (the embeddings slice
+    * vec_id % 11 = 3 with ids shifted by 1e6 — exactly the parquet
+    * batch the gate writes) routed to its nearest exact cell MEAN of
+    * the index (centN ≡ the VecMeanAgg refresh means, Det-decimal
+    * per dimension), then exact cosine within the probed cell. */
+  def serveQueryOracle(k: Int): String = {
+    val last = KMEANS_ITERS
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val routeDist = O.dfold(
+      s"list_transform(u.q_emb, (kx, ki) -> (${d("kx")} - c.cent[ki]) * (${d("kx")} - c.cent[ki]))")
+    s"""WITH ${kmeansCtesSql(KMEANS_K, last)},
+       |centN AS (SELECT cell, list(c ORDER BY pos) AS cent
+       |          FROM rows$last GROUP BY cell),
+       |up AS (SELECT vec_id + 1000000 AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id % 11 = 3),
+       |qp AS (SELECT q_id, q_emb, cell FROM (
+       |  SELECT u.q_id, u.q_emb, c.cell,
+       |    row_number() OVER (PARTITION BY u.q_id
+       |      ORDER BY ($routeDist) ASC, c.cell ASC) AS rk
+       |  FROM up u CROSS JOIN centN c) WHERE rk = 1)
+       |SELECT q_id, n_id, sim, rank FROM (
+       |  SELECT q.q_id, a.vec_id AS n_id,
+       |    ${cosineSql("q.q_emb", "a.embedding")} AS sim,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosineSql("q.q_emb", "a.embedding")} DESC,
+       |               a.vec_id ASC) AS rank
+       |  FROM assign$last a JOIN qp q ON a.cell = q.cell
+       |                          AND a.vec_id != q.q_id)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** The v45 serving oracle at top-`k` — shared with the dialect
     * `serve` statement's gate (the statement lowers to the same
     * IvfIndex.serve over the same layout). */

@@ -60,7 +60,7 @@ object Console {
       |  <b>Dedup</b>: <code>dedup near id, text from file</code> emits MinHash-LSH candidate pairs (doc_a, doc_b); add <code>threshold 0.5</code> to verify candidates with exact n-gram Jaccard and keep jac &ge; t; <code>dedup exact id, text from file</code> groups exact copies (md5) with the kept id and copy count; <code>dedup best id, text from file</code> keeps each near-dup cluster's highest-QUALITY doc; <code>dedup semantic id, vec from file threshold 0.2</code> is SemDeDup over an embedding column (k-means cells, within-cell cosine domination).<br><br>
       |  <b>Similarity</b>: <code>similar id, vec from file top 5</code> — approximate-nearest-neighbor top-k over a vector column (banded LSH + cosine verification), emitting (q_id, n_id, sim, rank).<br><br>
       |  <b>Layout</b>: <code>shard id from file into 16</code> — deterministic training-shard addressing (doc_id, shard, pos); <code>interleave id, src from file</code> — round-robin source mixing order (doc_id, source, pos, rank).<br><br>
-      |  <b>Curation</b>: <code>search id, text from file for 'terms' top 20</code> (BM25); <code>split id from file into 80 10 10</code> (train/val/test); <code>sample id from file pct 10</code> or <code>sample id from file top 100 by weight</code> (deterministic plain / weighted draw); <code>cluster id, vec from file into 4</code> (k-means cells); <code>quantize id, vec from file</code> (sign-bit binary codes); <code>chunk id, text from file size 64 overlap 16</code>; <code>pack id, text from file size 512</code>; <code>profile file</code> (per-column stats); <code>trend ts, kind from file top 3</code> (top types per sliding window); <code>card id, text from file</code> (one-row dataset datasheet); <code>mix id, text from file budget 1000000 per src</code> (token-budget source mixing); <code>calibrate id, src, text from file</code> (per-source quality percentiles + keep flag); <code>negatives id, vec, label from file top 5</code> (hard-negative mining); <code>outliers id, vec from file top 20</code> (distance-to-nearest-centroid OOD scoring); <code>drift vec from ref against cur</code> (per-dimension PSI between two snapshots); <code>epochs src, text from file budget 1000000</code> (temperature-weighted per-source pass plan); <code>retention user, ts from file</code> (weekly cohort retention); <code>diff text from old against new</code> (corpus snapshot diff: added/removed/retained volumes); <code>fertility lang, text from file</code> (per-language tokens-per-word); <code>packing id, text from file sizes 256, 512, 1024</code> (sequence-length packing efficiency curve); <code>repair id, vec from file threshold 0.0014</code> (IVF index repair: re-assign only drifted cells' vectors); <code>index id, vec from file into '/path'</code> (build + persist the IVF index as a cell-partitioned parquet layout); <code>serve id, vec from '/path' top 5</code> (partition-pruned ANN serving off the persisted index); <code>repair id, vec from file using '/path'</code> (repair off the persisted index: dirty cells become a partition predicate, only their files are read).<br><br>
+      |  <b>Curation</b>: <code>search id, text from file for 'terms' top 20</code> (BM25); <code>split id from file into 80 10 10</code> (train/val/test); <code>sample id from file pct 10</code> or <code>sample id from file top 100 by weight</code> (deterministic plain / weighted draw); <code>cluster id, vec from file into 4</code> (k-means cells); <code>quantize id, vec from file</code> (sign-bit binary codes); <code>chunk id, text from file size 64 overlap 16</code>; <code>pack id, text from file size 512</code>; <code>profile file</code> (per-column stats); <code>trend ts, kind from file top 3</code> (top types per sliding window); <code>card id, text from file</code> (one-row dataset datasheet); <code>mix id, text from file budget 1000000 per src</code> (token-budget source mixing); <code>calibrate id, src, text from file</code> (per-source quality percentiles + keep flag); <code>negatives id, vec, label from file top 5</code> (hard-negative mining); <code>outliers id, vec from file top 20</code> (distance-to-nearest-centroid OOD scoring); <code>drift vec from ref against cur</code> (per-dimension PSI between two snapshots); <code>epochs src, text from file budget 1000000</code> (temperature-weighted per-source pass plan); <code>retention user, ts from file</code> (weekly cohort retention); <code>diff text from old against new</code> (corpus snapshot diff: added/removed/retained volumes); <code>fertility lang, text from file</code> (per-language tokens-per-word); <code>packing id, text from file sizes 256, 512, 1024</code> (sequence-length packing efficiency curve); <code>repair id, vec from file threshold 0.0014</code> (IVF index repair: re-assign only drifted cells' vectors); <code>index id, vec from file into '/path'</code> (build + persist the IVF index as a cell-partitioned parquet layout); <code>serve id, vec from '/path' [query batch] top 5</code> (partition-pruned ANN serving off the persisted index; <code>query</code> serves an external batch routed via the index's cell means); <code>repair id, vec from file using '/path'</code> (repair off the persisted index: dirty cells become a partition predicate, only their files are read).<br><br>
       |  <b>Plan</b>: the plan button shows each statement's physical query plan (pushed filters, broadcasts, shuffles) without running it.<br><br>
       |  <b>Joins</b>: <code>join / left join file alias on a.col = alias.col</code> chains across files; <code>sjoin</code> forces a broadcast (small file), <code>bjoin</code> a sort-merge (both big).<br><br>
       |  <b>Saving</b>: fill the save box before running to also write each statement's FULL result as csv (the grid stays clipped); multiple statements get numbered suffixes.

@@ -261,14 +261,18 @@ object Ast {
   final case class IndexStmt(idCol: String, vecCol: String,
       from: FromClause, path: String) extends Stmt
 
-  /** `serve <idCol>[,] <vecCol> from '<path>' [top <k>]` —
-    * partition-pruned ANN serving off the persisted index at `path`:
-    * the demo query panel (indexed vectors with id < 5, the v45
-    * contract) routes driver-side, its probed cells become a static
-    * partition predicate, and only those cells' files are read.
-    * Emits (q_id, n_id, sim, rank ≤ k). */
+  /** `serve <idCol>[,] <vecCol> from '<path>' [query <table>]
+    * [top <k>]` — partition-pruned ANN serving off the persisted
+    * index at `path`. Without `query`, the demo panel is the indexed
+    * vectors with id < 5 (the v45 contract, cells already on disk).
+    * With `query <table>` (a registered table or a quoted file path),
+    * an EXTERNAL batch is served: each query routes to its nearest
+    * exact cell MEAN of the index (the same decimal means the repair
+    * refresh computes — deterministic and oracle-mirrorable), the
+    * probed-cell union becomes a static partition predicate, and only
+    * those cells' files are read. Emits (q_id, n_id, sim, rank ≤ k). */
   final case class ServeStmt(idCol: String, vecCol: String,
-      path: String, k: Long = 5L) extends Stmt
+      path: String, query: Option[String] = None, k: Long = 5L) extends Stmt
 
   /** `pack <idCol>[,] <textCol> from <table> [size <l>]` — t11's
     * GPT-style sequence packing on the SQL surface: corpus tokens

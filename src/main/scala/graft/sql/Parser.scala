@@ -257,7 +257,8 @@ final class Parser(toks: Vector[Tok]) {
       FromClause(table, None, noHeader, intColumns = false, Nil), path)
   }
 
-  /** `serve <idCol>[,] <vecCol> from '<path>' [top <k>]`. */
+  /** `serve <idCol>[,] <vecCol> from '<path>' [query <table>]
+    * [top <k>]`. */
   private def parseServe(): ServeStmt = {
     def colName(): String = peek match {
       case _: Word => advance().text
@@ -270,12 +271,13 @@ final class Parser(toks: Vector[Tok]) {
       throw ParseError("serve: id and vector columns must be distinct")
     expect("from")
     val path = parsePathLit("serve")
+    val query = if (accept("query")) Some(parseTableRef()) else None
     val k = if (accept("top")) parseNumber() else 5L
     if (k < 1) throw ParseError(s"serve top must be at least 1, got $k")
     if (k > 1000) throw ParseError(s"serve top must be at most 1000, got $k")
     if (!peek.eq(EOF) && peekText != ";")
       throw ParseError(s"unexpected trailing token '${peek.text}'")
-    ServeStmt(idCol, vecCol, path, k)
+    ServeStmt(idCol, vecCol, path, query, k)
   }
 
   /** `drift <vecCol> from <refTable> [nh] against <curTable> [nh]` —

@@ -433,9 +433,28 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       col("cell").cast(LongType).as("cell"))
     if (!idx.schema("embedding").dataType.isInstanceOf[ArrayType])
       throw PlanError(s"serve: ${st.vecCol} must be an array (vector) column")
-    val panel = idx.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("cell"))
+    val panel = st.query match {
+      case None =>
+        // the v45 demo panel: indexed vectors, cells already on disk
+        idx.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("cell"))
+      case Some(qt) =>
+        // EXTERNAL batch: route each query to its nearest exact cell
+        // MEAN of the index (one narrow index scan into k·d driver
+        // doubles — the repair refresh's artifact, deterministic on
+        // both engines), never a corpus op per query
+        val qbase = resolve(qt, false)
+        val q = qbase.select(named(qbase, st.idCol, "q_id"),
+          named(qbase, st.vecCol, "q_emb"))
+        if (!q.schema("q_emb").dataType.isInstanceOf[ArrayType])
+          throw PlanError(s"serve: ${st.vecCol} must be an array (vector) column in the query table")
+        val means = graft.queries.VectorQueries.refreshedCenters(idx)
+        if (means.isEmpty) throw PlanError(s"serve: index at '${st.path}' is empty")
+        q.select(col("q_id"), col("q_emb"),
+          graft.functions.VectorExprs.nearest_centroid(
+            col("q_emb"), means, means.head._2.length).as("cell"))
+    }
     graft.operators.IvfIndex.serve(idx, panel, st.k.toInt)
   }
 

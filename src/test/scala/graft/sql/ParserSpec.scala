@@ -347,6 +347,14 @@ class ParserSpec extends AnyFunSuite {
       s.path == "/tmp/idx" && s.k == 5L)
     assert(Parser.parseStmt("serve id vec from '/x' top 20")
       .asInstanceOf[Ast.ServeStmt].k == 20L)
+    // external batch: registered table name or a quoted path
+    val q = Parser.parseStmt("serve id, vec from '/x' query '/tmp/batch.parquet' top 3")
+      .asInstanceOf[Ast.ServeStmt]
+    assert(q.query.contains("/tmp/batch.parquet") && q.k == 3L)
+    assert(Parser.parseStmt("serve id, vec from '/x' query arrivals")
+      .asInstanceOf[Ast.ServeStmt].query.contains("arrivals"))
+    assert(Parser.parseStmt("serve id, vec from '/x'")
+      .asInstanceOf[Ast.ServeStmt].query.isEmpty)
     assertThrows[Exception](Parser.parseStmt("serve id, vec from idx")) // unquoted
     assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' top 0"))
     assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' top 5000"))

@@ -725,6 +725,19 @@ class PlannerSpec extends SparkSpec {
     assert(viaIdx == inMem, "indexed repair must equal the in-memory path")
     // clean errors: missing index path, not-an-index directory
     assertThrows[Exception](g.sql("serve vec_id, embedding from '/tmp/graft_nonexistent_idx'"))
+    // external batch: every query routes to ONE cell and gets ≤ k hits
+    import org.apache.spark.sql.functions.countDistinct
+    val qb = "/tmp/graft_plannerspec_qbatch"
+    g.sql("select vec_id, embedding from embeddings where vec_id < 7")
+      .select((col("vec_id") + org.apache.spark.sql.functions.lit(5000L))
+        .as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(qb)
+    val ext = g.sql(s"serve vec_id, embedding from '$p' query '$qb' top 2")
+    assert(ext.columns.toSeq == Seq("q_id", "n_id", "sim", "rank"))
+    assert(ext.agg(countDistinct(col("q_id"))).head.getLong(0) == 7L)
+    assert(ext.filter(col("rank") > 2).count() == 0)
+    assertThrows[Exception](
+      g.sql(s"serve vec_id, embedding from '$p' query '/tmp/graft_no_such_batch'"))
   }
 
   test("drift statement executes: self-drift is zero, builder-equal, clean errors") {
