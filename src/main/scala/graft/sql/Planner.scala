@@ -19,6 +19,11 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     defaultPassword: Option[String] = None) {
   final case class PlanError(msg: String) extends RuntimeException(msg)
 
+  /** Hard cap on a `serve … query` batch: the panel is the broadcast
+    * side of the partition-pruned gather, so it must stay query-sized
+    * (the RunToTableMaxRows discipline applied to serving). */
+  val ServeMaxBatch: Long = 100000L
+
   // ── dialect static types (reference utils.go:353-360) ───────────────
   sealed trait DType
   case object TNull extends DType; case object TInt extends DType
@@ -449,6 +454,14 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
           named(qbase, st.vecCol, "q_emb"))
         if (!q.schema("q_emb").dataType.isInstanceOf[ArrayType])
           throw PlanError(s"serve: ${st.vecCol} must be an array (vector) column in the query table")
+        // the panel rides as the BROADCAST side of the pruned gather —
+        // a corpus-sized "batch" would be a different op (a self-join);
+        // fail LOUDLY instead of letting the broadcast OOM an executor
+        val n = q.count()
+        if (n > ServeMaxBatch)
+          throw PlanError(s"serve: query batch has $n rows (cap $ServeMaxBatch): " +
+            "serving batches must be query-sized; for corpus-scale scoring " +
+            "use `similar` or the ANN pipeline operators")
         val means = graft.queries.VectorQueries.refreshedCenters(idx)
         if (means.isEmpty) throw PlanError(s"serve: index at '${st.path}' is empty")
         q.select(col("q_id"), col("q_emb"),

@@ -96,6 +96,9 @@ class QueryServerSpec extends SparkSpec {
       assert(idx.contains(""""Status":"ok"""") && idx.contains("n_vecs"), idx)
       val srv = post("serve vec_id, embedding from '/tmp/graft_qs_idx' top 3")
       assert(srv.contains(""""Status":"ok"""") && srv.contains("sim"), srv)
+      val sq = post("serve vec_id, embedding from '/tmp/graft_qs_idx' " +
+        "query '/tmp/graft_qs_idx' top 2")
+      assert(sq.contains(""""Status":"ok"""") && sq.contains("rank"), sq)
       val rpu = post("repair vec_id, embedding from embeddings using '/tmp/graft_qs_idx'")
       assert(rpu.contains(""""Status":"ok"""") && rpu.contains("cell_new"), rpu)
     } finally server.stop()
