@@ -39,23 +39,36 @@ object RowNumbers {
     * the fixed partitioner and reused shuffle files land identical
     * rows in identical partitions and the broadcast offsets stay
     * valid — the cache only shields the window between the offset
-    * collect and the first assignment pass. */
+    * collect and the first assignment pass.
+    *
+    * The listener holds the cached RDD only WEAKLY: a frame that is
+    * built and then abandoned (a statement erroring after plan time in
+    * a long-lived Console/QueryServer session) must stay collectible —
+    * a strong reference here would pin the corpus-sized cached blocks
+    * forever AND keep the ContextCleaner from releasing them. Once the
+    * reference clears, the listener removes itself at the next job
+    * boundary. Unpersist fires only on a SUCCESSFUL matching job — a
+    * failed attempt re-arms, so the cache still shields the retry. */
   private def unpersistAfterFirstUse(spark: org.apache.spark.sql.SparkSession,
       cached: org.apache.spark.rdd.RDD[_],
       out: org.apache.spark.rdd.RDD[_]): Unit = {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+    import org.apache.spark.scheduler.{JobSucceeded, SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
     val sc = spark.sparkContext
     val outId = out.id
+    val ref = new java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]](cached)
     val listener = new SparkListener {
       private val jobId = new java.util.concurrent.atomic.AtomicInteger(-1)
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        if (jobId.get < 0 &&
+        if (ref.get == null) sc.removeSparkListener(this)
+        else if (jobId.get < 0 &&
             js.stageInfos.exists(_.rddInfos.exists(_.id == outId)))
           jobId.compareAndSet(-1, js.jobId)
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
-        if (je.jobId == jobId.get) {
-          cached.unpersist(blocking = false)
-          sc.removeSparkListener(this)
+        if (je.jobId == jobId.get) je.jobResult match {
+          case JobSucceeded =>
+            Option(ref.get).foreach(_.unpersist(blocking = false))
+            sc.removeSparkListener(this)
+          case _ => jobId.set(-1) // failed attempt: re-arm for the retry
         }
     }
     sc.addSparkListener(listener)

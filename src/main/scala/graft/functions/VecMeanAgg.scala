@@ -26,9 +26,10 @@ final class VecMeanBuf(var sums: Array[JBigDecimal], var n: Long)
   * oracle mirrors (VectorAggSpec pins the equality), while the corpus
   * pass stays one row per vector instead of `dim` rows per vector:
   * the round-11 probe's 2M×64-float refresh scan generated 128M
-  * exploded rows before this. Assumes non-null elements (the
-  * embedding contract); null ARRAYS are skipped like any aggregate
-  * input. */
+  * exploded rows before this. Null ELEMENTS fail loudly (a dense-
+  * embedding contract — the posexplode shape has per-dim counts this
+  * single-count buffer can't mirror); null ARRAYS are skipped like
+  * any aggregate input. */
 case class VecMeanAgg(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[VecMeanBuf]
@@ -54,6 +55,12 @@ case class VecMeanAgg(child: Expression,
         s"vec_mean: ragged vectors (${b.sums.length} vs $d dims)")
       var i = 0
       while (i < d) {
+        // fail LOUDLY on a null element: silently summing it as 0 and
+        // counting the vector would diverge from the posexplode +
+        // Det.davg shape (which has per-dim counts) — a null cell is a
+        // broken embedding, same contract as the ragged require above
+        require(!arr.isNullAt(i),
+          s"vec_mean: null element at dim $i (embeddings must be dense)")
         // float → double → BigDecimal(valueOf) → scale 6 HALF_UP is
         // exactly Spark's Cast(float, DecimalType(38,6)) semantics
         val x = JBigDecimal.valueOf(arr.getFloat(i).toDouble)

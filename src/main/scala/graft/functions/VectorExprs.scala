@@ -142,6 +142,39 @@ object CentroidOps {
     bestCell
   }
 
+  /** Top-`n` nearest cells by (dist asc, cell asc) — multi-probe
+    * routing. Same fold and tie order as [[nearest]] (scan in
+    * ascending cell-id order, strict `<`), so element 0 always equals
+    * [[nearest]]'s answer and the list matches the oracle's
+    * `row_number() OVER (ORDER BY dist ASC, cell ASC) <= n`. `n` is
+    * probe-sized (≤8): a straight insertion pass, no heap. */
+  def nearestN(v: ArrayData, offset: Int, d: Int,
+      cellIds: Array[Long], flat: Array[Double], n: Int): Array[Long] = {
+    val k = cellIds.length
+    val m = math.min(n, k)
+    val bestD = Array.fill(m)(Double.PositiveInfinity)
+    val bestC = new Array[Long](m)
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        val x = v.getFloat(offset + i).toDouble - flat(j * d + i)
+        s += x * x
+        i += 1
+      }
+      if (s < bestD(m - 1)) {
+        var p = m - 1
+        while (p > 0 && s < bestD(p - 1)) {
+          bestD(p) = bestD(p - 1); bestC(p) = bestC(p - 1); p -= 1
+        }
+        bestD(p) = s; bestC(p) = cellIds(j)
+      }
+      j += 1
+    }
+    bestC
+  }
+
   /** Distance from the vector's window to the centroid named by
     * `code`; an unknown code yields Double.MaxValue (unreachable when
     * codes come from [[nearest]] over the same table). */
@@ -186,6 +219,34 @@ case class NearestCentroidExpr(child: Expression, cellIds: Array[Long],
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
+/** Multi-probe routing: the `n` nearest cells (dist asc, cell asc) as
+  * an array — element 0 ≡ [[NearestCentroidExpr]], so probe 1 and
+  * multi-probe route identically on the first cell. */
+case class NearestCellsExpr(child: Expression, cellIds: Array[Long],
+    flat: Array[Double], d: Int, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"nearest_cells needs array<float>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      CentroidOps.nearestN(input.asInstanceOf[ArrayData], 0, d, cellIds, flat, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = CentroidOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val cellsRef = ctx.addReferenceObj("cellIds", cellIds, "long[]")
+    val flatRef = ctx.addReferenceObj("flat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$cls.nearestN($c, 0, $d, $cellsRef, $flatRef, $n));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
     copy(child = newChild)
 }
 
@@ -343,6 +404,13 @@ object VectorExprs {
       d: Int, offset: Int = 0): Column = {
     val (cells, flat) = flatten(centers)
     Bridge.column(NearestCentroidExpr(Bridge.expression(v), cells, flat, d, offset))
+  }
+
+  /** The `n` nearest cell ids (dist asc, cell asc) — multi-probe routing. */
+  def nearest_cells(v: Column, centers: Seq[(Int, Array[Double])],
+      d: Int, n: Int): Column = {
+    val (cells, flat) = flatten(centers)
+    Bridge.column(NearestCellsExpr(Bridge.expression(v), cells, flat, d, n))
   }
 
   /** Squared distance from the vector window to the centroid `code` names. */

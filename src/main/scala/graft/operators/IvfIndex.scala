@@ -1,9 +1,12 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types._
 
 import graft.queries.VectorQueries
 
@@ -21,11 +24,168 @@ import graft.queries.VectorQueries
   *  - repair: the refresh's dirty cells;
   *  - upsert: the arrivals' touched cells (dynamic partition
   *    overwrite rewrites ONLY those — untouched cells' files stay
-  *    byte-identical, R11OpsSpec-pinned).
+  *    byte-identical, R11OpsSpec-pinned);
+  *  - append: arrivals land as NEW files inside their cells — the
+  *    scattered-ingest path that writes O(batch) bytes where the
+  *    read-merge-overwrite upsert would rewrite every touched cell.
   * At 100 TB that is the difference between an O(touched fraction)
   * maintenance op and a corpus rescan.
+  *
+  * The `_centers` SIDECAR (underscore-prefixed, so the index read's
+  * partition discovery never sees it) persists the k·d-row center
+  * artifact the build already computed: per cell, the frozen SERVING
+  * center (what every assignment scores against), the current REFRESH
+  * mean (the exact VecMeanAgg per-cell mean the repair drift check and
+  * serve-batch routing need), the occupancy, and the append
+  * bookkeeping (per-cell staleness, the seq high-water mark). Before
+  * the sidecar, `serve … query` paid a full-index mean aggregate per
+  * call and `repair … using` re-ran the sample fit against the CORPUS
+  * — at 100 TB those scans ARE the op's cost; with it, both read k·d
+  * driver rows and touch index files only for the pruned gather /
+  * re-score itself.
   */
 object IvfIndex {
+
+  /** Subdirectory of an index path holding the center sidecar.
+    * Underscore-prefixed: Spark's file listing treats `_*` paths as
+    * metadata and skips them, so `spark.read.parquet(path)` of the
+    * index never sees the sidecar rows. */
+  val SidecarDir = "_centers"
+
+  /** The persisted center artifact of one index.
+    *  - `serving`: the frozen sample-bounded fit — what every
+    *    assignment (build, upsert, append, stream ingest) scores
+    *    against, and the "old" side of the repair drift check.
+    *  - `refresh`: the exact per-cell VecMeanAgg means of the CURRENT
+    *    index rows (occupied cells only), maintained by build/upsert/
+    *    compact; `staleCells` marks cells whose refresh mean predates
+    *    un-compacted appends (routing still works — it is a recall
+    *    heuristic — but drift checks should recompute).
+    *  - `counts`: per-cell occupancy at last maintenance.
+    *  - `pendingAppends`: true iff appended files may hold superseded
+    *    row versions (readLatest required; upsert refuses).
+    *  - `maxSeq`: high-water mark of the `seq` row-version column —
+    *    never reset, so appends after a compact still supersede
+    *    every older row.
+    *  - `version`: monotone write counter (cache invalidation aid). */
+  final case class Sidecar(
+      serving: Seq[(Int, Array[Double])],
+      refresh: Seq[(Int, Array[Double])],
+      counts: Map[Long, Long],
+      staleCells: Set[Long],
+      pendingAppends: Boolean,
+      maxSeq: Long,
+      version: Long) {
+    def dim: Int = serving.headOption.map(_._2.length).getOrElse(0)
+    def corpusN: Long = counts.values.sum
+  }
+
+  private def sidecarDir(path: String): java.io.File =
+    new java.io.File(s"$path/$SidecarDir")
+  private def sidecarFile(path: String): java.io.File =
+    new java.io.File(sidecarDir(path), "centers.v1")
+
+  private def encodeDoubles(a: Array[Double]): String = {
+    val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    a.foreach(bb.putDouble)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def decodeDoubles(s: String): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(bb.remaining() / 8)(bb.getDouble)
+  }
+
+  /** Persist the sidecar — a DRIVER artifact (k·d doubles plus
+    * bookkeeping), written as one plain text file with base64 IEEE
+    * bits (bit-exact round trip), via temp-file + atomic rename so a
+    * concurrent reader never sees a torn write. Deliberately NOT a
+    * Spark write: no job, no partition discovery (Spark ignores
+    * `_`-prefixed paths — which is exactly why the index read never
+    * sees this directory). */
+  def writeSidecar(spark: SparkSession, path: String, sc: Sidecar): Unit = {
+    val refreshByCell = sc.refresh.map { case (c, a) => c.toLong -> a }.toMap
+    val sb = new StringBuilder
+    sb.append("graft-ivf-centers v1\n")
+    sb.append(s"pending=${sc.pendingAppends} max_seq=${sc.maxSeq} version=${sc.version}\n")
+    sc.serving.sortBy(_._1).foreach { case (cell, center) =>
+      val refresh = refreshByCell.get(cell.toLong).map(encodeDoubles).getOrElse("-")
+      sb.append(s"cell=$cell n=${sc.counts.getOrElse(cell.toLong, 0L)} " +
+        s"stale=${sc.staleCells.contains(cell.toLong)} " +
+        s"serving=${encodeDoubles(center)} refresh=$refresh\n")
+    }
+    val dir = sidecarDir(path)
+    dir.mkdirs()
+    val tmp = java.nio.file.Files.createTempFile(dir.toPath, ".centers", ".tmp")
+    java.nio.file.Files.writeString(tmp, sb.toString)
+    java.nio.file.Files.move(tmp, sidecarFile(path).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    SidecarCache.invalidate(path)
+  }
+
+  /** Read the sidecar back (a k-row driver file — no Spark job); None
+    * when the index has none (pre-sidecar layout — consumers fall
+    * back to index scans). */
+  def readSidecar(spark: SparkSession, path: String): Option[Sidecar] = {
+    val f = sidecarFile(path)
+    if (!f.isFile) return None
+    val lines = java.nio.file.Files.readAllLines(f.toPath)
+    import scala.jdk.CollectionConverters._
+    val it = lines.asScala.filter(_.nonEmpty)
+    if (it.isEmpty || !it.head.startsWith("graft-ivf-centers v1"))
+      throw new IllegalStateException(s"readSidecar: '$f' is not a centers sidecar")
+    def kv(line: String): Map[String, String] =
+      line.split(' ').map { t =>
+        val i = t.indexOf('='); t.substring(0, i) -> t.substring(i + 1)
+      }.toMap
+    val meta = kv(it(1))
+    val cells = it.drop(2).map(kv).toSeq
+    Some(Sidecar(
+      serving = cells.map(m => (m("cell").toInt, decodeDoubles(m("serving"))))
+        .sortBy(_._1),
+      refresh = cells.filter(_.apply("refresh") != "-")
+        .map(m => (m("cell").toInt, decodeDoubles(m("refresh")))).sortBy(_._1),
+      counts = cells.map(m => m("cell").toLong -> m("n").toLong).toMap,
+      staleCells = cells.filter(_.apply("stale").toBoolean)
+        .map(_.apply("cell").toLong).toSet,
+      pendingAppends = meta("pending").toBoolean,
+      maxSeq = meta("max_seq").toLong,
+      version = meta("version").toLong))
+  }
+
+  /** Process-wide sidecar cache keyed by index path, invalidated by a
+    * filesystem fingerprint (the `_centers` file names + sizes +
+    * mtimes — a k-file listing, no data read): a long-lived Console /
+    * QueryServer session serving repeated batches plans each request
+    * off the cached k·d doubles instead of re-reading the sidecar,
+    * and any writer (upsert/append/compact — this process or another)
+    * changes the fingerprint and forces a reload. */
+  object SidecarCache {
+    private val cache = new ConcurrentHashMap[String, (String, Sidecar)]()
+    /** Sidecar file loads (cache misses) — observable for tests. */
+    val loads = new AtomicLong(0L)
+
+    private def fingerprint(path: String): String = {
+      val f = sidecarFile(path)
+      if (!f.isFile) "" else s"${f.length}:${f.lastModified}"
+    }
+
+    def get(spark: SparkSession, path: String): Option[Sidecar] = {
+      val fp = fingerprint(path)
+      if (fp.isEmpty) { cache.remove(path); None }
+      else Option(cache.get(path)).filter(_._1 == fp).map(_._2).orElse {
+        loads.incrementAndGet()
+        val sc = readSidecar(spark, path)
+        sc.foreach(s => cache.put(path, (fp, s)))
+        sc
+      }
+    }
+
+    def invalidate(path: String): Unit = cache.remove(path)
+  }
 
   /** Persist an assigned (vec_id, embedding, cell) frame as the
     * cell-partitioned layout. The explicit RANGE repartition on
@@ -36,10 +196,15 @@ object IvfIndex {
     * single-row-group files that cap READ parallelism at k: the
     * round-11 probe read the k=4 layout 2× slower than the flat
     * corpus. No repartition at all is worse still — every task writes
-    * a sliver of every cell, tasks×cells tiny files.) */
+    * a sliver of every cell, tasks×cells tiny files.) Rows carry a
+    * `seq` version column (0 for base builds; appends write higher
+    * values) so `readLatest` can resolve superseded versions. */
   def write(assigned: DataFrame, path: String): Unit = {
     val n = assigned.sparkSession.sessionState.conf.numShufflePartitions
-    assigned.select(col("vec_id"), col("embedding"),
+    val withSeq =
+      if (assigned.columns.contains("seq")) assigned
+      else assigned.withColumn("seq", lit(0L))
+    withSeq.select(col("vec_id"), col("embedding"), col("seq"),
         col("cell").cast(LongType).as("cell"))
       .repartitionByRange(n, col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -47,28 +212,249 @@ object IvfIndex {
 
   /** Build an index at `path` from a raw (vec_id, embedding) frame:
     * sample-bounded k-means fit (≤256·k training vectors whatever the
-    * corpus size), ONE full assignment pass, cell-partitioned write.
-    * Returns the serving centers — the frozen artifact every other
-    * lifecycle op (serve routing, stream ingest, repair dirty-set)
-    * scores against. */
+    * corpus size), ONE full assignment pass, cell-partitioned write,
+    * and the `_centers` sidecar (serving centers + the exact per-cell
+    * refresh means and occupancy, computed in one narrow scan of the
+    * just-written index). Returns the serving centers — the frozen
+    * artifact every other lifecycle op scores against. */
   def build(e: DataFrame, path: String, k: Int = VectorQueries.KMEANS_K)
       : Seq[(Int, Array[Double])] = {
+    val spark = e.sparkSession
     val centers = VectorQueries.kmeansFit(e, k, VectorQueries.KMEANS_ITERS - 1)
     write(VectorQueries.kmeansAssign(e, centers), path)
+    val (means, counts) = VectorQueries.refreshedCentersWithCounts(read(spark, path))
+    writeSidecar(spark, path, Sidecar(centers, means, counts,
+      staleCells = Set.empty, pendingAppends = false, maxSeq = 0L, version = 1L))
     centers
   }
 
   /** Read the index back. The hive partition key comes back INT-typed
-    * — normalize to the BIGINT cell contract every consumer pins. */
+    * — normalize to the BIGINT cell contract every consumer pins.
+    * Plain read: correct for built/upserted/compacted indexes; an
+    * index with PENDING APPENDS (sidecar `pendingAppends`) may hold
+    * superseded row versions and must go through [[readLatest]]. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("vec_id"), col("embedding"),
       col("cell").cast(LongType).as("cell"))
 
+  /** Read with append-aware version resolution: per vec_id, the row
+    * with the highest `seq` wins (ties broken by cell desc — unused
+    * under the unique-ids-per-batch contract), so a re-ingested
+    * vector supersedes its older copy EVEN ACROSS CELLS (a changed
+    * embedding that assigns elsewhere leaves the stale copy behind;
+    * the global window resolves it). Costs one hash shuffle on
+    * vec_id — the price of reading an uncompacted index; [[compact]]
+    * removes superseded rows from the files so plain [[read]] (and
+    * partition-pruned serving) is exact again. */
+  def readLatest(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val withSeq =
+      if (base.columns.contains("seq")) base
+      else base.withColumn("seq", lit(0L)) // pre-seq layout: no appends
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("seq").desc, col("cell").desc)
+    withSeq.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(col("vec_id"), col("embedding"),
+        col("cell").cast(LongType).as("cell"))
+  }
+
+  /** Loud guard: ingest batches must carry unique vec_ids (the merge
+    * anti-join and the seq version order are per-id). One O(batch)
+    * aggregate — ingestion-time cost, never query-time. */
+  private def requireUniqueIds(arrivals: DataFrame, op: String): Unit = {
+    val dup = arrivals.groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$op: arrival batch has duplicate vec_id ${dup.head.get(0)} — " +
+          "version resolution is per-id, ingest batches must be unique on vec_id")
+  }
+
+  /** Incremental upsert: land `assigned` arrivals (vec_id, embedding,
+    * cell — already scored against the index's FROZEN centers, the
+    * v28 ingest contract) in their cells. Touched cells are read back
+    * partition-pruned, arrivals replace same-id rows (re-ingest is an
+    * UPDATE, not a duplicate), and dynamic partition overwrite
+    * rewrites only the touched cells' directories — an arrival batch
+    * touching 3 of 64 cells rewrites ~5% of the files and reads the
+    * same. The touched slice is materialized through an eager local
+    * checkpoint BEFORE the write so the job never reads the path it
+    * is overwriting.
+    *
+    * A re-ingested id whose CHANGED embedding assigns to a different
+    * cell would leave its old copy in a now-untouched cell; the
+    * stale-id sweep (one vec_id-column scan of the untouched cells —
+    * the id column is a few % of index bytes, embeddings never load)
+    * finds those cells and extends the touched set, so the old copy
+    * is deleted in the same pass and the index never holds two rows
+    * for one vec_id. Sidecar refresh means and occupancy are
+    * recomputed for touched cells only (pruned post-write read). */
+  def upsert(spark: SparkSession, path: String, assigned: DataFrame): Unit = {
+    val arrivals = assigned.select(col("vec_id"), col("embedding"),
+      col("cell").cast(LongType).as("cell"))
+    val side = readSidecar(spark, path)
+    side.foreach(s => if (s.pendingAppends)
+      throw new IllegalStateException(
+        s"upsert: index at '$path' has un-compacted appends — " +
+          "read-merge-overwrite over appended cells would resurrect " +
+          "superseded row versions; run compact first"))
+    requireUniqueIds(arrivals, "upsert")
+    val touched0 = arrivals.select(col("cell")).distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    if (touched0.isEmpty) return
+    val arrivalIds = arrivals.select(col("vec_id"))
+    // stale-id sweep: arrival ids living OUTSIDE the arrival cells
+    // (narrow scan — only vec_id bytes read; cell is the dir name)
+    val staleCells = read(spark, path)
+      .filter(!col("cell").isin(touched0: _*))
+      .join(broadcast(arrivalIds), "vec_id")
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
+    val touched = (touched0 ++ staleCells).distinct.sorted
+    val existing = read(spark, path)
+      .filter(col("cell").isin(touched: _*))
+      .localCheckpoint(true)
+    val merged = existing
+      .join(broadcast(arrivalIds), Seq("vec_id"), "left_anti")
+      .unionByName(arrivals)
+    val n = merged.sparkSession.sessionState.conf.numShufflePartitions
+    merged.withColumn("seq", lit(0L))
+      .select(col("vec_id"), col("embedding"), col("seq"), col("cell"))
+      .repartitionByRange(n, col("cell"), col("vec_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(path)
+    side.foreach { s =>
+      val touchedSet = touched.toSet
+      val (means, counts) = VectorQueries.refreshedCentersWithCounts(
+        read(spark, path).filter(col("cell").isin(touched: _*)))
+      writeSidecar(spark, path, s.copy(
+        refresh = (s.refresh.filterNot(c => touchedSet(c._1.toLong)) ++ means)
+          .sortBy(_._1),
+        counts = (s.counts -- touchedSet) ++
+          touched.map(c => c -> counts.getOrElse(c, 0L)),
+        staleCells = s.staleCells -- touchedSet,
+        version = s.version + 1L))
+    }
+  }
+
+  /** Append-only ingest — the scattered-arrival path: arrivals land
+    * as NEW files inside their cell directories at the next `seq`
+    * version, writing O(batch) bytes no matter how many cells the
+    * batch touches (the overwrite upsert rewrites every touched
+    * cell's occupancy — ~40% of a full build for a 0.1% batch spread
+    * over all cells, SCALE_r11). Existing files are never read or
+    * rewritten. The cost moves to the READ side: until [[compact]],
+    * superseded row versions remain in the files and exact reads go
+    * through [[readLatest]]; touched cells' sidecar refresh means are
+    * marked STALE (still served against — routing is a recall
+    * heuristic — but drift checks recompute). Returns the batch's
+    * seq. */
+  def append(spark: SparkSession, path: String, assigned: DataFrame): Long = {
+    val arrivals = assigned.select(col("vec_id"), col("embedding"),
+      col("cell").cast(LongType).as("cell"))
+    val s = readSidecar(spark, path).getOrElse(throw new IllegalStateException(
+      s"append: no _centers sidecar at '$path' — build the index first"))
+    requireUniqueIds(arrivals, "append")
+    val touched = arrivals.select(col("cell")).distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    if (touched.isEmpty) return s.maxSeq
+    val seq = s.maxSeq + 1L
+    // hash-repartition ON the cell: a batch is small, one file per
+    // touched cell is the GOAL here (contrast write()'s range
+    // repartition, sized for corpus builds)
+    arrivals.withColumn("seq", lit(seq))
+      .select(col("vec_id"), col("embedding"), col("seq"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+    writeSidecar(spark, path, s.copy(
+      staleCells = s.staleCells ++ touched,
+      pendingAppends = true, maxSeq = seq, version = s.version + 1L))
+    seq
+  }
+
+  /** Per-cell parquet file counts from a directory listing (no data
+    * read) — compact's rewrite trigger. */
+  def cellFileCounts(path: String): Map[Long, Int] = {
+    val root = new java.io.File(path)
+    if (!root.isDirectory) Map.empty
+    else root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("cell="))
+      .map { d =>
+        d.getName.stripPrefix("cell=").toLong ->
+          d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+      }.toMap
+  }
+
+  /** Compaction — the maintenance op that restores plain-[[read]]
+    * exactness (and partition-pruned serving) after appends. Rewrites
+    * the cells that need it and ONLY those:
+    *  - cells whose file count exceeds `maxFilesPerCell` (append
+    *    produces one file per touched cell per batch);
+    *  - cells holding a SUPERSEDED copy of any row (a re-ingest that
+    *    moved cells leaves one behind), found with one narrow
+    *    (vec_id, seq) scan — embeddings never load for the analysis;
+    *  - stale-refresh cells get their sidecar means recomputed even
+    *    when their files need no rewrite.
+    * Survivors keep their seq values and `maxSeq` is NOT reset, so a
+    * later append still supersedes every pre-compact row. Returns the
+    * rewritten cells. */
+  def compact(spark: SparkSession, path: String, maxFilesPerCell: Int = 4)
+      : Seq[Long] = {
+    val s = readSidecar(spark, path).getOrElse(throw new IllegalStateException(
+      s"compact: no _centers sidecar at '$path' — build the index first"))
+    val over = cellFileCounts(path).collect {
+      case (cell, n) if n > maxFilesPerCell => cell
+    }.toSeq
+    // narrow duplicate analysis: which cells hold a beaten row version
+    val narrow = spark.read.parquet(path)
+      .select(col("vec_id"), col("seq"), col("cell").cast(LongType).as("cell"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("seq").desc, col("cell").desc)
+    val losers = narrow.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1).select(col("vec_id"), col("seq"), col("cell"))
+    val loserCells =
+      if (s.pendingAppends)
+        losers.select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
+      else Seq.empty // overwrite-maintained indexes are duplicate-free
+    val targets = (over ++ loserCells).distinct.sorted
+    if (targets.nonEmpty) {
+      val tgt = spark.read.parquet(path)
+        .select(col("vec_id"), col("embedding"), col("seq"),
+          col("cell").cast(LongType).as("cell"))
+        .filter(col("cell").isin(targets: _*))
+      // drop beaten versions (anti-join on the full row version key;
+      // the losers side recomputes pruned to target cells' rows)
+      val surv = tgt.join(losers, Seq("vec_id", "seq", "cell"), "left_anti")
+        .localCheckpoint(true)
+      val n = spark.sessionState.conf.numShufflePartitions
+      surv.repartitionByRange(n, col("cell"), col("vec_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(path)
+    }
+    // refresh means for every rewritten or stale cell (pruned read)
+    val needMeans = (targets ++ s.staleCells).distinct.sorted
+    val (means, counts) =
+      if (needMeans.isEmpty) (Seq.empty[(Int, Array[Double])], Map.empty[Long, Long])
+      else VectorQueries.refreshedCentersWithCounts(
+        read(spark, path).filter(col("cell").isin(needMeans: _*)))
+    val needSet = needMeans.toSet
+    writeSidecar(spark, path, s.copy(
+      refresh = (s.refresh.filterNot(c => needSet(c._1.toLong)) ++ means).sortBy(_._1),
+      counts = (s.counts -- needSet) ++
+        needMeans.map(c => c -> counts.getOrElse(c, 0L)),
+      staleCells = Set.empty, pendingAppends = false,
+      version = s.version + 1L))
+    targets
+  }
+
   /** Partition-pruned serving: top-`k` cosine neighbors within each
-    * query's own cell. `panel` is (q_id, q_emb, cell) — the probed
-    * cells collect is ≤ panel-size rows (driver-side routing), and
-    * the union of probed cells becomes a static partition predicate
-    * on the index scan, so serving READS only those cells' files. */
+    * query's probed cell(s). `panel` is (q_id, q_emb, cell) — one row
+    * per probed cell for multi-probe panels; the probed cells collect
+    * is ≤ panel-size rows (driver-side routing), and the union of
+    * probed cells becomes a static partition predicate on the index
+    * scan, so serving READS only those cells' files. Each candidate
+    * lives in exactly one cell (the index is duplicate-free), so the
+    * per-query rank never sees a candidate twice. */
   def serve(idx: DataFrame, panel: DataFrame, k: Int): DataFrame = {
     val probed = panel.select(col("cell")).distinct().collect()
       .map(_.get(0).asInstanceOf[Number].longValue()).sorted.toSeq
@@ -86,34 +472,5 @@ object IvfIndex {
       .orderBy(col("sim").desc, col("n_id").asc)
     sims.withColumn("rank", row_number().over(wr).cast(LongType))
       .filter(col("rank") <= k)
-  }
-
-  /** Incremental upsert: land `assigned` arrivals (vec_id, embedding,
-    * cell — already scored against the index's FROZEN centers, the
-    * v28 ingest contract) in their cells. Touched cells are read back
-    * partition-pruned, arrivals replace same-id rows (re-ingest is an
-    * UPDATE, not a duplicate), and dynamic partition overwrite
-    * rewrites only the touched cells' directories — an arrival batch
-    * touching 3 of 64 cells rewrites ~5% of the files and reads the
-    * same. The touched slice is materialized through an eager local
-    * checkpoint BEFORE the write so the job never reads the path it
-    * is overwriting. */
-  def upsert(spark: SparkSession, path: String, assigned: DataFrame): Unit = {
-    val arrivals = assigned.select(col("vec_id"), col("embedding"),
-      col("cell").cast(LongType).as("cell"))
-    val touched = arrivals.select(col("cell")).distinct().collect()
-      .map(_.getLong(0)).sorted.toSeq
-    if (touched.isEmpty) return
-    val existing = read(spark, path)
-      .filter(col("cell").isin(touched: _*))
-      .localCheckpoint(true)
-    val merged = existing
-      .join(broadcast(arrivals.select(col("vec_id"))), Seq("vec_id"), "left_anti")
-      .unionByName(arrivals)
-    val n = merged.sparkSession.sessionState.conf.numShufflePartitions
-    merged.repartitionByRange(n, col("cell"), col("vec_id"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(path)
   }
 }

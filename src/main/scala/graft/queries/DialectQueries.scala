@@ -708,8 +708,32 @@ object DialectQueries {
           .select((col("vec_id") + lit(1000000L)).as("vec_id"),
             col("embedding"))
           .coalesce(1).write.mode("overwrite").parquet(qp)
-        g.sql(s"serve vec_id, embedding from '$ip' query '$qp' top 5")
+        g.sql(s"serve vec_id, embedding from '$ip' query '$qp' top 10")
       },
-      Some(VectorQueries.serveQueryOracle(5)))
+      Some(VectorQueries.serveQueryOracle(10)),
+      bench = true),
+
+    // `serve … probe 2`: multi-probe routing off the `_centers`
+    // sidecar — each query fans out to its TWO nearest refresh means
+    // (one panel row per probed cell), the gather prunes to the
+    // probed union, one rank per query across both cells. Recall@k
+    // dominates single-probe at the same index (AnnRecallSpec pins
+    // it); the oracle replays the same top-2 routing from rows$last.
+    Q("s61_dialect_serve_probe",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val g = GraftSession(s, dir)
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val ip = s"/tmp/graft_s61_idx_$tag"
+        val qp = s"/tmp/graft_s61_q_$tag"
+        g.sql(s"index vec_id, embedding from embeddings into '$ip'")
+        graft.core.Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 11 === 3)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(qp)
+        g.sql(s"serve vec_id, embedding from '$ip' query '$qp' top 5 probe 2")
+      },
+      Some(VectorQueries.serveQueryOracle(5, probe = 2)))
   )
 }

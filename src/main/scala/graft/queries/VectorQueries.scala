@@ -552,6 +552,21 @@ object VectorQueries {
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
 
+  /** [[refreshedCenters]] plus per-cell occupancy in the SAME scan —
+    * what the `_centers` sidecar persists at build/upsert/compact
+    * time so serving and repair never pay this aggregate again. */
+  def refreshedCentersWithCounts(assigned: DataFrame)
+      : (Seq[(Int, Array[Double])], Map[Long, Long]) = {
+    val rows = assigned.groupBy(col("cell"))
+      .agg(graft.functions.VecMeanExprs.vec_mean(col("embedding")).as("c"),
+        count(lit(1)).as("n"))
+      .collect()
+    (rows.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq,
+      rows.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+  }
+
   private def collectCenterRows(rows: DataFrame): Seq[(Int, Array[Double])] =
     rows.collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
       .map { case (cell, rs) =>
@@ -2318,8 +2333,67 @@ object VectorQueries {
         graft.operators.IvfIndex.read(s, path)
           .select(col("vec_id"), col("cell"))
       },
-      Some(indexUpsertOracle))
+      Some(indexUpsertOracle)),
+
+    // APPEND-ONLY ingest + latest-wins read — the scattered-arrival
+    // path the overwrite upsert can't take at scale (a 0.1% batch
+    // spread over every cell rewrites ~40% of a full build's bytes,
+    // SCALE_r11; append writes O(batch) bytes, R12OpsSpec pins it).
+    // Two appends land at rising `seq` versions: fresh ids, then
+    // RE-INGESTS of existing ids with CHANGED embeddings (negated —
+    // sign flips are IEEE-exact on both engines), which assign to
+    // different cells and leave their old copies behind. readLatest's
+    // global per-id version resolution supersedes those copies EVEN
+    // ACROSS CELLS — the duplicate hazard the r11 advice flagged —
+    // and compact() then rewrites exactly the affected cells so plain
+    // pruned reads are exact again (read-after-compact ≡ readLatest,
+    // R12OpsSpec). Gated on the merged semantics: base MINUS
+    // re-ingested ids UNION both arrival batches assigned against the
+    // same frozen centers.
+    Q("v49_index_append",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val path = s"/tmp/graft_ivf_app_$tag"
+        val centers = graft.operators.IvfIndex.build(e, path)
+        val fresh = e.filter(col("vec_id") % 7 === 3)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            col("embedding"))
+        val rein = e.filter(col("vec_id") % 13 === 4)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"))
+        graft.operators.IvfIndex.append(s, path, kmeansAssign(fresh, centers))
+        graft.operators.IvfIndex.append(s, path, kmeansAssign(rein, centers))
+        graft.operators.IvfIndex.readLatest(s, path)
+          .select(col("vec_id"), col("cell"))
+      },
+      Some(indexAppendOracle))
   )
+
+  /** The v49 oracle: base assignment minus the re-ingested ids, union
+    * BOTH arrival batches (fresh shifted ids; re-ingests with negated
+    * embeddings) assigned against the same frozen centers — what the
+    * appended index must resolve to under latest-wins. */
+  def indexAppendOracle: String = {
+    val last = KMEANS_ITERS
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val dist = O.dfold(
+      s"list_transform(u.embedding, (kx, ki) -> (${d("kx")} - c.cent[ki]) * (${d("kx")} - c.cent[ki]))")
+    s"""WITH ${kmeansCtesSql(KMEANS_K, last)},
+       |up AS (SELECT vec_id + 1000000 AS vec_id, embedding
+       |       FROM embeddings WHERE vec_id % 7 = 3
+       |       UNION ALL
+       |       SELECT vec_id, list_transform(embedding, x -> -x) AS embedding
+       |       FROM embeddings WHERE vec_id % 13 = 4),
+       |upa AS (SELECT vec_id, cell FROM (
+       |  SELECT u.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY u.vec_id
+       |      ORDER BY ($dist) ASC, c.cell ASC) AS rk
+       |  FROM up u CROSS JOIN cent${last - 1} c) WHERE rk = 1)
+       |SELECT vec_id, cell FROM assign$last WHERE vec_id % 13 != 4
+       |UNION ALL SELECT vec_id, cell FROM upa""".stripMargin
+  }
 
   /** The v47/v48 oracle: the base corpus's final Lloyd assignment
     * UNION the shifted streamed slice assigned against the same
@@ -2341,12 +2415,14 @@ object VectorQueries {
        |UNION ALL SELECT vec_id, cell FROM upa""".stripMargin
   }
 
-  /** The s60 oracle: an EXTERNAL query batch (the embeddings slice
-    * vec_id % 11 = 3 with ids shifted by 1e6 — exactly the parquet
-    * batch the gate writes) routed to its nearest exact cell MEAN of
-    * the index (centN ≡ the VecMeanAgg refresh means, Det-decimal
-    * per dimension), then exact cosine within the probed cell. */
-  def serveQueryOracle(k: Int): String = {
+  /** The s60/s61 oracle: an EXTERNAL query batch (the embeddings
+    * slice vec_id % 11 = 3 with ids shifted by 1e6 — exactly the
+    * parquet batch the gate writes) routed to its `probe` nearest
+    * exact cell MEANs of the index (centN ≡ the VecMeanAgg refresh
+    * means the `_centers` sidecar persists, Det-decimal per
+    * dimension), then exact cosine within the probed cells, one rank
+    * per query across all of them. */
+  def serveQueryOracle(k: Int, probe: Int = 1): String = {
     val last = KMEANS_ITERS
     def d(x: String) = s"CAST($x AS DOUBLE)"
     val routeDist = O.dfold(
@@ -2360,7 +2436,7 @@ object VectorQueries {
        |  SELECT u.q_id, u.q_emb, c.cell,
        |    row_number() OVER (PARTITION BY u.q_id
        |      ORDER BY ($routeDist) ASC, c.cell ASC) AS rk
-       |  FROM up u CROSS JOIN centN c) WHERE rk = 1)
+       |  FROM up u CROSS JOIN centN c) WHERE rk <= $probe)
        |SELECT q_id, n_id, sim, rank FROM (
        |  SELECT q.q_id, a.vec_id AS n_id,
        |    ${cosineSql("q.q_emb", "a.embedding")} AS sim,

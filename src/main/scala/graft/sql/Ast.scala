@@ -270,9 +270,15 @@ object Ast {
     * exact cell MEAN of the index (the same decimal means the repair
     * refresh computes — deterministic and oracle-mirrorable), the
     * probed-cell union becomes a static partition predicate, and only
-    * those cells' files are read. Emits (q_id, n_id, sim, rank ≤ k). */
+    * those cells' files are read. Routing reads the index's
+    * `_centers` sidecar (k·d driver rows — zero index scans before
+    * the pruned gather). `probe n` (query batches only, default 1)
+    * probes each query's n nearest cells — recall rises with n while
+    * the gather stays pruned to the probed union. Emits
+    * (q_id, n_id, sim, rank ≤ k). */
   final case class ServeStmt(idCol: String, vecCol: String,
-      path: String, query: Option[String] = None, k: Long = 5L) extends Stmt
+      path: String, query: Option[String] = None, k: Long = 5L,
+      probe: Long = 1L) extends Stmt
 
   /** `pack <idCol>[,] <textCol> from <table> [size <l>]` — t11's
     * GPT-style sequence packing on the SQL surface: corpus tokens

@@ -258,7 +258,7 @@ final class Parser(toks: Vector[Tok]) {
   }
 
   /** `serve <idCol>[,] <vecCol> from '<path>' [query <table>]
-    * [top <k>]`. */
+    * [top <k>] [probe <n>]`. */
   private def parseServe(): ServeStmt = {
     def colName(): String = peek match {
       case _: Word => advance().text
@@ -275,9 +275,15 @@ final class Parser(toks: Vector[Tok]) {
     val k = if (accept("top")) parseNumber() else 5L
     if (k < 1) throw ParseError(s"serve top must be at least 1, got $k")
     if (k > 1000) throw ParseError(s"serve top must be at most 1000, got $k")
+    val probe = if (accept("probe")) parseNumber() else 1L
+    if (probe < 1) throw ParseError(s"serve probe must be at least 1, got $probe")
+    if (probe > 8) throw ParseError(s"serve probe must be at most 8, got $probe")
+    if (probe > 1 && query.isEmpty)
+      throw ParseError("serve: probe needs an external batch (`query '<table>'`) — " +
+        "the demo panel's cells come off the index files")
     if (!peek.eq(EOF) && peekText != ";")
       throw ParseError(s"unexpected trailing token '${peek.text}'")
-    ServeStmt(idCol, vecCol, path, query, k)
+    ServeStmt(idCol, vecCol, path, query, k, probe)
   }
 
   /** `drift <vecCol> from <refTable> [nh] against <curTable> [nh]` —

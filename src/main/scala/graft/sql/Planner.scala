@@ -390,24 +390,46 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     st.indexPath match {
       case None => graft.queries.VectorQueries.ivfRepair(e, thresh = st.thresh)
       case Some(path) =>
-        // membership off the persisted layout: serving centers = the
-        // same sample-bounded fit the index was built with; refreshed
-        // centers = one scan OF THE INDEX (never a corpus re-assign);
-        // the dirty set prunes the re-score to dirty cells' FILES
+        // membership off the persisted layout: serving centers come
+        // from the index's OWN `_centers` sidecar (k·d driver rows —
+        // the fit the build froze; no corpus re-fit, and no
+        // table-vs-index consistency hazard since the statement's
+        // table never participates); refreshed centers come from the
+        // sidecar too when its means are current (every overwrite op
+        // maintains them), falling back to one scan OF THE INDEX when
+        // appends left them stale (never a corpus re-assign); the
+        // dirty set prunes the re-score to dirty cells' FILES
         import graft.queries.VectorQueries._
+        import graft.operators.IvfIndex
         val spark = e.sparkSession
-        val old = kmeansFit(e, KMEANS_K, KMEANS_ITERS - 1)
-        val refreshed = refreshedCenters(
-          graft.operators.IvfIndex.read(spark, path))
-        ivfRepairIndexed(spark, path, old, refreshed, st.thresh)
+        IvfIndex.SidecarCache.get(spark, path) match {
+          case Some(side) =>
+            if (side.pendingAppends)
+              throw PlanError(s"repair: index at '$path' has un-compacted " +
+                "appends — superseded row versions would be re-scored; " +
+                "run compact first")
+            val refreshed =
+              if (side.staleCells.isEmpty && !side.pendingAppends) side.refresh
+              else refreshedCenters(IvfIndex.read(spark, path))
+            ivfRepairIndexed(spark, path, side.serving, refreshed, st.thresh)
+          case None =>
+            // pre-sidecar layout: re-derive the serving fit from the
+            // statement's table (the round-11 behavior)
+            val old = kmeansFit(e, KMEANS_K, KMEANS_ITERS - 1)
+            val refreshed = refreshedCenters(IvfIndex.read(spark, path))
+            ivfRepairIndexed(spark, path, old, refreshed, st.thresh)
+        }
     }
   }
 
   /** `index id, vec from t into '<path>'` — lowers to the shared
     * IvfIndex lifecycle (IvfIndex.build): sample-bounded fit, ONE
-    * assignment pass, cell-partitioned hive write (EAGER, like
-    * `cluster`'s fit). Emits the per-cell build report (cell,
-    * n_vecs) — a k-row aggregate over the partition column only. */
+    * assignment pass, cell-partitioned hive write, and the `_centers`
+    * sidecar (serving centers + refresh means + occupancy) that later
+    * `serve`/`repair` statements route off without touching index
+    * files (EAGER, like `cluster`'s fit). Emits the per-cell build
+    * report (cell, n_vecs) — a k-row aggregate over the partition
+    * column only. */
   def planIndex(st: IndexStmt): DataFrame = {
     val base = resolve(st.from.table, st.from.noHeader)
     val e = base.select(named(base, st.idCol, "vec_id"),
@@ -421,10 +443,12 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         org.apache.spark.sql.functions.lit(1)).as("n_vecs"))
   }
 
-  /** `serve id, vec from '<path>' [top k]` — partition-pruned serving
-    * off the persisted index (IvfIndex.serve): the id<5 demo panel
-    * routes driver-side, the probed-cell union becomes a static
-    * partition predicate, only those cells' files are read. */
+  /** `serve id, vec from '<path>' [query t] [top k] [probe n]` —
+    * partition-pruned serving off the persisted index
+    * (IvfIndex.serve): query batches route off the `_centers` sidecar
+    * (k·d driver rows, cached per path — zero index scans before the
+    * gather), the probed-cell union becomes a static partition
+    * predicate, only those cells' files are read. */
   def planServe(st: ServeStmt): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     val raw = try spark.read.parquet(st.path) catch {
@@ -440,15 +464,19 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       throw PlanError(s"serve: ${st.vecCol} must be an array (vector) column")
     val panel = st.query match {
       case None =>
-        // the v45 demo panel: indexed vectors, cells already on disk
+        // the v45 demo panel: indexed vectors, cells already on disk —
+        // a pushed-down `vec_id < 5` scan (the layout range-partitions
+        // on (cell, vec_id), so row-group stats skip almost everything)
         idx.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
             col("cell"))
       case Some(qt) =>
         // EXTERNAL batch: route each query to its nearest exact cell
-        // MEAN of the index (one narrow index scan into k·d driver
-        // doubles — the repair refresh's artifact, deterministic on
-        // both engines), never a corpus op per query
+        // MEAN of the index, read from the `_centers` SIDECAR — k·d
+        // driver doubles off a k-row file (cached per path), so
+        // routing costs ZERO index scans; before the sidecar this
+        // path paid a full-index VecMeanAgg per call. Pre-sidecar
+        // layouts fall back to that aggregate.
         val qbase = resolve(qt, false)
         val q = qbase.select(named(qbase, st.idCol, "q_id"),
           named(qbase, st.vecCol, "q_emb"))
@@ -462,11 +490,27 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
           throw PlanError(s"serve: query batch has $n rows (cap $ServeMaxBatch): " +
             "serving batches must be query-sized; for corpus-scale scoring " +
             "use `similar` or the ANN pipeline operators")
-        val means = graft.queries.VectorQueries.refreshedCenters(idx)
+        val side = graft.operators.IvfIndex.SidecarCache.get(spark, st.path)
+        side.foreach(s => if (s.pendingAppends)
+          throw PlanError(s"serve: index at '${st.path}' has un-compacted " +
+            "appends — a pruned gather could return superseded vectors; " +
+            "run compact first"))
+        val means = side.map(_.refresh)
+          .getOrElse(graft.queries.VectorQueries.refreshedCenters(idx))
         if (means.isEmpty) throw PlanError(s"serve: index at '${st.path}' is empty")
-        q.select(col("q_id"), col("q_emb"),
-          graft.functions.VectorExprs.nearest_centroid(
-            col("q_emb"), means, means.head._2.length).as("cell"))
+        if (st.probe <= 1L)
+          q.select(col("q_id"), col("q_emb"),
+            graft.functions.VectorExprs.nearest_centroid(
+              col("q_emb"), means, means.head._2.length).as("cell"))
+        else
+          // multi-probe: each query fans out to its n nearest cells
+          // (one panel row per probed cell); the gather stays pruned
+          // to the probed union and the per-query rank merges
+          // candidates across cells
+          q.select(col("q_id"), col("q_emb"),
+            explode(graft.functions.VectorExprs.nearest_cells(
+              col("q_emb"), means, means.head._2.length,
+              st.probe.toInt)).as("cell"))
     }
     graft.operators.IvfIndex.serve(idx, panel, st.k.toInt)
   }
