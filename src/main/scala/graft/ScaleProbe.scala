@@ -89,6 +89,7 @@ object ScaleProbe {
     else if (args.headOption.contains("fitsample")) fitSampleProbe(args.drop(1))
     else if (args.headOption.contains("r10new")) r10New(args.drop(1))
     else if (args.headOption.contains("r11new")) r11New(args.drop(1))
+    else if (args.headOption.contains("r12new")) r12New(args.drop(1))
     else if (args.headOption.contains("r11p13")) r11P13(args.drop(1))
     else if (args.headOption.contains("r11skew")) r11Skew(args.drop(1))
     else if (args.headOption.contains("r9new")) r9New(args.drop(1))
@@ -157,6 +158,109 @@ object ScaleProbe {
     *  - `upsert_0p1pct` = landing a ~0.1% arrival batch with dynamic
     *    partition overwrite — must cost a small fraction of
     *    `index_build`, since only touched cells rewrite. */
+  /** Round-12 probe (VERDICT r11 #1/#2 done-criteria): the `_centers`
+    * sidecar and the append ingest path at scale. Run at two corpus
+    * sizes (e.g. copies 100 and 1000) and compare:
+    *  - `route_sidecar_*` = serve-batch routing off the sidecar (k·d
+    *    driver doubles) — must stay FLAT (ms) as the index grows,
+    *    while `route_fullscan_r11` (the old per-call VecMeanAgg over
+    *    the whole index) grows linearly;
+    *  - `serve_q100_top10[_probe2]` = the real dialect statement over
+    *    a 100-query external batch — wall should track the probed
+    *    cells' occupancy (the pruned gather), not the index size,
+    *    now that routing is index-scan-free;
+    *  - `append_0p1pct_scattered` vs `upsert_0p1pct_scattered` = the
+    *    same uniform 0.1% arrival batch through both ingest paths,
+    *    with the BYTES each writes (walk of cell= files) — append
+    *    must write O(batch), the overwrite upsert O(touched cells'
+    *    occupancy);
+    *  - `compact_after_appends` = restoring plain-read exactness
+    *    after re-ingest appends created superseded copies. */
+  private def r12New(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.queries.VectorQueries
+    import graft.operators.IvfIndex
+    val tmp = s"/tmp/graft_r12_probe_$copies"
+    scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
+    val e = spark.read.parquet(s"$tmp/emb.parquet")
+    println(s"copies=$copies vecs=${e.count()}")
+    val idxPath = s"$tmp/idx"
+    val K = 64
+    var centers: Seq[(Int, Array[Double])] = Seq.empty
+    time("index_build") { centers = IvfIndex.build(e, idxPath, K) }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // bytes WRITTEN by an op = total size of files that did not exist
+    // before it (a net-size delta would hide rewrites: the overwrite
+    // upsert replaces a touched cell's files with similar-sized ones)
+    def cellFiles(p: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(f => f.toString.contains("cell=") && f.toString.endsWith(".parquet"))
+        .map(f => f.toString -> java.nio.file.Files.size(f)).toMap
+    }
+    def writtenMb(before: Map[String, Long], p: String): Double = {
+      val after = cellFiles(p)
+      math.rint((after -- before.keySet).values.sum / 1e4) / 100
+    }
+    // 1) routing: sidecar (cold + cached) vs the r11 full-index agg
+    time("route_sidecar_cold") {
+      IvfIndex.SidecarCache.invalidate(idxPath)
+      require(IvfIndex.SidecarCache.get(spark, idxPath).isDefined)
+    }
+    time("route_sidecar_cached") {
+      require(IvfIndex.SidecarCache.get(spark, idxPath).isDefined)
+    }
+    time("route_fullscan_r11") {
+      VectorQueries.refreshedCenters(IvfIndex.read(spark, idxPath))
+    }
+    // 2) the real serve statement over a 100-query external batch
+    val g = graft.sql.GraftSession(spark, tmp)
+    val qPath = s"$tmp/qbatch.parquet"
+    e.orderBy(col("vec_id")).limit(100)
+      .select((col("vec_id") + lit(970000000000L)).as("vec_id"),
+        col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(qPath)
+    time("serve_q100_top10")(noop(g.sql(
+      s"serve vec_id, embedding from '$idxPath' query '$qPath' top 10")))
+    time("serve_q100_top10_probe2")(noop(g.sql(
+      s"serve vec_id, embedding from '$idxPath' query '$qPath' top 10 probe 2")))
+    // 3) the same scattered ~0.1% batch through BOTH ingest paths
+    val scattered = e.filter(pmod(col("vec_id"), lit(1024L)) === 7L)
+      .select((col("vec_id") + lit(950000000000L)).as("vec_id"),
+        col("embedding")).localCheckpoint(true)
+    println(s"arrivals_scattered=${scattered.count()}")
+    val assignedA = VectorQueries.kmeansAssign(scattered, centers)
+    val f0 = cellFiles(idxPath)
+    time("append_0p1pct_scattered")(IvfIndex.append(spark, idxPath, assignedA))
+    results("append_written_mb") = writtenMb(f0, idxPath)
+    // re-ingest appends (same ids again) create superseded copies —
+    // what compact exists to clean up
+    time("append_reingest")(IvfIndex.append(spark, idxPath,
+      VectorQueries.kmeansAssign(scattered, centers)))
+    time("readlatest_full")(noop(IvfIndex.readLatest(spark, idxPath)))
+    val f1 = cellFiles(idxPath)
+    time("compact_after_appends") {
+      println(s"compacted_cells=${IvfIndex.compact(spark, idxPath).size}")
+    }
+    results("compact_written_mb") = writtenMb(f1, idxPath)
+    // the overwrite path on the now-compacted index, same batch shape
+    val scattered2 = e.filter(pmod(col("vec_id"), lit(1024L)) === 9L)
+      .select((col("vec_id") + lit(960000000000L)).as("vec_id"),
+        col("embedding")).localCheckpoint(true)
+    val assignedB = VectorQueries.kmeansAssign(scattered2, centers)
+    val f2 = cellFiles(idxPath)
+    time("upsert_0p1pct_scattered")(IvfIndex.upsert(spark, idxPath, assignedB))
+    results("upsert_written_mb") = writtenMb(f2, idxPath)
+    results("index_total_mb") = math.rint(cellFiles(idxPath).values.sum / 1e4) / 100
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
   private def r11New(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val outJson = args.drop(1).headOption

@@ -165,8 +165,11 @@ object IvfIndex {
     * changes the fingerprint and forces a reload. */
   object SidecarCache {
     private val cache = new ConcurrentHashMap[String, (String, Sidecar)]()
-    /** Sidecar file loads (cache misses) — observable for tests. */
-    val loads = new AtomicLong(0L)
+    /** Per-path sidecar file loads (cache misses) — observable for
+      * tests (per-path so parallel suites don't race a global count). */
+    private val loadCounts = new ConcurrentHashMap[String, AtomicLong]()
+    def loadCount(path: String): Long =
+      Option(loadCounts.get(path)).map(_.get()).getOrElse(0L)
 
     private def fingerprint(path: String): String = {
       val f = sidecarFile(path)
@@ -177,7 +180,7 @@ object IvfIndex {
       val fp = fingerprint(path)
       if (fp.isEmpty) { cache.remove(path); None }
       else Option(cache.get(path)).filter(_._1 == fp).map(_._2).orElse {
-        loads.incrementAndGet()
+        loadCounts.computeIfAbsent(path, _ => new AtomicLong(0L)).incrementAndGet()
         val sc = readSidecar(spark, path)
         sc.foreach(s => cache.put(path, (fp, s)))
         sc

@@ -437,10 +437,14 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
       throw PlanError(s"index: ${st.vecCol} must be an array (vector) column")
     graft.operators.IvfIndex.build(e, st.path)
-    graft.operators.IvfIndex.read(e.sparkSession, st.path)
-      .groupBy(col("cell"))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n_vecs"))
+    // the per-cell build report comes off the sidecar the build just
+    // wrote (k driver rows) — the index is never re-scanned for it
+    val counts = graft.operators.IvfIndex.readSidecar(e.sparkSession, st.path)
+      .map(_.counts).getOrElse(Map.empty)
+    val spark = e.sparkSession
+    import spark.implicits._
+    counts.toSeq.filter(_._2 > 0).sortBy(_._1)
+      .toDF("cell", "n_vecs")
   }
 
   /** `serve id, vec from '<path>' [query t] [top k] [probe n]` —

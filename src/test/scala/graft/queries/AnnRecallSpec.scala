@@ -21,6 +21,53 @@ class AnnRecallSpec extends SparkSpec {
     assert(VectorQueries.BANDS >= 2)
   }
 
+  test("multi-probe serving: recall@5 vs brute force dominates single-probe") {
+    // the s61 shape end-to-end: persisted index, external batch,
+    // probe 1 vs probe 2 — the second-nearest cell's candidates can
+    // only ADD true neighbors the cell boundary cut off, so recall
+    // must be monotone in the probe count (the v07 finding, now on
+    // the persisted serving path)
+    import graft.core.Tables
+    import graft.sql.GraftSession
+    val g = GraftSession(spark, sf0001)
+    val path = "/tmp/graft_recall_probe_idx"
+    g.sql(s"index vec_id, embedding from embeddings into '$path'")
+    val qb = "/tmp/graft_recall_probe_q"
+    Tables(spark, sf0001, "embeddings")
+      .filter(col("vec_id") % 11 === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(qb)
+    // brute-force ground truth, driver-side (sf0.001: ~600 vectors)
+    val corpus = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth: Map[Long, Set[Long]] = corpus.collect {
+      case (id, v) if id % 11 == 3 =>
+        (id + 1000000L) -> corpus.map { case (nid, nv) => (cos(v, nv), -nid) }
+          .sorted.reverse.take(5).map(-_._2).toSet
+    }.toMap
+    def recall(probe: Int): Double = {
+      val got = g.sql(
+          s"serve vec_id, embedding from '$path' query '$qb' top 5 probe $probe")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      truth.map { case (q, t) =>
+        got.get(q).map(n => (n & t).size.toDouble / t.size).getOrElse(0.0)
+      }.sum / truth.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r2 >= r1, s"probe-2 recall $r2 must dominate probe-1 $r1")
+    assert(r1 > 0.3 && r2 > 0.5, s"sanity: r1=$r1 r2=$r2")
+  }
+
   test("banded candidates recall planted near-dups, stay sub-quadratic") {
     val dim = 64
     val nBase = 250

@@ -853,6 +853,26 @@ class PlanSpec extends SparkSpec {
       s"indexed repair must stay narrow:\n${p.take(1200)}")
   }
 
+  test("serve-query (s60) plan: pruned scan + broadcast panel, ZERO aggregates") {
+    // routing reads the _centers sidecar (k·d driver rows), so the
+    // serve plan itself must contain NO aggregate — before the
+    // sidecar, every serve call paid a full-index VecMeanAgg just to
+    // route its batch (the round-11 `weak` finding). The gather reads
+    // only probed cells' files (PartitionFilters on the hive column)
+    // and the query panel rides as the broadcast side.
+    val p = plan("s60_dialect_serve_query")
+    val scanBlock = p.split("\n").filter(_.contains("PartitionFilters"))
+    assert(scanBlock.exists(l => l.contains("cell") && !l.contains("[]")),
+      s"the serving scan must prune on the cell partition column:\n" +
+        p.split("\n").filter(l => l.contains("Scan") ||
+          l.contains("PartitionFilters")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query panel must broadcast onto the pruned gather:\n${p.take(1200)}")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"),
+      s"serve must not aggregate anything — routing is sidecar-driven:\n${p.take(1500)}")
+  }
+
   test("video near-dup (m06) aggregates signature counts, never pairs") {
     val p = plan("m06_video_neardup")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&

@@ -161,15 +161,15 @@ class R12OpsSpec extends SparkSpec {
     val path = "/tmp/graft_r12_cache"
     IvfIndex.build(emb, path)
     IvfIndex.SidecarCache.invalidate(path)
-    val l0 = IvfIndex.SidecarCache.loads.get()
+    val l0 = IvfIndex.SidecarCache.loadCount(path)
     val a = IvfIndex.SidecarCache.get(spark, path)
-    assert(a.isDefined && IvfIndex.SidecarCache.loads.get() == l0 + 1)
+    assert(a.isDefined && IvfIndex.SidecarCache.loadCount(path) == l0 + 1)
     val b = IvfIndex.SidecarCache.get(spark, path)
-    assert(b.isDefined && IvfIndex.SidecarCache.loads.get() == l0 + 1,
+    assert(b.isDefined && IvfIndex.SidecarCache.loadCount(path) == l0 + 1,
       "second get must be served from the cache")
     val centers = IvfIndex.build(emb, path) // rewrite → invalidate
     val c = IvfIndex.SidecarCache.get(spark, path).get
-    assert(IvfIndex.SidecarCache.loads.get() == l0 + 2)
+    assert(IvfIndex.SidecarCache.loadCount(path) == l0 + 2)
     assert(c.serving.map(_._1) == centers.map(_._1))
   }
 

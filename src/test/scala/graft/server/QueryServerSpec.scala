@@ -29,6 +29,39 @@ class QueryServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("repeated serve requests plan off the cached sidecar (no per-request reload)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(q: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"query":"$q"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val ip = "/tmp/graft_qs_serve_idx"
+      val qb = "/tmp/graft_qs_serve_q"
+      assert(post(s"index vec_id, embedding from embeddings into '$ip'")
+        .body().contains("\"Status\":\"ok\""))
+      graft.core.Tables(spark, sf0001, "embeddings")
+        .filter(col("vec_id") < 3)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(qb)
+      val serveQ = s"serve vec_id, embedding from '$ip' query '$qb' top 3"
+      val r1 = post(serveQ)
+      assert(r1.statusCode() == 200 && r1.body().contains("\"Status\":\"ok\""), r1.body())
+      val loadsAfterFirst = IvfIndex.SidecarCache.loadCount(ip)
+      assert(loadsAfterFirst >= 1, "first serve must load the sidecar")
+      val r2 = post(serveQ)
+      assert(r2.statusCode() == 200 && r2.body().contains("\"Status\":\"ok\""), r2.body())
+      assert(IvfIndex.SidecarCache.loadCount(ip) == loadsAfterFirst,
+        "second serve must plan off the cached sidecar, not re-read _centers")
+      assert(r1.body() == r2.body(), "cached routing must not change the answer")
+    } finally server.stop()
+  }
+
   test("pipeline statements (dedup/similar) run over HTTP like any query") {
     val server = new QueryServer(GraftSession(spark, sf0001), port = 0)
     val port = server.start()

@@ -355,6 +355,15 @@ class ParserSpec extends AnyFunSuite {
       .asInstanceOf[Ast.ServeStmt].query.contains("arrivals"))
     assert(Parser.parseStmt("serve id, vec from '/x'")
       .asInstanceOf[Ast.ServeStmt].query.isEmpty)
+    // multi-probe: query batches only, 1..8
+    val pr = Parser.parseStmt("serve id, vec from '/x' query b top 5 probe 2")
+      .asInstanceOf[Ast.ServeStmt]
+    assert(pr.probe == 2L && pr.k == 5L)
+    assert(Parser.parseStmt("serve id, vec from '/x' query b")
+      .asInstanceOf[Ast.ServeStmt].probe == 1L)
+    assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' probe 2")) // no query
+    assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' query b probe 0"))
+    assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' query b probe 9"))
     assertThrows[Exception](Parser.parseStmt("serve id, vec from idx")) // unquoted
     assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' top 0"))
     assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' top 5000"))

@@ -474,6 +474,20 @@ class StreamingSpec extends SparkSpec {
       "continuous upsert must maintain the same index as the batch path")
     // and the arrivals actually landed (not just the base corpus)
     assert(streamed.exists(_._1 >= 1000000L))
+    // the `_centers` sidecar is maintained THROUGH the stream: after
+    // the micro-batches, its refresh means equal a fresh batch scan of
+    // the index bit-for-bit (each foreachBatch upsert recomputes the
+    // touched cells' means), so monitoring/serving never re-aggregate
+    val sPath = s"/tmp/graft_ivf_sup_${java.lang.Integer.toHexString(sf0001.hashCode)}"
+    val side = IvfIndex.readSidecar(spark, sPath).get
+    assert(!side.pendingAppends && side.staleCells.isEmpty)
+    val (means, _) = VectorQueries.refreshedCentersWithCounts(
+      IvfIndex.read(spark, sPath))
+    assert(side.refresh.map(_._1) == means.map(_._1))
+    side.refresh.zip(means).foreach { case ((_, a), (_, b)) =>
+      assert(a.sameElements(b),
+        "streamed sidecar refresh means must equal a batch refresh bit-for-bit")
+    }
   }
 
   test("stateful sessionization emits per-user session counts") {
