@@ -734,6 +734,60 @@ object DialectQueries {
           .coalesce(1).write.mode("overwrite").parquet(qp)
         g.sql(s"serve vec_id, embedding from '$ip' query '$qp' top 5 probe 2")
       },
-      Some(VectorQueries.serveQueryOracle(5, probe = 2)))
+      Some(VectorQueries.serveQueryOracle(5, probe = 2))),
+
+    // `ingest … into '<path>'`: incremental ingest on the dialect —
+    // arrivals assign against the sidecar's FROZEN serving centers
+    // (no fit, no index scan) and land via the overwrite upsert.
+    // Gated on the full readback against the v47 merge oracle: base ∪
+    // shifted arrivals, one row per id.
+    Q("s62_dialect_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val g = GraftSession(s, dir)
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val ip = s"/tmp/graft_s62_idx_$tag"
+        val ap = s"/tmp/graft_s62_arr_$tag"
+        g.sql(s"index vec_id, embedding from embeddings into '$ip'")
+        graft.core.Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 7 === 3)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(ap)
+        g.sql(s"ingest vec_id, embedding from '$ap' into '$ip'")
+      },
+      Some(VectorQueries.indexUpsertOracle)),
+
+    // `ingest … append` + `compact`: the scattered-arrival lifecycle
+    // end-to-end on the console — two O(batch) appends (fresh ids,
+    // then re-ingests with NEGATED embeddings that move cells), then
+    // compaction resolves the superseded copies in the files. Gated
+    // on compact's k-row report: the post-compact per-cell occupancy
+    // must equal a GROUP BY over the v49 merged semantics — counts
+    // only come out right if the cross-cell dedupe actually happened.
+    Q("s63_dialect_compact",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val g = GraftSession(s, dir)
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val ip = s"/tmp/graft_s63_idx_$tag"
+        val a1 = s"/tmp/graft_s63_fresh_$tag"
+        val a2 = s"/tmp/graft_s63_rein_$tag"
+        g.sql(s"index vec_id, embedding from embeddings into '$ip'")
+        val e = graft.core.Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        e.filter(col("vec_id") % 7 === 3)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(a1)
+        e.filter(col("vec_id") % 13 === 4)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(a2)
+        g.sql(s"ingest vec_id, embedding from '$a1' into '$ip' append")
+        g.sql(s"ingest vec_id, embedding from '$a2' into '$ip' append")
+        g.sql(s"compact '$ip' files 1")
+      },
+      Some(VectorQueries.indexAppendCountsOracle))
   )
 }

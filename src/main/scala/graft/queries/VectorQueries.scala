@@ -2371,16 +2371,17 @@ object VectorQueries {
       Some(indexAppendOracle))
   )
 
-  /** The v49 oracle: base assignment minus the re-ingested ids, union
-    * BOTH arrival batches (fresh shifted ids; re-ingests with negated
+  /** Shared CTE chain for the append-lifecycle oracles (v49, s63):
+    * `merged` = base assignment minus the re-ingested ids, union BOTH
+    * arrival batches (fresh shifted ids; re-ingests with negated
     * embeddings) assigned against the same frozen centers — what the
     * appended index must resolve to under latest-wins. */
-  def indexAppendOracle: String = {
+  private def indexAppendMergedCtes: String = {
     val last = KMEANS_ITERS
     def d(x: String) = s"CAST($x AS DOUBLE)"
     val dist = O.dfold(
       s"list_transform(u.embedding, (kx, ki) -> (${d("kx")} - c.cent[ki]) * (${d("kx")} - c.cent[ki]))")
-    s"""WITH ${kmeansCtesSql(KMEANS_K, last)},
+    s"""${kmeansCtesSql(KMEANS_K, last)},
        |up AS (SELECT vec_id + 1000000 AS vec_id, embedding
        |       FROM embeddings WHERE vec_id % 7 = 3
        |       UNION ALL
@@ -2390,10 +2391,25 @@ object VectorQueries {
        |  SELECT u.vec_id, c.cell,
        |    row_number() OVER (PARTITION BY u.vec_id
        |      ORDER BY ($dist) ASC, c.cell ASC) AS rk
-       |  FROM up u CROSS JOIN cent${last - 1} c) WHERE rk = 1)
-       |SELECT vec_id, cell FROM assign$last WHERE vec_id % 13 != 4
-       |UNION ALL SELECT vec_id, cell FROM upa""".stripMargin
+       |  FROM up u CROSS JOIN cent${last - 1} c) WHERE rk = 1),
+       |merged AS (
+       |  SELECT vec_id, cell FROM assign$last WHERE vec_id % 13 != 4
+       |  UNION ALL SELECT vec_id, cell FROM upa)""".stripMargin
   }
+
+  /** The v49 oracle: the version-resolved readback of the appended
+    * index. */
+  def indexAppendOracle: String =
+    s"""WITH $indexAppendMergedCtes
+       |SELECT vec_id, cell FROM merged""".stripMargin
+
+  /** The s63 oracle: the post-compact per-cell occupancy — a k-row
+    * GROUP BY over the same merged semantics (correct counts require
+    * the global cross-cell dedupe compact performs). */
+  def indexAppendCountsOracle: String =
+    s"""WITH $indexAppendMergedCtes
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+       |FROM merged GROUP BY cell""".stripMargin
 
   /** The v47/v48 oracle: the base corpus's final Lloyd assignment
     * UNION the shifted streamed slice assigned against the same

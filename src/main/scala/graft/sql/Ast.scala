@@ -261,6 +261,28 @@ object Ast {
   final case class IndexStmt(idCol: String, vecCol: String,
       from: FromClause, path: String) extends Stmt
 
+  /** `ingest <idCol>[,] <vecCol> from <table> [nh] into '<path>'
+    * [append]` — incremental ingest into the persisted index at
+    * `path`: arrivals assign against the index's FROZEN serving
+    * centers (read off the `_centers` sidecar — no fit, no index
+    * scan) and land via the overwrite upsert (default: touched cells
+    * rewrite, re-ingest is an update even across cells) or APPEND
+    * (O(batch) new files at the next seq version — the scattered-
+    * arrival path; `compact` later restores plain reads). Emits the
+    * post-ingest (vec_id, cell) readback (version-resolved under
+    * append). */
+  final case class IngestStmt(idCol: String, vecCol: String,
+      from: FromClause, path: String, append: Boolean = false) extends Stmt
+
+  /** `compact '<path>' [files <n>]` (n defaults to 4) — index
+    * maintenance after appends: rewrites cells whose file count
+    * exceeds `n` or that hold superseded row versions, recomputes
+    * their sidecar refresh means, clears the pending-appends flag.
+    * Emits the post-compact per-cell occupancy `(cell, n_vecs)` read
+    * off the updated sidecar — k driver rows, zero index scans beyond
+    * the rewrite itself. */
+  final case class CompactStmt(path: String, files: Long = 4L) extends Stmt
+
   /** `serve <idCol>[,] <vecCol> from '<path>' [query <table>]
     * [top <k>]` — partition-pruned ANN serving off the persisted
     * index at `path`. Without `query`, the demo panel is the indexed

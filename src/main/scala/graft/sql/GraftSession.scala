@@ -156,6 +156,8 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
       case s: Ast.OutliersStmt => planner.planOutliers(s)
       case s: Ast.RepairStmt => planner.planRepair(s)
       case s: Ast.IndexStmt => planner.planIndex(s)
+      case s: Ast.IngestStmt => planner.planIngest(s)
+      case s: Ast.CompactStmt => planner.planCompact(s)
       case s: Ast.ServeStmt => planner.planServe(s)
       case s: Ast.DriftStmt => planner.planDrift(s)
       case s: Ast.EpochsStmt => planner.planEpochs(s)

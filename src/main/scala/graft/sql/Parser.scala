@@ -69,6 +69,8 @@ final class Parser(toks: Vector[Tok]) {
     else if (matches(peek, "outliers")) { advance(); parseOutliers() }
     else if (matches(peek, "repair")) { advance(); parseRepair() }
     else if (matches(peek, "index")) { advance(); parseIndex() }
+    else if (matches(peek, "ingest")) { advance(); parseIngest() }
+    else if (matches(peek, "compact")) { advance(); parseCompact() }
     else if (matches(peek, "serve")) { advance(); parseServe() }
     else if (matches(peek, "drift")) { advance(); parseDrift() }
     else if (matches(peek, "epochs")) { advance(); parseEpochs() }
@@ -255,6 +257,41 @@ final class Parser(toks: Vector[Tok]) {
       throw ParseError(s"unexpected trailing token '${peek.text}'")
     IndexStmt(idCol, vecCol,
       FromClause(table, None, noHeader, intColumns = false, Nil), path)
+  }
+
+  /** `ingest <idCol>[,] <vecCol> from <table> [nh] into '<path>'
+    * [append]`. */
+  private def parseIngest(): IngestStmt = {
+    def colName(): String = peek match {
+      case _: Word => advance().text
+      case t => throw ParseError(s"expected column name, found '${t.text}'")
+    }
+    val idCol = colName()
+    accept(",")
+    val vecCol = colName()
+    if (idCol == vecCol)
+      throw ParseError("ingest: id and vector columns must be distinct")
+    expect("from")
+    val table = parseTableRef()
+    var noHeader = prefixNh
+    while (accept("nh") || accept("noheader")) noHeader = true
+    expect("into")
+    val path = parsePathLit("ingest")
+    val append = accept("append")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    IngestStmt(idCol, vecCol,
+      FromClause(table, None, noHeader, intColumns = false, Nil), path, append)
+  }
+
+  /** `compact '<path>' [files <n>]`. */
+  private def parseCompact(): CompactStmt = {
+    val path = parsePathLit("compact")
+    val files = if (accept("files")) parseNumber() else 4L
+    if (files < 1) throw ParseError(s"compact files must be at least 1, got $files")
+    if (!peek.eq(EOF) && peekText != ";")
+      throw ParseError(s"unexpected trailing token '${peek.text}'")
+    CompactStmt(path, files)
   }
 
   /** `serve <idCol>[,] <vecCol> from '<path>' [query <table>]

@@ -447,6 +447,53 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       .toDF("cell", "n_vecs")
   }
 
+  /** `ingest id, vec from t into '<path>' [append]` — incremental
+    * ingest against the persisted index: arrivals assign against the
+    * FROZEN serving centers off the `_centers` sidecar (k·d driver
+    * doubles — never a fit, never an index scan for routing), then
+    * land via IvfIndex.upsert (default — touched cells rewrite,
+    * cross-cell re-ingest swept) or IvfIndex.append (O(batch) files
+    * at the next seq version). EAGER like `index`. Emits the
+    * post-ingest (vec_id, cell) readback, version-resolved under
+    * append. */
+  def planIngest(st: IngestStmt): DataFrame = {
+    val base = resolve(st.from.table, st.from.noHeader)
+    val e = base.select(named(base, st.idCol, "vec_id"),
+      named(base, st.vecCol, "embedding"))
+    if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
+      throw PlanError(s"ingest: ${st.vecCol} must be an array (vector) column")
+    val spark = e.sparkSession
+    import graft.operators.IvfIndex
+    val side = IvfIndex.SidecarCache.get(spark, st.path).getOrElse(
+      throw PlanError(s"ingest: no _centers sidecar at '${st.path}' — " +
+        "build the index with `index … into` first"))
+    if (side.serving.isEmpty)
+      throw PlanError(s"ingest: index at '${st.path}' has no serving centers")
+    val assigned = graft.queries.VectorQueries.kmeansAssign(e, side.serving)
+    if (st.append) IvfIndex.append(spark, st.path, assigned)
+    else IvfIndex.upsert(spark, st.path, assigned)
+    if (st.append) IvfIndex.readLatest(spark, st.path)
+      .select(col("vec_id"), col("cell"))
+    else IvfIndex.read(spark, st.path).select(col("vec_id"), col("cell"))
+  }
+
+  /** `compact '<path>' [files n]` — lowers to IvfIndex.compact:
+    * rewrites over-full or superseded-version cells, refreshes their
+    * sidecar means, clears pending-appends. Emits the post-compact
+    * per-cell occupancy off the UPDATED sidecar (k driver rows). */
+  def planCompact(st: CompactStmt): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import graft.operators.IvfIndex
+    if (IvfIndex.readSidecar(spark, st.path).isEmpty)
+      throw PlanError(s"compact: no _centers sidecar at '${st.path}' — " +
+        "not an index built by `index … into`")
+    IvfIndex.compact(spark, st.path, st.files.toInt)
+    val counts = IvfIndex.readSidecar(spark, st.path)
+      .map(_.counts).getOrElse(Map.empty)
+    import spark.implicits._
+    counts.toSeq.filter(_._2 > 0).sortBy(_._1).toDF("cell", "n_vecs")
+  }
+
   /** `serve id, vec from '<path>' [query t] [top k] [probe n]` —
     * partition-pruned serving off the persisted index
     * (IvfIndex.serve): query batches route off the `_centers` sidecar
@@ -466,6 +513,14 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       col("cell").cast(LongType).as("cell"))
     if (!idx.schema("embedding").dataType.isInstanceOf[ArrayType])
       throw PlanError(s"serve: ${st.vecCol} must be an array (vector) column")
+    // EITHER panel reads index files — refuse while appended files may
+    // hold superseded row versions (a gather could return a stale
+    // vector); `compact` clears the flag
+    val side = graft.operators.IvfIndex.SidecarCache.get(spark, st.path)
+    side.foreach(s => if (s.pendingAppends)
+      throw PlanError(s"serve: index at '${st.path}' has un-compacted " +
+        "appends — a pruned gather could return superseded vectors; " +
+        "run compact first"))
     val panel = st.query match {
       case None =>
         // the v45 demo panel: indexed vectors, cells already on disk —
@@ -494,11 +549,6 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
           throw PlanError(s"serve: query batch has $n rows (cap $ServeMaxBatch): " +
             "serving batches must be query-sized; for corpus-scale scoring " +
             "use `similar` or the ANN pipeline operators")
-        val side = graft.operators.IvfIndex.SidecarCache.get(spark, st.path)
-        side.foreach(s => if (s.pendingAppends)
-          throw PlanError(s"serve: index at '${st.path}' has un-compacted " +
-            "appends — a pruned gather could return superseded vectors; " +
-            "run compact first"))
         val means = side.map(_.refresh)
           .getOrElse(graft.queries.VectorQueries.refreshedCenters(idx))
         if (means.isEmpty) throw PlanError(s"serve: index at '${st.path}' is empty")

@@ -340,6 +340,24 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("index id, vec from t into '/x' extra"))
   }
 
+  test("ingest and compact statement grammar") {
+    val i = Parser.parseStmt("ingest vec_id, embedding from arrivals into '/tmp/idx'")
+      .asInstanceOf[Ast.IngestStmt]
+    assert(i.idCol == "vec_id" && i.vecCol == "embedding" &&
+      i.from.table == "arrivals" && i.path == "/tmp/idx" && !i.append)
+    assert(Parser.parseStmt("ingest id vec from '/tmp/a.parquet' into '/x' append")
+      .asInstanceOf[Ast.IngestStmt].append)
+    assertThrows[Exception](Parser.parseStmt("ingest id, id from t into '/x'"))
+    assertThrows[Exception](Parser.parseStmt("ingest id, vec from t into idx")) // unquoted
+    assertThrows[Exception](Parser.parseStmt("ingest id, vec from t into '/x' extra"))
+    val c = Parser.parseStmt("compact '/tmp/idx'").asInstanceOf[Ast.CompactStmt]
+    assert(c.path == "/tmp/idx" && c.files == 4L)
+    assert(Parser.parseStmt("compact '/x' files 2")
+      .asInstanceOf[Ast.CompactStmt].files == 2L)
+    assertThrows[Exception](Parser.parseStmt("compact idx")) // unquoted
+    assertThrows[Exception](Parser.parseStmt("compact '/x' files 0"))
+  }
+
   test("serve statement grammar") {
     val s = Parser.parseStmt("serve vec_id, embedding from '/tmp/idx'")
       .asInstanceOf[Ast.ServeStmt]

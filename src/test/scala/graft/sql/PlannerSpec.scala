@@ -740,6 +740,35 @@ class PlannerSpec extends SparkSpec {
       g.sql(s"serve vec_id, embedding from '$p' query '/tmp/graft_no_such_batch'"))
   }
 
+  test("ingest/compact statements: the append lifecycle end-to-end, clean errors") {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val p = "/tmp/graft_plannerspec_ing"
+    g.sql(s"index vec_id, embedding from embeddings into '$p'")
+    val n = g.sql("select vec_id from embeddings").count()
+    val ap = "/tmp/graft_plannerspec_arr"
+    g.sql("select vec_id, embedding from embeddings where vec_id < 7")
+      .select((col("vec_id") + lit(7000L)).as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(ap)
+    // overwrite ingest: readback = base ∪ arrivals
+    val got = g.sql(s"ingest vec_id, embedding from '$ap' into '$p'")
+    assert(got.columns.toSeq == Seq("vec_id", "cell"))
+    assert(got.count() == n + 7)
+    // append ingest: version-resolved readback, re-ingest not doubled
+    g.sql(s"ingest vec_id, embedding from '$ap' into '$p' append")
+    assert(g.sql(s"ingest vec_id, embedding from '$ap' into '$p' append")
+      .count() == n + 7)
+    // un-compacted appends refuse to serve; compact restores it
+    assertThrows[Exception](g.sql(s"serve vec_id, embedding from '$p' top 2"))
+    val rep = g.sql(s"compact '$p' files 1")
+    assert(rep.columns.toSeq == Seq("cell", "n_vecs"))
+    assert(rep.agg(sum(col("n_vecs"))).head.getLong(0) == n + 7)
+    assert(g.sql(s"serve vec_id, embedding from '$p' top 2").count() > 0)
+    // clean errors: not-an-index paths
+    assertThrows[Exception](
+      g.sql(s"ingest vec_id, embedding from '$ap' into '/tmp/graft_no_such_idx'"))
+    assertThrows[Exception](g.sql("compact '/tmp/graft_no_such_idx'"))
+  }
+
   test("drift statement executes: self-drift is zero, builder-equal, clean errors") {
     val d = g.sql("drift embedding from embeddings against embeddings")
     assert(d.columns.toSeq == Seq("dim", "psi", "shifted"))
