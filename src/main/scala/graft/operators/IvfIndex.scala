@@ -261,6 +261,33 @@ object IvfIndex {
         col("cell").cast(LongType).as("cell"))
   }
 
+  /** Dynamic-partition-overwrite with a VACATED-cell fix: Spark only
+    * rewrites partitions PRESENT in the written frame, so a touched
+    * cell whose every row was deleted (all re-ingested elsewhere, no
+    * arrivals landing) would keep its old files and resurrect the
+    * deleted rows. After the write, any `touched` cell absent from
+    * the frame has its directory removed outright. */
+  private def overwriteCells(df: DataFrame, path: String,
+      touched: Seq[Long]): Unit = {
+    val present = df.select(col("cell")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    if (present.nonEmpty) {
+      val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      df.repartitionByRange(n, col("cell"), col("vec_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(path)
+    }
+    touched.filterNot(present).foreach { c =>
+      val dir = java.nio.file.Paths.get(path, s"cell=$c")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** Loud guard: ingest batches must carry unique vec_ids (the merge
     * anti-join and the seq version order are per-id). One O(batch)
     * aggregate — ingestion-time cost, never query-time. */
@@ -319,13 +346,9 @@ object IvfIndex {
     val merged = existing
       .join(broadcast(arrivalIds), Seq("vec_id"), "left_anti")
       .unionByName(arrivals)
-    val n = merged.sparkSession.sessionState.conf.numShufflePartitions
-    merged.withColumn("seq", lit(0L))
-      .select(col("vec_id"), col("embedding"), col("seq"), col("cell"))
-      .repartitionByRange(n, col("cell"), col("vec_id"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(path)
+    overwriteCells(merged.withColumn("seq", lit(0L))
+      .select(col("vec_id"), col("embedding"), col("seq"), col("cell")),
+      path, touched)
     side.foreach { s =>
       val touchedSet = touched.toSet
       val (means, counts) = VectorQueries.refreshedCentersWithCounts(
@@ -425,14 +448,13 @@ object IvfIndex {
           col("cell").cast(LongType).as("cell"))
         .filter(col("cell").isin(targets: _*))
       // drop beaten versions (anti-join on the full row version key;
-      // the losers side recomputes pruned to target cells' rows)
-      val surv = tgt.join(losers, Seq("vec_id", "seq", "cell"), "left_anti")
+      // the losers side recomputes pruned to target cells' rows);
+      // a duplicate-free index skips the dedupe join outright
+      val surv = (if (s.pendingAppends)
+          tgt.join(losers, Seq("vec_id", "seq", "cell"), "left_anti")
+        else tgt)
         .localCheckpoint(true)
-      val n = spark.sessionState.conf.numShufflePartitions
-      surv.repartitionByRange(n, col("cell"), col("vec_id"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(path)
+      overwriteCells(surv, path, targets)
     }
     // refresh means for every rewritten or stale cell (pruned read)
     val needMeans = (targets ++ s.staleCells).distinct.sorted

@@ -74,6 +74,40 @@ class R12OpsSpec extends SparkSpec {
     }
   }
 
+  test("upsert vacating a whole cell deletes its files (dynamic overwrite can't)") {
+    // dynamic partition overwrite only rewrites partitions PRESENT in
+    // the written frame — a cell whose every row moved away would keep
+    // its old files and resurrect the deleted rows without the
+    // vacated-cell fix
+    val path = "/tmp/graft_r12_vacate"
+    val centers = IvfIndex.build(emb, path)
+    val idx = IvfIndex.read(spark, path)
+    val counts = idx.groupBy(col("cell")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cCell = counts.minBy(_._2)._1
+    val n = counts.map(_._2).sum
+    // re-ingest EVERY row of the smallest cell with an embedding
+    // copied from another cell's member — all of them assign there
+    val donor = idx.filter(col("cell") =!= cCell).head
+    val dEmb = donor.getSeq[Float](1)
+    val arrivals = idx.filter(col("cell") === cCell).select(col("vec_id"))
+      .withColumn("embedding", typedLit(dEmb))
+    val assigned = VectorQueries.kmeansAssign(arrivals, centers)
+    assert(assigned.filter(col("cell") === cCell).count() == 0,
+      "fixture: the donor embedding must assign outside the vacated cell")
+    IvfIndex.upsert(spark, path, assigned)
+    val after = IvfIndex.read(spark, path)
+    assert(after.count() == n, "no row lost, none doubled")
+    assert(after.filter(col("cell") === cCell).count() == 0,
+      "the vacated cell must hold no rows")
+    assert(!new java.io.File(s"$path/cell=$cCell").exists(),
+      "the vacated cell's directory must be deleted")
+    val side = IvfIndex.readSidecar(spark, path).get
+    assert(side.counts.getOrElse(cCell, 0L) == 0L)
+    assert(!side.refresh.exists(_._1.toLong == cCell),
+      "an empty cell has no refresh mean")
+  }
+
   test("append writes O(batch) bytes: every pre-existing file byte-identical") {
     val path = "/tmp/graft_r12_append_bytes"
     val centers = IvfIndex.build(emb, path)
