@@ -90,6 +90,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r10new")) r10New(args.drop(1))
     else if (args.headOption.contains("r11new")) r11New(args.drop(1))
     else if (args.headOption.contains("r12new")) r12New(args.drop(1))
+    else if (args.headOption.contains("r12pq")) r12Pq(args.drop(1))
     else if (args.headOption.contains("r11p13")) r11P13(args.drop(1))
     else if (args.headOption.contains("r11skew")) r11Skew(args.drop(1))
     else if (args.headOption.contains("r9new")) r9New(args.drop(1))
@@ -257,6 +258,77 @@ object ScaleProbe {
     time("upsert_0p1pct_scattered")(IvfIndex.upsert(spark, idxPath, assignedB))
     results("upsert_written_mb") = writtenMb(f2, idxPath)
     results("index_total_mb") = math.rint(cellFiles(idxPath).values.sum / 1e4) / 100
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-12 PQ-serving probe: exact vs ADC serving off the same
+    * persisted index. Records, at each corpus size:
+    *  - `build_pq` vs `build_plain` — the extra cost of training the
+    *    codebooks and storing ~8 bytes of codes per row;
+    *  - `serve_exact_q100` vs `serve_pq_q100` — the same 100-query
+    *    batch answered by the full-float gather vs the codes-only ADC
+    *    shortlist + winner re-rank;
+    *  - `pq_overlap_at10` — fraction of the exact top-10 the PQ path
+    *    recovers (the recall price of the scan-byte cut). */
+  private def r12Pq(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.queries.VectorQueries
+    import graft.operators.IvfIndex
+    // input-bytes accounting: the PQ win is a SCAN-BYTE cut (codes vs
+    // floats), which local walls can hide when the float column
+    // compresses well — record bytes read per serving leg directly
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytesRead.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+      })
+    def readMb(label: String)(f: => Unit): Unit = {
+      val b0 = bytesRead.get
+      f
+      results(label + "_readmb") = math.rint((bytesRead.get - b0) / 1e4) / 100
+    }
+    val tmp = s"/tmp/graft_r12pq_probe_$copies"
+    scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
+    val e = spark.read.parquet(s"$tmp/emb.parquet")
+    println(s"copies=$copies vecs=${e.count()}")
+    val K = 64
+    val plainPath = s"$tmp/idx_plain"
+    val pqPath = s"$tmp/idx_pq"
+    time("build_plain")(IvfIndex.build(e, plainPath, K))
+    time("build_pq")(IvfIndex.build(e, pqPath, K, pq = true))
+    val side = IvfIndex.readSidecar(spark, pqPath).get
+    val q = e.orderBy(col("vec_id")).limit(100)
+      .select((col("vec_id") + lit(970000000000L)).as("q_id"),
+        col("embedding").as("q_emb")).localCheckpoint(true)
+    val panel = q.select(col("q_id"), col("q_emb"),
+      graft.functions.VectorExprs.nearest_centroid(
+        col("q_emb"), side.refresh, side.dim).as("cell"))
+      .localCheckpoint(true)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val idxPq = IvfIndex.readFull(spark, pqPath)
+    readMb("serve_exact_q100")(time("serve_exact_q100")(noop(IvfIndex.serve(
+      IvfIndex.read(spark, pqPath), panel, 10))))
+    readMb("serve_pq_q100")(time("serve_pq_q100")(noop(IvfIndex.servePq(
+      idxPq, panel, 10, 50, side.serving, side.books))))
+    // recall of the ADC path against the exact gather on the SAME index
+    val exact = IvfIndex.serve(IvfIndex.read(spark, pqPath), panel, 10)
+      .select(col("q_id"), col("n_id")).collect()
+      .groupBy(_.getLong(0)).map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+    val pq = IvfIndex.servePq(idxPq, panel, 10, 50, side.serving, side.books)
+      .select(col("q_id"), col("n_id")).collect()
+      .groupBy(_.getLong(0)).map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+    val overlap = exact.map { case (qid, t) =>
+      pq.get(qid).map(p => (p & t).size.toDouble / t.size).getOrElse(0.0)
+    }.sum / exact.size
+    results("pq_overlap_at10") = math.rint(overlap * 1000) / 1000
     writeJson(outJson, copies)
     spark.stop()
   }

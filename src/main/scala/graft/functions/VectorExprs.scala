@@ -222,6 +222,117 @@ case class NearestCentroidExpr(child: Expression, cellIds: Array[Long],
     copy(child = newChild)
 }
 
+object AdcOps {
+  /** Per-query ADC lookup table over every (subspace, code) pair:
+    * entry [s·k + j] = Σ_i (q_res[s·dSub+i] − book_s[j][i])², the SAME
+    * left fold [[CentroidOps.dist]] computes — building all m·k
+    * entries once per query replaces the per-candidate distance
+    * recomputation (dSub mults per subspace) with one array lookup.
+    * `flat` is the m·k·dSub row-major concat of the codebooks;
+    * `codesFlat` the matching m·k cell ids (codes can be sparse after
+    * Lloyd drops, so entries are keyed by POSITION and [[adc]] maps a
+    * stored code to its position). */
+  def lut(qres: ArrayData, m: Int, k: Int, dSub: Int,
+      flat: Array[Double]): Array[Double] = {
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < k) {
+        var sum = 0.0
+        var i = 0
+        while (i < dSub) {
+          val x = qres.getFloat(s * dSub + i).toDouble - flat((s * k + j) * dSub + i)
+          sum += x * x
+          i += 1
+        }
+        out(s * k + j) = sum
+        j += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** ADC distance of one candidate: Σ_s lut[s·k + pos(code_s)] — m
+    * lookups, no multiplies. Code→position mapping scans the ≤k ids
+    * per subspace (k = 16). An unknown code contributes MaxValue,
+    * unreachable when codes come from the same books. */
+  def adc(lut: ArrayData, codes: ArrayData, m: Int, k: Int,
+      codeIds: Array[Long]): Double = {
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      val code = codes.getByte(s).toLong
+      var j = 0
+      var found = false
+      while (j < k && !found) {
+        if (codeIds(s * k + j) == code) {
+          sum += lut.getDouble(s * k + j)
+          found = true
+        }
+        j += 1
+      }
+      if (!found) sum += Double.MaxValue
+      s += 1
+    }
+    sum
+  }
+}
+
+/** Per-query ADC lookup table (array<double>, length m·k) from the
+  * query residual — see [[AdcOps.lut]]. */
+case class PqLutExpr(child: Expression, m: Int, k: Int, dSub: Int,
+    flat: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"pq_lut needs array<float>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      AdcOps.lut(input.asInstanceOf[ArrayData], m, k, dSub, flat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = AdcOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val flatRef = ctx.addReferenceObj("flat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$cls.lut($c, $m, $k, $dSub, $flatRef));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+/** Candidate ADC off the per-query LUT and the stored codes — m array
+  * lookups per candidate, zero multiplies (see [[AdcOps.adc]]). */
+case class AdcLutExpr(left: Expression, right: Expression, m: Int, k: Int,
+    codeIds: Array[Long]) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"adc_lut needs (array<double>, array<tinyint>), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    AdcOps.adc(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], m, k, codeIds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = AdcOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val idsRef = ctx.addReferenceObj("codeIds", codeIds, "long[]")
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = $cls.adc($l, $r, $m, $k, $idsRef);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AdcLutExpr = copy(left = newLeft, right = newRight)
+}
+
 /** Multi-probe routing: the `n` nearest cells (dist asc, cell asc) as
   * an array — element 0 ≡ [[NearestCentroidExpr]], so probe 1 and
   * multi-probe route identically on the first cell. */
@@ -411,6 +522,38 @@ object VectorExprs {
       d: Int, n: Int): Column = {
     val (cells, flat) = flatten(centers)
     Bridge.column(NearestCellsExpr(Bridge.expression(v), cells, flat, d, n))
+  }
+
+  /** Row-major flattening of per-subspace codebooks, padded to the
+    * widest subspace (Lloyd drops can leave ragged books): positions
+    * without an entry carry a Long.MinValue code id that no stored
+    * byte code can match. */
+  private def flattenBooks(books: Seq[Seq[(Int, Array[Double])]])
+      : (Int, Int, Array[Double], Array[Long]) = {
+    val m = books.size
+    val dSub = books.head.head._2.length
+    val k = books.map(_.size).max
+    val flat = new Array[Double](m * k * dSub)
+    val ids = Array.fill(m * k)(Long.MinValue)
+    for (s <- 0 until m; (entry, j) <- books(s).zipWithIndex) {
+      ids(s * k + j) = entry._1.toLong
+      System.arraycopy(entry._2, 0, flat, (s * k + j) * dSub, dSub)
+    }
+    (k, dSub, flat, ids)
+  }
+
+  /** Per-query ADC lookup table (m·k doubles) from a residual column. */
+  def pq_lut(qres: Column, books: Seq[Seq[(Int, Array[Double])]]): Column = {
+    val (k, dSub, flat, _) = flattenBooks(books)
+    Bridge.column(PqLutExpr(Bridge.expression(qres), books.size, k, dSub, flat))
+  }
+
+  /** Candidate ADC: m lookups into the per-query LUT, zero multiplies. */
+  def adc_lut(lut: Column, codes: Column,
+      books: Seq[Seq[(Int, Array[Double])]]): Column = {
+    val (k, _, _, ids) = flattenBooks(books)
+    Bridge.column(AdcLutExpr(Bridge.expression(lut), Bridge.expression(codes),
+      books.size, k, ids))
   }
 
   /** Squared distance from the vector window to the centroid `code` names. */

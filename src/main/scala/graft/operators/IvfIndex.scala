@@ -75,9 +75,14 @@ object IvfIndex {
       staleCells: Set[Long],
       pendingAppends: Boolean,
       maxSeq: Long,
-      version: Long) {
+      version: Long,
+      /** Frozen per-subspace PQ codebooks (m·k·dSub doubles) when the
+        * index stores codes — what arrival encoding and ADC serving
+        * score against. Empty for a plain index. */
+      books: Seq[Seq[(Int, Array[Double])]] = Seq.empty) {
     def dim: Int = serving.headOption.map(_._2.length).getOrElse(0)
     def corpusN: Long = counts.values.sum
+    def hasPq: Boolean = books.nonEmpty
   }
 
   private def sidecarDir(path: String): java.io.File =
@@ -116,6 +121,11 @@ object IvfIndex {
         s"stale=${sc.staleCells.contains(cell.toLong)} " +
         s"serving=${encodeDoubles(center)} refresh=$refresh\n")
     }
+    sc.books.zipWithIndex.foreach { case (book, s) =>
+      book.sortBy(_._1).foreach { case (code, cent) =>
+        sb.append(s"pq=$s code=$code cent=${encodeDoubles(cent)}\n")
+      }
+    }
     val dir = sidecarDir(path)
     dir.mkdirs()
     val tmp = java.nio.file.Files.createTempFile(dir.toPath, ".centers", ".tmp")
@@ -142,7 +152,13 @@ object IvfIndex {
         val i = t.indexOf('='); t.substring(0, i) -> t.substring(i + 1)
       }.toMap
     val meta = kv(it(1))
-    val cells = it.drop(2).map(kv).toSeq
+    val (bookLines, cellLines) = it.drop(2).partition(_.startsWith("pq="))
+    val cells = cellLines.map(kv).toSeq
+    val books = bookLines.map(kv).toSeq.groupBy(_.apply("pq").toInt).toSeq
+      .sortBy(_._1).map { case (_, rows) =>
+        rows.map(m => (m("code").toInt, decodeDoubles(m("cent"))))
+          .sortBy(_._1)
+      }
     Some(Sidecar(
       serving = cells.map(m => (m("cell").toInt, decodeDoubles(m("serving"))))
         .sortBy(_._1),
@@ -153,7 +169,8 @@ object IvfIndex {
         .map(_.apply("cell").toLong).toSet,
       pendingAppends = meta("pending").toBoolean,
       maxSeq = meta("max_seq").toLong,
-      version = meta("version").toLong))
+      version = meta("version").toLong,
+      books = books))
   }
 
   /** Process-wide sidecar cache keyed by index path, invalidated by a
@@ -202,13 +219,20 @@ object IvfIndex {
     * a sliver of every cell, tasks×cells tiny files.) Rows carry a
     * `seq` version column (0 for base builds; appends write higher
     * values) so `readLatest` can resolve superseded versions. */
+  /** Data columns of a layout frame in canonical order — (vec_id,
+    * embedding, seq[, pq]); `pq` (array<tinyint> codes) is present
+    * only on PQ-built indexes and rides through every lifecycle op. */
+  private def layoutCols(df: DataFrame): Seq[org.apache.spark.sql.Column] =
+    Seq(col("vec_id"), col("embedding"), col("seq")) ++
+      (if (df.columns.contains("pq")) Seq(col("pq")) else Nil)
+
   def write(assigned: DataFrame, path: String): Unit = {
     val n = assigned.sparkSession.sessionState.conf.numShufflePartitions
     val withSeq =
       if (assigned.columns.contains("seq")) assigned
       else assigned.withColumn("seq", lit(0L))
-    withSeq.select(col("vec_id"), col("embedding"), col("seq"),
-        col("cell").cast(LongType).as("cell"))
+    withSeq.select(layoutCols(withSeq) :+
+        col("cell").cast(LongType).as("cell"): _*)
       .repartitionByRange(n, col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
@@ -220,15 +244,49 @@ object IvfIndex {
     * refresh means and occupancy, computed in one narrow scan of the
     * just-written index). Returns the serving centers — the frozen
     * artifact every other lifecycle op scores against. */
-  def build(e: DataFrame, path: String, k: Int = VectorQueries.KMEANS_K)
-      : Seq[(Int, Array[Double])] = {
+  def build(e: DataFrame, path: String, k: Int = VectorQueries.KMEANS_K,
+      pq: Boolean = false): Seq[(Int, Array[Double])] = {
     val spark = e.sparkSession
     val centers = VectorQueries.kmeansFit(e, k, VectorQueries.KMEANS_ITERS - 1)
-    write(VectorQueries.kmeansAssign(e, centers), path)
+    val assigned = VectorQueries.kmeansAssign(e, centers)
+    val books =
+      if (!pq) Seq.empty
+      else {
+        // residual PQ (the v33 shape): per-subspace codebooks trained
+        // on the corpus residuals against the SERVING centers, codes
+        // stored alongside each row so ADC serving scans ~8 bytes per
+        // vector instead of the full float embedding
+        val resid = VectorQueries.residuals(assigned, centers)
+        VectorQueries.pqCodebooks(
+          resid.select(col("vec_id"), col("embedding")),
+          dim = centers.head._2.length)
+      }
+    write(if (pq) withCodes(assigned, centers, books) else assigned, path)
     val (means, counts) = VectorQueries.refreshedCentersWithCounts(read(spark, path))
     writeSidecar(spark, path, Sidecar(centers, means, counts,
-      staleCells = Set.empty, pendingAppends = false, maxSeq = 0L, version = 1L))
+      staleCells = Set.empty, pendingAppends = false, maxSeq = 0L,
+      version = 1L, books = books))
     centers
+  }
+
+  /** Attach the `pq` codes column to an assigned (vec_id, embedding,
+    * cell, …) frame: residual against the row's own serving center,
+    * then one nearest-centroid per subspace — all codegen'd
+    * expressions in ONE projection (no join, no second pass). */
+  def withCodes(assigned: DataFrame, serving: Seq[(Int, Array[Double])],
+      books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    val dim = serving.head._2.length
+    val dSub = dim / books.size
+    val residCol = serving.tail.foldLeft(
+      when(col("cell") === serving.head._1.toLong,
+        VectorQueries.residualAgainst(col("embedding"), serving.head._2))) {
+      case (w, (j, c)) => w.when(col("cell") === j.toLong,
+        VectorQueries.residualAgainst(col("embedding"), c))
+    }
+    val codes = books.indices.map(s =>
+      graft.functions.VectorExprs.nearest_centroid(
+        residCol, books(s), dSub, s * dSub).cast(ByteType))
+    assigned.withColumn("pq", array(codes: _*))
   }
 
   /** Read the index back. The hive partition key comes back INT-typed
@@ -239,6 +297,31 @@ object IvfIndex {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("vec_id"), col("embedding"),
       col("cell").cast(LongType).as("cell"))
+
+  /** Read with EVERY layout column (vec_id, embedding, seq[, pq],
+    * cell) — the shape lifecycle rewrites preserve. */
+  def readFull(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val withSeq =
+      if (base.columns.contains("seq")) base
+      else base.withColumn("seq", lit(0L)) // pre-seq layout
+    withSeq.select(layoutCols(withSeq) :+
+      col("cell").cast(LongType).as("cell"): _*)
+  }
+
+  /** Ingest-batch shape check: a PQ index's arrivals must carry their
+    * codes (the planner encodes them against the sidecar books); a
+    * plain index's arrivals must not. */
+  private def requireMatchingShape(arrivals: DataFrame, hasPq: Boolean,
+      op: String): Unit = {
+    if (hasPq && !arrivals.columns.contains("pq"))
+      throw new IllegalArgumentException(
+        s"$op: index stores PQ codes but the arrival batch has no `pq` " +
+          "column — encode arrivals against the sidecar codebooks first")
+    if (!hasPq && arrivals.columns.contains("pq"))
+      throw new IllegalArgumentException(
+        s"$op: arrival batch carries `pq` codes but the index stores none")
+  }
 
   /** Read with append-aware version resolution: per vec_id, the row
     * with the highest `seq` wins (ties broken by cell desc — unused
@@ -320,8 +403,12 @@ object IvfIndex {
     * for one vec_id. Sidecar refresh means and occupancy are
     * recomputed for touched cells only (pruned post-write read). */
   def upsert(spark: SparkSession, path: String, assigned: DataFrame): Unit = {
-    val arrivals = assigned.select(col("vec_id"), col("embedding"),
-      col("cell").cast(LongType).as("cell"))
+    val indexHasPq = spark.read.parquet(path).columns.contains("pq")
+    requireMatchingShape(assigned, indexHasPq, "upsert")
+    val arrivals = assigned.select(
+      (Seq(col("vec_id"), col("embedding")) ++
+        (if (indexHasPq) Seq(col("pq")) else Nil)) :+
+        col("cell").cast(LongType).as("cell"): _*)
     val side = readSidecar(spark, path)
     side.foreach(s => if (s.pendingAppends)
       throw new IllegalStateException(
@@ -340,14 +427,14 @@ object IvfIndex {
       .join(broadcast(arrivalIds), "vec_id")
       .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
     val touched = (touched0 ++ staleCells).distinct.sorted
-    val existing = read(spark, path)
+    val existing = readFull(spark, path)
       .filter(col("cell").isin(touched: _*))
       .localCheckpoint(true)
-    val merged = existing
+    val merged = existing.drop("seq")
       .join(broadcast(arrivalIds), Seq("vec_id"), "left_anti")
       .unionByName(arrivals)
-    overwriteCells(merged.withColumn("seq", lit(0L))
-      .select(col("vec_id"), col("embedding"), col("seq"), col("cell")),
+      .withColumn("seq", lit(0L))
+    overwriteCells(merged.select(layoutCols(merged) :+ col("cell"): _*),
       path, touched)
     side.foreach { s =>
       val touchedSet = touched.toSet
@@ -376,10 +463,13 @@ object IvfIndex {
     * heuristic — but drift checks recompute). Returns the batch's
     * seq. */
   def append(spark: SparkSession, path: String, assigned: DataFrame): Long = {
-    val arrivals = assigned.select(col("vec_id"), col("embedding"),
-      col("cell").cast(LongType).as("cell"))
     val s = readSidecar(spark, path).getOrElse(throw new IllegalStateException(
       s"append: no _centers sidecar at '$path' — build the index first"))
+    requireMatchingShape(assigned, s.hasPq, "append")
+    val arrivals = assigned.select(
+      (Seq(col("vec_id"), col("embedding")) ++
+        (if (s.hasPq) Seq(col("pq")) else Nil)) :+
+        col("cell").cast(LongType).as("cell"): _*)
     requireUniqueIds(arrivals, "append")
     val touched = arrivals.select(col("cell")).distinct().collect()
       .map(_.getLong(0)).sorted.toSeq
@@ -388,8 +478,8 @@ object IvfIndex {
     // hash-repartition ON the cell: a batch is small, one file per
     // touched cell is the GOAL here (contrast write()'s range
     // repartition, sized for corpus builds)
-    arrivals.withColumn("seq", lit(seq))
-      .select(col("vec_id"), col("embedding"), col("seq"), col("cell"))
+    val withSeq = arrivals.withColumn("seq", lit(seq))
+    withSeq.select(layoutCols(withSeq) :+ col("cell"): _*)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
     writeSidecar(spark, path, s.copy(
@@ -443,9 +533,7 @@ object IvfIndex {
       else Seq.empty // overwrite-maintained indexes are duplicate-free
     val targets = (over ++ loserCells).distinct.sorted
     if (targets.nonEmpty) {
-      val tgt = spark.read.parquet(path)
-        .select(col("vec_id"), col("embedding"), col("seq"),
-          col("cell").cast(LongType).as("cell"))
+      val tgt = readFull(spark, path)
         .filter(col("cell").isin(targets: _*))
       // drop beaten versions (anti-join on the full row version key;
       // the losers side recomputes pruned to target cells' rows);
@@ -496,6 +584,68 @@ object IvfIndex {
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     sims.withColumn("rank", row_number().over(wr).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /** PQ-accelerated serving off a `build(pq = true)` layout — the
+    * two-stage scan shape that matters at 100 TB: the SHORTLIST pass
+    * reads only (vec_id, pq) of the probed cells — ~8 bytes of codes
+    * per vector instead of the full float embedding (a 64-float
+    * embedding is 256 B: a 16–30× scan-byte cut, PlanSpec pins the
+    * code scan's ReadSchema carries no embedding) — scoring each
+    * candidate by ADC against the query's RESIDUAL (the v33 math:
+    * codes were trained on residuals vs the serving centers, so the
+    * query subtracts its probed cell's serving center first); the
+    * RERANK pass gathers raw embeddings only for the ≤shortlist·q
+    * winners (broadcast join, row-group pruned by vec_id inside the
+    * probed cells) and re-scores them with exact cosine. `serving`
+    * and `books` come off the `_centers` sidecar — zero index scans
+    * before the gather, like [[serve]]. */
+  def servePq(idx: DataFrame, panel: DataFrame, k: Int, shortlist: Int,
+      serving: Seq[(Int, Array[Double])],
+      books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    require(books.nonEmpty, "servePq: the index has no PQ codebooks")
+    val probed = panel.select(col("cell")).distinct().collect()
+      .map(_.get(0).asInstanceOf[Number].longValue()).sorted.toSeq
+    val pruned =
+      if (probed.isEmpty) idx.filter(lit(false)) else
+        idx.filter(col("cell").isin(probed: _*))
+    // query residual against its probed cell's SERVING center — a
+    // when-chain over k broadcast-literal centers, rounded to float
+    // exactly like the stored codes' training residuals
+    val qres = serving.tail.foldLeft(
+      when(col("cell") === serving.head._1.toLong,
+        VectorQueries.residualAgainst(col("q_emb"), serving.head._2))) {
+      case (w, (j, c)) => w.when(col("cell") === j.toLong,
+        VectorQueries.residualAgainst(col("q_emb"), c))
+    }
+    // per-query ADC LOOKUP TABLE (m·k = 128 doubles, built once per
+    // panel row): each candidate then costs m array lookups instead
+    // of re-deriving m·dSub = 64 multiply-adds — the classic ADC
+    // trick, and the values are BIT-IDENTICAL to the per-candidate
+    // recompute (same left folds in the same order), so the oracle
+    // replays them unchanged
+    val qSide = panel.select(col("q_id"), col("cell"),
+      graft.functions.VectorExprs.pq_lut(qres, books).as("lut"))
+    val adc = graft.functions.VectorExprs.adc_lut(col("lut"), col("pq"), books)
+    val sc = pruned
+      .select(col("vec_id").as("n_id"), col("pq"), col("cell"))
+      .join(broadcast(qSide), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adc.as("adc"))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("n_id").asc)
+    val short = sc.withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= shortlist).select(col("q_id"), col("n_id"))
+    val nv = pruned.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val qv = panel.select(col("q_id"), col("q_emb"))
+    val scored = nv.join(broadcast(short), "n_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"),
+        VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(wr).cast(LongType))
       .filter(col("rank") <= k)
   }
 }

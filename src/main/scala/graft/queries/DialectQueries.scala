@@ -788,6 +788,28 @@ object DialectQueries {
         g.sql(s"ingest vec_id, embedding from '$a2' into '$ip' append")
         g.sql(s"compact '$ip' files 1")
       },
-      Some(VectorQueries.indexAppendCountsOracle))
+      Some(VectorQueries.indexAppendCountsOracle)),
+
+    // `index … pq` + `serve … pq shortlist s`: PQ-accelerated serving
+    // on the console — the v50 two-stage search (ADC shortlist over
+    // the stored ~8-byte codes, embedding column untouched until the
+    // exact re-rank of the winners) through the same statements that
+    // built the index. Same oracle as v50.
+    Q("s64_dialect_serve_pq",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val g = GraftSession(s, dir)
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val ip = s"/tmp/graft_s64_idx_$tag"
+        val qp = s"/tmp/graft_s64_q_$tag"
+        g.sql(s"index vec_id, embedding from embeddings into '$ip' pq")
+        graft.core.Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 11 === 3)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(qp)
+        g.sql(s"serve vec_id, embedding from '$ip' query '$qp' top 5 pq shortlist 20")
+      },
+      Some(VectorQueries.pqServeOracle(5, 20)))
   )
 }

@@ -2368,8 +2368,102 @@ object VectorQueries {
         graft.operators.IvfIndex.readLatest(s, path)
           .select(col("vec_id"), col("cell"))
       },
-      Some(indexAppendOracle))
+      Some(indexAppendOracle)),
+
+    // PQ-ACCELERATED serving off the persisted index — v33's
+    // residual-ADC two-stage search run from STORAGE: `build(pq)`
+    // stores each vector's m=8 residual-PQ codes (~8 bytes) next to
+    // its embedding and persists the codebooks in the `_centers`
+    // sidecar; serving routes off the sidecar refresh means, scans
+    // ONLY (vec_id, pq) of the probed cells for the ADC shortlist
+    // (the embedding column never loads — PlanSpec pins the code
+    // scan's ReadSchema; a 64-float embedding is 256 B vs ~8 B of
+    // codes, the scan-byte cut that matters at 100 TB), then gathers
+    // raw floats for just the ≤shortlist·q winners and re-ranks with
+    // exact cosine. Deterministic end-to-end (decimal fits, IEEE
+    // fold order), so the oracle replays routing, residuals, ADC,
+    // shortlist and re-rank bit-for-bit.
+    Q("v50_pq_indexed_serve",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val path = s"/tmp/graft_ivf_pqs_$tag"
+        graft.operators.IvfIndex.build(e, path, pq = true)
+        val side = graft.operators.IvfIndex.readSidecar(s, path).get
+        val q = e.filter(col("vec_id") % 11 === 3)
+          .select((col("vec_id") + lit(1000000L)).as("q_id"),
+            col("embedding").as("q_emb"))
+        val panel = q.select(col("q_id"), col("q_emb"),
+          graft.functions.VectorExprs.nearest_centroid(
+            col("q_emb"), side.refresh, side.dim).as("cell"))
+        graft.operators.IvfIndex.servePq(
+          graft.operators.IvfIndex.readFull(s, path), panel,
+          k = 5, shortlist = 20, side.serving, side.books)
+      },
+      Some(pqServeOracle(5, 20)))
   )
+
+  /** The v50 oracle: external batch routed to its nearest refresh
+    * mean, query residual against the probed cell's SERVING center,
+    * ADC over the per-subspace codes (same decimal fits and IEEE fold
+    * order as the stored index), shortlist by (adc, n_id), exact
+    * cosine re-rank of the shortlist. */
+  def pqServeOracle(k: Int, shortlist: Int): String = {
+    val dim = 64; val m = PQ_M; val dSub = dim / m
+    val last = KMEANS_ITERS
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val routeDist = O.dfold(
+      s"list_transform(u.q_emb, (kx, ki) -> (${d("kx")} - c.cent[ki]) * (${d("kx")} - c.cent[ki]))")
+    val resid =
+      s"""resid AS (SELECT a.vec_id, a.cell,
+         |  list_transform(a.embedding, (rx, ri) ->
+         |    CAST(CAST(rx AS DOUBLE) - c.cent[ri] AS FLOAT)) AS embedding
+         |  FROM assign$last a JOIN cent${last - 1} c ON a.cell = c.cell)""".stripMargin
+    val pqCtes = (0 until m).map { s =>
+      kmeansCtesSql(PQ_K, last, prefix = s"s${s}_",
+        src = s"SELECT vec_id, embedding[${s * dSub + 1}:${(s + 1) * dSub}] AS embedding FROM resid")
+    }
+    val dists = (0 until m).map { s =>
+      O.dfold(s"""list_transform(q.q_res[${s * dSub + 1}:${(s + 1) * dSub}],
+         | (kx, ki) -> (${d("kx")} - t$s.cent[ki]) * (${d("kx")} - t$s.cent[ki]))""".stripMargin)
+    }.mkString(" + ")
+    val codeJoins = (0 until m).map(s =>
+      s"JOIN s${s}_assign$last a$s ON r.vec_id = a$s.vec_id " +
+        s"JOIN s${s}_cent${last - 1} t$s ON t$s.cell = a$s.cell").mkString("\n")
+    s"""WITH ${kmeansCtesSql(KMEANS_K, last)},
+       |centN AS (SELECT cell, list(c ORDER BY pos) AS cent
+       |          FROM rows$last GROUP BY cell),
+       |$resid,
+       |${pqCtes.mkString(",\n")},
+       |up AS (SELECT vec_id + 1000000 AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id % 11 = 3),
+       |qp AS (SELECT q_id, q_emb, cell FROM (
+       |  SELECT u.q_id, u.q_emb, c.cell,
+       |    row_number() OVER (PARTITION BY u.q_id
+       |      ORDER BY ($routeDist) ASC, c.cell ASC) AS rk
+       |  FROM up u CROSS JOIN centN c) WHERE rk = 1),
+       |qr AS (SELECT p.q_id, p.cell, p.q_emb,
+       |  list_transform(p.q_emb, (rx, ri) ->
+       |    CAST(CAST(rx AS DOUBLE) - c.cent[ri] AS FLOAT)) AS q_res
+       |  FROM qp p JOIN cent${last - 1} c ON p.cell = c.cell),
+       |sc AS (SELECT q.q_id, r.vec_id AS n_id, ($dists) AS adc
+       |       FROM resid r JOIN qr q ON r.cell = q.cell
+       |                          AND r.vec_id != q.q_id
+       |$codeJoins),
+       |short AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc ASC, n_id ASC) AS srk FROM sc) WHERE srk <= $shortlist)
+       |SELECT q_id, n_id, sim, rank FROM (
+       |  SELECT s.q_id, s.n_id,
+       |    ${cosineSql("q.q_emb", "e.embedding")} AS sim,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY ${cosineSql("q.q_emb", "e.embedding")} DESC,
+       |               s.n_id ASC) AS rank
+       |  FROM short s JOIN qr q ON s.q_id = q.q_id
+       |               JOIN embeddings e ON e.vec_id = s.n_id)
+       |WHERE rank <= $k""".stripMargin
+  }
 
   /** Shared CTE chain for the append-lifecycle oracles (v49, s63):
     * `merged` = base assignment minus the re-ingested ids, union BOTH
@@ -2827,6 +2921,14 @@ object VectorQueries {
   private def residExprOn(emb: Column, c: Array[Double]): Column =
     zip_with(emb, array(c.map(lit(_)): _*),
       (x, y) => (x.cast(DoubleType) - y).cast(FloatType))
+
+  /** Residual of an embedding column against a driver-side center,
+    * rounded back to float — the shared residual shape of IVF-PQ
+    * codes and ADC queries (both engines round the same IEEE double
+    * difference to the same float). Public for the persisted-index
+    * lifecycle (IvfIndex.withCodes / servePq). */
+  def residualAgainst(emb: Column, c: Array[Double]): Column =
+    residExprOn(emb, c)
 
   /** Residual vectors for IVF-PQ: each vector minus its coarse-cell
     * centroid, rounded back to float (both engines round the same

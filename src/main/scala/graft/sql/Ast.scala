@@ -259,7 +259,7 @@ object Ast {
     * per-cell build report (cell, n_vecs). EAGER like `cluster` (the
     * write runs at plan time). */
   final case class IndexStmt(idCol: String, vecCol: String,
-      from: FromClause, path: String) extends Stmt
+      from: FromClause, path: String, pq: Boolean = false) extends Stmt
 
   /** `ingest <idCol>[,] <vecCol> from <table> [nh] into '<path>'
     * [append]` — incremental ingest into the persisted index at
@@ -300,7 +300,8 @@ object Ast {
     * (q_id, n_id, sim, rank ≤ k). */
   final case class ServeStmt(idCol: String, vecCol: String,
       path: String, query: Option[String] = None, k: Long = 5L,
-      probe: Long = 1L) extends Stmt
+      probe: Long = 1L, pq: Boolean = false,
+      shortlist: Long = 20L) extends Stmt
 
   /** `pack <idCol>[,] <textCol> from <table> [size <l>]` — t11's
     * GPT-style sequence packing on the SQL surface: corpus tokens

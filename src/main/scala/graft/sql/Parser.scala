@@ -253,10 +253,11 @@ final class Parser(toks: Vector[Tok]) {
     while (accept("nh") || accept("noheader")) noHeader = true
     expect("into")
     val path = parsePathLit("index")
+    val pq = accept("pq")
     if (!peek.eq(EOF) && peekText != ";")
       throw ParseError(s"unexpected trailing token '${peek.text}'")
     IndexStmt(idCol, vecCol,
-      FromClause(table, None, noHeader, intColumns = false, Nil), path)
+      FromClause(table, None, noHeader, intColumns = false, Nil), path, pq)
   }
 
   /** `ingest <idCol>[,] <vecCol> from <table> [nh] into '<path>'
@@ -318,9 +319,19 @@ final class Parser(toks: Vector[Tok]) {
     if (probe > 1 && query.isEmpty)
       throw ParseError("serve: probe needs an external batch (`query '<table>'`) — " +
         "the demo panel's cells come off the index files")
+    val pq = accept("pq")
+    val shortlist = if (accept("shortlist")) parseNumber() else 20L
+    if (!pq && shortlist != 20L)
+      throw ParseError("serve: shortlist only applies to pq serving")
+    if (pq && query.isEmpty)
+      throw ParseError("serve: pq needs an external batch (`query '<table>'`)")
+    if (pq && shortlist < k)
+      throw ParseError(s"serve shortlist ($shortlist) must be at least top ($k)")
+    if (shortlist > 10000)
+      throw ParseError(s"serve shortlist must be at most 10000, got $shortlist")
     if (!peek.eq(EOF) && peekText != ";")
       throw ParseError(s"unexpected trailing token '${peek.text}'")
-    ServeStmt(idCol, vecCol, path, query, k, probe)
+    ServeStmt(idCol, vecCol, path, query, k, probe, pq, shortlist)
   }
 
   /** `drift <vecCol> from <refTable> [nh] against <curTable> [nh]` —

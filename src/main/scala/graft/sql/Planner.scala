@@ -436,7 +436,7 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       named(base, st.vecCol, "embedding"))
     if (!e.schema("embedding").dataType.isInstanceOf[ArrayType])
       throw PlanError(s"index: ${st.vecCol} must be an array (vector) column")
-    graft.operators.IvfIndex.build(e, st.path)
+    graft.operators.IvfIndex.build(e, st.path, pq = st.pq)
     // the per-cell build report comes off the sidecar the build just
     // wrote (k driver rows) — the index is never re-scanned for it
     val counts = graft.operators.IvfIndex.readSidecar(e.sparkSession, st.path)
@@ -469,7 +469,12 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         "build the index with `index … into` first"))
     if (side.serving.isEmpty)
       throw PlanError(s"ingest: index at '${st.path}' has no serving centers")
-    val assigned = graft.queries.VectorQueries.kmeansAssign(e, side.serving)
+    val assigned0 = graft.queries.VectorQueries.kmeansAssign(e, side.serving)
+    // a PQ index's arrivals carry their codes (encoded against the
+    // sidecar's frozen books — same one-projection shape as build)
+    val assigned =
+      if (side.hasPq) IvfIndex.withCodes(assigned0, side.serving, side.books)
+      else assigned0
     if (st.append) IvfIndex.append(spark, st.path, assigned)
     else IvfIndex.upsert(spark, st.path, assigned)
     if (st.append) IvfIndex.readLatest(spark, st.path)
@@ -566,7 +571,23 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
               col("q_emb"), means, means.head._2.length,
               st.probe.toInt)).as("cell"))
     }
-    graft.operators.IvfIndex.serve(idx, panel, st.k.toInt)
+    if (!st.pq) graft.operators.IvfIndex.serve(idx, panel, st.k.toInt)
+    else {
+      // PQ-accelerated: ADC shortlist over the stored codes (the scan
+      // never reads the embedding column), exact re-rank of the
+      // winners — serving centers and codebooks off the sidecar
+      val s = side.getOrElse(throw PlanError(
+        s"serve: pq needs the index's _centers sidecar — " +
+          s"rebuild with `index … into '${st.path}' pq`"))
+      if (!s.hasPq || !raw.columns.contains("pq"))
+        throw PlanError(s"serve: index at '${st.path}' stores no PQ codes — " +
+          s"rebuild with `index … into '${st.path}' pq`")
+      val idxFull = raw.select(named(raw, st.idCol, "vec_id"),
+        named(raw, st.vecCol, "embedding"), col("pq"),
+        col("cell").cast(LongType).as("cell"))
+      graft.operators.IvfIndex.servePq(idxFull, panel, st.k.toInt,
+        st.shortlist.toInt, s.serving, s.books)
+    }
   }
 
   /** `drift vec from ref against cur` — lowers VERBATIM to the x14

@@ -873,6 +873,24 @@ class PlanSpec extends SparkSpec {
       s"serve must not aggregate anything — routing is sidecar-driven:\n${p.take(1500)}")
   }
 
+  test("pq serve (s64/v50): the ADC shortlist scan reads codes, never embeddings") {
+    // the scan-byte story of the PQ index: the shortlist pass must
+    // read ONLY (vec_id, pq) of the probed cells (~8 B of codes per
+    // vector vs 256 B of floats); the embedding column loads only in
+    // the re-rank gather of the ≤shortlist·q winners
+    val p = plan("s64_dialect_serve_pq")
+    assert(p.contains("struct<vec_id:bigint,pq:array<tinyint>>"),
+      s"expected a codes-only scan (vec_id + pq, no embedding):\n" +
+        p.split("\n").filter(_.contains("ReadSchema")).mkString("\n"))
+    val scanBlock = p.split("\n").filter(_.contains("PartitionFilters"))
+    assert(scanBlock.exists(l => l.contains("cell") && !l.contains("[]")),
+      "both passes must prune to probed cells")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"),
+      "pq serve must not aggregate anything — routing and books are sidecar-driven")
+  }
+
   test("video near-dup (m06) aggregates signature counts, never pairs") {
     val p = plan("m06_video_neardup")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&

@@ -241,6 +241,59 @@ class R12OpsSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("pq index: sidecar books round-trip bit-exact; ingest encodes arrivals") {
+    import graft.sql.GraftSession
+    val g = GraftSession(spark, sf0001)
+    val path = "/tmp/graft_r12_pq_idx"
+    g.sql(s"index vec_id, embedding from embeddings into '$path' pq")
+    val side = IvfIndex.readSidecar(spark, path).get
+    assert(side.hasPq && side.books.size == VectorQueries.PQ_M)
+    side.books.foreach(b => assert(b.size == VectorQueries.PQ_K))
+    // books round-trip: re-deriving them from the corpus residuals
+    // must give the same doubles bit-for-bit
+    val assigned = VectorQueries.kmeansAssign(emb, side.serving)
+    val rederived = VectorQueries.pqCodebooks(
+      VectorQueries.residuals(assigned, side.serving)
+        .select(col("vec_id"), col("embedding")), dim = side.dim)
+    side.books.zip(rederived).foreach { case (a, b) =>
+      assert(a.map(_._1) == b.map(_._1))
+      a.zip(b).foreach { case ((_, x), (_, y)) => assert(x.sameElements(y)) }
+    }
+    // ingest into a pq index encodes arrivals: stored codes equal a
+    // direct encode of the same rows
+    val ap = "/tmp/graft_r12_pq_arr"
+    emb.filter(col("vec_id") < 7)
+      .select((col("vec_id") + lit(8000L)).as("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(ap)
+    g.sql(s"ingest vec_id, embedding from '$ap' into '$path'")
+    val stored = IvfIndex.readFull(spark, path)
+      .filter(col("vec_id") >= 8000L && col("vec_id") < 8007L)
+      .select(col("vec_id"), col("pq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toSeq).toMap
+    val direct = IvfIndex.withCodes(
+      VectorQueries.kmeansAssign(
+        emb.filter(col("vec_id") < 7)
+          .select((col("vec_id") + lit(8000L)).as("vec_id"), col("embedding")),
+        side.serving), side.serving, side.books)
+      .select(col("vec_id"), col("pq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toSeq).toMap
+    assert(stored == direct, "ingested codes must equal a direct encode")
+    // and pq serving works on the upserted index
+    val qb = "/tmp/graft_r12_pq_q"
+    emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + lit(9000L)).as("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(qb)
+    val served = g.sql(
+      s"serve vec_id, embedding from '$path' query '$qb' top 3 pq shortlist 10")
+    assert(served.columns.toSeq == Seq("q_id", "n_id", "sim", "rank"))
+    assert(served.count() > 0 && served.filter(col("rank") > 3).count() == 0)
+    // a plain index refuses pq serving with a clear error
+    val plain = "/tmp/graft_r12_pq_plain"
+    g.sql(s"index vec_id, embedding from embeddings into '$plain'")
+    assertThrows[Exception](g.sql(
+      s"serve vec_id, embedding from '$plain' query '$qb' top 3 pq"))
+  }
+
   test("multi-probe serve: probe 2 is a superset-or-equal candidate pool (s61 ≡ oracle shape)") {
     import graft.sql.GraftSession
     val g = GraftSession(spark, sf0001)

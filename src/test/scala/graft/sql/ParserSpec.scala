@@ -382,6 +382,19 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' probe 2")) // no query
     assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' query b probe 0"))
     assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' query b probe 9"))
+    // pq serving: query batches only, shortlist ≥ k
+    val pq = Parser.parseStmt("serve id, vec from '/x' query b top 5 pq shortlist 30")
+      .asInstanceOf[Ast.ServeStmt]
+    assert(pq.pq && pq.shortlist == 30L && pq.k == 5L)
+    assert(Parser.parseStmt("serve id, vec from '/x' query b pq")
+      .asInstanceOf[Ast.ServeStmt].shortlist == 20L)
+    assert(Parser.parseStmt("index id, vec from t into '/x' pq")
+      .asInstanceOf[Ast.IndexStmt].pq)
+    assert(!Parser.parseStmt("index id, vec from t into '/x'")
+      .asInstanceOf[Ast.IndexStmt].pq)
+    assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' pq")) // no query
+    assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' query b shortlist 50")) // no pq
+    assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' query b top 30 pq shortlist 10"))
     assertThrows[Exception](Parser.parseStmt("serve id, vec from idx")) // unquoted
     assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' top 0"))
     assertThrows[Exception](Parser.parseStmt("serve id, vec from '/x' top 5000"))
