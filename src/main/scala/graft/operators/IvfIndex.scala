@@ -638,7 +638,9 @@ object IvfIndex {
     val short = sc.withColumn("srk", row_number().over(ws))
       .filter(col("srk") <= shortlist).select(col("q_id"), col("n_id"))
     val nv = pruned.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val qv = panel.select(col("q_id"), col("q_emb"))
+    // one row per query for the re-rank even when a multi-probe panel
+    // carries one row per probed cell
+    val qv = panel.select(col("q_id"), col("q_emb")).distinct()
     val scored = nv.join(broadcast(short), "n_id")
       .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("n_id"),

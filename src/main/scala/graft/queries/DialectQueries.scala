@@ -810,6 +810,32 @@ object DialectQueries {
           .coalesce(1).write.mode("overwrite").parquet(qp)
         g.sql(s"serve vec_id, embedding from '$ip' query '$qp' top 5 pq shortlist 20")
       },
-      Some(VectorQueries.pqServeOracle(5, 20)))
+      Some(VectorQueries.pqServeOracle(5, 20)),
+      bench = true),
+
+    // `serve … pq probe 2`: multi-probe COMPOSES with PQ serving —
+    // each query fans out to its two nearest refresh means, takes a
+    // per-(query, cell) residual LUT (codes are residuals against
+    // each cell's own serving center, the v33 multiprobe semantics),
+    // and one ADC shortlist + exact re-rank merges candidates across
+    // both cells. The oracle replays the rk≤2 routing and both
+    // residual legs bit-for-bit.
+    Q("s65_dialect_serve_pq_probe",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val g = GraftSession(s, dir)
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val ip = s"/tmp/graft_s65_idx_$tag"
+        val qp = s"/tmp/graft_s65_q_$tag"
+        g.sql(s"index vec_id, embedding from embeddings into '$ip' pq")
+        graft.core.Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 11 === 3)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(qp)
+        g.sql(s"serve vec_id, embedding from '$ip' query '$qp' " +
+          "top 5 probe 2 pq shortlist 20")
+      },
+      Some(VectorQueries.pqServeOracle(5, 20, probe = 2)))
   )
 }

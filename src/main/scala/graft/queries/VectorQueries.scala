@@ -2409,7 +2409,7 @@ object VectorQueries {
     * ADC over the per-subspace codes (same decimal fits and IEEE fold
     * order as the stored index), shortlist by (adc, n_id), exact
     * cosine re-rank of the shortlist. */
-  def pqServeOracle(k: Int, shortlist: Int): String = {
+  def pqServeOracle(k: Int, shortlist: Int, probe: Int = 1): String = {
     val dim = 64; val m = PQ_M; val dSub = dim / m
     val last = KMEANS_ITERS
     def d(x: String) = s"CAST($x AS DOUBLE)"
@@ -2442,8 +2442,8 @@ object VectorQueries {
        |  SELECT u.q_id, u.q_emb, c.cell,
        |    row_number() OVER (PARTITION BY u.q_id
        |      ORDER BY ($routeDist) ASC, c.cell ASC) AS rk
-       |  FROM up u CROSS JOIN centN c) WHERE rk = 1),
-       |qr AS (SELECT p.q_id, p.cell, p.q_emb,
+       |  FROM up u CROSS JOIN centN c) WHERE rk <= $probe),
+       |qr AS (SELECT p.q_id, p.cell,
        |  list_transform(p.q_emb, (rx, ri) ->
        |    CAST(CAST(rx AS DOUBLE) - c.cent[ri] AS FLOAT)) AS q_res
        |  FROM qp p JOIN cent${last - 1} c ON p.cell = c.cell),
@@ -2456,11 +2456,11 @@ object VectorQueries {
        |    ORDER BY adc ASC, n_id ASC) AS srk FROM sc) WHERE srk <= $shortlist)
        |SELECT q_id, n_id, sim, rank FROM (
        |  SELECT s.q_id, s.n_id,
-       |    ${cosineSql("q.q_emb", "e.embedding")} AS sim,
+       |    ${cosineSql("u.q_emb", "e.embedding")} AS sim,
        |    row_number() OVER (PARTITION BY s.q_id
-       |      ORDER BY ${cosineSql("q.q_emb", "e.embedding")} DESC,
+       |      ORDER BY ${cosineSql("u.q_emb", "e.embedding")} DESC,
        |               s.n_id ASC) AS rank
-       |  FROM short s JOIN qr q ON s.q_id = q.q_id
+       |  FROM short s JOIN up u ON s.q_id = u.q_id
        |               JOIN embeddings e ON e.vec_id = s.n_id)
        |WHERE rank <= $k""".stripMargin
   }

@@ -490,6 +490,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming upsert into a PQ index: codes ride the stream, ≡ batch encode") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    import graft.queries.VectorQueries
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = "/tmp/graft_spec_sup_pq"
+    val centers = IvfIndex.build(e, path, pq = true)
+    val side = IvfIndex.readSidecar(spark, path).get
+    // assignment AND encoding are stateless projections, so the same
+    // withCodes shape runs unchanged over the streaming frame
+    val arrivals = graft.streaming.StreamingOps.readEmbeddings(spark, sf0001)
+      .filter(col("vec_id") % 7 === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val coded = IvfIndex.withCodes(
+      VectorQueries.kmeansAssign(arrivals, centers), side.serving, side.books)
+    val q = coded.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfIndex.upsert(spark, path, batch))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val stored = IvfIndex.readFull(spark, path)
+      .filter(col("vec_id") >= 1000000L)
+      .select(col("vec_id"), col("pq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toSeq).toMap
+    val direct = IvfIndex.withCodes(
+      VectorQueries.kmeansAssign(
+        e.filter(col("vec_id") % 7 === 3)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")),
+        centers), side.serving, side.books)
+      .select(col("vec_id"), col("pq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toSeq).toMap
+    assert(stored.nonEmpty && stored == direct,
+      "streamed codes must equal the batch encode byte-for-byte")
+  }
+
   test("stateful sessionization emits per-user session counts") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val batchEvents = Tables(spark, sf0001, "events")
