@@ -317,12 +317,12 @@ object ScaleProbe {
     readMb("serve_exact_q100")(time("serve_exact_q100")(noop(IvfIndex.serve(
       IvfIndex.read(spark, pqPath), panel, 10))))
     readMb("serve_pq_q100")(time("serve_pq_q100")(noop(IvfIndex.servePq(
-      idxPq, panel, 10, 50, side.serving, side.books))))
+      idxPq, q, panel, 10, 50, side.serving, side.books))))
     // recall of the ADC path against the exact gather on the SAME index
     val exact = IvfIndex.serve(IvfIndex.read(spark, pqPath), panel, 10)
       .select(col("q_id"), col("n_id")).collect()
       .groupBy(_.getLong(0)).map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
-    val pq = IvfIndex.servePq(idxPq, panel, 10, 50, side.serving, side.books)
+    val pq = IvfIndex.servePq(idxPq, q, panel, 10, 50, side.serving, side.books)
       .select(col("q_id"), col("n_id")).collect()
       .groupBy(_.getLong(0)).map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
     val overlap = exact.map { case (qid, t) =>

@@ -600,8 +600,13 @@ object IvfIndex {
     * winners (broadcast join, row-group pruned by vec_id inside the
     * probed cells) and re-scores them with exact cosine. `serving`
     * and `books` come off the `_centers` sidecar — zero index scans
-    * before the gather, like [[serve]]. */
-  def servePq(idx: DataFrame, panel: DataFrame, k: Int, shortlist: Int,
+    * before the gather, like [[serve]]. Broadcast weight: each panel
+    * row ships its m·k-double LUT (~1 KB at 8×16) instead of the
+    * residual, so a cap-sized (100k-query) batch broadcasts ~130 MB —
+    * inside executor budgets, and the ServeMaxBatch cap guards the
+    * path loudly. */
+  def servePq(idx: DataFrame, queries: DataFrame, panel: DataFrame,
+      k: Int, shortlist: Int,
       serving: Seq[(Int, Array[Double])],
       books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
     require(books.nonEmpty, "servePq: the index has no PQ codebooks")
@@ -638,9 +643,12 @@ object IvfIndex {
     val short = sc.withColumn("srk", row_number().over(ws))
       .filter(col("srk") <= shortlist).select(col("q_id"), col("n_id"))
     val nv = pruned.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    // one row per query for the re-rank even when a multi-probe panel
-    // carries one row per probed cell
-    val qv = panel.select(col("q_id"), col("q_emb")).distinct()
+    // the re-rank pairs each winner with its query ONCE: `queries` is
+    // the unique (q_id, q_emb) batch, not the (possibly multi-probe)
+    // per-cell panel — deduping the panel instead would plan a
+    // HashAggregate over the batch (the PlanSpec zero-aggregates pin
+    // caught exactly that)
+    val qv = queries.select(col("q_id"), col("q_emb"))
     val scored = nv.join(broadcast(short), "n_id")
       .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("n_id"),

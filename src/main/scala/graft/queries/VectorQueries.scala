@@ -2398,7 +2398,7 @@ object VectorQueries {
           graft.functions.VectorExprs.nearest_centroid(
             col("q_emb"), side.refresh, side.dim).as("cell"))
         graft.operators.IvfIndex.servePq(
-          graft.operators.IvfIndex.readFull(s, path), panel,
+          graft.operators.IvfIndex.readFull(s, path), q, panel,
           k = 5, shortlist = 20, side.serving, side.books)
       },
       Some(pqServeOracle(5, 20)))

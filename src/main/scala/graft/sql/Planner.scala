@@ -585,7 +585,12 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       val idxFull = raw.select(named(raw, st.idCol, "vec_id"),
         named(raw, st.vecCol, "embedding"), col("pq"),
         col("cell").cast(LongType).as("cell"))
-      graft.operators.IvfIndex.servePq(idxFull, panel, st.k.toInt,
+      // the UNIQUE query batch for the re-rank pairing (the panel may
+      // carry one row per probed cell under multi-probe)
+      val qbase = resolve(st.query.get, false)
+      val queries = qbase.select(named(qbase, st.idCol, "q_id"),
+        named(qbase, st.vecCol, "q_emb"))
+      graft.operators.IvfIndex.servePq(idxFull, queries, panel, st.k.toInt,
         st.shortlist.toInt, s.serving, s.books)
     }
   }
