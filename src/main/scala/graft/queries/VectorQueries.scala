@@ -2370,6 +2370,42 @@ object VectorQueries {
       },
       Some(indexAppendOracle)),
 
+    // STREAMING append ingest — v48's continuous maintenance on the
+    // O(batch) append path: each micro-batch of re-ingested vectors
+    // (negated embeddings, so they ASSIGN TO DIFFERENT CELLS and the
+    // stale copies stay behind in the files) lands as new files at a
+    // rising seq version via foreachBatch → IvfIndex.append; a final
+    // compact resolves every superseded copy across cells, and the
+    // gate hash-checks the PLAIN read afterwards. Version resolution
+    // is per-id, so the result is invariant to how the stream splits
+    // into micro-batches (each id arrives once, and any seq ≥ 1 beats
+    // the base's seq 0) — the property that makes continuous append
+    // ingestion deterministic at all.
+    Q("v51_stream_append",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val path = s"/tmp/graft_ivf_sap_$tag"
+        val centers = graft.operators.IvfIndex.build(e, path)
+        val assigned = kmeansAssign(
+          graft.streaming.StreamingOps.readEmbeddings(s, dir)
+            .filter(col("vec_id") % 13 === 4)
+            .select(col("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding")),
+          centers)
+        val q = assigned.writeStream
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            { graft.operators.IvfIndex.append(s, path, batch); () })
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        graft.operators.IvfIndex.compact(s, path, maxFilesPerCell = 1)
+        graft.operators.IvfIndex.read(s, path)
+          .select(col("vec_id"), col("cell"))
+      },
+      Some(streamAppendOracle)),
+
     // PQ-ACCELERATED serving off the persisted index — v33's
     // residual-ADC two-stage search run from STORAGE: `build(pq)`
     // stores each vector's m=8 residual-PQ codes (~8 bytes) next to
@@ -2496,6 +2532,27 @@ object VectorQueries {
   def indexAppendOracle: String =
     s"""WITH $indexAppendMergedCtes
        |SELECT vec_id, cell FROM merged""".stripMargin
+
+  /** The v51 oracle: the v49 merged semantics restricted to the
+    * RE-INGEST leg only (the streamed slice) — base assignment minus
+    * the re-ingested ids, union those ids re-assigned with their
+    * negated embeddings against the same frozen centers. */
+  def streamAppendOracle: String = {
+    val last = KMEANS_ITERS
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val dist = O.dfold(
+      s"list_transform(u.embedding, (kx, ki) -> (${d("kx")} - c.cent[ki]) * (${d("kx")} - c.cent[ki]))")
+    s"""WITH ${kmeansCtesSql(KMEANS_K, last)},
+       |up AS (SELECT vec_id, list_transform(embedding, x -> -x) AS embedding
+       |       FROM embeddings WHERE vec_id % 13 = 4),
+       |upa AS (SELECT vec_id, cell FROM (
+       |  SELECT u.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY u.vec_id
+       |      ORDER BY ($dist) ASC, c.cell ASC) AS rk
+       |  FROM up u CROSS JOIN cent${last - 1} c) WHERE rk = 1)
+       |SELECT vec_id, cell FROM assign$last WHERE vec_id % 13 != 4
+       |UNION ALL SELECT vec_id, cell FROM upa""".stripMargin
+  }
 
   /** The s63 oracle: the post-compact per-cell occupancy — a k-row
     * GROUP BY over the same merged semantics (correct counts require
