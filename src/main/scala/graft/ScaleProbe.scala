@@ -287,10 +287,17 @@ object ScaleProbe {
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
           bytesRead.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
       })
+    // listener events are ASYNC — drain until the counter settles so
+    // one leg's bytes never land in the next leg's delta
+    def drained(): Long = {
+      var prev = -1L
+      while (bytesRead.get != prev) { prev = bytesRead.get; Thread.sleep(250) }
+      prev
+    }
     def readMb(label: String)(f: => Unit): Unit = {
-      val b0 = bytesRead.get
+      val b0 = drained()
       f
-      results(label + "_readmb") = math.rint((bytesRead.get - b0) / 1e4) / 100
+      results(label + "_readmb") = math.rint((drained() - b0) / 1e4) / 100
     }
     val tmp = s"/tmp/graft_r12pq_probe_$copies"
     scaled(spark, "embeddings", Seq("vec_id"), copies)

@@ -81,7 +81,6 @@ object IvfIndex {
         * score against. Empty for a plain index. */
       books: Seq[Seq[(Int, Array[Double])]] = Seq.empty) {
     def dim: Int = serving.headOption.map(_._2.length).getOrElse(0)
-    def corpusN: Long = counts.values.sum
     def hasPq: Boolean = books.nonEmpty
   }
 
@@ -147,30 +146,39 @@ object IvfIndex {
     val it = lines.asScala.filter(_.nonEmpty)
     if (it.isEmpty || !it.head.startsWith("graft-ivf-centers v1"))
       throw new IllegalStateException(s"readSidecar: '$f' is not a centers sidecar")
-    def kv(line: String): Map[String, String] =
-      line.split(' ').map { t =>
-        val i = t.indexOf('='); t.substring(0, i) -> t.substring(i + 1)
-      }.toMap
-    val meta = kv(it(1))
-    val (bookLines, cellLines) = it.drop(2).partition(_.startsWith("pq="))
-    val cells = cellLines.map(kv).toSeq
-    val books = bookLines.map(kv).toSeq.groupBy(_.apply("pq").toInt).toSeq
-      .sortBy(_._1).map { case (_, rows) =>
-        rows.map(m => (m("code").toInt, decodeDoubles(m("cent"))))
-          .sortBy(_._1)
-      }
-    Some(Sidecar(
-      serving = cells.map(m => (m("cell").toInt, decodeDoubles(m("serving"))))
-        .sortBy(_._1),
-      refresh = cells.filter(_.apply("refresh") != "-")
-        .map(m => (m("cell").toInt, decodeDoubles(m("refresh")))).sortBy(_._1),
-      counts = cells.map(m => m("cell").toLong -> m("n").toLong).toMap,
-      staleCells = cells.filter(_.apply("stale").toBoolean)
-        .map(_.apply("cell").toLong).toSet,
-      pendingAppends = meta("pending").toBoolean,
-      maxSeq = meta("max_seq").toLong,
-      version = meta("version").toLong,
-      books = books))
+    try {
+      def kv(line: String): Map[String, String] =
+        line.split(' ').map { t =>
+          val i = t.indexOf('='); t.substring(0, i) -> t.substring(i + 1)
+        }.toMap
+      val meta = kv(it(1))
+      val (bookLines, cellLines) = it.drop(2).partition(_.startsWith("pq="))
+      val cells = cellLines.map(kv).toSeq
+      val books = bookLines.map(kv).toSeq.groupBy(_.apply("pq").toInt).toSeq
+        .sortBy(_._1).map { case (_, rows) =>
+          rows.map(m => (m("code").toInt, decodeDoubles(m("cent"))))
+            .sortBy(_._1)
+        }
+      Some(Sidecar(
+        serving = cells.map(m => (m("cell").toInt, decodeDoubles(m("serving"))))
+          .sortBy(_._1),
+        refresh = cells.filter(_.apply("refresh") != "-")
+          .map(m => (m("cell").toInt, decodeDoubles(m("refresh")))).sortBy(_._1),
+        counts = cells.map(m => m("cell").toLong -> m("n").toLong).toMap,
+        staleCells = cells.filter(_.apply("stale").toBoolean)
+          .map(_.apply("cell").toLong).toSet,
+        pendingAppends = meta("pending").toBoolean,
+        maxSeq = meta("max_seq").toLong,
+        version = meta("version").toLong,
+        books = books))
+    } catch {
+      // a malformed line must surface as the loud diagnostic, not a
+      // bare IndexOutOfBounds/NoSuchElement from the parse internals
+      case e: RuntimeException =>
+        throw new IllegalStateException(
+          s"readSidecar: '$f' is corrupt (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}) — rebuild the index", e)
+    }
   }
 
   /** Process-wide sidecar cache keyed by index path, invalidated by a
@@ -190,7 +198,16 @@ object IvfIndex {
 
     private def fingerprint(path: String): String = {
       val f = sidecarFile(path)
-      if (!f.isFile) "" else s"${f.length}:${f.lastModified}"
+      if (!f.isFile) "" else
+        try {
+          // fileKey (the inode) changes on EVERY writeSidecar — the
+          // temp-file + atomic-rename write replaces the target with
+          // a fresh file — so a cross-process rewrite can never alias
+          // the fingerprint the way same-length + coarse-mtime could
+          val attrs = java.nio.file.Files.readAttributes(f.toPath,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          s"${attrs.fileKey}:${attrs.size}:${attrs.lastModifiedTime}"
+        } catch { case _: java.io.IOException => "" }
     }
 
     def get(spark: SparkSession, path: String): Option[Sidecar] = {
@@ -405,10 +422,15 @@ object IvfIndex {
   def upsert(spark: SparkSession, path: String, assigned: DataFrame): Unit = {
     val indexHasPq = spark.read.parquet(path).columns.contains("pq")
     requireMatchingShape(assigned, indexHasPq, "upsert")
+    // materialize the arrivals ONCE: the uniqueness guard, touched
+    // collect, stale-id sweep, vacated-cell check and the write are
+    // five separate actions — without this each re-runs the caller's
+    // assignment (and PQ encode) over the arrival source
     val arrivals = assigned.select(
       (Seq(col("vec_id"), col("embedding")) ++
         (if (indexHasPq) Seq(col("pq")) else Nil)) :+
         col("cell").cast(LongType).as("cell"): _*)
+      .localCheckpoint(true)
     val side = readSidecar(spark, path)
     side.foreach(s => if (s.pendingAppends)
       throw new IllegalStateException(
@@ -466,10 +488,12 @@ object IvfIndex {
     val s = readSidecar(spark, path).getOrElse(throw new IllegalStateException(
       s"append: no _centers sidecar at '$path' — build the index first"))
     requireMatchingShape(assigned, s.hasPq, "append")
+    // one materialization across the guard, touched collect and write
     val arrivals = assigned.select(
       (Seq(col("vec_id"), col("embedding")) ++
         (if (s.hasPq) Seq(col("pq")) else Nil)) :+
         col("cell").cast(LongType).as("cell"): _*)
+      .localCheckpoint(true)
     requireUniqueIds(arrivals, "append")
     val touched = arrivals.select(col("cell")).distinct().collect()
       .map(_.getLong(0)).sorted.toSeq

@@ -290,6 +290,8 @@ final class Parser(toks: Vector[Tok]) {
     val path = parsePathLit("compact")
     val files = if (accept("files")) parseNumber() else 4L
     if (files < 1) throw ParseError(s"compact files must be at least 1, got $files")
+    if (files > 100000)
+      throw ParseError(s"compact files must be at most 100000, got $files")
     if (!peek.eq(EOF) && peekText != ";")
       throw ParseError(s"unexpected trailing token '${peek.text}'")
     CompactStmt(path, files)
@@ -320,8 +322,9 @@ final class Parser(toks: Vector[Tok]) {
       throw ParseError("serve: probe needs an external batch (`query '<table>'`) — " +
         "the demo panel's cells come off the index files")
     val pq = accept("pq")
-    val shortlist = if (accept("shortlist")) parseNumber() else 20L
-    if (!pq && shortlist != 20L)
+    val hasShortlist = accept("shortlist")
+    val shortlist = if (hasShortlist) parseNumber() else 20L
+    if (!pq && hasShortlist)
       throw ParseError("serve: shortlist only applies to pq serving")
     if (pq && query.isEmpty)
       throw ParseError("serve: pq needs an external batch (`query '<table>'`)")

@@ -526,7 +526,25 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       throw PlanError(s"serve: index at '${st.path}' has un-compacted " +
         "appends — a pruned gather could return superseded vectors; " +
         "run compact first"))
-    val panel = st.query match {
+    // the UNIQUE external query batch (q_id, q_emb), cap-checked once —
+    // shared by the routing panel and the pq re-rank pairing
+    val queryFrame: Option[DataFrame] = st.query.map { qt =>
+      val qbase = resolve(qt, false)
+      val q = qbase.select(named(qbase, st.idCol, "q_id"),
+        named(qbase, st.vecCol, "q_emb"))
+      if (!q.schema("q_emb").dataType.isInstanceOf[ArrayType])
+        throw PlanError(s"serve: ${st.vecCol} must be an array (vector) column in the query table")
+      // the panel rides as the BROADCAST side of the pruned gather —
+      // a corpus-sized "batch" would be a different op (a self-join);
+      // fail LOUDLY instead of letting the broadcast OOM an executor
+      val n = q.count()
+      if (n > ServeMaxBatch)
+        throw PlanError(s"serve: query batch has $n rows (cap $ServeMaxBatch): " +
+          "serving batches must be query-sized; for corpus-scale scoring " +
+          "use `similar` or the ANN pipeline operators")
+      q
+    }
+    val panel = queryFrame match {
       case None =>
         // the v45 demo panel: indexed vectors, cells already on disk —
         // a pushed-down `vec_id < 5` scan (the layout range-partitions
@@ -534,26 +552,13 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         idx.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
             col("cell"))
-      case Some(qt) =>
+      case Some(q) =>
         // EXTERNAL batch: route each query to its nearest exact cell
         // MEAN of the index, read from the `_centers` SIDECAR — k·d
         // driver doubles off a k-row file (cached per path), so
         // routing costs ZERO index scans; before the sidecar this
         // path paid a full-index VecMeanAgg per call. Pre-sidecar
         // layouts fall back to that aggregate.
-        val qbase = resolve(qt, false)
-        val q = qbase.select(named(qbase, st.idCol, "q_id"),
-          named(qbase, st.vecCol, "q_emb"))
-        if (!q.schema("q_emb").dataType.isInstanceOf[ArrayType])
-          throw PlanError(s"serve: ${st.vecCol} must be an array (vector) column in the query table")
-        // the panel rides as the BROADCAST side of the pruned gather —
-        // a corpus-sized "batch" would be a different op (a self-join);
-        // fail LOUDLY instead of letting the broadcast OOM an executor
-        val n = q.count()
-        if (n > ServeMaxBatch)
-          throw PlanError(s"serve: query batch has $n rows (cap $ServeMaxBatch): " +
-            "serving batches must be query-sized; for corpus-scale scoring " +
-            "use `similar` or the ANN pipeline operators")
         val means = side.map(_.refresh)
           .getOrElse(graft.queries.VectorQueries.refreshedCenters(idx))
         if (means.isEmpty) throw PlanError(s"serve: index at '${st.path}' is empty")
@@ -587,9 +592,7 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         col("cell").cast(LongType).as("cell"))
       // the UNIQUE query batch for the re-rank pairing (the panel may
       // carry one row per probed cell under multi-probe)
-      val qbase = resolve(st.query.get, false)
-      val queries = qbase.select(named(qbase, st.idCol, "q_id"),
-        named(qbase, st.vecCol, "q_emb"))
+      val queries = queryFrame.get
       graft.operators.IvfIndex.servePq(idxFull, queries, panel, st.k.toInt,
         st.shortlist.toInt, s.serving, s.books)
     }
