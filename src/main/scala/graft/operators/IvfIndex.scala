@@ -3,6 +3,8 @@ package graft.operators
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -79,15 +81,31 @@ object IvfIndex {
       /** Frozen per-subspace PQ codebooks (m·k·dSub doubles) when the
         * index stores codes — what arrival encoding and ADC serving
         * score against. Empty for a plain index. */
-      books: Seq[Seq[(Int, Array[Double])]] = Seq.empty) {
+      books: Seq[Seq[(Int, Array[Double])]] = Seq.empty,
+      /** Seq high-water mark at the last duplicate-free point (build /
+        * compact). Rows with `seq > compactedSeq` are exactly the
+        * post-compact APPENDS — the only possible winners that strand
+        * a superseded copy — which is what lets compact's duplicate
+        * analysis scope to the appended fraction instead of scanning
+        * every cell's (vec_id, seq). */
+      compactedSeq: Long = 0L) {
     def dim: Int = serving.headOption.map(_._2.length).getOrElse(0)
     def hasPq: Boolean = books.nonEmpty
   }
 
-  private def sidecarDir(path: String): java.io.File =
-    new java.io.File(s"$path/$SidecarDir")
-  private def sidecarFile(path: String): java.io.File =
-    new java.io.File(sidecarDir(path), "centers.v1")
+  /** All index storage goes through Hadoop's FileSystem resolved from
+    * the path's scheme — the index data already does (Spark writes),
+    * and the sidecar / vacated-cell / file-count maintenance must live
+    * on the SAME filesystem or every lifecycle op silently misbehaves
+    * on hdfs:// and s3a:// paths (java.nio would report the sidecar
+    * absent and the vacated directory not-a-directory). */
+  private def hadoopFs(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def sidecarDir(path: String): HPath =
+    new HPath(path, SidecarDir)
+  private def sidecarFile(path: String): HPath =
+    new HPath(sidecarDir(path), "centers.v1")
 
   private def encodeDoubles(a: Array[Double]): String = {
     val bb = java.nio.ByteBuffer.allocate(a.length * 8)
@@ -113,7 +131,8 @@ object IvfIndex {
     val refreshByCell = sc.refresh.map { case (c, a) => c.toLong -> a }.toMap
     val sb = new StringBuilder
     sb.append("graft-ivf-centers v1\n")
-    sb.append(s"pending=${sc.pendingAppends} max_seq=${sc.maxSeq} version=${sc.version}\n")
+    sb.append(s"pending=${sc.pendingAppends} max_seq=${sc.maxSeq} " +
+      s"version=${sc.version} compacted_seq=${sc.compactedSeq}\n")
     sc.serving.sortBy(_._1).foreach { case (cell, center) =>
       val refresh = refreshByCell.get(cell.toLong).map(encodeDoubles).getOrElse("-")
       sb.append(s"cell=$cell n=${sc.counts.getOrElse(cell.toLong, 0L)} " +
@@ -125,13 +144,20 @@ object IvfIndex {
         sb.append(s"pq=$s code=$code cent=${encodeDoubles(cent)}\n")
       }
     }
+    val fs = hadoopFs(spark, path)
     val dir = sidecarDir(path)
-    dir.mkdirs()
-    val tmp = java.nio.file.Files.createTempFile(dir.toPath, ".centers", ".tmp")
-    java.nio.file.Files.writeString(tmp, sb.toString)
-    java.nio.file.Files.move(tmp, sidecarFile(path).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    fs.mkdirs(dir)
+    val tmp = new HPath(dir,
+      s".centers.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // rename-with-overwrite via FileContext: atomic where the
+    // filesystem supports it (local, HDFS), so a concurrent reader
+    // never sees a torn write
+    val fc = FileContext.getFileContext(sidecarFile(path).toUri,
+      spark.sessionState.newHadoopConf())
+    fc.rename(tmp, sidecarFile(path), Options.Rename.OVERWRITE)
     SidecarCache.invalidate(path)
   }
 
@@ -139,11 +165,18 @@ object IvfIndex {
     * when the index has none (pre-sidecar layout — consumers fall
     * back to index scans). */
   def readSidecar(spark: SparkSession, path: String): Option[Sidecar] = {
+    val fs = hadoopFs(spark, path)
     val f = sidecarFile(path)
-    if (!f.isFile) return None
-    val lines = java.nio.file.Files.readAllLines(f.toPath)
-    import scala.jdk.CollectionConverters._
-    val it = lines.asScala.filter(_.nonEmpty)
+    val st = try Some(fs.getFileStatus(f))
+      catch { case _: java.io.FileNotFoundException => None }
+    if (!st.exists(_.isFile)) return None
+    val in = fs.open(f)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val it = text.split('\n').toSeq.filter(_.nonEmpty)
     if (it.isEmpty || !it.head.startsWith("graft-ivf-centers v1"))
       throw new IllegalStateException(s"readSidecar: '$f' is not a centers sidecar")
     try {
@@ -170,7 +203,10 @@ object IvfIndex {
         pendingAppends = meta("pending").toBoolean,
         maxSeq = meta("max_seq").toLong,
         version = meta("version").toLong,
-        books = books))
+        books = books,
+        // absent in pre-r13 sidecars: 0 is exact there (every
+        // non-append row carried seq 0)
+        compactedSeq = meta.get("compacted_seq").map(_.toLong).getOrElse(0L)))
     } catch {
       // a malformed line must surface as the loud diagnostic, not a
       // bare IndexOutOfBounds/NoSuchElement from the parse internals
@@ -196,24 +232,57 @@ object IvfIndex {
     def loadCount(path: String): Long =
       Option(loadCounts.get(path)).map(_.get()).getOrElse(0L)
 
-    private def fingerprint(path: String): String = {
+    /** Sweep threshold: a long-lived server session serving many
+      * TRANSIENT index paths must not grow both maps without bound
+      * (each cache entry holds k·d serving + refresh doubles plus PQ
+      * books). Past this size, every miss first drops entries whose
+      * sidecar file no longer exists — live indexes are never evicted
+      * (their entries are real working state, bounded by the number
+      * of indexes actually served). */
+    private val SweepAt = 256
+
+    private def fingerprint(spark: SparkSession, path: String): String = {
       val f = sidecarFile(path)
-      if (!f.isFile) "" else
-        try {
-          // fileKey (the inode) changes on EVERY writeSidecar — the
-          // temp-file + atomic-rename write replaces the target with
-          // a fresh file — so a cross-process rewrite can never alias
-          // the fingerprint the way same-length + coarse-mtime could
-          val attrs = java.nio.file.Files.readAttributes(f.toPath,
-            classOf[java.nio.file.attribute.BasicFileAttributes])
-          s"${attrs.fileKey}:${attrs.size}:${attrs.lastModifiedTime}"
-        } catch { case _: java.io.IOException => "" }
+      val local = f.toUri.getScheme match {
+        case null | "file" => Some(java.nio.file.Paths.get(f.toUri.getPath))
+        case _ => None
+      }
+      local match {
+        case Some(p) =>
+          // local fast-path keeps the INODE in the fingerprint: fileKey
+          // changes on EVERY writeSidecar (temp-file + atomic rename
+          // replaces the target), so a cross-process rewrite can never
+          // alias the fingerprint the way same-length + coarse-mtime
+          // could
+          try {
+            val attrs = java.nio.file.Files.readAttributes(p,
+              classOf[java.nio.file.attribute.BasicFileAttributes])
+            s"${attrs.fileKey}:${attrs.size}:${attrs.lastModifiedTime}"
+          } catch { case _: java.io.IOException => "" }
+        case None =>
+          // remote filesystems: length + mtime off one getFileStatus
+          // (the sidecar's version counter makes ms-aliasing harmless
+          // in practice; writers also invalidate in-process)
+          try {
+            val st = hadoopFs(spark, path).getFileStatus(f)
+            s"${st.getLen}:${st.getModificationTime}"
+          } catch { case _: java.io.IOException => "" }
+      }
     }
 
+    private def sweepDead(spark: SparkSession): Unit =
+      if (cache.size > SweepAt || loadCounts.size > SweepAt) {
+        import scala.jdk.CollectionConverters._
+        (cache.keySet.asScala ++ loadCounts.keySet.asScala).toSeq
+          .filter(p => fingerprint(spark, p).isEmpty)
+          .foreach { p => cache.remove(p); loadCounts.remove(p) }
+      }
+
     def get(spark: SparkSession, path: String): Option[Sidecar] = {
-      val fp = fingerprint(path)
-      if (fp.isEmpty) { cache.remove(path); None }
+      val fp = fingerprint(spark, path)
+      if (fp.isEmpty) { cache.remove(path); loadCounts.remove(path); None }
       else Option(cache.get(path)).filter(_._1 == fp).map(_._2).orElse {
+        sweepDead(spark)
         loadCounts.computeIfAbsent(path, _ => new AtomicLong(0L)).incrementAndGet()
         val sc = readSidecar(spark, path)
         sc.foreach(s => cache.put(path, (fp, s)))
@@ -243,6 +312,17 @@ object IvfIndex {
     Seq(col("vec_id"), col("embedding"), col("seq")) ++
       (if (df.columns.contains("pq")) Seq(col("pq")) else Nil)
 
+  /** Parquet page-size bound for index layouts. Serving gathers are
+    * POINT LOOKUPS by vec_id (the PQ re-rank reads ≤shortlist·q rows
+    * out of millions), and parquet skips at PAGE granularity via the
+    * column index — so index files trade a little page-header overhead
+    * for pages covering ~1k rows instead of ~20k, which combined with
+    * the intra-partition (cell, vec_id) sort gives every page a TIGHT
+    * vec_id range and lets a pushed id predicate skip nearly all of
+    * them. Corpus-scan ops are unaffected (they read every page
+    * anyway). */
+  private val PageRowLimit = 1024
+
   def write(assigned: DataFrame, path: String): Unit = {
     val n = assigned.sparkSession.sessionState.conf.numShufflePartitions
     val withSeq =
@@ -251,7 +331,13 @@ object IvfIndex {
     withSeq.select(layoutCols(withSeq) :+
         col("cell").cast(LongType).as("cell"): _*)
       .repartitionByRange(n, col("cell"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      // range partitioning alone does NOT order rows within the task;
+      // the local sort is what makes every page's vec_id stats a tight
+      // contiguous range (the gather-pushdown prerequisite)
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", PageRowLimit.toString)
+      .partitionBy("cell").parquet(path)
   }
 
   /** Build an index at `path` from a raw (vec_id, embedding) frame:
@@ -374,17 +460,20 @@ object IvfIndex {
     if (present.nonEmpty) {
       val n = df.sparkSession.sessionState.conf.numShufflePartitions
       df.repartitionByRange(n, col("cell"), col("vec_id"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        .option("parquet.page.row.count.limit", PageRowLimit.toString)
         .partitionBy("cell").parquet(path)
     }
+    // vacated-cell delete on the INDEX's OWN filesystem (scheme-
+    // resolved): a java.nio check would silently no-op on hdfs://
+    // or s3a:// and resurrect the deleted rows on the next read
+    val fs = hadoopFs(df.sparkSession, path)
     touched.filterNot(present).foreach { c =>
-      val dir = java.nio.file.Paths.get(path, s"cell=$c")
-      if (java.nio.file.Files.isDirectory(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      val dir = new HPath(path, s"cell=$c")
+      try { if (fs.getFileStatus(dir).isDirectory) fs.delete(dir, true) }
+      catch { case _: java.io.FileNotFoundException => () }
     }
   }
 
@@ -452,10 +541,15 @@ object IvfIndex {
     val existing = readFull(spark, path)
       .filter(col("cell").isin(touched: _*))
       .localCheckpoint(true)
-    val merged = existing.drop("seq")
+    // survivors KEEP their seq through the rewrite (same contract as
+    // compact — maintenance ops never erase version history); arrivals
+    // stamp the current high-water mark (== compactedSeq here, since
+    // upsert refuses a pending-appends index), so `seq > compactedSeq`
+    // stays the exact post-compact-append predicate
+    val merged = existing
       .join(broadcast(arrivalIds), Seq("vec_id"), "left_anti")
-      .unionByName(arrivals)
-      .withColumn("seq", lit(0L))
+      .unionByName(arrivals.withColumn("seq",
+        lit(side.map(_.maxSeq).getOrElse(0L))))
     overwriteCells(merged.select(layoutCols(merged) :+ col("cell"): _*),
       path, touched)
     side.foreach { s =>
@@ -499,28 +593,45 @@ object IvfIndex {
       .map(_.getLong(0)).sorted.toSeq
     if (touched.isEmpty) return s.maxSeq
     val seq = s.maxSeq + 1L
+    // sidecar FIRST, data files second: a crash between the two then
+    // leaves a compact-fixable state (pendingAppends=true with no or
+    // partial new files — readLatest stays exact, the seq value is
+    // burned, compact clears the flag). The reverse order would leave
+    // appended, possibly SUPERSEDING rows in the files while the
+    // sidecar still says pendingAppends=false — serve/upsert/plain
+    // read silently operating on superseded versions, and the next
+    // append reusing the same seq.
+    writeSidecar(spark, path, s.copy(
+      staleCells = s.staleCells ++ touched,
+      pendingAppends = true, maxSeq = seq, version = s.version + 1L))
     // hash-repartition ON the cell: a batch is small, one file per
     // touched cell is the GOAL here (contrast write()'s range
     // repartition, sized for corpus builds)
     val withSeq = arrivals.withColumn("seq", lit(seq))
     withSeq.select(layoutCols(withSeq) :+ col("cell"): _*)
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
-    writeSidecar(spark, path, s.copy(
-      staleCells = s.staleCells ++ touched,
-      pendingAppends = true, maxSeq = seq, version = s.version + 1L))
+      .write.mode("append")
+      .option("parquet.page.row.count.limit", PageRowLimit.toString)
+      .partitionBy("cell").parquet(path)
     seq
   }
 
   /** Per-cell parquet file counts from a directory listing (no data
-    * read) — compact's rewrite trigger. */
-  def cellFileCounts(path: String): Map[Long, Int] = {
-    val root = new java.io.File(path)
-    if (!root.isDirectory) Map.empty
-    else root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("cell="))
+    * read) — compact's rewrite trigger. Listed on the index's own
+    * filesystem (scheme-resolved), so the trigger works on hdfs://
+    * and s3a:// layouts too. */
+  def cellFileCounts(spark: SparkSession, path: String): Map[Long, Int] = {
+    val fs = hadoopFs(spark, path)
+    val root = new HPath(path)
+    val rootOk = try fs.getFileStatus(root).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!rootOk) Map.empty
+    else fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
       .map { d =>
-        d.getName.stripPrefix("cell=").toLong ->
-          d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+        d.getPath.getName.stripPrefix("cell=").toLong ->
+          fs.listStatus(d.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       }.toMap
   }
 
@@ -537,20 +648,69 @@ object IvfIndex {
     * Survivors keep their seq values and `maxSeq` is NOT reset, so a
     * later append still supersedes every pre-compact row. Returns the
     * rewritten cells. */
+  /** One-shot sidecar backfill for a LEGACY cell-partitioned layout
+    * (built before the `_centers` sidecar existed): recomputes the
+    * exact per-cell means and occupancy in one scan of the index and
+    * persists them, so every later serve/repair/ingest routes off k·d
+    * driver rows instead of silently falling back to a per-call
+    * full-index aggregate. The layout's original frozen fit is gone —
+    * the refresh means stand in as the serving centers (the exact
+    * means of the rows each cell actually holds, which is what
+    * routing needs). Conservative on versions: any `seq > 0` row in a
+    * sidecar-less layout is treated as a possible un-compacted append. */
+  def backfillSidecar(spark: SparkSession, path: String): Sidecar = {
+    val (means, counts) = VectorQueries.refreshedCentersWithCounts(
+      read(spark, path))
+    if (means.isEmpty) throw new IllegalStateException(
+      s"backfillSidecar: index at '$path' is empty")
+    val maxSeq = readFull(spark, path).agg(max(col("seq"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    val sc = Sidecar(serving = means, refresh = means,
+      counts = counts, staleCells = Set.empty,
+      pendingAppends = maxSeq > 0L, maxSeq = maxSeq, version = 1L,
+      books = Seq.empty, compactedSeq = 0L)
+    writeSidecar(spark, path, sc)
+    sc
+  }
+
+  /** Broadcast bound for compact's appended-id scoping: above this
+    * many appended rows the duplicate analysis falls back to the full
+    * (vec_id, seq) window — still narrow columns, one shuffle — rather
+    * than broadcasting an unbounded id set. */
+  private val CompactScopeMaxIds = 4000000L
+
   def compact(spark: SparkSession, path: String, maxFilesPerCell: Int = 4)
       : Seq[Long] = {
-    val s = readSidecar(spark, path).getOrElse(throw new IllegalStateException(
-      s"compact: no _centers sidecar at '$path' — build the index first"))
-    val over = cellFileCounts(path).collect {
+    val s = readSidecar(spark, path).getOrElse(backfillSidecar(spark, path))
+    val over = cellFileCounts(spark, path).collect {
       case (cell, n) if n > maxFilesPerCell => cell
     }.toSeq
-    // narrow duplicate analysis: which cells hold a beaten row version
+    // narrow duplicate analysis: which cells hold a beaten row version.
+    // Scoped to the APPENDED ids — rows at `seq > compactedSeq` are the
+    // only possible winners that strand a loser (build/upsert/compact
+    // all preserve global id-uniqueness otherwise), and the seq filter
+    // prunes to the appended FILES via row-group stats (pre-append
+    // files hold constant seq ≤ compactedSeq). The analysis wall then
+    // tracks the appended fraction, not the index size.
     val narrow = spark.read.parquet(path)
       .select(col("vec_id"), col("seq"), col("cell").cast(LongType).as("cell"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("seq").desc, col("cell").desc)
-    val losers = narrow.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") > 1).select(col("vec_id"), col("seq"), col("cell"))
+    val losers =
+      if (!s.pendingAppends) narrow.filter(lit(false)) // duplicate-free
+      else {
+        val appended = narrow.filter(col("seq") > s.compactedSeq)
+        val nAppended = appended.count() // appended-files-only scan
+        val scoped =
+          if (nAppended <= CompactScopeMaxIds)
+            narrow.join(broadcast(appended.select(col("vec_id")).distinct()),
+              "vec_id")
+          else narrow
+        scoped.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") > 1)
+          .select(col("vec_id"), col("seq"), col("cell"))
+      }
     val loserCells =
       if (s.pendingAppends)
         losers.select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
@@ -580,8 +740,28 @@ object IvfIndex {
       counts = (s.counts -- needSet) ++
         needMeans.map(c => c -> counts.getOrElse(c, 0L)),
       staleCells = Set.empty, pendingAppends = false,
+      // the index is duplicate-free again: everything at or below the
+      // current high-water mark is compacted state, so the next
+      // append's rows are exactly `seq > compactedSeq`
+      compactedSeq = s.maxSeq,
       version = s.version + 1L))
     targets
+  }
+
+  /** Append with a bounded-file-count maintenance trigger — the
+    * continuous-ingest loop's building block (the streaming
+    * foreachBatch path): lands the batch O(batch) like [[append]],
+    * then compacts IFF any cell's file count crossed
+    * `maxFilesPerCell` (a directory listing, no data read), so a
+    * long-running stream's readLatest cost and file population stay
+    * bounded without a manual maintenance schedule. Returns the cells
+    * the triggered compact rewrote (empty when it didn't fire). */
+  def appendAndMaintain(spark: SparkSession, path: String,
+      assigned: DataFrame, maxFilesPerCell: Int = 4): Seq[Long] = {
+    append(spark, path, assigned)
+    val over = cellFileCounts(spark, path)
+      .exists { case (_, n) => n > maxFilesPerCell }
+    if (over) compact(spark, path, maxFilesPerCell) else Seq.empty
   }
 
   /** Partition-pruned serving: top-`k` cosine neighbors within each
@@ -611,34 +791,15 @@ object IvfIndex {
       .filter(col("rank") <= k)
   }
 
-  /** PQ-accelerated serving off a `build(pq = true)` layout — the
-    * two-stage scan shape that matters at 100 TB: the SHORTLIST pass
-    * reads only (vec_id, pq) of the probed cells — ~8 bytes of codes
-    * per vector instead of the full float embedding (a 64-float
-    * embedding is 256 B: a 16–30× scan-byte cut, PlanSpec pins the
-    * code scan's ReadSchema carries no embedding) — scoring each
-    * candidate by ADC against the query's RESIDUAL (the v33 math:
-    * codes were trained on residuals vs the serving centers, so the
-    * query subtracts its probed cell's serving center first); the
-    * RERANK pass gathers raw embeddings only for the ≤shortlist·q
-    * winners (broadcast join, row-group pruned by vec_id inside the
-    * probed cells) and re-scores them with exact cosine. `serving`
-    * and `books` come off the `_centers` sidecar — zero index scans
-    * before the gather, like [[serve]]. Broadcast weight: each panel
-    * row ships its m·k-double LUT (~1 KB at 8×16) instead of the
-    * residual, so a cap-sized (100k-query) batch broadcasts ~130 MB —
-    * inside executor budgets, and the ServeMaxBatch cap guards the
-    * path loudly. */
-  def servePq(idx: DataFrame, queries: DataFrame, panel: DataFrame,
-      k: Int, shortlist: Int,
+  /** The lazy ADC shortlist of [[servePq]] — (q_id, n_id) winners per
+    * query, scored over the CODES-ONLY columns of the pruned index.
+    * Split out so the scan shape is independently pinnable: its plan
+    * must read only (vec_id, pq) of the probed cells (~8 bytes of
+    * codes per vector instead of the 256 B float embedding — the
+    * 16–30× scan-byte cut that is PQ's whole point at 100 TB). */
+  def pqShortlist(pruned: DataFrame, panel: DataFrame, shortlist: Int,
       serving: Seq[(Int, Array[Double])],
       books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
-    require(books.nonEmpty, "servePq: the index has no PQ codebooks")
-    val probed = panel.select(col("cell")).distinct().collect()
-      .map(_.get(0).asInstanceOf[Number].longValue()).sorted.toSeq
-    val pruned =
-      if (probed.isEmpty) idx.filter(lit(false)) else
-        idx.filter(col("cell").isin(probed: _*))
     // query residual against its probed cell's SERVING center — a
     // when-chain over k broadcast-literal centers, rounded to float
     // exactly like the stored codes' training residuals
@@ -664,19 +825,92 @@ object IvfIndex {
       .select(col("q_id"), col("n_id"), adc.as("adc"))
     val ws = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("n_id").asc)
-    val short = sc.withColumn("srk", row_number().over(ws))
+    sc.withColumn("srk", row_number().over(ws))
       .filter(col("srk") <= shortlist).select(col("q_id"), col("n_id"))
-    val nv = pruned.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+  }
+
+  /** Shortlist-size ceiling for the PUSHED re-rank gather: below it
+    * the shortlist (≤ q·shortlist pairs — bounded, ServeMaxBatch caps
+    * q) is evaluated eagerly and its winner ids become a pushed
+    * `vec_id IN (…)` predicate on the gather scan; above it the
+    * gather falls back to the broadcast-join shape (which reads every
+    * probed cell's embeddings — correct, but no row-group pruning).
+    * 1M (q_id, n_id) longs ≈ 16 MB on the driver — comfortably inside
+    * the budget the probed-cell collects already set. */
+  val PqGatherPushMax: Long = 1000000L
+
+  /** PQ-accelerated serving off a `build(pq = true)` layout — the
+    * two-stage scan shape that matters at 100 TB: the SHORTLIST pass
+    * ([[pqShortlist]]) reads only (vec_id, pq) of the probed cells —
+    * ~8 bytes of codes per vector instead of the full float embedding
+    * (a 64-float embedding is 256 B: a 16–30× scan-byte cut, PlanSpec
+    * pins the code scan's ReadSchema carries no embedding) — scoring
+    * each candidate by ADC against the query's RESIDUAL (the v33
+    * math: codes were trained on residuals vs the serving centers, so
+    * the query subtracts its probed cell's serving center first); the
+    * RERANK pass gathers raw embeddings for the ≤shortlist·q winners
+    * ONLY: the shortlist is bounded, so its ids are collected and
+    * PUSHED into the gather scan as a `vec_id IN (…)` predicate
+    * (Spark translates it to parquet's native set-based In), which —
+    * against the (cell, vec_id)-sorted, small-page layout [[write]]
+    * produces — skips every row group and page holding no winner. A
+    * broadcast join alone pushes NO predicate into the scan, so it
+    * would re-read every probed cell's embeddings (the bytes exact
+    * serving reads once) on top of the code scan — measured at 2M
+    * vectors in SCALE_r12_pq1000, the round-12 `weak` finding this
+    * shape closes. `serving` and `books` come off the `_centers`
+    * sidecar — zero index scans before the gather, like [[serve]].
+    * Broadcast weight: each panel row ships its m·k-double LUT (~1 KB
+    * at 8×16) instead of the residual, so a cap-sized (100k-query)
+    * batch broadcasts ~130 MB — inside executor budgets, and the
+    * ServeMaxBatch cap guards the path loudly. */
+  def servePq(idx: DataFrame, queries: DataFrame, panel: DataFrame,
+      k: Int, shortlist: Int,
+      serving: Seq[(Int, Array[Double])],
+      books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    require(books.nonEmpty, "servePq: the index has no PQ codebooks")
+    val spark = idx.sparkSession
+    val probed = panel.select(col("cell")).distinct().collect()
+      .map(_.get(0).asInstanceOf[Number].longValue()).sorted.toSeq
+    val pruned =
+      if (probed.isEmpty) idx.filter(lit(false)) else
+        idx.filter(col("cell").isin(probed: _*))
+    val short = pqShortlist(pruned, panel, shortlist, serving, books)
     // the re-rank pairs each winner with its query ONCE: `queries` is
     // the unique (q_id, q_emb) batch, not the (possibly multi-probe)
     // per-cell panel — deduping the panel instead would plan a
     // HashAggregate over the batch (the PlanSpec zero-aggregates pin
     // caught exactly that)
     val qv = queries.select(col("q_id"), col("q_emb"))
-    val scored = nv.join(broadcast(short), "n_id")
-      .join(broadcast(qv), "q_id")
-      .select(col("q_id"), col("n_id"),
-        VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val nQueries = queries.count()
+    val scored =
+      if (nQueries * shortlist <= PqGatherPushMax) {
+        // PUSHED gather: evaluate the bounded shortlist now, push the
+        // winner ids into the embedding scan as a vec_id predicate —
+        // the gather then reads ~shortlist·q rows' pages, not every
+        // probed cell's embedding column
+        val pairs = short.collect()
+        val ids = pairs.map(_.getLong(1)).distinct.sorted.toSeq
+        val pairsDf = spark.createDataFrame(
+          java.util.Arrays.asList(pairs: _*), short.schema)
+        pruned
+          .filter(col("vec_id").isInCollection(ids))
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+          .join(broadcast(pairsDf), "n_id")
+          .join(broadcast(qv), "q_id")
+          .select(col("q_id"), col("n_id"),
+            VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))
+      } else {
+        // fallback above the push ceiling: lazy broadcast-join gather
+        // over the probed cells (no scan pruning beyond the partition
+        // predicate)
+        val nv = pruned.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"))
+        nv.join(broadcast(short), "n_id")
+          .join(broadcast(qv), "q_id")
+          .select(col("q_id"), col("n_id"),
+            VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))
+      }
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(wr).cast(LongType))

@@ -2394,9 +2394,14 @@ object VectorQueries {
             .select(col("vec_id"),
               transform(col("embedding"), x => -x).as("embedding")),
           centers)
+        // appendAndMaintain = the continuous-ingest loop: O(batch)
+        // append + a bounded-file-count compact trigger, so a
+        // long-running stream's file population and readLatest cost
+        // stay bounded without a manual maintenance schedule
+        // (StreamingSpec pins the trigger actually firing mid-stream)
         val q = assigned.writeStream
           .foreachBatch((batch: DataFrame, _: Long) =>
-            { graft.operators.IvfIndex.append(s, path, batch); () })
+            { graft.operators.IvfIndex.appendAndMaintain(s, path, batch); () })
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.processAllAvailable(); q.stop()

@@ -489,9 +489,17 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
   def planCompact(st: CompactStmt): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     import graft.operators.IvfIndex
-    if (IvfIndex.readSidecar(spark, st.path).isEmpty)
-      throw PlanError(s"compact: no _centers sidecar at '${st.path}' — " +
-        "not an index built by `index … into`")
+    // a LEGACY layout (cell-partitioned, no sidecar) is accepted:
+    // compact backfills the `_centers` sidecar in one index scan, so
+    // serve/repair/ingest route off driver rows afterwards — the
+    // one-shot fix the serve fallback warning names
+    val raw = try spark.read.parquet(st.path) catch {
+      case e: Exception =>
+        throw PlanError(s"compact: cannot read index at '${st.path}': ${e.getMessage}")
+    }
+    if (!raw.columns.contains("cell"))
+      throw PlanError(s"compact: '${st.path}' is not a cell-partitioned " +
+        "index (no `cell` column)")
     IvfIndex.compact(spark, st.path, st.files.toInt)
     val counts = IvfIndex.readSidecar(spark, st.path)
       .map(_.counts).getOrElse(Map.empty)
@@ -558,9 +566,17 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         // driver doubles off a k-row file (cached per path), so
         // routing costs ZERO index scans; before the sidecar this
         // path paid a full-index VecMeanAgg per call. Pre-sidecar
-        // layouts fall back to that aggregate.
-        val means = side.map(_.refresh)
-          .getOrElse(graft.queries.VectorQueries.refreshedCenters(idx))
+        // layouts fall back to that aggregate — LOUDLY, with the
+        // one-shot fix named (`compact` backfills a sidecar for
+        // legacy layouts), so the O(index)-per-batch path can never
+        // hide in a serving loop.
+        val means = side.map(_.refresh).getOrElse {
+          Planner.warn(s"serve: index at '${st.path}' has no _centers " +
+            "sidecar — routing this batch costs a FULL-INDEX mean " +
+            s"aggregate per call; run `compact '${st.path}'` once to " +
+            "backfill the sidecar and restore zero-scan routing")
+          graft.queries.VectorQueries.refreshedCenters(idx)
+        }
         if (means.isEmpty) throw PlanError(s"serve: index at '${st.path}' is empty")
         if (st.probe <= 1L)
           q.select(col("q_id"), col("q_emb"),
@@ -1595,5 +1611,19 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     case Ne => c.isNotNull
     case Lt => c.isNotNull // null.Less: true unless the cell is null too
     case Le | Gt | Ge => lit(false) // null.LessEq/Greater/GreatEq ≈ false
+  }
+}
+
+object Planner {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[Planner])
+
+  /** Most recent planner warning, observable for tests (the planner
+    * warns instead of failing when a statement works but takes a
+    * degraded path — e.g. serving a pre-sidecar index layout). */
+  val lastWarning = new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  private[sql] def warn(msg: String): Unit = {
+    lastWarning.set(msg)
+    log.warn(msg)
   }
 }

@@ -873,22 +873,61 @@ class PlanSpec extends SparkSpec {
       s"serve must not aggregate anything — routing is sidecar-driven:\n${p.take(1500)}")
   }
 
-  test("pq serve (s64/v50): the ADC shortlist scan reads codes, never embeddings") {
-    // the scan-byte story of the PQ index: the shortlist pass must
-    // read ONLY (vec_id, pq) of the probed cells (~8 B of codes per
-    // vector vs 256 B of floats); the embedding column loads only in
-    // the re-rank gather of the ≤shortlist·q winners
+  test("pq serve (s64/v50): the re-rank gather pushes the winner ids into the scan") {
+    // the round-12 `weak` finding: a broadcast join pushes NO vec_id
+    // predicate into the parquet scan, so the re-rank used to re-read
+    // every probed cell's embedding column — the same bytes exact
+    // serving reads once. The shortlist is bounded (≤ q·shortlist),
+    // so its ids must now reach the gather scan as a pushed
+    // `In(vec_id, …)` predicate, which against the (cell, vec_id)-
+    // sorted small-page layout skips every page holding no winner.
     val p = plan("s64_dialect_serve_pq")
-    assert(p.contains("struct<vec_id:bigint,pq:array<tinyint>>"),
-      s"expected a codes-only scan (vec_id + pq, no embedding):\n" +
-        p.split("\n").filter(_.contains("ReadSchema")).mkString("\n"))
+    assert(p.contains("In(vec_id"),
+      s"the re-rank gather must carry a pushed vec_id id-set filter:\n" +
+        p.split("\n").filter(_.contains("PushedFilters")).mkString("\n"))
+    // the gather reads (vec_id, embedding) only — codes never re-load
+    val reads = p.split("\n").filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!reads.contains("pq:array"),
+      s"the gather must not re-read the codes column:\n$reads")
     val scanBlock = p.split("\n").filter(_.contains("PartitionFilters"))
     assert(scanBlock.exists(l => l.contains("cell") && !l.contains("[]")),
-      "both passes must prune to probed cells")
+      "the gather must prune to probed cells")
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
       !p.contains("ObjectHashAggregate"),
       "pq serve must not aggregate anything — routing and books are sidecar-driven")
+  }
+
+  test("pq shortlist stage scans codes only, never embeddings") {
+    // the other half of the PQ scan-byte story (the shortlist pass
+    // now evaluates eagerly inside servePq, so its scan shape is
+    // pinned on the stage directly): ONLY (vec_id, pq) of the probed
+    // cells load — ~8 B of codes per vector vs 256 B of floats
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    val e = graft.core.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = "/tmp/graft_planspec_pqshort"
+    IvfIndex.build(e, path, pq = true)
+    val side = IvfIndex.readSidecar(spark, path).get
+    val panel = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        graft.functions.VectorExprs.nearest_centroid(
+          col("q_emb"), side.refresh, side.dim).as("cell"))
+    val probed = panel.select(col("cell")).distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val pruned = IvfIndex.readFull(spark, path)
+      .filter(col("cell").isin(probed: _*))
+    val p = IvfIndex.pqShortlist(pruned, panel, 20, side.serving, side.books)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val shortReads = p.split("\n").filter(l =>
+      l.contains("ReadSchema") && l.contains("pq:array"))
+    assert(shortReads.nonEmpty && shortReads.forall(!_.contains("embedding")),
+      s"expected a codes-only scan (vec_id + pq, no embedding):\n" +
+        p.split("\n").filter(_.contains("ReadSchema")).mkString("\n"))
+    val scans = p.split("\n").filter(_.contains("PartitionFilters"))
+    assert(scans.exists(l => l.contains("cell") && !l.contains("[]")),
+      "the code scan must prune to probed cells")
   }
 
   test("video near-dup (m06) aggregates signature counts, never pairs") {
