@@ -91,6 +91,9 @@ object ScaleProbe {
     else if (args.headOption.contains("r11new")) r11New(args.drop(1))
     else if (args.headOption.contains("r12new")) r12New(args.drop(1))
     else if (args.headOption.contains("r12pq")) r12Pq(args.drop(1))
+    else if (args.headOption.contains("r13pq")) r13Pq(args.drop(1))
+    else if (args.headOption.contains("r13cap")) r13Cap(args.drop(1))
+    else if (args.headOption.contains("r13compact")) r13Compact(args.drop(1))
     else if (args.headOption.contains("r11p13")) r11P13(args.drop(1))
     else if (args.headOption.contains("r11skew")) r11Skew(args.drop(1))
     else if (args.headOption.contains("r9new")) r9New(args.drop(1))
@@ -336,6 +339,228 @@ object ScaleProbe {
       pq.get(qid).map(p => (p & t).size.toDouble / t.size).getOrElse(0.0)
     }.sum / exact.size
     results("pq_overlap_at10") = math.rint(overlap * 1000) / 1000
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-13 PQ probe on a REAL-ENTROPY fixture (VERDICT r12 #2): the
+    * sf fixture's duplicated floats dictionary-compress to ~0, so the
+    * 8 B-codes-vs-256 B-floats claim had no measured demonstration.
+    * This probe generates `copies`·2000 vectors of 64 seeded
+    * rand() floats — incompressible, like real model embeddings — and
+    * records, per serving path, the BYTES READ (the number that
+    * matters at 100 TB):
+    *  - `serve_exact_q100_readmb` = the full-float pruned gather;
+    *  - `serve_pq_q100_readmb` = codes-only ADC shortlist + the
+    *    PUSHED-ids re-rank gather (r13 #1) — must be strictly below
+    *    exact, ≈ code-scan + shortlist·row-size;
+    *  - `pq_index_mb` vs `plain_index_mb` and the per-column split;
+    *  - the probe×shortlist recall sweep (r13 #6): `recall_p{P}_s{S}`
+    *    = overlap@10 of the PQ path against exact serving at the SAME
+    *    probe, isolating the ADC loss from the cell-boundary loss. */
+  private def r13Pq(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.operators.IvfIndex
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytesRead.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+      })
+    def drained(): Long = {
+      var prev = -1L
+      while (bytesRead.get != prev) { prev = bytesRead.get; Thread.sleep(250) }
+      prev
+    }
+    def readMb(label: String)(f: => Unit): Unit = {
+      val b0 = drained()
+      f
+      results(label + "_readmb") = math.rint((drained() - b0) / 1e4) / 100
+    }
+    val n = copies * 2000L
+    val tmp = s"/tmp/graft_r13pq_probe_$copies"
+    // real-entropy embeddings: 64 seeded rand() columns per row —
+    // nothing for parquet's dictionary/RLE to exploit, so file bytes
+    // reflect the true float payload (≈256 B/row) the way a real
+    // embedding column's would
+    val dim = 64
+    spark.range(n).select(col("id").as("vec_id"),
+        array((0 until dim).map(i => rand(42L + i).cast("float")): _*)
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
+    val e = spark.read.parquet(s"$tmp/emb.parquet")
+    println(s"copies=$copies vecs=${e.count()}")
+    val K = 64
+    val plainPath = s"$tmp/idx_plain"
+    val pqPath = s"$tmp/idx_pq"
+    time("build_plain")(IvfIndex.build(e, plainPath, K))
+    time("build_pq")(IvfIndex.build(e, pqPath, K, pq = true))
+    def dirMb(p: String): Double = {
+      import scala.jdk.CollectionConverters._
+      math.rint(java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum / 1e4) / 100
+    }
+    results("plain_index_mb") = dirMb(plainPath)
+    results("pq_index_mb") = dirMb(pqPath)
+    results("pq_code_mb_nominal") = math.rint(n * 8 / 1e4) / 100
+    val side = IvfIndex.readSidecar(spark, pqPath).get
+    val q = e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + lit(970000000000L)).as("q_id"),
+        col("embedding").as("q_emb")).localCheckpoint(true)
+    def panelOf(probe: Int) =
+      if (probe <= 1)
+        q.select(col("q_id"), col("q_emb"),
+          graft.functions.VectorExprs.nearest_centroid(
+            col("q_emb"), side.refresh, side.dim).as("cell"))
+          .localCheckpoint(true)
+      else
+        q.select(col("q_id"), col("q_emb"),
+          explode(graft.functions.VectorExprs.nearest_cells(
+            col("q_emb"), side.refresh, side.dim, probe)).as("cell"))
+          .localCheckpoint(true)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val idxPq = IvfIndex.readFull(spark, pqPath)
+    val panel1 = panelOf(1)
+    readMb("serve_exact_q100")(time("serve_exact_q100")(noop(IvfIndex.serve(
+      IvfIndex.read(spark, pqPath), panel1, 10))))
+    readMb("serve_pq_q100")(time("serve_pq_q100")(noop(IvfIndex.servePq(
+      idxPq, q, panel1, 10, 50, side.serving, side.books))))
+    // recall sweep: PQ vs exact at the SAME probe — the ADC loss alone
+    for (probe <- Seq(1, 2, 4)) {
+      val panel = panelOf(probe)
+      val exact = IvfIndex.serve(IvfIndex.read(spark, pqPath), panel, 10)
+        .select(col("q_id"), col("n_id")).collect()
+        .groupBy(_.getLong(0)).map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+      for (shortlist <- Seq(25, 50, 100)) {
+        val pq = IvfIndex.servePq(idxPq, q, panel, 10, shortlist,
+            side.serving, side.books)
+          .select(col("q_id"), col("n_id")).collect()
+          .groupBy(_.getLong(0)).map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+        val overlap = exact.map { case (qid, t) =>
+          pq.get(qid).map(p => (p & t).size.toDouble / t.size).getOrElse(0.0)
+        }.sum / exact.size
+        results(s"recall_p${probe}_s$shortlist") = math.rint(overlap * 1000) / 1000
+        println(f"recall probe=$probe shortlist=$shortlist -> $overlap%.3f")
+      }
+    }
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-13 cap probe (VERDICT r12 #4): the PQ serve path ships a
+    * per-panel-row ADC LUT (m·k = 128 doubles ≈ 1 KB) through the
+    * shortlist broadcast — at the ServeMaxBatch cap (100k queries)
+    * that is ~110 MB, doubled by probe 2. Runs the REAL dialect serve
+    * at the cap against a small index (the broadcast weight is
+    * panel-sized, independent of index size) and records the walls and
+    * the nominal LUT MB — the evidence the cap fits executor budgets,
+    * or the case for lowering it. Above the push ceiling
+    * (q·shortlist > PqGatherPushMax) this also exercises the fallback
+    * re-rank gather at its real size. */
+  private def r13Cap(args: Array[String]): Unit = {
+    val outJson = args.headOption
+    val spark = session()
+    import graft.operators.IvfIndex
+    val tmp = "/tmp/graft_r13cap_probe"
+    val nIdx = 20000L
+    val dim = 64
+    spark.range(nIdx).select(col("id").as("vec_id"),
+        array((0 until dim).map(i => rand(42L + i).cast("float")): _*)
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
+    val e = spark.read.parquet(s"$tmp/emb.parquet")
+    val idxPath = s"$tmp/idx"
+    time("build_pq_20k")(IvfIndex.build(e, idxPath, 64, pq = true))
+    val g = graft.sql.GraftSession(spark, tmp)
+    val capQ = 100000L
+    spark.range(capQ).select((col("id") + lit(970000000000L)).as("vec_id"),
+        array((0 until dim).map(i => rand(1042L + i).cast("float")): _*)
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/qcap.parquet")
+    results("cap_queries") = capQ.toDouble
+    results("lut_mb_nominal_p1") = math.rint(capQ * (8 * 16 + 2) * 8 / 1e4) / 100
+    results("lut_mb_nominal_p2") = math.rint(2 * capQ * (8 * 16 + 2) * 8 / 1e4) / 100
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    time("serve_pq_q100k")(noop(g.sql(
+      s"serve vec_id, embedding from '$idxPath' query '$tmp/qcap.parquet' " +
+        "top 10 pq shortlist 50")))
+    time("serve_pq_q100k_probe2")(noop(g.sql(
+      s"serve vec_id, embedding from '$idxPath' query '$tmp/qcap.parquet' " +
+        "top 10 probe 2 pq shortlist 50")))
+    time("serve_exact_q100k")(noop(g.sql(
+      s"serve vec_id, embedding from '$idxPath' query '$tmp/qcap.parquet' top 10")))
+    writeJson(outJson, 0)
+    spark.stop()
+  }
+
+  /** Round-13 compact-scoping probe (VERDICT r12 #3): compact's
+    * duplicate analysis must track the APPENDED fraction, not the
+    * index size. A fixed ~4000-row re-ingest batch is appended to
+    * indexes of different sizes (run with copies 100 and 1000) and the
+    * analysis is timed both ways:
+    *  - `analysis_scoped` = the r13 shape — appended ids off the
+    *    seq-pruned files, semi-join the narrow scan on them, window
+    *    the matched rows only;
+    *  - `analysis_unscoped_r12` = the r12 shape — one (vec_id, seq)
+    *    window over EVERY row of the index;
+    *  - `compact_total` = the real op end-to-end (analysis + rewrite
+    *    of the touched cells + sidecar refresh).
+    * Scoped must stay ~flat across the 10× index growth while the
+    * unscoped window grows with the corpus. */
+  private def r13Compact(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.queries.VectorQueries
+    import graft.operators.IvfIndex
+    import org.apache.spark.sql.expressions.Window
+    val tmp = s"/tmp/graft_r13cmp_probe_$copies"
+    scaled(spark, "embeddings", Seq("vec_id"), copies)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
+    val e = spark.read.parquet(s"$tmp/emb.parquet")
+    val rows = e.count()
+    println(s"copies=$copies vecs=$rows")
+    val idxPath = s"$tmp/idx"
+    var centers: Seq[(Int, Array[Double])] = Seq.empty
+    time("index_build") { centers = IvfIndex.build(e, idxPath, 64) }
+    // a FIXED-size (~4000-row) re-ingest batch, stride-scattered over
+    // the id range — the same absolute appended work at every corpus
+    // size, so the analysis legs are directly comparable across runs
+    val stride = math.max(1L, rows / 4000L)
+    val batch = e.filter(pmod(col("vec_id"), lit(stride)) === 7L)
+      .localCheckpoint(true)
+    println(s"appended=${batch.count()}")
+    time("append_fixed_batch")(IvfIndex.append(spark, idxPath,
+      VectorQueries.kmeansAssign(batch, centers)))
+    val s = IvfIndex.readSidecar(spark, idxPath).get
+    results("appended_frac") = math.rint(batch.count().toDouble / rows * 10000) / 10000
+    val narrow = spark.read.parquet(idxPath)
+      .select(col("vec_id"), col("seq"), col("cell").cast("long").as("cell"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("seq").desc, col("cell").desc)
+    time("analysis_scoped") {
+      val appended = narrow.filter(col("seq") > s.compactedSeq)
+      val scoped = narrow.join(
+        broadcast(appended.select(col("vec_id")).distinct()), "vec_id")
+      val nc = scoped.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") > 1).select(col("cell")).distinct().count()
+      println(s"loser_cells_scoped=$nc")
+    }
+    time("analysis_unscoped_r12") {
+      val nc = narrow.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") > 1).select(col("cell")).distinct().count()
+      println(s"loser_cells_unscoped=$nc")
+    }
+    time("compact_total") {
+      println(s"compacted_cells=${IvfIndex.compact(spark, idxPath).size}")
+    }
     writeJson(outJson, copies)
     spark.stop()
   }

@@ -447,18 +447,34 @@ object IvfIndex {
         col("cell").cast(LongType).as("cell"))
   }
 
+  /** Target rows per file for maintenance REWRITES (upsert/compact).
+    * The rewrite's partition count is sized by the rows actually being
+    * written, not the session's shuffle-partition count: a full-width
+    * repartition of a small cell set writes shuffle-partitions tiny
+    * files — compacting a low-occupancy cell could then leave MORE
+    * files than the trigger threshold, and [[appendAndMaintain]]'s
+    * bounded-file-count loop would re-compact every batch forever. At
+    * ~33 MB of floats per 128k rows the cap never binds on a real
+    * rewrite (rows/target ≫ shuffle partitions), so cluster-scale
+    * write parallelism is unchanged. */
+  private val RewriteTargetRowsPerFile = 131072L
+
   /** Dynamic-partition-overwrite with a VACATED-cell fix: Spark only
     * rewrites partitions PRESENT in the written frame, so a touched
     * cell whose every row was deleted (all re-ingested elsewhere, no
     * arrivals landing) would keep its old files and resurrect the
     * deleted rows. After the write, any `touched` cell absent from
-    * the frame has its directory removed outright. */
+    * the frame has its directory removed outright. Callers pass `df`
+    * over localCheckpoint'd inputs, so the sizing count is cheap. */
   private def overwriteCells(df: DataFrame, path: String,
       touched: Seq[Long]): Unit = {
     val present = df.select(col("cell")).distinct().collect()
       .map(_.getLong(0)).toSet
     if (present.nonEmpty) {
-      val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      val conf = df.sparkSession.sessionState.conf.numShufflePartitions
+      val rows = df.count()
+      val n = math.min(conf.toLong,
+        math.max(1L, (rows + RewriteTargetRowsPerFile - 1) / RewriteTargetRowsPerFile)).toInt
       df.repartitionByRange(n, col("cell"), col("vec_id"))
         .sortWithinPartitions(col("cell"), col("vec_id"))
         .write.mode("overwrite")
@@ -867,7 +883,8 @@ object IvfIndex {
   def servePq(idx: DataFrame, queries: DataFrame, panel: DataFrame,
       k: Int, shortlist: Int,
       serving: Seq[(Int, Array[Double])],
-      books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+      books: Seq[Seq[(Int, Array[Double])]],
+      pushMax: Long = PqGatherPushMax): DataFrame = {
     require(books.nonEmpty, "servePq: the index has no PQ codebooks")
     val spark = idx.sparkSession
     val probed = panel.select(col("cell")).distinct().collect()
@@ -884,7 +901,7 @@ object IvfIndex {
     val qv = queries.select(col("q_id"), col("q_emb"))
     val nQueries = queries.count()
     val scored =
-      if (nQueries * shortlist <= PqGatherPushMax) {
+      if (nQueries * shortlist <= pushMax) {
         // PUSHED gather: evaluate the bounded shortlist now, push the
         // winner ids into the embedding scan as a vec_id predicate —
         // the gather then reads ~shortlist·q rows' pages, not every

@@ -68,6 +68,72 @@ class AnnRecallSpec extends SparkSpec {
     assert(r1 > 0.3 && r2 > 0.5, s"sanity: r1=$r1 r2=$r2")
   }
 
+  test("pq serving recall sweeps: monotone in shortlist, composable with probe") {
+    // the s64/s65 serving parameters need recorded evidence, not vibes:
+    // recall@10 across probe 1/2/4 × shortlist 25/50/100 on the
+    // persisted PQ index. Two pinned properties:
+    //  - for a FIXED probe, the candidate pool is fixed and a larger
+    //    shortlist truncates the same ADC ordering later — the exact
+    //    re-rank then picks top-k from a SUPERSET, so recall@10 is
+    //    monotone non-decreasing in the shortlist (a displaced truth
+    //    member can only be displaced by another truth member);
+    //  - probe widens the pool itself (not a superset of the smaller
+    //    probe's shortlist), so cross-probe monotonicity is NOT a
+    //    theorem — the sweep pins only the corner ordering and floors.
+    import graft.core.Tables
+    import graft.sql.GraftSession
+    val g = GraftSession(spark, sf0001)
+    val path = "/tmp/graft_recall_pq_sweep_idx"
+    g.sql(s"index vec_id, embedding from embeddings into '$path' pq")
+    val qb = "/tmp/graft_recall_pq_sweep_q"
+    Tables(spark, sf0001, "embeddings")
+      .filter(col("vec_id") % 11 === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(qb)
+    val corpus = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth: Map[Long, Set[Long]] = corpus.collect {
+      case (id, v) if id % 11 == 3 =>
+        (id + 1000000L) -> corpus.map { case (nid, nv) => (cos(v, nv), -nid) }
+          .sorted.reverse.take(10).map(-_._2).toSet
+    }.toMap
+    def recall(probe: Int, shortlist: Int): Double = {
+      val got = g.sql(s"serve vec_id, embedding from '$path' query '$qb' " +
+          s"top 10 probe $probe pq shortlist $shortlist")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      truth.map { case (q, t) =>
+        got.get(q).map(n => (n & t).size.toDouble / t.size).getOrElse(0.0)
+      }.sum / truth.size
+    }
+    val probes = Seq(1, 2, 4)
+    val shortlists = Seq(25, 50, 100)
+    val sweep = probes.map(p => p -> shortlists.map(s => s -> recall(p, s))).toMap
+    sweep.toSeq.sortBy(_._1).foreach { case (p, row) =>
+      info(s"probe $p: " + row.map { case (s, r) => f"s$s=$r%.3f" }.mkString(" "))
+    }
+    probes.foreach { p =>
+      val r = sweep(p).map(_._2)
+      assert(r.zip(r.tail).forall { case (a, b) => b >= a },
+        s"probe $p: recall must be monotone in the shortlist, got $r")
+    }
+    val coarsest = sweep(1).head._2
+    val finest = sweep(4).last._2
+    assert(finest >= coarsest,
+      s"probe-4/shortlist-100 ($finest) must dominate probe-1/shortlist-25 ($coarsest)")
+    assert(finest >= 0.8, s"the exhaustive corner must recall most of the truth: $finest")
+    assert(sweep.values.flatten.forall(_._2 > 0.2), s"sanity floor: $sweep")
+  }
+
   test("banded candidates recall planted near-dups, stay sub-quadratic") {
     val dim = 64
     val nBase = 250

@@ -527,6 +527,71 @@ class StreamingSpec extends SparkSpec {
       "streamed codes must equal the batch encode byte-for-byte")
   }
 
+  test("streaming appendAndMaintain: the compact trigger fires mid-stream, counts stay bounded") {
+    // the v51 continuous-ingest loop: each micro-batch lands O(batch)
+    // files via append, and the bounded-file-count trigger compacts
+    // when any cell crosses the threshold — so a long-running stream's
+    // file population (and readLatest cost) stays bounded WITHOUT a
+    // manual maintenance schedule. The pin: the trigger actually fires
+    // MID-stream (not only at a final manual compact), every
+    // post-batch file count stays ≤ the bound, and the merged read is
+    // exact afterwards.
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    import graft.queries.VectorQueries
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = "/tmp/graft_spec_sam_idx"
+    val centers = IvfIndex.build(e, path)
+    // stage 6 pre-assigned arrival batches as one file each, so
+    // maxFilesPerTrigger=1 replays them as 6 distinct micro-batches
+    val src = "/tmp/graft_spec_sam_src"
+    val dir = java.nio.file.Paths.get(src)
+    if (java.nio.file.Files.isDirectory(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    (0 until 6).foreach { i =>
+      VectorQueries.kmeansAssign(
+          e.filter(col("vec_id") % 5 === 1)
+            .select((col("vec_id") + lit((i + 1) * 1000000L)).as("vec_id"),
+              col("embedding")),
+          centers)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val bound = 2
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxCounts = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) => {
+        val compacted = IvfIndex.appendAndMaintain(spark, path, batch,
+          maxFilesPerCell = bound)
+        if (compacted.nonEmpty) fired.incrementAndGet()
+        maxCounts.add(IvfIndex.cellFileCounts(spark, path).values.max)
+        ()
+      })
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val seen = maxCounts.iterator().asScala.map(_.intValue).toSeq
+    assert(seen.size == 6, s"expected 6 micro-batches, saw ${seen.size}")
+    assert(fired.get >= 2,
+      s"the trigger must fire mid-stream when a cell crosses the bound, " +
+        s"fired=${fired.get}")
+    assert(seen.forall(_ <= bound),
+      s"post-maintenance file counts must stay bounded, saw $seen")
+    // exactness through the whole stream: base ∪ every batch, once each
+    val batchN = e.filter(col("vec_id") % 5 === 1).count()
+    assert(IvfIndex.readLatest(spark, path).count() == e.count() + 6 * batchN)
+    // and the sidecar is consistent with what landed
+    val side = IvfIndex.readSidecar(spark, path).get
+    assert(side.maxSeq == 6L, "each micro-batch lands at its own seq version")
+  }
+
   test("stateful sessionization emits per-user session counts") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val batchEvents = Tables(spark, sf0001, "events")
