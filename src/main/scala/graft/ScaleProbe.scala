@@ -92,6 +92,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r12new")) r12New(args.drop(1))
     else if (args.headOption.contains("r12pq")) r12Pq(args.drop(1))
     else if (args.headOption.contains("r13pq")) r13Pq(args.drop(1))
+    else if (args.headOption.contains("r13diag")) r13Diag(args.drop(1))
     else if (args.headOption.contains("r13cap")) r13Cap(args.drop(1))
     else if (args.headOption.contains("r13compact")) r13Compact(args.drop(1))
     else if (args.headOption.contains("r11p13")) r11P13(args.drop(1))
@@ -363,32 +364,51 @@ object ScaleProbe {
     val outJson = args.drop(1).headOption
     val spark = session()
     import graft.operators.IvfIndex
-    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          bytesRead.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
-      })
-    def drained(): Long = {
-      var prev = -1L
-      while (bytesRead.get != prev) { prev = bytesRead.get; Thread.sleep(250) }
-      prev
-    }
+    // byte accounting via /proc/self/io rchar — OS-level ground truth
+    // for every read syscall this JVM makes (local mode: all tasks).
+    // Neither the Spark listener metrics nor Hadoop's FileSystem
+    // statistics see the vectorized parquet reader's bytes (the
+    // calibration leg proved it: a full 52 MB column scan registered
+    // 0.46 MB — just the driver's footer reads), so both silently
+    // report routing/footer traffic as if it were the scan. rchar
+    // includes shuffle-file and jar reads as noise, which the
+    // calibration leg bounds.
+    def rcharBytes(): Long =
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/self/io"))
+        .stream().filter(_.startsWith("rchar:"))
+        .findFirst().map[Long](l => l.split(":\\s*")(1).trim.toLong).orElse(0L)
     def readMb(label: String)(f: => Unit): Unit = {
-      val b0 = drained()
+      val b0 = rcharBytes()
       f
-      results(label + "_readmb") = math.rint((drained() - b0) / 1e4) / 100
+      results(label + "_readmb") = math.rint((rcharBytes() - b0) / 1e4) / 100
     }
     val n = copies * 2000L
     val tmp = s"/tmp/graft_r13pq_probe_$copies"
-    // real-entropy embeddings: 64 seeded rand() columns per row —
-    // nothing for parquet's dictionary/RLE to exploit, so file bytes
-    // reflect the true float payload (≈256 B/row) the way a real
-    // embedding column's would
+    // real-entropy embeddings with REAL STRUCTURE: n/10 deterministic
+    // ~10-member clusters (assigned by id HASH, so true neighbors get
+    // no artificial vec_id locality) plus per-row uniform noise. Every
+    // float is unique — nothing for parquet's dictionary/RLE to
+    // exploit, so file bytes reflect the true ~256 B/row payload the
+    // way a real embedding column's would — and each vector's true
+    // top-10 is its own cluster's members, DISTINCTLY closer than the
+    // bulk (like real near-neighbors; pure iid noise would make top-10
+    // unrankable ties). Cluster centers are BLOCK-STRUCTURED: per
+    // 8-dim PQ block each cluster draws one of 16 sin-hash patterns —
+    // i.e. the fixture is quantizable at the index's configured 8×16
+    // rate, the regime real embeddings are in when the PQ config is
+    // sized to the data (32 bits of iid-random offsets per cell would
+    // sit far above any 32-bit code's rate-distortion floor and
+    // demonstrate only that misconfigured PQ is lossy).
     val dim = 64
+    val blockCols = (0 until 8).map(b =>
+      pmod(hash(col("cl"), lit(b)), lit(16)).cast("double").as(s"p$b"))
     spark.range(n).select(col("id").as("vec_id"),
-        array((0 until dim).map(i => rand(42L + i).cast("float")): _*)
+        pmod(hash(col("id")), lit(math.max(1L, n / 10L))).as("cl"))
+      .select(col("vec_id") +: blockCols: _*)
+      .select(col("vec_id"),
+        array((0 until dim).map(i =>
+          (sin(col(s"p${i / 8}") * lit(2.17) + lit(i * 1.73)) +
+            (rand(42L + i) - lit(0.5)) * lit(0.3)).cast("float")): _*)
           .as("embedding"))
       .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
     val e = spark.read.parquet(s"$tmp/emb.parquet")
@@ -425,11 +445,37 @@ object ScaleProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val idxPq = IvfIndex.readFull(spark, pqPath)
+    // accounting calibration: a forced full read of the embedding
+    // column must report ≈ the index's float payload, or the
+    // per-leg read-MB numbers can't be trusted
+    readMb("calibration_full_scan")(
+      IvfIndex.read(spark, pqPath)
+        .agg(sum(element_at(col("embedding"), 1))).collect())
     val panel1 = panelOf(1)
+    val probed1 = panel1.select(col("cell")).distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    results("probed_cells_q100") = probed1.size.toDouble
+    results("probed_rows_q100") = IvfIndex.read(spark, pqPath)
+      .filter(col("cell").isin(probed1: _*)).count().toDouble
     readMb("serve_exact_q100")(time("serve_exact_q100")(noop(IvfIndex.serve(
       IvfIndex.read(spark, pqPath), panel1, 10))))
     readMb("serve_pq_q100")(time("serve_pq_q100")(noop(IvfIndex.servePq(
       idxPq, q, panel1, 10, 50, side.serving, side.books))))
+    // the scan-byte geometry: the pushed gather reads
+    // min(winners, pages)·page-bytes, so the PQ byte cut needs probed
+    // rows ≫ q·shortlist (true for any production cell size; inverted
+    // when a 100-query×50 shortlist rivals the probed cells' page
+    // count). The q10 leg records the ratio at a geometry the local
+    // fixture CAN express; the q100 leg above records the cap-shaped
+    // batch honestly even where page skipping can't help it.
+    val q10 = q.filter(col("q_id") < lit(970000000010L)).localCheckpoint(true)
+    val panel10 = q10.select(col("q_id"), col("q_emb"),
+      graft.functions.VectorExprs.nearest_centroid(
+        col("q_emb"), side.refresh, side.dim).as("cell")).localCheckpoint(true)
+    readMb("serve_exact_q10")(time("serve_exact_q10")(noop(IvfIndex.serve(
+      IvfIndex.read(spark, pqPath), panel10, 10))))
+    readMb("serve_pq_q10")(time("serve_pq_q10")(noop(IvfIndex.servePq(
+      idxPq, q10, panel10, 10, 20, side.serving, side.books))))
     // recall sweep: PQ vs exact at the SAME probe — the ADC loss alone
     for (probe <- Seq(1, 2, 4)) {
       val panel = panelOf(probe)
@@ -449,6 +495,178 @@ object ScaleProbe {
       }
     }
     writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Temporary diagnostic: does a pushed In(vec_id) predicate actually
+    * skip pages of the (cell, vec_id)-sorted index layout? Minimal
+    * query shapes against the already-built 2M index, bytes via
+    * /proc/self/io rchar. */
+  private def r13Diag(args: Array[String]): Unit = {
+    val spark = session()
+    def rcharBytes(): Long =
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/self/io"))
+        .stream().filter(_.startsWith("rchar:"))
+        .findFirst().map[Long](l => l.split(":\\s*")(1).trim.toLong).orElse(0L)
+    def readMb(label: String)(f: => Unit): Unit = {
+      val b0 = rcharBytes()
+      f
+      val mb = math.rint((rcharBytes() - b0) / 1e4) / 100
+      println(f"$label%-40s $mb%10.2f MB")
+    }
+    val idx = "/tmp/graft_r13pq_probe_1000/idx_pq"
+    val df = spark.read.parquet(idx)
+    def noop(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    val ids = (0 until 200).map(i => (i * 9973L + 17L) % 2000000L).sorted
+    readMb("full_embedding_scan")(noop(df.select(col("vec_id"), col("embedding"))))
+    readMb("in200_embedding")(noop(df
+      .filter(col("vec_id").isInCollection(ids))
+      .select(col("vec_id"), col("embedding"))))
+    readMb("in200_vec_id_only")(noop(df
+      .filter(col("vec_id").isInCollection(ids))
+      .select(col("vec_id"))))
+    // hypothesis: pages of REPEATED (list) columns can't be skipped by
+    // parquet's column-index filter, but STRUCT leaves are flat
+    // (definition levels only) and should skip like vec_id does
+    val structDir = "/tmp/graft_r13diag_struct"
+    df.select(col("vec_id"),
+        struct((0 until 64).map(i =>
+          element_at(col("embedding"), i + 1).as(s"f$i")): _*).as("emb"))
+      .repartitionByRange(16, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", "256")
+      .parquet(structDir)
+    val flat = spark.read.parquet(structDir)
+    readMb("full_struct_scan")(noop(flat.select(col("vec_id"), col("emb"))))
+    readMb("in200_struct")(noop(flat
+      .filter(col("vec_id").isInCollection(ids))
+      .select(col("vec_id"), col("emb"))))
+    // single-Eq probes: the simplest page-skippable predicate; if even
+    // this reads a whole file's columns, column-index filtering is off
+    readMb("eq1_embedding")(noop(df
+      .filter(col("vec_id") === 1234567L)
+      .select(col("vec_id"), col("embedding"))))
+    readMb("eq1_struct")(noop(flat
+      .filter(col("vec_id") === 1234567L)
+      .select(col("vec_id"), col("emb"))))
+    // OR-of-Eq: parquet's column-index filter unions per-Eq row
+    // ranges, so this should skip pages where native In cannot
+    val orPred = ids.map(i => col("vec_id") === i).reduce(_ || _)
+    readMb("oreq200_embedding")(noop(df
+      .filter(orPred).select(col("vec_id"), col("embedding"))))
+    readMb("oreq200_struct")(noop(flat
+      .filter(orPred).select(col("vec_id"), col("emb"))))
+    // page-size sensitivity: the gather reads whole pages, so page
+    // rows set its cost — re-write the list layout at 64-row pages
+    val smallDir = "/tmp/graft_r13diag_small"
+    df.select(col("vec_id"), col("embedding"))
+      .repartitionByRange(16, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", "64")
+      .parquet(smallDir)
+    val small = spark.read.parquet(smallDir)
+    readMb("oreq200_embedding_page64")(noop(small
+      .filter(orPred).select(col("vec_id"), col("embedding"))))
+    // the REAL gather shape: cell partition predicate + id predicate
+    // on the cell-partitioned index layout
+    readMb("oreq200_idx_cells")(noop(df
+      .filter(col("cell").isin(0L to 9L: _*)).filter(orPred)
+      .select(col("vec_id"), col("embedding"))))
+    // isolate the no-skip cause: extra columns vs hive partitioning
+    val layoutA = "/tmp/graft_r13diag_flat_allcols" // flat dir, seq+pq ride along
+    df.select(col("vec_id"), col("embedding"), col("seq"), col("pq"), col("cell"))
+      .repartitionByRange(16, col("cell"), col("vec_id"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", "256")
+      .parquet(layoutA)
+    val a = spark.read.parquet(layoutA)
+    readMb("oreq200_flat_allcols")(noop(a
+      .filter(orPred).select(col("vec_id"), col("embedding"))))
+    val layoutB = "/tmp/graft_r13diag_part_2cols" // partitionBy, 2 data cols
+    df.select(col("vec_id"), col("embedding"), col("cell"))
+      .repartitionByRange(16, col("cell"), col("vec_id"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", "256")
+      .partitionBy("cell").parquet(layoutB)
+    val b = spark.read.parquet(layoutB)
+    readMb("oreq200_part_2cols")(noop(b
+      .filter(orPred).select(col("vec_id"), col("embedding"))))
+    // page-structure ground truth via the offset index
+    def pageStats(label: String, file: String): Unit = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val rg = r.getFooter.getBlocks.get(0)
+        import scala.jdk.CollectionConverters._
+        rg.getColumns.asScala.foreach { cc =>
+          val oi = r.readOffsetIndex(cc)
+          val np = if (oi == null) -1 else oi.getPageCount
+          println(s"PAGES $label ${cc.getPath} rows=${rg.getRowCount} pages=$np")
+        }
+      } finally r.close()
+    }
+    def firstFile(dir: String): String = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.head.toString
+    }
+    pageStats("idx_pq", firstFile(idx))
+    pageStats("small64", firstFile(smallDir))
+    pageStats("part2", firstFile(layoutB))
+    // decisive: ask parquet-mr itself how many rows survive the
+    // column-index row ranges for the or-eq predicate, per layout
+    def filteredCount(label: String, file: String): Unit = {
+      import org.apache.parquet.filter2.predicate.FilterApi
+      import org.apache.parquet.filter2.compat.FilterCompat
+      val vcol = FilterApi.longColumn("vec_id")
+      val pred = ids.map(i =>
+          FilterApi.eq(vcol, java.lang.Long.valueOf(i))
+            .asInstanceOf[org.apache.parquet.filter2.predicate.FilterPredicate])
+        .reduce(FilterApi.or)
+      val conf = spark.sessionState.newHadoopConf()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf)
+      val opts = org.apache.parquet.HadoopReadOptions.builder(conf)
+        .withRecordFilter(FilterCompat.get(pred)).build()
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in, opts)
+      try println(s"FILTERED $label total=${r.getRecordCount} " +
+        s"afterRanges=${r.getFilteredRecordCount}")
+      finally r.close()
+    }
+    filteredCount("idx_pq", firstFile(idx))
+    filteredCount("small64", firstFile(smallDir))
+    filteredCount("part2", firstFile(layoutB))
+    def pageRanges(label: String, file: String): Unit = {
+      val conf = spark.sessionState.newHadoopConf()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val rg = r.getFooter.getBlocks.get(0)
+        val cc = rg.getColumns.asScala.find(_.getPath.toString.contains("vec_id")).get
+        val ci = r.readColumnIndex(cc)
+        if (ci == null) { println(s"RANGES $label: NO column index"); return }
+        val mins = ci.getMinValues.asScala.take(6).map(b =>
+          java.nio.ByteBuffer.wrap(b.array()).order(
+            java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+        val maxs = ci.getMaxValues.asScala.take(6).map(b =>
+          java.nio.ByteBuffer.wrap(b.array()).order(
+            java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+        println(s"RANGES $label boundaryOrder=${ci.getBoundaryOrder} " +
+          mins.zip(maxs).map { case (a, c) => s"[$a..$c]" }.mkString(" "))
+      } finally r.close()
+    }
+    pageRanges("idx_pq", firstFile(idx))
+    pageRanges("small64", firstFile(smallDir))
+    pageRanges("part2", firstFile(layoutB))
     spark.stop()
   }
 
@@ -511,8 +729,13 @@ object ScaleProbe {
     *    window over EVERY row of the index;
     *  - `compact_total` = the real op end-to-end (analysis + rewrite
     *    of the touched cells + sidecar refresh).
-    * Scoped must stay ~flat across the 10× index growth while the
-    * unscoped window grows with the corpus. */
+    * Scoped must stay ~flat across the index growth while the
+    * unscoped window grows with the corpus — on a 32-core local box
+    * the walls converge (a few-M-row narrow window is free), so the
+    * probe also records each leg's SHUFFLE-WRITE bytes: the scoped
+    * analysis shuffles O(appended) rows where the r12 window shuffles
+    * the whole index's (vec_id, seq) — the number that decides the op
+    * at 100 TB. */
   private def r13Compact(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val outJson = args.drop(1).headOption
@@ -520,9 +743,33 @@ object ScaleProbe {
     import graft.queries.VectorQueries
     import graft.operators.IvfIndex
     import org.apache.spark.sql.expressions.Window
+    val shuffleMb = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            shuffleMb.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def drained(): Long = {
+      var prev = -1L
+      while (shuffleMb.get != prev) { prev = shuffleMb.get; Thread.sleep(250) }
+      prev
+    }
+    def withShuffleMb(label: String)(f: => Unit): Unit = {
+      val b0 = drained()
+      f
+      results(label + "_shufflemb") = math.rint((drained() - b0) / 1e4) / 100
+    }
     val tmp = s"/tmp/graft_r13cmp_probe_$copies"
-    scaled(spark, "embeddings", Seq("vec_id"), copies)
-      .select(col("vec_id"), col("embedding"))
+    // content-agnostic synthetic corpus (the analysis only touches
+    // vec_id/seq/cell): generated via range so the 10M-row leg doesn't
+    // build a thousands-way union plan
+    val n = copies * 2000L
+    val dim = 64
+    spark.range(n).select(col("id").as("vec_id"),
+        array((0 until dim).map(i => rand(42L + i).cast("float")): _*)
+          .as("embedding"))
       .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
     val e = spark.read.parquet(s"$tmp/emb.parquet")
     val rows = e.count()
@@ -545,19 +792,19 @@ object ScaleProbe {
       .select(col("vec_id"), col("seq"), col("cell").cast("long").as("cell"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("seq").desc, col("cell").desc)
-    time("analysis_scoped") {
+    withShuffleMb("analysis_scoped")(time("analysis_scoped") {
       val appended = narrow.filter(col("seq") > s.compactedSeq)
       val scoped = narrow.join(
         broadcast(appended.select(col("vec_id")).distinct()), "vec_id")
       val nc = scoped.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") > 1).select(col("cell")).distinct().count()
       println(s"loser_cells_scoped=$nc")
-    }
-    time("analysis_unscoped_r12") {
+    })
+    withShuffleMb("analysis_unscoped_r12")(time("analysis_unscoped_r12") {
       val nc = narrow.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") > 1).select(col("cell")).distinct().count()
       println(s"loser_cells_unscoped=$nc")
-    }
+    })
     time("compact_total") {
       println(s"compacted_cells=${IvfIndex.compact(spark, idxPath).size}")
     }

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -315,13 +315,17 @@ object IvfIndex {
   /** Parquet page-size bound for index layouts. Serving gathers are
     * POINT LOOKUPS by vec_id (the PQ re-rank reads ≤shortlist·q rows
     * out of millions), and parquet skips at PAGE granularity via the
-    * column index — so index files trade a little page-header overhead
-    * for pages covering ~1k rows instead of ~20k, which combined with
-    * the intra-partition (cell, vec_id) sort gives every page a TIGHT
-    * vec_id range and lets a pushed id predicate skip nearly all of
-    * them. Corpus-scan ops are unaffected (they read every page
-    * anyway). */
-  private val PageRowLimit = 1024
+    * column index — so the gather's read cost is
+    * min(winners-in-file, pages)·page-bytes, and the PAGE is the unit
+    * the layout must keep small: 64 rows ≈ 17 KB of floats per page
+    * (vs ~5 MB at parquet's ~20k-row default). Within a cell file the
+    * rows are vec_id-sorted, so each page covers 64 CONSECUTIVE cell
+    * members and a per-cell pushed id predicate touches ~one page per
+    * looked-up id (r13 diag: 200-id gather reads 5.7 MB of a 533 MB
+    * corpus at this page size vs 526 MB un-skipped). Page-header
+    * overhead is ~tens of bytes per 17 KB — noise; corpus-scan ops
+    * read every page either way. */
+  private val PageRowLimit = 64
 
   def write(assigned: DataFrame, path: String): Unit = {
     val n = assigned.sparkSession.sessionState.conf.numShufflePartitions
@@ -838,22 +842,52 @@ object IvfIndex {
       .select(col("vec_id").as("n_id"), col("pq"), col("cell"))
       .join(broadcast(qSide), "cell")
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), adc.as("adc"))
+      .select(col("q_id"), col("n_id"), col("cell"), adc.as("adc"))
     val ws = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("n_id").asc)
+    // the winner's CELL rides along: the re-rank gather needs it to
+    // push each id against ITS OWN cell's files (see servePq)
     sc.withColumn("srk", row_number().over(ws))
-      .filter(col("srk") <= shortlist).select(col("q_id"), col("n_id"))
+      .filter(col("srk") <= shortlist)
+      .select(col("q_id"), col("n_id"), col("cell"))
   }
 
   /** Shortlist-size ceiling for the PUSHED re-rank gather: below it
     * the shortlist (≤ q·shortlist pairs — bounded, ServeMaxBatch caps
-    * q) is evaluated eagerly and its winner ids become a pushed
-    * `vec_id IN (…)` predicate on the gather scan; above it the
+    * q) is evaluated eagerly and its winner ids become pushed
+    * per-cell equality predicates on the gather scan; above it the
     * gather falls back to the broadcast-join shape (which reads every
-    * probed cell's embeddings — correct, but no row-group pruning).
+    * probed cell's embeddings — correct, but no page pruning).
     * 1M (q_id, n_id) longs ≈ 16 MB on the driver — comfortably inside
     * the budget the probed-cell collects already set. */
   val PqGatherPushMax: Long = 1000000L
+
+  /** Distinct-winner-id ceiling for the pushed gather. The pushed
+    * shape is a union of per-cell scans, each carrying an OR-of-
+    * equality predicate over that cell's winner ids — the ONLY filter
+    * shape parquet's column-index machinery actually evaluates
+    * page-by-page (the r13 diag measured it: a native `In` prunes
+    * NOTHING at page level, and a cross-cell id set prunes nothing
+    * either way, because a cell's members are sparse in the id space —
+    * each page of a cell file spans ~pageRows·k ids, so every page
+    * "contains" some id of a corpus-wide set; the same ids restricted
+    * to THEIR OWN cell touch ~one page each). The ceiling bounds the
+    * PLAN size: Catalyst re-walks every Eq term through the optimizer,
+    * and a ~5000-term, ~50-branch gather measured ~11 s of planning —
+    * driver time no byte saving repays. Above it the broadcast-join
+    * gather is also simply the right plan: a large batch amortizes its
+    * once-per-batch probed-cell read over many queries, while the
+    * pushed shape is the LATENCY path (small batches → point reads:
+    * 10.1 MB vs 85.7 MB exact for 10 queries at 2M vectors,
+    * SCALE_r13_pq1000). Branches are further chunked at
+    * [[PqGatherBranchMaxIds]] — Spark's filter translation recurses
+    * per OR node and overflows the stack around ~5k terms. */
+  val PqGatherPushMaxIds: Int = 1024
+
+  /** Per-scan-branch OR-of-equality term bound (stack-safe recursion
+    * depth for filter translation; a cell with more winner ids gets
+    * multiple branches). */
+  val PqGatherBranchMaxIds: Int = 1024
 
   /** PQ-accelerated serving off a `build(pq = true)` layout — the
     * two-stage scan shape that matters at 100 TB: the SHORTLIST pass
@@ -865,16 +899,20 @@ object IvfIndex {
     * math: codes were trained on residuals vs the serving centers, so
     * the query subtracts its probed cell's serving center first); the
     * RERANK pass gathers raw embeddings for the ≤shortlist·q winners
-    * ONLY: the shortlist is bounded, so its ids are collected and
-    * PUSHED into the gather scan as a `vec_id IN (…)` predicate
-    * (Spark translates it to parquet's native set-based In), which —
-    * against the (cell, vec_id)-sorted, small-page layout [[write]]
-    * produces — skips every row group and page holding no winner. A
-    * broadcast join alone pushes NO predicate into the scan, so it
-    * would re-read every probed cell's embeddings (the bytes exact
-    * serving reads once) on top of the code scan — measured at 2M
-    * vectors in SCALE_r12_pq1000, the round-12 `weak` finding this
-    * shape closes. `serving` and `books` come off the `_centers`
+    * ONLY: the shortlist is bounded, so it is collected and PUSHED
+    * into the gather as one scan branch per probed cell — partition-
+    * pruned to the cell, with an OR-of-equality predicate over that
+    * cell's winner ids. Per-cell is the load-bearing part: a cell's
+    * members are sparse in the id space, so against a corpus-wide id
+    * set every page of a cell file "contains" a winner and nothing
+    * skips, while the same ids pushed at their own cell touch ~one
+    * [[PageRowLimit]]-row page each (and parquet's column index never
+    * evaluates a native `In` at page level at all — both measured,
+    * r13 diag). A broadcast join alone pushes NO predicate into the
+    * scan, so it would re-read every probed cell's embeddings (the
+    * bytes exact serving reads once) on top of the code scan —
+    * measured at 2M vectors in SCALE_r12_pq1000, the round-12 `weak`
+    * finding this shape closes. `serving` and `books` come off the `_centers`
     * sidecar — zero index scans before the gather, like [[serve]].
     * Broadcast weight: each panel row ships its m·k-double LUT (~1 KB
     * at 8×16) instead of the residual, so a cap-sized (100k-query)
@@ -900,19 +938,36 @@ object IvfIndex {
     // caught exactly that)
     val qv = queries.select(col("q_id"), col("q_emb"))
     val nQueries = queries.count()
+    val pairs0 =
+      if (nQueries * shortlist <= pushMax) short.collect() else Array.empty[Row]
+    val distinctIds = pairs0.map(_.getLong(1)).distinct.length
     val scored =
-      if (nQueries * shortlist <= pushMax) {
-        // PUSHED gather: evaluate the bounded shortlist now, push the
-        // winner ids into the embedding scan as a vec_id predicate —
-        // the gather then reads ~shortlist·q rows' pages, not every
-        // probed cell's embedding column
-        val pairs = short.collect()
-        val ids = pairs.map(_.getLong(1)).distinct.sorted.toSeq
+      if (pairs0.nonEmpty && distinctIds <= PqGatherPushMaxIds) {
+        // PUSHED gather: evaluate the bounded shortlist now, then read
+        // each winner id against ITS OWN cell — one scan branch per
+        // probed cell, partition-pruned to that cell and carrying an
+        // OR-of-equality predicate over the cell's winner ids. Within
+        // a cell file the rows are vec_id-sorted, so each pushed id
+        // touches ~one small page (PageRowLimit) and parquet's column
+        // index skips the rest. A cross-cell id predicate prunes
+        // NOTHING here (a cell's members are sparse in the id space,
+        // so every page's id range covers some winner), and parquet
+        // never evaluates a native `In` against the column index at
+        // all — both measured, r13 diag.
+        val pairs = pairs0
+        val idsByCell = pairs.groupBy(_.getLong(2)).toSeq.sortBy(_._1)
+          .map { case (c, ps) => c -> ps.map(_.getLong(1)).distinct.sorted }
         val pairsDf = spark.createDataFrame(
           java.util.Arrays.asList(pairs: _*), short.schema)
-        pruned
-          .filter(col("vec_id").isInCollection(ids))
-          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+          .select(col("q_id"), col("n_id"))
+        val branches = idsByCell.flatMap { case (c, cids) =>
+          cids.grouped(PqGatherBranchMaxIds).map { chunk =>
+            idx.filter(col("cell") === c)
+              .filter(chunk.map(i => col("vec_id") === i).reduce(_ || _))
+              .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+          }
+        }
+        branches.reduce(_ unionByName _)
           .join(broadcast(pairsDf), "n_id")
           .join(broadcast(qv), "q_id")
           .select(col("q_id"), col("n_id"),

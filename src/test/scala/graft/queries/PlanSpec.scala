@@ -873,25 +873,33 @@ class PlanSpec extends SparkSpec {
       s"serve must not aggregate anything — routing is sidecar-driven:\n${p.take(1500)}")
   }
 
-  test("pq serve (s64/v50): the re-rank gather pushes the winner ids into the scan") {
+  test("pq serve (s64/v50): the re-rank gather pushes winner ids per cell") {
     // the round-12 `weak` finding: a broadcast join pushes NO vec_id
     // predicate into the parquet scan, so the re-rank used to re-read
     // every probed cell's embedding column — the same bytes exact
     // serving reads once. The shortlist is bounded (≤ q·shortlist),
-    // so its ids must now reach the gather scan as a pushed
-    // `In(vec_id, …)` predicate, which against the (cell, vec_id)-
-    // sorted small-page layout skips every page holding no winner.
+    // so each winner id must now reach the gather as a pushed
+    // EQUALITY predicate on its own cell's scan branch — per-cell
+    // because a cell's members are sparse in the id space (a corpus-
+    // wide id set overlaps every page's id range), and equalities
+    // because parquet's column index never evaluates a native `In`
+    // at page level (both measured, r13 diag).
     val p = plan("s64_dialect_serve_pq")
-    assert(p.contains("In(vec_id"),
-      s"the re-rank gather must carry a pushed vec_id id-set filter:\n" +
-        p.split("\n").filter(_.contains("PushedFilters")).mkString("\n"))
+    val pushed = p.split("\n").filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("EqualTo(vec_id"),
+      s"the re-rank gather must push winner-id equality filters:\n$pushed")
+    // each gather branch is pinned to ONE cell (EqualTo on the
+    // partition column), not the probed union
+    val parts = p.split("\n").filter(_.contains("PartitionFilters"))
+    assert(parts.exists(l => l.contains("(cell#") || l.contains("cell =") ||
+        l.contains("EqualTo(cell")),
+      s"gather branches must prune to single cells:\n${parts.mkString("\n")}")
+    assert(p.contains("Union"),
+      "the pushed gather is a union of per-cell scan branches")
     // the gather reads (vec_id, embedding) only — codes never re-load
     val reads = p.split("\n").filter(_.contains("ReadSchema")).mkString("\n")
     assert(!reads.contains("pq:array"),
       s"the gather must not re-read the codes column:\n$reads")
-    val scanBlock = p.split("\n").filter(_.contains("PartitionFilters"))
-    assert(scanBlock.exists(l => l.contains("cell") && !l.contains("[]")),
-      "the gather must prune to probed cells")
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
       !p.contains("ObjectHashAggregate"),
