@@ -253,25 +253,38 @@ object IvfIndex {
           // changes on EVERY writeSidecar (temp-file + atomic rename
           // replaces the target), so a cross-process rewrite can never
           // alias the fingerprint the way same-length + coarse-mtime
-          // could
+          // could. ONLY file-absence maps to "" (= no sidecar): any
+          // other IO error must propagate — aliasing a transient read
+          // failure to "legacy layout" would silently bypass the
+          // pendingAppends serve/upsert refusals.
           try {
             val attrs = java.nio.file.Files.readAttributes(p,
               classOf[java.nio.file.attribute.BasicFileAttributes])
             s"${attrs.fileKey}:${attrs.size}:${attrs.lastModifiedTime}"
-          } catch { case _: java.io.IOException => "" }
+          } catch { case _: java.nio.file.NoSuchFileException => "" }
         case None =>
           // remote filesystems: length + mtime off one getFileStatus
           // (the sidecar's version counter makes ms-aliasing harmless
-          // in practice; writers also invalidate in-process)
+          // in practice; writers also invalidate in-process). Same
+          // rule: only not-found is "no sidecar"; a throttled s3a/hdfs
+          // stat propagates instead of serving superseded rows.
           try {
             val st = hadoopFs(spark, path).getFileStatus(f)
             s"${st.getLen}:${st.getModificationTime}"
-          } catch { case _: java.io.IOException => "" }
+          } catch { case _: java.io.FileNotFoundException => "" }
       }
     }
 
+    /** Misses since the last dead-path sweep: with >SweepAt LIVE
+      * indexes the sweep can evict nothing, and re-statting every
+      * cached path on EVERY miss would be an O(n) remote-RPC storm
+      * per miss — so sweeps are also rate-limited by miss count. */
+    private val missesSinceSweep = new AtomicLong(0L)
+
     private def sweepDead(spark: SparkSession): Unit =
-      if (cache.size > SweepAt || loadCounts.size > SweepAt) {
+      if ((cache.size > SweepAt || loadCounts.size > SweepAt) &&
+          missesSinceSweep.incrementAndGet() >= SweepAt / 4) {
+        missesSinceSweep.set(0L)
         import scala.jdk.CollectionConverters._
         (cache.keySet.asScala ++ loadCounts.keySet.asScala).toSeq
           .filter(p => fingerprint(spark, p).isEmpty)
@@ -472,11 +485,15 @@ object IvfIndex {
     * over localCheckpoint'd inputs, so the sizing count is cheap. */
   private def overwriteCells(df: DataFrame, path: String,
       touched: Seq[Long]): Unit = {
-    val present = df.select(col("cell")).distinct().collect()
-      .map(_.getLong(0)).toSet
+    // ONE job yields both the present-cell set and the sizing count
+    // (df is a cheap plan over checkpointed inputs, but upsert's merge
+    // is not itself checkpointed — don't evaluate it more than needed)
+    val perCell = df.groupBy(col("cell")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val present = perCell.map(_._1).toSet
     if (present.nonEmpty) {
       val conf = df.sparkSession.sessionState.conf.numShufflePartitions
-      val rows = df.count()
+      val rows = perCell.map(_._2).sum
       val n = math.min(conf.toLong,
         math.max(1L, (rows + RewriteTargetRowsPerFile - 1) / RewriteTargetRowsPerFile)).toInt
       df.repartitionByRange(n, col("cell"), col("vec_id"))
@@ -679,6 +696,16 @@ object IvfIndex {
     * routing needs). Conservative on versions: any `seq > 0` row in a
     * sidecar-less layout is treated as a possible un-compacted append. */
   def backfillSidecar(spark: SparkSession, path: String): Sidecar = {
+    // a PQ-built layout cannot be backfilled: the codebooks lived only
+    // in the lost sidecar and are NOT recoverable from the stored
+    // codes. Writing books=empty instead would flip hasPq to false and
+    // INVERT the ingest shape guard — correctly-encoded arrivals
+    // refused, code-less arrivals accepted into a mixed-schema index.
+    if (spark.read.parquet(path).columns.contains("pq"))
+      throw new IllegalStateException(
+        s"backfillSidecar: index at '$path' stores PQ codes but its " +
+          "_centers sidecar (the codebooks) is gone — the codebooks " +
+          "cannot be recovered from codes; rebuild with `index … pq`")
     val (means, counts) = VectorQueries.refreshedCentersWithCounts(
       read(spark, path))
     if (means.isEmpty) throw new IllegalStateException(
@@ -879,15 +906,11 @@ object IvfIndex {
     * once-per-batch probed-cell read over many queries, while the
     * pushed shape is the LATENCY path (small batches → point reads:
     * 10.1 MB vs 85.7 MB exact for 10 queries at 2M vectors,
-    * SCALE_r13_pq1000). Branches are further chunked at
-    * [[PqGatherBranchMaxIds]] — Spark's filter translation recurses
-    * per OR node and overflows the stack around ~5k terms. */
+    * SCALE_r13_pq1000). The bound also keeps every branch's OR depth
+    * stack-safe: Spark's filter translation recurses per OR node and
+    * overflows around ~5k terms, and no branch can carry more ids
+    * than the global cap. */
   val PqGatherPushMaxIds: Int = 1024
-
-  /** Per-scan-branch OR-of-equality term bound (stack-safe recursion
-    * depth for filter translation; a cell with more winner ids gets
-    * multiple branches). */
-  val PqGatherBranchMaxIds: Int = 1024
 
   /** PQ-accelerated serving off a `build(pq = true)` layout — the
     * two-stage scan shape that matters at 100 TB: the SHORTLIST pass
@@ -940,7 +963,11 @@ object IvfIndex {
     val nQueries = queries.count()
     val pairs0 =
       if (nQueries * shortlist <= pushMax) short.collect() else Array.empty[Row]
-    val distinctIds = pairs0.map(_.getLong(1)).distinct.length
+    // id-type agnostic like the probed-cell collect above: the user's
+    // id column may be int-typed, where Row.getLong would throw
+    def idOf(r: Row): Long = r.get(1).asInstanceOf[Number].longValue()
+    val distinctIds = pairs0.map(idOf).distinct.length
+    val idType = idx.schema("vec_id").dataType
     val scored =
       if (pairs0.nonEmpty && distinctIds <= PqGatherPushMaxIds) {
         // PUSHED gather: evaluate the bounded shortlist now, then read
@@ -955,17 +982,20 @@ object IvfIndex {
         // never evaluates a native `In` against the column index at
         // all — both measured, r13 diag.
         val pairs = pairs0
-        val idsByCell = pairs.groupBy(_.getLong(2)).toSeq.sortBy(_._1)
-          .map { case (c, ps) => c -> ps.map(_.getLong(1)).distinct.sorted }
+        val idsByCell = pairs
+          .groupBy(_.get(2).asInstanceOf[Number].longValue()).toSeq.sortBy(_._1)
+          .map { case (c, ps) => c -> ps.map(idOf).distinct.sorted }
         val pairsDf = spark.createDataFrame(
           java.util.Arrays.asList(pairs: _*), short.schema)
           .select(col("q_id"), col("n_id"))
-        val branches = idsByCell.flatMap { case (c, cids) =>
-          cids.grouped(PqGatherBranchMaxIds).map { chunk =>
-            idx.filter(col("cell") === c)
-              .filter(chunk.map(i => col("vec_id") === i).reduce(_ || _))
-              .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-          }
+        // the equality literal is cast to the COLUMN's type: comparing
+        // an int id column against a long literal would wrap the
+        // column in a cast, which defeats parquet pushdown entirely
+        val branches = idsByCell.map { case (c, cids) =>
+          idx.filter(col("cell") === c)
+            .filter(cids.map(i => col("vec_id") === lit(i).cast(idType))
+              .reduce(_ || _))
+            .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
         }
         branches.reduce(_ unionByName _)
           .join(broadcast(pairsDf), "n_id")
@@ -973,12 +1003,19 @@ object IvfIndex {
           .select(col("q_id"), col("n_id"),
             VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))
       } else {
-        // fallback above the push ceiling: lazy broadcast-join gather
-        // over the probed cells (no scan pruning beyond the partition
-        // predicate)
+        // fallback above the push ceiling: broadcast-join gather over
+        // the probed cells (no scan pruning beyond the partition
+        // predicate). An already-collected shortlist is REUSED — the
+        // ADC shortlist is the pq path's most expensive stage, and
+        // re-evaluating the lazy frame would run it twice
+        val shortDf =
+          if (pairs0.nonEmpty)
+            spark.createDataFrame(java.util.Arrays.asList(pairs0: _*),
+              short.schema).select(col("q_id"), col("n_id"))
+          else short.select(col("q_id"), col("n_id"))
         val nv = pruned.select(col("vec_id").as("n_id"),
           col("embedding").as("n_emb"))
-        nv.join(broadcast(short), "n_id")
+        nv.join(broadcast(shortDf), "n_id")
           .join(broadcast(qv), "q_id")
           .select(col("q_id"), col("n_id"),
             VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))

@@ -222,6 +222,59 @@ class R13OpsSpec extends SparkSpec {
       "both gather shapes must produce identical serving results")
   }
 
+  test("pq serving is id-type agnostic: an int-typed vec_id pushes without casts") {
+    // the lifecycle never casts the user's id column, so the pushed
+    // gather's driver-side extraction must not assume LongType — and
+    // its equality literals must be cast to the COLUMN's type, since
+    // a cast wrapped around the column would defeat parquet pushdown
+    val path = "/tmp/graft_r13_intid"
+    val intEmb = emb.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"))
+    IvfIndex.build(intEmb, path, pq = true)
+    val side = IvfIndex.readSidecar(spark, path).get
+    val q = intEmb.filter(col("vec_id") % 17 === 5)
+      .select((col("vec_id") + lit(100000)).cast("int").as("q_id"),
+        col("embedding").as("q_emb"))
+    val panel = q.select(col("q_id"), col("q_emb"),
+      graft.functions.VectorExprs.nearest_centroid(
+        col("q_emb"), side.refresh, side.dim).as("cell"))
+    val idxFull = IvfIndex.readFull(spark, path)
+    val served = IvfIndex.servePq(idxFull, q, panel, 5, 20,
+      side.serving, side.books)
+    val p = served.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pushed = p.split("\n").filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("EqualTo(vec_id"),
+      s"int-typed ids must still push as equality filters:\n$pushed")
+    val rows = served.collect()
+    assert(rows.nonEmpty)
+    // and ≡ the fallback gather on the same int-typed index
+    val fallback = IvfIndex.servePq(idxFull, q, panel, 5, 20,
+        side.serving, side.books, pushMax = 0L)
+      .collect().map(r => (r.get(0), r.get(1), r.getLong(3))).toSeq.sorted(
+        Ordering.by((t: (Any, Any, Long)) => t.toString))
+    val got = rows.map(r => (r.get(0), r.get(1), r.getLong(3))).toSeq.sorted(
+      Ordering.by((t: (Any, Any, Long)) => t.toString))
+    assert(got == fallback)
+  }
+
+  test("backfillSidecar refuses a PQ layout (codebooks are unrecoverable)") {
+    // writing books=empty instead would flip hasPq to false and invert
+    // the ingest shape guard: encoded arrivals refused, code-less
+    // arrivals accepted into a mixed-schema index
+    val path = "/tmp/graft_r13_pq_backfill"
+    IvfIndex.build(emb, path, pq = true)
+    val dir = java.nio.file.Paths.get(path, IvfIndex.SidecarDir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    IvfIndex.SidecarCache.invalidate(path)
+    val err = intercept[IllegalStateException] {
+      IvfIndex.backfillSidecar(spark, path)
+    }
+    assert(err.getMessage.contains("rebuild with"))
+  }
+
   test("serve refuses a batch past the cap on both the exact and pq paths") {
     // the panel is the broadcast side of the pruned gather (and on the
     // pq path each row ships a ~1 KB LUT) — a corpus-sized "batch" must
