@@ -515,6 +515,9 @@ object ScaleProbe {
       println(f"$label%-40s $mb%10.2f MB")
     }
     val idx = "/tmp/graft_r13pq_probe_1000/idx_pq"
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(idx)),
+      s"r13diag reads the r13pq fixture — run `runMain graft.ScaleProbe " +
+        s"r13pq 1000 /tmp/out.json` first to build $idx")
     val df = spark.read.parquet(idx)
     def noop(d: org.apache.spark.sql.DataFrame): Unit =
       d.write.format("noop").mode("overwrite").save()
