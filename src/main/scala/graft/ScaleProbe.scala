@@ -92,6 +92,9 @@ object ScaleProbe {
     else if (args.headOption.contains("r12new")) r12New(args.drop(1))
     else if (args.headOption.contains("r12pq")) r12Pq(args.drop(1))
     else if (args.headOption.contains("r13pq")) r13Pq(args.drop(1))
+    else if (args.headOption.contains("r14pq")) r14Pq(args.drop(1))
+    else if (args.headOption.contains("r14cap")) r14Cap(args.drop(1))
+    else if (args.headOption.contains("r14sidecar")) r14Sidecar(args.drop(1))
     else if (args.headOption.contains("r13diag")) r13Diag(args.drop(1))
     else if (args.headOption.contains("r13cap")) r13Cap(args.drop(1))
     else if (args.headOption.contains("r13compact")) r13Compact(args.drop(1))
@@ -495,6 +498,271 @@ object ScaleProbe {
       }
     }
     writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** rchar off /proc/self/io — OS-level ground truth for every read
+    * syscall this JVM makes (local mode: all tasks); see r13Pq for the
+    * calibration story. */
+  private def rchar(): Long =
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/self/io"))
+      .stream().filter(_.startsWith("rchar:"))
+      .findFirst().map[Long](l => l.split(":\\s*")(1).trim.toLong).orElse(0L)
+
+  /** The r13pq block-structured real-entropy fixture (see r13Pq for
+    * the full rationale): n/10 hash-assigned clusters, per-8-dim-block
+    * centers drawn from 16 sin patterns (quantizable at the index's
+    * 8×16 rate), per-row uniform noise, every float unique. */
+  private def blockClusterEmbeddings(spark: SparkSession, n: Long,
+      path: String): DataFrame = {
+    val dim = 64
+    val blockCols = (0 until 8).map(b =>
+      pmod(hash(col("cl"), lit(b)), lit(16)).cast("double").as(s"p$b"))
+    spark.range(n).select(col("id").as("vec_id"),
+        pmod(hash(col("id")), lit(math.max(1L, n / 10L))).as("cl"))
+      .select(col("vec_id") +: blockCols: _*)
+      .select(col("vec_id"),
+        array((0 until dim).map(i =>
+          (sin(col(s"p${i / 8}") * lit(2.17) + lit(i * 1.73)) +
+            (rand(42L + i) - lit(0.5)) * lit(0.3)).cast("float")): _*)
+          .as("embedding"))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Round-14 gather probe (VERDICT r13 ask #1): the wave-chunked
+    * pushed gather must extend the PQ byte win past the old 1024-id
+    * push ceiling — serve_pq READ-BYTES strictly below exact at q100
+    * (r13 recorded 434.9 vs 414.6 MB there: the fallback re-read every
+    * probed cell's embeddings on top of the code scan), with the
+    * per-wave construction wall recorded, PLUS recall@10 against
+    * BRUTE-FORCE TRUTH per probe×shortlist (ask #5 — the r13 sweep
+    * measured overlap vs exact-at-same-probe, isolating ADC loss; the
+    * user-facing number also charges the cell-boundary loss). */
+  private def r14Pq(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(1000)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.operators.IvfIndex
+    def readMb(label: String)(f: => Unit): Unit = {
+      val b0 = rchar()
+      f
+      results(label + "_readmb") = math.rint((rchar() - b0) / 1e4) / 100
+    }
+    val n = copies * 2000L
+    val tmp = s"/tmp/graft_r14pq_probe_$copies"
+    val e = blockClusterEmbeddings(spark, n, s"$tmp/emb.parquet")
+    println(s"copies=$copies vecs=${e.count()}")
+    val K = 64
+    val pqPath = s"$tmp/idx_pq"
+    time("build_pq")(IvfIndex.build(e, pqPath, K, pq = true))
+    val side = IvfIndex.readSidecar(spark, pqPath).get
+    val q = e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + lit(970000000000L)).as("q_id"),
+        col("embedding").as("q_emb")).localCheckpoint(true)
+    def panelOf(qdf: DataFrame, probe: Int) =
+      if (probe <= 1)
+        qdf.select(col("q_id"), col("q_emb"),
+          graft.functions.VectorExprs.nearest_centroid(
+            col("q_emb"), side.refresh, side.dim).as("cell"))
+          .localCheckpoint(true)
+      else
+        qdf.select(col("q_id"), col("q_emb"),
+          explode(graft.functions.VectorExprs.nearest_cells(
+            col("q_emb"), side.refresh, side.dim, probe)).as("cell"))
+          .localCheckpoint(true)
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val idxPq = IvfIndex.readFull(spark, pqPath)
+    readMb("calibration_full_scan")(
+      IvfIndex.read(spark, pqPath)
+        .agg(sum(element_at(col("embedding"), 1))).collect())
+    val panel1 = panelOf(q, 1)
+    // q100: the geometry the r13 fallback LOST (≈3-5k distinct winner
+    // ids — past one plan's term budget, far under the probed pages).
+    // The wave-chunked gather runs during servePq construction (eager
+    // per-wave checkpoints), so construction wall is recorded
+    // separately from the drain — the "per-wave planning stays
+    // bounded" evidence.
+    readMb("serve_exact_q100")(time("serve_exact_q100")(noop(IvfIndex.serve(
+      IvfIndex.read(spark, pqPath), panel1, 10))))
+    readMb("serve_pq_q100")(time("serve_pq_q100") {
+      var served: DataFrame = null
+      time("serve_pq_q100_construct") {
+        served = IvfIndex.servePq(idxPq, q, panel1, 10, 50,
+          side.serving, side.books, cellRows = side.counts)
+      }
+      noop(served)
+    })
+    // q10: the latency path (same as r13 — must not regress)
+    val q10 = q.filter(col("q_id") < lit(970000000010L)).localCheckpoint(true)
+    val panel10 = panelOf(q10, 1)
+    readMb("serve_exact_q10")(time("serve_exact_q10")(noop(IvfIndex.serve(
+      IvfIndex.read(spark, pqPath), panel10, 10))))
+    readMb("serve_pq_q10")(time("serve_pq_q10")(noop(IvfIndex.servePq(
+      idxPq, q10, panel10, 10, 20, side.serving, side.books,
+      cellRows = side.counts))))
+    // brute-force truth for the 100 queries: exact cosine over the
+    // WHOLE corpus (no cell routing), top 10 — the user-facing recall
+    // denominator that charges cell-boundary loss too
+    val truth = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(q))
+      .filter(col("q_id") - lit(970000000000L) =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.queries.VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("n_id")).collect()
+      .groupBy(_.getLong(0)).map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.groupBy(_.getLong(0))
+        .map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+      truth.map { case (qid, t) =>
+        got.get(qid).map(p => (p & t).size.toDouble / t.size).getOrElse(0.0)
+      }.sum / truth.size
+    }
+    for (probe <- Seq(1, 2, 4)) {
+      val panel = panelOf(q, probe)
+      val exact = recallOf(IvfIndex.serve(IvfIndex.read(spark, pqPath), panel, 10)
+        .select(col("q_id"), col("n_id")).collect())
+      results(s"recall_truth_exact_p$probe") = math.rint(exact * 1000) / 1000
+      println(f"recall-vs-truth probe=$probe exact -> $exact%.3f")
+      for (shortlist <- Seq(25, 50, 100)) {
+        val r = recallOf(IvfIndex.servePq(idxPq, q, panel, 10, shortlist,
+            side.serving, side.books, cellRows = side.counts)
+          .select(col("q_id"), col("n_id")).collect())
+        results(s"recall_truth_pq_p${probe}_s$shortlist") = math.rint(r * 1000) / 1000
+        println(f"recall-vs-truth probe=$probe shortlist=$shortlist -> $r%.3f")
+      }
+    }
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-14 cap probe (VERDICT r13 ask #1, cap leg): the 100k-query
+    * cap batch against the 2M-vector index, rchar-accounted, in TWO
+    * workloads:
+    *  - `uniform`: 100k distinct query points — their 50-shortlists
+    *    cover essentially every page of the probed corpus, so NO
+    *    gather can read fewer bytes than one full embedding pass; the
+    *    physics floor is gather ≈ exact and pq_total ≈ exact + the ~2%
+    *    code scan. The probe records the achieved parity ratio (r13's
+    *    fallback had no flip and re-read everything ON TOP of codes —
+    *    same floor, but the design now reaches it by CHOICE per cell).
+    *  - `hot`: 100 distinct points × 1000 near-duplicate queries each
+    *    (the skewed traffic a real serving tier sees at the cap) —
+    *    distinct winners collapse to ~5k ids and the wave-chunked
+    *    pushed gather must beat exact outright.
+    * Both workloads assert nothing; the JSON records the honest
+    * numbers for the verdict. */
+  private def r14Cap(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(1000)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.operators.IvfIndex
+    def readMb(label: String)(f: => Unit): Unit = {
+      val b0 = rchar()
+      f
+      results(label + "_readmb") = math.rint((rchar() - b0) / 1e4) / 100
+    }
+    val n = copies * 2000L
+    val tmp = s"/tmp/graft_r14pq_probe_$copies" // shared with r14pq
+    val embPath = s"$tmp/emb.parquet"
+    val pqPath = s"$tmp/idx_pq"
+    val e =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(embPath)))
+        spark.read.parquet(embPath)
+      else blockClusterEmbeddings(spark, n, embPath)
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(pqPath,
+        IvfIndex.SidecarDir)))
+      time("build_pq")(IvfIndex.build(e, pqPath, 64, pq = true))
+    val side = IvfIndex.readSidecar(spark, pqPath).get
+    val idxPq = IvfIndex.readFull(spark, pqPath)
+    val capQ = 100000L
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    readMb("calibration_full_scan")(
+      IvfIndex.read(spark, pqPath)
+        .agg(sum(element_at(col("embedding"), 1))).collect())
+    // uniform: 100k distinct corpus points as queries (shifted ids)
+    val qUniform = e.filter(col("vec_id") < capQ)
+      .select((col("vec_id") + lit(970000000000L)).as("q_id"),
+        col("embedding").as("q_emb")).localCheckpoint(true)
+    // hot: 100 distinct points, each asked 1000× under unique q_ids
+    val hotBase = e.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    val qHot = hotBase.join(broadcast(spark.range(1000).select(col("id").as("rep"))))
+      .select((col("vec_id") * 1000L + col("rep") + lit(970000000000L)).as("q_id"),
+        col("embedding").as("q_emb")).localCheckpoint(true)
+    def panelOf(qdf: DataFrame) = qdf.select(col("q_id"), col("q_emb"),
+      graft.functions.VectorExprs.nearest_centroid(
+        col("q_emb"), side.refresh, side.dim).as("cell")).localCheckpoint(true)
+    for ((name, qdf) <- Seq("uniform" -> qUniform, "hot" -> qHot)) {
+      val panel = panelOf(qdf)
+      readMb(s"serve_exact_${name}_q100k")(time(s"serve_exact_${name}_q100k")(
+        noop(IvfIndex.serve(IvfIndex.read(spark, pqPath), panel, 10))))
+      readMb(s"serve_pq_${name}_q100k")(time(s"serve_pq_${name}_q100k")(
+        noop(IvfIndex.servePq(idxPq, qdf, panel, 10, 50,
+          side.serving, side.books, cellRows = side.counts,
+          knownBatchRows = Some(capQ)))))
+    }
+    results("lut_mb_nominal_p1") = math.rint(capQ * (8 * 16 + 2) * 8 / 1e4) / 100
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-14 sidecar economics probe (VERDICT r13 ask #4): the
+    * sidecar at index-appropriate 100 TB scale — k=100k cells, d=768 —
+    * is ~1.6 GB of base64, fully re-written per maintenance op and
+    * re-read per cache miss. Measures write/read wall and on-disk
+    * bytes for the sharded format (25 parallel `cells-*` files) and,
+    * for contrast, the largest single-file (unsharded) size. */
+  private def r14Sidecar(args: Array[String]): Unit = {
+    val outJson = args.headOption
+    val spark = session()
+    import graft.operators.IvfIndex
+    def synth(k: Int, d: Int, seed: Long): IvfIndex.Sidecar = {
+      val rnd = new java.util.Random(seed)
+      def vec() = Array.fill(d)(rnd.nextDouble())
+      IvfIndex.Sidecar(
+        serving = (0 until k).map(c => c -> vec()),
+        refresh = (0 until k).map(c => c -> vec()),
+        counts = (0 until k).map(c => c.toLong -> 1000000L).toMap,
+        staleCells = Set.empty, pendingAppends = false,
+        maxSeq = 0L, version = 1L,
+        books = (0 until 8).map(s => (0 until 16).map(c => c -> vec()).toSeq),
+        compactedSeq = 0L)
+    }
+    def dirMb(p: String): Double = {
+      import scala.jdk.CollectionConverters._
+      math.rint(java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum / 1e4) / 100
+    }
+    for ((k, d, label) <- Seq((4096, 768, "k4096"), (100000, 768, "k100k"))) {
+      val path = s"/tmp/graft_r14_sidecar_$label"
+      val dir = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isDirectory(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      IvfIndex.SidecarCache.invalidate(path)
+      val sc = synth(k, d, 14L)
+      time(s"sidecar_write_$label")(IvfIndex.writeSidecar(spark, path, sc))
+      results(s"sidecar_mb_$label") = dirMb(path)
+      var back: Option[IvfIndex.Sidecar] = None
+      time(s"sidecar_read_$label") { back = IvfIndex.readSidecar(spark, path) }
+      require(back.exists(b => b.serving.length == k &&
+        b.serving.head._2.sameElements(sc.serving.head._2)),
+        s"sidecar roundtrip mismatch at $label")
+      // the maintenance-loop shape: read + rewrite (one op's sidecar IO)
+      time(s"sidecar_rewrite_$label")(IvfIndex.writeSidecar(spark, path,
+        back.get.copy(version = back.get.version + 1L)))
+    }
+    writeJson(outJson, 0)
     spark.stop()
   }
 

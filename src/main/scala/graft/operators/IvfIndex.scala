@@ -3,7 +3,7 @@ package graft.operators
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -104,8 +104,48 @@ object IvfIndex {
 
   private def sidecarDir(path: String): HPath =
     new HPath(path, SidecarDir)
-  private def sidecarFile(path: String): HPath =
-    new HPath(sidecarDir(path), "centers.v1")
+
+  /** Sidecar headers are VERSION-NAMED (`centers.v{N}`, N = the
+    * Sidecar's monotone version counter) and committed with
+    * rename-WITHOUT-overwrite — a compare-and-swap: every maintenance
+    * op reads version v and commits v+1, so two concurrent writers
+    * that both read v race for the same `centers.v{v+1}` name and
+    * exactly one rename succeeds; the loser fails LOUDLY before any
+    * data files land (every op writes its sidecar first) instead of
+    * last-write-wins silently dropping the other writer's
+    * bookkeeping. Readers resolve the highest committed version — a
+    * name is only visible complete (rename is atomic on local/HDFS),
+    * so there are no torn reads; the previous version is retained one
+    * generation for in-flight readers on non-atomic-listing stores. */
+  private val SidecarHeaderRe = """centers\.v(\d+)""".r
+
+  /** Cells per shard file. A sidecar inside this bound is ONE header
+    * file holding the cell lines inline (the pre-r14 format,
+    * byte-compatible); past it the cell lines split into
+    * `cells-{i}.{token}.v{N}` shard files written in parallel and the
+    * header records `shards=S token=T`. The bound keeps every file a
+    * few tens of MB however large k·d grows (k=100k, d=768 is ~1.6 GB
+    * of base64 — one file would serialize a GB-scale string through
+    * one thread per maintenance op and per cache miss; 25 shards
+    * write/read in parallel). Shard names carry a writer-unique token
+    * so two racing writers of the SAME version can never interleave
+    * each other's shard contents — the header CAS then picks exactly
+    * one writer's complete set. */
+  private val SidecarShardCells = 4096
+
+  /** Highest committed sidecar header under `path`, with its version. */
+  private def latestSidecarFile(fs: FileSystem, path: String)
+      : Option[(HPath, Long)] = {
+    val dir = sidecarDir(path)
+    val listed = try fs.listStatus(dir)
+      catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    listed.toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case SidecarHeaderRe(n) => Some(st.getPath -> n.toLong)
+        case _ => None
+      }
+    }.sortBy(_._2).lastOption
+  }
 
   private def encodeDoubles(a: Array[Double]): String = {
     val bb = java.nio.ByteBuffer.allocate(a.length * 8)
@@ -120,62 +160,140 @@ object IvfIndex {
     Array.fill(bb.remaining() / 8)(bb.getDouble)
   }
 
+  private def writeFile(fs: FileSystem, p: HPath, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readText(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Persist the sidecar — a DRIVER artifact (k·d doubles plus
-    * bookkeeping), written as one plain text file with base64 IEEE
-    * bits (bit-exact round trip), via temp-file + atomic rename so a
-    * concurrent reader never sees a torn write. Deliberately NOT a
-    * Spark write: no job, no partition discovery (Spark ignores
-    * `_`-prefixed paths — which is exactly why the index read never
-    * sees this directory). */
+    * bookkeeping), written as plain text with base64 IEEE bits
+    * (bit-exact round trip). Deliberately NOT a Spark write: no job,
+    * no partition discovery (Spark ignores `_`-prefixed paths — which
+    * is exactly why the index read never sees this directory). The
+    * commit is a CAS on the version-named header (see
+    * [[SidecarHeaderRe]]): shard files land first under a
+    * writer-unique token, then the header renames WITHOUT overwrite —
+    * a concurrent writer that committed the same (or a later) version
+    * since this Sidecar was read is refused loudly, never merged or
+    * silently overwritten. Past [[SidecarShardCells]] cells the cell
+    * lines shard into parallel-written files (the k=100k, d=768
+    * sidecar is ~1.6 GB of base64 — probed in SCALE_r14_sidecar);
+    * inside the bound the format is the pre-r14 single file,
+    * byte-compatible. */
   def writeSidecar(spark: SparkSession, path: String, sc: Sidecar): Unit = {
-    val refreshByCell = sc.refresh.map { case (c, a) => c.toLong -> a }.toMap
-    val sb = new StringBuilder
-    sb.append("graft-ivf-centers v1\n")
-    sb.append(s"pending=${sc.pendingAppends} max_seq=${sc.maxSeq} " +
-      s"version=${sc.version} compacted_seq=${sc.compactedSeq}\n")
-    sc.serving.sortBy(_._1).foreach { case (cell, center) =>
-      val refresh = refreshByCell.get(cell.toLong).map(encodeDoubles).getOrElse("-")
-      sb.append(s"cell=$cell n=${sc.counts.getOrElse(cell.toLong, 0L)} " +
-        s"stale=${sc.staleCells.contains(cell.toLong)} " +
-        s"serving=${encodeDoubles(center)} refresh=$refresh\n")
-    }
-    sc.books.zipWithIndex.foreach { case (book, s) =>
-      book.sortBy(_._1).foreach { case (code, cent) =>
-        sb.append(s"pq=$s code=$code cent=${encodeDoubles(cent)}\n")
-      }
-    }
     val fs = hadoopFs(spark, path)
     val dir = sidecarDir(path)
     fs.mkdirs(dir)
-    val tmp = new HPath(dir,
-      s".centers.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // rename-with-overwrite via FileContext: atomic where the
-    // filesystem supports it (local, HDFS), so a concurrent reader
-    // never sees a torn write
-    val fc = FileContext.getFileContext(sidecarFile(path).toUri,
-      spark.sessionState.newHadoopConf())
-    fc.rename(tmp, sidecarFile(path), Options.Rename.OVERWRITE)
+    def refuse(committed: Long): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"writeSidecar: index at '$path' already has sidecar version " +
+          s"$committed ≥ ${sc.version} — a concurrent writer committed since " +
+          "this operation read the sidecar; re-read and retry the operation " +
+          "(the index lifecycle is one-writer-at-a-time per commit)")
+    // fast-path refusal (the rename CAS below is the authority)
+    latestSidecarFile(fs, path).foreach { case (_, v) =>
+      if (v >= sc.version) refuse(v)
+    }
+    val refreshByCell = sc.refresh.map { case (c, a) => c.toLong -> a }.toMap
+    // per-cell lines encode in parallel: k·2d doubles of base64 is the
+    // whole cost of a large-k write, and every line is independent
+    import scala.collection.parallel.CollectionConverters._
+    val cellLines: Seq[String] = sc.serving.sortBy(_._1).par.map {
+      case (cell, center) =>
+        val refresh = refreshByCell.get(cell.toLong).map(encodeDoubles).getOrElse("-")
+        s"cell=$cell n=${sc.counts.getOrElse(cell.toLong, 0L)} " +
+          s"stale=${sc.staleCells.contains(cell.toLong)} " +
+          s"serving=${encodeDoubles(center)} refresh=$refresh"
+    }.seq
+    val bookLines = sc.books.zipWithIndex.flatMap { case (book, s) =>
+      book.sortBy(_._1).map { case (code, cent) =>
+        s"pq=$s code=$code cent=${encodeDoubles(cent)}"
+      }
+    }
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val shards: Seq[Seq[String]] =
+      if (cellLines.length <= SidecarShardCells) Seq.empty
+      else cellLines.grouped(SidecarShardCells).toSeq
+    def shardPath(i: Int): HPath =
+      new HPath(dir, s"cells-$i.$token.v${sc.version}")
+    val sb = new StringBuilder
+    sb.append("graft-ivf-centers v1\n")
+    sb.append(s"pending=${sc.pendingAppends} max_seq=${sc.maxSeq} " +
+      s"version=${sc.version} compacted_seq=${sc.compactedSeq}")
+    if (shards.nonEmpty) sb.append(s" shards=${shards.length} token=$token")
+    sb.append('\n')
+    if (shards.isEmpty) cellLines.foreach(l => sb.append(l).append('\n'))
+    bookLines.foreach(l => sb.append(l).append('\n'))
+    val header = new HPath(dir, s"centers.v${sc.version}")
+    try {
+      // shards first (parallel, token-unique names — no cross-writer
+      // interleave possible), then the header CAS makes them live
+      shards.zipWithIndex.par.foreach { case (lines, i) =>
+        writeFile(fs, shardPath(i), lines.mkString("", "\n", "\n"))
+      }
+      val tmp = new HPath(dir, s".centers.$token.tmp")
+      writeFile(fs, tmp, sb.toString)
+      val fc = FileContext.getFileContext(header.toUri,
+        spark.sessionState.newHadoopConf())
+      try fc.rename(tmp, header) // NO overwrite: the CAS
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+          refuse(sc.version)
+      }
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // orphaned shards of the losing writer — best-effort removal
+        shards.indices.foreach { i =>
+          try fs.delete(shardPath(i), false)
+          catch { case _: java.io.IOException => () }
+        }
+        throw e
+    }
+    // retire versions at least two generations old (the immediately
+    // previous one stays for in-flight readers); stray tmps too
+    val retired = try fs.listStatus(dir).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    retired.foreach { st =>
+      val name = st.getPath.getName
+      val old = name match {
+        case SidecarHeaderRe(n) => n.toLong <= sc.version - 2
+        case _ if name.startsWith("cells-") =>
+          name.split("\\.v").lastOption.flatMap(_.toLongOption)
+            .exists(_ <= sc.version - 2)
+        case _ if name.startsWith(".centers.") && name.endsWith(".tmp") =>
+          // a crashed writer's tmp; anything recent may be in-flight
+          st.getModificationTime < System.currentTimeMillis() - 3600000L
+        case _ => false
+      }
+      if (old) {
+        try fs.delete(st.getPath, false)
+        catch { case _: java.io.IOException => () }
+      }
+    }
     SidecarCache.invalidate(path)
   }
 
-  /** Read the sidecar back (a k-row driver file — no Spark job); None
-    * when the index has none (pre-sidecar layout — consumers fall
-    * back to index scans). */
+  /** Read the sidecar back (k driver rows — no Spark job); None when
+    * the index has none (pre-sidecar layout — consumers fall back to
+    * index scans). Resolves the highest committed version; a sharded
+    * header's cell files are read and parsed in parallel. */
   def readSidecar(spark: SparkSession, path: String): Option[Sidecar] = {
     val fs = hadoopFs(spark, path)
-    val f = sidecarFile(path)
-    val st = try Some(fs.getFileStatus(f))
-      catch { case _: java.io.FileNotFoundException => None }
-    if (!st.exists(_.isFile)) return None
-    val in = fs.open(f)
-    val text = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
-      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
+    val latest = latestSidecarFile(fs, path)
+    if (latest.isEmpty) return None
+    val f = latest.get._1
+    val text = readText(fs, f)
     val it = text.split('\n').toSeq.filter(_.nonEmpty)
     if (it.isEmpty || !it.head.startsWith("graft-ivf-centers v1"))
       throw new IllegalStateException(s"readSidecar: '$f' is not a centers sidecar")
@@ -185,18 +303,29 @@ object IvfIndex {
           val i = t.indexOf('='); t.substring(0, i) -> t.substring(i + 1)
         }.toMap
       val meta = kv(it(1))
-      val (bookLines, cellLines) = it.drop(2).partition(_.startsWith("pq="))
-      val cells = cellLines.map(kv).toSeq
+      val (bookLines, inlineCells) = it.drop(2).partition(_.startsWith("pq="))
+      import scala.collection.parallel.CollectionConverters._
+      val cellLines: Seq[String] = meta.get("shards") match {
+        case None => inlineCells
+        case Some(s) =>
+          val token = meta("token")
+          val version = meta("version")
+          (0 until s.toInt).par.flatMap { i =>
+            val p = new HPath(sidecarDir(path), s"cells-$i.$token.v$version")
+            readText(fs, p).split('\n').toSeq.filter(_.nonEmpty)
+          }.seq
+      }
+      val cells = cellLines.par.map(kv).seq.toSeq
       val books = bookLines.map(kv).toSeq.groupBy(_.apply("pq").toInt).toSeq
         .sortBy(_._1).map { case (_, rows) =>
           rows.map(m => (m("code").toInt, decodeDoubles(m("cent"))))
             .sortBy(_._1)
         }
       Some(Sidecar(
-        serving = cells.map(m => (m("cell").toInt, decodeDoubles(m("serving"))))
-          .sortBy(_._1),
-        refresh = cells.filter(_.apply("refresh") != "-")
-          .map(m => (m("cell").toInt, decodeDoubles(m("refresh")))).sortBy(_._1),
+        serving = cells.par.map(m => (m("cell").toInt, decodeDoubles(m("serving"))))
+          .seq.sortBy(_._1),
+        refresh = cells.par.filter(_.apply("refresh") != "-")
+          .map(m => (m("cell").toInt, decodeDoubles(m("refresh")))).seq.sortBy(_._1),
         counts = cells.map(m => m("cell").toLong -> m("n").toLong).toMap,
         staleCells = cells.filter(_.apply("stale").toBoolean)
           .map(_.apply("cell").toLong).toSet,
@@ -242,36 +371,54 @@ object IvfIndex {
     private val SweepAt = 256
 
     private def fingerprint(spark: SparkSession, path: String): String = {
-      val f = sidecarFile(path)
-      val local = f.toUri.getScheme match {
-        case null | "file" => Some(java.nio.file.Paths.get(f.toUri.getPath))
+      val dir = sidecarDir(path)
+      val local = dir.toUri.getScheme match {
+        case null | "file" => Some(java.nio.file.Paths.get(dir.toUri.getPath))
         case _ => None
       }
       local match {
-        case Some(p) =>
-          // local fast-path keeps the INODE in the fingerprint: fileKey
-          // changes on EVERY writeSidecar (temp-file + atomic rename
-          // replaces the target), so a cross-process rewrite can never
-          // alias the fingerprint the way same-length + coarse-mtime
-          // could. ONLY file-absence maps to "" (= no sidecar): any
-          // other IO error must propagate — aliasing a transient read
-          // failure to "legacy layout" would silently bypass the
+        case Some(d) =>
+          // local fast-path: one directory listing resolves the
+          // highest committed header (headers are version-NAMED, the
+          // r14 CAS), and the fingerprint keeps its NAME + INODE:
+          // every commit creates a new name and a new file, so a
+          // cross-process write can never alias the fingerprint the
+          // way same-length + coarse-mtime could. ONLY absence (no
+          // dir / no header) maps to "" (= no sidecar): any other IO
+          // error must propagate — aliasing a transient read failure
+          // to "legacy layout" would silently bypass the
           // pendingAppends serve/upsert refusals.
           try {
-            val attrs = java.nio.file.Files.readAttributes(p,
-              classOf[java.nio.file.attribute.BasicFileAttributes])
-            s"${attrs.fileKey}:${attrs.size}:${attrs.lastModifiedTime}"
-          } catch { case _: java.nio.file.NoSuchFileException => "" }
+            import scala.jdk.CollectionConverters._
+            val ls = java.nio.file.Files.list(d)
+            val headers = try ls.iterator().asScala
+              .flatMap { p =>
+                p.getFileName.toString match {
+                  case SidecarHeaderRe(n) => Some(p -> n.toLong)
+                  case _ => None
+                }
+              }.toSeq
+            finally ls.close()
+            headers.sortBy(_._2).lastOption.map { case (p, _) =>
+              val attrs = java.nio.file.Files.readAttributes(p,
+                classOf[java.nio.file.attribute.BasicFileAttributes])
+              s"${p.getFileName}:${attrs.fileKey}:${attrs.size}:${attrs.lastModifiedTime}"
+            }.getOrElse("")
+          } catch {
+            case _: java.nio.file.NoSuchFileException => ""
+            case _: java.io.FileNotFoundException => ""
+          }
         case None =>
-          // remote filesystems: length + mtime off one getFileStatus
-          // (the sidecar's version counter makes ms-aliasing harmless
-          // in practice; writers also invalidate in-process). Same
-          // rule: only not-found is "no sidecar"; a throttled s3a/hdfs
-          // stat propagates instead of serving superseded rows.
-          try {
+          // remote filesystems: the same one-listing resolution off
+          // the scheme's FileSystem; name + length + mtime (the
+          // version-named header makes name the real discriminator).
+          // Same rule: only not-found is "no sidecar"; a throttled
+          // s3a/hdfs listing propagates instead of serving superseded
+          // rows.
+          latestSidecarFile(hadoopFs(spark, path), path).map { case (f, _) =>
             val st = hadoopFs(spark, path).getFileStatus(f)
-            s"${st.getLen}:${st.getModificationTime}"
-          } catch { case _: java.io.FileNotFoundException => "" }
+            s"${f.getName}:${st.getLen}:${st.getModificationTime}"
+          }.getOrElse("")
       }
     }
 
@@ -287,7 +434,14 @@ object IvfIndex {
         missesSinceSweep.set(0L)
         import scala.jdk.CollectionConverters._
         (cache.keySet.asScala ++ loadCounts.keySet.asScala).toSeq
-          .filter(p => fingerprint(spark, p).isEmpty)
+          .filter { p =>
+            // opportunistic maintenance must never fail an unrelated
+            // caller: a transient stat error on SOME OTHER cached path
+            // (one throttled s3a index among hundreds) means "keep the
+            // entry", not "propagate out of this caller's get()" —
+            // only not-found (fingerprint "") evicts
+            try fingerprint(spark, p).isEmpty catch { case _: Exception => false }
+          }
           .foreach { p => cache.remove(p); loadCounts.remove(p) }
       }
 
@@ -879,38 +1033,62 @@ object IvfIndex {
       .select(col("q_id"), col("n_id"), col("cell"))
   }
 
-  /** Shortlist-size ceiling for the PUSHED re-rank gather: below it
-    * the shortlist (≤ q·shortlist pairs — bounded, ServeMaxBatch caps
-    * q) is evaluated eagerly and its winner ids become pushed
-    * per-cell equality predicates on the gather scan; above it the
-    * gather falls back to the broadcast-join shape (which reads every
-    * probed cell's embeddings — correct, but no page pruning).
-    * 1M (q_id, n_id) longs ≈ 16 MB on the driver — comfortably inside
-    * the budget the probed-cell collects already set. */
+  /** Driver-collect ceiling for the re-rank gather's DISTINCT winner
+    * set ((cell, n_id) rows — the set the pushed predicates are built
+    * from). This is the only number that gates pushing at all: past it
+    * the winner set is not collected and the gather runs as the
+    * broadcast-join shape over the probed cells — which at that
+    * cardinality is also simply the right plan (≥1M distinct winners
+    * rival the probed cells' page population, so point reads stop
+    * skipping anything; see the per-cell full-scan flip below, which
+    * reaches the same conclusion cell-by-cell long before this global
+    * bound binds). 1M two-long rows ≈ 16 MB transient on the driver —
+    * inside the budget the probed-cell collects already set. */
   val PqGatherPushMax: Long = 1000000L
 
-  /** Distinct-winner-id ceiling for the pushed gather. The pushed
-    * shape is a union of per-cell scans, each carrying an OR-of-
-    * equality predicate over that cell's winner ids — the ONLY filter
-    * shape parquet's column-index machinery actually evaluates
-    * page-by-page (the r13 diag measured it: a native `In` prunes
-    * NOTHING at page level, and a cross-cell id set prunes nothing
-    * either way, because a cell's members are sparse in the id space —
-    * each page of a cell file spans ~pageRows·k ids, so every page
-    * "contains" some id of a corpus-wide set; the same ids restricted
-    * to THEIR OWN cell touch ~one page each). The ceiling bounds the
-    * PLAN size: Catalyst re-walks every Eq term through the optimizer,
-    * and a ~5000-term, ~50-branch gather measured ~11 s of planning —
-    * driver time no byte saving repays. Above it the broadcast-join
-    * gather is also simply the right plan: a large batch amortizes its
-    * once-per-batch probed-cell read over many queries, while the
-    * pushed shape is the LATENCY path (small batches → point reads:
-    * 10.1 MB vs 85.7 MB exact for 10 queries at 2M vectors,
-    * SCALE_r13_pq1000). The bound also keeps every branch's OR depth
+  /** Per-PLAN (and per-wave) pushed-term ceiling. The pushed shape is
+    * a union of per-cell scans, each carrying an OR-of-equality
+    * predicate over that cell's winner ids — the ONLY filter shape
+    * parquet's column-index machinery actually evaluates page-by-page
+    * (the r13 diag measured it: a native `In` prunes NOTHING at page
+    * level, and a cross-cell id set prunes nothing either way, because
+    * a cell's members are sparse in the id space — the same ids
+    * restricted to THEIR OWN cell touch ~one page each). The ceiling
+    * bounds ONE PLAN's size: Catalyst re-walks every Eq term through
+    * the optimizer, and a ~5000-term, ~50-branch gather measured ~11 s
+    * of planning — so winner sets LARGER than this are not abandoned
+    * (the r13 behavior, whose fallback re-read every probed cell's
+    * embeddings on top of the code scan) but split into sequential
+    * ≤this-many-id WAVES, each planned at the measured-cheap size and
+    * materialized before the next ([[PqGatherMaxWaves]] bounds the
+    * job count). The bound also keeps every branch's OR depth
     * stack-safe: Spark's filter translation recurses per OR node and
-    * overflows around ~5k terms, and no branch can carry more ids
-    * than the global cap. */
+    * overflows around ~5k terms. */
   val PqGatherPushMaxIds: Int = 1024
+
+  /** Wave-count ceiling for the chunked pushed gather: at most this
+    * many sequential ≤[[PqGatherPushMaxIds]]-id gather jobs per serve
+    * call (so the pushed path's driver job count is bounded by a
+    * constant, not by the batch size). Winner ids past
+    * PqGatherPushMaxIds·PqGatherMaxWaves flip their cells to the
+    * full-cell scan leg — at that density per-id point reads have
+    * stopped beating a sequential cell scan in any geometry the
+    * per-cell flip below wouldn't already have caught. */
+  val PqGatherMaxWaves: Int = 32
+
+  /** Per-cell pushed-vs-full decision: pushing reads ~one
+    * [[PageRowLimit]]-row page per winner id, a full-cell branch reads
+    * the cell's every page exactly once — so once a cell's winner
+    * count reaches half its page count, the pushed predicate is
+    * paying plan size and random reads for at best a 2× byte saving,
+    * and the full scan is the better branch. Cells whose occupancy is
+    * unknown (no sidecar counts supplied) are always pushed. */
+  private def cellPrefersFullScan(winnerIds: Int, cellRowCount: Option[Long])
+      : Boolean =
+    cellRowCount.exists { rows =>
+      val pages = (rows + PageRowLimit - 1) / PageRowLimit
+      winnerIds.toLong * 2 >= pages
+    }
 
   /** PQ-accelerated serving off a `build(pq = true)` layout — the
     * two-stage scan shape that matters at 100 TB: the SHORTLIST pass
@@ -921,104 +1099,186 @@ object IvfIndex {
     * each candidate by ADC against the query's RESIDUAL (the v33
     * math: codes were trained on residuals vs the serving centers, so
     * the query subtracts its probed cell's serving center first); the
-    * RERANK pass gathers raw embeddings for the ≤shortlist·q winners
-    * ONLY: the shortlist is bounded, so it is collected and PUSHED
-    * into the gather as one scan branch per probed cell — partition-
-    * pruned to the cell, with an OR-of-equality predicate over that
-    * cell's winner ids. Per-cell is the load-bearing part: a cell's
-    * members are sparse in the id space, so against a corpus-wide id
-    * set every page of a cell file "contains" a winner and nothing
-    * skips, while the same ids pushed at their own cell touch ~one
-    * [[PageRowLimit]]-row page each (and parquet's column index never
-    * evaluates a native `In` at page level at all — both measured,
-    * r13 diag). A broadcast join alone pushes NO predicate into the
-    * scan, so it would re-read every probed cell's embeddings (the
-    * bytes exact serving reads once) on top of the code scan —
-    * measured at 2M vectors in SCALE_r12_pq1000, the round-12 `weak`
-    * finding this shape closes. `serving` and `books` come off the `_centers`
-    * sidecar — zero index scans before the gather, like [[serve]].
-    * Broadcast weight: each panel row ships its m·k-double LUT (~1 KB
-    * at 8×16) instead of the residual, so a cap-sized (100k-query)
-    * batch broadcasts ~130 MB — inside executor budgets, and the
-    * ServeMaxBatch cap guards the path loudly. */
+    * RERANK pass gathers raw embeddings for the shortlist winners
+    * ONLY. The shortlist runs exactly ONCE — materialized through an
+    * eager local checkpoint (executor block store, never the driver)
+    * — and its bounded DISTINCT winner set is collected to drive the
+    * gather shape, decided PER CELL:
+    *  - a cell whose winner count is small against its page count
+    *    gets a PUSHED branch — partition-pruned to the cell, with an
+    *    OR-of-equality predicate over that cell's winner ids.
+    *    Per-cell is the load-bearing part: a cell's members are
+    *    sparse in the id space, so against a corpus-wide id set every
+    *    page "contains" a winner and nothing skips, while the same
+    *    ids pushed at their own cell touch ~one [[PageRowLimit]]-row
+    *    page each (and parquet's column index never evaluates a
+    *    native `In` at page level at all — both measured, r13 diag);
+    *  - a cell whose winners rival its pages flips to a full-cell
+    *    scan branch ([[cellPrefersFullScan]]) — at that density the
+    *    point reads stop skipping and the sequential scan is simply
+    *    the better plan (this is why "PQ reads more than exact" can
+    *    no longer happen structurally: per cell the gather reads
+    *    min(pushed pages, all pages), so its bytes are bounded by the
+    *    one embedding pass exact serving makes, plus the ~3% code
+    *    scan).
+    * Pushed ids past one plan's [[PqGatherPushMaxIds]] budget are
+    * split into sequential WAVES (each planned at the measured-cheap
+    * size and materialized via eager checkpoint before the next, so
+    * a large winner set costs bounded-size plans instead of the r13
+    * whole-batch fallback that re-read every probed cell's
+    * embeddings on top of the code scan); [[PqGatherMaxWaves]] bounds
+    * the job count and [[PqGatherPushMax]] the driver collect.
+    * `serving` and `books` come off the `_centers` sidecar — zero
+    * index scans before the gather, like [[serve]] — and `cellRows`
+    * (the sidecar's occupancy counts) drives the per-cell flip;
+    * without it every cell is pushed. Broadcast weight: each panel
+    * row ships its m·k-double LUT (~1 KB at 8×16), so a cap-sized
+    * (100k-query) batch broadcasts ~130 MB — inside executor
+    * budgets, and the ServeMaxBatch cap guards the path loudly. */
   def servePq(idx: DataFrame, queries: DataFrame, panel: DataFrame,
       k: Int, shortlist: Int,
       serving: Seq[(Int, Array[Double])],
       books: Seq[Seq[(Int, Array[Double])]],
-      pushMax: Long = PqGatherPushMax): DataFrame = {
+      pushMax: Long = PqGatherPushMax,
+      cellRows: Map[Long, Long] = Map.empty,
+      maxIdsPerWave: Int = PqGatherPushMaxIds,
+      maxWaves: Int = PqGatherMaxWaves,
+      knownBatchRows: Option[Long] = None): DataFrame = {
     require(books.nonEmpty, "servePq: the index has no PQ codebooks")
-    val spark = idx.sparkSession
     val probed = panel.select(col("cell")).distinct().collect()
       .map(_.get(0).asInstanceOf[Number].longValue()).sorted.toSeq
     val pruned =
       if (probed.isEmpty) idx.filter(lit(false)) else
         idx.filter(col("cell").isin(probed: _*))
-    val short = pqShortlist(pruned, panel, shortlist, serving, books)
+    // the ADC shortlist is the pq path's most expensive stage — the
+    // checkpoint runs it exactly once, and the winner analysis, the
+    // gather's pair join and the fallback all reuse the materialized
+    // rows (never a second code scan, whatever shape is chosen)
+    val short0 = pqShortlist(pruned, panel, shortlist, serving, books)
     // the re-rank pairs each winner with its query ONCE: `queries` is
     // the unique (q_id, q_emb) batch, not the (possibly multi-probe)
     // per-cell panel — deduping the panel instead would plan a
     // HashAggregate over the batch (the PlanSpec zero-aggregates pin
-    // caught exactly that)
+    // caught exactly that). NO count here: the caller threads its
+    // cap-check count in as `knownBatchRows` (the r13 shape paid a
+    // second queries.count() per serve call just to re-derive it).
     val qv = queries.select(col("q_id"), col("q_emb"))
-    val nQueries = queries.count()
-    val pairs0 =
-      if (nQueries * shortlist <= pushMax) short.collect() else Array.empty[Row]
-    // id-type agnostic like the probed-cell collect above: the user's
-    // id column may be int-typed, where Row.getLong would throw
+    // id-type agnostic: the user's id column may be int-typed, where
+    // Row.getLong would throw
+    def cellOf(r: Row): Long = r.get(0).asInstanceOf[Number].longValue()
     def idOf(r: Row): Long = r.get(1).asInstanceOf[Number].longValue()
-    val distinctIds = pairs0.map(idOf).distinct.length
     val idType = idx.schema("vec_id").dataType
+    val spark = idx.sparkSession
+    // the gather gate, sized to keep DRIVER ROUND-TRIPS minimal on the
+    // latency path: a batch the caller KNOWS is small (q·shortlist ≤
+    // pushMax) collects the whole shortlist in ONE job — pairs and the
+    // distinct winner set both come off that array, no checkpoint, no
+    // second aggregate job. An unknown or large batch materializes the
+    // shortlist via eager checkpoint (executor block store) and
+    // collects only the bounded DISTINCT winner set (limit+1, so an
+    // over-cap set transfers at most cap+1 rows before falling back).
+    val winnersCap = math.min(math.max(pushMax, 0L), 8000000L).toInt
+    val smallBatch = winnersCap > 0 &&
+      knownBatchRows.exists(n => n * shortlist <= pushMax)
+    val (short, pairsDf, winners, pushable) =
+      if (smallBatch) {
+        val pairs = short0.collect()
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(pairs: _*), short0.schema)
+        val w = pairs.map(r => (r.get(2).asInstanceOf[Number].longValue(),
+          idOf(r))).distinct.toSeq
+        (local, local.select(col("q_id"), col("n_id")), w, true)
+      } else {
+        val ck = short0.localCheckpoint(true)
+        val w: Array[Row] =
+          if (winnersCap == 0) Array.empty
+          else ck.select(col("cell"), col("n_id")).distinct()
+            .limit(winnersCap + 1).collect()
+        (ck, ck.select(col("q_id"), col("n_id")),
+          w.map(r => (cellOf(r), idOf(r))).toSeq,
+          winnersCap > 0 && w.length <= winnersCap)
+      }
+    def scoreOf(gather: DataFrame): DataFrame =
+      gather.join(broadcast(pairsDf), "n_id")
+        .join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("n_id"),
+          VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))
     val scored =
-      if (pairs0.nonEmpty && distinctIds <= PqGatherPushMaxIds) {
-        // PUSHED gather: evaluate the bounded shortlist now, then read
-        // each winner id against ITS OWN cell — one scan branch per
-        // probed cell, partition-pruned to that cell and carrying an
-        // OR-of-equality predicate over the cell's winner ids. Within
-        // a cell file the rows are vec_id-sorted, so each pushed id
-        // touches ~one small page (PageRowLimit) and parquet's column
-        // index skips the rest. A cross-cell id predicate prunes
-        // NOTHING here (a cell's members are sparse in the id space,
-        // so every page's id range covers some winner), and parquet
-        // never evaluates a native `In` against the column index at
-        // all — both measured, r13 diag.
-        val pairs = pairs0
-        val idsByCell = pairs
-          .groupBy(_.get(2).asInstanceOf[Number].longValue()).toSeq.sortBy(_._1)
-          .map { case (c, ps) => c -> ps.map(idOf).distinct.sorted }
-        val pairsDf = spark.createDataFrame(
-          java.util.Arrays.asList(pairs: _*), short.schema)
-          .select(col("q_id"), col("n_id"))
+      if (pushable && winners.isEmpty) {
+        // empty shortlist (empty panel / empty batch): an empty frame
+        // with the scored schema — never re-evaluate anything
+        short.select(col("q_id"), col("n_id"), lit(0d).as("sim"))
+          .filter(lit(false))
+      } else if (pushable) {
+        val idsByCell = winners
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (c, ws) => c -> ws.map(_._2).toArray.sorted }
+        val (full0, push0) = idsByCell.partition { case (c, ids) =>
+          cellPrefersFullScan(ids.length, cellRows.get(c))
+        }
+        // bound the total pushed work: past MaxWaves·MaxIds ids, flip
+        // the LARGEST pushed cells to full scans first (they are the
+        // closest to the density where pushing stops paying anyway)
+        val budget = maxIdsPerWave.toLong * maxWaves
+        var pushedTotal = push0.map(_._2.length.toLong).sum
+        val bySize = push0.sortBy(-_._2.length)
+        val overflow = scala.collection.mutable.ListBuffer.empty[(Long, Array[Long])]
+        val it = bySize.iterator
+        while (pushedTotal > budget && it.hasNext) {
+          val c = it.next(); overflow += c; pushedTotal -= c._2.length
+        }
+        val overflowCells = overflow.map(_._1).toSet
+        val push = push0.filterNot(p => overflowCells(p._1))
+        val fullCells = (full0.map(_._1) ++ overflow.map(_._1)).sorted
         // the equality literal is cast to the COLUMN's type: comparing
         // an int id column against a long literal would wrap the
         // column in a cast, which defeats parquet pushdown entirely
-        val branches = idsByCell.map { case (c, cids) =>
+        def branch(c: Long, ids: Array[Long]): DataFrame =
           idx.filter(col("cell") === c)
-            .filter(cids.map(i => col("vec_id") === lit(i).cast(idType))
+            .filter(ids.map(i => col("vec_id") === lit(i).cast(idType))
               .reduce(_ || _))
             .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        // wave packing: whole cells first-fit into ≤MaxIds-id waves; a
+        // cell larger than one wave splits its (sorted) id list
+        val slices = push.flatMap { case (c, ids) =>
+          ids.grouped(maxIdsPerWave).map(g => c -> g)
         }
-        branches.reduce(_ unionByName _)
-          .join(broadcast(pairsDf), "n_id")
-          .join(broadcast(qv), "q_id")
-          .select(col("q_id"), col("n_id"),
-            VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))
+        val waves = scala.collection.mutable.ListBuffer
+          .empty[scala.collection.mutable.ListBuffer[(Long, Array[Long])]]
+        var waveCount = 0
+        slices.foreach { s =>
+          if (waves.isEmpty || waveCount + s._2.length > maxIdsPerWave) {
+            waves += scala.collection.mutable.ListBuffer(s); waveCount = s._2.length
+          } else { waves.last += s; waveCount += s._2.length }
+        }
+        val pushLegs: Seq[DataFrame] =
+          if (waves.isEmpty) Seq.empty
+          else if (waves.size == 1)
+            // single wave: stay LAZY so the pushed plan shape is
+            // pinnable (and the final job fuses gather + rank)
+            Seq(scoreOf(waves.head.map((branch _).tupled).reduce(_ unionByName _)))
+          else
+            // chunked: one bounded-size plan per wave, materialized
+            // sequentially via eager checkpoint — per-wave planning
+            // stays at the measured-cheap ≤MaxIds size however large
+            // the winner set is, and each id still reads ~one page
+            waves.toSeq.map { w =>
+              scoreOf(w.map((branch _).tupled).reduce(_ unionByName _))
+                .localCheckpoint(true)
+            }
+        val fullLeg: Option[DataFrame] =
+          if (fullCells.isEmpty) None
+          else Some(scoreOf(
+            idx.filter(col("cell").isin(fullCells: _*))
+              .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))))
+        (pushLegs ++ fullLeg).reduce(_ unionByName _)
       } else {
-        // fallback above the push ceiling: broadcast-join gather over
-        // the probed cells (no scan pruning beyond the partition
-        // predicate). An already-collected shortlist is REUSED — the
-        // ADC shortlist is the pq path's most expensive stage, and
-        // re-evaluating the lazy frame would run it twice
-        val shortDf =
-          if (pairs0.nonEmpty)
-            spark.createDataFrame(java.util.Arrays.asList(pairs0: _*),
-              short.schema).select(col("q_id"), col("n_id"))
-          else short.select(col("q_id"), col("n_id"))
-        val nv = pruned.select(col("vec_id").as("n_id"),
-          col("embedding").as("n_emb"))
-        nv.join(broadcast(shortDf), "n_id")
-          .join(broadcast(qv), "q_id")
-          .select(col("q_id"), col("n_id"),
-            VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))
+        // winner set past the driver-collect cap: broadcast-join
+        // gather over the probed cells. At ≥cap distinct winners the
+        // per-cell flip would have chosen full scans nearly everywhere
+        // anyway — this is the same plan without the driver transfer.
+        scoreOf(pruned.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_emb")))
       }
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)

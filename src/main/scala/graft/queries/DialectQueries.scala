@@ -836,6 +836,38 @@ object DialectQueries {
         g.sql(s"serve vec_id, embedding from '$ip' query '$qp' " +
           "top 5 probe 2 pq shortlist 20")
       },
-      Some(VectorQueries.pqServeOracle(5, 20, probe = 2)))
+      Some(VectorQueries.pqServeOracle(5, 20, probe = 2))),
+
+    // Prepared-index serving — the LATENCY path the pushed gather
+    // optimizes, benched without the build: the index and query batch
+    // are materialized ONCE per fixture (build-if-absent, keyed by dir
+    // + layout round so a format change can never serve a stale
+    // layout) and each bench pass times ONLY the serve statement —
+    // sidecar-cached routing, ADC shortlist, bounded re-rank gather.
+    // s60/s64 are dominated by their per-pass `index` build; this is
+    // the number a serving loop actually sees, tracked round-over-
+    // round in BENCH (VERDICT r13 ask #7). The deterministic build
+    // makes the prebuilt layout equivalent to a fresh one, so the s64
+    // oracle replays it unchanged at top 10.
+    Q("s66_dialect_serve_pq_prepared",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val g = GraftSession(s, dir)
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val ip = s"/tmp/graft_s66_idx_r14_$tag"
+        val qp = s"/tmp/graft_s66_q_r14_$tag"
+        if (!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(ip, graft.operators.IvfIndex.SidecarDir))) {
+          g.sql(s"index vec_id, embedding from embeddings into '$ip' pq")
+          graft.core.Tables(s, dir, "embeddings")
+            .filter(col("vec_id") % 11 === 3)
+            .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+              col("embedding"))
+            .coalesce(1).write.mode("overwrite").parquet(qp)
+        }
+        g.sql(s"serve vec_id, embedding from '$ip' query '$qp' top 10 pq shortlist 20")
+      },
+      Some(VectorQueries.pqServeOracle(10, 20)),
+      bench = true)
   )
 }

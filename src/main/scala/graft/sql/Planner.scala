@@ -535,8 +535,9 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         "appends — a pruned gather could return superseded vectors; " +
         "run compact first"))
     // the UNIQUE external query batch (q_id, q_emb), cap-checked once —
-    // shared by the routing panel and the pq re-rank pairing
-    val queryFrame: Option[DataFrame] = st.query.map { qt =>
+    // shared by the routing panel and the pq re-rank pairing; the
+    // counted size rides along so servePq never re-counts the batch
+    val queryFrame: Option[(DataFrame, Long)] = st.query.map { qt =>
       val qbase = resolve(qt, false)
       val q = qbase.select(named(qbase, st.idCol, "q_id"),
         named(qbase, st.vecCol, "q_emb"))
@@ -550,9 +551,9 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         throw PlanError(s"serve: query batch has $n rows (cap $ServeMaxBatch): " +
           "serving batches must be query-sized; for corpus-scale scoring " +
           "use `similar` or the ANN pipeline operators")
-      q
+      (q, n)
     }
-    val panel = queryFrame match {
+    val panel = queryFrame.map(_._1) match {
       case None =>
         // the v45 demo panel: indexed vectors, cells already on disk —
         // a pushed-down `vec_id < 5` scan (the layout range-partitions
@@ -608,9 +609,15 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         col("cell").cast(LongType).as("cell"))
       // the UNIQUE query batch for the re-rank pairing (the panel may
       // carry one row per probed cell under multi-probe)
-      val queries = queryFrame.get
+      val (queries, nQueries) = queryFrame.get
+      // the sidecar's occupancy counts drive the gather's per-cell
+      // pushed-vs-full flip (serve refused pendingAppends above, so
+      // the counts are current for every servable index), and the
+      // cap-check count is threaded through so the gather gate costs
+      // zero extra driver jobs on the latency path
       graft.operators.IvfIndex.servePq(idxFull, queries, panel, st.k.toInt,
-        st.shortlist.toInt, s.serving, s.books)
+        st.shortlist.toInt, s.serving, s.books, cellRows = s.counts,
+        knownBatchRows = Some(nQueries))
     }
   }
 

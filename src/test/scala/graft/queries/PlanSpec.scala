@@ -873,18 +873,63 @@ class PlanSpec extends SparkSpec {
       s"serve must not aggregate anything — routing is sidecar-driven:\n${p.take(1500)}")
   }
 
-  test("pq serve (s64/v50): the re-rank gather pushes winner ids per cell") {
+  test("pq serve (s64/v50): the gather's per-cell flip picks full scans at this geometry") {
+    // the dialect serve passes the sidecar's occupancy counts into the
+    // gather's per-cell pushed-vs-full decision. At sf0.001 the cells
+    // are ~2 pages each and the winner set rivals that — so pushing
+    // per-id predicates would read the same pages with plan overhead
+    // on top, and the CORRECT adaptive outcome is the full-cell
+    // broadcast gather (no per-id equality terms). The pushed shape
+    // itself is pinned on a large-cell geometry in the next test.
+    val p = plan("s64_dialect_serve_pq")
+    val pushed = p.split("\n").filter(_.contains("PushedFilters")).mkString("\n")
+    assert(!pushed.contains("EqualTo(vec_id"),
+      s"tiny cells must flip to full-cell scans, not per-id pushes:\n$pushed")
+    // still partition-pruned to the probed cells, panel broadcast
+    val parts = p.split("\n").filter(_.contains("PartitionFilters"))
+    assert(parts.exists(l => l.contains("cell") && !l.contains("[]")),
+      s"the gather must stay pruned to probed cells:\n${parts.mkString("\n")}")
+    // the gather reads (vec_id, embedding) only — codes never re-load
+    val reads = p.split("\n").filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!reads.contains("pq:array"),
+      s"the gather must not re-read the codes column:\n$reads")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"),
+      "pq serve must not aggregate anything — routing and books are sidecar-driven")
+  }
+
+  test("pq serve: large cells push winner ids per cell (the latency shape)") {
     // the round-12 `weak` finding: a broadcast join pushes NO vec_id
     // predicate into the parquet scan, so the re-rank used to re-read
     // every probed cell's embedding column — the same bytes exact
-    // serving reads once. The shortlist is bounded (≤ q·shortlist),
-    // so each winner id must now reach the gather as a pushed
+    // serving reads once. When a cell's winner count is small against
+    // its page count, each winner id must reach the gather as a pushed
     // EQUALITY predicate on its own cell's scan branch — per-cell
     // because a cell's members are sparse in the id space (a corpus-
     // wide id set overlaps every page's id range), and equalities
     // because parquet's column index never evaluates a native `In`
-    // at page level (both measured, r13 diag).
-    val p = plan("s64_dialect_serve_pq")
+    // at page level (both measured, r13 diag). Occupancy is supplied
+    // as large so the per-cell flip keeps every cell pushed — the
+    // 100 TB geometry, where cells are millions of rows.
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    val e = graft.core.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = "/tmp/graft_planspec_pqpush"
+    IvfIndex.build(e, path, pq = true)
+    val side = IvfIndex.readSidecar(spark, path).get
+    val q = e.filter(col("vec_id") % 17 === 5)
+      .select((col("vec_id") + lit(1000000L)).as("q_id"),
+        col("embedding").as("q_emb"))
+    val panel = q.select(col("q_id"), col("q_emb"),
+      graft.functions.VectorExprs.nearest_centroid(
+        col("q_emb"), side.refresh, side.dim).as("cell"))
+    val bigCells = side.counts.keys.map(_ -> 10000000L).toMap
+    val served = IvfIndex.servePq(IvfIndex.readFull(spark, path), q, panel,
+      5, 20, side.serving, side.books, cellRows = bigCells)
+    val p = served.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
     val pushed = p.split("\n").filter(_.contains("PushedFilters")).mkString("\n")
     assert(pushed.contains("EqualTo(vec_id"),
       s"the re-rank gather must push winner-id equality filters:\n$pushed")
