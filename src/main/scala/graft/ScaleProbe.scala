@@ -95,6 +95,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r14pq")) r14Pq(args.drop(1))
     else if (args.headOption.contains("r14cap")) r14Cap(args.drop(1))
     else if (args.headOption.contains("r14sidecar")) r14Sidecar(args.drop(1))
+    else if (args.headOption.contains("r14diag")) r14Diag(args.drop(1))
     else if (args.headOption.contains("r13diag")) r13Diag(args.drop(1))
     else if (args.headOption.contains("r13cap")) r13Cap(args.drop(1))
     else if (args.headOption.contains("r13compact")) r13Compact(args.drop(1))
@@ -763,6 +764,44 @@ object ScaleProbe {
         back.get.copy(version = back.get.version + 1L)))
     }
     writeJson(outJson, 0)
+    spark.stop()
+  }
+
+  /** Round-14 diagnostic: where does a pushed WAVE's wall go —
+    * Catalyst planning of the ~40-branch union vs execution? Runs
+    * wave-shaped plans against the already-built r14pq 2M fixture and
+    * times executedPlan construction separately from the job. */
+  private def r14Diag(args: Array[String]): Unit = {
+    val spark = session()
+    val idx = spark.read.parquet("/tmp/graft_r14pq_probe_1000/idx_pq")
+      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+    val rnd = new java.util.Random(7)
+    def wave(nCells: Int, idsPer: Int, branchMax: Int, codegen: Boolean = true): Unit = {
+      val branches = (0 until nCells).map(_.toLong).flatMap { c =>
+        val ids = Array.fill(idsPer)(math.abs(rnd.nextLong()) % 2000000L).distinct.sorted
+        ids.grouped(branchMax).map { g =>
+          idx.filter(col("cell") === c)
+            .filter(g.map(i => col("vec_id") === lit(i)).reduce(_ || _))
+            .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        }
+      }
+      val df = branches.reduce(_ unionByName _)
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      var t0 = System.nanoTime()
+      df.queryExecution.executedPlan
+      val planS = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val n = df.count()
+      val execS = (System.nanoTime() - t0) / 1e9
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      println(f"WAVE cells=$nCells idsPer=$idsPer branchMax=$branchMax codegen=$codegen plan=$planS%.2f exec=$execS%.2f rows=$n")
+    }
+    wave(40, 25, 128)
+    wave(40, 25, 128)
+    wave(40, 25, 1024)
+    wave(64, 16, 128)
+    wave(8, 128, 128)
+    wave(40, 25, 128, codegen = false)
     spark.stop()
   }
 

@@ -1076,6 +1076,17 @@ object IvfIndex {
     * per-cell flip below wouldn't already have caught. */
   val PqGatherMaxWaves: Int = 32
 
+  /** Per-BRANCH OR-of-equality term bound. One cell's winner ids can
+    * fill a whole wave (1024 terms), and a single Filter with that
+    * many ORs blows Janino's 64 KB method limit — whole-stage codegen
+    * then retries interpreted, costing seconds of compile attempts per
+    * wave (measured: the r14 q100 probe logged three 64 KB failures).
+    * Slicing a cell's ids across several ≤this-size branches keeps
+    * every generated method small; the union shape, the per-branch
+    * single-cell partition pruning and the pushed predicates are
+    * unchanged. */
+  val PqGatherBranchMaxIds: Int = 128
+
   /** Per-cell pushed-vs-full decision: pushing reads ~one
     * [[PageRowLimit]]-row page per winner id, a full-cell branch reads
     * the cell's every page exactly once — so once a cell's winner
@@ -1234,10 +1245,12 @@ object IvfIndex {
         // an int id column against a long literal would wrap the
         // column in a cast, which defeats parquet pushdown entirely
         def branch(c: Long, ids: Array[Long]): DataFrame =
-          idx.filter(col("cell") === c)
-            .filter(ids.map(i => col("vec_id") === lit(i).cast(idType))
-              .reduce(_ || _))
-            .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+          ids.grouped(PqGatherBranchMaxIds).map { g =>
+            idx.filter(col("cell") === c)
+              .filter(g.map(i => col("vec_id") === lit(i).cast(idType))
+                .reduce(_ || _))
+              .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+          }.reduce(_ unionByName _)
         // wave packing: whole cells first-fit into ≤MaxIds-id waves; a
         // cell larger than one wave splits its (sorted) id list
         val slices = push.flatMap { case (c, ids) =>
@@ -1255,23 +1268,34 @@ object IvfIndex {
           if (waves.isEmpty) Seq.empty
           else if (waves.size == 1)
             // single wave: stay LAZY so the pushed plan shape is
-            // pinnable (and the final job fuses gather + rank)
-            Seq(scoreOf(waves.head.map((branch _).tupled).reduce(_ unionByName _)))
-          else
-            // chunked: one bounded-size plan per wave, materialized
-            // sequentially via eager checkpoint — per-wave planning
-            // stays at the measured-cheap ≤MaxIds size however large
-            // the winner set is, and each id still reads ~one page
-            waves.toSeq.map { w =>
-              scoreOf(w.map((branch _).tupled).reduce(_ unionByName _))
-                .localCheckpoint(true)
-            }
+            // pinnable (and the final job fuses gather + join + rank)
+            Seq(waves.head.map((branch _).tupled).reduce(_ unionByName _))
+          else {
+            // chunked: one bounded-size plan per wave — each wave is a
+            // PURE gather (scan branches only, ≤maxIdsPerWave rows of
+            // (n_id, n_emb) out), materialized via eager checkpoint;
+            // the pair join, cosine and rank run ONCE over the union
+            // of checkpointed legs, so their codegen compiles once
+            // however many waves run. Waves bound PLAN size, not IO —
+            // they submit CONCURRENTLY (bounded pool; Spark schedules
+            // parallel jobs fine), so wall is ~max(wave), not Σ(wave).
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(8, waves.size))
+            implicit val ec: ExecutionContext =
+              ExecutionContext.fromExecutorService(pool)
+            try Await.result(
+              Future.sequence(waves.toSeq.map { w => Future {
+                w.map((branch _).tupled).reduce(_ unionByName _)
+                  .localCheckpoint(true)
+              }}), scala.concurrent.duration.Duration.Inf)
+            finally pool.shutdown()
+          }
         val fullLeg: Option[DataFrame] =
           if (fullCells.isEmpty) None
-          else Some(scoreOf(
-            idx.filter(col("cell").isin(fullCells: _*))
-              .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))))
-        (pushLegs ++ fullLeg).reduce(_ unionByName _)
+          else Some(idx.filter(col("cell").isin(fullCells: _*))
+            .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
+        scoreOf((pushLegs ++ fullLeg).reduce(_ unionByName _))
       } else {
         // winner set past the driver-collect cap: broadcast-join
         // gather over the probed cells. At ≥cap distinct winners the
