@@ -24,6 +24,9 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // serving's bounded top-k heaps must stay hash-aggregated at
+      // batch-cap group counts (see GraftSession)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "200000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -965,6 +965,24 @@ object IvfIndex {
     if (over) compact(spark, path, maxFilesPerCell) else Seq.empty
   }
 
+  /** Final per-query rank of a (q_id, n_id, sim) candidate frame —
+    * top-k by (sim desc, n_id asc) WITHOUT a sort: the rank-window
+    * shape plans a full local sort of every candidate row (measured
+    * 42-45 GB of sort spill at a 100k-query batch over 2M vectors,
+    * SCALE_r14_cap); [[graft.functions.TopKByAgg]] folds candidates
+    * into bounded per-query heaps map-side instead, so the exchange
+    * carries q·k winner rows and nothing larger than k is ever
+    * sorted. Bit-identical output (same order contract, ranks off
+    * posexplode of the rank-ordered winners). */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame =
+    sims.groupBy(col("q_id"))
+      .agg(graft.functions.TopKExprs.top_k_by(
+        col("n_id"), col("sim"), col("sim"), k, asc = false).as("topk"))
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("n_id"),
+        col("hit.payload").as("sim"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+
   /** Partition-pruned serving: top-`k` cosine neighbors within each
     * query's probed cell(s). `panel` is (q_id, q_emb, cell) — one row
     * per probed cell for multi-probe panels; the probed cells collect
@@ -986,10 +1004,7 @@ object IvfIndex {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val wr = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    sims.withColumn("rank", row_number().over(wr).cast(LongType))
-      .filter(col("rank") <= k)
+    rankTopK(sims, k)
   }
 
   /** The lazy ADC shortlist of [[servePq]] — (q_id, n_id) winners per
@@ -1024,13 +1039,18 @@ object IvfIndex {
       .join(broadcast(qSide), "cell")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("cell"), adc.as("adc"))
-    val ws = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc").asc, col("n_id").asc)
-    // the winner's CELL rides along: the re-rank gather needs it to
-    // push each id against ITS OWN cell's files (see servePq)
-    sc.withColumn("srk", row_number().over(ws))
-      .filter(col("srk") <= shortlist)
-      .select(col("q_id"), col("n_id"), col("cell"))
+    // bounded per-query heap instead of a rank window: the shortlist
+    // stage ranks EVERY probed candidate per query, and the window
+    // shape's local sort was the pq path's dominant spill at large
+    // batches (see rankTopK). The winner's CELL rides along as the
+    // agg payload: the re-rank gather needs it to push each id
+    // against ITS OWN cell's files (see servePq).
+    sc.groupBy(col("q_id"))
+      .agg(graft.functions.TopKExprs.top_k_by(
+        col("n_id"), col("adc"), col("cell"), shortlist, asc = true).as("s"))
+      .select(col("q_id"), explode(col("s")).as("hit"))
+      .select(col("q_id"), col("hit.id").as("n_id"),
+        col("hit.payload").as("cell"))
   }
 
   /** Driver-collect ceiling for the re-rank gather's DISTINCT winner
@@ -1304,9 +1324,6 @@ object IvfIndex {
         scoreOf(pruned.select(col("vec_id").as("n_id"),
           col("embedding").as("n_emb")))
       }
-    val wr = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(wr).cast(LongType))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 }

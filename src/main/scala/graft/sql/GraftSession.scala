@@ -15,6 +15,18 @@ import graft.sources.CsvSource
   */
 final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = None,
     val password: Option[String] = None) {
+  // Serving's bounded top-k heaps (TypedImperativeAggregate) plan as
+  // ObjectHashAggregate, which silently falls back to SORT-based
+  // aggregation past this many groups per task — at the default 128
+  // a serving batch re-pays the candidate sort the heap exists to
+  // avoid. A query-batch group's state is ~24·k bytes, so the cap
+  // batch (ServeMaxBatch=100k groups) fits task memory comfortably;
+  // an explicitly LARGER user setting is kept.
+  // 200k = 2× the serve batch cap (Planner.ServeMaxBatch).
+  if (spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "128").toLong < 200000L)
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "200000")
   private val registry = mutable.LinkedHashMap.empty[String, DataFrame]
   // _f1.._fN index the files in first-use order PER STATEMENT
   // (reference rebuilds its registry per query, utils.go:507-570);

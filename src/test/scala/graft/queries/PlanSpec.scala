@@ -868,9 +868,25 @@ class PlanSpec extends SparkSpec {
           l.contains("PartitionFilters")).mkString("\n"))
     assert(p.contains("BroadcastHashJoin"),
       s"the query panel must broadcast onto the pruned gather:\n${p.take(1200)}")
-    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
-      !p.contains("ObjectHashAggregate"),
-      s"serve must not aggregate anything — routing is sidecar-driven:\n${p.take(1500)}")
+    assertOnlyTopKAggregates(p,
+      "serve must not re-aggregate the index — routing is sidecar-driven; " +
+        "the only aggregate is the bounded per-query top-k heap")
+  }
+
+  /** The serving plans' aggregate contract: the ONLY aggregates are
+    * the bounded top_k_by heaps (ObjectHashAggregate) — never a
+    * corpus mean/sort aggregate (routing is sidecar-driven, and the
+    * rank-window sort was replaced by the heap in r14). */
+  private def assertOnlyTopKAggregates(p: String, msg: String): Unit = {
+    assert(p.contains("ObjectHashAggregate") && p.contains("top_k_by"),
+      s"$msg — expected the top_k_by heap aggregate:\n${p.take(1500)}")
+    assert("(?<!Object)HashAggregate".r.findFirstIn(p).isEmpty &&
+      !p.contains("SortAggregate"),
+      s"$msg — found a non-top-k aggregate:\n${p.take(1500)}")
+    // and the candidate frame is never globally sorted: the heap's
+    // whole point is that nothing larger than k gets ordered
+    assert(!p.contains("WindowGroupLimit") && """\(\d+\) Window\b""".r.findFirstIn(p).isEmpty,
+      s"$msg — the rank window (and its local sort) must be gone:\n${p.take(1500)}")
   }
 
   test("pq serve (s64/v50): the gather's per-cell flip picks full scans at this geometry") {
@@ -894,9 +910,8 @@ class PlanSpec extends SparkSpec {
     assert(!reads.contains("pq:array"),
       s"the gather must not re-read the codes column:\n$reads")
     assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
-      !p.contains("ObjectHashAggregate"),
-      "pq serve must not aggregate anything — routing and books are sidecar-driven")
+    assertOnlyTopKAggregates(p,
+      "pq serve must not re-aggregate — routing and books are sidecar-driven")
   }
 
   test("pq serve: large cells push winner ids per cell (the latency shape)") {
@@ -946,9 +961,8 @@ class PlanSpec extends SparkSpec {
     assert(!reads.contains("pq:array"),
       s"the gather must not re-read the codes column:\n$reads")
     assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
-      !p.contains("ObjectHashAggregate"),
-      "pq serve must not aggregate anything — routing and books are sidecar-driven")
+    assertOnlyTopKAggregates(p,
+      "pq serve must not re-aggregate — routing and books are sidecar-driven")
   }
 
   test("pq shortlist stage scans codes only, never embeddings") {
