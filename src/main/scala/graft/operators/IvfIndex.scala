@@ -205,27 +205,53 @@ object IvfIndex {
       if (v >= sc.version) refuse(v)
     }
     val refreshByCell = sc.refresh.map { case (c, a) => c.toLong -> a }.toMap
-    // per-cell lines encode in parallel: k·2d doubles of base64 is the
-    // whole cost of a large-k write, and every line is independent
     import scala.collection.parallel.CollectionConverters._
-    val cellLines: Seq[String] = sc.serving.sortBy(_._1).par.map {
-      case (cell, center) =>
+    val sortedServing = sc.serving.sortBy(_._1)
+    val sharded = sortedServing.length > SidecarShardCells
+    // inside the shard bound the format is the pre-r14 single text
+    // file, byte-compatible; past it the cell rows move to BINARY
+    // shard files (raw little-endian IEEE bits — the text round-trip
+    // is base64 + per-line string churn, measured 28 s to read back
+    // a k=100k, d=768 sidecar vs seconds for the same doubles raw)
+    val cellLines: Seq[String] =
+      if (sharded) Seq.empty
+      else sortedServing.map { case (cell, center) =>
         val refresh = refreshByCell.get(cell.toLong).map(encodeDoubles).getOrElse("-")
         s"cell=$cell n=${sc.counts.getOrElse(cell.toLong, 0L)} " +
           s"stale=${sc.staleCells.contains(cell.toLong)} " +
           s"serving=${encodeDoubles(center)} refresh=$refresh"
-    }.seq
+      }
     val bookLines = sc.books.zipWithIndex.flatMap { case (book, s) =>
       book.sortBy(_._1).map { case (code, cent) =>
         s"pq=$s code=$code cent=${encodeDoubles(cent)}"
       }
     }
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val shards: Seq[Seq[String]] =
-      if (cellLines.length <= SidecarShardCells) Seq.empty
-      else cellLines.grouped(SidecarShardCells).toSeq
+    val shards: Seq[Seq[(Int, Array[Double])]] =
+      if (!sharded) Seq.empty
+      else sortedServing.grouped(SidecarShardCells).toSeq
     def shardPath(i: Int): HPath =
       new HPath(dir, s"cells-$i.$token.v${sc.version}")
+    def shardBytes(group: Seq[(Int, Array[Double])]): Array[Byte] = {
+      val size = group.iterator.map { case (c, serving) =>
+        val rd = refreshByCell.get(c.toLong).map(_.length).getOrElse(0)
+        4 + 8 + 1 + 4 + serving.length * 8 + 4 + rd * 8
+      }.sum
+      val bb = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      group.foreach { case (c, serving) =>
+        bb.putInt(c)
+        bb.putLong(sc.counts.getOrElse(c.toLong, 0L))
+        bb.put(if (sc.staleCells.contains(c.toLong)) 1.toByte else 0.toByte)
+        bb.putInt(serving.length)
+        serving.foreach(bb.putDouble)
+        refreshByCell.get(c.toLong) match {
+          case Some(r) => bb.putInt(r.length); r.foreach(bb.putDouble)
+          case None => bb.putInt(-1)
+        }
+      }
+      bb.array()
+    }
     val sb = new StringBuilder
     sb.append("graft-ivf-centers v1\n")
     sb.append(s"pending=${sc.pendingAppends} max_seq=${sc.maxSeq} " +
@@ -238,8 +264,10 @@ object IvfIndex {
     try {
       // shards first (parallel, token-unique names — no cross-writer
       // interleave possible), then the header CAS makes them live
-      shards.zipWithIndex.par.foreach { case (lines, i) =>
-        writeFile(fs, shardPath(i), lines.mkString("", "\n", "\n"))
+      shards.zipWithIndex.par.foreach { case (group, i) =>
+        val out = fs.create(shardPath(i), true)
+        try out.write(shardBytes(group))
+        finally out.close()
       }
       val tmp = new HPath(dir, s".centers.$token.tmp")
       writeFile(fs, tmp, sb.toString)
@@ -305,30 +333,53 @@ object IvfIndex {
       val meta = kv(it(1))
       val (bookLines, inlineCells) = it.drop(2).partition(_.startsWith("pq="))
       import scala.collection.parallel.CollectionConverters._
-      val cellLines: Seq[String] = meta.get("shards") match {
-        case None => inlineCells
-        case Some(s) =>
-          val token = meta("token")
-          val version = meta("version")
-          (0 until s.toInt).par.flatMap { i =>
-            val p = new HPath(sidecarDir(path), s"cells-$i.$token.v$version")
-            readText(fs, p).split('\n').toSeq.filter(_.nonEmpty)
+      // one record per cell: (cell, n, stale, serving, refresh)
+      val cells: Seq[(Int, Long, Boolean, Array[Double], Option[Array[Double]])] =
+        meta.get("shards") match {
+          case None => inlineCells.par.map { line =>
+            val m = kv(line)
+            (m("cell").toInt, m("n").toLong, m("stale").toBoolean,
+              decodeDoubles(m("serving")),
+              Some(m("refresh")).filter(_ != "-").map(decodeDoubles))
           }.seq
-      }
-      val cells = cellLines.par.map(kv).seq.toSeq
+          case Some(s) =>
+            // binary shards (raw little-endian doubles, see writeSidecar)
+            val token = meta("token")
+            val version = meta("version")
+            (0 until s.toInt).par.flatMap { i =>
+              val p = new HPath(sidecarDir(path), s"cells-$i.$token.v$version")
+              val st = fs.getFileStatus(p)
+              val bytes = new Array[Byte](st.getLen.toInt)
+              val in = fs.open(p)
+              try in.readFully(0L, bytes) finally in.close()
+              val bb = java.nio.ByteBuffer.wrap(bytes)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val recs = scala.collection.mutable.ArrayBuffer
+                .empty[(Int, Long, Boolean, Array[Double], Option[Array[Double]])]
+              while (bb.hasRemaining) {
+                val c = bb.getInt(); val n = bb.getLong()
+                val stale = bb.get() == 1.toByte
+                val sd = bb.getInt()
+                val serving = Array.fill(sd)(bb.getDouble())
+                val rd = bb.getInt()
+                val refresh =
+                  if (rd < 0) None else Some(Array.fill(rd)(bb.getDouble()))
+                recs += ((c, n, stale, serving, refresh))
+              }
+              recs.toSeq
+            }.seq
+        }
       val books = bookLines.map(kv).toSeq.groupBy(_.apply("pq").toInt).toSeq
         .sortBy(_._1).map { case (_, rows) =>
           rows.map(m => (m("code").toInt, decodeDoubles(m("cent"))))
             .sortBy(_._1)
         }
       Some(Sidecar(
-        serving = cells.par.map(m => (m("cell").toInt, decodeDoubles(m("serving"))))
-          .seq.sortBy(_._1),
-        refresh = cells.par.filter(_.apply("refresh") != "-")
-          .map(m => (m("cell").toInt, decodeDoubles(m("refresh")))).seq.sortBy(_._1),
-        counts = cells.map(m => m("cell").toLong -> m("n").toLong).toMap,
-        staleCells = cells.filter(_.apply("stale").toBoolean)
-          .map(_.apply("cell").toLong).toSet,
+        serving = cells.map(r => (r._1, r._4)).sortBy(_._1),
+        refresh = cells.collect { case (c, _, _, _, Some(r)) => (c, r) }
+          .sortBy(_._1),
+        counts = cells.map(r => r._1.toLong -> r._2).toMap,
+        staleCells = cells.filter(_._3).map(_._1.toLong).toSet,
         pendingAppends = meta("pending").toBoolean,
         maxSeq = meta("max_seq").toLong,
         version = meta("version").toLong,
