@@ -122,15 +122,34 @@ object VectorQueries {
     * row_number (WindowGroupLimit prunes rank > k before the final
     * sort). Shared by the v03 gate and the dialect `similar`
     * statement. */
+  /** Per-query top-k by (metric asc|desc, n_id asc) through the
+    * bounded heap aggregate ([[graft.functions.TopKByAgg]]) — replaces
+    * the rank-window shape, whose physical plan LOCAL-SORTS every
+    * candidate row below WindowGroupLimit (measured 42-45 GB of sort
+    * spill for a cap-sized serving batch, SCALE_r14_cap). Map-side
+    * partial aggregation folds candidates into k-entry heaps before
+    * the exchange, so the shuffle carries q·k winners and nothing
+    * larger than k is ever ordered. Output columns and order contract
+    * are bit-identical to `row_number over (metric, n_id asc) <= k`:
+    * (q_id, n_id, <metric>, rank) — the metric keeps its original
+    * type (the heap compares a double view; integral metrics like
+    * hamming are exact well past any distance range). */
+  def topKByMetric(cands: DataFrame, metric: String, k: Int,
+      asc: Boolean): DataFrame =
+    cands.groupBy(col("q_id"))
+      .agg(graft.functions.TopKExprs.top_k_by(col("n_id"),
+        col(metric).cast(DoubleType), col(metric), k, asc).as("__topk"))
+      .select(col("q_id"), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .select(col("q_id"), col("__hit.id").as("n_id"),
+        col("__hit.payload").as(metric),
+        (col("__pos") + 1).cast(LongType).as("rank"))
+
   def annTopk(e: DataFrame, k: Int): DataFrame = {
     val sims = bandedCandidates(e)
       .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
       .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), "n_id")
       .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    sims.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+    topKByMetric(sims, "sim", k, asc = false)
   }
 
   /** DuckDB mirror of [[annTopk]] over the embeddings table — shared
@@ -1120,10 +1139,7 @@ object VectorQueries {
     val sims = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    sims.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+    topKByMetric(sims, "sim", k, asc = false)
   }
 
   /** DuckDB mirror of [[bruteKnn]]. */
@@ -1158,10 +1174,7 @@ object VectorQueries {
       .join(broadcast(qs), "cell")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val wr = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    sims.withColumn("rank", row_number().over(wr).cast(LongType))
-      .filter(col("rank") <= 5)
+    topKByMetric(sims, "sim", 5, asc = false)
   }
 
   /** v21's builder: assign a new hash-split batch (vec_id % 7 == 3)
@@ -1483,11 +1496,7 @@ object VectorQueries {
     // recomputes ADC from the unrolled loops' cent/assign CTEs.
     Q("v10_pq_adc_topk",
       (s, dir) => {
-        val scored = pqAdcScores(s, dir)
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("adc").asc, col("n_id").asc)
-        scored.withColumn("rank", row_number().over(w).cast(LongType))
-          .filter(col("rank") <= 10)
+        topKByMetric(pqAdcScores(s, dir), "adc", 10, asc = true)
       },
       Some(s"""WITH ${pqAdcScoresSql()}
               |SELECT q_id, n_id, adc, rank FROM
@@ -1504,10 +1513,7 @@ object VectorQueries {
     Q("v11_pq_rerank",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val ws = Window.partitionBy(col("q_id"))
-          .orderBy(col("adc").asc, col("n_id").asc)
-        val short = pqAdcScores(s, dir)
-          .withColumn("srk", row_number().over(ws)).filter(col("srk") <= 50)
+        val short = topKByMetric(pqAdcScores(s, dir), "adc", 50, asc = true)
           .select(col("q_id"), col("n_id"))
         val l2 = fold(zip_with(col("q_emb"), col("n_emb"), (x, y) =>
           (x.cast(DoubleType) - y.cast(DoubleType)) *
@@ -1517,10 +1523,7 @@ object VectorQueries {
           .join(broadcast(e.filter(col("vec_id") < 5)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
           .select(col("q_id"), col("n_id"), l2.as("l2"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("l2").asc, col("n_id").asc)
-        rer.withColumn("rank", row_number().over(w).cast(LongType))
-          .filter(col("rank") <= 10)
+        topKByMetric(rer, "l2", 10, asc = true)
       },
       Some {
         val exact = O.dfold(
@@ -1562,12 +1565,8 @@ object VectorQueries {
     // ADC) with every stage hash-gated.
     Q("v13_ivfpq_search",
       (s, dir) => {
-        val scored = ivfPqAdcScores(Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding")))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("adc").asc, col("n_id").asc)
-        scored.withColumn("rank", row_number().over(w).cast(LongType))
-          .filter(col("rank") <= 10)
+        topKByMetric(ivfPqAdcScores(Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))), "adc", 10, asc = true)
       },
       Some(s"""WITH ${ivfPqSearchCtes()}
               |SELECT q_id, n_id, adc, rank FROM
@@ -1649,12 +1648,8 @@ object VectorQueries {
           zip_with(col("qe"), col("de"),
             (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
           lit(0.0), (acc, v) => acc + v)
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("adc").asc, col("n_id").asc)
-        recon.join(broadcast(q))
-          .select(col("q_id"), col("n_id"), adc.as("adc"))
-          .withColumn("rank", row_number().over(w).cast(LongType))
-          .filter(col("rank") <= 10)
+        topKByMetric(recon.join(broadcast(q))
+          .select(col("q_id"), col("n_id"), adc.as("adc")), "adc", 10, asc = true)
       },
       Some {
         val sq = O.dfold(
@@ -1847,10 +1842,8 @@ object VectorQueries {
         val tsims = ct.join(broadcast(qt), col("q_id") =!= col("n_id"))
           .select(col("q_id"), col("n_id"),
             cosine(col("q_emb"), col("n_emb")).as("sim"))
-        val wt = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("n_id").asc)
-        val short = tsims.withColumn("rank", row_number().over(wt))
-          .filter(col("rank") <= 20).select(col("q_id"), col("n_id"))
+        val short = topKByMetric(tsims, "sim", 20, asc = false)
+          .select(col("q_id"), col("n_id"))
         val qv = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         // broadcast(short): same rationale as hammingRerank — the
@@ -1861,10 +1854,7 @@ object VectorQueries {
           .join(broadcast(qv), "q_id")
           .select(col("q_id"), col("n_id"),
             cosine(col("q_emb"), col("n_emb")).as("sim"))
-        val wr = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("n_id").asc)
-        scored.withColumn("rank", row_number().over(wr).cast(LongType))
-          .filter(col("rank") <= 5)
+        topKByMetric(scored, "sim", 5, asc = false)
       },
       Some(s"""WITH qt AS (SELECT vec_id AS q_id, embedding[1:16] AS q_emb
               |       FROM embeddings WHERE vec_id < 5),
@@ -2656,10 +2646,7 @@ object VectorQueries {
       .select(col("q_id"), col("n_id"),
         (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
           bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("hamming").asc, col("n_id").asc)
-    sims.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+    topKByMetric(sims, "hamming", k, asc = true)
   }
 
   /** v31's builder: Hamming shortlist → exact-cosine re-rank. The
@@ -2678,10 +2665,7 @@ object VectorQueries {
       .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+    topKByMetric(scored, "sim", k, asc = false)
   }
 
   /** v36's builder: [[hammingRerank]] with the corpus side restricted
@@ -2702,23 +2686,18 @@ object VectorQueries {
       .select(col("q_id"), col("n_id"),
         (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
           bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
-    val ws = Window.partitionBy(col("q_id"))
-      .orderBy(col("hamming").asc, col("n_id").asc)
-    val short = sims.withColumn("rank", row_number().over(ws).cast(LongType))
-      .filter(col("rank") <= shortlist).select(col("q_id"), col("n_id"))
+    val short = topKByMetric(sims, "hamming", shortlist, asc = true)
+      .select(col("q_id"), col("n_id"))
     val qv = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     // Same explicit broadcasts as [[hammingRerank]] — the shortlist is
-    // window-derived, so Catalyst's static estimate would SMJ it.
+    // heap-derived, so Catalyst's static estimate would SMJ it.
     val scored = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .join(broadcast(short), "n_id")
       .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val wr = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(wr).cast(LongType))
-      .filter(col("rank") <= k)
+    topKByMetric(scored, "sim", k, asc = false)
   }
 
   /** v37's builder: the two-stage shape with a PER-QUERY label
@@ -2740,10 +2719,8 @@ object VectorQueries {
       .select(col("q_id"), col("n_id"),
         (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
           bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast(LongType).as("hamming"))
-    val ws = Window.partitionBy(col("q_id"))
-      .orderBy(col("hamming").asc, col("n_id").asc)
-    val short = sims.withColumn("rank", row_number().over(ws).cast(LongType))
-      .filter(col("rank") <= shortlist).select(col("q_id"), col("n_id"))
+    val short = topKByMetric(sims, "hamming", shortlist, asc = true)
+      .select(col("q_id"), col("n_id"))
     val qv = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scored = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
@@ -2751,10 +2728,7 @@ object VectorQueries {
       .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val wr = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(wr).cast(LongType))
-      .filter(col("rank") <= k)
+    topKByMetric(scored, "sim", k, asc = false)
   }
 
   /** DuckDB mirror of [[hardNegatives]]. */
@@ -2885,10 +2859,7 @@ object VectorQueries {
       .select(col("q_id"), col("n_id"),
         graft.functions.VectorExprs.dot_native(
           col("q_emb"), col("n_emb")).as("ip"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("ip").desc, col("n_id").asc)
-    scores.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 10)
+    topKByMetric(scores, "ip", 10, asc = false)
   }
 
   /** v17's builder on an arbitrary (vec_id, embedding) frame — shared
@@ -3156,10 +3127,7 @@ object VectorQueries {
     * broadcast gather of raw floats for the ~shortlist·q rows →
     * exact-cosine re-rank to top-k. Shared with ScaleProbe. */
   def ivfPqRerank(e: DataFrame, shortlist: Int, k: Int): DataFrame = {
-    val ws = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc").asc, col("n_id").asc)
-    val short = ivfPqAdcScores(e)
-      .withColumn("srk", row_number().over(ws)).filter(col("srk") <= shortlist)
+    val short = topKByMetric(ivfPqAdcScores(e), "adc", shortlist, asc = true)
       .select(col("q_id"), col("n_id"))
     val qv = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -3168,10 +3136,7 @@ object VectorQueries {
       .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+    topKByMetric(scored, "sim", k, asc = false)
   }
 
   /** WITH-clause body ending in `sc` (q_id, n_id, adc) — the DuckDB

@@ -216,18 +216,34 @@ class PlanSpec extends SparkSpec {
       s"PQ encode gained a shuffle:\n${p.take(1000)}")
   }
 
-  test("rank<=k paths keep WindowGroupLimit pushdown (v03, e03)") {
-    // the row_number() <= k filters rely on Spark planning a
+  test("rank<=k paths keep WindowGroupLimit pushdown (e03, t15)") {
+    // the remaining row_number() <= k filters rely on Spark planning a
     // per-partition top-k (WindowGroupLimit) BEFORE the window sort's
     // shuffle — without it every partition funnels its full rank group
     // into the sort. A refactor (e.g. ranking through a struct) can
-    // silently lose the pushdown; pin it on the two shapes that feed
-    // the most rows into their window.
-    Seq("v03_ann_bucketed", "e03_user_topk", "t15_source_cap",
-        "v10_pq_adc_topk", "v18_mips_topk").foreach { q =>
+    // silently lose the pushdown. (The ANN per-query ranks moved OFF
+    // the window entirely in r14 — the heap pin below.)
+    Seq("e03_user_topk", "t15_source_cap").foreach { q =>
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q lost the WindowGroupLimit pushdown:\n${p.take(800)}")
+    }
+  }
+
+  test("ANN per-query top-k ranks through the bounded heap, never a window sort") {
+    // the rank-window shape local-sorts every candidate row below
+    // WindowGroupLimit (42-45 GB of spill at a cap-sized batch,
+    // SCALE_r14_cap) — the ANN rank stages now fold candidates into
+    // k-entry heaps map-side (TopKByAgg), so no plan may sort the
+    // candidate frame
+    Seq("v03_ann_bucketed", "v01_knn_brute", "v10_pq_adc_topk",
+        "v18_mips_topk", "v26_hamming_topk", "v33_ivfpq_rerank").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("top_k_by") && p.contains("ObjectHashAggregate"),
+        s"$q must rank through the top_k_by heap:\n${p.take(800)}")
+      assert(!p.contains("WindowGroupLimit") &&
+        """\(\d+\) Window\b""".r.findFirstIn(p).isEmpty,
+        s"$q still plans a rank window (and its local sort):\n${p.take(800)}")
     }
   }
 
@@ -632,8 +648,8 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "query-code panel should broadcast")
-    assert(p.contains("WindowGroupLimit"),
-      "per-query top-k should prune pre-shuffle via WindowGroupLimit")
+    assert(p.contains("top_k_by"),
+      "per-query top-k should fold into the bounded heap map-side")
   }
 
   test("weighted sample (x10) is a LIMIT-bounded TakeOrdered, never a global sort") {
