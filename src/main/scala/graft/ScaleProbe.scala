@@ -609,9 +609,13 @@ object ScaleProbe {
     // brute-force truth for the 100 queries: exact cosine over the
     // WHOLE corpus (no cell routing), top 10 — the user-facing recall
     // denominator that charges cell-boundary loss too
+    // truth ranks over the SAME candidate universe serving sees: the
+    // q_ids are shifted out of the corpus id space, so serve's
+    // q_id =!= n_id self-filter never fires and the query's own corpus
+    // row is a legitimate (rank-1) neighbor — excluding it from truth
+    // but not from the served sets would cap measured recall at 0.9
     val truth = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .join(broadcast(q))
-      .filter(col("q_id") - lit(970000000000L) =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         graft.queries.VectorQueries.cosine(col("q_emb"), col("n_emb")).as("sim"))
       .withColumn("rank", row_number().over(
@@ -776,6 +780,10 @@ object ScaleProbe {
     * times executedPlan construction separately from the job. */
   private def r14Diag(args: Array[String]): Unit = {
     val spark = session()
+    require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get("/tmp/graft_r14pq_probe_1000/idx_pq")),
+      "r14diag reads the r14pq fixture — run `runMain graft.ScaleProbe " +
+        "r14pq 1000 /tmp/out.json` first")
     val idx = spark.read.parquet("/tmp/graft_r14pq_probe_1000/idx_pq")
       .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
     val rnd = new java.util.Random(7)

@@ -288,17 +288,27 @@ object IvfIndex {
         }
         throw e
     }
-    // retire versions at least two generations old (the immediately
-    // previous one stays for in-flight readers); stray tmps too
+    // retire all but the two NEWEST committed generations (the
+    // immediately previous one stays for in-flight readers). Keyed on
+    // the set of header versions actually present, not `version - 2`
+    // arithmetic: a legacy layout's header is NAMED centers.v1 while
+    // its version FIELD counts higher, so a subtraction rule would
+    // delete the semantically-previous generation in the same commit
+    // that upgrades it. Stray crashed-writer tmps age out too.
     val retired = try fs.listStatus(dir).toSeq
       catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val present = retired.flatMap(st => st.getPath.getName match {
+      case SidecarHeaderRe(n) => Some(n.toLong)
+      case _ => None
+    })
+    val kept = present.sorted.takeRight(2).toSet
     retired.foreach { st =>
       val name = st.getPath.getName
       val old = name match {
-        case SidecarHeaderRe(n) => n.toLong <= sc.version - 2
+        case SidecarHeaderRe(n) => !kept(n.toLong)
         case _ if name.startsWith("cells-") =>
           name.split("\\.v").lastOption.flatMap(_.toLongOption)
-            .exists(_ <= sc.version - 2)
+            .exists(v => !kept(v))
         case _ if name.startsWith(".centers.") && name.endsWith(".tmp") =>
           // a crashed writer's tmp; anything recent may be in-flight
           st.getModificationTime < System.currentTimeMillis() - 3600000L
@@ -317,6 +327,24 @@ object IvfIndex {
     * index scans). Resolves the highest committed version; a sharded
     * header's cell files are read and parsed in parallel. */
   def readSidecar(spark: SparkSession, path: String): Option[Sidecar] = {
+    // resolve-then-read races version retirement (two quick commits
+    // can retire the header — or a shard file — a reader just resolved
+    // as max): a vanished file re-resolves the WHOLE read, bounded;
+    // only a header-less directory is "no sidecar"
+    def attempt(left: Int): Option[Sidecar] =
+      try readLatestSidecar(spark, path)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (left > 0) attempt(left - 1)
+          else throw new IllegalStateException(
+            s"readSidecar at '$path': the latest header/shards keep " +
+              "vanishing mid-read (racing writers?)", e)
+      }
+    attempt(3)
+  }
+
+  private def readLatestSidecar(spark: SparkSession, path: String)
+      : Option[Sidecar] = {
     val fs = hadoopFs(spark, path)
     val latest = latestSidecarFile(fs, path)
     if (latest.isEmpty) return None
@@ -439,37 +467,63 @@ object IvfIndex {
           // error must propagate — aliasing a transient read failure
           // to "legacy layout" would silently bypass the
           // pendingAppends serve/upsert refusals.
-          try {
-            import scala.jdk.CollectionConverters._
-            val ls = java.nio.file.Files.list(d)
-            val headers = try ls.iterator().asScala
-              .flatMap { p =>
-                p.getFileName.toString match {
-                  case SidecarHeaderRe(n) => Some(p -> n.toLong)
-                  case _ => None
+          // list-then-stat races version retirement: two quick
+          // successive commits retire the version a reader just
+          // listed as max, and aliasing that stat failure to "" (= no
+          // sidecar) would silently bypass the pendingAppends
+          // refusals — so a vanished MAX header re-lists (bounded),
+          // and only a header-LESS directory maps to "".
+          def attempt(left: Int): String =
+            try {
+              import scala.jdk.CollectionConverters._
+              val ls = java.nio.file.Files.list(d)
+              val headers = try ls.iterator().asScala
+                .flatMap { p =>
+                  p.getFileName.toString match {
+                    case SidecarHeaderRe(n) => Some(p -> n.toLong)
+                    case _ => None
+                  }
+                }.toSeq
+              finally ls.close()
+              headers.sortBy(_._2).lastOption.map { case (p, _) =>
+                try {
+                  val attrs = java.nio.file.Files.readAttributes(p,
+                    classOf[java.nio.file.attribute.BasicFileAttributes])
+                  s"${p.getFileName}:${attrs.fileKey}:${attrs.size}:${attrs.lastModifiedTime}"
+                } catch {
+                  case e: java.nio.file.NoSuchFileException =>
+                    if (left > 0) attempt(left - 1)
+                    else throw new IllegalStateException(
+                      s"sidecar fingerprint at '$path': the latest header " +
+                        "keeps vanishing mid-read (racing writers?)", e)
                 }
-              }.toSeq
-            finally ls.close()
-            headers.sortBy(_._2).lastOption.map { case (p, _) =>
-              val attrs = java.nio.file.Files.readAttributes(p,
-                classOf[java.nio.file.attribute.BasicFileAttributes])
-              s"${p.getFileName}:${attrs.fileKey}:${attrs.size}:${attrs.lastModifiedTime}"
-            }.getOrElse("")
-          } catch {
-            case _: java.nio.file.NoSuchFileException => ""
-            case _: java.io.FileNotFoundException => ""
-          }
+              }.getOrElse("")
+            } catch {
+              case _: java.nio.file.NoSuchFileException => "" // no dir
+              case _: java.io.FileNotFoundException => ""
+            }
+          attempt(3)
         case None =>
           // remote filesystems: the same one-listing resolution off
           // the scheme's FileSystem; name + length + mtime (the
           // version-named header makes name the real discriminator).
-          // Same rule: only not-found is "no sidecar"; a throttled
-          // s3a/hdfs listing propagates instead of serving superseded
-          // rows.
-          latestSidecarFile(hadoopFs(spark, path), path).map { case (f, _) =>
-            val st = hadoopFs(spark, path).getFileStatus(f)
-            s"${f.getName}:${st.getLen}:${st.getModificationTime}"
-          }.getOrElse("")
+          // Same rule: only not-found of EVERY header is "no sidecar";
+          // a throttled s3a/hdfs listing propagates instead of serving
+          // superseded rows, and a retired-mid-read max re-lists.
+          def attemptRemote(left: Int): String =
+            latestSidecarFile(hadoopFs(spark, path), path).map { case (f, _) =>
+              try {
+                val st = hadoopFs(spark, path).getFileStatus(f)
+                s"${f.getName}:${st.getLen}:${st.getModificationTime}"
+              } catch {
+                case e: java.io.FileNotFoundException =>
+                  if (left > 0) attemptRemote(left - 1)
+                  else throw new IllegalStateException(
+                    s"sidecar fingerprint at '$path': the latest header " +
+                      "keeps vanishing mid-read (racing writers?)", e)
+              }
+            }.getOrElse("")
+          attemptRemote(3)
       }
     }
 
@@ -1311,7 +1365,6 @@ object IvfIndex {
         }
         val overflowCells = overflow.map(_._1).toSet
         val push = push0.filterNot(p => overflowCells(p._1))
-        val fullCells = (full0.map(_._1) ++ overflow.map(_._1)).sorted
         // the equality literal is cast to the COLUMN's type: comparing
         // an int id column against a long literal would wrap the
         // column in a cast, which defeats parquet pushdown entirely
@@ -1322,19 +1375,39 @@ object IvfIndex {
                 .reduce(_ || _))
               .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
           }.reduce(_ unionByName _)
-        // wave packing: whole cells first-fit into ≤MaxIds-id waves; a
-        // cell larger than one wave splits its (sorted) id list
-        val slices = push.flatMap { case (c, ids) =>
-          ids.grouped(maxIdsPerWave).map(g => c -> g)
+        // wave packing: whole cells next-fit into ≤MaxIds-id waves; a
+        // cell larger than one wave splits its (sorted) id list. The
+        // ids-budget flip above bounds TOTAL pushed ids but next-fit
+        // can still fragment into up to ~2× maxWaves waves (many
+        // just-over-half-full slices) — so packing re-runs with the
+        // largest remaining pushed cell flipped to a full scan until
+        // the WAVE COUNT honors maxWaves too (the documented job
+        // bound), never just the id total.
+        def packed(cells: Seq[(Long, Array[Long])])
+            : Seq[Seq[(Long, Array[Long])]] = {
+          val slices = cells.flatMap { case (c, ids) =>
+            ids.grouped(maxIdsPerWave).map(g => c -> g)
+          }
+          val waves = scala.collection.mutable.ListBuffer
+            .empty[scala.collection.mutable.ListBuffer[(Long, Array[Long])]]
+          var waveCount = 0
+          slices.foreach { s =>
+            if (waves.isEmpty || waveCount + s._2.length > maxIdsPerWave) {
+              waves += scala.collection.mutable.ListBuffer(s); waveCount = s._2.length
+            } else { waves.last += s; waveCount += s._2.length }
+          }
+          waves.toSeq.map(_.toSeq)
         }
-        val waves = scala.collection.mutable.ListBuffer
-          .empty[scala.collection.mutable.ListBuffer[(Long, Array[Long])]]
-        var waveCount = 0
-        slices.foreach { s =>
-          if (waves.isEmpty || waveCount + s._2.length > maxIdsPerWave) {
-            waves += scala.collection.mutable.ListBuffer(s); waveCount = s._2.length
-          } else { waves.last += s; waveCount += s._2.length }
+        var pushFinal = push
+        var waves = packed(pushFinal)
+        while (waves.size > maxWaves && pushFinal.nonEmpty) {
+          val biggest = pushFinal.maxBy(_._2.length)._1
+          pushFinal = pushFinal.filterNot(_._1 == biggest)
+          overflow += push.find(_._1 == biggest).get
+          waves = packed(pushFinal)
         }
+        val fullCellsFinal =
+          (full0.map(_._1) ++ overflow.map(_._1)).distinct.sorted
         val pushLegs: Seq[DataFrame] =
           if (waves.isEmpty) Seq.empty
           else if (waves.size == 1)
@@ -1356,15 +1429,15 @@ object IvfIndex {
             implicit val ec: ExecutionContext =
               ExecutionContext.fromExecutorService(pool)
             try Await.result(
-              Future.sequence(waves.toSeq.map { w => Future {
+              Future.sequence(waves.map { w => Future {
                 w.map((branch _).tupled).reduce(_ unionByName _)
                   .localCheckpoint(true)
               }}), scala.concurrent.duration.Duration.Inf)
             finally pool.shutdown()
           }
         val fullLeg: Option[DataFrame] =
-          if (fullCells.isEmpty) None
-          else Some(idx.filter(col("cell").isin(fullCells: _*))
+          if (fullCellsFinal.isEmpty) None
+          else Some(idx.filter(col("cell").isin(fullCellsFinal: _*))
             .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
         scoreOf((pushLegs ++ fullLeg).reduce(_ unionByName _))
       } else {

@@ -856,8 +856,13 @@ object DialectQueries {
         val tag = java.lang.Integer.toHexString(dir.hashCode)
         val ip = s"/tmp/graft_s66_idx_r14_$tag"
         val qp = s"/tmp/graft_s66_q_r14_$tag"
+        // both fixtures must exist — a run crashed between the index
+        // build and the batch write must not wedge every later run on
+        // the half-present pair
         if (!java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(ip, graft.operators.IvfIndex.SidecarDir))) {
+            java.nio.file.Paths.get(ip, graft.operators.IvfIndex.SidecarDir)) ||
+          !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(qp, "_SUCCESS"))) {
           g.sql(s"index vec_id, embedding from embeddings into '$ip' pq")
           graft.core.Tables(s, dir, "embeddings")
             .filter(col("vec_id") % 11 === 3)
