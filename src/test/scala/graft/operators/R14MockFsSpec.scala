@@ -99,4 +99,31 @@ class R14MockFsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("concurrent writer"))
   }
+
+  test("a sharded (binary) sidecar round-trips through the non-file scheme") {
+    conf()
+    val p = "mockfs:///tmp/graft_r14_mockfs_shards"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    IvfIndex.SidecarCache.invalidate(p)
+    val rnd = new java.util.Random(41L)
+    val k = 5000 // > SidecarShardCells -> binary shard files
+    def vec() = Array.fill(6)(rnd.nextDouble())
+    val sc = IvfIndex.Sidecar(
+      serving = (0 until k).map(c => c -> vec()),
+      refresh = (0 until k).map(c => c -> vec()),
+      counts = (0 until k).map(c => c.toLong -> c.toLong).toMap,
+      staleCells = Set(3L), pendingAppends = false, maxSeq = 2L,
+      version = 1L, books = Seq.empty, compactedSeq = 2L)
+    IvfIndex.writeSidecar(spark, p, sc)
+    val back = IvfIndex.readSidecar(spark, p).get
+    assert(back.serving.length == k && back.counts == sc.counts &&
+      back.staleCells == sc.staleCells)
+    assert(back.serving.zip(sc.serving).forall {
+      case ((_, a), (_, b)) => a.sameElements(b) },
+      "binary shard doubles must round-trip bit-exact over mockfs://")
+    assert(back.refresh.zip(sc.refresh).forall {
+      case ((_, a), (_, b)) => a.sameElements(b) })
+  }
 }

@@ -147,6 +147,46 @@ class R14OpsSpec extends SparkSpec {
     assert(served.columns.toSeq == Seq("q_id", "n_id", "sim", "rank"))
   }
 
+  test("wave-count bound: construction jobs stay within maxWaves + constant") {
+    // the ids-budget flip bounds TOTAL pushed ids, and the repack loop
+    // bounds the WAVE COUNT (next-fit alone can fragment to ~2x) — pin
+    // it by counting driver jobs during gather construction with a
+    // tiny wave size: at maxWaves=2 the pushed path may run at most
+    // 2 wave jobs + the probed/checkpoint/winners constant, however
+    // many winner ids exist
+    val q = batch(3, 2)
+    val panel = panelOf(q)
+    val idxFull = IvfIndex.readFull(spark, path)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def drained(): Int = {
+      var prev = -1
+      while (jobs.get != prev) { prev = jobs.get; Thread.sleep(200) }
+      prev
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      drained(); jobs.set(0)
+      val served = IvfIndex.servePq(idxFull, q, panel, 5, 20,
+        fixture.serving, fixture.books, maxIdsPerWave = 8, maxWaves = 2)
+      val construction = drained()
+      // probed collect + shortlist ckpt + winners collect + <=2 waves,
+      // plus AQE/broadcast sub-jobs — generous but FAR below the
+      // unbounded-fragmentation count (the winner set here packs to
+      // dozens of 8-id waves without the repack bound)
+      assert(construction <= 12,
+        s"construction must honor the wave bound, ran $construction jobs")
+      val plain = IvfIndex.servePq(idxFull, q, panel, 5, 20,
+        fixture.serving, fixture.books)
+      assert(collectServe(served) == collectServe(plain),
+        "the wave bound must never change results")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("sidecar CAS: a stale concurrent writer is refused loudly, never merged") {
     // every maintenance op reads version v and commits v+1 under a
     // version-NAMED header with rename-without-overwrite — two writers
@@ -264,6 +304,11 @@ class R14OpsSpec extends SparkSpec {
     val names = java.nio.file.Files.list(dir).iterator().asScala
       .map(_.getFileName.toString).toSeq
     assert(names.contains("centers.v6"))
+    // retention keeps the two newest versions PRESENT — the legacy v1
+    // header (semantically the previous generation despite its name)
+    // must survive the upgrade commit for in-flight readers
+    assert(names.contains("centers.v1"),
+      s"the legacy header is the previous generation and must survive: $names")
     assert(IvfIndex.readSidecar(spark, p).get.version == 6L)
     assert(legacy.serving.map(_._1) == s.serving.map(_._1))
   }
