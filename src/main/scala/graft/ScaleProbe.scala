@@ -98,6 +98,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r14pq")) r14Pq(args.drop(1))
     else if (args.headOption.contains("r14cap")) r14Cap(args.drop(1))
     else if (args.headOption.contains("r14sidecar")) r14Sidecar(args.drop(1))
+    else if (args.headOption.contains("r14flip")) r14Flip(args.drop(1))
     else if (args.headOption.contains("r14diag")) r14Diag(args.drop(1))
     else if (args.headOption.contains("r13diag")) r13Diag(args.drop(1))
     else if (args.headOption.contains("r13cap")) r13Cap(args.drop(1))
@@ -717,6 +718,66 @@ object ScaleProbe {
           knownBatchRows = Some(capQ)))))
     }
     results("lut_mb_nominal_p1") = math.rint(capQ * (8 * 16 + 2) * 8 / 1e4) / 100
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-14 flip probe: the per-cell pushed-vs-full decision must
+    * TRACK min(bytes(all-pushed), bytes(all-full)) across batch sizes
+    * — the structural claim behind "PQ can no longer read more than
+    * exact". Sweeps the 2M fixture at growing batches and records each
+    * strategy's rchar: `adaptive` (the shipped default, occupancy from
+    * the sidecar), `allpush` (cellRows withheld → every cell pushed),
+    * `allfull` (cellRows forced tiny → every cell a full scan, the r13
+    * fallback's byte shape). */
+  private def r14Flip(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(1000)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.operators.IvfIndex
+    def readMb(label: String)(f: => Unit): Unit = {
+      val b0 = rchar()
+      f
+      results(label + "_readmb") = math.rint((rchar() - b0) / 1e4) / 100
+    }
+    val n = copies * 2000L
+    val tmp = s"/tmp/graft_r14pq_probe_$copies" // shared fixture
+    val embPath = s"$tmp/emb.parquet"
+    val pqPath = s"$tmp/idx_pq"
+    val e =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(embPath)))
+        spark.read.parquet(embPath)
+      else blockClusterEmbeddings(spark, n, embPath)
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(pqPath,
+        IvfIndex.SidecarDir)))
+      time("build_pq")(IvfIndex.build(e, pqPath, 64, pq = true))
+    val side = IvfIndex.readSidecar(spark, pqPath).get
+    val idxPq = IvfIndex.readFull(spark, pqPath)
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    readMb("calibration_full_scan")(
+      IvfIndex.read(spark, pqPath)
+        .agg(sum(element_at(col("embedding"), 1))).collect())
+    val tinyCells = side.counts.keys.map(_ -> 1L).toMap // forces full
+    for (nq <- Seq(30L, 300L, 2000L)) {
+      val q = e.filter(col("vec_id") < nq)
+        .select((col("vec_id") + lit(970000000000L)).as("q_id"),
+          col("embedding").as("q_emb")).localCheckpoint(true)
+      val panel = q.select(col("q_id"), col("q_emb"),
+        graft.functions.VectorExprs.nearest_centroid(
+          col("q_emb"), side.refresh, side.dim).as("cell"))
+        .localCheckpoint(true)
+      readMb(s"exact_q$nq")(noop(
+        IvfIndex.serve(IvfIndex.read(spark, pqPath), panel, 10)))
+      readMb(s"adaptive_q$nq")(noop(IvfIndex.servePq(idxPq, q, panel, 10, 50,
+        side.serving, side.books, cellRows = side.counts,
+        knownBatchRows = Some(nq))))
+      readMb(s"allpush_q$nq")(noop(IvfIndex.servePq(idxPq, q, panel, 10, 50,
+        side.serving, side.books, knownBatchRows = Some(nq))))
+      readMb(s"allfull_q$nq")(noop(IvfIndex.servePq(idxPq, q, panel, 10, 50,
+        side.serving, side.books, cellRows = tinyCells,
+        knownBatchRows = Some(nq))))
+    }
     writeJson(outJson, copies)
     spark.stop()
   }

@@ -1213,17 +1213,23 @@ object IvfIndex {
   val PqGatherBranchMaxIds: Int = 128
 
   /** Per-cell pushed-vs-full decision: pushing reads ~one
-    * [[PageRowLimit]]-row page per winner id, a full-cell branch reads
-    * the cell's every page exactly once — so once a cell's winner
-    * count reaches half its page count, the pushed predicate is
-    * paying plan size and random reads for at best a 2× byte saving,
-    * and the full scan is the better branch. Cells whose occupancy is
-    * unknown (no sidecar counts supplied) are always pushed. */
+    * [[PageRowLimit]]-row page per winner id (ids sharing a page
+    * dedupe for free), a full-cell branch reads the cell's every page
+    * exactly once. n winner ids uniform over p pages touch
+    * p·(1-(1-1/p)^n) distinct pages in expectation — pushing NEVER
+    * reads more bytes than the full scan, but by n ≈ 2p the expected
+    * coverage is ~86% and the remaining skip upside no longer repays
+    * the predicate's plan cost and random reads, so that is the flip
+    * point (the r14flip probe measured the earlier n ≥ p/2 flip
+    * reading ~1.5× the pure-pushed bytes at a mid-size batch —
+    * flipping at half-coverage doubles that cell's bytes). Cells
+    * whose occupancy is unknown (no sidecar counts supplied) are
+    * always pushed. */
   private def cellPrefersFullScan(winnerIds: Int, cellRowCount: Option[Long])
       : Boolean =
     cellRowCount.exists { rows =>
       val pages = (rows + PageRowLimit - 1) / PageRowLimit
-      winnerIds.toLong * 2 >= pages
+      winnerIds.toLong >= 2L * pages
     }
 
   /** PQ-accelerated serving off a `build(pq = true)` layout — the
