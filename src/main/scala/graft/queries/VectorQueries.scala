@@ -2432,6 +2432,49 @@ object VectorQueries {
           graft.operators.IvfIndex.readFull(s, path), q, panel,
           k = 5, shortlist = 20, side.serving, side.books)
       },
+      Some(pqServeOracle(5, 20))),
+
+    // CONTINUOUS PQ serving — v50 as a STREAM of query batches
+    // (StreamingOps.serveOnline): the same frozen index, the same
+    // sidecar routing and adaptive gather, driven per micro-batch
+    // over a three-file query directory (maxFilesPerTrigger=1 ⇒ three
+    // batches) with results appended as parquet. Per-query
+    // independence against a frozen index makes micro-batch ≡ batch
+    // exact, so the SAME v50 oracle replays the streamed output
+    // bit-for-bit — the serving tier's online form is driver-gated,
+    // not just spec-pinned.
+    Q("v52_streaming_pq_serve",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val path = s"/tmp/graft_ivf_pqss_$tag"
+        graft.operators.IvfIndex.build(e, path, pq = true)
+        val qdir = s"/tmp/graft_ivf_pqss_q_$tag"
+        val out = s"/tmp/graft_ivf_pqss_out_$tag"
+        def wipe(p: String): Unit = {
+          val d = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.isDirectory(d)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
+        }
+        wipe(out)
+        val q0 = e.filter(col("vec_id") % 11 === 3)
+          .select((col("vec_id") + lit(1000000L)).as("q_id"),
+            col("embedding").as("q_emb"))
+        (0 until 3).foreach(i => q0.filter(pmod(col("q_id"), lit(3)) === i)
+          .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(qdir))
+        val stream = s.readStream.schema(q0.schema)
+          .option("maxFilesPerTrigger", "1").parquet(qdir)
+        val sq = graft.streaming.StreamingOps.serveOnline(
+          s, stream, path, k = 5, shortlist = 20, out)
+        sq.processAllAvailable(); sq.stop()
+        s.read.parquet(out)
+          .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+      },
       Some(pqServeOracle(5, 20)))
   )
 

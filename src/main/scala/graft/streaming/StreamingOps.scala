@@ -114,6 +114,60 @@ object StreamingOps {
         col("best.csim").as("csim"))
   }
 
+  /** Continuous SERVING — the online twin of the `serve … [pq]`
+    * statement: a stream of (q_id, q_emb) query batches is served per
+    * micro-batch against a FROZEN index. Routing comes off the sidecar
+    * read ONCE at start (k·d driver doubles — zero index scans before
+    * each gather, exactly the batch path's economics), and each
+    * micro-batch runs the same partition-pruned adaptive gather the
+    * statement runs (IvfIndex.servePq with the occupancy-driven
+    * pushed-vs-full flip, or IvfIndex.serve for a plain index),
+    * appending (q_id, n_id, sim, rank) parquet. Micro-batch ≡ batch is
+    * EXACT: a query's neighbors depend only on its own embedding and
+    * the frozen index, so batch boundaries cannot change any output
+    * row (StreamingSpec pins file-split streaming ≡ the one-shot batch
+    * serve bit-for-bit; the v52 driver gate replays the DuckDB
+    * oracle). Refusals mirror the statement path loudly: no sidecar,
+    * un-compacted appends, over-cap micro-batches (the panel is the
+    * gather's broadcast side). */
+  def serveOnline(spark: SparkSession, queryStream: DataFrame,
+      idxPath: String, k: Int, shortlist: Int, outPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.IvfIndex
+    val side = IvfIndex.readSidecar(spark, idxPath).getOrElse(
+      throw new IllegalStateException(
+        s"serveOnline: no _centers sidecar at '$idxPath' — build the index first"))
+    require(!side.pendingAppends,
+      s"serveOnline: index at '$idxPath' has un-compacted appends — " +
+        "a pruned gather could return superseded vectors; run compact first")
+    queryStream.select(col("q_id"), col("q_emb")).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one materialization across the cap count, the routing panel
+        // and the gather (the threaded count keeps servePq's gather
+        // gate at zero extra driver jobs, like planServe)
+        val b = batch.localCheckpoint(true)
+        val n = b.count()
+        if (n > 0) {
+          require(n <= RunToTableMaxRows,
+            s"serveOnline: micro-batch has $n rows (cap $RunToTableMaxRows): " +
+              "serving batches must be query-sized")
+          val panel = b.select(col("q_id"), col("q_emb"),
+            graft.functions.VectorExprs.nearest_centroid(
+              col("q_emb"), side.refresh, side.dim).as("cell"))
+          val served =
+            if (side.hasPq)
+              IvfIndex.servePq(IvfIndex.readFull(spark, idxPath), b, panel,
+                k, shortlist, side.serving, side.books,
+                cellRows = side.counts, knownBatchRows = Some(n))
+            else IvfIndex.serve(IvfIndex.read(spark, idxPath), panel, k)
+          served.write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** x11's streaming twin: exponentially-decayed per-type event
     * counts against a FROZEN reference time (micros since epoch) —
     * per-row 2^Δdays weights into an unwindowed complete-mode Det

@@ -607,4 +607,77 @@ class StreamingSpec extends SparkSpec {
         s"user ${s.user_id}: state ${s.n_sessions} vs batch ${e02(s.user_id)}")
     }
   }
+  test("serveOnline: streamed micro-batch serving ≡ the one-shot batch serve") {
+    // per-query independence against a FROZEN index makes micro-batch
+    // boundaries invisible: three file-split batches through
+    // StreamingOps.serveOnline must produce byte-identical rows to one
+    // batch servePq over the union
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = "/tmp/graft_spec_serveonline_idx"
+    IvfIndex.build(e, path, pq = true)
+    val side = IvfIndex.readSidecar(spark, path).get
+    val q0 = e.filter(col("vec_id") % 7 === 2)
+      .select((col("vec_id") + lit(1000000L)).as("q_id"),
+        col("embedding").as("q_emb"))
+    def wipe(p: String): Unit = {
+      val d = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val qdir = "/tmp/graft_spec_serveonline_q"
+    val out = "/tmp/graft_spec_serveonline_out"
+    wipe(qdir); wipe(out)
+    (0 until 3).foreach(i => q0.filter(pmod(col("q_id"), lit(3)) === i)
+      .coalesce(1).write.mode("append").parquet(qdir))
+    val stream = spark.readStream.schema(q0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(qdir)
+    val sq = graft.streaming.StreamingOps.serveOnline(
+      spark, stream, path, k = 5, shortlist = 20, out)
+    sq.processAllAvailable(); sq.stop()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sorted.toSeq
+    val panel = q0.select(col("q_id"), col("q_emb"),
+      graft.functions.VectorExprs.nearest_centroid(
+        col("q_emb"), side.refresh, side.dim).as("cell"))
+    val batch = IvfIndex.servePq(IvfIndex.readFull(spark, path), q0, panel,
+        5, 20, side.serving, side.books, cellRows = side.counts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed serving must be bit-identical to the batch serve")
+  }
+
+  test("serveOnline refuses a pending-appends index loudly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    import graft.queries.VectorQueries
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = "/tmp/graft_spec_serveonline_pending"
+    val centers = IvfIndex.build(e, path, pq = true)
+    // leave un-compacted appended rows behind
+    val side0 = IvfIndex.readSidecar(spark, path).get
+    val arrivals = IvfIndex.withCodes(
+      VectorQueries.kmeansAssign(
+        e.limit(10).select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          col("embedding")), centers),
+      side0.serving, side0.books)
+    IvfIndex.append(spark, path, arrivals)
+    val stream = spark.readStream
+      .schema(e.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb")).schema)
+      .parquet("/tmp/graft_spec_serveonline_q")
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.serveOnline(
+        spark, stream, path, 5, 20, "/tmp/graft_spec_serveonline_out2")
+    }
+    assert(err.getMessage.contains("un-compacted appends"))
+  }
 }
