@@ -34,8 +34,12 @@ final class TopKBuf(val k: Int) {
   * every candidate, and nothing is ever sorted but the final k
   * entries. Order contract is BIT-IDENTICAL to the window shape:
   * best = (metric asc|desc, id asc), NaN ordered like Spark's double
-  * ordering (greatest), null metrics/ids skipped like aggregate
-  * inputs everywhere.
+  * ordering (greatest). Null (id, metric, payload) inputs are REFUSED
+  * loudly at update time: the window gave nulls an explicit order and
+  * the output struct is non-nullable, so silently skipping (or
+  * encoding a null payload as 0 bits) would diverge only on inputs
+  * the serving paths never produce — a caller with genuinely nullable
+  * inputs must filter or coalesce them first.
   *
   * `payload` is an uncompared column carried per winner (the serving
   * paths carry `sim` on the re-rank and `cell` on the ADC shortlist),
@@ -133,20 +137,29 @@ case class TopKByAgg(idExpr: Expression, metricExpr: Expression,
   override def update(b: TopKBuf, row: InternalRow): TopKBuf = {
     val m = metricExpr.eval(row)
     val id = idExpr.eval(row)
-    if (m != null && id != null) {
-      val p = payloadExpr.eval(row)
-      val pBits =
-        if (p == null) 0L
-        else if (payloadIsDouble)
-          java.lang.Double.doubleToLongBits(p.asInstanceOf[Double])
-        else idAsLong(p)
-      // Spark's sort keys pass through NormalizeFloatingNumbers:
-      // -0.0 orders EQUAL to 0.0 (Double.compare alone would not) —
-      // normalize the compared metric the same way (the payload keeps
-      // its raw bits)
-      val m0 = m.asInstanceOf[Double]
-      push(b, if (m0 == 0.0d) 0.0d else m0, idAsLong(id), pBits)
-    }
+    val p = payloadExpr.eval(row)
+    // null inputs fail LOUDLY: the rank window this aggregate replaced
+    // gave null metrics an explicit order (nulls-last under desc), and
+    // the non-nullable output struct cannot carry a null payload — a
+    // silent skip (or payload-as-0-bits) would change results only on
+    // inputs the serving paths never produce, exactly the kind of
+    // divergence that must surface, not drift
+    if (m == null || id == null || p == null)
+      throw new IllegalArgumentException(
+        s"top_k_by: null ${if (id == null) "id" else if (m == null) "metric"
+          else "payload"} input — top-k heap ranking requires non-null " +
+          "(id, metric, payload); filter nulls or coalesce them first " +
+          "(a rank window orders nulls; this bounded heap refuses them)")
+    val pBits =
+      if (payloadIsDouble)
+        java.lang.Double.doubleToLongBits(p.asInstanceOf[Double])
+      else idAsLong(p)
+    // Spark's sort keys pass through NormalizeFloatingNumbers:
+    // -0.0 orders EQUAL to 0.0 (Double.compare alone would not) —
+    // normalize the compared metric the same way (the payload keeps
+    // its raw bits)
+    val m0 = m.asInstanceOf[Double]
+    push(b, if (m0 == 0.0d) 0.0d else m0, idAsLong(id), pBits)
     b
   }
 

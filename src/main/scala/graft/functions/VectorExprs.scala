@@ -280,6 +280,111 @@ object AdcOps {
   }
 }
 
+/** TASK-LOCAL memo for executor-side ADC LUTs: the serving panel used
+  * to broadcast each query's materialized m·k-double LUT (~1 KB per
+  * panel row against a 256 B float residual — ~4-5× the panel's
+  * broadcast weight, ~130 MB per probe at the 100k-query cap), when
+  * the LUT derives entirely from (qres, books) and the books already
+  * ride inside the expression as a ~4 KB reference object. Building
+  * it executor-side needs a memo — the broadcast join's output
+  * interleaves queries per candidate, so a naive per-row rebuild
+  * would pay m·k·dSub multiply-adds per PAIR (16× the ADC itself) —
+  * and the right memo scope is the TASK: a task scans one cell
+  * partition's candidates joined against only the queries probing
+  * those cells, so its memo holds just those panel rows' LUTs and is
+  * dropped at task end (same lifetime a broadcast value has, no
+  * cross-serve epoch bookkeeping to leak). The map is a plain
+  * HashMap because a task is single-threaded; the key carries the
+  * expression's identity tag so two serve plans meeting in one task
+  * (or one plan evaluated against two indexes) can never alias
+  * entries. Values are computed by the SAME [[AdcOps.lut]] fold the
+  * broadcast shape used, so results stay bit-identical and every
+  * oracle replays unchanged. */
+/** Identity token for [[AdcLutMemoOps]] memo keys: one per serve
+  * plan, deserialized once per task — reference equality scopes the
+  * memo to its own plan. (A top-level class: an anonymous
+  * Serializable would drag a non-serializable outer reference.) */
+final class MemoTag extends java.io.Serializable
+
+object AdcLutMemoOps {
+  private val tl = new ThreadLocal[(Long,
+    java.util.HashMap[(AnyRef, Long, Long),
+      org.apache.spark.sql.catalyst.util.GenericArrayData])]
+
+  def lut(tag: AnyRef, qid: Long, cell: Long, qres: ArrayData,
+      m: Int, k: Int, dSub: Int, flat: Array[Double])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc == null)
+      // driver-side eval (constant folding / local relations): no task
+      // to scope a memo to — compute directly, still bit-identical
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        AdcOps.lut(qres, m, k, dSub, flat))
+    var st = tl.get()
+    if (st == null || st._1 != tc.taskAttemptId()) {
+      st = (tc.taskAttemptId(),
+        new java.util.HashMap[(AnyRef, Long, Long),
+          org.apache.spark.sql.catalyst.util.GenericArrayData]())
+      tl.set(st)
+      // completion listeners run on the task's own thread — the memo
+      // frees at task end instead of idling on the pool thread
+      tc.addTaskCompletionListener(new org.apache.spark.util.TaskCompletionListener {
+        override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
+          tl.remove()
+      })
+    }
+    val key = (tag, qid, cell)
+    var v = st._2.get(key)
+    if (v == null) {
+      v = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        AdcOps.lut(qres, m, k, dSub, flat))
+      st._2.put(key, v)
+    }
+    v
+  }
+}
+
+/** [[PqLutExpr]] with executor-side construction: same m·k-double LUT
+  * (bit-identical — the same [[AdcOps.lut]] fold over the same float
+  * residual), but built lazily per (query, cell) in a task-local memo
+  * ([[AdcLutMemoOps]]) instead of being materialized into the panel
+  * BEFORE its broadcast. `tag` is this expression instance's identity
+  * in the memo key — allocated once per serve plan, deserialized once
+  * per task. */
+case class PqLutMemoExpr(qid: Expression, cell: Expression,
+    qres: Expression, m: Int, k: Int, dSub: Int, flat: Array[Double],
+    tag: MemoTag)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = qid
+  override def second: Expression = cell
+  override def third: Expression = qres
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (qid.dataType, cell.dataType, qres.dataType) match {
+      case (LongType, LongType, ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_lut_memo needs (bigint, bigint, array<float>), got $other")
+    }
+
+  override def nullSafeEval(q: Any, c: Any, r: Any): Any =
+    AdcLutMemoOps.lut(tag, q.asInstanceOf[Long], c.asInstanceOf[Long],
+      r.asInstanceOf[ArrayData], m, k, dSub, flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = AdcLutMemoOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val flatRef = ctx.addReferenceObj("flat", flat, "double[]")
+    val tagRef = ctx.addReferenceObj("memoTag", tag, "java.lang.Object")
+    nullSafeCodeGen(ctx, ev, (q, c, r) =>
+      s"${ev.value} = $cls.lut($tagRef, $q, $c, $r, $m, $k, $dSub, $flatRef);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqLutMemoExpr =
+    copy(qid = newFirst, cell = newSecond, qres = newThird)
+  override def prettyName: String = "pq_lut_memo"
+}
+
 /** Per-query ADC lookup table (array<double>, length m·k) from the
   * query residual — see [[AdcOps.lut]]. */
 case class PqLutExpr(child: Expression, m: Int, k: Int, dSub: Int,
@@ -546,6 +651,19 @@ object VectorExprs {
   def pq_lut(qres: Column, books: Seq[Seq[(Int, Array[Double])]]): Column = {
     val (k, dSub, flat, _) = flattenBooks(books)
     Bridge.column(PqLutExpr(Bridge.expression(qres), books.size, k, dSub, flat))
+  }
+
+  /** [[pq_lut]] built EXECUTOR-SIDE in a task-local memo keyed by
+    * (qid, cell) — the serving shortlist's shape, where the residual
+    * rides the broadcast panel (256 B float) instead of the ~1 KB
+    * materialized LUT. Bit-identical values (same fold). */
+  def pq_lut_memo(qid: Column, cell: Column, qres: Column,
+      books: Seq[Seq[(Int, Array[Double])]]): Column = {
+    val (k, dSub, flat, _) = flattenBooks(books)
+    val tag = new MemoTag
+    Bridge.column(PqLutMemoExpr(Bridge.expression(qid.cast(LongType)),
+      Bridge.expression(cell), Bridge.expression(qres),
+      books.size, k, dSub, flat, tag))
   }
 
   /** Candidate ADC: m lookups into the per-query LUT, zero multiplies. */

@@ -302,13 +302,26 @@ object IvfIndex {
       case _ => None
     })
     val kept = present.sorted.takeRight(2).toSet
+    val maxCommitted = if (present.isEmpty) Long.MinValue else present.max
     retired.foreach { st =>
       val name = st.getPath.getName
       val old = name match {
         case SidecarHeaderRe(n) => !kept(n.toLong)
         case _ if name.startsWith("cells-") =>
+          // a shard version PAST the max committed header is a
+          // concurrent writer's commit IN FLIGHT (shards land before
+          // the header CAS) — deleting it would let that writer's
+          // rename succeed while its data is gone, breaking the CAS's
+          // "loser fails loudly, winner stays intact" guarantee. Only
+          // the crashed-writer age guard may sweep those; committed-
+          // but-unkept versions retire as before. (A loser's orphans
+          // AT a kept version self-heal two commits later through the
+          // unkept rule.)
           name.split("\\.v").lastOption.flatMap(_.toLongOption)
-            .exists(v => !kept(v))
+            .exists(v =>
+              if (v > maxCommitted)
+                st.getModificationTime < System.currentTimeMillis() - 3600000L
+              else !kept(v))
         case _ if name.startsWith(".centers.") && name.endsWith(".tmp") =>
           // a crashed writer's tmp; anything recent may be in-flight
           st.getModificationTime < System.currentTimeMillis() - 3600000L
@@ -549,6 +562,18 @@ object IvfIndex {
           }
           .foreach { p => cache.remove(p); loadCounts.remove(p) }
       }
+
+    /** Cheap identity of the sidecar's current committed generation —
+      * ONE file stat (name + inode/length + mtime of the highest
+      * committed header), no data read. Every commit creates a new
+      * version-named header file, so any writer (this process or
+      * another) changes the value. "" = no sidecar. This is the
+      * freshness check long-lived consumers poll: the cache below
+      * keys on it, and [[graft.streaming.StreamingOps.serveOnline]]
+      * re-verifies it per micro-batch to enforce its frozen-index
+      * contract. */
+    def currentFingerprint(spark: SparkSession, path: String): String =
+      fingerprint(spark, path)
 
     def get(spark: SparkSession, path: String): Option[Sidecar] = {
       val fp = fingerprint(spark, path)
@@ -1130,15 +1155,22 @@ object IvfIndex {
       case (w, (j, c)) => w.when(col("cell") === j.toLong,
         VectorQueries.residualAgainst(col("q_emb"), c))
     }
-    // per-query ADC LOOKUP TABLE (m·k = 128 doubles, built once per
-    // panel row): each candidate then costs m array lookups instead
-    // of re-deriving m·dSub = 64 multiply-adds — the classic ADC
-    // trick, and the values are BIT-IDENTICAL to the per-candidate
-    // recompute (same left folds in the same order), so the oracle
-    // replays them unchanged
-    val qSide = panel.select(col("q_id"), col("cell"),
-      graft.functions.VectorExprs.pq_lut(qres, books).as("lut"))
-    val adc = graft.functions.VectorExprs.adc_lut(col("lut"), col("pq"), books)
+    // per-query ADC LOOKUP TABLE (m·k = 128 doubles): each candidate
+    // costs m array lookups instead of re-deriving m·dSub = 64
+    // multiply-adds — the classic ADC trick. The LUT is built
+    // EXECUTOR-SIDE in a task-local memo (one build per (query, cell)
+    // per task, freed at task end): it derives entirely from (qres,
+    // books) and the books already ride inside the expression, so
+    // shipping it was pure broadcast weight — the panel carries the
+    // 256 B float residual instead of the ~1 KB materialized LUT
+    // (~4-5× lighter; ~130 MB per probe at the 100k-query cap before).
+    // Values are BIT-IDENTICAL to the broadcast shape (the same
+    // AdcOps.lut fold over the same float residual), so the oracle
+    // replays them unchanged.
+    val qSide = panel.select(col("q_id"), col("cell"), qres.as("qres"))
+    val lut = graft.functions.VectorExprs.pq_lut_memo(
+      col("q_id"), col("cell"), col("qres"), books)
+    val adc = graft.functions.VectorExprs.adc_lut(lut, col("pq"), books)
     val sc = pruned
       .select(col("vec_id").as("n_id"), col("pq"), col("cell"))
       .join(broadcast(qSide), "cell")
@@ -1274,9 +1306,11 @@ object IvfIndex {
     * index scans before the gather, like [[serve]] — and `cellRows`
     * (the sidecar's occupancy counts) drives the per-cell flip;
     * without it every cell is pushed. Broadcast weight: each panel
-    * row ships its m·k-double LUT (~1 KB at 8×16), so a cap-sized
-    * (100k-query) batch broadcasts ~130 MB — inside executor
-    * budgets, and the ServeMaxBatch cap guards the path loudly. */
+    * row ships its 256 B float residual — the m·k-double ADC LUT is
+    * built executor-side in a task-local memo (see [[pqShortlist]]),
+    * so a cap-sized (100k-query) batch broadcasts ~30 MB per probe
+    * instead of the ~130 MB the materialized-LUT panel weighed — and
+    * the ServeMaxBatch cap guards the path loudly. */
   def servePq(idx: DataFrame, queries: DataFrame, panel: DataFrame,
       k: Int, shortlist: Int,
       serving: Seq[(Int, Array[Double])],

@@ -20,13 +20,22 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
   // aggregation past this many groups per task — at the default 128
   // a serving batch re-pays the candidate sort the heap exists to
   // avoid. A query-batch group's state is ~24·k bytes, so the cap
-  // batch (ServeMaxBatch=100k groups) fits task memory comfortably;
-  // an explicitly LARGER user setting is kept.
-  // 200k = 2× the serve batch cap (Planner.ServeMaxBatch).
-  if (spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "128").toLong < 200000L)
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "200000")
+  // batch (ServeMaxBatch=100k groups) fits task memory comfortably.
+  // 200k = 2× the serve batch cap (Planner.ServeMaxBatch). ONLY the
+  // stock default (128) is overridden: a user who set the threshold
+  // themselves — lower to bound executor memory, or higher — made a
+  // deliberate call this shared-session façade must not silently
+  // revert; a small explicit value just gets the trade-off logged.
+  locally {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val cur = spark.conf.get(key, "128").toLong
+    if (cur == 128L) spark.conf.set(key, "200000")
+    else if (cur < 200000L)
+      GraftSession.log.warn(
+        s"$key is explicitly set to $cur (< 200000): serving batches past " +
+          "that many queries per task will fall back to sort-based " +
+          "aggregation and re-pay the candidate sort the top-k heap avoids")
+  }
   private val registry = mutable.LinkedHashMap.empty[String, DataFrame]
   // _f1.._fN index the files in first-use order PER STATEMENT
   // (reference rebuilds its registry per query, utils.go:507-570);
@@ -187,6 +196,8 @@ final class GraftSession(val spark: SparkSession, defaultDir: Option[String] = N
 }
 
 object GraftSession {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftSession])
+
   def apply(spark: SparkSession, dir: String): GraftSession =
     new GraftSession(spark, Some(dir))
 }

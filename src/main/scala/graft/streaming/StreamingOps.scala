@@ -122,16 +122,39 @@ object StreamingOps {
     * micro-batch runs the same partition-pruned adaptive gather the
     * statement runs (IvfIndex.servePq with the occupancy-driven
     * pushed-vs-full flip, or IvfIndex.serve for a plain index),
-    * appending (q_id, n_id, sim, rank) parquet. Micro-batch ≡ batch is
-    * EXACT: a query's neighbors depend only on its own embedding and
-    * the frozen index, so batch boundaries cannot change any output
-    * row (StreamingSpec pins file-split streaming ≡ the one-shot batch
-    * serve bit-for-bit; the v52 driver gate replays the DuckDB
-    * oracle). Refusals mirror the statement path loudly: no sidecar,
+    * writing (q_id, n_id, sim, rank) parquet per micro-batch.
+    * Micro-batch ≡ batch is EXACT: a query's neighbors depend only on
+    * its own embedding and the frozen index, so batch boundaries
+    * cannot change any output row (StreamingSpec pins file-split
+    * streaming ≡ the one-shot batch serve bit-for-bit; the v52 driver
+    * gate replays the DuckDB oracle).
+    *
+    * The FROZEN-index contract is ENFORCED, not just documented: the
+    * sidecar fingerprint captured at stream start (one file stat —
+    * every commit creates a new version-named header) is re-verified
+    * at each micro-batch's start AND again before the batch commits,
+    * so an append/upsert/compact that lands mid-stream fails the
+    * stream loudly instead of the pruned gather silently serving
+    * superseded rows off `readFull` — round 14 made concurrent
+    * writers a supported story (the sidecar CAS), so this is a real
+    * interleaving, not a hypothetical. The post-serve check aborts
+    * the batch BEFORE the checkpoint commits it, and the sink is
+    * idempotent per batchId (each batch overwrites its own
+    * `batch=N/` subdirectory), so a retried or replayed batch —
+    * failure recovery, or a restart against the mutated index —
+    * overwrites rather than duplicates. Pass `checkpointLocation`
+    * for restartable exactly-once runs; without it Spark uses a
+    * one-shot temp checkpoint (fine for AvailableNow gates). The
+    * default AvailableNow trigger drains what's there and stops (the
+    * gate shape); a live serving tier passes ProcessingTime.
+    * Refusals mirror the statement path loudly: no sidecar,
     * un-compacted appends, over-cap micro-batches (the panel is the
-    * gather's broadcast side). */
+    * gather's broadcast side), mid-stream index mutation. */
   def serveOnline(spark: SparkSession, queryStream: DataFrame,
-      idxPath: String, k: Int, shortlist: Int, outPath: String)
+      idxPath: String, k: Int, shortlist: Int, outPath: String,
+      checkpointLocation: Option[String] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.IvfIndex
     val side = IvfIndex.readSidecar(spark, idxPath).getOrElse(
@@ -140,8 +163,22 @@ object StreamingOps {
     require(!side.pendingAppends,
       s"serveOnline: index at '$idxPath' has un-compacted appends — " +
         "a pruned gather could return superseded vectors; run compact first")
-    queryStream.select(col("q_id"), col("q_emb")).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    val frozenFp = IvfIndex.SidecarCache.currentFingerprint(spark, idxPath)
+    def requireFrozen(when: String): Unit = {
+      val fp = IvfIndex.SidecarCache.currentFingerprint(spark, idxPath)
+      if (fp != frozenFp)
+        throw new java.util.ConcurrentModificationException(
+          s"serveOnline: index at '$idxPath' changed $when (sidecar " +
+            s"'$frozenFp' -> '$fp') — the online serve contract is a FROZEN " +
+            "index; compact if appends are pending and restart the stream " +
+            "against the new generation")
+    }
+    val writer = queryStream.select(col("q_id"), col("q_emb")).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // inter-batch mutations refuse before any work; the post-serve
+        // check below catches an intra-batch commit before this batch's
+        // checkpoint commit makes the output durable
+        requireFrozen(s"before micro-batch $batchId")
         // one materialization across the cap count, the routing panel
         // and the gather (the threaded count keeps servePq's gather
         // gate at zero extra driver jobs, like planServe)
@@ -160,12 +197,20 @@ object StreamingOps {
                 k, shortlist, side.serving, side.books,
                 cellRows = side.counts, knownBatchRows = Some(n))
             else IvfIndex.serve(IvfIndex.read(spark, idxPath), panel, k)
-          served.write.mode("append").parquet(outPath)
+          // idempotent per batchId: a replay overwrites its own
+          // subdirectory (readers see `batch` as a partition column
+          // after the served columns — positional consumers unaffected)
+          served.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          // an index commit that raced THIS batch's gather aborts the
+          // batch before the checkpoint marks it done — the replay
+          // (after the operator restarts the stream) overwrites the
+          // subdirectory, so the torn output is never visible durably
+          requireFrozen(s"during micro-batch $batchId")
         }
         ()
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    checkpointLocation.foreach(c => writer.option("checkpointLocation", c))
+    writer.trigger(trigger).start()
   }
 
   /** x11's streaming twin: exponentially-decayed per-type event

@@ -680,4 +680,67 @@ class StreamingSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("un-compacted appends"))
   }
+
+  test("serveOnline fails loudly when the index mutates mid-stream") {
+    // the round-14 weak item: the pendingAppends guard ran once at
+    // stream start, but readFull does no version resolution — an
+    // append committed between micro-batches used to serve superseded
+    // duplicate rows silently. Now every micro-batch re-verifies the
+    // sidecar fingerprint it started with and refuses loudly.
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    import graft.queries.VectorQueries
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = "/tmp/graft_spec_serveonline_mut"
+    val centers = IvfIndex.build(e, path, pq = true)
+    val side = IvfIndex.readSidecar(spark, path).get
+    val q0 = e.filter(col("vec_id") % 7 === 2)
+      .select((col("vec_id") + lit(1000000L)).as("q_id"),
+        col("embedding").as("q_emb"))
+    def wipe(p: String): Unit = {
+      val d = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val qdir = "/tmp/graft_spec_serveonline_mut_q"
+    val out = "/tmp/graft_spec_serveonline_mut_out"
+    wipe(qdir); wipe(out)
+    // batch 1's file exists at start; a ProcessingTime trigger keeps
+    // the stream alive for files landing AFTER the index mutation
+    q0.limit(5).coalesce(1).write.mode("overwrite").parquet(qdir)
+    val stream = spark.readStream.schema(q0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(qdir)
+    val sq = graft.streaming.StreamingOps.serveOnline(
+      spark, stream, path, k = 5, shortlist = 20, out,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+    sq.processAllAvailable() // micro-batch 1 served against the frozen index
+    val served1 = spark.read.parquet(out).count()
+    assert(served1 > 0, "batch 1 must serve before the mutation")
+    // commit an append mid-stream: new sidecar generation, superseded
+    // rows possible — the next micro-batch must refuse, not serve raw
+    val arrivals = IvfIndex.withCodes(
+      VectorQueries.kmeansAssign(
+        e.limit(10).select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          col("embedding")), centers),
+      side.serving, side.books)
+    IvfIndex.append(spark, path, arrivals)
+    q0.limit(3).coalesce(1).write.mode("append").parquet(qdir)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      sq.processAllAvailable()
+      sq.awaitTermination(30000L)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(err).exists(_.contains("FROZEN")),
+      s"expected the frozen-index refusal, got: ${chain(err).mkString(" | ")}")
+    // and nothing beyond batch 1's output landed durably
+    assert(spark.read.parquet(out).count() == served1,
+      "the refused micro-batch must not land output")
+    sq.stop()
+  }
 }
