@@ -96,6 +96,9 @@ object ScaleProbe {
     else if (args.headOption.contains("r12pq")) r12Pq(args.drop(1))
     else if (args.headOption.contains("r13pq")) r13Pq(args.drop(1))
     else if (args.headOption.contains("r14pq")) r14Pq(args.drop(1))
+    else if (args.headOption.contains("r15cap")) r15Cap(args.drop(1))
+    else if (args.headOption.contains("r15waves")) r15Waves(args.drop(1))
+    else if (args.headOption.contains("r15lut")) r15Lut(args.drop(1))
     else if (args.headOption.contains("r14cap")) r14Cap(args.drop(1))
     else if (args.headOption.contains("r14sidecar")) r14Sidecar(args.drop(1))
     else if (args.headOption.contains("r14flip")) r14Flip(args.drop(1))
@@ -778,6 +781,230 @@ object ScaleProbe {
         side.serving, side.books, cellRows = tinyCells,
         knownBatchRows = Some(nq))))
     }
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-15 cap probe (VERDICT r15 ask #3): the saturation skip.
+    * At the 100k-query UNIFORM cap the shortlists cover essentially
+    * every probed page, so the gather must be the full embedding pass
+    * — which r14 only learned by paying a (cell, n_id) DISTINCT
+    * shuffle over the whole q·shortlist (SCALE_r14_cap: 715 vs 561 MB
+    * exact). The winner-cardinality estimate now rides the checkpoint
+    * job for free (observed HLL) and skips that analysis when it
+    * proves saturation. A/B at one fixture:
+    *  - `skip`: honest sidecar occupancy — the estimate proves
+    *    saturation, no analysis job;
+    *  - `analysis`: occupancy inflated 10000× so probedPages dwarfs
+    *    any estimate — the exact DISTINCT runs and over-caps into the
+    *    same fallback plan (the r14 uniform shape, byte-for-byte).
+    * The HOT leg (100 points × 1000 dups — the traffic a serving tier
+    * actually sees) keeps honest occupancy: its ~5k distinct winners
+    * sit far under the margin, so the estimate must NOT fire and the
+    * per-cell pushed gather must stay byte-identical to r14. */
+  private def r15Cap(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(1000)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.operators.IvfIndex
+    def readMb(label: String)(f: => Unit): Unit = {
+      val b0 = rchar()
+      f
+      results(label + "_readmb") = math.rint((rchar() - b0) / 1e4) / 100
+    }
+    val n = copies * 2000L
+    val tmp = s"/tmp/graft_r14pq_probe_$copies" // shared fixture
+    val embPath = s"$tmp/emb.parquet"
+    val pqPath = s"$tmp/idx_pq"
+    val e =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(embPath)))
+        spark.read.parquet(embPath)
+      else blockClusterEmbeddings(spark, n, embPath)
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(pqPath,
+        IvfIndex.SidecarDir)))
+      time("build_pq")(IvfIndex.build(e, pqPath, 64, pq = true))
+    val side = IvfIndex.readSidecar(spark, pqPath).get
+    val idxPq = IvfIndex.readFull(spark, pqPath)
+    val capQ = 100000L
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    readMb("calibration_full_scan")(
+      IvfIndex.read(spark, pqPath)
+        .agg(sum(element_at(col("embedding"), 1))).collect())
+    val qUniform = e.filter(col("vec_id") < capQ)
+      .select((col("vec_id") + lit(970000000000L)).as("q_id"),
+        col("embedding").as("q_emb")).localCheckpoint(true)
+    val hotBase = e.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    val qHot = hotBase.join(broadcast(spark.range(1000).select(col("id").as("rep"))))
+      .select((col("vec_id") * 1000L + col("rep") + lit(970000000000L)).as("q_id"),
+        col("embedding").as("q_emb")).localCheckpoint(true)
+    def panelOf(qdf: DataFrame) = qdf.select(col("q_id"), col("q_emb"),
+      graft.functions.VectorExprs.nearest_centroid(
+        col("q_emb"), side.refresh, side.dim).as("cell")).localCheckpoint(true)
+    val inflated = side.counts.map { case (c, r) => c -> r * 10000L }
+    val panelU = panelOf(qUniform)
+    readMb("serve_exact_uniform_q100k")(time("serve_exact_uniform_q100k")(
+      noop(IvfIndex.serve(IvfIndex.read(spark, pqPath), panelU, 10))))
+    readMb("serve_pq_uniform_skip")(time("serve_pq_uniform_skip")(
+      noop(IvfIndex.servePq(idxPq, qUniform, panelU, 10, 50,
+        side.serving, side.books, cellRows = side.counts,
+        knownBatchRows = Some(capQ)))))
+    readMb("serve_pq_uniform_analysis")(time("serve_pq_uniform_analysis")(
+      noop(IvfIndex.servePq(idxPq, qUniform, panelU, 10, 50,
+        side.serving, side.books, cellRows = inflated,
+        knownBatchRows = Some(capQ)))))
+    val panelH = panelOf(qHot)
+    readMb("serve_exact_hot_q100k")(time("serve_exact_hot_q100k")(
+      noop(IvfIndex.serve(IvfIndex.read(spark, pqPath), panelH, 10))))
+    readMb("serve_pq_hot_q100k")(time("serve_pq_hot_q100k")(
+      noop(IvfIndex.servePq(idxPq, qHot, panelH, 10, 50,
+        side.serving, side.books, cellRows = side.counts,
+        knownBatchRows = Some(capQ)))))
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-15 wave-wall probe (VERDICT r15 ask #6): COVERAGE claims
+    * concurrent wave submission makes gather wall ≈ max(wave), not
+    * Σ(wave) — this records it. A mid-size batch whose pushed winner
+    * set spans ≥8 waves at the production 1024-id wave budget
+    * (occupancy withheld so every cell pushes), gathered through the
+    * shipped 8-thread pool vs forced-sequential (gatherPool = 1),
+    * with the Spark job count recorded for both (same jobs, different
+    * overlap — the pool is scheduling, not plan shape; R15OpsSpec
+    * pins result equality). */
+  private def r15Waves(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(1000)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.operators.IvfIndex
+    val n = copies * 2000L
+    val tmp = s"/tmp/graft_r14pq_probe_$copies" // shared fixture
+    val embPath = s"$tmp/emb.parquet"
+    val pqPath = s"$tmp/idx_pq"
+    val e =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(embPath)))
+        spark.read.parquet(embPath)
+      else blockClusterEmbeddings(spark, n, embPath)
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(pqPath,
+        IvfIndex.SidecarDir)))
+      time("build_pq")(IvfIndex.build(e, pqPath, 64, pq = true))
+    val side = IvfIndex.readSidecar(spark, pqPath).get
+    val idxPq = IvfIndex.readFull(spark, pqPath)
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // ~300 queries × shortlist 50 ≈ 15k distinct winners ≈ 15 waves
+    // at the 1024-id budget — comfortably ≥8
+    val q = e.filter(col("vec_id") < 300)
+      .select((col("vec_id") + lit(970000000000L)).as("q_id"),
+        col("embedding").as("q_emb")).localCheckpoint(true)
+    val panel = q.select(col("q_id"), col("q_emb"),
+      graft.functions.VectorExprs.nearest_centroid(
+        col("q_emb"), side.refresh, side.dim).as("cell"))
+      .localCheckpoint(true)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+    def drained(): Int = {
+      var prev = -1
+      while (jobs.get != prev) { prev = jobs.get; Thread.sleep(200) }
+      prev
+    }
+    for ((label, pool) <- Seq("concurrent8" -> 8, "sequential" -> 1)) {
+      drained(); jobs.set(0)
+      var served: DataFrame = null
+      time(s"gather_construct_$label") {
+        // knownBatchRows deliberately NOT threaded: 300×50 is inside
+        // the one-job small-batch gate, which would skip waves
+        served = IvfIndex.servePq(idxPq, q, panel, 10, 50,
+          side.serving, side.books, gatherPool = pool)
+      }
+      time(s"gather_drain_$label")(noop(served))
+      results(s"jobs_$label") = drained().toDouble
+    }
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-15 LUT broadcast probe (VERDICT r15 ask #2 evidence): the
+    * ADC LUT is now built executor-side from the panel's 256 B float
+    * residual; r14 materialized the m·k = 128-double LUT into every
+    * panel row before the broadcast. Measures the ACTUAL
+    * BroadcastExchange dataSize of both panel shapes at the cap
+    * geometry (100k queries × probe 4 = 400k panel rows), joined
+    * against a small codes frame so the broadcast side dominates.
+    * VectorExprsSpec pins the two shapes bit-identical in values. */
+  private def r15Lut(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(1000)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.operators.IvfIndex
+    import graft.queries.VectorQueries
+    val n = copies * 2000L
+    val tmp = s"/tmp/graft_r14pq_probe_$copies" // shared fixture
+    val embPath = s"$tmp/emb.parquet"
+    val pqPath = s"$tmp/idx_pq"
+    val e =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(embPath)))
+        spark.read.parquet(embPath)
+      else blockClusterEmbeddings(spark, n, embPath)
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(pqPath,
+        IvfIndex.SidecarDir)))
+      time("build_pq")(IvfIndex.build(e, pqPath, 64, pq = true))
+    val side = IvfIndex.readSidecar(spark, pqPath).get
+    val capQ = 100000L
+    val q = e.filter(col("vec_id") < capQ)
+      .select((col("vec_id") + lit(970000000000L)).as("q_id"),
+        col("embedding").as("q_emb"))
+    val panel = q.select(col("q_id"), col("q_emb"),
+      explode(graft.functions.VectorExprs.nearest_cells(
+        col("q_emb"), side.refresh, side.dim, 4)).as("cell"))
+      .localCheckpoint(true)
+    results("panel_rows") = panel.count().toDouble
+    val qres = side.serving.tail.foldLeft(
+      when(col("cell") === side.serving.head._1.toLong,
+        VectorQueries.residualAgainst(col("q_emb"), side.serving.head._2))) {
+      case (w, (j, c)) => w.when(col("cell") === j.toLong,
+        VectorQueries.residualAgainst(col("q_emb"), c))
+    }
+    // a tiny probe side: the broadcast build is what's measured
+    val codes = IvfIndex.readFull(spark, pqPath)
+      .select(col("vec_id").as("n_id"), col("pq"), col("cell"))
+      .filter(col("vec_id") < 2000).localCheckpoint(true)
+    def broadcastMb(df: DataFrame): Double = {
+      df.write.format("noop").mode("overwrite").save()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def sizes(p: SparkPlan): Seq[Long] = {
+        val self =
+          if (p.getClass.getSimpleName.contains("BroadcastExchange"))
+            p.metrics.get("dataSize").map(_.value).toSeq
+          else Seq.empty
+        val inner = p match {
+          case a: AdaptiveSparkPlanExec => sizes(a.executedPlan)
+          case s: QueryStageExec => sizes(s.plan)
+          case _ => Seq.empty
+        }
+        self ++ inner ++ p.children.flatMap(sizes)
+      }
+      math.rint(sizes(df.queryExecution.executedPlan).sum / 1e4) / 100
+    }
+    // r15 shape: the panel ships the float residual
+    val qSideNew = panel.select(col("q_id"), col("cell"), qres.as("qres"))
+    results("broadcast_residual_mb") =
+      broadcastMb(codes.join(broadcast(qSideNew), "cell")
+        .select(count(col("q_id"))).toDF("c"))
+    // r14 shape: the panel ships the materialized m·k-double LUT
+    val qSideOld = panel.select(col("q_id"), col("cell"),
+      graft.functions.VectorExprs.pq_lut(qres, side.books).as("lut"))
+    results("broadcast_lut_mb") =
+      broadcastMb(codes.join(broadcast(qSideOld), "cell")
+        .select(count(col("q_id"))).toDF("c"))
     writeJson(outJson, copies)
     spark.stop()
   }

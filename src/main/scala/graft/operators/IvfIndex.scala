@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Path => HPath}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1277,7 +1277,12 @@ object IvfIndex {
     * ONLY. The shortlist runs exactly ONCE — materialized through an
     * eager local checkpoint (executor block store, never the driver)
     * — and its bounded DISTINCT winner set is collected to drive the
-    * gather shape, decided PER CELL:
+    * gather shape — except when the checkpoint job's free
+    * winner-cardinality estimate (an `observe`d HLL riding the
+    * materialization) already proves the batch SATURATED, where the
+    * analysis shuffle is skipped and the gather goes straight to the
+    * full probed-cell pass it would have chosen anyway. Otherwise the
+    * shape is decided PER CELL:
     *  - a cell whose winner count is small against its page count
     *    gets a PUSHED branch — partition-pruned to the cell, with an
     *    OR-of-equality predicate over that cell's winner ids.
@@ -1319,7 +1324,8 @@ object IvfIndex {
       cellRows: Map[Long, Long] = Map.empty,
       maxIdsPerWave: Int = PqGatherPushMaxIds,
       maxWaves: Int = PqGatherMaxWaves,
-      knownBatchRows: Option[Long] = None): DataFrame = {
+      knownBatchRows: Option[Long] = None,
+      gatherPool: Int = 8): DataFrame = {
     require(books.nonEmpty, "servePq: the index has no PQ codebooks")
     val probed = panel.select(col("cell")).distinct().collect()
       .map(_.get(0).asInstanceOf[Number].longValue()).sorted.toSeq
@@ -1352,7 +1358,9 @@ object IvfIndex {
     // second aggregate job. An unknown or large batch materializes the
     // shortlist via eager checkpoint (executor block store) and
     // collects only the bounded DISTINCT winner set (limit+1, so an
-    // over-cap set transfers at most cap+1 rows before falling back).
+    // over-cap set transfers at most cap+1 rows before falling back) —
+    // unless the checkpoint job's free cardinality estimate already
+    // proves saturation, in which case even that analysis is skipped.
     val winnersCap = math.min(math.max(pushMax, 0L), 8000000L).toInt
     val smallBatch = winnersCap > 0 &&
       knownBatchRows.exists(n => n * shortlist <= pushMax)
@@ -1365,14 +1373,48 @@ object IvfIndex {
           idOf(r))).distinct.toSeq
         (local, local.select(col("q_id"), col("n_id")), w, true)
       } else {
-        val ck = short0.localCheckpoint(true)
-        val w: Array[Row] =
-          if (winnersCap == 0) Array.empty
-          else ck.select(col("cell"), col("n_id")).distinct()
-            .limit(winnersCap + 1).collect()
-        (ck, ck.select(col("q_id"), col("n_id")),
-          w.map(r => (cellOf(r), idOf(r))).toSeq,
-          winnersCap > 0 && w.length <= winnersCap)
+        // the winner-CARDINALITY estimate rides the checkpoint job for
+        // FREE (observe + HLL over the shortlist rows — verified: the
+        // eager localCheckpoint is a QueryExecution action, so the
+        // observation's future completes with it). When it proves the
+        // batch SATURATED — expected distinct winners past the push
+        // cap, or rivaling the probed corpus's page population
+        // corpus-wide ([[cellPrefersFullScan]]'s 2·pages flip
+        // aggregated, with a 2× margin for cell-to-cell skew) — the
+        // exact winner analysis is SKIPPED: its (cell, n_id) DISTINCT
+        // re-shuffles the whole q·shortlist only to learn what the
+        // estimate already proved, and the gather is the full
+        // probed-cell embedding pass either way (the r14 shape paid
+        // that analysis shuffle at the 100k-query uniform cap,
+        // SCALE_r14_cap's 715-vs-561 MB gap; SCALE_r15 records the
+        // trim). Estimate error (±2% rsd) cannot cost bytes in either
+        // direction: near the boundary both shapes choose the full
+        // scan per cell anyway, and a missed skip only means running
+        // the same analysis r14 always ran.
+        val obs = Observation()
+        val ck = short0.observe(obs, approx_count_distinct(
+            struct(col("cell"), col("n_id")), 0.02).as("w"))
+          .localCheckpoint(true)
+        val est = try scala.concurrent.Await.result(obs.future,
+            scala.concurrent.duration.Duration(30, "s")).getLong(0)
+          catch { case _: java.util.concurrent.TimeoutException => -1L }
+        val probedPages = probed.iterator.flatMap(cellRows.get)
+          .map(r => (r + PageRowLimit - 1) / PageRowLimit).sum
+        val saturated = winnersCap > 0 && est >= 0 &&
+          (est > winnersCap.toLong ||
+            (probedPages > 0 && est >= 4L * probedPages))
+        if (saturated)
+          (ck, ck.select(col("q_id"), col("n_id")), Seq.empty[(Long, Long)],
+            false)
+        else {
+          val w: Array[Row] =
+            if (winnersCap == 0) Array.empty
+            else ck.select(col("cell"), col("n_id")).distinct()
+              .limit(winnersCap + 1).collect()
+          (ck, ck.select(col("q_id"), col("n_id")),
+            w.map(r => (cellOf(r), idOf(r))).toSeq,
+            winnersCap > 0 && w.length <= winnersCap)
+        }
       }
     def scoreOf(gather: DataFrame): DataFrame =
       gather.join(broadcast(pairsDf), "n_id")
@@ -1465,7 +1507,7 @@ object IvfIndex {
             // parallel jobs fine), so wall is ~max(wave), not Σ(wave).
             import scala.concurrent.{Await, ExecutionContext, Future}
             val pool = java.util.concurrent.Executors.newFixedThreadPool(
-              math.min(8, waves.size))
+              math.min(math.max(1, gatherPool), waves.size))
             implicit val ec: ExecutionContext =
               ExecutionContext.fromExecutorService(pool)
             try Await.result(

@@ -149,36 +149,69 @@ object StreamingOps {
     * gate shape); a live serving tier passes ProcessingTime.
     * Refusals mirror the statement path loudly: no sidecar,
     * un-compacted appends, over-cap micro-batches (the panel is the
-    * gather's broadcast side), mid-stream index mutation. */
+    * gather's broadcast side), mid-stream index mutation.
+    *
+    * `followIndex = true` replaces fail-on-mutation with
+    * FOLLOW-the-maintenance: each micro-batch serves against the
+    * LATEST COMMITTED, COMPACTED generation (re-resolved off the
+    * fingerprint-validated SidecarCache — one file stat per batch when
+    * nothing changed), so a serving tier survives compact/upsert
+    * cycles without restarts. The refusal story stays uniform with
+    * the statement path: a generation with PENDING APPENDS still
+    * refuses loudly (readFull would serve superseded rows; the batch
+    * `serve` statement refuses the same state), and a commit that
+    * races one batch's gather re-serves that batch against the new
+    * generation (bounded retries; the per-batchId overwrite makes the
+    * re-serve invisible), failing only if the index churns faster
+    * than a micro-batch can serve. Each batch's rows are then exactly
+    * the one-shot batch serve against whichever generation it
+    * committed under — batch boundaries decide WHICH generation, the
+    * rows themselves stay bit-deterministic. */
   def serveOnline(spark: SparkSession, queryStream: DataFrame,
       idxPath: String, k: Int, shortlist: Int, outPath: String,
       checkpointLocation: Option[String] = None,
+      followIndex: Boolean = false,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.IvfIndex
-    val side = IvfIndex.readSidecar(spark, idxPath).getOrElse(
-      throw new IllegalStateException(
-        s"serveOnline: no _centers sidecar at '$idxPath' — build the index first"))
-    require(!side.pendingAppends,
-      s"serveOnline: index at '$idxPath' has un-compacted appends — " +
-        "a pruned gather could return superseded vectors; run compact first")
-    val frozenFp = IvfIndex.SidecarCache.currentFingerprint(spark, idxPath)
+    def resolve(): (String, IvfIndex.Sidecar) = {
+      // fingerprint-bracketed: re-stat after the read so a commit
+      // racing the resolve never pairs an old sidecar with a new
+      // fingerprint (r14 made concurrent writers a supported story)
+      var tries = 0
+      while (true) {
+        val before = IvfIndex.SidecarCache.currentFingerprint(spark, idxPath)
+        val s = IvfIndex.SidecarCache.get(spark, idxPath).getOrElse(
+          throw new IllegalStateException(
+            s"serveOnline: no _centers sidecar at '$idxPath' — build the index first"))
+        require(!s.pendingAppends,
+          s"serveOnline: index at '$idxPath' has un-compacted appends — " +
+            "a pruned gather could return superseded vectors; run compact first")
+        if (IvfIndex.SidecarCache.currentFingerprint(spark, idxPath) == before)
+          return (before, s)
+        tries += 1
+        require(tries < 5,
+          s"serveOnline: sidecar at '$idxPath' kept changing during resolve")
+      }
+      sys.error("unreachable")
+    }
+    val frozen = resolve()
     def requireFrozen(when: String): Unit = {
       val fp = IvfIndex.SidecarCache.currentFingerprint(spark, idxPath)
-      if (fp != frozenFp)
+      if (fp != frozen._1)
         throw new java.util.ConcurrentModificationException(
           s"serveOnline: index at '$idxPath' changed $when (sidecar " +
-            s"'$frozenFp' -> '$fp') — the online serve contract is a FROZEN " +
+            s"'${frozen._1}' -> '$fp') — the online serve contract is a FROZEN " +
             "index; compact if appends are pending and restart the stream " +
-            "against the new generation")
+            "against the new generation (or serve with followIndex)")
     }
     val writer = queryStream.select(col("q_id"), col("q_emb")).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // inter-batch mutations refuse before any work; the post-serve
-        // check below catches an intra-batch commit before this batch's
-        // checkpoint commit makes the output durable
-        requireFrozen(s"before micro-batch $batchId")
+        // frozen mode: inter-batch mutations refuse before any work;
+        // the post-serve check catches an intra-batch commit before
+        // this batch's checkpoint commit makes the output durable
+        if (!followIndex) requireFrozen(s"before micro-batch $batchId")
         // one materialization across the cap count, the routing panel
         // and the gather (the threaded count keeps servePq's gather
         // gate at zero extra driver jobs, like planServe)
@@ -188,24 +221,53 @@ object StreamingOps {
           require(n <= RunToTableMaxRows,
             s"serveOnline: micro-batch has $n rows (cap $RunToTableMaxRows): " +
               "serving batches must be query-sized")
-          val panel = b.select(col("q_id"), col("q_emb"),
-            graft.functions.VectorExprs.nearest_centroid(
-              col("q_emb"), side.refresh, side.dim).as("cell"))
-          val served =
-            if (side.hasPq)
-              IvfIndex.servePq(IvfIndex.readFull(spark, idxPath), b, panel,
-                k, shortlist, side.serving, side.books,
-                cellRows = side.counts, knownBatchRows = Some(n))
-            else IvfIndex.serve(IvfIndex.read(spark, idxPath), panel, k)
-          // idempotent per batchId: a replay overwrites its own
-          // subdirectory (readers see `batch` as a partition column
-          // after the served columns — positional consumers unaffected)
-          served.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-          // an index commit that raced THIS batch's gather aborts the
-          // batch before the checkpoint marks it done — the replay
-          // (after the operator restarts the stream) overwrites the
-          // subdirectory, so the torn output is never visible durably
-          requireFrozen(s"during micro-batch $batchId")
+          var attempts = 0
+          var committedUnder: String = null
+          while (committedUnder == null) {
+            val (fp, side) = if (followIndex) resolve() else frozen
+            def raced(): Boolean =
+              IvfIndex.SidecarCache.currentFingerprint(spark, idxPath) != fp
+            def countRetry(): Unit = {
+              attempts += 1
+              require(attempts < 5,
+                s"serveOnline: index at '$idxPath' churns faster than " +
+                  s"micro-batch $batchId can serve — pause maintenance or " +
+                  "widen the trigger interval")
+            }
+            try {
+              val panel = b.select(col("q_id"), col("q_emb"),
+                graft.functions.VectorExprs.nearest_centroid(
+                  col("q_emb"), side.refresh, side.dim).as("cell"))
+              val served =
+                if (side.hasPq)
+                  IvfIndex.servePq(IvfIndex.readFull(spark, idxPath), b, panel,
+                    k, shortlist, side.serving, side.books,
+                    cellRows = side.counts, knownBatchRows = Some(n))
+                else IvfIndex.serve(IvfIndex.read(spark, idxPath), panel, k)
+              // idempotent per batchId: a replay overwrites its own
+              // subdirectory (readers see `batch` as a partition column
+              // after the served columns — positional consumers unaffected)
+              served.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+              // an index commit that raced THIS batch's gather: frozen
+              // mode aborts before the checkpoint marks the batch done
+              // (the replay overwrites the subdirectory, so the torn
+              // output is never visible durably); follow mode re-serves
+              // against the new generation and overwrites in place
+              if (!raced()) committedUnder = fp
+              else if (!followIndex) requireFrozen(s"during micro-batch $batchId")
+              else countRetry()
+            } catch {
+              // a maintenance rewrite can also surface as the gather
+              // failing outright (compact deletes the files mid-scan —
+              // Spark throws, never silently drops them): in follow
+              // mode that is the same race as the fingerprint check
+              // catching it post-serve, so re-resolve and re-serve;
+              // anything NOT explained by a commit rethrows, and
+              // frozen mode always rethrows (loud is the contract)
+              case e if followIndex && scala.util.control.NonFatal(e) &&
+                  raced() => countRetry()
+            }
+          }
         }
         ()
       }

@@ -60,8 +60,11 @@ class R14OpsSpec extends SparkSpec {
   test("per-cell flip: honest tiny-cell occupancy chooses full scans, same results") {
     // sf0.001 cells are ~125 rows ≈ 2 pages — per-id pushes read the
     // same pages as the full scan with plan overhead on top, so the
-    // flip must engage with the real counts; and flipping is a plan
-    // choice, never a result change
+    // gather must choose full scans with the real counts (since r15
+    // the SATURATION SKIP reaches that conclusion from the checkpoint
+    // job's free estimate before the per-cell flip even runs —
+    // R15OpsSpec pins the mixed-occupancy flip separately); either
+    // way it is a plan choice, never a result change
     val q = batch(7, 2)
     val panel = panelOf(q)
     val idxFull = IvfIndex.readFull(spark, path)

@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.core.Tables
 import graft.operators.IvfIndex
 
 /** Property pins for the round-15 concurrency hardening of the
@@ -134,5 +136,123 @@ class R15OpsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("vanish"),
       s"expected the loud vanish-retry diagnostic, got: ${err.getMessage}")
+  }
+
+  // ---- round-15 serving trims: the saturation skip (VERDICT ask #3)
+  // and the wave gather pool (ask #6 sanity; SCALE_r15 times it) ----
+
+  private lazy val emb = Tables(spark, sf0001, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+  private val gatherPath = "/tmp/graft_r15_gather"
+  private lazy val gatherFixture: IvfIndex.Sidecar = {
+    IvfIndex.build(emb, gatherPath, pq = true)
+    IvfIndex.readSidecar(spark, gatherPath).get
+  }
+
+  private def batch(mod: Int, rem: Int) =
+    emb.filter(col("vec_id") % mod === rem)
+      .select((col("vec_id") + lit(1000000L)).as("q_id"),
+        col("embedding").as("q_emb"))
+
+  private def panelOf(q: org.apache.spark.sql.DataFrame) =
+    q.select(col("q_id"), col("q_emb"),
+      graft.functions.VectorExprs.nearest_centroid(
+        col("q_emb"), gatherFixture.refresh, gatherFixture.dim).as("cell"))
+
+  private def collectServe(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3))).sorted.toSeq
+
+  test("a saturated batch skips the winner-analysis job, identical results") {
+    // sf0.001 cells are ~2 pages, so a shortlist-20 batch's winners
+    // rival every probed cell's pages — the checkpoint job's FREE
+    // cardinality estimate (observed HLL) proves saturation and the
+    // exact (cell, n_id) DISTINCT shuffle is skipped outright; the
+    // gather is the full probed-cell pass the per-cell flip would
+    // have chosen for every cell anyway. Pin: ≥1 fewer driver job
+    // than the analysis path on identical inputs, identical rows.
+    val q = batch(61, 5).localCheckpoint(true)
+    val panel = panelOf(q).localCheckpoint(true)
+    val idxFull = IvfIndex.readFull(spark, gatherPath)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def drained(): Int = {
+      var prev = -1
+      while (jobs.get != prev) { prev = jobs.get; Thread.sleep(200) }
+      prev
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      drained(); jobs.set(0)
+      // honest tiny-cell occupancy -> the estimate proves saturation
+      val skipped = IvfIndex.servePq(idxFull, q, panel, 5, 20,
+        gatherFixture.serving, gatherFixture.books,
+        cellRows = gatherFixture.counts)
+      val skippedRows = collectServe(skipped)
+      val jobsSkipped = drained()
+      jobs.set(0)
+      // occupancy withheld -> probedPages = 0, the estimate stays far
+      // under the push cap -> the exact winner analysis runs (and the
+      // winner set pushes; R14OpsSpec pins pushed ≡ fallback)
+      val analyzed = IvfIndex.servePq(idxFull, q, panel, 5, 20,
+        gatherFixture.serving, gatherFixture.books)
+      val analyzedRows = collectServe(analyzed)
+      val jobsAnalyzed = drained()
+      assert(jobsSkipped < jobsAnalyzed,
+        s"the saturation skip must drop ≥1 analysis job " +
+          s"($jobsSkipped vs $jobsAnalyzed)")
+      assert(skippedRows.nonEmpty && skippedRows == analyzedRows,
+        "the saturation skip must never change serving results")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("per-cell flip mixes pushed and full branches under skewed occupancy") {
+    // the honest tiny-cell fixture now saturates (above), so the
+    // per-cell decision needs a skewed synthetic occupancy to stay
+    // exercised: most probed cells HUGE (per-id pushes skip pages),
+    // one tiny (full scan is cheaper) — probedPages is then enormous,
+    // the estimate stays under the 4·pages margin, the exact analysis
+    // runs, and the flip decides PER CELL: the plan carries pushed
+    // vec_id equalities for the huge cells while the tiny cell rides
+    // the full-scan leg, and the results match the all-pushed serve.
+    val q = batch(61, 7)
+    val panel = panelOf(q)
+    val idxFull = IvfIndex.readFull(spark, gatherPath)
+    val probed = panel.select(col("cell")).distinct().collect()
+      .map(_.get(0).asInstanceOf[Number].longValue()).sorted
+    assert(probed.length >= 2, "need ≥2 probed cells for a mixed flip")
+    val tiny = probed.head
+    val counts = probed.map(c =>
+      c -> (if (c == tiny) 1L else 10000000L)).toMap
+    val mixed = IvfIndex.servePq(idxFull, q, panel, 5, 20,
+      gatherFixture.serving, gatherFixture.books, cellRows = counts)
+    val p = mixed.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("EqualTo(vec_id"),
+      "huge cells must keep pushed per-id branches")
+    val pushedAll = IvfIndex.servePq(idxFull, q, panel, 5, 20,
+      gatherFixture.serving, gatherFixture.books)
+    assert(collectServe(mixed) == collectServe(pushedAll),
+      "a mixed per-cell flip must never change serving results")
+  }
+
+  test("sequential wave pool serves identically to the concurrent pool") {
+    // waves bound PLAN size; the pool only overlaps their submission.
+    // SCALE_r15 records the wall evidence (concurrent ≈ max(wave));
+    // this pins that the pool size is pure scheduling, never results.
+    val q = batch(3, 1)
+    val panel = panelOf(q)
+    val idxFull = IvfIndex.readFull(spark, gatherPath)
+    def run(poolSize: Int) = collectServe(
+      IvfIndex.servePq(idxFull, q, panel, 5, 20, gatherFixture.serving,
+        gatherFixture.books, maxIdsPerWave = 16, gatherPool = poolSize))
+    val sequential = run(1)
+    val concurrent = run(8)
+    assert(sequential.nonEmpty && sequential == concurrent,
+      "gather pool size must not change serving results")
   }
 }

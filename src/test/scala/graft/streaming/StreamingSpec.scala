@@ -743,4 +743,105 @@ class StreamingSpec extends SparkSpec {
       "the refused micro-batch must not land output")
     sq.stop()
   }
+
+  test("serveOnline followIndex serves each batch against the latest compacted generation") {
+    // the follow-the-maintenance mode: instead of failing on a
+    // mid-stream commit, each micro-batch re-resolves the sidecar
+    // (fingerprint-validated cache — one file stat when unchanged)
+    // and serves against the latest COMMITTED, COMPACTED generation;
+    // a generation with pending appends still refuses exactly like
+    // the statement path. Pin: a batch landing AFTER an
+    // append+compact serves bit-identically to the one-shot batch
+    // serve against the new generation, and a later un-compacted
+    // append fails the stream loudly.
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    import graft.queries.VectorQueries
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = "/tmp/graft_spec_serveonline_follow"
+    val centers = IvfIndex.build(e, path, pq = true)
+    val side0 = IvfIndex.readSidecar(spark, path).get
+    def wipe(p: String): Unit = {
+      val d = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val qdir = "/tmp/graft_spec_serveonline_follow_q"
+    val out = "/tmp/graft_spec_serveonline_follow_out"
+    wipe(qdir); wipe(out)
+    val q1 = e.filter(col("vec_id") % 7 === 2)
+      .select((col("vec_id") + lit(1000000L)).as("q_id"),
+        col("embedding").as("q_emb")).limit(5)
+    q1.coalesce(1).write.mode("overwrite").parquet(qdir)
+    val stream = spark.readStream.schema(q1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(qdir)
+    val sq = graft.streaming.StreamingOps.serveOnline(
+      spark, stream, path, k = 5, shortlist = 20, out,
+      followIndex = true,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+    sq.processAllAvailable()
+    assert(spark.read.parquet(out).count() > 0,
+      "batch 1 must serve against the starting generation")
+    // mutate mid-stream: append NEW vectors, then compact — a fresh
+    // committed, compacted generation the stream must follow
+    val arrivals = IvfIndex.withCodes(
+      VectorQueries.kmeansAssign(
+        e.limit(10).select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          col("embedding")), centers),
+      side0.serving, side0.books)
+    IvfIndex.append(spark, path, arrivals)
+    IvfIndex.compact(spark, path)
+    val side2 = IvfIndex.readSidecar(spark, path).get
+    // query the appended ids themselves: their rank-1 hit exists only
+    // in the NEW generation, so serving them proves the follow
+    val q2 = e.limit(3)
+      .select((col("vec_id") + lit(3000000L)).as("q_id"),
+        col("embedding").as("q_emb"))
+    q2.coalesce(1).write.mode("append").parquet(qdir)
+    sq.processAllAvailable()
+    assert(sq.isActive, "a follow-mode stream must survive the new generation")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sorted.toSeq
+    val streamed2 = rows(spark.read.parquet(out)
+      .filter(col("q_id") >= 3000000L))
+    val b2 = q2.localCheckpoint(true)
+    val panel2 = b2.select(col("q_id"), col("q_emb"),
+      graft.functions.VectorExprs.nearest_centroid(
+        col("q_emb"), side2.refresh, side2.dim).as("cell"))
+    val expected2 = rows(IvfIndex.servePq(
+      IvfIndex.readFull(spark, path), b2, panel2, 5, 20,
+      side2.serving, side2.books, cellRows = side2.counts,
+      knownBatchRows = Some(3L)))
+    assert(streamed2.nonEmpty && streamed2 == expected2,
+      "the post-compact batch must equal the one-shot serve against the new generation")
+    // the new generation's appended rows must be reachable (the old
+    // generation cannot rank an id ≥ 2000000)
+    assert(spark.read.parquet(out).filter(col("n_id") >= 2000000L).count() > 0,
+      "the follow must actually surface the appended vectors")
+    // an un-compacted append still refuses loudly — uniform with the
+    // statement path's pending-appends rule
+    val arrivals2 = IvfIndex.withCodes(
+      VectorQueries.kmeansAssign(
+        e.limit(5).select((col("vec_id") + lit(4000000L)).as("vec_id"),
+          col("embedding")), centers),
+      side2.serving, side2.books)
+    IvfIndex.append(spark, path, arrivals2)
+    q2.limit(1).coalesce(1).write.mode("append").parquet(qdir)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      sq.processAllAvailable()
+      sq.awaitTermination(30000L)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(err).exists(_.contains("un-compacted appends")),
+      s"expected the pending-appends refusal, got: ${chain(err).mkString(" | ")}")
+    sq.stop()
+  }
 }
