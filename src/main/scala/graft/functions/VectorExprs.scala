@@ -278,111 +278,100 @@ object AdcOps {
     }
     sum
   }
-}
 
-/** TASK-LOCAL memo for executor-side ADC LUTs: the serving panel used
-  * to broadcast each query's materialized m·k-double LUT (~1 KB per
-  * panel row against a 256 B float residual — ~4-5× the panel's
-  * broadcast weight, ~130 MB per probe at the 100k-query cap), when
-  * the LUT derives entirely from (qres, books) and the books already
-  * ride inside the expression as a ~4 KB reference object. Building
-  * it executor-side needs a memo — the broadcast join's output
-  * interleaves queries per candidate, so a naive per-row rebuild
-  * would pay m·k·dSub multiply-adds per PAIR (16× the ADC itself) —
-  * and the right memo scope is the TASK: a task scans one cell
-  * partition's candidates joined against only the queries probing
-  * those cells, so its memo holds just those panel rows' LUTs and is
-  * dropped at task end (same lifetime a broadcast value has, no
-  * cross-serve epoch bookkeeping to leak). The map is a plain
-  * HashMap because a task is single-threaded; the key carries the
-  * expression's identity tag so two serve plans meeting in one task
-  * (or one plan evaluated against two indexes) can never alias
-  * entries. Values are computed by the SAME [[AdcOps.lut]] fold the
-  * broadcast shape used, so results stay bit-identical and every
-  * oracle replays unchanged. */
-/** Identity token for [[AdcLutMemoOps]] memo keys: one per serve
-  * plan, deserialized once per task — reference equality scopes the
-  * memo to its own plan. (A top-level class: an anonymous
-  * Serializable would drag a non-serializable outer reference.) */
-final class MemoTag extends java.io.Serializable
-
-object AdcLutMemoOps {
-  private val tl = new ThreadLocal[(Long,
-    java.util.HashMap[(AnyRef, Long, Long),
-      org.apache.spark.sql.catalyst.util.GenericArrayData])]
-
-  def lut(tag: AnyRef, qid: Long, cell: Long, qres: ArrayData,
-      m: Int, k: Int, dSub: Int, flat: Array[Double])
-      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val tc = org.apache.spark.TaskContext.get()
-    if (tc == null)
-      // driver-side eval (constant folding / local relations): no task
-      // to scope a memo to — compute directly, still bit-identical
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        AdcOps.lut(qres, m, k, dSub, flat))
-    var st = tl.get()
-    if (st == null || st._1 != tc.taskAttemptId()) {
-      st = (tc.taskAttemptId(),
-        new java.util.HashMap[(AnyRef, Long, Long),
-          org.apache.spark.sql.catalyst.util.GenericArrayData]())
-      tl.set(st)
-      // completion listeners run on the task's own thread — the memo
-      // frees at task end instead of idling on the pool thread
-      tc.addTaskCompletionListener(new org.apache.spark.util.TaskCompletionListener {
-        override def onTaskCompletion(c: org.apache.spark.TaskContext): Unit =
-          tl.remove()
-      })
+  /** ADC of one candidate DIRECTLY from the query residual — the
+    * [[lut]] entry fold inlined at the candidate's own code position,
+    * so per candidate it does exactly the m code→position scans [[adc]]
+    * does plus m·dSub multiply-adds, and NOTHING allocates or hashes.
+    * Values are BIT-IDENTICAL to lut-then-adc (the same left fold over
+    * the same floats produces each addend, summed in the same s
+    * order). This is the serving shortlist's hot loop at gather scale
+    * (~3·10⁹ candidates at the 100k-query cap): an executor-side LUT
+    * memo was measured 2.8× slower there — the per-candidate map
+    * lookup's tuple/boxing churn dwarfed the ~56 FMAs it saved — and
+    * broadcasting materialized LUTs was ~5× the panel weight. */
+  def adcDirect(qres: ArrayData, codes: ArrayData, m: Int, k: Int,
+      dSub: Int, flat: Array[Double], positions: Array[Int]): Double = {
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      val j = positions((s << 8) | (codes.getByte(s) & 0xff))
+      if (j < 0) sum += Double.MaxValue
+      else {
+        var d = 0.0
+        val base = (s * k + j) * dSub
+        val qbase = s * dSub
+        var i = 0
+        while (i < dSub) {
+          val x = qres.getFloat(qbase + i).toDouble - flat(base + i)
+          d += x * x
+          i += 1
+        }
+        sum += d
+      }
+      s += 1
     }
-    val key = (tag, qid, cell)
-    var v = st._2.get(key)
-    if (v == null) {
-      v = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        AdcOps.lut(qres, m, k, dSub, flat))
-      st._2.put(key, v)
+    sum
+  }
+
+  /** Dense code→position table for [[adcDirect]]: entry
+    * [s·256 + code] = the code's position j in subspace s's book, −1
+    * for unknown codes (same MaxValue contract as the [[adc]] scan;
+    * positions replay the scan's FIRST-match rule, though book ids are
+    * unique per subspace anyway). Codes are stored bytes, masked to
+    * 0‥255. */
+  def positionsOf(m: Int, k: Int, codeIds: Array[Long]): Array[Int] = {
+    val out = Array.fill(m * 256)(-1)
+    var s = 0
+    while (s < m) {
+      var j = k - 1
+      while (j >= 0) { // descending so the FIRST match wins like the scan
+        val id = codeIds(s * k + j)
+        if (id >= 0L && id < 256L) out((s << 8) | id.toInt) = j
+        j -= 1
+      }
+      s += 1
     }
-    v
+    out
   }
 }
 
-/** [[PqLutExpr]] with executor-side construction: same m·k-double LUT
-  * (bit-identical — the same [[AdcOps.lut]] fold over the same float
-  * residual), but built lazily per (query, cell) in a task-local memo
-  * ([[AdcLutMemoOps]]) instead of being materialized into the panel
-  * BEFORE its broadcast. `tag` is this expression instance's identity
-  * in the memo key — allocated once per serve plan, deserialized once
-  * per task. */
-case class PqLutMemoExpr(qid: Expression, cell: Expression,
-    qres: Expression, m: Int, k: Int, dSub: Int, flat: Array[Double],
-    tag: MemoTag)
-  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
-  override def first: Expression = qid
-  override def second: Expression = cell
-  override def third: Expression = qres
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+/** Fused per-candidate ADC straight off the query residual — see
+  * [[AdcOps.adcDirect]]. This is the serving shortlist's scoring
+  * expression: the panel broadcasts the 256 B float residual (never a
+  * materialized LUT — ~5× the weight) and the hot loop neither
+  * allocates nor hashes (an executor-side LUT memo was measured 2.8×
+  * slower at the 100k-query cap's ~3·10⁹ candidates — its per-row
+  * map lookup churned more than the saved multiply-adds). Values are
+  * bit-identical to the lut-then-adc composition (same folds, same
+  * order), so every oracle replays unchanged. */
+case class AdcDirectExpr(left: Expression, right: Expression, m: Int,
+    k: Int, dSub: Int, flat: Array[Double], positions: Array[Int])
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
-    (qid.dataType, cell.dataType, qres.dataType) match {
-      case (LongType, LongType, ArrayType(FloatType, _)) =>
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ByteType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"pq_lut_memo needs (bigint, bigint, array<float>), got $other")
+        s"adc_direct needs (array<float>, array<tinyint>), got $other")
     }
 
-  override def nullSafeEval(q: Any, c: Any, r: Any): Any =
-    AdcLutMemoOps.lut(tag, q.asInstanceOf[Long], c.asInstanceOf[Long],
-      r.asInstanceOf[ArrayData], m, k, dSub, flat)
+  override def nullSafeEval(l: Any, r: Any): Any =
+    AdcOps.adcDirect(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      m, k, dSub, flat, positions)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cls = AdcLutMemoOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val cls = AdcOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
     val flatRef = ctx.addReferenceObj("flat", flat, "double[]")
-    val tagRef = ctx.addReferenceObj("memoTag", tag, "java.lang.Object")
-    nullSafeCodeGen(ctx, ev, (q, c, r) =>
-      s"${ev.value} = $cls.lut($tagRef, $q, $c, $r, $m, $k, $dSub, $flatRef);")
+    val posRef = ctx.addReferenceObj("positions", positions, "int[]")
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = $cls.adcDirect($l, $r, $m, $k, $dSub, $flatRef, $posRef);")
   }
 
-  override protected def withNewChildrenInternal(newFirst: Expression,
-      newSecond: Expression, newThird: Expression): PqLutMemoExpr =
-    copy(qid = newFirst, cell = newSecond, qres = newThird)
-  override def prettyName: String = "pq_lut_memo"
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AdcDirectExpr = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "adc_direct"
 }
 
 /** Per-query ADC lookup table (array<double>, length m·k) from the
@@ -653,17 +642,17 @@ object VectorExprs {
     Bridge.column(PqLutExpr(Bridge.expression(qres), books.size, k, dSub, flat))
   }
 
-  /** [[pq_lut]] built EXECUTOR-SIDE in a task-local memo keyed by
-    * (qid, cell) — the serving shortlist's shape, where the residual
-    * rides the broadcast panel (256 B float) instead of the ~1 KB
-    * materialized LUT. Bit-identical values (same fold). */
-  def pq_lut_memo(qid: Column, cell: Column, qres: Column,
+  /** Fused candidate ADC straight off the query residual — the
+    * serving shortlist's shape, where the residual rides the
+    * broadcast panel (256 B float) instead of the ~1 KB materialized
+    * LUT. Bit-identical to lut-then-adc (same folds, same order);
+    * see [[AdcDirectExpr]] for why no executor-side LUT memo. */
+  def adc_direct(qres: Column, codes: Column,
       books: Seq[Seq[(Int, Array[Double])]]): Column = {
-    val (k, dSub, flat, _) = flattenBooks(books)
-    val tag = new MemoTag
-    Bridge.column(PqLutMemoExpr(Bridge.expression(qid.cast(LongType)),
-      Bridge.expression(cell), Bridge.expression(qres),
-      books.size, k, dSub, flat, tag))
+    val (k, dSub, flat, ids) = flattenBooks(books)
+    Bridge.column(AdcDirectExpr(Bridge.expression(qres),
+      Bridge.expression(codes), books.size, k, dSub, flat,
+      AdcOps.positionsOf(books.size, k, ids)))
   }
 
   /** Candidate ADC: m lookups into the per-query LUT, zero multiplies. */

@@ -1155,22 +1155,21 @@ object IvfIndex {
       case (w, (j, c)) => w.when(col("cell") === j.toLong,
         VectorQueries.residualAgainst(col("q_emb"), c))
     }
-    // per-query ADC LOOKUP TABLE (m·k = 128 doubles): each candidate
-    // costs m array lookups instead of re-deriving m·dSub = 64
-    // multiply-adds — the classic ADC trick. The LUT is built
-    // EXECUTOR-SIDE in a task-local memo (one build per (query, cell)
-    // per task, freed at task end): it derives entirely from (qres,
-    // books) and the books already ride inside the expression, so
-    // shipping it was pure broadcast weight — the panel carries the
-    // 256 B float residual instead of the ~1 KB materialized LUT
-    // (~4-5× lighter; ~130 MB per probe at the 100k-query cap before).
-    // Values are BIT-IDENTICAL to the broadcast shape (the same
-    // AdcOps.lut fold over the same float residual), so the oracle
-    // replays them unchanged.
+    // candidate ADC FUSED off the query residual (AdcDirectExpr): the
+    // panel broadcasts the 256 B float residual, never a materialized
+    // m·k-double LUT (~5× the panel weight — ~130 MB per probe at the
+    // 100k-query cap), and the per-candidate hot loop neither
+    // allocates nor hashes. The classic LUT trick trades m·dSub
+    // multiply-adds for m lookups, but at gather scale (~3·10⁹
+    // candidates at the cap) fetching an executor-side LUT through a
+    // task-local memo measured 2.8× SLOWER than just re-deriving the
+    // ~56 extra FMAs — per-row map-lookup boxing churns more than the
+    // arithmetic it saves — and values are BIT-IDENTICAL either way
+    // (the same left folds in the same order), so the oracle replays
+    // them unchanged.
     val qSide = panel.select(col("q_id"), col("cell"), qres.as("qres"))
-    val lut = graft.functions.VectorExprs.pq_lut_memo(
-      col("q_id"), col("cell"), col("qres"), books)
-    val adc = graft.functions.VectorExprs.adc_lut(lut, col("pq"), books)
+    val adc = graft.functions.VectorExprs.adc_direct(
+      col("qres"), col("pq"), books)
     val sc = pruned
       .select(col("vec_id").as("n_id"), col("pq"), col("cell"))
       .join(broadcast(qSide), "cell")
@@ -1312,7 +1311,7 @@ object IvfIndex {
     * (the sidecar's occupancy counts) drives the per-cell flip;
     * without it every cell is pushed. Broadcast weight: each panel
     * row ships its 256 B float residual — the m·k-double ADC LUT is
-    * built executor-side in a task-local memo (see [[pqShortlist]]),
+    * re-derived per candidate by the fused ADC (see [[pqShortlist]]),
     * so a cap-sized (100k-query) batch broadcasts ~30 MB per probe
     * instead of the ~130 MB the materialized-LUT panel weighed — and
     * the ServeMaxBatch cap guards the path loudly. */

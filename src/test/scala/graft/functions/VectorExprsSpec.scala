@@ -99,11 +99,13 @@ class VectorExprsSpec extends SparkSpec {
     assert(bad == 0, s"$bad rows have a native/HOF distance mismatch")
   }
 
-  test("pq_lut_memo ≡ pq_lut bit-exactly (the executor-side memo shape)") {
-    // the serving panel broadcasts the float residual and builds the
-    // ADC LUT in a task-local memo — the memoized values must be the
-    // exact array the materialized pq_lut shape produced, element for
-    // element, across repeated (qid, cell) hits within one task
+  test("adc_direct ≡ pq_lut + adc_lut bit-exactly (the fused serving shape)") {
+    // the serving panel broadcasts the float residual and the fused
+    // ADC re-derives each candidate's distance straight off it — the
+    // values must be the exact doubles the materialized-LUT
+    // composition produced (same left folds, same s-order summation),
+    // including sparse books (Lloyd drops) and the unknown-code
+    // MaxValue contribution
     val e = Tables(spark, sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val dim = 64; val m = 8; val dSub = dim / m
@@ -112,19 +114,18 @@ class VectorExprsSpec extends SparkSpec {
         e.select(col("vec_id"),
           slice(col("embedding"), s * dSub + 1, dSub).as("embedding")), 4, 2)
     }
-    // duplicate rows per (qid, cell) so the memo actually HITS — the
-    // panel contract is ONE residual per (qid, cell), so hits must
-    // replay the same residual, never a different one
-    val base = e.limit(30)
+    val k = books.map(_.size).max
+    val rows = e.limit(100)
       .select(col("vec_id").cast("long").as("q_id"),
-        (col("vec_id") % 3).cast("long").as("cell"),
-        col("embedding").as("qres"))
-    val rows = base.union(base).union(base)
-      .repartition(2) // multi-row tasks, multiple tasks
+        col("embedding").as("qres"),
+        array((0 until m).map(s =>
+          pmod(col("vec_id") + lit(s), lit(k)).cast("byte")): _*).as("pq"))
+      .repartition(2)
     val diff = rows.select(
-        VectorExprs.pq_lut(col("qres"), books).as("a"),
-        VectorExprs.pq_lut_memo(col("q_id"), col("cell"), col("qres"), books).as("b"))
+        VectorExprs.adc_lut(VectorExprs.pq_lut(col("qres"), books),
+          col("pq"), books).as("a"),
+        VectorExprs.adc_direct(col("qres"), col("pq"), books).as("b"))
       .filter(col("a") =!= col("b")).count()
-    assert(diff == 0, s"$diff rows differ between pq_lut and pq_lut_memo")
+    assert(diff == 0, s"$diff rows differ between lut-then-adc and adc_direct")
   }
 }

@@ -1012,16 +1012,17 @@ class PlanSpec extends SparkSpec {
     assert(scans.exists(l => l.contains("cell") && !l.contains("[]")),
       "the code scan must prune to probed cells")
     // the broadcast panel carries the 256 B float residual, never the
-    // ~1 KB materialized m·k-double LUT (round-15: the LUT builds
-    // executor-side in a task-local memo — pq_lut_memo — so panel
-    // broadcast weight drops ~4-5× at serving-cap batches)
+    // ~1 KB materialized m·k-double LUT (round-15: the fused ADC
+    // re-derives each candidate's distance off the residual — panel
+    // broadcast weight drops ~4-5× at serving-cap batches, and the
+    // hot loop neither allocates nor hashes)
     assert(!p.contains("lut#"),
       s"no plan column may carry a materialized LUT:\n" +
         p.split("\n").filter(_.contains("lut")).mkString("\n"))
     assert(p.contains("qres#"),
       "the broadcast side must carry the float residual column")
-    assert(p.contains("pq_lut_memo"),
-      "ADC must score through the task-local memo expression")
+    assert(p.contains("adc_direct"),
+      "ADC must score through the fused residual expression")
   }
 
   test("video near-dup (m06) aggregates signature counts, never pairs") {
