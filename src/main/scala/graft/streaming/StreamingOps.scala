@@ -163,7 +163,12 @@ object StreamingOps {
     * races one batch's gather re-serves that batch against the new
     * generation (bounded retries; the per-batchId overwrite makes the
     * re-serve invisible), failing only if the index churns faster
-    * than a micro-batch can serve. Each batch's rows are then exactly
+    * than a micro-batch can serve. The retry does NOT require the
+    * commit to be visible at failure time: compact rewrites cell
+    * files a whole means-refresh job before the header CAS lands, so
+    * an un-raced failure backs off briefly and retries — but if the
+    * fingerprint never moves across the bounded attempts, the
+    * ORIGINAL error rethrows (it was never a race). Each batch's rows are then exactly
     * the one-shot batch serve against whichever generation it
     * committed under — batch boundaries decide WHICH generation, the
     * rows themselves stay bit-deterministic. */
@@ -197,14 +202,17 @@ object StreamingOps {
       sys.error("unreachable")
     }
     val frozen = resolve()
-    def requireFrozen(when: String): Unit = {
+    def requireFrozen(when: String, cause: Throwable = null): Unit = {
       val fp = IvfIndex.SidecarCache.currentFingerprint(spark, idxPath)
-      if (fp != frozen._1)
-        throw new java.util.ConcurrentModificationException(
+      if (fp != frozen._1) {
+        val ex = new java.util.ConcurrentModificationException(
           s"serveOnline: index at '$idxPath' changed $when (sidecar " +
             s"'${frozen._1}' -> '$fp') — the online serve contract is a FROZEN " +
             "index; compact if appends are pending and restart the stream " +
             "against the new generation (or serve with followIndex)")
+        if (cause != null) ex.initCause(cause)
+        throw ex
+      }
     }
     val writer = queryStream.select(col("q_id"), col("q_emb")).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -222,17 +230,26 @@ object StreamingOps {
             s"serveOnline: micro-batch has $n rows (cap $RunToTableMaxRows): " +
               "serving batches must be query-sized")
           var attempts = 0
+          var everRaced = false
           var committedUnder: String = null
           while (committedUnder == null) {
             val (fp, side) = if (followIndex) resolve() else frozen
             def raced(): Boolean =
               IvfIndex.SidecarCache.currentFingerprint(spark, idxPath) != fp
-            def countRetry(): Unit = {
+            def countRetry(cause: Throwable = null): Unit = {
               attempts += 1
-              require(attempts < 5,
-                s"serveOnline: index at '$idxPath' churns faster than " +
-                  s"micro-batch $batchId can serve — pause maintenance or " +
-                  "widen the trigger interval")
+              if (attempts >= 5) {
+                // retries exhausted with the fingerprint NEVER moving:
+                // the failures weren't a maintenance race — surface the
+                // genuine error rather than blaming index churn
+                if (cause != null && !everRaced) throw cause
+                val ex = new IllegalStateException(
+                  s"serveOnline: index at '$idxPath' churns faster than " +
+                    s"micro-batch $batchId can serve — pause maintenance or " +
+                    "widen the trigger interval")
+                if (cause != null) ex.initCause(cause)
+                throw ex
+              }
             }
             try {
               val panel = b.select(col("q_id"), col("q_emb"),
@@ -255,17 +272,31 @@ object StreamingOps {
               // against the new generation and overwrites in place
               if (!raced()) committedUnder = fp
               else if (!followIndex) requireFrozen(s"during micro-batch $batchId")
-              else countRetry()
+              else { everRaced = true; countRetry() }
             } catch {
               // a maintenance rewrite can also surface as the gather
               // failing outright (compact deletes the files mid-scan —
-              // Spark throws, never silently drops them): in follow
-              // mode that is the same race as the fingerprint check
-              // catching it post-serve, so re-resolve and re-serve;
-              // anything NOT explained by a commit rethrows, and
-              // frozen mode always rethrows (loud is the contract)
-              case e if followIndex && scala.util.control.NonFatal(e) &&
-                  raced() => countRetry()
+              // Spark throws, never silently drops them) — and it can
+              // fail BEFORE the new header lands: compact rewrites the
+              // cell files, runs a whole means-refresh job, and only
+              // then commits the sidecar (IvfIndex.compact), so the
+              // fingerprint may lag the failure by seconds. Follow mode
+              // therefore retries every NonFatal failure with a short
+              // backoff when the commit hasn't landed yet; if the
+              // retries exhaust and the fingerprint NEVER moved, the
+              // original error rethrows (countRetry) — it wasn't a
+              // race. Frozen mode stays loud: a raced failure surfaces
+              // as the clear contract violation (with the gather error
+              // as cause), anything else rethrows raw.
+              case e if scala.util.control.NonFatal(e) &&
+                  !e.isInstanceOf[java.util.ConcurrentModificationException] =>
+                if (raced()) everRaced = true
+                if (!followIndex) {
+                  requireFrozen(s"during micro-batch $batchId", e)
+                  throw e
+                }
+                countRetry(e)
+                if (!everRaced) Thread.sleep(500L * attempts)
             }
           }
         }

@@ -844,4 +844,141 @@ class StreamingSpec extends SparkSpec {
       s"expected the pending-appends refusal, got: ${chain(err).mkString(" | ")}")
     sq.stop()
   }
+
+  test("serveOnline followIndex survives a gather failure inside the commit window") {
+    // compact rewrites the cell files, runs a whole means-refresh job,
+    // and only THEN commits the sidecar header (IvfIndex.compact) — so
+    // a follow-mode gather can fail on vanished files while the
+    // fingerprint still reads the OLD generation. The retry must not
+    // require the fingerprint to have moved at catch time: it backs
+    // off, the commit lands, and the batch re-serves against the new
+    // generation. Simulated deterministically: stash every cell=N
+    // directory (gather fails, header unmoved), restore + commit a new
+    // generation from a background thread mid-retry.
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = "/tmp/graft_spec_serveonline_window"
+    IvfIndex.build(e, path, pq = true)
+    val side = IvfIndex.readSidecar(spark, path).get
+    def wipe(p: String): Unit = {
+      val d = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val qdir = "/tmp/graft_spec_serveonline_window_q"
+    val out = "/tmp/graft_spec_serveonline_window_out"
+    val stash = java.nio.file.Paths.get("/tmp/graft_spec_serveonline_window_stash")
+    wipe(qdir); wipe(out); wipe(stash.toString)
+    java.nio.file.Files.createDirectories(stash)
+    val q1 = e.filter(col("vec_id") % 7 === 2)
+      .select((col("vec_id") + lit(1000000L)).as("q_id"),
+        col("embedding").as("q_emb")).limit(5)
+    q1.coalesce(1).write.mode("overwrite").parquet(qdir)
+    val stream = spark.readStream.schema(q1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(qdir)
+    val sq = graft.streaming.StreamingOps.serveOnline(
+      spark, stream, path, k = 5, shortlist = 20, out,
+      followIndex = true,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+    sq.processAllAvailable()
+    assert(spark.read.parquet(out).count() > 0, "batch 1 must serve")
+    // open the window: data gone, header (fingerprint) unchanged
+    val idxDir = java.nio.file.Paths.get(path)
+    import scala.jdk.CollectionConverters._
+    val cells = java.nio.file.Files.list(idxDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("cell=")).toSeq
+    assert(cells.nonEmpty, "expected cell=N partition directories")
+    cells.foreach(c =>
+      java.nio.file.Files.move(c, stash.resolve(c.getFileName.toString)))
+    val restorer = new Thread(() => {
+      Thread.sleep(1500L)
+      java.nio.file.Files.list(stash).iterator().asScala.toSeq.foreach(c =>
+        java.nio.file.Files.move(c, idxDir.resolve(c.getFileName.toString)))
+      // the commit that closes the window — a fresh generation
+      IvfIndex.writeSidecar(spark, path, side.copy(version = side.version + 1L))
+    })
+    restorer.start()
+    val q2 = e.limit(3)
+      .select((col("vec_id") + lit(3000000L)).as("q_id"),
+        col("embedding").as("q_emb"))
+    q2.coalesce(1).write.mode("append").parquet(qdir)
+    sq.processAllAvailable()
+    restorer.join()
+    assert(sq.isActive,
+      "a follow-mode stream must ride out the commit window, not die in it")
+    val side2 = IvfIndex.readSidecar(spark, path).get
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).sorted.toSeq
+    val streamed2 = rows(spark.read.parquet(out)
+      .filter(col("q_id") >= 3000000L))
+    val b2 = q2.localCheckpoint(true)
+    val panel2 = b2.select(col("q_id"), col("q_emb"),
+      graft.functions.VectorExprs.nearest_centroid(
+        col("q_emb"), side2.refresh, side2.dim).as("cell"))
+    val expected2 = rows(IvfIndex.servePq(
+      IvfIndex.readFull(spark, path), b2, panel2, 5, 20,
+      side2.serving, side2.books, cellRows = side2.counts,
+      knownBatchRows = Some(3L)))
+    assert(streamed2.nonEmpty && streamed2 == expected2,
+      "the batch served across the window must equal the one-shot serve")
+    sq.stop()
+  }
+
+  test("serveOnline followIndex rethrows a genuine error when the index never moved") {
+    // the retry bound's other half: NonFatal failures with the
+    // fingerprint NEVER changing are not a maintenance race — after
+    // the bounded retries the ORIGINAL error must surface, not the
+    // index-churn message (which would send the operator chasing
+    // maintenance that never ran)
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = "/tmp/graft_spec_serveonline_genuine"
+    IvfIndex.build(e, path, pq = true)
+    def wipe(p: String): Unit = {
+      val d = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val qdir = "/tmp/graft_spec_serveonline_genuine_q"
+    val out = "/tmp/graft_spec_serveonline_genuine_out"
+    wipe(qdir); wipe(out)
+    // a permanently broken gather: every cell directory gone, header
+    // intact, and nobody ever commits a new generation
+    val idxDir = java.nio.file.Paths.get(path)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(idxDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("cell=")).toSeq
+      .foreach(c => wipe(c.toString))
+    val q1 = e.limit(2)
+      .select((col("vec_id") + lit(1000000L)).as("q_id"),
+        col("embedding").as("q_emb"))
+    q1.coalesce(1).write.mode("overwrite").parquet(qdir)
+    val stream = spark.readStream.schema(q1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(qdir)
+    val sq = graft.streaming.StreamingOps.serveOnline(
+      spark, stream, path, k = 5, shortlist = 20, out,
+      followIndex = true)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      sq.processAllAvailable()
+      sq.awaitTermination(60000L)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(!chain(err).exists(_.contains("churns faster")),
+      s"a never-raced failure must not blame index churn: ${chain(err).mkString(" | ")}")
+    sq.stop()
+  }
 }
