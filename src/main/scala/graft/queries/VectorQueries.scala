@@ -2475,7 +2475,77 @@ object VectorQueries {
         s.read.parquet(out)
           .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
       },
-      Some(pqServeOracle(5, 20)))
+      Some(pqServeOracle(5, 20))),
+
+    // Ranking-POSITION evals, the dashboard row next to v19's set
+    // recall: not just whether truth made the ANN cut, but WHERE in
+    // the ranked list it landed. Integer outputs keep both gates
+    // ulp-proof (the ratio math — MRR = avg(1/rank over rank>0),
+    // recall@c = hitsc/c — happens downstream of the gate).
+    //
+    // v53: the MRR core — per query, the 1-based rank at which the
+    // brute-force TOP-1 neighbor appears in the IVF ranked list
+    // (0 = absent entirely). Scale: both sides are the sampled-panel
+    // builders (broadcast queries against the corpus scan, never n²),
+    // and this join is q rows against q·k rows.
+    Q("v53_mrr_rank",
+      (s, dir) => {
+        val truth1 = bruteKnn(s, dir, 1).select(col("q_id"), col("n_id"))
+        val ann = ivfSearch(s, dir)
+          .select(col("q_id"), col("n_id"), col("rank"))
+        truth1.join(ann, Seq("q_id", "n_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("rank"), lit(0L)).as("first_hit_rank"))
+      },
+      Some(s"""WITH truth AS (SELECT q_id, n_id FROM (${bruteKnnSql(1)})),
+              |ann AS (SELECT q_id, n_id, rank FROM ($ivfSearchSql))
+              |SELECT t.q_id,
+              |  CAST(coalesce(a.rank, 0) AS BIGINT) AS first_hit_rank
+              |FROM truth t
+              |LEFT JOIN ann a ON t.q_id = a.q_id AND t.n_id = a.n_id""".stripMargin)),
+
+    // v54: the recall CURVE — per query, |truth@c ∩ ann@c| at cutoffs
+    // 1/3/5, i.e. v19's single recall@5 point widened to the curve an
+    // index rollout actually tunes against (how fast does recall
+    // saturate as the serving k grows). Same bounded join shape as
+    // v19; the per-cutoff overlaps are conditional counts over the
+    // one q·k-row join, never three passes.
+    Q("v54_recall_curve",
+      (s, dir) => {
+        val truth = bruteKnn(s, dir, 5)
+          .select(col("q_id"), col("n_id"), col("rank").as("t_rank"))
+        val ann = ivfSearch(s, dir)
+          .select(col("q_id"), col("n_id"), col("rank").as("a_rank"))
+        val h = truth.join(ann, Seq("q_id", "n_id"))
+          .groupBy(col("q_id")).agg(
+            sum(when(col("t_rank") <= 1 && col("a_rank") <= 1, 1L)
+              .otherwise(0L)).as("hits1"),
+            sum(when(col("t_rank") <= 3 && col("a_rank") <= 3, 1L)
+              .otherwise(0L)).as("hits3"),
+            sum(when(col("t_rank") <= 5 && col("a_rank") <= 5, 1L)
+              .otherwise(0L)).as("hits5"))
+        truth.select(col("q_id")).distinct()
+          .join(h, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("hits1"), lit(0L)).as("hits1"),
+            coalesce(col("hits3"), lit(0L)).as("hits3"),
+            coalesce(col("hits5"), lit(0L)).as("hits5"))
+      },
+      Some(s"""WITH truth AS (SELECT q_id, n_id, rank AS t_rank
+              |              FROM (${bruteKnnSql(5)})),
+              |ann AS (SELECT q_id, n_id, rank AS a_rank FROM ($ivfSearchSql)),
+              |h AS (SELECT truth.q_id,
+              |    sum(CASE WHEN t_rank <= 1 AND a_rank <= 1 THEN 1 ELSE 0 END) AS hits1,
+              |    sum(CASE WHEN t_rank <= 3 AND a_rank <= 3 THEN 1 ELSE 0 END) AS hits3,
+              |    sum(CASE WHEN t_rank <= 5 AND a_rank <= 5 THEN 1 ELSE 0 END) AS hits5
+              |  FROM truth JOIN ann ON truth.q_id = ann.q_id
+              |                     AND truth.n_id = ann.n_id
+              |  GROUP BY truth.q_id)
+              |SELECT q.q_id, CAST(coalesce(hits1, 0) AS BIGINT) AS hits1,
+              |  CAST(coalesce(hits3, 0) AS BIGINT) AS hits3,
+              |  CAST(coalesce(hits5, 0) AS BIGINT) AS hits5
+              |FROM (SELECT DISTINCT q_id FROM truth) q
+              |LEFT JOIN h ON q.q_id = h.q_id""".stripMargin))
   )
 
   /** The v50 oracle: external batch routed to its nearest refresh
