@@ -96,6 +96,7 @@ object ScaleProbe {
     else if (args.headOption.contains("r12pq")) r12Pq(args.drop(1))
     else if (args.headOption.contains("r13pq")) r13Pq(args.drop(1))
     else if (args.headOption.contains("r14pq")) r14Pq(args.drop(1))
+    else if (args.headOption.contains("r15churn")) r15Churn(args.drop(1))
     else if (args.headOption.contains("r15cap")) r15Cap(args.drop(1))
     else if (args.headOption.contains("r15waves")) r15Waves(args.drop(1))
     else if (args.headOption.contains("r15lut")) r15Lut(args.drop(1))
@@ -781,6 +782,97 @@ object ScaleProbe {
         side.serving, side.books, cellRows = tinyCells,
         knownBatchRows = Some(nq))))
     }
+    writeJson(outJson, copies)
+    spark.stop()
+  }
+
+  /** Round-15 follow-mode churn probe: serving CONTINUITY under real
+    * maintenance. A follow-mode serve stream (StreamingOps.serveOnline
+    * followIndex=true) drains a growing query directory while
+    * append+compact cycles commit new index generations underneath on
+    * the main thread — including the pendingAppends window EVERY real
+    * cycle passes through (append commits it, compact clears it) and
+    * the data-rewritten-but-header-uncommitted window inside compact.
+    * Records cycles committed, micro-batches served, rows and distinct
+    * queries served (completeness: every query file drained), the
+    * final sidecar version crossed, and that the one stream stayed
+    * alive throughout — zero restarts. StreamingSpec pins the
+    * per-window semantics bit-exactly; this records the SUSTAINED
+    * behavior with real interleavings at fixture scale. */
+  private def r15Churn(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(100)
+    val outJson = args.drop(1).headOption
+    val spark = session()
+    import graft.operators.IvfIndex
+    import graft.queries.VectorQueries
+    import scala.jdk.CollectionConverters._
+    val n = copies * 2000L
+    val fixture = s"/tmp/graft_r14pq_probe_$copies" // shared read-only fixture
+    val embPath = s"$fixture/emb.parquet"
+    val e =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(embPath)))
+        spark.read.parquet(embPath)
+      else blockClusterEmbeddings(spark, n, embPath)
+    def wipe(p: String): Unit = {
+      val d = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(d))
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    val tmp = s"/tmp/graft_r15churn_$copies" // the index MUTATES: fresh every run
+    wipe(tmp)
+    val idxPath = s"$tmp/idx"; val qdir = s"$tmp/q"; val out = s"$tmp/out"
+    var centers: Seq[(Int, Array[Double])] = null
+    time("build_pq") { centers = IvfIndex.build(e, idxPath, 64, pq = true) }
+    val side0 = IvfIndex.readSidecar(spark, idxPath).get
+    val batches = 8
+    val q0 = e.filter(col("vec_id") < batches * 2000L)
+      .select((col("vec_id") + lit(970000000000L)).as("q_id"),
+        col("embedding").as("q_emb")).localCheckpoint(true)
+    q0.filter(pmod(col("q_id"), lit(batches.toLong)) === 0L)
+      .coalesce(1).write.mode("overwrite").parquet(qdir)
+    val stream = spark.readStream.schema(q0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(qdir)
+    val sq = graft.streaming.StreamingOps.serveOnline(
+      spark, stream, idxPath, k = 10, shortlist = 50, out,
+      followIndex = true,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L),
+      pendingGraceMs = 120000L)
+    var cycles = 0
+    time("churn_wall") {
+      for (i <- 1 until batches) {
+        // next query file lands while maintenance churns
+        q0.filter(pmod(col("q_id"), lit(batches.toLong)) === i.toLong)
+          .coalesce(1).write.mode("append").parquet(qdir)
+        if (i % 2 == 1) {
+          val arrivals = IvfIndex.withCodes(
+            VectorQueries.kmeansAssign(
+              e.filter(col("vec_id") >= i * 100L &&
+                  col("vec_id") < i * 100L + 100L)
+                .select((col("vec_id") + lit(980000000000L) +
+                  lit(i * 1000000L)).as("vec_id"), col("embedding")),
+              centers),
+            side0.serving, side0.books)
+          IvfIndex.append(spark, idxPath, arrivals)
+          IvfIndex.compact(spark, idxPath)
+          cycles += 1
+        }
+      }
+      sq.processAllAvailable()
+    }
+    results("cycles") = cycles.toDouble
+    results("stream_alive") = if (sq.isActive) 1.0 else 0.0
+    results("batches_served") = java.nio.file.Files.list(
+        java.nio.file.Paths.get(out)).iterator().asScala
+      .count(_.getFileName.toString.startsWith("batch=")).toDouble
+    val served = spark.read.parquet(out)
+    results("rows_served") = served.count().toDouble
+    results("distinct_queries_served") =
+      served.select(col("q_id")).distinct().count().toDouble
+    results("expected_queries") = q0.count().toDouble
+    results("final_sidecar_version") =
+      IvfIndex.readSidecar(spark, idxPath).get.version.toDouble
+    sq.stop()
     writeJson(outJson, copies)
     spark.stop()
   }

@@ -159,7 +159,12 @@ object StreamingOps {
     * cycles without restarts. The refusal story stays uniform with
     * the statement path: a generation with PENDING APPENDS still
     * refuses loudly (readFull would serve superseded rows; the batch
-    * `serve` statement refuses the same state), and a commit that
+    * `serve` statement refuses the same state) — but because EVERY
+    * real maintenance cycle passes through that state (append commits
+    * pendingAppends=true, compact clears it), follow mode first rides
+    * it out for up to `pendingGraceMs` as maintenance-in-progress,
+    * refusing only when no compact lands inside the grace (an index
+    * genuinely LEFT un-compacted). A commit that
     * races one batch's gather re-serves that batch against the new
     * generation (bounded retries; the per-batchId overwrite makes the
     * re-serve invisible), failing only if the index churns faster
@@ -177,7 +182,8 @@ object StreamingOps {
       checkpointLocation: Option[String] = None,
       followIndex: Boolean = false,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      pendingGraceMs: Long = 10000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.IvfIndex
     def resolve(): (String, IvfIndex.Sidecar) = {
@@ -185,19 +191,33 @@ object StreamingOps {
       // racing the resolve never pairs an old sidecar with a new
       // fingerprint (r14 made concurrent writers a supported story)
       var tries = 0
+      // every REAL maintenance cycle passes through an un-compacted
+      // append state (append commits pendingAppends=true, compact
+      // clears it) — follow mode treats that as maintenance IN
+      // PROGRESS and rides it out for up to pendingGraceMs before
+      // refusing; an index LEFT with pending appends (no compact
+      // landing) still fails loudly with the statement path's rule.
+      // Frozen mode gets no grace: its contract is no mutation at all.
+      val pendingDeadline = System.currentTimeMillis() +
+        (if (followIndex) pendingGraceMs else 0L)
       while (true) {
         val before = IvfIndex.SidecarCache.currentFingerprint(spark, idxPath)
         val s = IvfIndex.SidecarCache.get(spark, idxPath).getOrElse(
           throw new IllegalStateException(
             s"serveOnline: no _centers sidecar at '$idxPath' — build the index first"))
-        require(!s.pendingAppends,
-          s"serveOnline: index at '$idxPath' has un-compacted appends — " +
-            "a pruned gather could return superseded vectors; run compact first")
-        if (IvfIndex.SidecarCache.currentFingerprint(spark, idxPath) == before)
+        if (s.pendingAppends) {
+          require(System.currentTimeMillis() < pendingDeadline,
+            s"serveOnline: index at '$idxPath' has un-compacted appends — " +
+              "a pruned gather could return superseded vectors; run compact first")
+          Thread.sleep(250L)
+        } else if (IvfIndex.SidecarCache.currentFingerprint(spark, idxPath)
+            == before)
           return (before, s)
-        tries += 1
-        require(tries < 5,
-          s"serveOnline: sidecar at '$idxPath' kept changing during resolve")
+        else {
+          tries += 1
+          require(tries < 5,
+            s"serveOnline: sidecar at '$idxPath' kept changing during resolve")
+        }
       }
       sys.error("unreachable")
     }

@@ -782,7 +782,8 @@ class StreamingSpec extends SparkSpec {
     val sq = graft.streaming.StreamingOps.serveOnline(
       spark, stream, path, k = 5, shortlist = 20, out,
       followIndex = true,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L),
+      pendingGraceMs = 1500L)
     sq.processAllAvailable()
     assert(spark.read.parquet(out).count() > 0,
       "batch 1 must serve against the starting generation")
@@ -928,6 +929,75 @@ class StreamingSpec extends SparkSpec {
       knownBatchRows = Some(3L)))
     assert(streamed2.nonEmpty && streamed2 == expected2,
       "the batch served across the window must equal the one-shot serve")
+    sq.stop()
+  }
+
+  test("serveOnline followIndex rides out the append→compact maintenance window") {
+    // EVERY real maintenance cycle passes through pendingAppends=true
+    // (append commits it, compact clears it) — a micro-batch landing
+    // inside that window must wait it out (bounded grace), not die:
+    // refusing instantly would make follow mode unable to survive the
+    // exact cycles it exists for. An index genuinely LEFT un-compacted
+    // still fails (pinned by the follow test above).
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    import graft.queries.VectorQueries
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = "/tmp/graft_spec_serveonline_grace"
+    val centers = IvfIndex.build(e, path, pq = true)
+    val side0 = IvfIndex.readSidecar(spark, path).get
+    def wipe(p: String): Unit = {
+      val d = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val qdir = "/tmp/graft_spec_serveonline_grace_q"
+    val out = "/tmp/graft_spec_serveonline_grace_out"
+    wipe(qdir); wipe(out)
+    val q1 = e.filter(col("vec_id") % 7 === 2)
+      .select((col("vec_id") + lit(1000000L)).as("q_id"),
+        col("embedding").as("q_emb")).limit(5)
+    q1.coalesce(1).write.mode("overwrite").parquet(qdir)
+    val stream = spark.readStream.schema(q1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(qdir)
+    val sq = graft.streaming.StreamingOps.serveOnline(
+      spark, stream, path, k = 5, shortlist = 20, out,
+      followIndex = true,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L),
+      pendingGraceMs = 60000L) // compact on a busy test box can be slow
+    sq.processAllAvailable()
+    assert(spark.read.parquet(out).count() > 0, "batch 1 must serve")
+    // open the maintenance window: append commits pendingAppends=true
+    val arrivals = IvfIndex.withCodes(
+      VectorQueries.kmeansAssign(
+        e.limit(10).select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          col("embedding")), centers),
+      side0.serving, side0.books)
+    IvfIndex.append(spark, path, arrivals)
+    // ...and close it from a background thread mid-grace
+    val compactor = new Thread(() => {
+      Thread.sleep(1000L)
+      IvfIndex.compact(spark, path)
+    })
+    compactor.start()
+    val q2 = e.limit(3)
+      .select((col("vec_id") + lit(3000000L)).as("q_id"),
+        col("embedding").as("q_emb"))
+    q2.coalesce(1).write.mode("append").parquet(qdir)
+    sq.processAllAvailable()
+    compactor.join()
+    assert(sq.isActive,
+      "a follow-mode stream must wait out the append→compact window")
+    assert(spark.read.parquet(out).filter(col("q_id") >= 3000000L).count() > 0,
+      "the batch that hit the window must serve once compact lands")
+    // and it served the COMPACTED generation, never the raw pending
+    // state: the appended ids are reachable only post-compact
+    val side2 = IvfIndex.readSidecar(spark, path).get
+    assert(!side2.pendingAppends, "compact must have landed")
     sq.stop()
   }
 
