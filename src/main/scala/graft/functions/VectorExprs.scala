@@ -315,11 +315,17 @@ object AdcOps {
   }
 
   /** Dense code→position table for [[adcDirect]]: entry
-    * [s·256 + code] = the code's position j in subspace s's book, −1
-    * for unknown codes (same MaxValue contract as the [[adc]] scan;
-    * positions replay the scan's FIRST-match rule, though book ids are
-    * unique per subspace anyway). Codes are stored bytes, masked to
-    * 0‥255. */
+    * [s·256 + (byte & 0xff)] = the position j whose book id the [[adc]]
+    * scan would match for that stored byte, −1 for unknown codes (same
+    * MaxValue contract; positions replay the scan's FIRST-match rule,
+    * though book ids are unique per subspace anyway). The scan compares
+    * the stored byte SIGNED (-128‥127) against the book id — so an id
+    * outside that range matches no byte at all, and a negative id
+    * matches the byte whose masked value wraps to it (id & 0xff). The
+    * table replicates that exactly; production books (kmeans labels,
+    * ≤16 entries, ids 0‥15) never leave the common range, but the
+    * bit-parity pin holds for arbitrary callers too
+    * (VectorExprsSpec's adversarial-books property). */
   def positionsOf(m: Int, k: Int, codeIds: Array[Long]): Array[Int] = {
     val out = Array.fill(m * 256)(-1)
     var s = 0
@@ -327,7 +333,7 @@ object AdcOps {
       var j = k - 1
       while (j >= 0) { // descending so the FIRST match wins like the scan
         val id = codeIds(s * k + j)
-        if (id >= 0L && id < 256L) out((s << 8) | id.toInt) = j
+        if (id >= -128L && id < 128L) out((s << 8) | (id.toInt & 0xff)) = j
         j -= 1
       }
       s += 1

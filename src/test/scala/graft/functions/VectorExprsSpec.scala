@@ -128,4 +128,56 @@ class VectorExprsSpec extends SparkSpec {
       .filter(col("a") =!= col("b")).count()
     assert(diff == 0, s"$diff rows differ between lut-then-adc and adc_direct")
   }
+
+  test("adc_direct ≡ pq_lut + adc_lut under adversarial books and codes (property)") {
+    // the fused path must replicate the scan's EXACT match semantics,
+    // not just the common case: the scan compares each stored byte
+    // SIGNED against the book id, so ids past 127 match no byte,
+    // negative ids match the byte that wraps to them, duplicate ids
+    // resolve to the FIRST position, sparse padding (Long.MinValue)
+    // never matches, and every unmatched code contributes MaxValue.
+    // Random books across {-300‥300} with duplicates, codes across the
+    // full byte range, signed residuals — raw-bit double equality.
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val genCase = for {
+      m <- Gen.choose(1, 4)
+      dSub <- Gen.choose(1, 4)
+      books <- Gen.listOfN(m, for {
+        ksz <- Gen.choose(1, 5)
+        ids <- Gen.listOfN(ksz, Gen.frequency(
+          3 -> Gen.choose(0, 15), 2 -> Gen.choose(100, 300),
+          2 -> Gen.choose(-300, -1), 1 -> Gen.choose(16, 127)))
+        vecs <- Gen.listOfN(ksz, Gen.listOfN(dSub, Gen.choose(-10.0, 10.0)))
+      } yield ids.zip(vecs).map { case (i, v) => (i, v.toArray) })
+      rows <- Gen.listOfN(8, for {
+        qres <- Gen.listOfN(m * dSub, Gen.choose(-8.0, 8.0).map(_.toFloat))
+        // half the codes are drawn to COLLIDE with a book id's wrapped
+        // byte (that's where masked-vs-signed lookup semantics split);
+        // the rest roam the full byte range for the unknown-code path
+        codes <- Gen.sequence[List[Byte], Byte]((0 until m).toList.map(s =>
+          Gen.oneOf(
+            Gen.choose(-128, 127).map(_.toByte),
+            Gen.oneOf(books(s)).map(e => (e._1 & 0xff).toByte))))
+      } yield (qres, codes))
+    } yield (books: Seq[Seq[(Int, Array[Double])]], rows)
+    val params = Gen.Parameters.default
+    val cases = Iterator.iterate(org.scalacheck.rng.Seed(4242L))(_.next)
+      .map(seed => genCase.apply(params, seed))
+      .flatten.take(25).toSeq
+    cases.zipWithIndex.foreach { case ((books, rows), ci) =>
+      val out = rows.toDF("qres", "pq").select(
+        VectorExprs.adc_lut(VectorExprs.pq_lut(col("qres"), books),
+          col("pq"), books).as("a"),
+        VectorExprs.adc_direct(col("qres"), col("pq"), books).as("b"))
+        .collect()
+      out.zipWithIndex.foreach { case (r, ri) =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+            java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          s"case $ci row $ri: lut-then-adc ${r.getDouble(0)} vs " +
+            s"adc_direct ${r.getDouble(1)} (books ids " +
+            s"${books.map(_.map(_._1)).mkString(";")})")
+      }
+    }
+  }
 }
