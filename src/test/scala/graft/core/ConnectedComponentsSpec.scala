@@ -57,6 +57,39 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(leaked.size <= 1, s"expected ≤1 resident checkpoint, found ${leaked.size}")
   }
 
+  test("driver-local fast path ≡ distributed loop, label for label (r15)") {
+    // mixed shape: chains (multi-round propagation), cliques, stars,
+    // cross-links — deterministic pseudo-random edges
+    val edges = (0 until 400).map { i =>
+      val a = (i * 2654435761L) % 97
+      val b = (i * 40503L + 7) % 97
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst")
+    val fast = ConnectedComponents.run(df, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (loopDf, _) = ConnectedComponents.runCounted(df, "src", "dst")
+    val loop = loopDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop)
+  }
+
+  test("spark.graft.cc.localMaxEdges=0 disables the fast path (loop still labels)") {
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try {
+      val got = cc(Seq((1L, 2L), (2L, 3L), (7L, 9L)))
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+  }
+
+  test("int-typed ids keep their type through the fast path") {
+    val df = Seq((1, 2), (2, 3)).toDF("src", "dst")
+    val out = ConnectedComponents.run(df, "src", "dst")
+    assert(out.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(out.schema("lbl").dataType == org.apache.spark.sql.types.IntegerType)
+    val got = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1))
+  }
+
   test("d07 shape: keep flag marks exactly one doc per cluster") {
     val df = graft.queries.Registry.queries("d07_dedup_clusters")(spark, sf0001)
     val perCluster = df.groupBy("cluster_id")
