@@ -651,7 +651,11 @@ object IvfIndex {
   def build(e: DataFrame, path: String, k: Int = VectorQueries.KMEANS_K,
       pq: Boolean = false): Seq[(Int, Array[Double])] = {
     val spark = e.sparkSession
-    val centers = VectorQueries.kmeansFit(e, k, VectorQueries.KMEANS_ITERS - 1)
+    // ONE corpus count, shared by the coarse fit's and the PQ fit's
+    // sample thresholds (each used to re-count the same rows)
+    val n = e.count()
+    val centers = VectorQueries.kmeansFit(e, k,
+      VectorQueries.KMEANS_ITERS - 1, nHint = n)
     val assigned = VectorQueries.kmeansAssign(e, centers)
     val books =
       if (!pq) Seq.empty
@@ -663,13 +667,28 @@ object IvfIndex {
         val resid = VectorQueries.residuals(assigned, centers)
         VectorQueries.pqCodebooks(
           resid.select(col("vec_id"), col("embedding")),
-          dim = centers.head._2.length)
+          dim = centers.head._2.length, nHint = n)
       }
-    write(if (pq) withCodes(assigned, centers, books) else assigned, path)
-    val (means, counts) = VectorQueries.refreshedCentersWithCounts(read(spark, path))
-    writeSidecar(spark, path, Sidecar(centers, means, counts,
-      staleCells = Set.empty, pendingAppends = false, maxSeq = 0L,
-      version = 1L, books = books))
+    // persist the assigned (and coded) frame across its three readers:
+    // the range partitioner's SAMPLING pass, the shuffle write, and
+    // the sidecar's refresh-mean aggregate. Uncached, the
+    // nearest-centroid encode ran twice (sample + write) and the
+    // just-written index was re-read once more for the means — three
+    // corpus passes where one encode suffices. The means are computed
+    // from the same rows the write lands (floats pass through parquet
+    // unchanged, and the Det-decimal mean is partition-order-exact),
+    // so the sidecar is bit-identical to the re-read shape.
+    val toWrite = if (pq) withCodes(assigned, centers, books) else assigned
+    val cached = toWrite.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      write(cached, path)
+      val (means, counts) = VectorQueries.refreshedCentersWithCounts(
+        cached.select(col("embedding"), col("cell").cast(LongType).as("cell")))
+      writeSidecar(spark, path, Sidecar(centers, means, counts,
+        staleCells = Set.empty, pendingAppends = false, maxSeq = 0L,
+        version = 1L, books = books))
+    } finally cached.unpersist(blocking = false)
     centers
   }
 

