@@ -18,8 +18,13 @@ import org.apache.spark.sql.types._
 object Det {
   val dec: DecimalType = DecimalType(38, 6)
 
-  /** Exact sum of a double column via decimal; result double. */
-  def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
+  /** Exact sum of a double column via decimal; result double.
+    * Computed by [[graft.functions.DetSum128]] — the same exact
+    * decimal(38,6) sum carried in two long limbs (bit-identical,
+    * DetSumAggSpec), because Spark's precision-38 sum buffer is
+    * BigDecimal-backed and costs ~3× the scan per aggregate. */
+  def dsum(c: Column): Column =
+    graft.functions.DetSumExprs.det_sum(c).cast(DoubleType)
 
   /** Deterministic mean: exact decimal sum, double division. */
   def davg(c: Column): Column = dsum(c) / count(c).cast(DoubleType)
@@ -30,7 +35,8 @@ object Det {
 
   private def n(c: Column): Column = count(c).cast(DoubleType)
   private def s(c: Column): Column = dsum(c)
-  private def q(c: Column): Column = sum((c * c).cast(dec)).cast(DoubleType)
+  private def q(c: Column): Column =
+    graft.functions.DetSumExprs.det_sum(c * c).cast(DoubleType)
 
   /** Deterministic sample stddev: exact decimal sums of x and x*x, then
     * a fixed double formula sqrt(greatest(q - s*s/n, 0)/(n-1)) mirrored
