@@ -682,9 +682,23 @@ object IvfIndex {
     val cached = toWrite.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // the shuffle write and the sidecar's means aggregate both read
+      // the cached frame and are independent until writeSidecar — run
+      // the aggregate on a second driver thread so it overlaps the
+      // write (guide §2.6 concurrent jobs; the block manager's
+      // per-block locks make a racing first materialization safe: one
+      // task computes a partition, the other waits for the block)
+      val meansTask = new java.util.concurrent.FutureTask[
+          (Seq[(Int, Array[Double])], Map[Long, Long])](() =>
+        VectorQueries.refreshedCentersWithCounts(
+          cached.select(col("embedding"), col("cell").cast(LongType).as("cell"))))
+      val meansThread = new Thread(meansTask, "graft-build-means")
+      meansThread.setDaemon(true)
+      meansThread.start()
       write(cached, path)
-      val (means, counts) = VectorQueries.refreshedCentersWithCounts(
-        cached.select(col("embedding"), col("cell").cast(LongType).as("cell")))
+      val (means, counts) =
+        try meansTask.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       writeSidecar(spark, path, Sidecar(centers, means, counts,
         staleCells = Set.empty, pendingAppends = false, maxSeq = 0L,
         version = 1L, books = books))
@@ -1140,9 +1154,13 @@ object IvfIndex {
     * scan, so serving READS only those cells' files. Each candidate
     * lives in exactly one cell (the index is duplicate-free), so the
     * per-query rank never sees a candidate twice. */
-  def serve(idx: DataFrame, panel: DataFrame, k: Int): DataFrame = {
-    val probed = panel.select(col("cell")).distinct().collect()
-      .map(_.get(0).asInstanceOf[Number].longValue()).sorted.toSeq
+  def serve(idx: DataFrame, panel: DataFrame, k: Int,
+      probedHint: Option[Seq[Long]] = None): DataFrame = {
+    // a caller that routed the panel on the driver (planServe) already
+    // knows the probed set — the distinct-collect job is skipped then
+    val probed = probedHint.getOrElse(
+      panel.select(col("cell")).distinct().collect()
+        .map(_.get(0).asInstanceOf[Number].longValue()).sorted.toSeq)
     val pruned =
       if (probed.isEmpty) idx.filter(lit(false)) else
         idx.filter(col("cell").isin(probed: _*))
@@ -1343,10 +1361,13 @@ object IvfIndex {
       maxIdsPerWave: Int = PqGatherPushMaxIds,
       maxWaves: Int = PqGatherMaxWaves,
       knownBatchRows: Option[Long] = None,
-      gatherPool: Int = 8): DataFrame = {
+      gatherPool: Int = 8,
+      probedHint: Option[Seq[Long]] = None): DataFrame = {
     require(books.nonEmpty, "servePq: the index has no PQ codebooks")
-    val probed = panel.select(col("cell")).distinct().collect()
-      .map(_.get(0).asInstanceOf[Number].longValue()).sorted.toSeq
+    // see [[serve]]: a driver-routed caller supplies the probed set
+    val probed = probedHint.getOrElse(
+      panel.select(col("cell")).distinct().collect()
+        .map(_.get(0).asInstanceOf[Number].longValue()).sorted.toSeq)
     val pruned =
       if (probed.isEmpty) idx.filter(lit(false)) else
         idx.filter(col("cell").isin(probed: _*))

@@ -534,43 +534,27 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
       throw PlanError(s"serve: index at '${st.path}' has un-compacted " +
         "appends — a pruned gather could return superseded vectors; " +
         "run compact first"))
-    // the UNIQUE external query batch (q_id, q_emb), cap-checked once —
-    // shared by the routing panel and the pq re-rank pairing; the
-    // counted size rides along so servePq never re-counts the batch
-    val queryFrame: Option[(DataFrame, Long)] = st.query.map { qt =>
-      val qbase = resolve(qt, false)
-      val q = qbase.select(named(qbase, st.idCol, "q_id"),
-        named(qbase, st.vecCol, "q_emb"))
-      if (!q.schema("q_emb").dataType.isInstanceOf[ArrayType])
-        throw PlanError(s"serve: ${st.vecCol} must be an array (vector) column in the query table")
-      // the panel rides as the BROADCAST side of the pruned gather —
-      // a corpus-sized "batch" would be a different op (a self-join);
-      // fail LOUDLY instead of letting the broadcast OOM an executor
-      val n = q.count()
-      if (n > ServeMaxBatch)
-        throw PlanError(s"serve: query batch has $n rows (cap $ServeMaxBatch): " +
-          "serving batches must be query-sized; for corpus-scale scoring " +
-          "use `similar` or the ANN pipeline operators")
-      (q, n)
-    }
-    val panel = queryFrame.map(_._1) match {
-      case None =>
-        // the v45 demo panel: indexed vectors, cells already on disk —
-        // a pushed-down `vec_id < 5` scan (the layout range-partitions
-        // on (cell, vec_id), so row-group stats skip almost everything)
-        idx.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("cell"))
-      case Some(q) =>
-        // EXTERNAL batch: route each query to its nearest exact cell
-        // MEAN of the index, read from the `_centers` SIDECAR — k·d
-        // driver doubles off a k-row file (cached per path), so
-        // routing costs ZERO index scans; before the sidecar this
-        // path paid a full-index VecMeanAgg per call. Pre-sidecar
-        // layouts fall back to that aggregate — LOUDLY, with the
-        // one-shot fix named (`compact` backfills a sidecar for
-        // legacy layouts), so the O(index)-per-batch path can never
-        // hide in a serving loop.
+    // the UNIQUE external query batch (q_id, q_emb), routed ONCE on
+    // the driver: the serving means come off the `_centers` sidecar
+    // (k·d driver doubles from a k-row file, cached per path — zero
+    // index scans; pre-sidecar layouts fall back to the full-index
+    // mean aggregate, LOUDLY, with the one-shot fix named), and the
+    // batch-size cap check AND the probed-cell set both come off ONE
+    // bounded collect of the routing projection. The r14 shape paid a
+    // `count()` job for the cap and then the gather's distinct-collect
+    // job for the probed set — two driver round-trips for information
+    // one ≤cap+1-row collect carries. The panel rides as the BROADCAST
+    // side of the pruned gather — a corpus-sized "batch" would be a
+    // different op (a self-join), so an over-cap batch fails loudly
+    // before any broadcast (and the `limit` bounds the failed
+    // collect's transfer to cap+1 rows).
+    val routed: Option[(DataFrame, Long, Seq[Long], Seq[(Int, Array[Double])])] =
+      st.query.map { qt =>
+        val qbase = resolve(qt, false)
+        val q = qbase.select(named(qbase, st.idCol, "q_id"),
+          named(qbase, st.vecCol, "q_emb"))
+        if (!q.schema("q_emb").dataType.isInstanceOf[ArrayType])
+          throw PlanError(s"serve: ${st.vecCol} must be an array (vector) column in the query table")
         val means = side.map(_.refresh).getOrElse {
           Planner.warn(s"serve: index at '${st.path}' has no _centers " +
             "sidecar — routing this batch costs a FULL-INDEX mean " +
@@ -579,6 +563,35 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
           graft.queries.VectorQueries.refreshedCenters(idx)
         }
         if (means.isEmpty) throw PlanError(s"serve: index at '${st.path}' is empty")
+        val d = means.head._2.length
+        val cellsDf =
+          if (st.probe <= 1L)
+            q.select(array(graft.functions.VectorExprs.nearest_centroid(
+              col("q_emb"), means, d)).as("cells"))
+          else
+            q.select(graft.functions.VectorExprs.nearest_cells(
+              col("q_emb"), means, d, st.probe.toInt).as("cells"))
+        val rows = cellsDf.limit((ServeMaxBatch + 1L).toInt).collect()
+        if (rows.length > ServeMaxBatch)
+          throw PlanError(s"serve: query batch has more than $ServeMaxBatch " +
+            s"rows (cap $ServeMaxBatch): serving batches must be " +
+            "query-sized; for corpus-scale scoring use `similar` or the " +
+            "ANN pipeline operators")
+        val probed = rows.iterator
+          .flatMap(_.getSeq[Any](0))
+          .map(_.asInstanceOf[Number].longValue())
+          .toArray.distinct.sorted.toSeq
+        (q, rows.length.toLong, probed, means)
+      }
+    val panel = routed match {
+      case None =>
+        // the v45 demo panel: indexed vectors, cells already on disk —
+        // a pushed-down `vec_id < 5` scan (the layout range-partitions
+        // on (cell, vec_id), so row-group stats skip almost everything)
+        idx.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("cell"))
+      case Some((q, _, _, means)) =>
         if (st.probe <= 1L)
           q.select(col("q_id"), col("q_emb"),
             graft.functions.VectorExprs.nearest_centroid(
@@ -593,7 +606,8 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
               col("q_emb"), means, means.head._2.length,
               st.probe.toInt)).as("cell"))
     }
-    if (!st.pq) graft.operators.IvfIndex.serve(idx, panel, st.k.toInt)
+    if (!st.pq) graft.operators.IvfIndex.serve(idx, panel, st.k.toInt,
+      probedHint = routed.map(_._3))
     else {
       // PQ-accelerated: ADC shortlist over the stored codes (the scan
       // never reads the embedding column), exact re-rank of the
@@ -609,15 +623,16 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         col("cell").cast(LongType).as("cell"))
       // the UNIQUE query batch for the re-rank pairing (the panel may
       // carry one row per probed cell under multi-probe)
-      val (queries, nQueries) = queryFrame.get
+      val (queries, nQueries, probed, _) = routed.get
       // the sidecar's occupancy counts drive the gather's per-cell
       // pushed-vs-full flip (serve refused pendingAppends above, so
-      // the counts are current for every servable index), and the
-      // cap-check count is threaded through so the gather gate costs
-      // zero extra driver jobs on the latency path
+      // the counts are current for every servable index); the
+      // cap-check count AND the probed-cell set are threaded through
+      // so the gather gate costs zero extra driver jobs on the
+      // latency path
       graft.operators.IvfIndex.servePq(idxFull, queries, panel, st.k.toInt,
         st.shortlist.toInt, s.serving, s.books, cellRows = s.counts,
-        knownBatchRows = Some(nQueries))
+        knownBatchRows = Some(nQueries), probedHint = Some(probed))
     }
   }
 
