@@ -22,23 +22,7 @@ object Tables {
     if (hasExt(name)) normalizeNanoTs(load(spark, name))
     else {
       val path = s"$dir/$name.parquet"
-      val cache = relationCache.synchronized {
-        var m = relationCache.get(spark)
-        if (m == null) {
-          m = new java.util.concurrent.ConcurrentHashMap[
-            String, (Long, Long, DataFrame)]()
-          relationCache.put(spark, m)
-        }
-        m
-      }
-      val (mt, len) = stamp(path)
-      val hit = cache.get(path)
-      if (hit != null && hit._1 == mt && hit._2 == len) hit._3
-      else {
-        val df = normalizeNanoTs(spark.read.parquet(path))
-        cache.put(path, (mt, len, df))
-        df
-      }
+      cached(spark, path)(normalizeNanoTs(spark.read.parquet(path)))
     }
 
   // Session-scoped relation METADATA cache — the catalog role every
@@ -58,9 +42,29 @@ object Tables {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, (Long, Long, DataFrame)]]()
 
+  /** Cheap local freshness token: (mtime, length) for a file; for a
+    * DIRECTORY dataset, a fold over the direct children's (name,
+    * mtime) plus their total length — a Spark overwrite/append
+    * recreates or adds top-level part files (and rewrites _SUCCESS),
+    * so any Spark rewrite changes the token without a recursive
+    * listing. Non-local paths stat as (0, 0) and cache permanently —
+    * a remote catalog's semantics. */
   private def stamp(path: String): (Long, Long) = {
     val f = new java.io.File(path)
-    (f.lastModified(), f.length())
+    if (!f.isDirectory) (f.lastModified(), f.length())
+    else {
+      val kids = f.listFiles()
+      if (kids == null) (f.lastModified(), -1L)
+      else {
+        var h = f.lastModified() ^ (kids.length.toLong * 1315423911L)
+        var total = 0L
+        kids.foreach { k =>
+          h = h * 31 + k.getName.hashCode + k.lastModified()
+          total += k.length()
+        }
+        (h, total)
+      }
+    }
   }
 
   // extension dispatch is case-INsensitive everywhere (GraftSession
@@ -97,13 +101,38 @@ object Tables {
     }
 
   /** Load a direct path; CSV goes through the dialect-faithful
-    * inference pass (graft.sources.CsvSource). */
-  def load(spark: SparkSession, path: String): DataFrame = ext(path) match {
-    case "csv"  => graft.sources.CsvSource.read(spark, path)
-    case "json" => spark.read.json(path)
-    case "orc"  => spark.read.orc(path)
-    // Spark 4 ships XML natively; <row> is this engine's row element
-    case "xml"  => spark.read.option("rowTag", "row").xml(path)
-    case _      => spark.read.parquet(path)
+    * inference pass (graft.sources.CsvSource). Resolved relations go
+    * through the same stamp-validated metadata cache as [[apply]]. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    cached(spark, path) {
+      ext(path) match {
+        case "csv"  => graft.sources.CsvSource.read(spark, path)
+        case "json" => spark.read.json(path)
+        case "orc"  => spark.read.orc(path)
+        // Spark 4 ships XML natively; <row> is this engine's row element
+        case "xml"  => spark.read.option("rowTag", "row").xml(path)
+        case _      => spark.read.parquet(path)
+      }
+    }
+
+  private def cached(spark: SparkSession, path: String)
+      (build: => DataFrame): DataFrame = {
+    val cache = relationCache.synchronized {
+      var m = relationCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, (Long, Long, DataFrame)]()
+        relationCache.put(spark, m)
+      }
+      m
+    }
+    val (a, b) = stamp(path)
+    val hit = cache.get(path)
+    if (hit != null && hit._1 == a && hit._2 == b) hit._3
+    else {
+      val df = build
+      cache.put(path, (a, b, df))
+      df
+    }
   }
 }

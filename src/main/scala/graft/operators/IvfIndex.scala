@@ -590,6 +590,39 @@ object IvfIndex {
     def invalidate(path: String): Unit = cache.remove(path)
   }
 
+  /** The index's RAW parquet relation with listing + schema resolved
+    * once per sidecar GENERATION. Re-opening the index re-lists every
+    * cell directory and re-infers schema as a driver job per serve
+    * statement; the sidecar header's fingerprint (a new name + inode
+    * per commit — every lifecycle mutation, including a rebuild,
+    * commits one) is the invalidation token, so any append / upsert /
+    * compact / rebuild re-resolves the relation. Pre-sidecar layouts
+    * have no token and are never cached. Metadata only — every query
+    * still scans the index files. */
+  def openRaw(spark: SparkSession, path: String): DataFrame = {
+    val token = SidecarCache.currentFingerprint(spark, path)
+    if (token.isEmpty) return spark.read.parquet(path)
+    val cache = rawRelationCache.synchronized {
+      var m = rawRelationCache.get(spark)
+      if (m == null) {
+        m = new ConcurrentHashMap[String, (String, DataFrame)]()
+        rawRelationCache.put(spark, m)
+      }
+      m
+    }
+    val hit = cache.get(path)
+    if (hit != null && hit._1 == token) hit._2
+    else {
+      val df = spark.read.parquet(path)
+      cache.put(path, (token, df))
+      df
+    }
+  }
+
+  private val rawRelationCache =
+    new java.util.WeakHashMap[SparkSession,
+      ConcurrentHashMap[String, (String, DataFrame)]]()
+
   /** Persist an assigned (vec_id, embedding, cell) frame as the
     * cell-partitioned layout. The explicit RANGE repartition on
     * (cell, vec_id) pays ONE shuffle so each task writes a contiguous

@@ -493,7 +493,7 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     // compact backfills the `_centers` sidecar in one index scan, so
     // serve/repair/ingest route off driver rows afterwards — the
     // one-shot fix the serve fallback warning names
-    val raw = try spark.read.parquet(st.path) catch {
+    val raw = try graft.operators.IvfIndex.openRaw(spark, st.path) catch {
       case e: Exception =>
         throw PlanError(s"compact: cannot read index at '${st.path}': ${e.getMessage}")
     }
@@ -515,7 +515,7 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     * predicate, only those cells' files are read. */
   def planServe(st: ServeStmt): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val raw = try spark.read.parquet(st.path) catch {
+    val raw = try graft.operators.IvfIndex.openRaw(spark, st.path) catch {
       case e: Exception =>
         throw PlanError(s"serve: cannot read index at '${st.path}': ${e.getMessage}")
     }
