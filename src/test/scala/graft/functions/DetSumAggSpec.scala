@@ -67,6 +67,29 @@ class DetSumAggSpec extends SparkSpec {
     check(xs, parts = 13)
   }
 
+  test("non-ANSI: rows whose (38,6) cast nulls are skipped, like sum(cast)") {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      // 1e35 overflows decimal(38,6) -> null under non-ANSI -> skipped
+      check(Seq(Some(1.5), Some(1e35), Some(2.5)))
+      check(Seq(Some(1e35), Some(Double.NaN)))
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
+
+  test("NaN/Inf behave exactly like sum(cast) under the session's cast mode") {
+    // whatever the session's ANSI/cast semantics, DetSum128's wide
+    // branch is the same (38,6) Cast — result or exception must match
+    def run(body: => org.apache.spark.sql.Row): Either[String, String] =
+      try Right(String.valueOf(body))
+      catch { case e: Exception => Left(e.getClass.getName) }
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)) {
+      val df = Seq(Some(1.0), Some(bad)).toDF("x").repartition(2)
+      val ref = run(df.agg(sum(col("x").cast(dec38)).as("s")).collect()(0))
+      val got = run(df.agg(DetSumExprs.det_sum(col("x")).as("s")).collect()(0))
+      assert(got == ref, s"$bad: $got vs $ref")
+    }
+  }
+
   test("float and integral children match the cast chain too") {
     val f = Seq(1.5f, -2.25f, 3.75f).toDF("x").repartition(2)
     val rf = f.agg(sum(col("x").cast(dec38)).as("s")).collect()(0).getDecimal(0)
