@@ -4,9 +4,55 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
+
+/** Exact `double → scale-6 unscaled long` conversion — the per-row body
+  * of DetSum128's compact path.
+  *
+  * Contract (pinned by DetDecSpec against the cast itself): for
+  * |x| < 1e11, `unscaled6(x)` equals the unscaled long of
+  * `cast(x as decimal(18,6))`, i.e. of
+  * `java.math.BigDecimal.valueOf(x).setScale(6, HALF_UP)` — Spark's
+  * double→decimal chain (shortest decimal representation that
+  * round-trips to x, then HALF_UP at scale 6).
+  *
+  * Why a fast path is sound: `Double.toString(x)` returns SOME decimal
+  * S in x's round-trip interval [x − ulp(x)/2, x + ulp(x)/2]. If that
+  * whole interval, scaled by 10⁶, lies strictly inside one rounding
+  * cell (n−½, n+½), then every decimal in it — shortest, exact binary
+  * expansion, anything — is nearest to n with no tie, so HALF_UP(S)·10⁶
+  * = n regardless of which S the JDK picked. The fast path verifies
+  * exactly that: Y = x·10⁶ as an exact two-term sum (product + FMA
+  * residual), n = rint of the rounded product, |Y − n| plus the scaled
+  * half-ulp margin (plus a 1e-9 slop dominating the two rounding errors
+  * in computing the distance) must stay below ½. Anything ambiguous —
+  * values within half an ulp of a .0000005 boundary, magnitudes past
+  * 4e9 where ulp(x)·10⁶ approaches ½ — takes the BigDecimal path, so
+  * the fast path never has to reason about which digits toString
+  * produced. |x| < 4e9 keeps |Y| < 4e15 < 2⁵², making rint, the long
+  * conversion and the Sterbenz subtraction p − n all exact. */
+object DetDec {
+  def unscaled6(x: Double): Long = {
+    val ax = math.abs(x)
+    if (ax < 4.0e9) {
+      val p = x * 1e6
+      val err = Math.fma(x, 1e6, -p) // exact: x·1e6 = p + err
+      val n = Math.rint(p) // exact integer-valued double
+      val d = (p - n) + err // |rounding error| ≤ ulp(0.5)/2 ≪ slop
+      val margin = Math.ulp(ax) * 5e5 + 1e-9
+      if (Math.abs(d) + margin < 0.5) return n.toLong
+    }
+    slow(x)
+  }
+
+  private def slow(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+}
 
 /** Exact decimal(38,6) sum of a numeric column with an all-LONG
   * aggregation buffer — the Det.dsum hot path.
@@ -77,8 +123,20 @@ case class DetSum128(child: Expression)
     val childD = if (child.dataType == DoubleType) child else Cast(child, DoubleType)
     val small = And(IsNotNull(child), LessThan(Abs(childD), Literal(1e11)))
     // compact: the scale-6 unscaled long (same HALF_UP rounding as the
-    // (38,6) cast); evaluated only under `small`, so always in range
-    val u = UnscaledValue(Cast(child, dec18))
+    // (38,6) cast); evaluated only under `small`, so always in range.
+    // For double children the per-row BigDecimal cast was the dominant
+    // Det-aggregate term (DecBench); DetDec.unscaled6 is the proven-
+    // equivalent all-float conversion (guide §4 — codegen'd static
+    // call, no per-row allocation). Other child types keep the Cast:
+    // integral/decimal casts are long-backed and already cheap, and
+    // float→decimal goes through the float's double VALUE's toString,
+    // which DetDec does not model.
+    val u = child.dataType match {
+      case DoubleType =>
+        StaticInvoke(DetDec.getClass, LongType, "unscaled6",
+          Seq(child), Seq(DoubleType), returnNullable = false)
+      case _ => UnscaledValue(Cast(child, dec18))
+    }
     val w = Cast(child, dec38) // wide value — evaluated only under Ifs
     val q = IntegralDivide(w, limbDec) // long: value div 1e12 = unscaled div 1e18
     val rem = Subtract(w, Multiply(Cast(q, DecimalType(20, 0)), limbDec))
