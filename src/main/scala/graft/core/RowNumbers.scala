@@ -74,6 +74,28 @@ object RowNumbers {
     sc.addSparkListener(listener)
   }
 
+  /** Input-side cache for the range-partitioned entry points below.
+    * `repartitionByRange` executes its child TWICE — once for the
+    * range sampler's sketch job, once for the shuffle map stage — so
+    * an expensive upstream (p13's survivor joins, t11's tokenize) is
+    * paid double. Persisting the input for exactly that window makes
+    * the sampler fill the cache and the map stage hit it; the cache is
+    * released synchronously right after each operator's eager offset
+    * phase (by which point the shuffle files exist), so its lifetime
+    * is one call. Every internal call site feeds a narrow metadata
+    * projection (ids + one long), so the cached bytes are small by
+    * design; `spark.graft.rownumbers.cacheInput=false` restores the
+    * recompute shape for callers whose upstream is a bare scan. */
+  private def cacheForRange(df: DataFrame): (DataFrame, () => Unit) = {
+    val on = df.sparkSession.conf
+      .get("spark.graft.rownumbers.cacheInput", "true").toBoolean
+    if (!on) (df, () => ())
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p, () => { p.unpersist(blocking = false); () })
+    }
+  }
+
   /** Attach `name` = step · (1-based row index in natural scan order —
     * (partition, offset) order, matching the reference's single-
     * threaded scan counter). */
@@ -81,9 +103,16 @@ object RowNumbers {
     val spark = df.sparkSession
     val schema = StructType(df.schema.fields :+
       StructField(name, DoubleType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+    // persist across zipWithIndex's two passes (the eager count job in
+    // its constructor and the later numbering pass) — same reasoning
+    // as scanCumsum: without it the child's post-shuffle work (sorts,
+    // projections) executes twice
+    val cached = df.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = cached.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1) * step)
     }
+    unpersistAfterFirstUse(spark, cached, rdd)
     spark.createDataFrame(rdd, schema)
   }
 
@@ -94,8 +123,10 @@ object RowNumbers {
       step: Double = 1.0, numPartitions: Option[Int] = None): DataFrame = {
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
-    scanOrder(df.repartitionByRange(parts, order: _*)
+    val (src, release) = cacheForRange(df)
+    try scanOrder(src.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*), name, step)
+    finally release() // scanOrder's zipWithIndex count job already ran
   }
 
   /** Attach `name` = inclusive running sum of LongType column `value`
@@ -133,8 +164,10 @@ object RowNumbers {
       name: String = "cum", numPartitions: Option[Int] = None): DataFrame = {
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
-    scanCumsum(df.repartitionByRange(parts, order: _*)
+    val (src, release) = cacheForRange(df)
+    try scanCumsum(src.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*), value, name)
+    finally release() // scanCumsum's offset collect already ran
   }
 
   /** Per-KEY 1-based row numbering (`row_number() OVER (PARTITION BY
@@ -155,14 +188,15 @@ object RowNumbers {
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
     val sortCols = key.map(org.apache.spark.sql.functions.col) ++ order
-    val keyed = df.repartitionByRange(parts, sortCols: _*)
+    val (src, release) = cacheForRange(df)
+    val keyed = src.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val kIdx = key.map(keyed.schema.fieldIndex)
     // persist across the two passes (see groupedCumsum for why)
     val rdd = keyed.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val runs: Array[(Int, Seq[(Seq[Any], Long)])] =
-      rdd.mapPartitionsWithIndex { (i, it) =>
+      try rdd.mapPartitionsWithIndex { (i, it) =>
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
         var cur: Seq[Any] = null
         var c = 0L
@@ -174,6 +208,7 @@ object RowNumbers {
         if (cur != null) buf += ((cur, c))
         Iterator((i, buf.toSeq))
       }.collect()
+      finally release() // the collect ran the shuffle map off the cache
     // per (partition, key) start offset = rows of that key in EARLIER partitions
     val seen = scala.collection.mutable.Map.empty[Seq[Any], Long]
     val offsets = runs.sortBy(_._1).flatMap { case (i, ks) =>
@@ -216,7 +251,8 @@ object RowNumbers {
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
     val sortCols = key.map(org.apache.spark.sql.functions.col) ++ order
-    val keyed = df.repartitionByRange(parts, sortCols: _*)
+    val (src, release) = cacheForRange(df)
+    val keyed = src.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val kIdx = key.map(keyed.schema.fieldIndex)
     val vIdx = keyed.schema.fieldIndex(value)
@@ -230,7 +266,7 @@ object RowNumbers {
     val rdd = keyed.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val runs: Array[(Int, Seq[(Seq[Any], Long)])] =
-      rdd.mapPartitionsWithIndex { (i, it) =>
+      try rdd.mapPartitionsWithIndex { (i, it) =>
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
         var cur: Seq[Any] = null
         var s = 0L
@@ -242,6 +278,7 @@ object RowNumbers {
         if (cur != null) buf += ((cur, s))
         Iterator((i, buf.toSeq))
       }.collect()
+      finally release() // the collect ran the shuffle map off the cache
     val seen = scala.collection.mutable.Map.empty[Seq[Any], Long]
     val offsets = runs.sortBy(_._1).flatMap { case (i, ks) =>
       ks.map { case (k, s) =>
