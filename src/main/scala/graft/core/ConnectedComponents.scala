@@ -40,9 +40,10 @@ object ConnectedComponents {
     * small — and the dedup graph is ALWAYS small relative to its
     * corpus (star-contracted candidate pairs, a vanishing fraction of
     * rows; singletons never enter). Below the ceiling the symmetrized
-    * edge list is collected once (≤ 2·ceiling two-field rows, ~64 MB
-    * at the default — the same driver budget as the serve path's
-    * PqGatherPushMax collect) and labeled by union-find in
+    * edge list is collected once as flat primitive long arrays
+    * (≤ 2·ceiling pairs — 64 MB at the default; the union-find map
+    * adds up to ~270 MB transient when every id is distinct, far less
+    * on star-contracted dedup graphs) and labeled by union-find in
     * milliseconds: 3 jobs total instead of ~5·rounds, and the label
     * table comes back as a LocalRelation the consumer joins by
     * broadcast with no shuffle. Past the ceiling the loop runs
@@ -80,18 +81,37 @@ object ConnectedComponents {
       isIntegral(edges.schema(dstCol).dataType)
     if (cap <= 0L || !integral) return runCounted(edges, srcCol, dstCol, maxIters)._1
     val sym = symmetrized(edges, srcCol, dstCol)
-    val n = sym.count()
-    if (n > 2L * cap) return loopFrom(sym, maxIters)._1
-    val rows = sym.collect()
+    // one job decides size AND nulls, before anything is collected:
+    // null vertex ids never join in the distributed loop; keep that
+    // exact behavior by running it rather than special-casing here
+    val stats = sym.agg(count(lit(1)), count(col("id")), count(col("nbr")))
+      .collect()(0)
+    val n = stats.getLong(0)
+    val hasNulls = stats.getLong(1) != n || stats.getLong(2) != n
+    if (n > 2L * cap || hasNulls) return loopFrom(sym, maxIters)._1
+    // collect as FLAT PRIMITIVE ARRAYS (one per partition, pairs
+    // interleaved), not boxed Rows. Driver budget at the default cap:
+    // ≤ 4M directed rows → ≤ 64 MB of long[] plus the open-addressing
+    // map below (≤ 2^24 slots · 16 B ≈ 270 MB transient worst case
+    // when every id is distinct; dedup graphs with star contraction
+    // sit far lower). Production drivers with less heap lower
+    // `spark.graft.cc.localMaxEdges` proportionally.
+    val idType = sym.schema("id").dataType // src/dst's COMMON (widened) type
+    val packed: Array[Array[Long]] = sym
+      .select(col("id").cast(org.apache.spark.sql.types.LongType),
+        col("nbr").cast(org.apache.spark.sql.types.LongType))
+      .rdd.mapPartitions { it =>
+        var a = new Array[Long](1024); var m = 0
+        it.foreach { r =>
+          if (m + 2 > a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+          a(m) = r.getLong(0); a(m + 1) = r.getLong(1); m += 2
+        }
+        Iterator.single(java.util.Arrays.copyOf(a, m))
+      }.collect()
     unpersistCheckpoint(sym)
-    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
-      // null vertex ids never join in the distributed loop; keep that
-      // exact behavior by running it rather than special-casing here
-      return runCounted(edges, srcCol, dstCol, maxIters)
-        ._1
     // union-find with path halving; union by min id, so every root is
     // its component's minimum — exactly the loop's converged label
-    val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+    val parent = new LongLongMap(1 << 16)
     def find(x0: Long): Long = {
       var x = x0
       var p = parent.getOrDefault(x, x)
@@ -103,16 +123,19 @@ object ConnectedComponents {
       }
       x
     }
-    rows.foreach { r =>
-      val a = r.get(0).asInstanceOf[Number].longValue()
-      val b = r.get(1).asInstanceOf[Number].longValue()
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra < rb) parent.put(rb, ra)
-      else if (rb < ra) parent.put(ra, rb)
+    packed.foreach { arr =>
+      var i = 0
+      while (i < arr.length) {
+        val a = arr(i); val b = arr(i + 1)
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+        i += 2
+      }
     }
-    val idType = edges.schema(srcCol).dataType
+    // ids came FROM the widened column, so narrowing back is exact
     def back(v: Long): Any = idType match {
       case org.apache.spark.sql.types.ByteType => v.toByte
       case org.apache.spark.sql.types.ShortType => v.toShort
@@ -120,15 +143,79 @@ object ConnectedComponents {
       case _ => v
     }
     val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
-    val it = parent.keySet().iterator()
-    while (it.hasNext) {
-      val id = it.next()
+    parent.foreachKey { id =>
       out.add(org.apache.spark.sql.Row(back(id), back(find(id))))
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType),
       org.apache.spark.sql.types.StructField("lbl", idType)))
     edges.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Minimal open-addressing long→long map (linear probing, power-of-
+    * two capacity, grow at 2/3 load) for the union-find fast path: two
+    * primitive arrays instead of java.util.HashMap's boxed
+    * Long→Long entries (~6× smaller, no per-op allocation). Key
+    * Long.MinValue is stored via a sidecar slot so the sentinel never
+    * collides with a real vertex id. */
+  private final class LongLongMap(initialCapacity: Int) {
+    private val Free = Long.MinValue
+    private var mask = initialCapacity - 1
+    private var keys = Array.fill(initialCapacity)(Free)
+    private var vals = new Array[Long](initialCapacity)
+    private var n = 0
+    private var hasMin = false
+    private var minVal = 0L
+
+    def size: Int = n + (if (hasMin) 1 else 0)
+
+    private def idx(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
+      while (keys(i) != Free && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+
+    def getOrDefault(k: Long, dflt: Long): Long = {
+      if (k == Free) return if (hasMin) minVal else dflt
+      val i = idx(k)
+      if (keys(i) == k) vals(i) else dflt
+    }
+
+    def put(k: Long, v: Long): Unit = {
+      if (k == Free) { hasMin = true; minVal = v; return }
+      val i = idx(k)
+      if (keys(i) != k) {
+        keys(i) = k; vals(i) = v; n += 1
+        if (n.toLong * 3 > keys.length.toLong * 2) grow()
+      } else vals(i) = v
+    }
+
+    def putIfAbsent(k: Long, v: Long): Unit = {
+      if (k == Free) { if (!hasMin) { hasMin = true; minVal = v }; return }
+      val i = idx(k)
+      if (keys(i) != k) {
+        keys(i) = k; vals(i) = v; n += 1
+        if (n.toLong * 3 > keys.length.toLong * 2) grow()
+      }
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      mask = mask * 2 + 1
+      keys = Array.fill(ok.length * 2)(Free)
+      vals = new Array[Long](ok.length * 2)
+      var j = 0
+      while (j < ok.length) {
+        if (ok(j) != Free) { val i = idx(ok(j)); keys(i) = ok(j); vals(i) = ov(j) }
+        j += 1
+      }
+    }
+
+    def foreachKey(f: Long => Unit): Unit = {
+      if (hasMin) f(Free)
+      var j = 0
+      while (j < keys.length) { if (keys(j) != Free) f(keys(j)); j += 1 }
+    }
   }
 
   /** The symmetrized, deduplicated, eagerly checkpointed edge list the

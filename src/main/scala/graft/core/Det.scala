@@ -22,7 +22,15 @@ object Det {
     * Computed by [[graft.functions.DetSum128]] — the same exact
     * decimal(38,6) sum carried in two long limbs (bit-identical,
     * DetSumAggSpec), because Spark's precision-38 sum buffer is
-    * BigDecimal-backed and costs ~3× the scan per aggregate. */
+    * BigDecimal-backed and costs ~3× the scan per aggregate.
+    *
+    * Contract bound (ADVICE r15): under NON-ANSI mode, rows with
+    * 9.2e30 ≲ |x| < 1e32 (or a running sum past the hi limb) are
+    * SKIPPED where `sum(cast(x as decimal(38,6)))` would still include
+    * them — two orders of magnitude inside the decimal range. No
+    * physical quantity this engine aggregates (token counts, prices,
+    * quality scores, squared magnitudes thereof) reaches 1e30; under
+    * ANSI both shapes error identically past 1e32. */
   def dsum(c: Column): Column =
     graft.functions.DetSumExprs.det_sum(c).cast(DoubleType)
 

@@ -25,22 +25,14 @@ object Tables {
       cached(spark, path)(normalizeNanoTs(spark.read.parquet(path)))
     }
 
-  // Session-scoped relation METADATA cache — the catalog role every
-  // real engine's metastore plays (optimization guide §6: file-listing
-  // caches / manifest metadata are the cure for per-query listing
-  // cost). `spark.read.parquet` re-lists files and re-infers schema as
-  // a driver job on every call, so a 5-table dialect statement paid 5
-  // such jobs per execution. The cache holds ONLY the resolved,
-  // unevaluated relation (file listing + schema — no data, no
-  // results); every execution still scans the parquet files. Entries
-  // are validated per hit against the path's local (mtime, length) —
-  // an externally rewritten table re-resolves — and the outer map is
-  // weakly keyed on the SparkSession so it dies with the session.
-  // Non-local paths stat as (0, 0) and therefore cache permanently,
-  // matching a remote catalog's semantics.
-  private val relationCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, (Long, Long, DataFrame)]]()
+  // Relation METADATA cache — see graft.core.RelationCache.
+  // `spark.read.parquet` re-lists files and re-infers schema as a
+  // driver job on every call, so a 5-table dialect statement paid 5
+  // such jobs per execution. Entries are validated per hit against the
+  // path's local (mtime, length) — an externally rewritten table
+  // re-resolves. Non-local paths stat as (0, 0) and cache for the
+  // session (remote-catalog semantics) unless
+  // spark.graft.relationCache.enabled=false.
 
   /** Cheap local freshness token: (mtime, length) for a file; for a
     * DIRECTORY dataset, a fold over the direct children's (name,
@@ -116,23 +108,6 @@ object Tables {
     }
 
   private def cached(spark: SparkSession, path: String)
-      (build: => DataFrame): DataFrame = {
-    val cache = relationCache.synchronized {
-      var m = relationCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[
-          String, (Long, Long, DataFrame)]()
-        relationCache.put(spark, m)
-      }
-      m
-    }
-    val (a, b) = stamp(path)
-    val hit = cache.get(path)
-    if (hit != null && hit._1 == a && hit._2 == b) hit._3
-    else {
-      val df = build
-      cache.put(path, (a, b, df))
-      df
-    }
-  }
+      (build: => DataFrame): DataFrame =
+    RelationCache.getOrBuild(spark, s"tbl:$path", stamp(path))(build)
 }

@@ -602,26 +602,9 @@ object IvfIndex {
   def openRaw(spark: SparkSession, path: String): DataFrame = {
     val token = SidecarCache.currentFingerprint(spark, path)
     if (token.isEmpty) return spark.read.parquet(path)
-    val cache = rawRelationCache.synchronized {
-      var m = rawRelationCache.get(spark)
-      if (m == null) {
-        m = new ConcurrentHashMap[String, (String, DataFrame)]()
-        rawRelationCache.put(spark, m)
-      }
-      m
-    }
-    val hit = cache.get(path)
-    if (hit != null && hit._1 == token) hit._2
-    else {
-      val df = spark.read.parquet(path)
-      cache.put(path, (token, df))
-      df
-    }
+    graft.core.RelationCache.getOrBuild(spark, s"ivfraw:$path", token)(
+      spark.read.parquet(path))
   }
-
-  private val rawRelationCache =
-    new java.util.WeakHashMap[SparkSession,
-      ConcurrentHashMap[String, (String, DataFrame)]]()
 
   /** Persist an assigned (vec_id, embedding, cell) frame as the
     * cell-partitioned layout. The explicit RANGE repartition on

@@ -90,6 +90,51 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1))
   }
 
+  test("mixed-width ids (src Int, dst Long beyond Int range) widen like the loop") {
+    // ADVICE r15: the fast path must not truncate through the narrow
+    // column's type — both schema and labels follow the COMMON type
+    val df = Seq((1, 5000000001L), (2, 5000000001L), (3, 7L))
+      .toDF("src", "dst")
+    val out = ConnectedComponents.run(df, "src", "dst")
+    val (loopDf, _) = ConnectedComponents.runCounted(df, "src", "dst")
+    assert(out.schema("id").dataType == loopDf.schema("id").dataType)
+    assert(out.schema("lbl").dataType == loopDf.schema("lbl").dataType)
+    val fast = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = loopDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop)
+    assert(fast(5000000001L) == 1L)
+  }
+
+  test("cap boundary: n at the cap takes the fast path, n past it the loop") {
+    // 3 undirected pairs symmetrize to 6 rows; cap 3 keeps the fast
+    // path (n == 2·cap), cap 2 overflows to the loop — labels equal
+    val edges = Seq((1L, 2L), (3L, 4L), (5L, 6L))
+    def run(cap: Long) = {
+      spark.conf.set("spark.graft.cc.localMaxEdges", cap.toString)
+      try ConnectedComponents.run(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+    }
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L)
+    assert(run(3L) == want)
+    assert(run(2L) == want)
+  }
+
+  test("Long.MinValue id (the map's sentinel) labels correctly") {
+    val got = cc(Seq((Long.MinValue, 5L), (5L, 9L), (11L, 12L)))
+    assert(got == Map(Long.MinValue -> Long.MinValue, 5L -> Long.MinValue,
+      9L -> Long.MinValue, 11L -> 11L, 12L -> 11L))
+  }
+
+  test("null ids route to the distributed loop without a wasted collect") {
+    val df = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), Some(5L)))
+      .toDF("src", "dst")
+    val out = ConnectedComponents.run(df, "src", "dst").collect()
+    val got = out.filter(r => !r.isNullAt(0))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("d07 shape: keep flag marks exactly one doc per cluster") {
     val df = graft.queries.Registry.queries("d07_dedup_clusters")(spark, sf0001)
     val perCluster = df.groupBy("cluster_id")

@@ -15,6 +15,20 @@ class TablesContractSpec extends SparkSpec {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
       .filter(d => new java.io.File(d, "events.parquet").exists())
 
+  test("relation cache: same-instance on hit, per-call rebuild when disabled") {
+    val dir = fixtureDirs.head
+    val a = Tables(spark, dir, "nation")
+    val b = Tables(spark, dir, "nation")
+    assert(a eq b, "unchanged path must serve the cached relation")
+    spark.conf.set("spark.graft.relationCache.enabled", "false")
+    try {
+      val c = Tables(spark, dir, "nation")
+      val d = Tables(spark, dir, "nation")
+      assert(!(c eq d), "disabled cache must re-resolve per call")
+      assert(c.count() == d.count() && c.count() == a.count())
+    } finally spark.conf.unset("spark.graft.relationCache.enabled")
+  }
+
   test("events.ts normalizes to TimestampType in every fixture dir") {
     assert(fixtureDirs.nonEmpty, "no fixture dirs found")
     fixtureDirs.foreach { dir =>
