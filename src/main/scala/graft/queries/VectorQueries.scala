@@ -1284,6 +1284,40 @@ object VectorQueries {
     topKByMetric(sims, "sim", k, asc = false)
   }
 
+  /** All-pairs brute-force KNN — every vector is a query: the batch
+    * ground-truth shape recall evals rank against (v53/v54 use the
+    * 5-query slice). The corpus side repartitions to the session's
+    * shuffle parallelism before the pairwise cosine: the O(n²·d)
+    * compute is the whole cost, and over a single-file scan it would
+    * otherwise run on ONE task however many cores the session has
+    * (guide §2.5 — unsplittable input, repartition right after the
+    * read). That also makes this the bench's core-scaling witness:
+    * scan-bound queries on the single-row-group fixtures cannot show
+    * core scaling at any setting (r15 scaling block), while this
+    * query's compute tracks the granted cores. Partition-independent
+    * by construction — top_k_by with deterministic (sim, n_id) order. */
+  def bruteKnnAll(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val sims = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    topKByMetric(sims, "sim", k, asc = false)
+  }
+
+  /** DuckDB mirror of [[bruteKnnAll]]. */
+  def bruteKnnAllSql(k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_emb FROM embeddings),
+       |sims AS (SELECT q_id, n_id, ${cosineSql("q_emb", "n_emb")} AS sim
+       |         FROM q JOIN c ON q_id != n_id)
+       |SELECT q_id, n_id, sim, rank FROM
+       |(SELECT q_id, n_id, sim, CAST(row_number() OVER
+       |   (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+       | FROM sims) WHERE rank <= $k""".stripMargin
+
   /** DuckDB mirror of [[bruteKnn]]. */
   def bruteKnnSql(k: Int): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
@@ -2687,7 +2721,21 @@ object VectorQueries {
               |  CAST(coalesce(hits3, 0) AS BIGINT) AS hits3,
               |  CAST(coalesce(hits5, 0) AS BIGINT) AS hits5
               |FROM (SELECT DISTINCT q_id FROM truth) q
-              |LEFT JOIN h ON q.q_id = h.q_id""".stripMargin))
+              |LEFT JOIN h ON q.q_id = h.q_id""".stripMargin)),
+
+    // Core-scaling witness (r15 VERDICT ask #2): every other bench
+    // query reads a single-row-group fixture, so its scan — and any
+    // per-row work fused above it — is ONE task and the driver's
+    // 8-vs-32-core probe reads ≈1 everywhere (r15 scaling block; a
+    // conf-gated repartition of those scans was probed and is a net
+    // LOSS at sf0.1 — the exchange costs more than the freed cores
+    // return, OPTIMIZATION_r16.md). This query's cost is O(n²·d)
+    // pairwise compute that the explicit corpus repartition spreads
+    // across the granted cores, so core scaling is observable on it.
+    Q("v55_knn_brute_all",
+      (s, dir) => bruteKnnAll(s, dir, 10),
+      Some(bruteKnnAllSql(10)),
+      bench = true)
   )
 
   /** The v50 oracle: external batch routed to its nearest refresh
