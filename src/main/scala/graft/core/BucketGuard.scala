@@ -60,15 +60,24 @@ object BucketGuard {
     //    are salted into ⌈n/maxBucket⌉ hash-chunks and joined
     //    within-chunk, with the representative replicated into every
     //    chunk so the chunked join also emits the connectivity star.
-    // On a benign corpus the hot branch is empty: the guard's whole
-    // overhead is the aggregation that replaces the self-join.
-    // One explicit exchange by bucket key; the aggregation runs
-    // co-partitioned on it (no aggregation shuffle of its own) and the
-    // hot branch's join below reads the SAME exchange via
-    // ReuseExchange — so the band set is computed exactly once.
-    val ex = bands.repartition(col("band"), col("bkey"))
-    val agg = ex.groupBy(col("band"), col("bkey"))
+    // The aggregated bucket set is CHECKPOINTED eagerly (r16): the
+    // r15 shape relied on ReuseExchange to share the banding exchange
+    // between the benign leg, the marker filter and the hot join, but
+    // leg-specific pushed filters specialize the subtrees and the
+    // exchanges stop being identical — the physical plan re-scanned
+    // the corpus and re-derived the minhash banding up to THREE times
+    // (d03's r16 before-plan, nodes 1/16/30). Materializing the
+    // aggregate (≤ one row per bucket, members capped per bucket)
+    // makes every leg read the same blocks; and when the marker set
+    // is EMPTY — the benign-corpus common case, checked with one tiny
+    // job against the materialized blocks — the hot branch (its
+    // second banding pass, salt join and union) is not planned at
+    // all, which is result-identical by construction (union with a
+    // provably empty side).
+    val agg = bands.repartition(col("band"), col("bkey"))
+      .groupBy(col("band"), col("bkey"))
       .agg(graft.functions.BucketAggExprs.bounded_bucket(col(id), maxBucket).as("__b"))
+      .localCheckpoint()
     val pairCmp: (Column, Column) => Column =
       if (directed) (a, b) => a =!= b else (a, b) => a < b
     val benign = agg.filter(col("__b.n") <= maxBucket)
@@ -79,6 +88,8 @@ object BucketGuard {
     val markers = agg.filter(col("__b.n") > maxBucket)
       .select(col("band"), col("bkey"),
         col("__b.n").as("__n"), col("__b.rep").as("__rep"))
+    if (markers.isEmpty) return benign.distinct()
+    val ex = bands.repartition(col("band"), col("bkey"))
     val chunks = ceil(col("__n").cast(LongType) / lit(maxBucket.toLong)).cast(LongType)
     val hotRows = ex.join(markers, Seq("band", "bkey")) // inner: benign rows drop
       .withColumn("__salt", pmod(xxhash64(col(id)), chunks))
@@ -109,18 +120,22 @@ object BucketGuard {
     * (d03's Jaccard check) still need the actual pairs. */
   def boundedStars(bands: DataFrame, id: String, outA: String, outB: String,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val ex = bands.repartition(col("band"), col("bkey"))
-    val agg = ex.groupBy(col("band"), col("bkey"))
+    // same materialize-once + skip-empty-hot-leg shape as
+    // [[boundedPairs]] (see the note there)
+    val agg = bands.repartition(col("band"), col("bkey"))
+      .groupBy(col("band"), col("bkey"))
       .agg(graft.functions.BucketAggExprs.bounded_bucket(col(id), maxBucket).as("__b"))
+      .localCheckpoint()
     val benign = agg.filter(col("__b.n") <= maxBucket)
       .select(col("__b.rep").as("__rep"), explode(col("__b.members")).as("__m"))
       .filter(col("__m") =!= col("__rep"))
       .select(col("__rep").as(outA), col("__m").as(outB))
     // hot buckets: the capped agg's member array is partial, so the
-    // star joins the marker back onto the band rows (same reused
-    // exchange as boundedPairs' hot branch)
+    // star joins the marker back onto a second banding pass
     val markers = agg.filter(col("__b.n") > maxBucket)
       .select(col("band"), col("bkey"), col("__b.rep").as("__rep"))
+    if (markers.isEmpty) return benign.distinct()
+    val ex = bands.repartition(col("band"), col("bkey"))
     val hotStars = ex.join(markers, Seq("band", "bkey"))
       .filter(col(id) =!= col("__rep"))
       .select(col("__rep").as(outA), col(id).as(outB))

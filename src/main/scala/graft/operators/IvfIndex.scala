@@ -1285,16 +1285,21 @@ object IvfIndex {
     * per-cell flip below wouldn't already have caught. */
   val PqGatherMaxWaves: Int = 32
 
-  /** Per-BRANCH OR-of-equality term bound. One cell's winner ids can
-    * fill a whole wave (1024 terms), and a single Filter with that
-    * many ORs blows Janino's 64 KB method limit — whole-stage codegen
-    * then retries interpreted, costing seconds of compile attempts per
-    * wave (measured: the r14 q100 probe logged three 64 KB failures).
-    * Slicing a cell's ids across several ≤this-size branches keeps
-    * every generated method small; the union shape, the per-branch
-    * single-cell partition pruning and the pushed predicates are
-    * unchanged. */
-  val PqGatherBranchMaxIds: Int = 128
+  /** Pushed id predicates are ONE `In` per (cell, wave-slice) — r16.
+    * The r14/r15 shape sliced each cell's ids into ≤128-term
+    * OR-of-equality branches because a 1024-term OR Filter blew
+    * Janino's 64 KB method limit; the OR-chains were also the
+    * dominant driver cost of a prepared serve (s66: hundreds of
+    * milliseconds of analysis/optimization/codegen per call over
+    * thousands of Or nodes). `In` collapses the catalyst tree to one
+    * node per branch (the optimizer converts it to an O(1) InSet —
+    * tiny generated method, no Janino ceiling), while the parquet
+    * pushdown stays the same or-of-eq page filter as long as
+    * `spark.sql.parquet.pushdown.inFilterThreshold` covers the per-
+    * branch id count — past that threshold Spark pushes a [min,max]
+    * RANGE instead, which would read every page of the cell the id
+    * span covers. [[servePq]] raises the session threshold to the
+    * wave budget for exactly that reason. */
 
   /** Per-cell pushed-vs-full decision: pushing reads ~one
     * [[PageRowLimit]]-row page per winner id (ids sharing a page
@@ -1502,16 +1507,20 @@ object IvfIndex {
         }
         val overflowCells = overflow.map(_._1).toSet
         val push = push0.filterNot(p => overflowCells(p._1))
-        // the equality literal is cast to the COLUMN's type: comparing
-        // an int id column against a long literal would wrap the
-        // column in a cast, which defeats parquet pushdown entirely
+        // one In per branch (see the pushed-predicate note above the
+        // constants). The literals are cast to the COLUMN's type:
+        // comparing an int id column against long literals would wrap
+        // the column in a cast, which defeats parquet pushdown
+        // entirely. The threshold bump keeps the parquet-side filter
+        // the same or-of-eq page filter the OR-chain shape pushed.
+        val thresholdKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+        if (spark.conf.get(thresholdKey, "10").toInt < maxIdsPerWave)
+          spark.conf.set(thresholdKey, maxIdsPerWave.toString)
         def branch(c: Long, ids: Array[Long]): DataFrame =
-          ids.grouped(PqGatherBranchMaxIds).map { g =>
-            idx.filter(col("cell") === c)
-              .filter(g.map(i => col("vec_id") === lit(i).cast(idType))
-                .reduce(_ || _))
-              .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-          }.reduce(_ unionByName _)
+          idx.filter(col("cell") === c)
+            .filter(col("vec_id").isin(
+              ids.map(i => lit(i).cast(idType)).toIndexedSeq: _*))
+            .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
         // wave packing: whole cells next-fit into ≤MaxIds-id waves; a
         // cell larger than one wave splits its (sorted) id list. The
         // ids-budget flip above bounds TOTAL pushed ids but next-fit
