@@ -640,8 +640,24 @@ object IvfIndex {
     * read every page either way. */
   private val PageRowLimit = 64
 
-  def write(assigned: DataFrame, path: String): Unit = {
-    val n = assigned.sparkSession.sessionState.conf.numShufflePartitions
+  /** Rows per layout task — the §6 output-file-sizing knob: a task's
+    * contiguous (cell, vec_id) range lands in ~one file per cell it
+    * spans, so ~256k rows ≈ 70 MB of floats per file. Writing with
+    * the session's full shuffle parallelism regardless of size left a
+    * 2000-row bench index spread over 35 files whose per-file open
+    * cost (footer, column index, reader init — ~50-100 ms each)
+    * dominated every serve scan; at corpus scale rows/target exceeds
+    * the session parallelism and the cap keeps today's behavior. */
+  private val LayoutRowsPerTask = 1L << 18
+
+  def write(assigned: DataFrame, path: String,
+      rowsHint: Option[Long] = None): Unit = {
+    val conf = assigned.sparkSession.sessionState.conf.numShufflePartitions
+    val n = rowsHint match {
+      case Some(r) => math.max(1L, math.min(conf.toLong,
+        (r + LayoutRowsPerTask - 1) / LayoutRowsPerTask)).toInt
+      case None => conf
+    }
     val withSeq =
       if (assigned.columns.contains("seq")) assigned
       else assigned.withColumn("seq", lit(0L))
@@ -711,7 +727,7 @@ object IvfIndex {
       val meansThread = new Thread(meansTask, "graft-build-means")
       meansThread.setDaemon(true)
       meansThread.start()
-      write(cached, path)
+      write(cached, path, rowsHint = Some(n))
       val (means, counts) =
         try meansTask.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
@@ -1396,7 +1412,8 @@ object IvfIndex {
     // checkpoint runs it exactly once, and the winner analysis, the
     // gather's pair join and the fallback all reuse the materialized
     // rows (never a second code scan, whatever shape is chosen)
-    val short0 = pqShortlist(pruned, panel, shortlist, serving, books)
+    val short0 = graft.core.Dbg.t("pq: shortlist plan")(
+      pqShortlist(pruned, panel, shortlist, serving, books))
     // the re-rank pairs each winner with its query ONCE: `queries` is
     // the unique (q_id, q_emb) batch, not the (possibly multi-probe)
     // per-cell panel — deduping the panel instead would plan a
@@ -1426,7 +1443,7 @@ object IvfIndex {
       knownBatchRows.exists(n => n * shortlist <= pushMax)
     val (short, pairsDf, winners, pushable) =
       if (smallBatch) {
-        val pairs = short0.collect()
+        val pairs = graft.core.Dbg.t("pq: shortlist collect")(short0.collect())
         val local = spark.createDataFrame(
           java.util.Arrays.asList(pairs: _*), short0.schema)
         val w = pairs.map(r => (r.get(2).asInstanceOf[Number].longValue(),
@@ -1585,7 +1602,8 @@ object IvfIndex {
           if (fullCellsFinal.isEmpty) None
           else Some(idx.filter(col("cell").isin(fullCellsFinal: _*))
             .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
-        scoreOf((pushLegs ++ fullLeg).reduce(_ unionByName _))
+        graft.core.Dbg.t("pq: gather+score plan")(
+          scoreOf((pushLegs ++ fullLeg).reduce(_ unionByName _)))
       } else {
         // winner set past the driver-collect cap: broadcast-join
         // gather over the probed cells. At ≥cap distinct winners the
@@ -1594,6 +1612,6 @@ object IvfIndex {
         scoreOf(pruned.select(col("vec_id").as("n_id"),
           col("embedding").as("n_emb")))
       }
-    rankTopK(scored, k)
+    graft.core.Dbg.t("pq: rank plan")(rankTopK(scored, k))
   }
 }

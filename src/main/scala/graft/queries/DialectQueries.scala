@@ -887,8 +887,11 @@ object DialectQueries {
         import org.apache.spark.sql.functions._
         val g = GraftSession(s, dir)
         val tag = java.lang.Integer.toHexString(dir.hashCode)
-        val ip = s"/tmp/graft_s66_idx_r14_$tag"
-        val qp = s"/tmp/graft_s66_q_r14_$tag"
+        // r16: layout-round bump — the build now sizes layout files
+        // from the corpus (IvfIndex.LayoutRowsPerTask), so the
+        // prebuilt fixture must be laid out by the current writer
+        val ip = s"/tmp/graft_s66_idx_r16_$tag"
+        val qp = s"/tmp/graft_s66_q_r16_$tag"
         // both fixtures must exist — a run crashed between the index
         // build and the batch write must not wedge every later run on
         // the half-present pair

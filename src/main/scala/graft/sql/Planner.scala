@@ -539,16 +539,18 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
     // (k·d driver doubles from a k-row file, cached per path — zero
     // index scans; pre-sidecar layouts fall back to the full-index
     // mean aggregate, LOUDLY, with the one-shot fix named), and the
-    // batch-size cap check AND the probed-cell set both come off ONE
-    // bounded collect of the routing projection. The r14 shape paid a
-    // `count()` job for the cap and then the gather's distinct-collect
-    // job for the probed set — two driver round-trips for information
-    // one ≤cap+1-row collect carries. The panel rides as the BROADCAST
-    // side of the pruned gather — a corpus-sized "batch" would be a
-    // different op (a self-join), so an over-cap batch fails loudly
-    // before any broadcast (and the `limit` bounds the failed
-    // collect's transfer to cap+1 rows).
-    val routed: Option[(DataFrame, Long, Seq[Long], Seq[(Int, Array[Double])])] =
+    // batch-size cap check, the probed-cell set, the routing panel
+    // AND the re-rank query side all come off ONE bounded collect of
+    // the routing projection (r16 — the r15 shape collected only the
+    // cells and re-READ the batch table twice more per call: once for
+    // the panel broadcast build, once for the re-rank pairing; a
+    // serving batch is ≤ServeMaxBatch by contract, so its rows are
+    // driver-budget data the collect already bounded). The panel
+    // rides as the BROADCAST side of the pruned gather — a
+    // corpus-sized "batch" would be a different op (a self-join), so
+    // an over-cap batch fails loudly before any broadcast (and the
+    // `limit` bounds the failed collect's transfer to cap+1 rows).
+    val routed: Option[(DataFrame, DataFrame, Long, Seq[Long])] =
       st.query.map { qt =>
         val qbase = resolve(qt, false)
         val q = qbase.select(named(qbase, st.idCol, "q_id"),
@@ -566,22 +568,42 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         val d = means.head._2.length
         val cellsDf =
           if (st.probe <= 1L)
-            q.select(array(graft.functions.VectorExprs.nearest_centroid(
-              col("q_emb"), means, d)).as("cells"))
+            q.select(col("q_id"), col("q_emb"),
+              array(graft.functions.VectorExprs.nearest_centroid(
+                col("q_emb"), means, d)).as("cells"))
           else
-            q.select(graft.functions.VectorExprs.nearest_cells(
-              col("q_emb"), means, d, st.probe.toInt).as("cells"))
-        val rows = cellsDf.limit((ServeMaxBatch + 1L).toInt).collect()
+            q.select(col("q_id"), col("q_emb"),
+              graft.functions.VectorExprs.nearest_cells(
+                col("q_emb"), means, d, st.probe.toInt).as("cells"))
+        val rows = graft.core.Dbg.t("serve: routing collect")(
+          cellsDf.limit((ServeMaxBatch + 1L).toInt).collect())
         if (rows.length > ServeMaxBatch)
           throw PlanError(s"serve: query batch has more than $ServeMaxBatch " +
             s"rows (cap $ServeMaxBatch): serving batches must be " +
             "query-sized; for corpus-scale scoring use `similar` or the " +
             "ANN pipeline operators")
         val probed = rows.iterator
-          .flatMap(_.getSeq[Any](0))
+          .flatMap(_.getSeq[Any](2))
           .map(_.asInstanceOf[Number].longValue())
           .toArray.distinct.sorted.toSeq
-        (q, rows.length.toLong, probed, means)
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val qLocal = spark.createDataFrame(
+          java.util.Arrays.asList(
+            rows.map(r => Row(r.get(0), r.get(1))): _*),
+          StructType(q.schema.fields))
+        // multi-probe: each query fans out to one panel row per
+        // probed cell; the gather stays pruned to the probed union
+        // and the per-query rank merges candidates across cells
+        val panelLocal = spark.createDataFrame(
+          java.util.Arrays.asList(
+            rows.flatMap(r => r.getSeq[Any](2).map(c =>
+              Row(r.get(0), r.get(1),
+                java.lang.Long.valueOf(
+                  c.asInstanceOf[Number].longValue())))): _*),
+          StructType(q.schema.fields :+
+            StructField("cell", LongType, nullable = false)))
+        (qLocal, panelLocal, rows.length.toLong, probed)
       }
     val panel = routed match {
       case None =>
@@ -591,23 +613,10 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         idx.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
             col("cell"))
-      case Some((q, _, _, means)) =>
-        if (st.probe <= 1L)
-          q.select(col("q_id"), col("q_emb"),
-            graft.functions.VectorExprs.nearest_centroid(
-              col("q_emb"), means, means.head._2.length).as("cell"))
-        else
-          // multi-probe: each query fans out to its n nearest cells
-          // (one panel row per probed cell); the gather stays pruned
-          // to the probed union and the per-query rank merges
-          // candidates across cells
-          q.select(col("q_id"), col("q_emb"),
-            explode(graft.functions.VectorExprs.nearest_cells(
-              col("q_emb"), means, means.head._2.length,
-              st.probe.toInt)).as("cell"))
+      case Some((_, panelLocal, _, _)) => panelLocal
     }
     if (!st.pq) graft.operators.IvfIndex.serve(idx, panel, st.k.toInt,
-      probedHint = routed.map(_._3))
+      probedHint = routed.map(_._4))
     else {
       // PQ-accelerated: ADC shortlist over the stored codes (the scan
       // never reads the embedding column), exact re-rank of the
@@ -623,7 +632,7 @@ final class Planner(resolve: (String, Boolean) => DataFrame,
         col("cell").cast(LongType).as("cell"))
       // the UNIQUE query batch for the re-rank pairing (the panel may
       // carry one row per probed cell under multi-probe)
-      val (queries, nQueries, probed, _) = routed.get
+      val (queries, _, nQueries, probed) = routed.get
       // the sidecar's occupancy counts drive the gather's per-cell
       // pushed-vs-full flip (serve refused pendingAppends above, so
       // the counts are current for every servable index); the

@@ -2,7 +2,7 @@ package graft.tools
 
 import scala.collection.mutable
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 import graft.queries.Registry
@@ -30,10 +30,19 @@ object JobTrace {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    case class J(id: Int, start: Long, var end: Long, site: String, stages: Int)
+    case class J(id: Int, start: Long, var end: Long, site: String, stages: Int,
+      stageIds: Set[Int], var taskSec: Double = 0.0, var tasks: Int = 0)
     val jobs = mutable.LinkedHashMap.empty[Int, J]
     @volatile var record = false
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        if (record) jobs.synchronized {
+          jobs.values.find(_.stageIds(sc.stageInfo.stageId)).foreach { j =>
+            val m = sc.stageInfo.taskMetrics
+            if (m != null) j.taskSec += m.executorRunTime / 1e3
+            j.tasks += sc.stageInfo.numTasks
+          }
+        }
       override def onJobStart(j: SparkListenerJobStart): Unit = if (record) {
         val site = j.stageInfos.lastOption.map { si =>
           val caller = si.details.linesIterator
@@ -42,7 +51,8 @@ object JobTrace {
           si.name.take(40) + "  @ " + caller.trim.take(90)
         }.getOrElse("?")
         jobs.synchronized {
-          jobs(j.jobId) = J(j.jobId, j.time, -1L, site, j.stageInfos.size)
+          jobs(j.jobId) = J(j.jobId, j.time, -1L, site, j.stageInfos.size,
+            j.stageInfos.map(_.stageId).toSet)
         }
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = if (record) {
@@ -65,7 +75,8 @@ object JobTrace {
     println(f"=== $name wall=$wall%.3f s, ${jobs.size} jobs ===")
     jobs.values.toSeq.sortBy(_.start).foreach { j =>
       val dur = if (j.end > 0) (j.end - j.start) / 1e3 else Double.NaN
-      println(f"job ${j.id}%3d  +${(j.start - t0) / 1e3}%6.3f  dur=$dur%6.3f  stages=${j.stages}  ${j.site}")
+      println(f"job ${j.id}%3d  +${(j.start - t0) / 1e3}%6.3f  dur=$dur%6.3f  " +
+        f"stages=${j.stages}  tasks=${j.tasks}%3d  tasksec=${j.taskSec}%6.3f  ${j.site}")
     }
     val covered = jobs.values.filter(_.end > 0).map(j => j.end - j.start).sum / 1e3
     println(f"sum(job durations)=$covered%.3f s; gap (driver-only) = ${wall - covered}%.3f s")
