@@ -433,12 +433,20 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"dedup near must stay band-keyed:\n${p.take(800)}")
     // the statement lowers through the SAME builders, so the optimized
-    // logical plans must be equivalent — the strongest possible pin
-    // that the SQL surface didn't fork the implementation
-    assert(dialect.queryExecution.optimizedPlan
-      .sameResult(builder.queryExecution.optimizedPlan),
+    // plans must be equivalent. Since r16 BucketGuard materializes its
+    // bucket aggregate per call, so the two constructions read two
+    // distinct (content-identical) checkpoint RDDs and `sameResult`
+    // can no longer hold — the pin compares the normalized plan
+    // structure instead (same nodes, same expressions, ids stripped)
+    assert(planShape(dialect) == planShape(builder),
       "dialect dedup near plan diverged from the d03 builder plan")
   }
+
+  /** Optimized-plan structure with per-instance identifiers (expr ids,
+    * checkpoint RDD numbers) normalized away. */
+  private def planShape(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.treeString
+      .replaceAll("#\\d+", "#x")
 
   test("dialect similar (s26) lowers to v03's exact banded-LSH plan") {
     val dialect = Registry.queries("s26_dialect_similar")(spark, sf0001)
@@ -448,8 +456,8 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"similar must stay band-keyed:\n${p.take(800)}")
-    assert(dialect.queryExecution.optimizedPlan
-      .sameResult(builder.queryExecution.optimizedPlan),
+    // structure pin, not sameResult — see the dedup-near test above
+    assert(planShape(dialect) == planShape(builder),
       "dialect similar plan diverged from the v03 builder plan")
   }
 
@@ -915,7 +923,7 @@ class PlanSpec extends SparkSpec {
     // itself is pinned on a large-cell geometry in the next test.
     val p = plan("s64_dialect_serve_pq")
     val pushed = p.split("\n").filter(_.contains("PushedFilters")).mkString("\n")
-    assert(!pushed.contains("EqualTo(vec_id"),
+    assert(!pushed.contains("EqualTo(vec_id") && !pushed.contains("In(vec_id"),
       s"tiny cells must flip to full-cell scans, not per-id pushes:\n$pushed")
     // still partition-pruned to the probed cells, panel broadcast
     val parts = p.split("\n").filter(_.contains("PartitionFilters"))
@@ -936,11 +944,14 @@ class PlanSpec extends SparkSpec {
     // every probed cell's embedding column — the same bytes exact
     // serving reads once. When a cell's winner count is small against
     // its page count, each winner id must reach the gather as a pushed
-    // EQUALITY predicate on its own cell's scan branch — per-cell
+    // per-id predicate on its own cell's scan branch — per-cell
     // because a cell's members are sparse in the id space (a corpus-
-    // wide id set overlaps every page's id range), and equalities
-    // because parquet's column index never evaluates a native `In`
-    // at page level (both measured, r13 diag). Occupancy is supplied
+    // wide id set overlaps every page's id range). Since r16 the
+    // catalyst-side shape is one `In` per branch; at or below
+    // parquet.pushdown.inFilterThreshold (servePq raises it to the
+    // wave budget) ParquetFilters expands it to the same or-of-eq
+    // FilterApi predicate the old EqualTo chain pushed, so the column
+    // index still skips at page level per id. Occupancy is supplied
     // as large so the per-cell flip keeps every cell pushed — the
     // 100 TB geometry, where cells are millions of rows.
     import org.apache.spark.sql.functions._
@@ -962,8 +973,15 @@ class PlanSpec extends SparkSpec {
     val p = served.queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     val pushed = p.split("\n").filter(_.contains("PushedFilters")).mkString("\n")
-    assert(pushed.contains("EqualTo(vec_id"),
-      s"the re-rank gather must push winner-id equality filters:\n$pushed")
+    // r16: the pushed shape is one In per (cell, wave-slice); Spark's
+    // ParquetFilters expands an In at or below
+    // parquet.pushdown.inFilterThreshold (raised by servePq to the
+    // wave budget) into the SAME or-of-eq FilterApi predicate the old
+    // per-id EqualTo chain produced, so page-level skipping via the
+    // column index is unchanged — the catalyst tree just stops paying
+    // thousands of Or nodes per serve call
+    assert(pushed.contains("In(vec_id"),
+      s"the re-rank gather must push winner-id In filters:\n$pushed")
     // each gather branch is pinned to ONE cell (EqualTo on the
     // partition column), not the probed union
     val parts = p.split("\n").filter(_.contains("PartitionFilters"))

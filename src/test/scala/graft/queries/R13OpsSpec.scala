@@ -244,8 +244,8 @@ class R13OpsSpec extends SparkSpec {
     val p = served.queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     val pushed = p.split("\n").filter(_.contains("PushedFilters")).mkString("\n")
-    assert(pushed.contains("EqualTo(vec_id"),
-      s"int-typed ids must still push as equality filters:\n$pushed")
+    assert(pushed.contains("In(vec_id"),
+      s"int-typed ids must still push as In filters:\n$pushed")
     val rows = served.collect()
     assert(rows.nonEmpty)
     // and ≡ the fallback gather on the same int-typed index

@@ -72,7 +72,7 @@ class R14OpsSpec extends SparkSpec {
       fixture.serving, fixture.books, cellRows = fixture.counts)
     val p = flipped.queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(!p.contains("EqualTo(vec_id"),
+    assert(!p.contains("EqualTo(vec_id") && !p.contains("In(vec_id"),
       s"tiny cells must flip to full-cell scans:\n" +
         p.split("\n").filter(_.contains("PushedFilters")).mkString("\n"))
     val pushed = IvfIndex.servePq(idxFull, q, panel, 5, 20,

@@ -232,7 +232,7 @@ class R15OpsSpec extends SparkSpec {
       gatherFixture.serving, gatherFixture.books, cellRows = counts)
     val p = mixed.queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(p.contains("EqualTo(vec_id"),
+    assert(p.contains("In(vec_id"),
       "huge cells must keep pushed per-id branches")
     val pushedAll = IvfIndex.servePq(idxFull, q, panel, 5, 20,
       gatherFixture.serving, gatherFixture.books)
